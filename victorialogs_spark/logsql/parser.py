@@ -1,0 +1,1527 @@
+"""LogsQL recursive-descent parser.
+
+Grammar mirrors the reference parser
+(/root/reference/lib/logstorage/parser.go:1280+, pipe dispatch
+lib/logstorage/pipe.go:119-386) — re-implemented from scratch in Python.
+
+    query  := options? filterOr ( '|' pipe )*
+    filterOr  := filterAnd ( 'or' filterAnd )*
+    filterAnd := filterNot ( 'and'? filterNot )*
+    filterNot := ('not'|'!'|'-') filterNot | filterPrim
+    filterPrim := '(' filterOr ')' | '{' streamFilter '}'
+              | fieldName ':' fieldExpr | fieldExpr     # default field _msg
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+from victorialogs_spark.logsql import ast as A
+from victorialogs_spark.logsql.lexer import Lexer, Token, parse_duration_ns, parse_number
+
+NS = 10**9
+
+# fmt: off
+_PIPE_NAMES = {
+    "fields", "keep", "delete", "drop", "rm", "copy", "cp", "rename", "mv",
+    "filter", "where", "limit", "head", "offset", "skip", "sort", "order",
+    "first", "last", "stats", "by", "math", "eval", "extract",
+    "extract_regexp", "replace", "replace_regexp", "format", "unpack_json",
+    "unpack_logfmt", "unpack_syslog", "unpack_words", "unroll", "pack_json",
+    "pack_logfmt", "join", "union", "uniq", "top", "facets", "field_names",
+    "field_values", "len", "json_array_len", "hash", "sample",
+    "collapse_nums", "decolorize", "drop_empty_fields", "stream_context",
+    "blocks_count", "block_stats",
+}
+
+_STATS_FUNCS = {
+    "count", "count_empty", "count_uniq", "count_uniq_hash", "sum", "sum_len",
+    "avg", "min", "max", "median", "quantile", "histogram", "uniq_values",
+    "values", "json_values", "row_any", "row_min", "row_max", "rate",
+    "rate_sum",
+}
+# fmt: on
+
+
+class ParseError(ValueError):
+    pass
+
+
+def parse_query(s: str, timestamp_ns: int | None = None) -> A.Query:
+    p = Parser(s, timestamp_ns)
+    q = p.parse()
+    if not p.lex.is_end():
+        raise ParseError(f"unexpected tail at {p.lex.context()!r}: {p.lex.token.raw!r}")
+    return q
+
+
+class Parser:
+    def __init__(self, s: str, timestamp_ns: int | None = None):
+        self.lex = Lexer(s)
+        now = timestamp_ns
+        if now is None:
+            now = int(_dt.datetime.now(_dt.timezone.utc).timestamp() * NS)
+        self.now_ns = now
+
+    # ------------------------------------------------------------------ util
+    def tok(self) -> Token:
+        return self.lex.token
+
+    def advance(self) -> Token:
+        return self.lex.next_token()
+
+    def expect(self, text: str) -> None:
+        if not self.tok().is_kw(text):
+            raise ParseError(
+                f"expected {text!r}, got {self.tok().raw!r} near {self.lex.context()!r}"
+            )
+        self.advance()
+
+    def err(self, msg: str) -> ParseError:
+        return ParseError(f"{msg} near {self.lex.context()!r} (token {self.tok().raw!r})")
+
+    def _guard_end(self, what: str) -> None:
+        if self.lex.is_end():
+            raise ParseError(f"unexpected end of query while parsing {what}")
+
+    # ------------------------------------------------------------------ query
+    def parse(self, subquery: bool = False) -> A.Query:
+        options = self._parse_options()
+        f = self.parse_filter_or()
+        pipes: list[A.Pipe] = []
+        while self.tok().is_kw("|"):
+            self.advance()
+            pipes.append(self.parse_pipe())
+        q = A.Query(filter=f, pipes=pipes, options=options)
+        q.time_range = extract_time_range(q.filter)
+        return q
+
+    def _parse_options(self) -> dict:
+        opts: dict = {}
+        if not self.tok().is_kw("options"):
+            return opts
+        state = self.lex.backup()
+        self.advance()
+        if not self.tok().is_kw("("):
+            self.lex.restore(state)  # 'options' was a search word
+            return opts
+        self.advance()
+        while not self.tok().is_kw(")"):
+            self._guard_end("options")
+            name = self.tok().text
+            self.advance()
+            self.expect("=")
+            opts[name] = self.tok().text
+            self.advance()
+            if self.tok().is_kw(","):
+                self.advance()
+        self.advance()
+        return opts
+
+    # ---------------------------------------------------------------- filters
+    def parse_filter_or(self) -> A.Filter:
+        terms = [self.parse_filter_and()]
+        while self.tok().is_kw("or"):
+            self.advance()
+            terms.append(self.parse_filter_and())
+        if len(terms) == 1:
+            return terms[0]
+        return A.FOr(terms)
+
+    _FILTER_END = ("|", ")", "", "or")
+
+    def parse_filter_and(self) -> A.Filter:
+        terms = [self.parse_filter_not()]
+        while True:
+            t = self.tok()
+            if t.is_kw(*self._FILTER_END) and not t.quoted:
+                break
+            if self.lex.is_end():
+                break
+            if t.is_kw("and"):
+                self.advance()
+            terms.append(self.parse_filter_not())
+        if len(terms) == 1:
+            return terms[0]
+        return A.FAnd(terms)
+
+    def parse_filter_not(self) -> A.Filter:
+        if self.tok().is_kw("not", "!", "-"):
+            self.advance()
+            child = self.parse_filter_not()
+            return A.FNot(child)
+        return self.parse_filter_prim("")
+
+    def parse_filter_prim(self, field: str) -> A.Filter:
+        t = self.tok()
+        fld = canonical_field(field)
+        if t.is_kw("{"):
+            return self._parse_stream_filter()
+        if t.is_kw("("):
+            self.advance()
+            f = self.parse_filter_or()
+            self.expect(")")
+            return f
+        if t.is_kw("*"):
+            self.advance()
+            if field == "":
+                return A.FNoop()
+            return A.FPrefix(fld, "")
+        if t.is_kw(">"):
+            return self._parse_cmp_filter(fld, ">")
+        if t.is_kw("<"):
+            return self._parse_cmp_filter(fld, "<")
+        if t.is_kw("="):
+            self.advance()
+            val, wild = self._compound_phrase_star(allow_colon=True)
+            if wild:
+                return A.FExactPrefix(fld, val)
+            return A.FExact(fld, val)
+        if t.is_kw("!="):
+            self.advance()
+            val, wild = self._compound_phrase_star(allow_colon=True)
+            inner: A.Filter = A.FExactPrefix(fld, val) if wild else A.FExact(fld, val)
+            return A.FNot(inner)
+        if t.is_kw("~"):
+            self.advance()
+            pat = self.tok().text
+            self.advance()
+            return A.FRegexp(fld, pat)
+        if t.is_kw("!~"):
+            self.advance()
+            pat = self.tok().text
+            self.advance()
+            return A.FNot(A.FRegexp(fld, pat))
+        if t.is_kw("not", "!", "-"):
+            self.advance()
+            return A.FNot(self.parse_filter_prim(field))
+
+        # function-style filters (only when followed by '(' without space)
+        if not t.quoted:
+            name = t.text.lower()
+            fn = getattr(self, f"_parse_f_{name}", None)
+            if fn is not None:
+                state = self.lex.backup()
+                self.advance()
+                opener = ("(", "[") if name == "range" else ("(",)
+                if self.tok().is_kw(*opener) and not self.tok().space_before:
+                    return fn(fld)
+                self.lex.restore(state)
+
+        # plain word / phrase / prefix, or  field:expr
+        phrase = self._compound_phrase(allow_colon=field != "")
+        if self.tok().is_kw(":") and field == "" and not self.tok().space_before:
+            self.advance()
+            fname = canonical_field(phrase)
+            if fname == "_time":
+                return self._parse_time_filter()
+            if fname == "_stream_id":
+                return self._parse_stream_id_filter()
+            if fname == "_stream":
+                return self.parse_filter_prim("_stream")
+            return self.parse_filter_prim(fname)
+        if self.tok().is_kw("*") and not self.tok().space_before:
+            self.advance()
+            return A.FPrefix(fld, phrase)
+        return A.FPhrase(fld, phrase)
+
+    # -- helpers -----------------------------------------------------------
+    _STOP = ("*", ",", "(", ")", "[", "]", "|", "{", "}", "", "=", "!", ">", "<", "~", "=~", "!=", "!~")
+
+    def _compound_phrase(self, allow_colon: bool = False) -> str:
+        """Glue adjacent space-free tokens into one phrase
+        (parser.go getCompoundPhrase, :1578-1609)."""
+        t = self.tok()
+        if not t.quoted and t.is_kw(*self._STOP):
+            raise self.err("unexpected token while parsing phrase")
+        parts = [t.text]
+        quoted_any = t.quoted
+        self.advance()
+        stop = set(self._STOP)
+        if not allow_colon:
+            stop.add(":")
+        while True:
+            t = self.tok()
+            if t.space_before or self.lex.is_end():
+                break
+            if not t.quoted and t.text.lower() in stop:
+                break
+            # ':' lookahead — a trailing ':' means field name boundary
+            parts.append(t.text)
+            quoted_any = quoted_any or t.quoted
+            self.advance()
+        return "".join(parts)
+
+    def _compound_phrase_star(self, allow_colon: bool = False) -> tuple[str, bool]:
+        """Phrase plus optional trailing '*' → (value, is_prefix)."""
+        if self.tok().is_kw("*") and not self.tok().quoted:
+            self.advance()
+            return "", True
+        val = self._compound_phrase(allow_colon)
+        if self.tok().is_kw("*") and not self.tok().space_before and not self.tok().quoted:
+            self.advance()
+            return val, True
+        return val, False
+
+    def _parse_string_list(self) -> list[str]:
+        """'(' v1, v2, ... ')'"""
+        self.expect("(")
+        vals: list[str] = []
+        while not self.tok().is_kw(")"):
+            self._guard_end("argument list")
+            vals.append(self.tok().text)
+            self.advance()
+            if self.tok().is_kw(","):
+                self.advance()
+        self.advance()
+        return vals
+
+    def _looks_like_subquery(self) -> bool:
+        """Lookahead from a '(' token: does it hold a subquery (filter/pipe
+        syntax) vs a plain comma-separated value list?"""
+        state = self.lex.backup()
+        self.advance()  # consume '('
+        depth = 0
+        is_sub = False
+        while not self.lex.is_end():
+            t = self.tok()
+            if not t.quoted:
+                txt = t.text
+                if txt == "(":
+                    depth += 1
+                elif txt == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and txt in ("|", ":", "{", "=", ">", "<", "~", "!~", "!="):
+                    is_sub = True
+            self.advance()
+        self.lex.restore(state)
+        return is_sub
+
+    # -- function-style filters ---------------------------------------------
+    def _parse_f_exact(self, field: str) -> A.Filter:
+        self.expect("(")
+        val, wild = self._compound_phrase_star(allow_colon=True)
+        self.expect(")")
+        if wild:
+            return A.FExactPrefix(field, val)
+        return A.FExact(field, val)
+
+    def _parse_f_i(self, field: str) -> A.Filter:
+        self.expect("(")
+        if self.tok().is_kw("*") and not self.tok().quoted:
+            self.advance()
+            self.expect(")")
+            return A.FPrefix(field, "", case_insensitive=True)
+        val, wild = self._compound_phrase_star(allow_colon=True)
+        self.expect(")")
+        if wild:
+            return A.FPrefix(field, val, case_insensitive=True)
+        return A.FPhrase(field, val, case_insensitive=True)
+
+    def _parse_f_in(self, field: str) -> A.Filter:
+        if self._looks_like_subquery():
+            self.expect("(")
+            q = self.parse(subquery=True)
+            self.expect(")")
+            return A.FInSubquery(field, q)
+        return A.FIn(field, self._parse_string_list())
+
+    def _parse_f_contains_all(self, field: str) -> A.Filter:
+        if self._looks_like_subquery():
+            self.expect("(")
+            q = self.parse(subquery=True)
+            self.expect(")")
+            return A.FContains(field, [], True, subquery=q)
+        return A.FContains(field, self._parse_string_list(), True)
+
+    def _parse_f_contains_any(self, field: str) -> A.Filter:
+        if self._looks_like_subquery():
+            self.expect("(")
+            q = self.parse(subquery=True)
+            self.expect(")")
+            return A.FContains(field, [], False, subquery=q)
+        return A.FContains(field, self._parse_string_list(), False)
+
+    def _parse_f_seq(self, field: str) -> A.Filter:
+        return A.FSeq(field, self._parse_string_list())
+
+    def _parse_f_re(self, field: str) -> A.Filter:
+        self.expect("(")
+        pat = self.tok().text
+        self.advance()
+        self.expect(")")
+        return A.FRegexp(field, pat)
+
+    def _parse_f_range(self, field: str) -> A.Filter:
+        # range(lo, hi) / range[lo, hi] / range(lo, hi]
+        t = self.tok()
+        if t.is_kw("("):
+            inc_lo = False
+        elif t.is_kw("["):
+            inc_lo = True
+        else:
+            raise self.err("range: expected ( or [")
+        self.advance()
+        lo = self._parse_float("range lower bound")
+        self.expect(",")
+        hi = self._parse_float("range upper bound")
+        t = self.tok()
+        if t.is_kw(")"):
+            inc_hi = False
+        elif t.is_kw("]"):
+            inc_hi = True
+        else:
+            raise self.err("range: expected ) or ]")
+        self.advance()
+        return A.FRange(field, lo, hi, inc_lo, inc_hi)
+
+    def _parse_f_ipv4_range(self, field: str) -> A.Filter:
+        self.expect("(")
+        first = self.tok().text
+        self.advance()
+        if self.tok().is_kw(","):
+            self.advance()
+            second = self.tok().text
+            self.advance()
+            self.expect(")")
+            lo = ipv4_to_u32(first)
+            hi = ipv4_to_u32(second)
+            if lo is None or hi is None:
+                raise self.err("ipv4_range: invalid IPv4 bounds")
+            return A.FIPv4Range(field, lo, hi)
+        # CIDR form: a.b.c.d '/' N — '/' lexes as its own token
+        if self.tok().is_kw("/"):
+            self.advance()
+            bits = int(self.tok().text)
+            self.advance()
+            self.expect(")")
+            base = ipv4_to_u32(first)
+            if base is None or not (0 <= bits <= 32):
+                raise self.err("ipv4_range: invalid CIDR")
+            mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
+            lo = base & mask
+            hi = lo | (~mask & 0xFFFFFFFF)
+            return A.FIPv4Range(field, lo, hi)
+        self.expect(")")
+        ip = ipv4_to_u32(first)
+        if ip is None:
+            raise self.err("ipv4_range: invalid IPv4")
+        return A.FIPv4Range(field, ip, ip)
+
+    def _parse_f_string_range(self, field: str) -> A.Filter:
+        vals = self._parse_string_list()
+        if len(vals) != 2:
+            raise self.err("string_range expects 2 args")
+        return A.FStringRange(field, vals[0], vals[1])
+
+    def _parse_f_len_range(self, field: str) -> A.Filter:
+        self.expect("(")
+        lo = self._parse_float("len_range lower")
+        self.expect(",")
+        t = self.tok()
+        hi = float("inf") if t.is_kw("inf") else None
+        if hi is None:
+            hi = self._parse_float("len_range upper")
+        else:
+            self.advance()
+        self.expect(")")
+        return A.FLenRange(field, int(lo), int(hi) if hi != float("inf") else 2**62)
+
+    def _parse_f_value_type(self, field: str) -> A.Filter:
+        self.expect("(")
+        vt = self.tok().text
+        self.advance()
+        self.expect(")")
+        return A.FValueType(field, vt)
+
+    def _parse_f_eq_field(self, field: str) -> A.Filter:
+        self.expect("(")
+        other = self.tok().text
+        self.advance()
+        self.expect(")")
+        return A.FEqField(field, other)
+
+    def _parse_f_le_field(self, field: str) -> A.Filter:
+        self.expect("(")
+        other = self.tok().text
+        self.advance()
+        self.expect(")")
+        return A.FCmpField(field, other, allow_eq=True)
+
+    def _parse_f_lt_field(self, field: str) -> A.Filter:
+        self.expect("(")
+        other = self.tok().text
+        self.advance()
+        self.expect(")")
+        return A.FCmpField(field, other, allow_eq=False)
+
+    def _parse_cmp_filter(self, field: str, op: str) -> A.Filter:
+        self.advance()
+        allow_eq = False
+        if self.tok().is_kw("=") and not self.tok().space_before:
+            self.advance()
+            allow_eq = True
+        val = self._parse_float(f"{op} operand")
+        if op == ">":
+            return A.FRange(field, val, float("inf"), allow_eq, True)
+        return A.FRange(field, float("-inf"), val, True, allow_eq)
+
+    def _parse_float(self, what: str) -> float:
+        neg = False
+        if self.tok().is_kw("-"):
+            self.advance()
+            neg = True
+        txt = self.tok().text
+        # glue tokens like '1h30m' (lexer may split '1h30m'? no — alnum run)
+        v = parse_number(txt)
+        if v is None:
+            raise self.err(f"cannot parse number for {what}: {txt!r}")
+        self.advance()
+        # handle '1.5e' split? keep simple
+        return -v if neg else v
+
+    # -- _time filters -------------------------------------------------------
+    def _parse_time_filter(self) -> A.Filter:
+        t = self.tok()
+        if t.is_kw("day_range"):
+            self.advance()
+            return self._parse_day_range()
+        if t.is_kw("week_range"):
+            self.advance()
+            return self._parse_week_range()
+        if t.is_kw(">"):
+            self.advance()
+            allow_eq = False
+            if self.tok().is_kw("=") and not self.tok().space_before:
+                self.advance()
+                allow_eq = True
+            lo, hi = self._parse_time_point()
+            start = lo if allow_eq else hi + 1
+            return A.FTime(start, 2**62)
+        if t.is_kw("<"):
+            self.advance()
+            allow_eq = False
+            if self.tok().is_kw("=") and not self.tok().space_before:
+                self.advance()
+                allow_eq = True
+            lo, hi = self._parse_time_point()
+            end = hi if allow_eq else lo - 1
+            return A.FTime(-(2**62), end)
+        if t.is_kw("[") or t.is_kw("("):
+            inc_lo = t.is_kw("[")
+            self.advance()
+            lo_lo, lo_hi = self._parse_time_point()
+            self.expect(",")
+            hi_lo, hi_hi = self._parse_time_point()
+            t2 = self.tok()
+            if t2.is_kw("]"):
+                inc_hi = True
+            elif t2.is_kw(")"):
+                inc_hi = False
+            else:
+                raise self.err("time range: expected ] or )")
+            self.advance()
+            start = lo_lo if inc_lo else lo_hi + 1
+            end = hi_hi if inc_hi else hi_lo - 1
+            return self._with_time_offset(A.FTime(start, end))
+        # duration (last N) or a timestamp point
+        txt = self._compound_time_token()
+        dur = parse_duration_ns(txt)
+        if dur is not None:
+            return self._with_time_offset(A.FTime(self.now_ns - dur, self.now_ns))
+        rng = parse_time_point(txt)
+        if rng is None:
+            raise self.err(f"cannot parse _time filter value {txt!r}")
+        return self._with_time_offset(A.FTime(rng[0], rng[1]))
+
+    def _with_time_offset(self, f: A.FTime) -> A.FTime:
+        if self.tok().is_kw("offset"):
+            self.advance()
+            off = parse_duration_ns(self._compound_time_token())
+            if off is None:
+                raise self.err("invalid _time offset")
+            return A.FTime(f.lo_ns - off, f.hi_ns - off)
+        return f
+
+    def _compound_time_token(self) -> str:
+        """Glue tokens of a timestamp like 2024-01-01T10:20:30+02:00."""
+        parts = [self.tok().text]
+        quoted = self.tok().quoted
+        self.advance()
+        if quoted:
+            return parts[0]
+        while not self.lex.is_end():
+            t = self.tok()
+            if t.space_before or t.quoted:
+                break
+            if t.text in (",", ")", "]", "[", "(", "|", "}", "{"):
+                break
+            parts.append(t.text)
+            self.advance()
+        return "".join(parts)
+
+    def _parse_time_point(self) -> tuple[int, int]:
+        txt = self._compound_time_token()
+        if txt.lower() == "now":
+            return self.now_ns, self.now_ns
+        dur = parse_duration_ns(txt)
+        if dur is not None and not re.match(r"^\d{4}", txt):
+            ts = self.now_ns - dur
+            return ts, ts
+        rng = parse_time_point(txt)
+        if rng is None:
+            v = parse_number(txt)
+            if v is not None:  # unix seconds
+                ns = int(v * NS)
+                return ns, ns
+            raise self.err(f"cannot parse time point {txt!r}")
+        return rng
+
+    def _parse_day_range(self) -> A.Filter:
+        t = self.tok()
+        inc_lo = t.is_kw("[")
+        if not (t.is_kw("[") or t.is_kw("(")):
+            raise self.err("day_range: expected [ or (")
+        self.advance()
+        lo = self._parse_hhmm()
+        self.expect(",")
+        hi = self._parse_hhmm()
+        t = self.tok()
+        inc_hi = t.is_kw("]")
+        if not (t.is_kw("]") or t.is_kw(")")):
+            raise self.err("day_range: expected ] or )")
+        self.advance()
+        off = 0
+        if self.tok().is_kw("offset"):
+            self.advance()
+            d = parse_duration_ns(self._compound_time_token())
+            if d is None:
+                raise self.err("day_range: invalid offset")
+            off = d
+        return A.FDayRange(lo, hi, inc_lo, inc_hi, off)
+
+    def _parse_hhmm(self) -> int:
+        txt = self._compound_time_token()
+        m = re.match(r"^(\d{1,2})(?::(\d{2}))?$", txt)
+        if not m:
+            raise self.err(f"invalid time-of-day {txt!r}")
+        return int(m.group(1)) * 60 + int(m.group(2) or 0)
+
+    _WEEKDAYS = {
+        "sun": 0, "sunday": 0, "mon": 1, "monday": 1, "tue": 2, "tuesday": 2,
+        "wed": 3, "wednesday": 3, "thu": 4, "thursday": 4, "fri": 5,
+        "friday": 5, "sat": 6, "saturday": 6,
+    }
+
+    def _parse_week_range(self) -> A.Filter:
+        t = self.tok()
+        inc_lo = t.is_kw("[")
+        if not (t.is_kw("[") or t.is_kw("(")):
+            raise self.err("week_range: expected [ or (")
+        self.advance()
+        lo = self._WEEKDAYS.get(self.tok().text.lower())
+        self.advance()
+        self.expect(",")
+        hi = self._WEEKDAYS.get(self.tok().text.lower())
+        self.advance()
+        t = self.tok()
+        inc_hi = t.is_kw("]")
+        if not (t.is_kw("]") or t.is_kw(")")):
+            raise self.err("week_range: expected ] or )")
+        self.advance()
+        if lo is None or hi is None:
+            raise self.err("week_range: bad weekday")
+        off = 0
+        if self.tok().is_kw("offset"):
+            self.advance()
+            d = parse_duration_ns(self._compound_time_token())
+            if d is None:
+                raise self.err("week_range: invalid offset")
+            off = d
+        return A.FWeekRange(lo, hi, inc_lo, inc_hi, off)
+
+    def _parse_stream_id_filter(self) -> A.Filter:
+        if self.tok().is_kw("in"):
+            self.advance()
+            return A.FStreamId(self._parse_string_list())
+        return A.FStreamId([self.tok().text]) if not self.advance() else A.FStreamId([self.lex.prev_token.text])
+
+    # -- stream filter {...} --------------------------------------------------
+    def _parse_stream_filter(self) -> A.Filter:
+        self.expect("{")
+        or_terms: list[list[A.StreamLabelMatcher]] = []
+        cur: list[A.StreamLabelMatcher] = []
+        while not self.tok().is_kw("}"):
+            self._guard_end("stream filter")
+            if self.tok().is_kw("or"):
+                self.advance()
+                or_terms.append(cur)
+                cur = []
+                continue
+            label = self.tok().text
+            self.advance()
+            op = self.tok().text
+            if op not in ("=", "!=", "=~", "!~"):
+                raise self.err(f"stream filter: bad op {op!r}")
+            self.advance()
+            val = self.tok().text
+            self.advance()
+            cur.append(A.StreamLabelMatcher(label, op, val))
+            if self.tok().is_kw(","):
+                self.advance()
+        self.advance()
+        or_terms.append(cur)
+        return A.FStream(or_terms)
+
+    # ---------------------------------------------------------------- pipes
+    def parse_pipe(self) -> A.Pipe:
+        t = self.tok()
+        name = t.text.lower() if not t.quoted else ""
+        fn = getattr(self, f"_parse_p_{name}", None)
+        if fn is None:
+            # implicit filter pipe (pipe.go:367-384)
+            f = self.parse_filter_or()
+            return A.PFilter(f)
+        self.advance()
+        return fn()
+
+    # helper: parse a (possibly parenthesized) comma-separated field list
+    def _field_list(self, parens_required: bool = False) -> list[str]:
+        has_paren = self.tok().is_kw("(")
+        if has_paren:
+            self.advance()
+        elif parens_required:
+            raise self.err("expected (")
+        fields: list[str] = []
+        while True:
+            t = self.tok()
+            if t.is_kw(")") and not t.quoted:
+                break
+            if self.lex.is_end() or (t.is_kw("|") and not has_paren):
+                break
+            name = self._field_name()
+            if self.tok().is_kw("*") and not self.tok().space_before:
+                self.advance()
+                name += "*"
+            fields.append(name)
+            if self.tok().is_kw(","):
+                self.advance()
+            elif not has_paren:
+                break
+        if has_paren:
+            self.expect(")")
+        return fields
+
+    def _field_name(self) -> str:
+        t = self.tok()
+        if t.is_kw("*") and not t.quoted:
+            self.advance()
+            return "*"
+        name = t.text
+        self.advance()
+        # glue '-'/'.'-ish pieces written without quotes
+        while (
+            not self.lex.is_end()
+            and not self.tok().space_before
+            and not self.tok().quoted
+            and self.tok().text not in (",", ")", "(", "|", ":", "*", "]", "[", "=", "}", "{")
+        ):
+            name += self.tok().text
+            self.advance()
+        return canonical_field(name)
+
+    def _int(self, what: str) -> int:
+        v = parse_number(self.tok().text)
+        if v is None:
+            raise self.err(f"expected integer for {what}")
+        self.advance()
+        return int(v)
+
+    def _opt_as_name(self, default: str) -> str:
+        if self.tok().is_kw("as"):
+            self.advance()
+            return self._field_name()
+        t = self.tok()
+        if (
+            not self.lex.is_end()
+            and not t.is_kw("|", ",", ")", "(")
+            and not t.is_kw(*_PIPE_NAMES)
+            and (t.quoted or re.match(r"^[\w.]+$", t.text))
+        ):
+            return self._field_name()
+        return default
+
+    # -- simple pipes ---------------------------------------------------------
+    def _parse_p_fields(self) -> A.Pipe:
+        return A.PFields(self._field_list())
+
+    _parse_p_keep = _parse_p_fields
+
+    def _parse_p_delete(self) -> A.Pipe:
+        return A.PDelete(self._field_list())
+
+    _parse_p_drop = _parse_p_delete
+    _parse_p_rm = _parse_p_delete
+
+    def _pairs(self) -> list[tuple[str, str]]:
+        pairs = []
+        while True:
+            src = self._field_name()
+            self.expect("as") if self.tok().is_kw("as") else None
+            dst = self._field_name()
+            pairs.append((src, dst))
+            if self.tok().is_kw(","):
+                self.advance()
+            else:
+                break
+        return pairs
+
+    def _parse_p_copy(self) -> A.Pipe:
+        return A.PCopy(self._pairs())
+
+    _parse_p_cp = _parse_p_copy
+
+    def _parse_p_rename(self) -> A.Pipe:
+        return A.PRename(self._pairs())
+
+    _parse_p_mv = _parse_p_rename
+
+    def _parse_p_filter(self) -> A.Pipe:
+        return A.PFilter(self.parse_filter_or())
+
+    _parse_p_where = _parse_p_filter
+
+    def _parse_p_limit(self) -> A.Pipe:
+        return A.PLimit(self._int("limit"))
+
+    _parse_p_head = _parse_p_limit
+
+    def _parse_p_offset(self) -> A.Pipe:
+        return A.POffset(self._int("offset"))
+
+    _parse_p_skip = _parse_p_offset
+
+    def _parse_p_sort(self) -> A.Pipe:
+        if self.tok().is_kw("by"):
+            self.advance()
+        fields: list[A.SortField] = []
+        if self.tok().is_kw("("):
+            self.advance()
+            while not self.tok().is_kw(")"):
+                self._guard_end("sort fields")
+                name = self._field_name()
+                desc = False
+                if self.tok().is_kw("desc"):
+                    self.advance()
+                    desc = True
+                elif self.tok().is_kw("asc"):
+                    self.advance()
+                fields.append(A.SortField(name, desc))
+                if self.tok().is_kw(","):
+                    self.advance()
+            self.advance()
+        p = A.PSort(fields)
+        while True:
+            if self.tok().is_kw("desc"):
+                self.advance()
+                p.desc = True
+            elif self.tok().is_kw("asc"):
+                self.advance()
+            elif self.tok().is_kw("partition"):
+                self.advance()
+                if self.tok().is_kw("by"):
+                    self.advance()
+                p.partition_by = self._field_list()
+            elif self.tok().is_kw("limit"):
+                self.advance()
+                p.limit = self._int("sort limit")
+            elif self.tok().is_kw("offset"):
+                self.advance()
+                p.offset = self._int("sort offset")
+            elif self.tok().is_kw("rank"):
+                self.advance()
+                p.rank_name = self._opt_as_name("rank")
+            else:
+                break
+        return p
+
+    def _parse_p_order(self) -> A.Pipe:
+        # 'order by (...)'
+        return self._parse_p_sort()
+
+    def _parse_p_first(self, desc: bool = False) -> A.Pipe:
+        n = 1
+        t = self.tok()
+        if not t.quoted and re.match(r"^\d+$", t.text):
+            n = self._int("first N")
+        fields: list[A.SortField] = []
+        partition: list[str] = []
+        rank = None
+        if self.tok().is_kw("by"):
+            self.advance()
+            if self.tok().is_kw("("):
+                self.advance()
+                while not self.tok().is_kw(")"):
+                    self._guard_end("first/last fields")
+                    name = self._field_name()
+                    fdesc = False
+                    if self.tok().is_kw("desc"):
+                        self.advance()
+                        fdesc = True
+                    fields.append(A.SortField(name, fdesc))
+                    if self.tok().is_kw(","):
+                        self.advance()
+                self.advance()
+            else:
+                fields.append(A.SortField(self._field_name(), False))
+        while True:
+            if self.tok().is_kw("partition"):
+                self.advance()
+                if self.tok().is_kw("by"):
+                    self.advance()
+                partition = self._field_list()
+            elif self.tok().is_kw("rank"):
+                self.advance()
+                rank = self._opt_as_name("rank")
+            else:
+                break
+        return A.PFirst(n, fields, desc=desc, rank_name=rank, partition_by=partition)
+
+    def _parse_p_last(self) -> A.Pipe:
+        return self._parse_p_first(desc=True)
+
+    # -- stats ---------------------------------------------------------------
+    def _parse_p_stats(self) -> A.Pipe:
+        by: list[A.ByField] = []
+        if self.tok().is_kw("by"):
+            self.advance()
+            by = self._parse_by_fields()
+        funcs = [self._parse_stats_func()]
+        while self.tok().is_kw(","):
+            self.advance()
+            funcs.append(self._parse_stats_func())
+        return A.PStats(by, funcs)
+
+    def _parse_p_by(self) -> A.Pipe:
+        by = self._parse_by_fields()
+        funcs = [self._parse_stats_func()]
+        while self.tok().is_kw(","):
+            self.advance()
+            funcs.append(self._parse_stats_func())
+        return A.PStats(by, funcs)
+
+    def _parse_by_fields(self) -> list[A.ByField]:
+        self.expect("(")
+        by: list[A.ByField] = []
+        while not self.tok().is_kw(")"):
+            self._guard_end("by fields")
+            name = self._field_name()
+            bf = A.ByField(name)
+            if self.tok().is_kw(":") and not self.tok().space_before:
+                self.advance()
+                if self.tok().is_kw("/"):  # ipv4 mask
+                    self.advance()
+                    bf.ipv4_mask = self._int("ipv4 mask")
+                else:
+                    txt = self._compound_time_token()
+                    size = _parse_bucket_size(txt, is_time=name == "_time")
+                    if size is None:
+                        raise self.err(f"invalid bucket size {txt!r}")
+                    bf.bucket_size = size
+                    if self.tok().is_kw("offset"):
+                        self.advance()
+                        otxt = self._compound_time_token()
+                        osize = _parse_bucket_size(otxt, is_time=name == "_time")
+                        if osize is None:
+                            raise self.err(f"invalid bucket offset {otxt!r}")
+                        bf.bucket_offset = osize
+            by.append(bf)
+            if self.tok().is_kw(","):
+                self.advance()
+        self.advance()
+        return by
+
+    def _parse_stats_func(self) -> A.StatsFunc:
+        t = self.tok()
+        name = t.text.lower()
+        if name not in _STATS_FUNCS:
+            raise self.err(f"unknown stats function {t.text!r}")
+        self.advance()
+        self.expect("(")
+        extra: dict = {}
+        fields: list[str] = []
+        if name == "quantile":
+            extra["phi"] = float(self.tok().text)
+            self.advance()
+            if self.tok().is_kw(","):
+                self.advance()
+        while not self.tok().is_kw(")"):
+            self._guard_end("stats args")
+            fields.append(self._field_name_star())
+            if self.tok().is_kw(","):
+                self.advance()
+        self.advance()
+        if self.tok().is_kw("limit"):
+            self.advance()
+            extra["limit"] = self._int("stats limit")
+        cond = None
+        if self.tok().is_kw("if"):
+            self.advance()
+            self.expect("(")
+            cond = self.parse_filter_or()
+            self.expect(")")
+        default_name = _default_stats_name(name, fields, extra)
+        result = self._opt_as_name(default_name)
+        return A.StatsFunc(name, fields, result, extra, cond)
+
+    def _field_name_star(self) -> str:
+        if self.tok().is_kw("*") and not self.tok().quoted:
+            self.advance()
+            return "*"
+        name = self._field_name()
+        if self.tok().is_kw("*") and not self.tok().space_before:
+            self.advance()
+            name += "*"
+        return name
+
+    # -- math ------------------------------------------------------------------
+    def _parse_p_math(self) -> A.Pipe:
+        exprs: list[tuple[A.MathExpr, str]] = []
+        while True:
+            e = self._parse_math_expr(999)
+            name = self._opt_as_name("")
+            if not name:
+                raise self.err("math: missing result name (use 'as name')")
+            exprs.append((e, name))
+            if self.tok().is_kw(","):
+                self.advance()
+            else:
+                break
+        return A.PMath(exprs)
+
+    _parse_p_eval = _parse_p_math
+
+    _MATH_PRIO = {"^": 1, "*": 2, "/": 2, "%": 2, "+": 3, "-": 3, "&": 4,
+                  "xor": 5, "or": 6, "default": 10}
+    _MATH_FUNCS = {"abs", "ceil", "exp", "floor", "ln", "max", "min", "round", "now", "rand"}
+
+    def _parse_math_expr(self, max_prio: int) -> A.MathExpr:
+        left = self._parse_math_prim()
+        while True:
+            t = self.tok()
+            op = t.text.lower() if not t.quoted else ""
+            if op == "|" or op not in self._MATH_PRIO:
+                break
+            prio = self._MATH_PRIO[op]
+            if prio >= max_prio:
+                break
+            self.advance()
+            right = self._parse_math_expr(prio if op != "^" else prio + 1)
+            left = A.MBinary(op, left, right)
+        return left
+
+    def _parse_math_prim(self) -> A.MathExpr:
+        t = self.tok()
+        if t.is_kw("("):
+            self.advance()
+            e = self._parse_math_expr(999)
+            self.expect(")")
+            return e
+        if t.is_kw("-"):
+            self.advance()
+            return A.MUnary("-", self._parse_math_prim())
+        name = t.text
+        if not t.quoted and name.lower() in self._MATH_FUNCS:
+            state = self.lex.backup()
+            self.advance()
+            if self.tok().is_kw("(") and not self.tok().space_before:
+                self.advance()
+                args: list[A.MathExpr] = []
+                while not self.tok().is_kw(")"):
+                    self._guard_end("math args")
+                    args.append(self._parse_math_expr(999))
+                    if self.tok().is_kw(","):
+                        self.advance()
+                self.advance()
+                return A.MFunc(name.lower(), args)
+            self.lex.restore(state)
+        v = parse_number(name) if not t.quoted else None
+        if v is not None:
+            self.advance()
+            return A.MNum(v)
+        fname = self._field_name()
+        return A.MField(fname)
+
+    # -- string transform pipes -------------------------------------------------
+    def _common_unpack_opts(self, p) -> None:
+        while True:
+            if self.tok().is_kw("keep_original_fields"):
+                self.advance()
+                p.keep_original_fields = True
+            elif self.tok().is_kw("skip_empty_results"):
+                self.advance()
+                p.skip_empty_results = True
+            else:
+                break
+
+    def _opt_if_cond(self):
+        if self.tok().is_kw("if"):
+            self.advance()
+            self.expect("(")
+            cond = self.parse_filter_or()
+            self.expect(")")
+            return cond
+        return None
+
+    def _parse_p_extract(self) -> A.Pipe:
+        cond = self._opt_if_cond()
+        pat = self.tok().text
+        self.advance()
+        frm = "_msg"
+        if self.tok().is_kw("from"):
+            self.advance()
+            frm = self._field_name()
+        p = A.PExtract(pat, frm, cond=cond)
+        self._common_unpack_opts(p)
+        return p
+
+    def _parse_p_extract_regexp(self) -> A.Pipe:
+        cond = self._opt_if_cond()
+        pat = self.tok().text
+        self.advance()
+        frm = "_msg"
+        if self.tok().is_kw("from"):
+            self.advance()
+            frm = self._field_name()
+        p = A.PExtractRegexp(pat, frm, cond=cond)
+        self._common_unpack_opts(p)
+        return p
+
+    def _parse_replace_args(self, regex: bool) -> A.PReplace:
+        cond = self._opt_if_cond()
+        self.expect("(")
+        old = self.tok().text
+        self.advance()
+        self.expect(",")
+        new = self.tok().text
+        self.advance()
+        self.expect(")")
+        fieldn = "_msg"
+        if self.tok().is_kw("at"):
+            self.advance()
+            fieldn = self._field_name()
+        limit = 0
+        if self.tok().is_kw("limit"):
+            self.advance()
+            limit = self._int("replace limit")
+        return A.PReplace(old, new, fieldn, limit, regex, cond)
+
+    def _parse_p_replace(self) -> A.Pipe:
+        return self._parse_replace_args(False)
+
+    def _parse_p_replace_regexp(self) -> A.Pipe:
+        return self._parse_replace_args(True)
+
+    def _parse_p_format(self) -> A.Pipe:
+        cond = self._opt_if_cond()
+        pat = self.tok().text
+        self.advance()
+        p = A.PFormat(pat)
+        if self.tok().is_kw("as"):
+            self.advance()
+            p.result = self._field_name()
+        elif not self.lex.is_end() and not self.tok().is_kw("|") and not self.tok().is_kw(
+            "keep_original_fields", "skip_empty_results"
+        ):
+            p.result = self._field_name()
+        self._common_unpack_opts(p)
+        p.cond = cond
+        return p
+
+    def _parse_unpack_common(self, cls):
+        cond = self._opt_if_cond()
+        frm = "_msg"
+        flds: list[str] = []
+        prefix = ""
+        if self.tok().is_kw("from"):
+            self.advance()
+            frm = self._field_name()
+        elif not self.lex.is_end() and not self.tok().is_kw(
+            "|", "fields", "result_prefix", "keep_original_fields", "skip_empty_results"
+        ):
+            frm = self._field_name()
+        if self.tok().is_kw("fields"):
+            self.advance()
+            flds = self._field_list(parens_required=True)
+        if self.tok().is_kw("result_prefix"):
+            self.advance()
+            prefix = self.tok().text
+            self.advance()
+        p = cls(frm, flds, prefix, cond=cond)
+        self._common_unpack_opts(p)
+        return p
+
+    def _parse_p_unpack_json(self) -> A.Pipe:
+        return self._parse_unpack_common(A.PUnpackJson)
+
+    def _parse_p_unpack_logfmt(self) -> A.Pipe:
+        return self._parse_unpack_common(A.PUnpackLogfmt)
+
+    def _parse_p_unpack_syslog(self) -> A.Pipe:
+        cond = self._opt_if_cond()
+        frm = "_msg"
+        if self.tok().is_kw("from"):
+            self.advance()
+            frm = self._field_name()
+        off = 0
+        if self.tok().is_kw("offset"):
+            self.advance()
+            d = parse_duration_ns(self._compound_time_token())
+            off = d or 0
+        prefix = ""
+        if self.tok().is_kw("result_prefix"):
+            self.advance()
+            prefix = self.tok().text
+            self.advance()
+        p = A.PUnpackSyslog(frm, prefix, off, cond=cond)
+        if self.tok().is_kw("keep_original_fields"):
+            self.advance()
+            p.keep_original_fields = True
+        return p
+
+    def _parse_p_unpack_words(self) -> A.Pipe:
+        src = "_msg"
+        if self.tok().is_kw("from"):
+            self.advance()
+        if not self.tok().is_kw("as") and not self.lex.is_end() and not self.tok().is_kw("|"):
+            src = self._field_name()
+        dst = src
+        if self.tok().is_kw("as"):
+            self.advance()
+            dst = self._field_name()
+        limit = 0
+        if self.tok().is_kw("limit"):
+            self.advance()
+            limit = self._int("unpack_words limit")
+        return A.PUnpackWords(src, dst, limit)
+
+    def _parse_p_unroll(self) -> A.Pipe:
+        cond = self._opt_if_cond()
+        return A.PUnroll(self._field_list(), cond=cond)
+
+    def _parse_pack(self, cls):
+        result = "_msg"
+        if not self.lex.is_end() and not self.tok().is_kw("|", "fields"):
+            if self.tok().is_kw("as"):
+                self.advance()
+            result = self._field_name()
+        flds: list[str] = []
+        if self.tok().is_kw("fields"):
+            self.advance()
+            flds = self._field_list(parens_required=True)
+        return cls(result, flds)
+
+    def _parse_p_pack_json(self) -> A.Pipe:
+        return self._parse_pack(A.PPackJson)
+
+    def _parse_p_pack_logfmt(self) -> A.Pipe:
+        return self._parse_pack(A.PPackLogfmt)
+
+    # -- multi-query pipes --------------------------------------------------------
+    def _parse_p_join(self) -> A.Pipe:
+        if self.tok().is_kw("by") or self.tok().is_kw("on"):
+            self.advance()
+        by = self._field_list(parens_required=True)
+        self.expect("(")
+        q = self.parse(subquery=True)
+        self.expect(")")
+        inner = False
+        prefix = ""
+        while True:
+            if self.tok().is_kw("inner"):
+                self.advance()
+                inner = True
+            elif self.tok().is_kw("prefix"):
+                self.advance()
+                prefix = self.tok().text
+                self.advance()
+            else:
+                break
+        return A.PJoin(by, q, inner, prefix)
+
+    def _parse_p_union(self) -> A.Pipe:
+        self.expect("(")
+        q = self.parse(subquery=True)
+        self.expect(")")
+        return A.PUnion(q)
+
+    def _parse_p_uniq(self) -> A.Pipe:
+        by: list[str] = []
+        if self.tok().is_kw("by"):
+            self.advance()
+            by = self._field_list(parens_required=True)
+        elif self.tok().is_kw("("):
+            by = self._field_list()
+        hits = None
+        if self.tok().is_kw("with"):
+            self.advance()
+            self.expect("hits")
+            hits = "hits"
+        limit = 0
+        if self.tok().is_kw("limit"):
+            self.advance()
+            limit = self._int("uniq limit")
+        return A.PUniq(by, hits, limit)
+
+    def _parse_p_top(self) -> A.Pipe:
+        n = 10
+        t = self.tok()
+        if not t.quoted and re.match(r"^\d+$", t.text):
+            n = self._int("top N")
+        by: list[str] = []
+        if self.tok().is_kw("by"):
+            self.advance()
+            by = self._field_list(parens_required=True)
+        elif self.tok().is_kw("("):
+            by = self._field_list()
+        p = A.PTop(n, by)
+        while True:
+            if self.tok().is_kw("hits"):
+                self.advance()
+                p.hits_field = self._opt_as_name("hits")
+            elif self.tok().is_kw("rank"):
+                self.advance()
+                p.rank_name = self._opt_as_name("rank")
+            else:
+                break
+        return p
+
+    def _parse_p_facets(self) -> A.Pipe:
+        p = A.PFacets()
+        t = self.tok()
+        if not t.quoted and re.match(r"^\d+$", t.text):
+            p.n = self._int("facets N")
+        while True:
+            if self.tok().is_kw("max_values_per_field"):
+                self.advance()
+                p.max_values_per_field = self._int("max_values_per_field")
+            elif self.tok().is_kw("max_value_len"):
+                self.advance()
+                p.max_value_len = self._int("max_value_len")
+            elif self.tok().is_kw("keep_const_fields"):
+                self.advance()
+                p.keep_const_fields = True
+            else:
+                break
+        return p
+
+    def _parse_p_field_names(self) -> A.Pipe:
+        return A.PFieldNames()
+
+    def _parse_p_field_values(self) -> A.Pipe:
+        name = self._field_name()
+        limit = 0
+        if self.tok().is_kw("limit"):
+            self.advance()
+            limit = self._int("field_values limit")
+        return A.PFieldValues(name, limit)
+
+    def _single_field_as(self, default_suffix: str):
+        self.expect("(")
+        name = self._field_name()
+        self.expect(")")
+        result = self._opt_as_name(f"{default_suffix}({name})")
+        return name, result
+
+    def _parse_p_len(self) -> A.Pipe:
+        name, result = self._single_field_as("len")
+        return A.PLen(name, result)
+
+    def _parse_p_json_array_len(self) -> A.Pipe:
+        name, result = self._single_field_as("json_array_len")
+        return A.PJsonArrayLen(name, result)
+
+    def _parse_p_hash(self) -> A.Pipe:
+        name, result = self._single_field_as("hash")
+        return A.PHash(name, result)
+
+    def _parse_p_sample(self) -> A.Pipe:
+        return A.PSample(self._int("sample N"))
+
+    def _parse_p_collapse_nums(self) -> A.Pipe:
+        cond = self._opt_if_cond()
+        p = A.PCollapseNums(cond=cond)
+        if self.tok().is_kw("prettify"):
+            self.advance()
+            p.prettify = True
+        if self.tok().is_kw("at"):
+            self.advance()
+            p.field_name = self._field_name()
+        if self.tok().is_kw("prettify"):
+            self.advance()
+            p.prettify = True
+        return p
+
+    def _parse_p_decolorize(self) -> A.Pipe:
+        p = A.PDecolorize()
+        if not self.lex.is_end() and not self.tok().is_kw("|"):
+            p.field_name = self._field_name()
+        return p
+
+    def _parse_p_drop_empty_fields(self) -> A.Pipe:
+        return A.PDropEmptyFields()
+
+    def _parse_p_stream_context(self) -> A.Pipe:
+        p = A.PStreamContext()
+        while True:
+            if self.tok().is_kw("before"):
+                self.advance()
+                p.before = self._int("before")
+            elif self.tok().is_kw("after"):
+                self.advance()
+                p.after = self._int("after")
+            elif self.tok().is_kw("time_window"):
+                self.advance()
+                d = parse_duration_ns(self._compound_time_token())
+                if d is None:
+                    raise self.err("stream_context: bad time_window")
+                p.time_window_ns = d
+            else:
+                break
+        return p
+
+    def _parse_p_blocks_count(self) -> A.Pipe:
+        return A.PBlocksCount()
+
+    def _parse_p_block_stats(self) -> A.Pipe:
+        return A.PBlockStats()
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def canonical_field(name: str) -> str:
+    """'' → _msg;  leading '.'-relative names kept as-is."""
+    if name in ("", "_"):
+        return "_msg"
+    return name
+
+
+def ipv4_to_u32(s: str) -> int | None:
+    parts = s.split(".")
+    if len(parts) != 4:
+        return None
+    v = 0
+    for p in parts:
+        if not p.isdigit() or int(p) > 255:
+            return None
+        v = (v << 8) | int(p)
+    return v
+
+
+_TIME_POINT_RE = re.compile(
+    r"^(?P<y>\d{4})(?:-(?P<mo>\d{2})(?:-(?P<d>\d{2})"
+    r"(?:[T ](?P<h>\d{2})(?::(?P<mi>\d{2})(?::(?P<s>\d{2})(?:\.(?P<frac>\d+))?)?)?)?)?)?"
+    r"(?P<tz>Z|[+-]\d{2}:?\d{2})?$"
+)
+
+
+def parse_time_point(s: str) -> tuple[int, int] | None:
+    """Parse a (possibly partial) RFC3339 timestamp into the inclusive ns
+    range it denotes: '2024' → the whole year, '2024-01-01' → the whole day,
+    a full timestamp → a single instant. Mirrors the reference's partial
+    timestamp semantics (docs/victorialogs/LogsQL.md time filter section)."""
+    s = s.strip()
+    m = _TIME_POINT_RE.match(s)
+    if not m:
+        return None
+    g = m.groupdict()
+    y = int(g["y"])
+    tz_off = 0
+    if g["tz"] and g["tz"] != "Z":
+        t = g["tz"].replace(":", "")
+        sign = 1 if t[0] == "+" else -1
+        tz_off = sign * (int(t[1:3]) * 3600 + int(t[3:5])) * NS
+
+    def ts(year, mo, d, h, mi, sec) -> int:
+        dt = _dt.datetime(year, mo, d, h, mi, sec, tzinfo=_dt.timezone.utc)
+        return int(dt.timestamp()) * NS
+
+    if g["mo"] is None:
+        lo = ts(y, 1, 1, 0, 0, 0)
+        hi = ts(y + 1, 1, 1, 0, 0, 0) - 1
+    elif g["d"] is None:
+        mo = int(g["mo"])
+        lo = ts(y, mo, 1, 0, 0, 0)
+        ny, nm = (y + 1, 1) if mo == 12 else (y, mo + 1)
+        hi = ts(ny, nm, 1, 0, 0, 0) - 1
+    elif g["h"] is None:
+        lo = ts(y, int(g["mo"]), int(g["d"]), 0, 0, 0)
+        hi = lo + 86400 * NS - 1
+    elif g["mi"] is None:
+        lo = ts(y, int(g["mo"]), int(g["d"]), int(g["h"]), 0, 0)
+        hi = lo + 3600 * NS - 1
+    elif g["s"] is None:
+        lo = ts(y, int(g["mo"]), int(g["d"]), int(g["h"]), int(g["mi"]), 0)
+        hi = lo + 60 * NS - 1
+    else:
+        lo = ts(y, int(g["mo"]), int(g["d"]), int(g["h"]), int(g["mi"]), int(g["s"]))
+        if g["frac"]:
+            frac_ns = int(float("0." + g["frac"]) * NS)
+            lo += frac_ns
+            hi = lo
+        else:
+            hi = lo + NS - 1
+    return lo - tz_off, hi - tz_off
+
+
+def _parse_bucket_size(txt: str, is_time: bool) -> float | None:
+    """Bucket size for stats by-field: duration (→ seconds) for _time,
+    plain/size number otherwise. Also 'day'/'week'/'month'/'year' words."""
+    low = txt.lower()
+    specials = {"nanosecond": 1e-9, "microsecond": 1e-6, "millisecond": 1e-3,
+                "second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0,
+                "week": 7 * 86400.0, "month": 30 * 86400.0, "year": 365 * 86400.0}
+    if low in specials:
+        return specials[low]
+    if is_time:
+        d = parse_duration_ns(txt)
+        if d is not None:
+            return d / NS
+        v = parse_number(txt)
+        return v  # already seconds
+    return parse_number(txt)
+
+
+def _default_stats_name(name: str, fields: list[str], extra: dict) -> str:
+    args = ", ".join(fields)
+    if name == "quantile":
+        phi = extra.get("phi")
+        args = f"{phi}" + (f", {args}" if args else "")
+    return f"{name}({args})"
+
+
+def extract_time_range(f: A.Filter) -> tuple[int, int] | None:
+    """Global time range from the top-level AND of the filter tree
+    (parser.go:504-525) — used for partition pruning and rate()."""
+    lo, hi = -(2**62), 2**62
+    found = False
+
+    def walk_and(node: A.Filter):
+        nonlocal lo, hi, found
+        if isinstance(node, A.FTime):
+            lo = max(lo, node.lo_ns)
+            hi = min(hi, node.hi_ns)
+            found = True
+        elif isinstance(node, A.FAnd):
+            for c in node.children:
+                walk_and(c)
+
+    walk_and(f)
+    if not found:
+        return None
+    return lo, hi

@@ -1,0 +1,36 @@
+"""SparkSession factory tuned for the engine.
+
+Scale notes (100 TB / 1000-executor design intent):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting.
+- zstd parquet (mirrors reference's zstd blocks, lib/logstorage/encoding.go:353).
+- Arrow enabled for the few pandas-UDF paths (dedup/similarity).
+- shuffle.partitions default kept small for local[32] tests; a real cluster
+  deployment overrides via spark-defaults (AQE coalescing makes the initial
+  number mostly irrelevant).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "victorialogs-spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
