@@ -1,0 +1,396 @@
+"""Golden operator tests: literal rows in → rows out, unordered compare —
+the same strategy as the reference's expectPipeResults
+(lib/logstorage/pipe_utils_test.go:45-60)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from victorialogs_spark.api import run_query
+
+UTC = dt.timezone.utc
+
+
+def make_logs(spark, rows, with_time=True):
+    """rows: list of dicts of string fields (plus optional _time datetime)."""
+    keys = sorted({k for r in rows for k in r if k != "_time"})
+    schema_parts = []
+    if with_time:
+        schema_parts.append("`_time` timestamp")
+    schema_parts += [f"`{k}` string" for k in keys]
+    data = []
+    for i, r in enumerate(rows):
+        t = r.get("_time", dt.datetime(2024, 1, 1, tzinfo=UTC) + dt.timedelta(seconds=i))
+        row = ([t] if with_time else []) + [r.get(k, "") for k in keys]
+        data.append(tuple(row))
+    return spark.createDataFrame(data, schema=", ".join(schema_parts))
+
+
+def rows_set(df, cols=None):
+    if cols:
+        df = df.select(*cols)
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    return make_logs(
+        spark,
+        [
+            {"_msg": "error connection refused", "host": "h1", "code": "500"},
+            {"_msg": "error disk full", "host": "h2", "code": "500"},
+            {"_msg": "warning high latency", "host": "h1", "code": "200"},
+            {"_msg": "info started OK", "host": "h3", "code": "200"},
+            {"_msg": "ERROR uppercase", "host": "h2", "code": "404"},
+        ],
+    )
+
+
+# --------------------------------------------------------------- filters
+
+def test_word_filter(spark, logs):
+    out = run_query(spark, logs, "error")
+    assert rows_set(out, ["host"]) == {("h1",), ("h2",)}
+
+
+def test_word_filter_case_insensitive(spark, logs):
+    out = run_query(spark, logs, "i(error)")
+    assert out.count() == 3
+
+
+def test_word_no_substring_match(spark, logs):
+    # 'err' is not a full token anywhere
+    assert run_query(spark, logs, "err").count() == 0
+    assert run_query(spark, logs, "err*").count() == 2
+
+
+def test_phrase_filter(spark, logs):
+    assert run_query(spark, logs, '"connection refused"').count() == 1
+    assert run_query(spark, logs, '"connection  refused"').count() == 0
+
+
+def test_field_filters(spark, logs):
+    assert run_query(spark, logs, "host:h1").count() == 2
+    assert run_query(spark, logs, "host:=h1").count() == 2
+    assert run_query(spark, logs, "host:!=h1").count() == 3
+    assert run_query(spark, logs, "code:500 host:h2").count() == 1
+    assert run_query(spark, logs, "host:h1 OR host:h3").count() == 3
+    assert run_query(spark, logs, "NOT host:h1").count() == 3
+    assert run_query(spark, logs, "host:in(h1, h3)").count() == 3
+    assert run_query(spark, logs, 'host:~"h[12]"').count() == 4
+    assert run_query(spark, logs, "code:>400").count() == 3
+    assert run_query(spark, logs, "code:range[200, 404]").count() == 3
+    assert run_query(spark, logs, "code:range(200, 404]").count() == 1
+    assert run_query(spark, logs, "_msg:len_range(1, 15)").count() == 3
+    assert run_query(spark, logs, 'host:string_range(h1, h3)').count() == 4
+    assert run_query(spark, logs, "host:exact(h1)").count() == 2
+    assert run_query(spark, logs, "host:exact(h*)").count() == 5
+    assert run_query(spark, logs, 'seq("error", "full")').count() == 1
+    assert run_query(spark, logs, "contains_all(error, disk)").count() == 1
+    assert run_query(spark, logs, "contains_any(disk, latency)").count() == 2
+
+
+def test_missing_field_empty(spark, logs):
+    # missing field ≡ empty value
+    assert run_query(spark, logs, 'nosuch:""').count() == 5
+    assert run_query(spark, logs, "nosuch:*").count() == 0
+    assert run_query(spark, logs, 'NOT nosuch:""').count() == 0
+
+
+def test_time_filter(spark, logs):
+    out = run_query(spark, logs, "_time:[2024-01-01T00:00:01, 2024-01-01T00:00:03]")
+    assert out.count() == 3
+
+
+def test_eq_field(spark):
+    pass
+
+
+# --------------------------------------------------------------- pipes
+
+def test_fields_pipe(spark, logs):
+    out = run_query(spark, logs, "* | fields host, code")
+    assert out.columns == ["host", "code"]
+
+
+def test_copy_rename_delete(spark, logs):
+    out = run_query(spark, logs, "* | copy host as h | rename code as c | delete _msg")
+    assert set(out.columns) == {"_time", "host", "h", "c"}
+
+
+def test_sort_limit(spark, logs):
+    out = run_query(spark, logs, "* | sort by (code, host) | limit 2")
+    got = [tuple(r) for r in out.select("code", "host").collect()]
+    assert got == [("200", "h1"), ("200", "h3")]
+
+
+def test_sort_desc_rank(spark, logs):
+    out = run_query(spark, logs, "* | sort by (code) desc rank as r | limit 1")
+    r = out.select("code", "r").collect()[0]
+    assert r["code"] == "500" and r["r"] == "1"
+
+
+def test_sort_natural_numeric(spark):
+    sp = make_logs(
+        spark._sc._jvm and spark or spark,  # just use spark
+        [{"v": "9"}, {"v": "10"}, {"v": "abc"}, {"v": "2"}],
+    )
+    out = run_query(spark, sp, "* | sort by (v)")
+    assert [r["v"] for r in out.collect()] == ["2", "9", "10", "abc"]
+
+
+def test_first_last(spark, logs):
+    out = run_query(spark, logs, "* | first 2 by (code)")
+    assert [r["code"] for r in out.collect()] == ["200", "200"]
+    out = run_query(spark, logs, "* | last 1 by (code)")
+    assert [r["code"] for r in out.collect()] == ["500"]
+
+
+def test_offset(spark, logs):
+    out = run_query(spark, logs, "* | sort by (host) | offset 3")
+    assert out.count() == 2
+
+
+def test_stats_count(spark, logs):
+    out = run_query(spark, logs, "* | stats count() as hits")
+    assert out.collect()[0]["hits"] == 5
+
+
+def test_stats_by(spark, logs):
+    out = run_query(spark, logs, "* | stats by (host) count() as hits")
+    assert rows_set(out) == {("h1", 2), ("h2", 2), ("h3", 1)}
+
+
+def test_stats_funcs(spark, logs):
+    out = run_query(
+        spark, logs,
+        "* | stats sum(code) as s, avg(code) as a, min(code) as mn, max(code) as mx,"
+        " count_uniq(host) as cu",
+    )
+    r = out.collect()[0]
+    assert r["s"] == 1804.0
+    assert r["a"] == pytest.approx(360.8)
+    assert r["mn"] == "200" and r["mx"] == "500"
+    assert r["cu"] == 3
+
+
+def test_stats_if(spark, logs):
+    out = run_query(spark, logs, "* | stats count() if (host:h1) as h1_hits, count() as hits")
+    r = out.collect()[0]
+    assert r["h1_hits"] == 2 and r["hits"] == 5
+
+
+def test_stats_count_nonempty(spark):
+    df = make_logs(spark, [{"a": "x"}, {"a": ""}, {"a": "y"}])
+    out = run_query(spark, df, "* | stats count(a) as c, count_empty(a) as ce")
+    r = out.collect()[0]
+    assert r["c"] == 2 and r["ce"] == 1
+
+
+def test_stats_time_bucket(spark):
+    rows = [
+        {"_time": dt.datetime(2024, 1, 1, 0, 0, 30, tzinfo=UTC), "x": "1"},
+        {"_time": dt.datetime(2024, 1, 1, 0, 1, 30, tzinfo=UTC), "x": "2"},
+        {"_time": dt.datetime(2024, 1, 1, 0, 1, 45, tzinfo=UTC), "x": "3"},
+    ]
+    df = make_logs(spark, rows)
+    out = run_query(spark, df, "* | stats by (_time:1m) count() as c")
+    got = {(r["_time"].strftime("%H:%M:%S"), r["c"]) for r in out.collect()}
+    assert got == {("00:00:00", 1), ("00:01:00", 2)}
+
+
+def test_stats_numeric_bucket(spark):
+    df = make_logs(spark, [{"v": "5"}, {"v": "15"}, {"v": "17"}, {"v": "abc"}])
+    out = run_query(spark, df, "* | stats by (v:10) count() as c")
+    got = rows_set(out)
+    assert got == {("0", 1), ("10", 2), ("", 1)}
+
+
+def test_uniq_values_and_values(spark, logs):
+    out = run_query(spark, logs, "* | stats uniq_values(host) as u")
+    assert out.collect()[0]["u"] == '["h1","h2","h3"]'
+
+
+def test_quantile_median(spark):
+    df = make_logs(spark, [{"v": str(i)} for i in range(1, 101)])
+    out = run_query(spark, df, "* | stats median(v) as m, quantile(0.9, v) as q")
+    r = out.collect()[0]
+    assert 49 <= r["m"] <= 51
+    assert 89 <= r["q"] <= 91
+
+
+def test_math_pipe(spark, logs):
+    out = run_query(spark, logs, "* | math code * 2 as c2 | fields code, c2")
+    got = rows_set(out)
+    assert ("500", "1000") in got and ("200", "400") in got
+
+
+def test_math_default(spark):
+    df = make_logs(spark, [{"v": "5"}, {"v": "abc"}])
+    out = run_query(spark, df, "* | math v default 0 as d | fields d")
+    assert rows_set(out) == {("5",), ("0",)}
+
+
+def test_extract_pipe(spark):
+    df = make_logs(spark, [{"_msg": "ip=1.2.3.4 port=80 x"}, {"_msg": "nothing"}])
+    out = run_query(spark, df, '* | extract "ip=<ip> port=<port> " from _msg | fields ip, port')
+    assert rows_set(out) == {("1.2.3.4", "80"), ("", "")}
+
+
+def test_extract_regexp_pipe(spark):
+    df = make_logs(spark, [{"_msg": "took 15ms"}])
+    out = run_query(spark, df, '* | extract_regexp "took (?P<dur>\\\\d+)ms" from _msg | fields dur')
+    assert rows_set(out) == {("15",)}
+
+
+def test_replace_pipe(spark):
+    df = make_logs(spark, [{"_msg": "a-b-c-d"}])
+    out = run_query(spark, df, '* | replace ("-", "_") at _msg | fields _msg')
+    assert rows_set(out) == {("a_b_c_d",)}
+    out = run_query(spark, df, '* | replace ("-", "_") at _msg limit 2 | fields _msg')
+    assert rows_set(out) == {("a_b_c-d",)}
+
+
+def test_replace_regexp_pipe(spark):
+    df = make_logs(spark, [{"_msg": "x12y34"}])
+    out = run_query(spark, df, '* | replace_regexp ("\\\\d+", "N") at _msg | fields _msg')
+    assert rows_set(out) == {("xNyN",)}
+
+
+def test_format_pipe(spark, logs):
+    out = run_query(spark, logs, '* | format "<host>:<code>" as hc | fields hc | uniq (hc)')
+    assert ("h1:500",) in rows_set(out)
+
+
+def test_format_converters(spark):
+    df = make_logs(spark, [{"v": "Hello"}])
+    out = run_query(spark, df, '* | format "<uc:v>|<lc:v>|<q:v>" as o | fields o')
+    assert rows_set(out) == {('HELLO|hello|"Hello"',)}
+
+
+def test_unpack_json(spark):
+    df = make_logs(spark, [{"_msg": '{"a": "1", "b": "x"}'}, {"_msg": '{"a": "2"}'}])
+    out = run_query(spark, df, "* | unpack_json from _msg | fields a, b")
+    assert rows_set(out) == {("1", "x"), ("2", "")}
+
+
+def test_unpack_json_fields_prefix(spark):
+    df = make_logs(spark, [{"_msg": '{"a": "1", "b": "x"}'}])
+    out = run_query(spark, df, '* | unpack_json from _msg fields (a) result_prefix "p_" | fields p_a')
+    assert rows_set(out) == {("1",)}
+
+
+def test_unpack_logfmt(spark):
+    df = make_logs(spark, [{"_msg": 'level=info msg="hello world" n=5'}])
+    out = run_query(spark, df, "* | unpack_logfmt from _msg | fields level, msg, n")
+    assert rows_set(out) == {("info", "hello world", "5")}
+
+
+def test_unpack_words(spark):
+    df = make_logs(spark, [{"_msg": "foo bar-baz"}])
+    out = run_query(spark, df, "* | unpack_words _msg as w | fields w")
+    assert rows_set(out) == {('["foo","bar","baz"]',)}
+
+
+def test_unroll(spark):
+    df = make_logs(spark, [{"tags": '["a","b"]', "id": "1"}])
+    out = run_query(spark, df, "* | unroll (tags) | fields id, tags")
+    assert rows_set(out) == {("1", "a"), ("1", "b")}
+
+
+def test_pack_json(spark):
+    df = make_logs(spark, [{"a": "1", "b": "2"}])
+    out = run_query(spark, df, "* | pack_json as p fields (a, b) | fields p")
+    assert rows_set(out) == {('{"a":"1","b":"2"}',)}
+
+
+def test_len_hash_pipes(spark):
+    df = make_logs(spark, [{"v": "abcd"}])
+    out = run_query(spark, df, "* | len(v) as l | fields l")
+    assert rows_set(out) == {("4",)}
+    out = run_query(spark, df, "* | hash(v) as h | fields h")
+    [(h,)] = rows_set(out)
+    assert h.isdigit()
+
+
+def test_json_array_len(spark):
+    df = make_logs(spark, [{"v": '["a","b","c"]'}, {"v": "zz"}])
+    out = run_query(spark, df, "* | json_array_len(v) as n | fields n")
+    assert rows_set(out) == {("3",), ("0",)}
+
+
+def test_uniq_top(spark, logs):
+    out = run_query(spark, logs, "* | uniq by (code)")
+    assert rows_set(out) == {("200",), ("404",), ("500",)}
+    out = run_query(spark, logs, "* | uniq by (code) with hits")
+    assert rows_set(out) == {("200", 2), ("404", 1), ("500", 2)}
+    out = run_query(spark, logs, "* | top 2 by (code)")
+    assert rows_set(out) == {("200", 2), ("500", 2)}
+
+
+def test_field_values(spark, logs):
+    out = run_query(spark, logs, "* | field_values host")
+    assert rows_set(out) == {("h1", 2), ("h2", 2), ("h3", 1)}
+
+
+def test_field_names(spark, logs):
+    out = run_query(spark, logs, "* | field_names")
+    names = {r["name"] for r in out.collect()}
+    assert {"_msg", "host", "code"} <= names
+
+
+def test_facets(spark, logs):
+    out = run_query(spark, logs, "* | facets 2")
+    rows = out.collect()
+    by_field = {}
+    for r in rows:
+        by_field.setdefault(r["field_name"], []).append((r["field_value"], r["hits"]))
+    assert ("h1", 2) in by_field["host"]
+
+
+def test_collapse_nums(spark):
+    df = make_logs(spark, [{"_msg": "took 15ms id=0xff"}])
+    out = run_query(spark, df, "* | collapse_nums at _msg | fields _msg")
+    assert rows_set(out) == {("took <N>ms id=<N>",)}
+
+
+def test_decolorize(spark):
+    df = make_logs(spark, [{"_msg": "\x1b[31mred\x1b[0m text"}])
+    out = run_query(spark, df, "* | decolorize | fields _msg")
+    assert rows_set(out) == {("red text",)}
+
+
+def test_union(spark, logs):
+    out = run_query(spark, logs, "host:h3 | union (host:h2)")
+    assert out.count() == 3
+
+
+def test_join(spark, logs):
+    out = run_query(
+        spark, logs,
+        "* | join by (host) (* | stats by (host) count() as total) | fields host, total",
+    )
+    got = rows_set(out)
+    assert ("h1", 2) in got and ("h3", 1) in got
+
+
+def test_in_subquery_exec(spark, logs):
+    out = run_query(spark, logs, "host:in(code:404 | fields host)")
+    assert rows_set(out, ["host"]) == {("h2",)}
+
+
+def test_sample(spark, logs):
+    out = run_query(spark, logs, "* | sample 1")
+    assert out.count() == 5
+
+
+def test_drop_empty_fields(spark):
+    df = make_logs(spark, [{"a": "", "b": "x"}, {"a": "", "b": ""}])
+    out = run_query(spark, df, "* | drop_empty_fields")
+    assert "a" not in out.columns and out.count() == 1
+
+
+def test_implicit_filter_pipe_exec(spark, logs):
+    out = run_query(spark, logs, "* | fields _msg | error")
+    assert out.count() == 2

@@ -1,0 +1,222 @@
+"""Filter AST → pyspark Column predicates.
+
+Every filter compiles to a declarative Column expression so Catalyst can
+push it into the Parquet scan (PushedFilters) wherever possible. String
+matching uses token-boundary regexes (functions/text.py) mirroring the
+reference matchers (lib/logstorage/filter_phrase.go et al.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from victorialogs_spark.functions.natural import fcol, ipv4_num, num, qcol
+from victorialogs_spark.functions.text import (
+    java_quote,
+    phrase_regex,
+    prefix_regex,
+    seq_regex,
+)
+from victorialogs_spark.logsql import ast as A
+
+NS = 10**9
+
+
+def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
+    """Compile a filter tree into a boolean Column over `df`."""
+    if isinstance(f, A.FNoop):
+        return F.lit(True)
+    if isinstance(f, A.FAnd):
+        out = F.lit(True)
+        for c in f.children:
+            out = out & compile_filter(c, df, ctx)
+        return out
+    if isinstance(f, A.FOr):
+        out = F.lit(False)
+        for c in f.children:
+            out = out | compile_filter(c, df, ctx)
+        return out
+    if isinstance(f, A.FNot):
+        return ~compile_filter(f.child, df, ctx)
+
+    if isinstance(f, A.FPhrase):
+        return _phrase(df, f.field, f.phrase, f.case_insensitive)
+    if isinstance(f, A.FPrefix):
+        c = fcol(df, f.field)
+        if f.prefix == "":
+            return c != ""  # any non-empty value (field exists)
+        if f.case_insensitive:
+            return F.lower(c).rlike(prefix_regex(f.prefix.lower()))
+        return c.rlike(prefix_regex(f.prefix))
+    if isinstance(f, A.FExact):
+        return fcol(df, f.field) == f.value
+    if isinstance(f, A.FExactPrefix):
+        return fcol(df, f.field).startswith(f.prefix)
+    if isinstance(f, A.FIn):
+        if not f.values:
+            return F.lit(False)
+        return fcol(df, f.field).isin(f.values)
+    if isinstance(f, A.FInSubquery):
+        values = _subquery_values(f.query, ctx)
+        if values is None:
+            raise ValueError("in(subquery) requires a plan context")
+        if not values:
+            return F.lit(False)
+        return fcol(df, f.field).isin(values)
+    if isinstance(f, A.FContains):
+        values = f.values
+        if f.subquery is not None:
+            values = _subquery_values(f.subquery, ctx) or []
+        if not values:
+            # contains_all() with no args matches all; contains_any() none
+            return F.lit(True) if f.require_all else F.lit(False)
+        parts = [_phrase(df, f.field, v, False) for v in values]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out & p) if f.require_all else (out | p)
+        return out
+    if isinstance(f, A.FSeq):
+        if not f.values:
+            return F.lit(True)
+        return fcol(df, f.field).rlike(seq_regex(f.values))
+    if isinstance(f, A.FRegexp):
+        return fcol(df, f.field).rlike(f.pattern)
+    if isinstance(f, A.FRange):
+        n = num(df, f.field)
+        lo = (n >= f.lo) if f.include_lo else (n > f.lo)
+        hi = (n <= f.hi) if f.include_hi else (n < f.hi)
+        if f.lo == float("-inf") and not f.include_lo:
+            lo = F.lit(True)
+        if f.hi == float("inf") and f.include_hi:
+            hi = F.lit(True)
+        return n.isNotNull() & lo & hi
+    if isinstance(f, A.FIPv4Range):
+        n = ipv4_num(fcol(df, f.field))
+        return n.isNotNull() & (n >= f.lo) & (n <= f.hi)
+    if isinstance(f, A.FStringRange):
+        c = fcol(df, f.field)
+        return (c >= f.lo) & (c < f.hi)
+    if isinstance(f, A.FLenRange):
+        ln = F.octet_length(fcol(df, f.field))
+        return (ln >= f.lo) & (ln <= f.hi)
+    if isinstance(f, A.FValueType):
+        return _value_type(df, f.field, f.value_type)
+    if isinstance(f, A.FEqField):
+        return fcol(df, f.field) == fcol(df, f.other)
+    if isinstance(f, A.FCmpField):
+        a_s, b_s = fcol(df, f.field), fcol(df, f.other)
+        a_n, b_n = num(df, f.field), num(df, f.other)
+        both_num = a_n.isNotNull() & b_n.isNotNull()
+        if f.allow_eq:
+            return F.when(both_num, a_n <= b_n).otherwise(a_s <= b_s)
+        return F.when(both_num, a_n < b_n).otherwise(a_s < b_s)
+    if isinstance(f, A.FTime):
+        return _time_range(df, f.lo_ns, f.hi_ns)
+    if isinstance(f, A.FDayRange):
+        t = qcol("_time")
+        if f.offset_ns:
+            t = F.timestamp_micros(F.unix_micros(t) + f.offset_ns // 1000)
+        minute = F.hour(t) * 60 + F.minute(t)
+        lo = (minute >= f.lo_minute) if f.include_lo else (minute > f.lo_minute)
+        hi = (minute <= f.hi_minute) if f.include_hi else (minute < f.hi_minute)
+        return lo & hi
+    if isinstance(f, A.FWeekRange):
+        t = qcol("_time")
+        if f.offset_ns:
+            t = F.timestamp_micros(F.unix_micros(t) + f.offset_ns // 1000)
+        dow = F.dayofweek(t) - 1  # Spark: 1=Sunday → 0=Sunday
+        lo = (dow >= f.lo_day) if f.include_lo else (dow > f.lo_day)
+        hi = (dow <= f.hi_day) if f.include_hi else (dow < f.hi_day)
+        return lo & hi
+    if isinstance(f, A.FStream):
+        return _stream_filter(df, f)
+    if isinstance(f, A.FStreamId):
+        return fcol(df, "_stream_id").isin(f.ids)
+    raise NotImplementedError(f"filter {type(f).__name__}")
+
+
+def _phrase(df: DataFrame, field: str, phrase: str, ci: bool) -> Column:
+    c = fcol(df, field)
+    if phrase == "":
+        return c == ""
+    if ci:
+        return F.lower(c).rlike(phrase_regex(phrase.lower()))
+    return c.rlike(phrase_regex(phrase))
+
+
+def _time_range(df: DataFrame, lo_ns: int, hi_ns: int) -> Column:
+    """Inclusive ns range on _time. Spark timestamps are µs so bounds are
+    rounded conservatively (floor for lo, ceil-truncate for hi)."""
+    t = qcol("_time")
+    out = F.lit(True)
+    if lo_ns > -(2**62):
+        out = out & (t >= F.timestamp_micros(F.lit(_ceil_div(lo_ns, 1000))))
+    if hi_ns < 2**62:
+        out = out & (t <= F.timestamp_micros(F.lit(hi_ns // 1000)))
+    return out
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -((-a) // b)
+
+
+def _stream_filter(df: DataFrame, f: A.FStream) -> Column:
+    """Stream label matchers evaluated against top-level label columns (our
+    schema promotes stream labels to columns; see schema.py)."""
+    out = F.lit(False)
+    for term in f.or_terms:
+        cur = F.lit(True)
+        for m in term:
+            c = fcol(df, m.label)
+            if m.op == "=":
+                cur = cur & (c == m.value)
+            elif m.op == "!=":
+                cur = cur & (c != m.value)
+            elif m.op == "=~":
+                cur = cur & c.rlike("^(?:" + m.value + ")$")
+            elif m.op == "!~":
+                cur = cur & ~c.rlike("^(?:" + m.value + ")$")
+        out = out | cur
+    return out
+
+
+_TYPE_SNIFF = {
+    "uint8": r"^(?:\d|[1-9]\d|1\d\d|2[0-4]\d|25[0-5])$",
+    "uint16": r"^\d{1,5}$",
+    "uint32": r"^\d{1,10}$",
+    "uint64": r"^\d{1,20}$",
+    "int64": r"^-?\d{1,19}$",
+    "float64": r"^-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?$",
+    "ipv4": r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$",
+    "iso8601": r"^\d{4}-\d{2}-\d{2}T.*",
+}
+
+
+def _value_type(df: DataFrame, field: str, vt: str) -> Column:
+    """value_type(t) is storage introspection in the reference
+    (filter_value_type.go:14); Parquet has no per-block value types, so we
+    sniff the logical type of each value (diagnostic parity only)."""
+    c = fcol(df, field)
+    if vt == "string":
+        return c != ""
+    if vt == "dict":
+        return F.lit(False)
+    pat = _TYPE_SNIFF.get(vt)
+    if pat is None:
+        return F.lit(False)
+    return c.rlike(pat)
+
+
+def _subquery_values(q: A.Query, ctx) -> list[str] | None:
+    """Eagerly run an in(...)/contains_*(...) subquery and collect its single
+    output column (reference: storage_search.go:582-606). Values are capped —
+    the reference caps by memory; we cap by count and fail loudly."""
+    if ctx is None:
+        return None
+    sub = ctx.run_subquery(q)
+    col0 = sub.columns[-1]
+    rows = sub.select(col0).distinct().limit(1_000_001).collect()
+    if len(rows) > 1_000_000:
+        raise ValueError("in(subquery): too many values (>1e6)")
+    return [r[0] if r[0] is not None else "" for r in rows]

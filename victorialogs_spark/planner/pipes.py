@@ -1,0 +1,892 @@
+"""Pipe AST → DataFrame transformations.
+
+Each LogsQL pipe (lib/logstorage/pipe_*.go) maps onto declarative DataFrame
+ops so Catalyst keeps pushdown/pruning working across the whole chain.
+Python/pandas UDFs appear only where Spark genuinely lacks the semantics
+(replace-with-limit); everything else is JVM-side.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from victorialogs_spark.functions.casts import _try_cast
+
+from victorialogs_spark.functions.natural import (
+    fcol,
+    format_number,
+    ipv4_str,
+    natural_keys,
+    num,
+    qcol,
+    unsigned_str,
+)
+from victorialogs_spark.functions.text import ANSI_COLOR_RE, NON_TOKEN_RE, java_quote
+from victorialogs_spark.logsql import ast as A
+from victorialogs_spark.planner.filters import compile_filter
+from victorialogs_spark.planner.stats import compile_stats_func
+
+MAX_UNPACK_COLS = 2000  # mirrors the reference's 2000-cols-per-block cap
+
+
+def apply_pipe(p: A.Pipe, df: DataFrame, ctx) -> DataFrame:
+    fn = _DISPATCH.get(type(p))
+    if fn is None:
+        raise NotImplementedError(f"pipe {type(p).__name__}")
+    return fn(p, df, ctx)
+
+
+# ---------------------------------------------------------------- projection
+
+def _expand_wildcards(df: DataFrame, fields: list[str]) -> list[str]:
+    out: list[str] = []
+    for f in fields:
+        if f == "*":
+            out.extend(df.columns)
+        elif f.endswith("*"):
+            out.extend(c for c in df.columns if c.startswith(f[:-1]))
+        else:
+            out.append(f)
+    seen = set()
+    res = []
+    for f in out:
+        if f not in seen:
+            seen.add(f)
+            res.append(f)
+    return res
+
+
+def _p_fields(p: A.PFields, df: DataFrame, ctx) -> DataFrame:
+    names = _expand_wildcards(df, p.fields)
+    cols = []
+    for n in names:
+        if n in df.columns:
+            cols.append(qcol(n))
+        else:
+            cols.append(F.lit("").alias(n))  # selecting a missing field yields ''
+    return df.select(*cols)
+
+
+def _p_delete(p: A.PDelete, df: DataFrame, ctx) -> DataFrame:
+    names = [n for n in _expand_wildcards(df, p.fields) if n in df.columns]
+    return df.drop(*names)
+
+
+def _p_copy(p: A.PCopy, df: DataFrame, ctx) -> DataFrame:
+    for src, dst in p.pairs:
+        df = df.withColumn(dst, fcol(df, src) if src != "_time" or "_time" not in df.columns else qcol(src))
+    return df
+
+
+def _p_rename(p: A.PRename, df: DataFrame, ctx) -> DataFrame:
+    for src, dst in p.pairs:
+        if src in df.columns:
+            df = df.withColumnRenamed(src, dst)
+        else:
+            df = df.withColumn(dst, F.lit(""))
+    return df
+
+
+def _p_filter(p: A.PFilter, df: DataFrame, ctx) -> DataFrame:
+    return df.where(compile_filter(p.filter, df, ctx))
+
+
+def _p_limit(p: A.PLimit, df: DataFrame, ctx) -> DataFrame:
+    return df.limit(p.n)
+
+
+def _p_offset(p: A.POffset, df: DataFrame, ctx) -> DataFrame:
+    return df.offset(p.n)
+
+
+# ---------------------------------------------------------------- sorting
+
+def _sort_exprs(df: DataFrame, fields: list[A.SortField], global_desc: bool) -> list[Column]:
+    exprs: list[Column] = []
+    targets = fields or [A.SortField("_time", False)]
+    for sf in targets:
+        desc = sf.desc != global_desc
+        for k in natural_keys(df, sf.name):
+            exprs.append(k.desc() if desc else k.asc())
+    return exprs
+
+
+def _p_sort(p: A.PSort, df: DataFrame, ctx) -> DataFrame:
+    exprs = _sort_exprs(df, p.fields, p.desc)
+    if p.partition_by:
+        # per-partition top-k: row_number over a window → filter
+        # (reference: pipe_sort.go:44-46 partition by + limit)
+        w = Window.partitionBy(*[fcol(df, f) for f in p.partition_by]).orderBy(*exprs)
+        rn = F.row_number().over(w)
+        rank_col = p.rank_name or "__rn"
+        df = df.withColumn(rank_col, rn)
+        if p.limit is not None:
+            df = df.where(qcol(rank_col) <= p.offset + p.limit)
+        if p.offset:
+            df = df.where(qcol(rank_col) > p.offset)
+        if p.rank_name is None:
+            df = df.drop(rank_col)
+        else:
+            df = df.withColumn(rank_col, qcol(rank_col).cast("string"))
+        return df
+    if p.rank_name is not None:
+        w = Window.orderBy(*exprs)
+        df = df.withColumn(p.rank_name, F.row_number().over(w).cast("string"))
+        out = df
+    else:
+        out = df.sortWithinPartitions(*exprs) if False else df
+    out = out.orderBy(*exprs)
+    if p.limit is not None:
+        # Catalyst turns orderBy+limit into TakeOrderedAndProject (top-k heap,
+        # same trick as pipe_sort_topk.go)
+        out = out.limit(p.offset + p.limit)
+    if p.offset:
+        out = out.offset(p.offset)
+    return out
+
+
+def _p_first(p: A.PFirst, df: DataFrame, ctx) -> DataFrame:
+    return _p_sort(
+        A.PSort(
+            fields=p.fields,
+            desc=p.desc,
+            limit=p.n,
+            partition_by=p.partition_by,
+            rank_name=p.rank_name,
+        ),
+        df,
+        ctx,
+    )
+
+
+# ---------------------------------------------------------------- stats
+
+def _time_bucket(bf: A.ByField) -> Column:
+    step_us = int(bf.bucket_size * 1_000_000)
+    off_us = int(bf.bucket_offset * 1_000_000)
+    t = F.unix_micros(qcol("_time")) - off_us
+    start = (F.floor(t / step_us) * step_us) + off_us
+    return F.timestamp_micros(start.cast("long"))
+
+
+def _by_exprs(df: DataFrame, by: list[A.ByField]) -> list[Column]:
+    cols: list[Column] = []
+    for bf in by:
+        if bf.name == "_time" and bf.bucket_size:
+            cols.append(_time_bucket(bf).alias("_time"))
+        elif bf.ipv4_mask is not None:
+            from victorialogs_spark.functions.natural import ipv4_num
+
+            mask = (0xFFFFFFFF << (32 - bf.ipv4_mask)) & 0xFFFFFFFF
+            n = ipv4_num(fcol(df, bf.name))
+            masked = F.when(n.isNotNull(), (n.bitwiseAND(F.lit(mask))))
+            cols.append(
+                F.when(masked.isNotNull(), ipv4_str(masked)).otherwise(F.lit("")).alias(bf.name)
+            )
+        elif bf.bucket_size:
+            n = num(df, bf.name)
+            b = F.floor((n - F.lit(bf.bucket_offset)) / F.lit(bf.bucket_size)) * F.lit(
+                bf.bucket_size
+            ) + F.lit(bf.bucket_offset)
+            cols.append(
+                F.when(n.isNotNull(), format_number(b)).otherwise(F.lit("")).alias(bf.name)
+            )
+        else:
+            if bf.name in df.columns and dict(df.dtypes).get(bf.name) == "timestamp":
+                cols.append(qcol(bf.name))
+            else:
+                cols.append(fcol(df, bf.name).alias(bf.name))
+    return cols
+
+
+def _p_stats(p: A.PStats, df: DataFrame, ctx) -> DataFrame:
+    by_names = [b.name for b in p.by]
+    aggs = []
+    for sf in p.funcs:
+        cond = compile_filter(sf.cond, df, ctx) if sf.cond is not None else None
+        aggs.append(compile_stats_func(sf, df, by_names, cond, ctx.range_seconds))
+    if not p.by:
+        return df.agg(*aggs)
+    return df.groupBy(*_by_exprs(df, p.by)).agg(*aggs)
+
+
+# ---------------------------------------------------------------- math
+
+def _math_col(e: A.MathExpr, df: DataFrame, done: dict[str, Column]) -> Column:
+    """Math expr → double Column (pipe_math.go semantics: fields parse as
+    number else NaN; we use NULL for NaN — `default` handles both)."""
+    if isinstance(e, A.MNum):
+        return F.lit(float(e.value))
+    if isinstance(e, A.MField):
+        if e.name in done:
+            return done[e.name]
+        return num(df, e.name)
+    if isinstance(e, A.MUnary):
+        return -_math_col(e.arg, df, done)
+    if isinstance(e, A.MBinary):
+        l = _math_col(e.left, df, done)
+        r = _math_col(e.right, df, done)
+        op = e.op
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return l / r
+        if op == "%":
+            return l % r
+        if op == "^":
+            return F.pow(l, r)
+        if op == "&":
+            return (l.cast("long").bitwiseAND(r.cast("long"))).cast("double")
+        if op == "or":
+            return (l.cast("long").bitwiseOR(r.cast("long"))).cast("double")
+        if op == "xor":
+            return (l.cast("long").bitwiseXOR(r.cast("long"))).cast("double")
+        if op == "default":
+            return F.when(l.isNull() | F.isnan(l), r).otherwise(l)
+        raise NotImplementedError(f"math op {op}")
+    if isinstance(e, A.MFunc):
+        args = [_math_col(a, df, done) for a in e.args]
+        n = e.name
+        if n == "abs":
+            return F.abs(args[0])
+        if n == "ceil":
+            return F.ceil(args[0]).cast("double")
+        if n == "floor":
+            return F.floor(args[0]).cast("double")
+        if n == "exp":
+            return F.exp(args[0])
+        if n == "ln":
+            return F.log(args[0])
+        if n == "max":
+            return F.greatest(*args) if len(args) > 1 else args[0]
+        if n == "min":
+            return F.least(*args) if len(args) > 1 else args[0]
+        if n == "round":
+            if len(args) == 1:
+                return F.round(args[0], 0)
+            # round to nearest multiple
+            return F.round(args[0] / args[1], 0) * args[1]
+        if n == "now":
+            return (F.unix_micros(F.current_timestamp()) * 1000).cast("double")
+        if n == "rand":
+            return F.rand()
+        raise NotImplementedError(f"math func {n}")
+    raise NotImplementedError(str(e))
+
+
+def _p_math(p: A.PMath, df: DataFrame, ctx) -> DataFrame:
+    done: dict[str, Column] = {}
+    for expr, name in p.exprs:
+        c = _math_col(expr, df, done)
+        df = df.withColumn(name, format_number(c))
+        done[name] = num(df, name)
+    return df
+
+
+# ---------------------------------------------------------------- extract / format
+
+_PLACEHOLDER_RE = re.compile(r"<([^<>]*)>")
+
+
+def _pattern_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """extract pattern 'txt<f1>txt<f2>' → (java regex, group field names).
+    Literal parts are quoted; placeholders become lazy captures, the final
+    trailing placeholder captures to end (pattern.go semantics)."""
+    parts = _PLACEHOLDER_RE.split(pattern)
+    # parts alternates literal, name, literal, name, ... literal
+    regex = []
+    names: list[str] = []
+    for i, part in enumerate(parts):
+        if i % 2 == 0:
+            regex.append(java_quote(part))
+        else:
+            name = part.strip()
+            is_last = i == len(parts) - 2 and parts[-1] == ""
+            cap = "(.*)" if is_last else "(.*?)"
+            regex.append(cap)
+            names.append(name)
+    return "".join(regex), names
+
+
+def _p_extract(p: A.PExtract, df: DataFrame, ctx) -> DataFrame:
+    regex, names = _pattern_to_regex(p.pattern)
+    src = fcol(df, p.from_field)
+    cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
+    for idx, name in enumerate(names, start=1):
+        if not name or name == "_":
+            continue
+        val = F.regexp_extract(src, regex, idx)
+        df = _assign_extracted(df, name, val, p.keep_original_fields, p.skip_empty_results, cond)
+    return df
+
+
+def _convert_named_groups(pattern: str) -> str:
+    """Python/RE2 (?P<name>...) → Java (?<name>...)."""
+    return pattern.replace("(?P<", "(?<")
+
+
+def _p_extract_regexp(p: A.PExtractRegexp, df: DataFrame, ctx) -> DataFrame:
+    py_pat = p.pattern.replace("(?<", "(?P<") if "(?P<" not in p.pattern else p.pattern
+    try:
+        groups = re.compile(py_pat).groupindex
+    except re.error as e:
+        raise ValueError(f"extract_regexp: bad pattern {p.pattern!r}: {e}")
+    java_pat = _convert_named_groups(py_pat)
+    src = fcol(df, p.from_field)
+    cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
+    for name, idx in groups.items():
+        val = F.regexp_extract(src, java_pat, idx)
+        df = _assign_extracted(df, name, val, p.keep_original_fields, p.skip_empty_results, cond)
+    return df
+
+
+def _assign_extracted(
+    df: DataFrame,
+    name: str,
+    val: Column,
+    keep_original: bool,
+    skip_empty: bool,
+    cond: Column | None,
+) -> DataFrame:
+    existing = fcol(df, name)
+    out = val
+    if keep_original:
+        out = F.when(existing != "", existing).otherwise(out)
+    if skip_empty:
+        out = F.when(out == "", existing).otherwise(out)
+    if cond is not None:
+        out = F.when(cond, out).otherwise(existing)
+    return df.withColumn(name, out)
+
+
+_FORMAT_FIELD_RE = re.compile(r"<([^<>]*)>")
+
+
+def _json_quote(c: Column) -> Column:
+    return F.to_json(F.struct(c.alias("v")))["v"] if False else _json_quote_manual(c)
+
+
+def _json_quote_manual(c: Column) -> Column:
+    e = F.regexp_replace(c, r"\\", r"\\\\")
+    e = F.regexp_replace(e, '"', '\\\\"')
+    e = F.regexp_replace(e, "\n", "\\\\n")
+    e = F.regexp_replace(e, "\r", "\\\\r")
+    e = F.regexp_replace(e, "\t", "\\\\t")
+    return F.concat(F.lit('"'), e, F.lit('"'))
+
+
+def _format_term(df: DataFrame, spec: str) -> Column:
+    """One <...> term of a format pattern, with converter prefixes
+    (pipe_format.go, docs LogsQL.md:2112-2226)."""
+    if ":" in spec:
+        conv, fieldn = spec.split(":", 1)
+        conv = conv.lower()
+        c = fcol(df, fieldn)
+        if conv == "q":
+            return _json_quote_manual(c)
+        if conv == "uc":
+            return F.upper(c)
+        if conv == "lc":
+            return F.lower(c)
+        if conv == "urlencode":
+            return F.url_encode(c)
+        if conv == "urldecode":
+            return F.url_decode(c)
+        if conv == "hexencode":
+            return F.lower(F.hex(c.cast("binary")))
+        if conv == "hexdecode":
+            return F.unhex(c).cast("string")
+        if conv == "base64encode":
+            return F.base64(c.cast("binary"))
+        if conv == "base64decode":
+            return F.unbase64(c).cast("string")
+        if conv == "hexnumencode":
+            return F.hex(_try_cast(c, "long"))
+        if conv == "hexnumdecode":
+            return F.conv(c, 16, 10)
+        if conv == "time":
+            n = _try_cast(c, "long")
+            # heuristic like the reference: interpret by magnitude
+            us = (
+                F.when(F.abs(n) >= F.lit(10**17), (n / 1000).cast("long"))  # ns
+                .when(F.abs(n) >= F.lit(10**14), n)  # µs
+                .when(F.abs(n) >= F.lit(10**11), (n * 1000).cast("long"))  # ms
+                .otherwise((n * 1_000_000).cast("long"))  # s
+            )
+            return F.date_format(F.timestamp_micros(us), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        if conv == "duration":
+            n = _try_cast(c, "long")  # nanoseconds
+            secs = n / F.lit(1e9)
+            return F.concat(format_number(F.round(secs, 3)), F.lit("s"))
+        if conv == "duration_seconds":
+            # '1h30m' → seconds; approximate with casting common forms
+            return format_number(_try_cast(c, "double"))
+        if conv == "ipv4":
+            return ipv4_str(_try_cast(c, "long"))
+        # unknown converter — treat whole spec as a field name
+        return fcol(df, spec)
+    return fcol(df, spec)
+
+
+def _p_format(p: A.PFormat, df: DataFrame, ctx) -> DataFrame:
+    parts = _FORMAT_FIELD_RE.split(p.pattern)
+    cols: list[Column] = []
+    for i, part in enumerate(parts):
+        if i % 2 == 0:
+            if part:
+                cols.append(F.lit(part))
+        else:
+            cols.append(_format_term(df, part))
+    out = F.concat(*cols) if cols else F.lit("")
+    existing = fcol(df, p.result)
+    if p.keep_original_fields:
+        out = F.when(existing != "", existing).otherwise(out)
+    if p.skip_empty_results:
+        out = F.when(out == "", existing).otherwise(out)
+    if p.cond is not None:
+        c = compile_filter(p.cond, df, ctx)
+        out = F.when(c, out).otherwise(existing)
+    return df.withColumn(p.result, out)
+
+
+# ---------------------------------------------------------------- replace
+
+def _p_replace(p: A.PReplace, df: DataFrame, ctx) -> DataFrame:
+    src = fcol(df, p.field_name)
+    if p.limit and p.limit > 0:
+        out = _replace_limited(src, p.old, p.new, p.limit, p.regex)
+    elif p.regex:
+        out = F.regexp_replace(src, p.old, _dollar_refs(p.new))
+    else:
+        out = F.replace(src, F.lit(p.old), F.lit(p.new))
+    if p.cond is not None:
+        c = compile_filter(p.cond, df, ctx)
+        out = F.when(c, out).otherwise(src)
+    return df.withColumn(p.field_name, out)
+
+
+def _dollar_refs(repl: str) -> str:
+    # LogsQL uses Go's $1 refs; Java regexp_replace also uses $1 — pass through
+    return repl
+
+
+def _replace_limited(src: Column, old: str, new: str, limit: int, regex: bool) -> Column:
+    """replace ... limit N: split on the first N occurrences. Implemented
+    JVM-side via split with limit (split keeps the tail intact)."""
+    if regex:
+        pat = old
+    else:
+        pat = java_quote(old)
+    parts = F.split(src, pat, limit + 1)
+    return F.array_join(parts, new)
+
+
+# ---------------------------------------------------------------- unpack
+
+def _flat_json_map(c: Column) -> Column:
+    return F.from_json(c, "map<string,string>")
+
+
+def _infer_keys(df: DataFrame, map_col: Column, ctx) -> list[str]:
+    """One lightweight aggregation to learn the key set (the dynamic-schema
+    step; capped at MAX_UNPACK_COLS like the reference's 2000-column block
+    cap, consts.go:30)."""
+    rows = (
+        df.select(F.explode(F.map_keys(map_col)).alias("k"))
+        .groupBy("k")
+        .count()
+        .orderBy(F.desc("count"), F.asc("k"))
+        .limit(MAX_UNPACK_COLS)
+        .collect()
+    )
+    return sorted(r["k"] for r in rows)
+
+
+def _p_unpack_json(p: A.PUnpackJson, df: DataFrame, ctx) -> DataFrame:
+    src = fcol(df, p.from_field)
+    m = _flat_json_map(src)
+    tmp = "__vl_unpack"
+    with_map = df.withColumn(tmp, m)
+    keys = p.fields or _infer_keys(with_map, qcol(tmp), ctx)
+    cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
+    out = with_map
+    for k in keys:
+        name = p.result_prefix + k
+        val = F.coalesce(qcol(tmp)[k], F.lit(""))
+        out = _assign_extracted(out, name, val, p.keep_original_fields, p.skip_empty_results, cond)
+    return out.drop(tmp)
+
+
+_LOGFMT_PAIR = r'(\w+)=("(?:[^"\\]|\\.)*"|\S*)'
+
+
+def _p_unpack_logfmt(p: A.PUnpackLogfmt, df: DataFrame, ctx) -> DataFrame:
+    src = fcol(df, p.from_field)
+    keys_arr = F.regexp_extract_all(src, F.lit(_LOGFMT_PAIR), 1)
+    vals_arr = F.regexp_extract_all(src, F.lit(_LOGFMT_PAIR), 2)
+    unq = lambda v: F.when(
+        v.startswith('"') & v.endswith('"'),
+        F.regexp_replace(
+            F.regexp_replace(F.substring(v, 2, F.length(v) - 2), r'\\"', '"'),
+            r"\\\\",
+            r"\\",
+        ),
+    ).otherwise(v)
+    m = F.map_from_arrays(keys_arr, F.transform(vals_arr, unq))
+    tmp = "__vl_unpack"
+    with_map = df.withColumn(tmp, m)
+    keys = p.fields or _infer_keys(with_map, qcol(tmp), ctx)
+    cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
+    out = with_map
+    for k in keys:
+        name = p.result_prefix + k
+        val = F.coalesce(qcol(tmp)[k], F.lit(""))
+        out = _assign_extracted(out, name, val, p.keep_original_fields, p.skip_empty_results, cond)
+    return out.drop(tmp)
+
+
+# RFC5424 / RFC3164 syslog (syslog_parser.go) — regex battery
+_SYSLOG_5424 = (
+    r"^<(\d+)>(\d+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s*(?:(\[.*\])|-)?\s*(.*)$"
+)
+_SYSLOG_3164 = (
+    r"^(?:<(\d+)>)?([A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+(\S+)\s+([^:\[\s]+)(?:\[(\d+)\])?:?\s*(.*)$"
+)
+
+
+def _p_unpack_syslog(p: A.PUnpackSyslog, df: DataFrame, ctx) -> DataFrame:
+    src = fcol(df, p.from_field)
+    pre = p.result_prefix
+    is5424 = src.rlike(r"^<\d+>\d+\s")
+    def g5424(i):
+        return F.regexp_extract(src, _SYSLOG_5424, i)
+    def g3164(i):
+        return F.regexp_extract(src, _SYSLOG_3164, i)
+    prio = F.when(is5424, g5424(1)).otherwise(g3164(1))
+    prio_n = _try_cast(prio, "int")
+    fields = {
+        "priority": prio,
+        "facility": F.when(prio_n.isNotNull(), (prio_n / 8).cast("int").cast("string")).otherwise(F.lit("")),
+        "severity": F.when(prio_n.isNotNull(), (prio_n % 8).cast("string")).otherwise(F.lit("")),
+        "format": F.when(is5424, F.lit("rfc5424")).otherwise(F.lit("rfc3164")),
+        "timestamp": F.when(is5424, g5424(3)).otherwise(g3164(2)),
+        "hostname": F.when(is5424, g5424(4)).otherwise(g3164(3)),
+        "app_name": F.when(is5424, g5424(5)).otherwise(g3164(4)),
+        "proc_id": F.when(is5424, g5424(6)).otherwise(g3164(5)),
+        "msg_id": F.when(is5424, g5424(7)).otherwise(F.lit("")),
+        "message": F.when(is5424, g5424(9)).otherwise(g3164(6)),
+    }
+    for k, v in fields.items():
+        df = df.withColumn(pre + k, F.coalesce(v, F.lit("")))
+    return df
+
+
+def _p_unpack_words(p: A.PUnpackWords, df: DataFrame, ctx) -> DataFrame:
+    src = fcol(df, p.src)
+    words = F.filter(F.split(src, NON_TOKEN_RE), lambda w: w != "")
+    if p.limit:
+        words = F.slice(words, 1, p.limit)
+    return df.withColumn(p.dst, F.to_json(words))
+
+
+def _p_unroll(p: A.PUnroll, df: DataFrame, ctx) -> DataFrame:
+    if len(p.fields) == 1:
+        f = p.fields[0]
+        arr = F.from_json(fcol(df, f), "array<string>")
+        arr = F.when(arr.isNull() | (F.size(arr) == 0), F.array(F.lit(""))).otherwise(arr)
+        return df.withColumn(f, F.explode(arr))
+    arrays = {f: F.from_json(fcol(df, f), "array<string>") for f in p.fields}
+    zipped = F.arrays_zip(*[arrays[f].alias(f) for f in p.fields])
+    tmp = "__vl_unroll"
+    out = df.withColumn(tmp, F.explode_outer(zipped))
+    for f in p.fields:
+        out = out.withColumn(f, F.coalesce(qcol(tmp)[f], F.lit("")))
+    return out.drop(tmp)
+
+
+def _p_pack_json(p: A.PPackJson, df: DataFrame, ctx) -> DataFrame:
+    names = _expand_wildcards(df, p.fields) if p.fields else list(df.columns)
+    struct = F.struct(*[fcol(df, n).alias(n) for n in names])
+    return df.withColumn(p.result, F.to_json(struct))
+
+
+def _p_pack_logfmt(p: A.PPackLogfmt, df: DataFrame, ctx) -> DataFrame:
+    names = _expand_wildcards(df, p.fields) if p.fields else list(df.columns)
+    parts = []
+    for n in names:
+        v = fcol(df, n)
+        needs_quote = v.rlike(r'[\s"=]') | (v == "")
+        quoted = F.when(needs_quote, _json_quote_manual(v)).otherwise(v)
+        parts.append(F.concat(F.lit(n + "="), quoted))
+    return df.withColumn(p.result, F.concat_ws(" ", *parts))
+
+
+# ---------------------------------------------------------------- multi-query
+
+def _p_join(p: A.PJoin, df: DataFrame, ctx) -> DataFrame:
+    sub = ctx.run_subquery(p.query)
+    # prefix non-key columns if requested (pipe_join.go:16-31)
+    if p.prefix:
+        for c in sub.columns:
+            if c not in p.by:
+                sub = sub.withColumnRenamed(c, p.prefix + c)
+    how = "inner" if p.inner else "left"
+    # the reference always builds an in-memory hash map of the subquery
+    # (storage_search.go:212-273) — broadcast-hash join is the same plan
+    sub_b = F.broadcast(sub)
+    joined = df.join(sub_b, on=[c for c in p.by], how=how)
+    # left-join nulls read as '' downstream (missing ≡ empty)
+    for c, t in joined.dtypes:
+        if t == "string" and c not in df.columns:
+            joined = joined.withColumn(c, F.coalesce(qcol(c), F.lit("")))
+    return joined
+
+
+def _p_union(p: A.PUnion, df: DataFrame, ctx) -> DataFrame:
+    other = ctx.run_subquery(p.query)
+    out = df.unionByName(other, allowMissingColumns=True)
+    for c, t in out.dtypes:
+        if t == "string":
+            out = out.withColumn(c, F.coalesce(qcol(c), F.lit("")))
+    return out
+
+
+# ---------------------------------------------------------------- uniq / top / facets
+
+def _p_uniq(p: A.PUniq, df: DataFrame, ctx) -> DataFrame:
+    by = p.by or list(df.columns)
+    keys = [fcol(df, f).alias(f) for f in by]
+    if p.hits_field:
+        out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(p.hits_field))
+    else:
+        out = df.select(*keys).distinct()
+    if p.limit:
+        out = out.limit(p.limit)
+    return out
+
+
+def _p_top(p: A.PTop, df: DataFrame, ctx) -> DataFrame:
+    by = p.by or list(df.columns)
+    keys = [fcol(df, f).alias(f) for f in by]
+    grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(p.hits_field))
+    order = [F.desc(p.hits_field)] + [qcol(f).asc() for f in by]
+    out = grouped.orderBy(*order).limit(p.n)
+    if p.rank_name:
+        w = Window.orderBy(*order)
+        out = out.withColumn(p.rank_name, F.row_number().over(w).cast("string"))
+    return out
+
+
+def _p_field_values(p: A.PFieldValues, df: DataFrame, ctx) -> DataFrame:
+    out = (
+        df.groupBy(fcol(df, p.field_name).alias(p.field_name))
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .orderBy(qcol(p.field_name).asc())
+    )
+    if p.limit:
+        out = out.limit(p.limit)
+    return out
+
+
+def _p_field_names(p: A.PFieldNames, df: DataFrame, ctx) -> DataFrame:
+    """Melt: one count per column of non-empty values (pipe_field_names.go)."""
+    aggs = [
+        F.count(F.when(fcol(df, c) != "", F.lit(1))).alias(c) for c in df.columns
+    ]
+    counts = df.agg(*aggs)
+    pairs = F.explode(
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in df.columns]),
+            F.array(*[qcol(c) for c in df.columns]),
+        )
+    )
+    return counts.select(pairs.alias("name", "hits")).where(qcol("hits") > 0)
+
+
+def _p_facets(p: A.PFacets, df: DataFrame, ctx) -> DataFrame:
+    """Per-field top-N values (pipe_facets.go:29-60): melt all fields →
+    count (field, value) pairs → per-field caps + top-N window."""
+    cols = [c for c in df.columns if dict(df.dtypes).get(c) == "string"]
+    melted = df.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in cols]),
+                F.array(*[fcol(df, c) for c in cols]),
+            )
+        ).alias("field_name", "field_value")
+    ).where((qcol("field_value") != "") & (F.octet_length(qcol("field_value")) <= p.max_value_len))
+    counted = melted.groupBy("field_name", "field_value").agg(F.count(F.lit(1)).alias("hits"))
+    wf = Window.partitionBy("field_name")
+    counted = counted.withColumn("__nvals", F.count(F.lit(1)).over(wf))
+    if not p.keep_const_fields:
+        total = df.count()
+        counted = counted.where(~((qcol("__nvals") == 1) & (qcol("hits") == total)))
+    counted = counted.where(qcol("__nvals") <= p.max_values_per_field)
+    w = Window.partitionBy("field_name").orderBy(F.desc("hits"), F.asc("field_value"))
+    out = (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .where(qcol("__rn") <= p.n)
+        .drop("__rn", "__nvals")
+        .orderBy("field_name", F.desc("hits"), "field_value")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- misc row ops
+
+def _p_len(p: A.PLen, df: DataFrame, ctx) -> DataFrame:
+    return df.withColumn(p.result, F.octet_length(fcol(df, p.field_name)).cast("string"))
+
+
+def _p_json_array_len(p: A.PJsonArrayLen, df: DataFrame, ctx) -> DataFrame:
+    arr = F.from_json(fcol(df, p.field_name), "array<string>")
+    n = F.when(arr.isNull(), F.lit(0)).otherwise(F.size(arr))
+    return df.withColumn(p.result, n.cast("string"))
+
+
+def _p_hash(p: A.PHash, df: DataFrame, ctx) -> DataFrame:
+    # xxhash64 (JVM, seed 42) — the reference uses cespare/xxhash seed 0
+    # (pipe_hash.go); exact hash values intentionally diverge
+    return df.withColumn(p.result, unsigned_str(F.xxhash64(fcol(df, p.field_name))))
+
+
+def _p_sample(p: A.PSample, df: DataFrame, ctx) -> DataFrame:
+    if p.n <= 1:
+        return df
+    return df.where(F.rand() < 1.0 / p.n)
+
+
+def _p_collapse_nums(p: A.PCollapseNums, df: DataFrame, ctx) -> DataFrame:
+    src = fcol(df, p.field_name)
+    out = F.regexp_replace(
+        src,
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "<UUID>" if p.prettify else "<N>-<N>-<N>-<N>-<N>",
+    )
+    out = F.regexp_replace(out, r"\b0[xX][0-9a-fA-F]+\b", "<N>")
+    out = F.regexp_replace(out, r"\d+", "<N>")
+    if p.prettify:
+        out = F.regexp_replace(out, r"<N>\.<N>\.<N>\.<N>", "<IP4>")
+        out = F.regexp_replace(out, r"<N>:<N>:<N>", "<TIME>")
+        out = F.regexp_replace(out, r"<N>-<N>-<N>", "<DATE>")
+    if p.cond is not None:
+        c = compile_filter(p.cond, df, ctx)
+        out = F.when(c, out).otherwise(src)
+    return df.withColumn(p.field_name, out)
+
+
+def _p_decolorize(p: A.PDecolorize, df: DataFrame, ctx) -> DataFrame:
+    src = fcol(df, p.field_name)
+    return df.withColumn(p.field_name, F.regexp_replace(src, ANSI_COLOR_RE, ""))
+
+
+def _p_drop_empty_fields(p: A.PDropEmptyFields, df: DataFrame, ctx) -> DataFrame:
+    """Drop rows where all fields are empty, and columns that are empty
+    everywhere (fixed-schema approximation of the per-row semantics in
+    pipe_drop_empty_fields.go — divergence documented)."""
+    str_cols = [c for c, t in df.dtypes if t == "string"]
+    if not str_cols:
+        return df
+    any_nonempty = F.lit(False)
+    for c in str_cols:
+        any_nonempty = any_nonempty | (fcol(df, c) != "")
+    df = df.where(any_nonempty)
+    counts = df.agg(
+        *[F.count(F.when(fcol(df, c) != "", F.lit(1))).alias(c) for c in str_cols]
+    ).collect()[0]
+    empties = [c for c in str_cols if counts[c] == 0]
+    return df.drop(*empties) if empties else df
+
+
+def _p_blocks_count(p: A.PBlocksCount, df: DataFrame, ctx) -> DataFrame:
+    spark = df.sparkSession
+    n = df.rdd.getNumPartitions()
+    return spark.createDataFrame([(str(n),)], ["blocks_count"])
+
+
+def _p_block_stats(p: A.PBlockStats, df: DataFrame, ctx) -> DataFrame:
+    spark = df.sparkSession
+    rows = [(c, t) for c, t in df.dtypes]
+    return spark.createDataFrame(rows, ["field", "type"])
+
+
+def _p_stream_context(p: A.PStreamContext, df: DataFrame, ctx) -> DataFrame:
+    """grep -A/-B per stream (pipe_stream_context.go:27): two-pass plan —
+    matched rows → (stream, time) anchors → range-join the source table on
+    the stream key within the time window, keep rows within before/after
+    row-distance via a ranking window."""
+    source = ctx.source_df
+    if source is None or "_stream_id" not in source.columns:
+        raise NotImplementedError("stream_context requires a log table with _stream_id")
+    anchors = df.select(
+        qcol("_stream_id").alias("__a_sid"), qcol("_time").alias("__a_time")
+    ).distinct()
+    w = p.time_window_ns // 1000  # µs
+    j = source.join(
+        F.broadcast(anchors),
+        (qcol("_stream_id") == qcol("__a_sid"))
+        & (F.unix_micros(qcol("_time")) >= F.unix_micros(qcol("__a_time")) - w)
+        & (F.unix_micros(qcol("_time")) <= F.unix_micros(qcol("__a_time")) + w),
+        "inner",
+    )
+    # row-distance rank per (anchor, stream)
+    win = Window.partitionBy("__a_sid", "__a_time").orderBy(qcol("_time"))
+    j = j.withColumn("__rn", F.row_number().over(win))
+    anchor_rn = F.max(F.when(qcol("_time") == qcol("__a_time"), qcol("__rn"))).over(
+        Window.partitionBy("__a_sid", "__a_time")
+    )
+    j = j.withColumn("__arn", anchor_rn)
+    j = j.where(
+        (qcol("__rn") >= qcol("__arn") - p.before) & (qcol("__rn") <= qcol("__arn") + p.after)
+    )
+    return j.drop("__a_sid", "__a_time", "__rn", "__arn").distinct()
+
+
+_DISPATCH = {
+    A.PFields: _p_fields,
+    A.PDelete: _p_delete,
+    A.PCopy: _p_copy,
+    A.PRename: _p_rename,
+    A.PFilter: _p_filter,
+    A.PLimit: _p_limit,
+    A.POffset: _p_offset,
+    A.PSort: _p_sort,
+    A.PFirst: _p_first,
+    A.PStats: _p_stats,
+    A.PMath: _p_math,
+    A.PExtract: _p_extract,
+    A.PExtractRegexp: _p_extract_regexp,
+    A.PReplace: _p_replace,
+    A.PFormat: _p_format,
+    A.PUnpackJson: _p_unpack_json,
+    A.PUnpackLogfmt: _p_unpack_logfmt,
+    A.PUnpackSyslog: _p_unpack_syslog,
+    A.PUnpackWords: _p_unpack_words,
+    A.PUnroll: _p_unroll,
+    A.PPackJson: _p_pack_json,
+    A.PPackLogfmt: _p_pack_logfmt,
+    A.PJoin: _p_join,
+    A.PUnion: _p_union,
+    A.PUniq: _p_uniq,
+    A.PTop: _p_top,
+    A.PFacets: _p_facets,
+    A.PFieldNames: _p_field_names,
+    A.PFieldValues: _p_field_values,
+    A.PLen: _p_len,
+    A.PJsonArrayLen: _p_json_array_len,
+    A.PHash: _p_hash,
+    A.PSample: _p_sample,
+    A.PCollapseNums: _p_collapse_nums,
+    A.PDecolorize: _p_decolorize,
+    A.PDropEmptyFields: _p_drop_empty_fields,
+    A.PBlocksCount: _p_blocks_count,
+    A.PBlockStats: _p_block_stats,
+    A.PStreamContext: _p_stream_context,
+}

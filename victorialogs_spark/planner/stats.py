@@ -1,0 +1,241 @@
+"""Stats functions → Spark aggregation expressions.
+
+Reference: lib/logstorage/stats_*.go. Each function maps to a native
+partial+final Spark aggregate (exactly the exportState/mergeState model the
+reference uses for its cluster path, pipe_stats.go:73-110 — Catalyst gives
+it to us for free).
+
+Type conventions (documented divergence from everything-is-a-string):
+- count/count_uniq/count_empty/sum_len → bigint
+- sum/avg/median/quantile/rate/rate_sum → double (sum accumulates in
+  decimal(38,9) for run-to-run determinism, then casts to double)
+- min/max/values/uniq_values/row_* → string
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from victorialogs_spark.functions.casts import _try_cast
+
+from victorialogs_spark.functions.natural import fcol, format_number, num
+from victorialogs_spark.logsql import ast as A
+
+
+def _all_fields(df: DataFrame, exclude: list[str]) -> list[str]:
+    return [c for c in df.columns if c not in exclude]
+
+
+def _expand(df: DataFrame, fields: list[str], by: list[str]) -> list[str]:
+    """Expand '*' and 'prefix*' field args."""
+    out: list[str] = []
+    for f in fields:
+        if f == "*":
+            out.extend(_all_fields(df, by))
+        elif f.endswith("*"):
+            out.extend(c for c in df.columns if c.startswith(f[:-1]))
+        else:
+            out.append(f)
+    return out
+
+
+def _nonempty(df: DataFrame, f: str) -> Column:
+    return F.nullif(fcol(df, f), F.lit(""))
+
+
+def _dsum(df: DataFrame, f: str, cond: Column | None) -> Column:
+    v = _try_cast(fcol(df, f), "decimal(38,9)")
+    if cond is not None:
+        v = F.when(cond, v)
+    return F.sum(v)
+
+
+def compile_stats_func(
+    sf: A.StatsFunc,
+    df: DataFrame,
+    by_names: list[str],
+    cond: Column | None,
+    range_seconds: float | None,
+) -> Column:
+    """Build the aggregate Column for one stats function. `cond` is the
+    compiled per-function if-filter (pipe_stats.go:62-71)."""
+    name = sf.name
+    fields = _expand(df, sf.fields, by_names)
+
+    def guard(c: Column) -> Column:
+        return F.when(cond, c) if cond is not None else c
+
+    if name in ("count", "rate"):
+        if not fields:
+            out = F.count(guard(F.lit(1)))
+        else:
+            any_nonempty = F.coalesce(*[_nonempty(df, f) for f in fields])
+            out = F.count(guard(any_nonempty))
+        if name == "rate":
+            secs = range_seconds if range_seconds and range_seconds > 0 else 1.0
+            return (out / F.lit(secs)).alias(sf.result)
+        return out.alias(sf.result)
+
+    if name == "count_empty":
+        if not fields:
+            fields = _all_fields(df, by_names)
+        all_empty = F.lit(True)
+        for f in fields:
+            all_empty = all_empty & (fcol(df, f) == "")
+        return F.sum(guard(F.when(all_empty, 1).otherwise(0))).cast("long").alias(sf.result)
+
+    if name in ("count_uniq", "count_uniq_hash"):
+        # exact distinct; the reference's `limit N` memory cap is observable
+        # (returns N once exceeded) — reproduce with least(count, N)
+        vals = [_nonempty(df, f) for f in fields] or [F.lit(None)]
+        tup = vals[0] if len(vals) == 1 else F.struct(*[fcol(df, f) for f in fields])
+        nonempty = F.coalesce(*vals).isNotNull()
+        g = nonempty if cond is None else (nonempty & cond)
+        out = F.count_distinct(F.when(g, tup))
+        limit = sf.extra.get("limit")
+        if limit:
+            out = F.least(out, F.lit(int(limit)))
+        return out.alias(sf.result)
+
+    if name in ("sum", "rate_sum"):
+        total = None
+        for f in fields:
+            s = _dsum(df, f, cond)
+            total = s if total is None else total + s
+        out = total.cast("double")
+        if name == "rate_sum":
+            secs = range_seconds if range_seconds and range_seconds > 0 else 1.0
+            out = out / F.lit(secs)
+        return out.alias(sf.result)
+
+    if name == "sum_len":
+        total = None
+        for f in fields:
+            v = F.octet_length(fcol(df, f))
+            v = guard(v)
+            s = F.sum(v)
+            total = s if total is None else total + s
+        return total.cast("long").alias(sf.result)
+
+    if name == "avg":
+        # avg over all numeric values across all listed fields
+        tsum, tcnt = None, None
+        for f in fields:
+            v = _try_cast(fcol(df, f), "decimal(38,9)")
+            v = guard(v)
+            s, c = F.sum(v), F.count(v)
+            tsum = s if tsum is None else tsum + s
+            tcnt = c if tcnt is None else tcnt + c
+        return (tsum.cast("double") / tcnt).alias(sf.result)
+
+    if name in ("min", "max"):
+        # natural order via (numeric-first, value) struct trick: pack the
+        # orderable key and the original string, take min/max of the struct
+        keys = []
+        for f in fields:
+            n = num(df, f)
+            s = fcol(df, f)
+            nn = F.when(s == "", None).otherwise(n)
+            key = F.struct(
+                F.when(s == "", F.lit(2))
+                .when(nn.isNotNull(), F.lit(0))
+                .otherwise(F.lit(1))
+                .alias("k0"),
+                F.coalesce(nn, F.lit(0.0)).alias("k1"),
+                s.alias("k2"),
+            )
+            keys.append(guard(F.when(s != "", key)))
+        merged = keys[0] if len(keys) == 1 else F.least(*keys) if name == "min" else F.greatest(*keys)
+        agg = F.min(merged) if name == "min" else F.max(merged)
+        return agg.getField("k2").alias(sf.result)
+
+    if name in ("median", "quantile"):
+        phi = 0.5 if name == "median" else float(sf.extra.get("phi", 0.5))
+        vals = [guard(num(df, f)) for f in fields]
+        v = vals[0] if len(vals) == 1 else F.coalesce(*vals)
+        # reference uses a 10k reservoir sample (stats_quantile.go:346);
+        # percentile_approx is a different approximation — documented
+        return F.percentile_approx(v, F.lit(phi), F.lit(10000)).alias(sf.result)
+
+    if name == "histogram":
+        # VictoriaMetrics vmrange buckets (stats_histogram.go:36-39): JSON
+        # array of {vmrange, hits}. Bucket labels are computed row-side
+        # (JVM expr), then counted per group. collect_list bounds: bucket
+        # count per group is O(buckets-per-decade × decades), small.
+        v = guard(num(df, fields[0]))
+        labels = F.collect_list(_vmrange_bucket(v))
+        counted = F.transform(
+            F.array_sort(F.array_distinct(labels)),
+            lambda b: F.struct(
+                b.alias("vmrange"),
+                F.size(F.filter(labels, lambda x: x == b)).alias("hits"),
+            ),
+        )
+        return F.to_json(counted).alias(sf.result)
+
+    if name == "uniq_values":
+        vals = [guard(_nonempty(df, f)) for f in fields]
+        v = vals[0] if len(vals) == 1 else F.coalesce(*vals)
+        arr = F.array_sort(F.collect_set(v))
+        limit = sf.extra.get("limit")
+        if limit:
+            arr = F.slice(arr, 1, int(limit))
+        return F.to_json(arr).alias(sf.result)
+
+    if name == "values":
+        vals = [guard(fcol(df, f)) for f in fields]
+        v = vals[0] if len(vals) == 1 else F.coalesce(*vals)
+        arr = F.collect_list(v)
+        limit = sf.extra.get("limit")
+        if limit:
+            arr = F.slice(arr, 1, int(limit))
+        return F.to_json(arr).alias(sf.result)
+
+    if name == "json_values":
+        struct = F.struct(*[fcol(df, f).alias(f) for f in fields])
+        arr = F.collect_list(guard(F.to_json(struct)))
+        limit = sf.extra.get("limit")
+        if limit:
+            arr = F.slice(arr, 1, int(limit))
+        return F.concat(F.lit("["), F.array_join(arr, ","), F.lit("]")).alias(sf.result)
+
+    if name == "row_any":
+        struct = F.to_json(F.struct(*[fcol(df, f).alias(f) for f in fields])) if fields else F.to_json(
+            F.struct(*[fcol(df, c).alias(c) for c in _all_fields(df, by_names)])
+        )
+        return F.any_value(guard(struct), True).alias(sf.result)
+
+    if name in ("row_min", "row_max"):
+        sort_field = sf.fields[0]
+        out_fields = _expand(df, sf.fields[1:], by_names) or _all_fields(df, by_names)
+        struct = F.to_json(F.struct(*[fcol(df, f).alias(f) for f in out_fields]))
+        key = num(df, sort_field)
+        g = key.isNotNull() if cond is None else (key.isNotNull() & cond)
+        key = F.when(g, key)
+        struct = F.when(g, struct)
+        agg = F.min_by(struct, key) if name == "row_min" else F.max_by(struct, key)
+        return agg.alias(sf.result)
+
+    raise NotImplementedError(f"stats function {name}")
+
+
+# ---------------------------------------------------------------------------
+# vmrange histogram buckets (VictoriaMetrics convention: 18 buckets per
+# decade; bucket string "lo...hi")
+# ---------------------------------------------------------------------------
+
+_BUCKETS_PER_DECADE = 18.0
+
+
+def _vmrange_bucket(v: Column) -> Column:
+    """Log-scale bucket label 'lo...hi' for a positive value (matches
+    VictoriaMetrics histogram.GetVMRange semantics: 18 buckets/decade)."""
+    idx = F.ceil(F.log10(v) * _BUCKETS_PER_DECADE)
+    lo = F.pow(F.lit(10.0), (idx - 1) / _BUCKETS_PER_DECADE)
+    hi = F.pow(F.lit(10.0), idx / _BUCKETS_PER_DECADE)
+    fmt = "%.3e"
+    return F.when(
+        v.isNull(), F.lit(None)
+    ).when(v == 0, F.lit("0...0")).otherwise(
+        F.concat(F.format_string(fmt, lo), F.lit("..."), F.format_string(fmt, hi))
+    )

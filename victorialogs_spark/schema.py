@@ -1,0 +1,162 @@
+"""Log-table schema & ingestion.
+
+Data model (SURVEY.md §1): every field is logically a string; `_time` is a
+timestamp; `_msg` holds the message; `_stream` / `_stream_id` identify the
+log stream (lib/logstorage/stream_id.go:11-21). Physically we keep ONE wide
+Parquet table per tenant, partitioned by `_day` — day partitions mirror the
+reference's per-day storage partitions (storage.go:326) and give Catalyst
+partition pruning for `_time` filters.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from victorialogs_spark.functions.casts import _try_cast
+
+RESERVED = ("_time", "_msg", "_stream", "_stream_id", "_day")
+
+
+def normalize_log_df(
+    df: DataFrame,
+    time_col: str | None = None,
+    msg_col: str | None = None,
+    stream_fields: list[str] | None = None,
+) -> DataFrame:
+    """Project an arbitrary DataFrame into the log model: rename/derive
+    `_time`, `_msg`, stream columns; cast everything else to string with
+    NULL → '' (empty ≡ missing, block.go:69-73)."""
+    out = df
+    if time_col and time_col in out.columns:
+        out = out.withColumnRenamed(time_col, "_time")
+    if "_time" in out.columns and dict(out.dtypes)["_time"] != "timestamp":
+        out = out.withColumn("_time", F.col("_time").cast("timestamp"))
+    if msg_col and msg_col in out.columns and msg_col != "_msg":
+        out = out.withColumn("_msg", F.col(msg_col).cast("string"))
+    for c, t in out.dtypes:
+        if c == "_time":
+            continue
+        if t != "string":
+            out = out.withColumn(c, F.coalesce(F.col(c).cast("string"), F.lit("")))
+        else:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
+    if stream_fields:
+        out = with_stream_id(out, stream_fields)
+    return out
+
+
+def with_stream_id(df: DataFrame, stream_fields: list[str]) -> DataFrame:
+    """Canonical `_stream` string '{k1="v1",...}' over sorted labels plus a
+    128-bit-ish `_stream_id` (we use hex(xxhash64) twice — same uniqueness
+    story as stream_id.go:17-21, different hash function by design)."""
+    labels = sorted(stream_fields)
+    parts = [
+        F.concat(F.lit(f'{name}="'), F.coalesce(F.col(name).cast("string"), F.lit("")), F.lit('"'))
+        for name in labels
+    ]
+    stream = F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
+    df = df.withColumn("_stream", stream)
+    h1 = F.lower(F.hex(F.xxhash64(F.col("_stream"))))
+    h2 = F.lower(F.hex(F.xxhash64(F.col("_stream"), F.lit(1))))
+    return df.withColumn("_stream_id", F.concat(h1, h2))
+
+
+def with_day_partition(df: DataFrame) -> DataFrame:
+    return df.withColumn("_day", F.date_format(F.col("_time"), "yyyyMMdd"))
+
+
+def flatten_json(obj: dict, prefix: str = "", max_name_len: int = 128) -> dict[str, str]:
+    """Nested JSON → flat string fields with dot-joined keys; arrays/numbers/
+    bools keep their JSON representation (json_parser.go:71,122)."""
+    out: dict[str, str] = {}
+    for k, v in obj.items():
+        name = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+        if len(name) > max_name_len:
+            name = name[:max_name_len]
+        if isinstance(v, dict):
+            out.update(flatten_json(v, name, max_name_len))
+        elif isinstance(v, str):
+            out[name] = v
+        elif v is None:
+            out[name] = ""
+        elif isinstance(v, bool):
+            out[name] = "true" if v else "false"
+        elif isinstance(v, (int, float)):
+            out[name] = json.dumps(v)
+        else:
+            out[name] = json.dumps(v, separators=(",", ":"))
+    return out
+
+
+def ingest_ndjson(
+    spark: SparkSession,
+    path_or_lines: str | Iterable[str],
+    time_field: str = "_time",
+    msg_field: str = "_msg",
+    stream_fields: list[str] | None = None,
+    ignore_fields: list[str] | None = None,
+    extra_fields: dict[str, str] | None = None,
+    default_msg_value: str = "missing _msg field; see https://docs.victoriametrics.com/victorialogs/keyconcepts/#message-field",
+) -> DataFrame:
+    """NDJSON → log DataFrame applying the reference's ingest transforms
+    (_time_field/_msg_field/_stream_fields/ignore_fields/extra_fields,
+    app/vlinsert/insertutil/common_params.go:32-100).
+
+    Scale note: this driver-side JSON flattening path is for tests/small
+    feeds; bulk ingest goes through sources/ndjson_stream (mapInPandas).
+    """
+    if isinstance(path_or_lines, str):
+        lines_df = spark.read.text(path_or_lines)
+        lines = [r.value for r in lines_df.collect()]
+    else:
+        lines = list(path_or_lines)
+    rows: list[dict[str, str]] = []
+    keys: set[str] = set()
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        flat = flatten_json(json.loads(line))
+        if ignore_fields:
+            for ig in ignore_fields:
+                flat.pop(ig, None)
+        if extra_fields:
+            flat.update(extra_fields)
+        if time_field != "_time" and time_field in flat:
+            flat["_time"] = flat.pop(time_field)
+        if msg_field != "_msg" and msg_field in flat:
+            flat["_msg"] = flat.pop(msg_field)
+        if not flat.get("_msg"):
+            flat["_msg"] = default_msg_value
+        rows.append(flat)
+        keys.update(flat)
+    keys.discard("_time")
+    cols = ["_time"] + sorted(keys)
+    data = [tuple(r.get(c, "") for c in cols) for r in rows]
+    df = spark.createDataFrame(data, schema=", ".join(f"`{c}` string" for c in cols))
+    df = df.withColumn(
+        "_time",
+        F.coalesce(
+            F.to_timestamp(F.col("_time")),
+            F.timestamp_seconds(_try_cast(F.col("_time"), "double")),
+            F.current_timestamp(),
+        ),
+    )
+    if stream_fields:
+        df = with_stream_id(df, [f for f in stream_fields if f in df.columns])
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_as_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic `events` table viewed as a log table: ts → _time,
+    props (JSON) → _msg, event_type as a stream label."""
+    ev = load_table(spark, sf_dir, "events")
+    df = normalize_log_df(ev, time_col="ts", msg_col="props")
+    return with_stream_id(df, ["event_type"])
