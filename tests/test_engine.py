@@ -394,3 +394,97 @@ def test_drop_empty_fields(spark):
 def test_implicit_filter_pipe_exec(spark, logs):
     out = run_query(spark, logs, "* | fields _msg | error")
     assert out.count() == 2
+
+
+# ------------------------------------------------- round-2 regression tests
+
+def test_rename_onto_existing(spark, logs):
+    out = run_query(spark, logs, "* | rename host as code | fields code")
+    # mv overwrites the existing destination column (pipe_rename.go)
+    assert out.columns == ["code"]
+    assert rows_set(out) == {("h1",), ("h2",), ("h3",)}
+
+
+def test_uniq_limit_zeroes_hits(spark, logs):
+    out = run_query(spark, logs, "* | uniq by (host) with hits limit 2")
+    rows = rows_set(out)
+    assert len(rows) == 2
+    assert all(h == 0 for _, h in rows)  # 3 uniques > limit 2 → hits zeroed
+    out = run_query(spark, logs, "* | uniq by (host) with hits limit 10")
+    assert rows_set(out) == {("h1", 2), ("h2", 2), ("h3", 1)}
+
+
+def test_replace_regexp_limit_dollar_refs(spark):
+    df = make_logs(spark, [{"_msg": "a1 b2 c3"}])
+    out = run_query(
+        spark, df, '* | replace_regexp ("([a-z])(\\\\d)", "$2$1") at _msg limit 2 | fields _msg'
+    )
+    assert rows_set(out) == {("1a 2b c3",)}
+
+
+def test_day_range_offset_subtracts(spark):
+    # 10:00 UTC event; day_range[07:30,08:30] offset 2h must match
+    # (filter_day_range.go:122 subtracts the offset)
+    df = make_logs(spark, [{"_time": dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC), "x": "1"}])
+    assert run_query(spark, df, "_time:day_range[07:30, 08:30] offset 2h").count() == 1
+    assert run_query(spark, df, "_time:day_range[07:30, 08:30]").count() == 0
+
+
+def test_time_gt_offset_parses(spark):
+    df = make_logs(spark, [{"_time": dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC), "x": "1"}])
+    # '_time:>X offset 1h' must apply the offset (shift bounds back),
+    # not eat 'offset 1h' as word filters
+    out = run_query(spark, df, "_time:>2024-01-01T08:30:00Z offset 1h")
+    assert out.count() == 1  # bound shifts to >07:30
+    out = run_query(spark, df, "_time:<2024-01-01T11:30:00Z offset 2h")
+    assert out.count() == 0  # bound shifts to <09:30, excludes 10:00
+
+
+def test_cmp_filter_string_fallback(spark, logs):
+    # host:>h1 → lexicographic string range (parser.go tryParseFilterGTString)
+    assert run_query(spark, logs, "host:>h1").count() == 3
+    assert run_query(spark, logs, "host:>=h1").count() == 5
+    assert run_query(spark, logs, "host:<h2").count() == 2
+    assert run_query(spark, logs, "host:<=h2").count() == 4
+
+
+def test_sum_multi_field_no_null_poison(spark):
+    df = make_logs(spark, [{"a": "1", "b": "x"}, {"a": "2", "b": "y"}])
+    out = run_query(spark, df, "* | stats sum(a, b) as s, avg(a, b) as av")
+    r = out.collect()[0]
+    assert r["s"] == 3.0 and r["av"] == 1.5
+
+
+def test_histogram_two_level(spark):
+    df = make_logs(spark, [{"v": "1"}, {"v": "1"}, {"v": "100"}])
+    out = run_query(spark, df, "* | stats histogram(v) as h")
+    import json as _json
+
+    buckets = _json.loads(out.collect()[0]["h"])
+    assert sum(b["hits"] for b in buckets) == 3
+    out = run_query(spark, df, "* | stats count() as c, histogram(v) as h")
+    r = out.collect()[0]
+    assert r["c"] == 3
+
+
+def test_in_subquery_multicol_errors(spark, logs):
+    with pytest.raises(Exception):
+        run_query(spark, logs, "host:in(code:404 | fields host, code)").collect()
+
+
+def test_stream_context_delimiters(spark):
+    rows = []
+    for i in range(6):
+        rows.append({
+            "_time": dt.datetime(2024, 1, 1, 0, 0, i, tzinfo=UTC),
+            "_msg": f"line{i}" if i not in (1, 4) else "error",
+            "app": "a" if i < 3 else "b",
+        })
+    df = make_logs(spark, rows)
+    from victorialogs_spark.schema import with_stream_id
+
+    df = with_stream_id(df, ["app"])
+    out = run_query(spark, df, "error | stream_context before 1 after 1")
+    msgs = [r["_msg"] for r in out.collect()]
+    assert msgs.count("---") == 2  # one delimiter per group (2 groups)
+    assert "line0" in msgs and "line2" in msgs and "line3" in msgs and "line5" in msgs

@@ -22,6 +22,10 @@ from victorialogs_spark.logsql.lexer import Lexer, Token, parse_duration_ns, par
 
 NS = 10**9
 
+# Practically-unbounded upper bound for lexicographic string ranges
+# (reference: maxStringRangeValue, filter_string_range.go:9).
+MAX_STRING_RANGE = "\U0010ffff" * 4
+
 # fmt: off
 _PIPE_NAMES = {
     "fields", "keep", "delete", "drop", "rm", "copy", "cp", "rename", "mv",
@@ -464,6 +468,15 @@ class Parser:
         if self.tok().is_kw("=") and not self.tok().space_before:
             self.advance()
             allow_eq = True
+        if not self.tok().is_kw("-") and parse_number(self.tok().text) is None:
+            # non-numeric operand → lexicographic string-range fallback
+            # (reference parser.go:2182-2217 tryParseFilterGT/LTString)
+            val = self._compound_time_token()
+            if op == ">":
+                lo = val if allow_eq else val + "\x00"
+                return A.FStringRange(field, lo, MAX_STRING_RANGE)
+            hi = val + "\x00" if allow_eq else val
+            return A.FStringRange(field, "", hi)
         val = self._parse_float(f"{op} operand")
         if op == ">":
             return A.FRange(field, val, float("inf"), allow_eq, True)
@@ -492,6 +505,14 @@ class Parser:
         if t.is_kw("week_range"):
             self.advance()
             return self._parse_week_range()
+        if t.is_kw("offset"):
+            # bare '_time:offset 1h' = (-inf, now-1h] (parser.go
+            # parseFilterTimeRange leading-offset branch)
+            self.advance()
+            off = parse_duration_ns(self._compound_time_token())
+            if off is None:
+                raise self.err("invalid _time offset")
+            return A.FTime(-(2**62), self.now_ns - off)
         if t.is_kw(">"):
             self.advance()
             allow_eq = False
@@ -500,7 +521,7 @@ class Parser:
                 allow_eq = True
             lo, hi = self._parse_time_point()
             start = lo if allow_eq else hi + 1
-            return A.FTime(start, 2**62)
+            return self._with_time_offset(A.FTime(start, 2**62))
         if t.is_kw("<"):
             self.advance()
             allow_eq = False
@@ -509,7 +530,7 @@ class Parser:
                 allow_eq = True
             lo, hi = self._parse_time_point()
             end = hi if allow_eq else lo - 1
-            return A.FTime(-(2**62), end)
+            return self._with_time_offset(A.FTime(-(2**62), end))
         if t.is_kw("[") or t.is_kw("("):
             inc_lo = t.is_kw("[")
             self.advance()
@@ -543,7 +564,9 @@ class Parser:
             off = parse_duration_ns(self._compound_time_token())
             if off is None:
                 raise self.err("invalid _time offset")
-            return A.FTime(f.lo_ns - off, f.hi_ns - off)
+            lo = f.lo_ns if f.lo_ns <= -(2**62) else f.lo_ns - off
+            hi = f.hi_ns if f.hi_ns >= 2**62 else f.hi_ns - off
+            return A.FTime(lo, hi)
         return f
 
     def _compound_time_token(self) -> str:

@@ -116,7 +116,8 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
     if isinstance(f, A.FDayRange):
         t = qcol("_time")
         if f.offset_ns:
-            t = F.timestamp_micros(F.unix_micros(t) + f.offset_ns // 1000)
+            # reference subtracts the offset (filter_day_range.go:122)
+            t = F.timestamp_micros(F.unix_micros(t) - f.offset_ns // 1000)
         minute = F.hour(t) * 60 + F.minute(t)
         lo = (minute >= f.lo_minute) if f.include_lo else (minute > f.lo_minute)
         hi = (minute <= f.hi_minute) if f.include_hi else (minute < f.hi_minute)
@@ -124,7 +125,8 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
     if isinstance(f, A.FWeekRange):
         t = qcol("_time")
         if f.offset_ns:
-            t = F.timestamp_micros(F.unix_micros(t) + f.offset_ns // 1000)
+            # reference subtracts the offset (filter_week_range.go)
+            t = F.timestamp_micros(F.unix_micros(t) - f.offset_ns // 1000)
         dow = F.dayofweek(t) - 1  # Spark: 1=Sunday → 0=Sunday
         lo = (dow >= f.lo_day) if f.include_lo else (dow > f.lo_day)
         hi = (dow <= f.hi_day) if f.include_hi else (dow < f.hi_day)
@@ -153,7 +155,8 @@ def _time_range(df: DataFrame, lo_ns: int, hi_ns: int) -> Column:
     if lo_ns > -(2**62):
         out = out & (t >= F.timestamp_micros(F.lit(_ceil_div(lo_ns, 1000))))
     if hi_ns < 2**62:
-        out = out & (t <= F.timestamp_micros(F.lit(hi_ns // 1000)))
+        # exclusive '<' on the next µs covers any sub-µs tail of hi_ns
+        out = out & (t < F.timestamp_micros(F.lit(hi_ns // 1000 + 1)))
     return out
 
 
@@ -215,7 +218,12 @@ def _subquery_values(q: A.Query, ctx) -> list[str] | None:
     if ctx is None:
         return None
     sub = ctx.run_subquery(q)
-    col0 = sub.columns[-1]
+    if len(sub.columns) != 1:
+        # reference errors on multi-column subqueries (storage_search.go)
+        raise ValueError(
+            f"in(subquery): subquery must return exactly one field, got {sub.columns}"
+        )
+    col0 = sub.columns[0]
     rows = sub.select(col0).distinct().limit(1_000_001).collect()
     if len(rows) > 1_000_000:
         raise ValueError("in(subquery): too many values (>1e6)")

@@ -83,6 +83,10 @@ def _p_copy(p: A.PCopy, df: DataFrame, ctx) -> DataFrame:
 
 def _p_rename(p: A.PRename, df: DataFrame, ctx) -> DataFrame:
     for src, dst in p.pairs:
+        if dst in df.columns and dst != src:
+            # mv overwrites an existing destination (pipe_rename.go);
+            # withColumnRenamed alone would keep both copies
+            df = df.drop(dst)
         if src in df.columns:
             df = df.withColumnRenamed(src, dst)
         else:
@@ -91,7 +95,9 @@ def _p_rename(p: A.PRename, df: DataFrame, ctx) -> DataFrame:
 
 
 def _p_filter(p: A.PFilter, df: DataFrame, ctx) -> DataFrame:
-    return df.where(compile_filter(p.filter, df, ctx))
+    from victorialogs_spark.planner.planner import apply_filter_df
+
+    return apply_filter_df(df, p.filter, ctx)
 
 
 def _p_limit(p: A.PLimit, df: DataFrame, ctx) -> DataFrame:
@@ -132,12 +138,23 @@ def _p_sort(p: A.PSort, df: DataFrame, ctx) -> DataFrame:
         else:
             df = df.withColumn(rank_col, qcol(rank_col).cast("string"))
         return df
+    if p.rank_name is not None and p.limit is not None:
+        # top-k first (TakeOrderedAndProject), then rank the small result —
+        # avoids funnelling the full dataset through one window task
+        out = df.orderBy(*exprs).limit(p.offset + p.limit)
+        w = Window.orderBy(*_sort_exprs(out, p.fields, p.desc))
+        out = out.withColumn(p.rank_name, F.row_number().over(w).cast("string"))
+        if p.offset:
+            out = out.where(_try_cast(qcol(p.rank_name), "int") > p.offset)
+        return out.orderBy(*_sort_exprs(out, p.fields, p.desc))
     if p.rank_name is not None:
+        # global rank without limit: single-task window — inherent to a total
+        # rank; reference is single-node here too (pipe_sort.go)
         w = Window.orderBy(*exprs)
         df = df.withColumn(p.rank_name, F.row_number().over(w).cast("string"))
         out = df
     else:
-        out = df.sortWithinPartitions(*exprs) if False else df
+        out = df
     out = out.orderBy(*exprs)
     if p.limit is not None:
         # Catalyst turns orderBy+limit into TakeOrderedAndProject (top-k heap,
@@ -204,13 +221,55 @@ def _by_exprs(df: DataFrame, by: list[A.ByField]) -> list[Column]:
 
 def _p_stats(p: A.PStats, df: DataFrame, ctx) -> DataFrame:
     by_names = [b.name for b in p.by]
+    hist = [sf for sf in p.funcs if sf.name == "histogram"]
+    other = [sf for sf in p.funcs if sf.name != "histogram"]
     aggs = []
-    for sf in p.funcs:
+    for sf in other:
         cond = compile_filter(sf.cond, df, ctx) if sf.cond is not None else None
         aggs.append(compile_stats_func(sf, df, by_names, cond, ctx.range_seconds))
-    if not p.by:
-        return df.agg(*aggs)
-    return df.groupBy(*_by_exprs(df, p.by)).agg(*aggs)
+    if not hist:
+        if not p.by:
+            return df.agg(*aggs)
+        return df.groupBy(*_by_exprs(df, p.by)).agg(*aggs)
+    # histogram() is a two-level aggregate: groupBy(keys, bucket).count()
+    # then collect O(buckets) structs per group — never O(rows) state in one
+    # aggregation buffer (stats_histogram.go semantics, scale-safe)
+    parts: list[DataFrame] = []
+    if other:
+        parts.append(
+            df.agg(*aggs) if not p.by else df.groupBy(*_by_exprs(df, p.by)).agg(*aggs)
+        )
+    for sf in hist:
+        cond = compile_filter(sf.cond, df, ctx) if sf.cond is not None else None
+        parts.append(_histogram_agg(df, sf, p.by, cond))
+    out = parts[0]
+    for nxt in parts[1:]:
+        out = out.join(nxt, on=by_names, how="inner") if by_names else out.crossJoin(nxt)
+    return out
+
+
+def _histogram_agg(df: DataFrame, sf, by: list[A.ByField], cond: Column | None) -> DataFrame:
+    """histogram(f) via two-phase aggregation: per-(group, vmrange-bucket)
+    counts, then a per-group JSON array of {vmrange, hits} (bucket count is
+    O(18/decade), tiny)."""
+    from victorialogs_spark.planner.stats import _vmrange_bucket
+
+    v = num(df, sf.fields[0])
+    if cond is not None:
+        v = F.when(cond, v)
+    b = _vmrange_bucket(v)
+    lvl1 = df.groupBy(*_by_exprs(df, by), b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__h")
+    )
+    keys = [c for c in lvl1.columns if c not in ("__b", "__h")]
+    entry = F.when(
+        qcol("__b").isNotNull(),
+        F.struct(qcol("__b").alias("vmrange"), qcol("__h").alias("hits")),
+    )
+    arr = F.to_json(F.array_sort(F.collect_list(entry))).alias(sf.result)
+    if keys:
+        return lvl1.groupBy(*[qcol(k) for k in keys]).agg(arr)
+    return lvl1.agg(arr)
 
 
 # ---------------------------------------------------------------- math
@@ -369,10 +428,6 @@ def _assign_extracted(
 _FORMAT_FIELD_RE = re.compile(r"<([^<>]*)>")
 
 
-def _json_quote(c: Column) -> Column:
-    return F.to_json(F.struct(c.alias("v")))["v"] if False else _json_quote_manual(c)
-
-
 def _json_quote_manual(c: Column) -> Column:
     e = F.regexp_replace(c, r"\\", r"\\\\")
     e = F.regexp_replace(e, '"', '\\\\"')
@@ -461,7 +516,10 @@ def _p_format(p: A.PFormat, df: DataFrame, ctx) -> DataFrame:
 def _p_replace(p: A.PReplace, df: DataFrame, ctx) -> DataFrame:
     src = fcol(df, p.field_name)
     if p.limit and p.limit > 0:
-        out = _replace_limited(src, p.old, p.new, p.limit, p.regex)
+        if p.regex:
+            out = _replace_limited_regex(src, p.old, p.new, p.limit)
+        else:
+            out = _replace_limited(src, p.old, p.new, p.limit)
     elif p.regex:
         out = F.regexp_replace(src, p.old, _dollar_refs(p.new))
     else:
@@ -477,15 +535,27 @@ def _dollar_refs(repl: str) -> str:
     return repl
 
 
-def _replace_limited(src: Column, old: str, new: str, limit: int, regex: bool) -> Column:
-    """replace ... limit N: split on the first N occurrences. Implemented
-    JVM-side via split with limit (split keeps the tail intact)."""
-    if regex:
-        pat = old
-    else:
-        pat = java_quote(old)
-    parts = F.split(src, pat, limit + 1)
+def _replace_limited(src: Column, old: str, new: str, limit: int) -> Column:
+    """literal replace ... limit N: split on the first N occurrences
+    (split keeps the tail intact), JVM-side."""
+    parts = F.split(src, java_quote(old), limit + 1)
     return F.array_join(parts, new)
+
+
+def _replace_limited_regex(src: Column, old: str, new: str, limit: int) -> Column:
+    """replace_regexp ... limit N with full $n capture-ref support. Spark has
+    no bounded regexp_replace, so this is the one genuinely-Python path in
+    replace (Arrow-batched pandas UDF, cold path)."""
+    import pandas as pd  # noqa: F401 — needed at call time
+
+    py_new = re.sub(r"\$(\d+)", r"\\\1", new.replace("\\", "\\\\"))
+    pat = re.compile(old)
+
+    def _repl(s):
+        return s.str.replace(pat, py_new, n=limit, regex=True)
+
+    _repl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_repl, "string")(src)
 
 
 # ---------------------------------------------------------------- unpack
@@ -494,15 +564,20 @@ def _flat_json_map(c: Column) -> Column:
     return F.from_json(c, "map<string,string>")
 
 
+UNPACK_SAMPLE_ROWS = 10_000
+
+
 def _infer_keys(df: DataFrame, map_col: Column, ctx) -> list[str]:
-    """One lightweight aggregation to learn the key set (the dynamic-schema
-    step; capped at MAX_UNPACK_COLS like the reference's 2000-column block
-    cap, consts.go:30)."""
+    """Learn the key set from a bounded sample (the dynamic-schema step;
+    capped at MAX_UNPACK_COLS like the reference's 2000-column block cap,
+    consts.go:30). Sampling keeps the inference scan O(10k rows) instead of
+    a second full pass over 100 TB; keys absent from the sample resolve to
+    '' downstream, same as any missing field."""
     rows = (
-        df.select(F.explode(F.map_keys(map_col)).alias("k"))
-        .groupBy("k")
-        .count()
-        .orderBy(F.desc("count"), F.asc("k"))
+        df.select(map_col.alias("__m"))
+        .limit(UNPACK_SAMPLE_ROWS)
+        .select(F.explode(F.map_keys(qcol("__m"))).alias("k"))
+        .distinct()
         .limit(MAX_UNPACK_COLS)
         .collect()
     )
@@ -665,6 +740,17 @@ def _p_uniq(p: A.PUniq, df: DataFrame, ctx) -> DataFrame:
     keys = [fcol(df, f).alias(f) for f in by]
     if p.hits_field:
         out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(p.hits_field))
+        if p.limit:
+            # reference zeroes hits once the unique count exceeds the limit
+            # (pipe_uniq.go:21-30); broadcast the 1-row total, no collect
+            total = out.agg(F.count(F.lit(1)).alias("__vl_total"))
+            out = out.crossJoin(F.broadcast(total))
+            out = out.withColumn(
+                p.hits_field,
+                F.when(qcol("__vl_total") > p.limit, F.lit(0)).otherwise(
+                    qcol(p.hits_field)
+                ),
+            ).drop("__vl_total")
     else:
         out = df.select(*keys).distinct()
     if p.limit:
@@ -798,10 +884,13 @@ def _p_drop_empty_fields(p: A.PDropEmptyFields, df: DataFrame, ctx) -> DataFrame
     for c in str_cols:
         any_nonempty = any_nonempty | (fcol(df, c) != "")
     df = df.where(any_nonempty)
-    counts = df.agg(
-        *[F.count(F.when(fcol(df, c) != "", F.lit(1))).alias(c) for c in str_cols]
+    # schema change (dropping all-empty columns) inherently needs one extra
+    # driver-visible aggregation; keep it a cheap boolean max (map-side
+    # partial agg, one row collected)
+    flags = df.agg(
+        *[F.max(fcol(df, c) != "").alias(c) for c in str_cols]
     ).collect()[0]
-    empties = [c for c in str_cols if counts[c] == 0]
+    empties = [c for c in str_cols if not flags[c]]
     return df.drop(*empties) if empties else df
 
 
@@ -821,7 +910,11 @@ def _p_stream_context(p: A.PStreamContext, df: DataFrame, ctx) -> DataFrame:
     """grep -A/-B per stream (pipe_stream_context.go:27): two-pass plan —
     matched rows → (stream, time) anchors → range-join the source table on
     the stream key within the time window, keep rows within before/after
-    row-distance via a ranking window."""
+    row-distance via a ranking window, then append per-group `---` delimiter
+    rows (newDelimiterRowFields, pipe_stream_context.go:737-756).
+
+    Scale: no explicit broadcast hint on the anchor side — a broad filter can
+    match millions of anchors; AQE picks broadcast vs shuffle at runtime."""
     source = ctx.source_df
     if source is None or "_stream_id" not in source.columns:
         raise NotImplementedError("stream_context requires a log table with _stream_id")
@@ -830,7 +923,7 @@ def _p_stream_context(p: A.PStreamContext, df: DataFrame, ctx) -> DataFrame:
     ).distinct()
     w = p.time_window_ns // 1000  # µs
     j = source.join(
-        F.broadcast(anchors),
+        anchors,
         (qcol("_stream_id") == qcol("__a_sid"))
         & (F.unix_micros(qcol("_time")) >= F.unix_micros(qcol("__a_time")) - w)
         & (F.unix_micros(qcol("_time")) <= F.unix_micros(qcol("__a_time")) + w),
@@ -846,7 +939,34 @@ def _p_stream_context(p: A.PStreamContext, df: DataFrame, ctx) -> DataFrame:
     j = j.where(
         (qcol("__rn") >= qcol("__arn") - p.before) & (qcol("__rn") <= qcol("__arn") + p.after)
     )
-    return j.drop("__a_sid", "__a_time", "__rn", "__arn").distinct()
+    rows = j.drop("__rn", "__arn").distinct()
+    # delimiter rows: one after each context group when >1 group exists
+    groups = rows.groupBy("__a_sid", "__a_time").agg(
+        F.max(qcol("_time")).alias("__maxt"),
+        F.any_value(qcol("_stream")).alias("__stream")
+        if "_stream" in source.columns
+        else F.lit("").alias("__stream"),
+    )
+    total = groups.agg(F.count(F.lit(1)).alias("__n"))
+    delim_cols = []
+    for c, t in rows.drop("__a_sid", "__a_time").dtypes:
+        if c == "_time":
+            delim_cols.append(
+                F.timestamp_micros(F.unix_micros(qcol("__maxt")) + 1).alias("_time")
+            )
+        elif c == "_stream_id":
+            delim_cols.append(qcol("__a_sid").alias(c))
+        elif c == "_stream":
+            delim_cols.append(qcol("__stream").alias(c))
+        elif c == "_msg":
+            delim_cols.append(F.lit("---").alias(c))
+        else:
+            delim_cols.append(F.lit("").cast(t).alias(c))
+    delims = (
+        groups.crossJoin(F.broadcast(total)).where(qcol("__n") > 1).select(*delim_cols)
+    )
+    out = rows.drop("__a_sid", "__a_time")
+    return out.unionByName(delims, allowMissingColumns=False)
 
 
 _DISPATCH = {

@@ -10,12 +10,19 @@ filter merging, top-k sort, projection pushdown, partition pruning.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from victorialogs_spark.functions.natural import fcol, qcol
 from victorialogs_spark.logsql import ast as A
 from victorialogs_spark.planner.filters import compile_filter
 from victorialogs_spark.planner.pipes import apply_pipe
 
 NS = 10**9
+
+# in(subquery) values up to this count are inlined as isin() (pushes into the
+# Parquet scan); beyond it the filter becomes a left_semi join so neither the
+# driver nor Catalyst ever materialize a million-literal expression tree.
+IN_VALUES_INLINE_MAX = 10_000
 
 
 class PlanContext:
@@ -36,9 +43,54 @@ class PlanContext:
         return plan_query(self.spark, self.source_df, q)
 
 
+def apply_filter_df(df: DataFrame, f: A.Filter, ctx) -> DataFrame:
+    """Apply a filter tree at DataFrame level. Top-level in(subquery)
+    conjuncts (and their negations) get the scale-safe treatment: inline
+    isin() below IN_VALUES_INLINE_MAX distinct values, left_semi/left_anti
+    join above it (reference collects in-process with memory caps,
+    storage_search.go:582-606; the join is the idiomatic Spark equivalent).
+    Everything else compiles to one Column predicate."""
+    conjuncts = list(f.children) if isinstance(f, A.FAnd) else [f]
+    out = df
+    rest: list[A.Filter] = []
+    for c in conjuncts:
+        negate, inner = False, c
+        if isinstance(c, A.FNot) and isinstance(c.child, A.FInSubquery):
+            negate, inner = True, c.child
+        if isinstance(inner, A.FInSubquery) and ctx is not None:
+            out = _in_subquery_df(out, inner, ctx, negate)
+            continue
+        rest.append(c)
+    if rest:
+        tree = rest[0] if len(rest) == 1 else A.FAnd(rest)
+        out = out.where(compile_filter(tree, out, ctx))
+    return out
+
+
+def _in_subquery_df(
+    df: DataFrame, f: A.FInSubquery, ctx, negate: bool
+) -> DataFrame:
+    sub = ctx.run_subquery(f.query)
+    if len(sub.columns) != 1:
+        raise ValueError(
+            f"in(subquery): subquery must return exactly one field, got {sub.columns}"
+        )
+    key = sub.columns[0]
+    vals_df = sub.select(
+        F.coalesce(qcol(key).cast("string"), F.lit("")).alias("__vl_in")
+    ).distinct()
+    head = vals_df.limit(IN_VALUES_INLINE_MAX + 1).collect()
+    if len(head) <= IN_VALUES_INLINE_MAX:
+        vals = [r[0] for r in head]
+        pred = fcol(df, f.field).isin(vals) if vals else F.lit(False)
+        return df.where(~pred if negate else pred)
+    join_cond = fcol(df, f.field) == vals_df["__vl_in"]
+    return df.join(vals_df, join_cond, "left_anti" if negate else "left_semi")
+
+
 def plan_query(spark: SparkSession, df: DataFrame, q: A.Query) -> DataFrame:
     ctx = PlanContext(spark, df, q)
-    out = df.where(compile_filter(q.filter, df, ctx))
+    out = apply_filter_df(df, q.filter, ctx)
     for p in q.pipes:
         out = apply_pipe(p, out, ctx)
     return out

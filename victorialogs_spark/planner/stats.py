@@ -98,11 +98,19 @@ def compile_stats_func(
         return out.alias(sf.result)
 
     if name in ("sum", "rate_sum"):
-        total = None
+        # per-field partial sums coalesce to 0 so a field with no numeric
+        # values doesn't NULL-poison the total; NULL only when every field
+        # contributes nothing (reference ignores unparseable values)
+        total, nvals = None, None
+        zero = F.lit(0).cast("decimal(38,9)")
         for f in fields:
-            s = _dsum(df, f, cond)
+            v = _try_cast(fcol(df, f), "decimal(38,9)")
+            if cond is not None:
+                v = F.when(cond, v)
+            s, c = F.coalesce(F.sum(v), zero), F.count(v)
             total = s if total is None else total + s
-        out = total.cast("double")
+            nvals = c if nvals is None else nvals + c
+        out = F.when(nvals > 0, total.cast("double"))
         if name == "rate_sum":
             secs = range_seconds if range_seconds and range_seconds > 0 else 1.0
             out = out / F.lit(secs)
@@ -118,15 +126,17 @@ def compile_stats_func(
         return total.cast("long").alias(sf.result)
 
     if name == "avg":
-        # avg over all numeric values across all listed fields
+        # avg over all numeric values across all listed fields; per-field
+        # partials coalesce to 0 (no NULL-poisoning across fields)
         tsum, tcnt = None, None
+        zero = F.lit(0).cast("decimal(38,9)")
         for f in fields:
             v = _try_cast(fcol(df, f), "decimal(38,9)")
             v = guard(v)
-            s, c = F.sum(v), F.count(v)
+            s, c = F.coalesce(F.sum(v), zero), F.count(v)
             tsum = s if tsum is None else tsum + s
             tcnt = c if tcnt is None else tcnt + c
-        return (tsum.cast("double") / tcnt).alias(sf.result)
+        return F.when(tcnt > 0, tsum.cast("double") / tcnt).alias(sf.result)
 
     if name in ("min", "max"):
         # natural order via (numeric-first, value) struct trick: pack the
@@ -158,20 +168,10 @@ def compile_stats_func(
         return F.percentile_approx(v, F.lit(phi), F.lit(10000)).alias(sf.result)
 
     if name == "histogram":
-        # VictoriaMetrics vmrange buckets (stats_histogram.go:36-39): JSON
-        # array of {vmrange, hits}. Bucket labels are computed row-side
-        # (JVM expr), then counted per group. collect_list bounds: bucket
-        # count per group is O(buckets-per-decade × decades), small.
-        v = guard(num(df, fields[0]))
-        labels = F.collect_list(_vmrange_bucket(v))
-        counted = F.transform(
-            F.array_sort(F.array_distinct(labels)),
-            lambda b: F.struct(
-                b.alias("vmrange"),
-                F.size(F.filter(labels, lambda x: x == b)).alias("hits"),
-            ),
-        )
-        return F.to_json(counted).alias(sf.result)
+        # handled by the planner as a two-level aggregate
+        # (pipes._histogram_agg) — O(rows) collect_list state per group
+        # would OOM an executor on a hot group at 100 TB
+        raise NotImplementedError("histogram is planned via pipes._histogram_agg")
 
     if name == "uniq_values":
         vals = [guard(_nonempty(df, f)) for f in fields]

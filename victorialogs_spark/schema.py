@@ -150,8 +150,20 @@ def ingest_ndjson(
     return df
 
 
+# columns stored as parquet TIMESTAMP(NANOS), which Spark's reader rejects
+# unless nanosAsLong is set; we read them as long and convert (µs truncation)
+_NANO_TS_COLS = {"ts"}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # works on ANY session (incl. the driver's): nanosAsLong is a runtime
+    # SQL conf, and nano-long columns are converted back to timestamps
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c, t in df.dtypes:
+        if c in _NANO_TS_COLS and t == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
 
 
 def events_as_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
