@@ -1,0 +1,613 @@
+"""Driver-contract query registry: one entry per implemented operator.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent DuckDB oracle SQL string over the same parquet tables. Column
+names AND value formatting are aligned on both sides (the driver compares
+row-count + schema + order-insensitive value-hash).
+
+Conventions:
+- log-shaped queries run LogsQL over ``schema.events_as_logs`` (all fields
+  string, ts → _time, props → _msg) and oracles CAST native columns to
+  VARCHAR to match;
+- sums/avgs accumulate in decimal(38,9) then cast double on BOTH sides
+  (bit-identical, order-independent);
+- ``fmt()`` mirrors functions.natural.format_number (Go-style: integral
+  doubles render without '.0').
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from victorialogs_spark.api import run_query
+from victorialogs_spark.schema import events_as_logs, load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir, "events_logs")
+    if key not in _CACHE:
+        _CACHE[key] = events_as_logs(spark, sf_dir)
+    return _CACHE[key]
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    if key not in _CACHE:
+        if name == "lineitem_ts":
+            # lineitem with l_shipdate exposed as _time (for time-bucket ops)
+            _CACHE[key] = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+                "l_shipdate", "_time"
+            )
+        else:
+            _CACHE[key] = load_table(spark, sf_dir, name)
+    return _CACHE[key]
+
+
+def logsql(name: str, query: str, sql: str | None = None, table: str = "__logs__"):
+    """Register a LogsQL query (over the events log view by default)."""
+
+    def fn(spark: SparkSession, sf_dir: str, _q=query, _t=table) -> DataFrame:
+        df = _logs(spark, sf_dir) if _t == "__logs__" else _table(spark, sf_dir, _t)
+        return run_query(spark, df, _q)
+
+    fn.__name__ = f"q_{name}"
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+def register(name: str, sql: str | None = None):
+    """Register a custom callable via decorator."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def fmt(expr: str) -> str:
+    """DuckDB SQL replicating functions.natural.format_number."""
+    return (
+        f"CASE WHEN ({expr}) IS NULL THEN '' "
+        f"WHEN ({expr}) = CAST(({expr}) AS BIGINT) AND ABS({expr}) < 1e15 "
+        f"THEN CAST(CAST(({expr}) AS BIGINT) AS VARCHAR) "
+        f"ELSE CAST(({expr}) AS VARCHAR) END"
+    )
+
+
+def dsum(expr: str) -> str:
+    """DuckDB SQL replicating the engine's decimal(38,9) sum → double."""
+    return f"CAST(SUM(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,9))) AS DOUBLE)"
+
+
+def davg(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,9))) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )
+
+
+EID = "CAST(event_id AS VARCHAR) AS event_id"
+TOK = "[^0-9A-Za-z_]"
+
+# ---------------------------------------------------------------------------
+# §2.2 filters (word/phrase/prefix/exact/in/contains/seq/regexp/range/ipv4/
+# string_range/len_range/eq_field/le_field/_time forms/stream/bool)
+# ---------------------------------------------------------------------------
+
+logsql(
+    "f_word",
+    "event_type:error | fields event_id",
+    f"SELECT {EID} FROM events WHERE event_type = 'error'",
+)
+logsql(
+    "f_phrase",
+    '_msg:"k\\": 4" | fields event_id',
+    f"SELECT {EID} FROM events WHERE regexp_matches(props, '(^|{TOK})k\": 4({TOK}|$)')",
+)
+logsql(
+    "f_prefix",
+    "_msg:7* | fields event_id",
+    f"SELECT {EID} FROM events WHERE regexp_matches(props, '(^|{TOK})7')",
+)
+logsql(
+    "f_any_case",
+    "event_type:i(ERROR) | fields event_id",
+    f"SELECT {EID} FROM events WHERE lower(event_type) = 'error'",
+)
+logsql(
+    "f_exact",
+    "event_type:=purchase | fields event_id",
+    f"SELECT {EID} FROM events WHERE event_type = 'purchase'",
+)
+logsql(
+    "f_exact_prefix",
+    "event_type:exact(s*) | fields event_id",
+    f"SELECT {EID} FROM events WHERE event_type LIKE 's%'",
+)
+logsql(
+    "f_in",
+    "event_type:in(click, view) | fields event_id",
+    f"SELECT {EID} FROM events WHERE event_type IN ('click', 'view')",
+)
+logsql(
+    "f_in_subquery",
+    "user_id:in(event_type:signup | fields user_id) | fields event_id",
+    f"SELECT {EID} FROM events WHERE user_id IN "
+    "(SELECT user_id FROM events WHERE event_type = 'signup')",
+)
+logsql(
+    "f_contains_all",
+    "contains_all(k, 7) | fields event_id",
+    f"SELECT {EID} FROM events WHERE regexp_matches(props, '(^|{TOK})k({TOK}|$)') "
+    f"AND regexp_matches(props, '(^|{TOK})7({TOK}|$)')",
+)
+logsql(
+    "f_contains_any",
+    "contains_any(7, 8) | fields event_id",
+    f"SELECT {EID} FROM events WHERE regexp_matches(props, '(^|{TOK})7({TOK}|$)') "
+    f"OR regexp_matches(props, '(^|{TOK})8({TOK}|$)')",
+)
+logsql(
+    "f_seq",
+    'seq(":", "7") | fields event_id',
+    f"SELECT {EID} FROM events WHERE regexp_matches(props, ':.*7')",
+)
+logsql(
+    "f_regexp",
+    'event_type:~"^(click|view)$" | fields event_id',
+    f"SELECT {EID} FROM events WHERE regexp_matches(event_type, '^(click|view)$')",
+)
+logsql(
+    "f_range_gt",
+    "value:>150 | fields event_id",
+    f"SELECT {EID} FROM events WHERE value > 150",
+)
+logsql(
+    "f_range_bracket",
+    "value:range[10, 20] | fields event_id",
+    f"SELECT {EID} FROM events WHERE value >= 10 AND value <= 20",
+)
+logsql(
+    "f_range_halfopen",
+    "value:range(10, 20] | fields event_id",
+    f"SELECT {EID} FROM events WHERE value > 10 AND value <= 20",
+)
+logsql(
+    "f_ipv4_range",
+    '* | format "10.0.<user_id>.1" as ip | filter ip:ipv4_range(10.0.10.0, 10.0.20.255)'
+    " | fields event_id",
+    f"SELECT {EID} FROM events WHERE user_id BETWEEN 10 AND 20",
+)
+logsql(
+    "f_string_range",
+    "event_type:string_range(click, signup) | fields event_id",
+    f"SELECT {EID} FROM events WHERE event_type >= 'click' AND event_type < 'signup'",
+)
+logsql(
+    "f_string_cmp",
+    "event_type:>=signup | fields event_id",
+    f"SELECT {EID} FROM events WHERE event_type >= 'signup'",
+)
+logsql(
+    "f_len_range",
+    "_msg:len_range(9, 9) | fields event_id",
+    f"SELECT {EID} FROM events WHERE LENGTH(props) = 9",
+)
+logsql(
+    "f_eq_field",
+    "event_id:eq_field(user_id) | fields event_id",
+    f"SELECT {EID} FROM events WHERE CAST(event_id AS VARCHAR) = CAST(user_id AS VARCHAR)",
+)
+logsql(
+    "f_le_field",
+    "event_id:le_field(user_id) | fields event_id",
+    f"SELECT {EID} FROM events WHERE event_id <= user_id",
+)
+logsql(
+    "f_time_range",
+    "_time:[2024-01-05, 2024-01-10) | fields event_id",
+    f"SELECT {EID} FROM events WHERE ts >= '2024-01-05' AND ts < '2024-01-10'",
+)
+logsql(
+    "f_time_duration_offset",
+    "_time:<2024-01-20T00:00:00Z offset 24h | fields event_id",
+    f"SELECT {EID} FROM events WHERE ts < TIMESTAMP '2024-01-19 00:00:00'",
+)
+logsql(
+    "f_day_range",
+    "_time:day_range[08:00, 12:00] | fields event_id",
+    f"SELECT {EID} FROM events WHERE (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts))"
+    " BETWEEN 480 AND 720",
+)
+logsql(
+    "f_week_range",
+    "_time:week_range[Mon, Fri] | fields event_id",
+    f"SELECT {EID} FROM events WHERE dayofweek(ts) BETWEEN 1 AND 5",
+)
+logsql(
+    "f_stream",
+    '{event_type=~"err.*|click"} | fields event_id',
+    f"SELECT {EID} FROM events WHERE regexp_matches(event_type, '^(?:err.*|click)$')",
+)
+logsql(
+    "f_bool",
+    "(event_type:error OR event_type:click) NOT value:<10 | fields event_id",
+    f"SELECT {EID} FROM events WHERE event_type IN ('error','click')"
+    " AND NOT (value < 10)",
+)
+
+# ---------------------------------------------------------------------------
+# §2.3 pipes
+# ---------------------------------------------------------------------------
+
+logsql(
+    "p_fields_delete",
+    "* | fields event_id, event_type, user_id | delete user_id",
+    f"SELECT {EID}, event_type FROM events",
+)
+logsql(
+    "p_copy",
+    "* | copy event_type as et2 | fields event_id, et2",
+    f"SELECT {EID}, event_type AS et2 FROM events",
+)
+logsql(
+    "p_rename",
+    "* | rename event_type as kind | fields event_id, kind",
+    f"SELECT {EID}, event_type AS kind FROM events",
+)
+logsql(
+    "p_rename_overwrite",
+    "* | rename event_type as user_id | fields event_id, user_id",
+    f"SELECT {EID}, event_type AS user_id FROM events",
+)
+logsql(
+    "p_filter",
+    "* | filter value:>150 event_type:view | fields event_id",
+    f"SELECT {EID} FROM events WHERE value > 150 AND event_type = 'view'",
+)
+logsql(
+    "p_limit",
+    "* | sort by (event_id) | limit 10 | fields event_id",
+    f"SELECT {EID} FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 10)",
+)
+logsql(
+    "p_offset",
+    "* | sort by (event_id) | offset 9990 | fields event_id",
+    f"SELECT {EID} FROM (SELECT event_id FROM events ORDER BY event_id OFFSET 9990)",
+)
+logsql(
+    "p_sort_desc_rank",
+    "* | sort by (value, event_id) desc limit 5 rank as r | fields event_id, r",
+    "SELECT CAST(event_id AS VARCHAR) AS event_id, CAST(r AS VARCHAR) AS r FROM ("
+    "SELECT event_id, ROW_NUMBER() OVER (ORDER BY value DESC, event_id DESC) r"
+    " FROM events) WHERE r <= 5",
+)
+logsql(
+    "p_sort_partition_topk",
+    "* | sort by (value, event_id) desc partition by (event_type) limit 2"
+    " | fields event_type, event_id",
+    "SELECT event_type, CAST(event_id AS VARCHAR) AS event_id FROM ("
+    "SELECT event_type, event_id, ROW_NUMBER() OVER"
+    " (PARTITION BY event_type ORDER BY value DESC, event_id DESC) r FROM events)"
+    " WHERE r <= 2",
+)
+logsql(
+    "p_first",
+    "* | first 5 by (event_id) | fields event_id",
+    f"SELECT {EID} FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 5)",
+)
+logsql(
+    "p_last",
+    "* | last 5 by (event_id) | fields event_id",
+    f"SELECT {EID} FROM (SELECT event_id FROM events ORDER BY event_id DESC LIMIT 5)",
+)
+logsql(
+    "p_math",
+    "* | math value * 2 as v2, value + user_id as vu, round(value) as rv"
+    " | fields event_id, v2, vu, rv",
+    f"SELECT {EID}, {fmt('value * 2')} AS v2, {fmt('value + user_id')} AS vu,"
+    f" {fmt('ROUND(value)')} AS rv FROM events",
+)
+logsql(
+    "p_extract",
+    '* | extract ": <kv>}" from _msg | fields event_id, kv',
+    f"SELECT {EID}, regexp_extract(props, ': (.*?)\\}}', 1) AS kv FROM events",
+)
+logsql(
+    "p_extract_regexp",
+    '* | extract_regexp "k\\": (?P<kv>\\\\d+)" from _msg | fields event_id, kv',
+    f"SELECT {EID}, regexp_extract(props, 'k\": ([0-9]+)', 1) AS kv FROM events",
+)
+logsql(
+    "p_replace",
+    '* | replace (":", "=") at _msg | fields event_id, _msg',
+    f"SELECT {EID}, REPLACE(props, ':', '=') AS _msg FROM events",
+)
+logsql(
+    "p_replace_regexp",
+    '* | replace_regexp ("\\\\d+", "N") at _msg | fields event_id, _msg',
+    f"SELECT {EID}, regexp_replace(props, '[0-9]+', 'N', 'g') AS _msg FROM events",
+)
+logsql(
+    "p_format",
+    '* | format "<event_type>:<user_id>" as key | fields event_id, key',
+    f"SELECT {EID}, event_type || ':' || CAST(user_id AS VARCHAR) AS key FROM events",
+)
+logsql(
+    "p_format_converters",
+    '* | format "<uc:event_type>|<lc:event_type>|<q:event_type>" as x | fields event_id, x',
+    f"SELECT {EID}, UPPER(event_type) || '|' || LOWER(event_type) || '|\"'"
+    " || event_type || '\"' AS x FROM events",
+)
+logsql(
+    "p_unpack_json",
+    "* | unpack_json from _msg | fields event_id, k",
+    f"SELECT {EID}, json_extract_string(props, '$.k') AS k FROM events",
+)
+logsql(
+    "p_unpack_logfmt",
+    '* | format "a=<user_id> b=\\"x y\\"" as lf | unpack_logfmt from lf'
+    " | fields event_id, a, b",
+    f"SELECT {EID}, CAST(user_id AS VARCHAR) AS a, 'x y' AS b FROM events",
+)
+logsql(
+    "p_unpack_words",
+    "* | unpack_words _msg as w | fields event_id, w",
+    f"SELECT {EID}, '[\"k\",\"' || json_extract_string(props, '$.k') || '\"]' AS w"
+    " FROM events",
+)
+logsql(
+    "p_unpack_syslog",
+    # '<165>' would parse as a format placeholder — inject it via replace
+    '* | format "PRIO1 2024-01-01T00:00:00Z host1 app1 123 ID7 - hello <user_id>" as sl'
+    ' | replace ("PRIO", "<165>") at sl'
+    " | unpack_syslog from sl | fields event_id, hostname, app_name, severity, message",
+    f"SELECT {EID}, 'host1' AS hostname, 'app1' AS app_name, '5' AS severity,"
+    " 'hello ' || CAST(user_id AS VARCHAR) AS message FROM events",
+)
+logsql(
+    "p_unroll",
+    "* | unpack_words _msg as w | unroll (w) | fields event_id, w",
+    f"SELECT {EID}, 'k' AS w FROM events UNION ALL "
+    f"SELECT {EID}, json_extract_string(props, '$.k') AS w FROM events",
+)
+logsql(
+    "p_pack_json",
+    "* | pack_json as pj fields (event_type, user_id) | fields event_id, pj",
+    f"SELECT {EID}, '{{\"event_type\":\"' || event_type || '\",\"user_id\":\"'"
+    " || CAST(user_id AS VARCHAR) || '\"}' AS pj FROM events",
+)
+logsql(
+    "p_pack_logfmt",
+    "* | pack_logfmt as lf fields (event_type, user_id) | fields event_id, lf",
+    f"SELECT {EID}, 'event_type=' || event_type || ' user_id='"
+    " || CAST(user_id AS VARCHAR) AS lf FROM events",
+)
+logsql(
+    "p_join",
+    "* | join by (event_type) (* | stats by (event_type) count() as total)"
+    " | fields event_id, total",
+    f"SELECT {EID}, COUNT(*) OVER (PARTITION BY event_type) AS total FROM events",
+)
+logsql(
+    "p_union",
+    "event_type:error | union (event_type:click) | fields event_id",
+    f"SELECT {EID} FROM events WHERE event_type IN ('error', 'click')",
+)
+logsql(
+    "p_uniq",
+    "* | uniq by (event_type)",
+    "SELECT DISTINCT event_type FROM events",
+)
+logsql(
+    "p_uniq_hits",
+    "* | uniq by (event_type) with hits",
+    "SELECT event_type, COUNT(*) AS hits FROM events GROUP BY event_type",
+)
+logsql(
+    "p_top",
+    "* | top 3 by (event_type)",
+    "SELECT event_type, hits FROM (SELECT event_type, COUNT(*) AS hits,"
+    " ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type ASC) r"
+    " FROM events GROUP BY event_type) WHERE r <= 3",
+)
+logsql(
+    "p_facets",
+    "* | fields event_type, user_id | facets 3",
+    "WITH melted AS ("
+    "  SELECT 'event_type' AS field_name, event_type AS field_value FROM events"
+    "  UNION ALL"
+    "  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events"
+    "), counted AS ("
+    "  SELECT field_name, field_value, COUNT(*) AS hits FROM melted"
+    "  WHERE field_value <> '' GROUP BY field_name, field_value"
+    ") SELECT field_name, field_value, hits FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY field_name"
+    "  ORDER BY hits DESC, field_value ASC) r FROM counted) WHERE r <= 3",
+)
+logsql(
+    "p_field_names",
+    "* | fields event_type, user_id, props | field_names",
+    "SELECT 'event_type' AS name, COUNT(*) AS hits FROM events UNION ALL"
+    " SELECT 'user_id', COUNT(*) FROM events UNION ALL"
+    " SELECT 'props', COUNT(*) FROM events",
+)
+logsql(
+    "p_field_values",
+    "* | field_values event_type",
+    "SELECT event_type, COUNT(*) AS hits FROM events GROUP BY event_type",
+)
+logsql(
+    "p_len",
+    "* | len(_msg) as l | fields event_id, l",
+    f"SELECT {EID}, CAST(LENGTH(props) AS VARCHAR) AS l FROM events",
+)
+logsql(
+    "p_json_array_len",
+    "* | unpack_words _msg as w | json_array_len(w) as n | fields event_id, n",
+    f"SELECT {EID}, '2' AS n FROM events",
+)
+logsql(
+    "p_sample_all",
+    "* | sample 1 | fields event_id",
+    f"SELECT {EID} FROM events",
+)
+logsql(
+    "p_collapse_nums",
+    "* | collapse_nums at _msg | fields event_id, _msg",
+    f"SELECT {EID}, regexp_replace(props, '[0-9]+', '<N>', 'g') AS _msg FROM events",
+)
+logsql(
+    "p_decolorize",
+    "* | decolorize | fields event_id, _msg",
+    f"SELECT {EID}, props AS _msg FROM events",
+)
+logsql(
+    "p_drop_empty_fields",
+    '* | copy event_type as e2 | replace_regexp (".+", "") at e2'
+    " | fields event_id, e2 | drop_empty_fields",
+    f"SELECT {EID} FROM events",
+)
+
+# rows-only entries (no SQL-expressible oracle): hash values intentionally
+# diverge from the reference; stream_context needs engine-computed stream ids
+logsql("p_hash", "* | hash(event_type) as h | fields event_id, h")
+logsql(
+    "p_stream_context",
+    "value:>199.8 | stream_context before 1 after 1 | fields _time, event_id, event_type",
+)
+logsql("p_blocks_count", "* | blocks_count")
+logsql("p_block_stats", "* | block_stats")
+
+# ---------------------------------------------------------------------------
+# §2.4 stats functions
+# ---------------------------------------------------------------------------
+
+logsql(
+    "s_stats_by",
+    "* | stats by (event_type) count() as hits, sum(value) as sv, avg(value) as av",
+    f"SELECT event_type, COUNT(*) AS hits, {dsum('value')} AS sv,"
+    f" {davg('value')} AS av FROM events GROUP BY event_type",
+)
+logsql(
+    "s_global",
+    "* | stats count() as c, count(props) as cp, count_uniq(user_id) as cu,"
+    " count_uniq_hash(event_type) as ch, min(value) as mn, max(value) as mx",
+    "SELECT COUNT(*) AS c, COUNT(*) AS cp, COUNT(DISTINCT user_id) AS cu,"
+    " COUNT(DISTINCT event_type) AS ch, CAST(MIN(value) AS VARCHAR) AS mn,"
+    " CAST(MAX(value) AS VARCHAR) AS mx FROM events",
+)
+logsql(
+    "s_count_empty",
+    "* | stats count_empty(nosuch) as ce, count(nosuch) as cn",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS ce, 0::BIGINT AS cn FROM events",
+)
+logsql(
+    "s_sum_len",
+    "* | stats sum_len(event_type) as sl",
+    "SELECT CAST(SUM(LENGTH(event_type)) AS BIGINT) AS sl FROM events",
+)
+logsql(
+    "s_median_quantile",
+    "* | stats median(user_id) as m, quantile(0.9, user_id) as q",
+    "SELECT quantile_disc(CAST(user_id AS DOUBLE), 0.5) AS m,"
+    " quantile_disc(CAST(user_id AS DOUBLE), 0.9) AS q FROM events",
+)
+logsql(
+    "s_uniq_values",
+    "* | stats uniq_values(event_type) as u",
+    "SELECT CAST(to_json(list_sort(list(DISTINCT event_type))) AS VARCHAR) AS u"
+    " FROM events",
+)
+logsql(
+    "s_time_bucket",
+    "* | stats by (_time:1d) count() as hits",
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS _time, COUNT(*) AS hits"
+    " FROM events GROUP BY 1",
+)
+logsql(
+    "s_num_bucket",
+    "* | stats by (value:50) count() as c",
+    f"SELECT {fmt('FLOOR(value / 50) * 50')} AS value, COUNT(*) AS c"
+    " FROM events GROUP BY 1",
+)
+logsql(
+    "s_stats_if",
+    "* | stats count() if (event_type:error) as errs, count() as total",
+    "SELECT COUNT(*) FILTER (WHERE event_type = 'error') AS errs,"
+    " COUNT(*) AS total FROM events",
+)
+logsql(
+    "s_row_max",
+    "* | stats row_max(value, event_id) as r",
+    "SELECT '{\"event_id\":\"' || CAST(arg_max(event_id, value) AS VARCHAR)"
+    " || '\"}' AS r FROM events",
+)
+logsql(
+    "s_rate",
+    "_time:[2024-01-01, 2024-02-01) | stats rate() as r, rate_sum(value) as rs",
+    "SELECT COUNT(*) / 2678400.0 AS r,"
+    f" {dsum('value')} / 2678400.0 AS rs"
+    " FROM events WHERE ts >= '2024-01-01' AND ts < '2024-02-01'",
+)
+logsql(
+    "s_histogram",
+    "* | stats by (event_type) histogram(user_id) as h",
+    # vmrange buckets: idx = ceil(log10(v)*18), bucket (10^((i-1)/18), 10^(i/18)]
+    "WITH b AS (SELECT event_type,"
+    " printf('%.3e', POW(10.0, (CEIL(LOG10(CAST(user_id AS DOUBLE)) * 18) - 1) / 18.0))"
+    " || '...' ||"
+    " printf('%.3e', POW(10.0, CEIL(LOG10(CAST(user_id AS DOUBLE)) * 18) / 18.0))"
+    " AS vmrange FROM events WHERE user_id > 0"
+    " UNION ALL SELECT event_type, '0...0' FROM events WHERE user_id = 0),"
+    " c AS (SELECT event_type, vmrange, COUNT(*) AS hits FROM b GROUP BY 1, 2)"
+    " SELECT event_type, CAST(to_json(list_sort(list({'vmrange': vmrange,"
+    " 'hits': hits}))) AS VARCHAR) AS h FROM c GROUP BY event_type",
+)
+
+# rows-only: collect order is nondeterministic by design
+logsql("s_values", "* | stats values(event_type) as v")
+logsql("s_json_values", "event_type:error | stats json_values(event_id) as v")
+logsql("s_row_any", "* | stats row_any(event_type) as r")
+
+# ---------------------------------------------------------------------------
+# scale/bench queries over the TPC-H-ish tables (typed columns)
+# ---------------------------------------------------------------------------
+
+logsql(
+    "tpch_pricing_summary",
+    "* | stats by (l_returnflag, l_linestatus) sum(l_quantity) as sum_qty,"
+    " sum(l_extendedprice) as sum_price, avg(l_discount) as avg_disc, count() as cnt",
+    f"SELECT l_returnflag, l_linestatus, {dsum('l_quantity')} AS sum_qty,"
+    f" {dsum('l_extendedprice')} AS sum_price, {davg('l_discount')} AS avg_disc,"
+    " COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    table="lineitem",
+)
+logsql(
+    "tpch_top_orders",
+    "* | stats by (o_custkey) sum(o_totalprice) as tot, count() as n"
+    " | sort by (tot) desc limit 10",
+    "SELECT CAST(o_custkey AS VARCHAR) AS o_custkey,"
+    f" tot, n FROM (SELECT o_custkey, {dsum('o_totalprice')} AS tot, COUNT(*) AS n"
+    " FROM orders GROUP BY o_custkey) ORDER BY tot DESC LIMIT 10",
+    table="orders",
+)
+logsql(
+    "tpch_ship_histogram",
+    "* | stats by (_time:7d) count() as n, sum(l_quantity) as qty",
+    "SELECT make_timestamp(CAST(FLOOR(epoch(l_shipdate) / 604800) * 604800"
+    " * 1000000 AS BIGINT)) AS _time,"
+    f" COUNT(*) AS n, {dsum('l_quantity')} AS qty FROM lineitem GROUP BY 1",
+    table="lineitem_ts",
+)

@@ -163,6 +163,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c, t in df.dtypes:
         if c in _NANO_TS_COLS and t == "bigint":
             df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        elif t == "timestamp_ntz":
+            # ms-resolution parquet timestamps load as NTZ; normalize so
+            # unix_micros & co. work uniformly (session tz is UTC)
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
