@@ -1,0 +1,79 @@
+"""Headline benchmark: runs representative engine queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query wall-times are per-query (action = count of the result), measured
+after a warm-up scan so JVM/codegen startup doesn't dominate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    # name -> registry entry (victorialogs_spark/driver_entry.py)
+    "f_word",                # token filter scan over events
+    "f_time_range",          # time-partition pruned scan
+    "s_stats_by",            # groupBy aggregate (count/sum/avg)
+    "s_time_bucket",         # tumbling time-window aggregate
+    "s_histogram",           # two-level vmrange histogram
+    "p_top",                 # top-k by frequency
+    "p_unpack_json",         # JSON field extraction
+    "p_join",                # broadcast join with aggregated subquery
+    "p_sort_desc_rank",      # global top-k with rank
+    "tpch_pricing_summary",  # wide aggregate over lineitem
+    "tpch_top_orders",       # agg + top-k over orders
+    "tpch_ship_histogram",   # weekly rollup over lineitem
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from victorialogs_spark.driver_entry import QUERIES
+    from victorialogs_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch the main tables once (JVM + reader init)
+    from victorialogs_spark.schema import events_as_logs, load_table
+
+    events_as_logs(spark, sf_dir).count()
+    load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "orders").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        times[name] = round(time.monotonic() - t0, 4)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 4)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
