@@ -30,6 +30,10 @@ HEADLINE = [
     "tpch_pricing_summary",  # wide aggregate over lineitem
     "tpch_top_orders",       # agg + top-k over orders
     "tpch_ship_histogram",   # weekly rollup over lineitem
+    "dp_exact_dedup",        # hash-groupBy dedup over documents
+    "dp_minhash_lsh",        # banded MinHash-LSH near-dup pairs
+    "dp_ngram_jaccard",      # exact n-gram Jaccard via gram-bucket join
+    "dp_cosine_threshold",   # exact cosine scan over embeddings
 ]
 
 

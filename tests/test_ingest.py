@@ -1,0 +1,124 @@
+"""Tests for distributed ingestion, streaming ingest job, retention,
+compaction, and live tail."""
+
+import datetime as dt
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from victorialogs_spark.sources.ndjson import ingest_ndjson_distributed
+from victorialogs_spark.streaming.ingest import (
+    apply_retention,
+    compact_day,
+    list_days,
+    start_ndjson_ingest,
+)
+from victorialogs_spark.streaming.tail import LiveTailer, can_live_tail
+from victorialogs_spark.logsql.parser import parse_query
+
+UTC = dt.timezone.utc
+
+
+def _write_ndjson(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_ingest_ndjson_distributed(spark, tmp_path):
+    rows = [
+        {"_time": "2024-01-01T00:00:01Z", "_msg": "hello", "app": "web",
+         "ctx": {"user": {"id": 7}, "ok": True}},
+        {"_time": "2024-01-02T00:00:02Z", "_msg": "bye", "app": "db",
+         "tags": ["a", "b"]},
+        {"_time": "2024-01-02T00:00:03Z", "app": "db"},  # no _msg
+    ]
+    p = tmp_path / "in.ndjson"
+    _write_ndjson(p, rows)
+    df = ingest_ndjson_distributed(spark, str(p), stream_fields=["app"])
+    got = {r["_msg"]: r.asDict() for r in df.collect()}
+    assert got["hello"]["ctx.user.id"] == "7"  # nested keys dot-joined
+    assert got["hello"]["ctx.ok"] == "true"
+    assert got["bye"]["tags"] == '["a","b"]'  # arrays keep JSON repr
+    assert any(m.startswith("missing _msg") for m in got)  # default _msg
+    assert got["hello"]["_stream"] == 'app="web"'.join(["{", "}"])  # canonical
+    assert got["hello"]["_stream_id"] and got["bye"]["_stream_id"]
+    assert got["hello"]["_stream_id"] != got["bye"]["_stream_id"]
+    # malformed lines are dropped, not fatal
+    with open(p, "a") as f:
+        f.write("{not json}\n")
+    assert ingest_ndjson_distributed(spark, str(p)).count() == 3
+
+
+def test_streaming_ingest_retention_compaction(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _write_ndjson(indir / "a.ndjson", [
+        {"_time": "2024-01-01T10:00:00Z", "_msg": "m1", "app": "w"},
+        {"_time": "2024-01-02T10:00:00Z", "_msg": "m2", "app": "w"},
+    ])
+    q = start_ndjson_ingest(
+        spark, str(indir), table, ckpt,
+        stream_fields=["app"], promote_keys=["_msg", "app"],
+    )
+    q.awaitTermination(60)
+    assert sorted(list_days(table)) == ["20240101", "20240102"]
+    # second batch appends into an existing day → multiple files
+    _write_ndjson(indir / "b.ndjson", [
+        {"_time": "2024-01-02T11:00:00Z", "_msg": "m3", "app": "w"},
+    ])
+    q2 = start_ndjson_ingest(
+        spark, str(indir), table, ckpt,
+        stream_fields=["app"], promote_keys=["_msg", "app"],
+    )
+    q2.awaitTermination(60)
+    df = spark.read.parquet(table)
+    assert df.count() == 3
+    assert {r["_msg"] for r in df.collect()} == {"m1", "m2", "m3"}
+    # compaction: rewrite day 20240102 into one file, data unchanged
+    n_before = compact_day(spark, table, "20240102", target_files=1)
+    assert n_before >= 2
+    assert spark.read.parquet(table).count() == 3
+    # retention: drop everything before 20240102
+    dropped = apply_retention(table, "20240102")
+    assert dropped == ["20240101"]
+    assert spark.read.parquet(table).count() == 2
+
+
+def test_can_live_tail_classification():
+    assert can_live_tail(parse_query("error | fields _msg | extract 'a<x>b' from _msg"))
+    assert not can_live_tail(parse_query("* | stats count() as c"))
+    assert not can_live_tail(parse_query("* | sort by (_time)"))
+    assert not can_live_tail(parse_query("* | limit 5"))
+
+
+def test_live_tail_poll_loop(spark, tmp_path):
+    src_dir = str(tmp_path / "logs")
+
+    def write_batch(rows, batch):
+        data = [
+            (dt.datetime(2024, 1, 1, 0, 0, s, tzinfo=UTC), m, sid)
+            for s, m, sid in rows
+        ]
+        df = spark.createDataFrame(
+            data, "_time timestamp, _msg string, _stream_id string"
+        )
+        df.write.mode("append").parquet(src_dir)
+
+    write_batch([(0, "old1", "s1"), (1, "old2", "s1")], 0)
+    tailer = LiveTailer(
+        spark, lambda: spark.read.parquet(src_dir), "*", refresh_interval=0
+    )
+    assert tailer.poll_once() == []  # first poll only primes the watermark
+    write_batch([(2, "new1", "s1"), (3, "new2", "s2")], 1)
+    fresh = tailer.poll_once()
+    assert [r["_msg"] for r in fresh] == ["new1", "new2"]
+    assert tailer.poll_once() == []  # no re-delivery on the next poll
+    write_batch([(4, "new3", "s1")], 2)
+    assert [r["_msg"] for r in tailer.poll_once()] == ["new3"]
+    with pytest.raises(ValueError):
+        LiveTailer(spark, lambda: spark.read.parquet(src_dir), "* | stats count() as c")

@@ -1,0 +1,325 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are DataFrame-native and scale-safe: candidate generation
+shuffles on hash buckets (band buckets for MinHash-LSH, gram buckets for
+n-gram Jaccard) — never an all-pairs cartesian. Exact verification runs
+only within candidate buckets.
+
+Operators:
+- exact_dedup          — normalized-text fingerprint (md5) group-dedup
+- minhash_signatures   — k char-shingle MinHash sketch (JVM-side xxhash64)
+- lsh_candidate_pairs  — banded LSH bucketing → candidate pairs
+- minhash_near_dups    — LSH candidates verified by signature similarity
+- ngram_jaccard_pairs  — exact token-n-gram Jaccard via gram-bucket join
+- simhash              — 64-bit SimHash (Arrow-batched pandas UDF)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase + collapse whitespace: the canonical dedup key transform."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(c: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 hex) of normalized text."""
+    return F.md5(F.encode(normalize_text(c), "UTF-8"))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact near-identical dedup: one representative per normalized-text
+    fingerprint. Output: (fp, <id_col> representative, n_copies). A single
+    hash-shuffle groupBy — the canonical 100 TB exact-dedup plan."""
+    agg = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(agg.alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def char_shingles(c: Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of normalized text (array<string>)."""
+    s = normalize_text(c)
+    n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(s, i, F.lit(k)))
+    )
+
+
+def token_ngrams(c: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of normalized text (array<string>)."""
+    toks = F.filter(F.split(normalize_text(c), r"\s+"), lambda t: t != "")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    shingle: str = "char",
+) -> DataFrame:
+    """MinHash sketch: for each of ``num_hashes`` seeded hash functions,
+    the minimum hash over the document's char shingles. Entirely JVM-side
+    (whole-stage codegen); one narrow map, no shuffle.
+
+    Each shingle is string-hashed ONCE (xxhash64), then the k hash
+    functions re-hash the resulting fixed-width long with the seed —
+    num_hashes× cheaper than hashing the string per seed.
+
+    ``shingle``: "char" (k-char shingles, finest granularity) or "token"
+    (k-word shingles — ~5× fewer positions to hash, the right default for
+    long documents).
+
+    Output: (<id_col>, sig array<long>[num_hashes]).
+    """
+    if shingle == "token":
+        sh = token_ngrams(F.col(text_col), min(shingle_k, 3))
+    else:
+        sh = char_shingles(F.col(text_col), shingle_k)
+    tmp = "__shingle_hashes"
+    out = df.select(
+        F.col(id_col), F.transform(sh, lambda s: F.xxhash64(s)).alias(tmp)
+    )
+
+    def _seeded(seed: int):
+        # NOTE: must be a ONE-parameter lambda — a second parameter would be
+        # interpreted by F.transform as the array index, silently shadowing
+        # the seed and collapsing all hash functions into one
+        lit_seed = F.lit(seed)
+        return lambda h: F.xxhash64(h, lit_seed)
+
+    mins = F.array(
+        *[
+            F.array_min(F.transform(F.col(tmp), _seeded(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return out.select(F.col(id_col), mins.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 16, num_hashes: int = 64
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` bands, hash each band
+    to a bucket, self-join per bucket. Shuffle key = (band, bucket-hash) —
+    pairs are generated only inside buckets (LSH guarantee), never O(n²).
+
+    Output: distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = max(1, num_hashes // bands)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + j + 1).cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(band_entries).alias("be")
+    ).select(F.col(id_col), F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle: str = "char",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: banded candidate generation, then
+    verification by estimated Jaccard (matching signature fraction).
+
+    Output: (id_a, id_b, est_jaccard) with est_jaccard >= threshold.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle=shingle)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(num_hashes)
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est.cast("double"))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT token-n-gram Jaccard similarity pairs via the inverted-index
+    plan: explode distinct grams, self-join on gram (bucket shuffle), count
+    shared grams per pair, jaccard = shared / (|A| + |B| - shared).
+
+    ``max_doc_freq`` drops grams shared by more than that many documents
+    (stop-gram removal) — the standard skew guard at scale.
+
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("g")
+    )
+    if max_doc_freq:
+        hot = grams.groupBy("g").count().where(F.col("count") > max_doc_freq)
+        grams = grams.join(hot.select("g"), "g", "left_anti")
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))).cast(
+                "double"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens (md5-based token hashes, so values are
+    deterministic across engines/processes). Bit-twiddling is the one place
+    built-in columns can't express the semantics cleanly — Arrow-batched
+    pandas UDF (the documented slow path, one narrow map, no shuffle).
+
+    Output: (<id_col>, simhash as SIGNED 64-bit decimal string, so it
+    round-trips through cast('long') for Hamming verification).
+    """
+    import pandas as pd
+
+    def _simhash_series(s):
+        out = []
+        for text in s:
+            toks = (text or "").lower().split()
+            acc = [0] * 64
+            for t in toks:
+                h = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                )
+                for bit in range(64):
+                    acc[bit] += 1 if (h >> bit) & 1 else -1
+            v = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    v |= 1 << bit
+            if v >= 1 << 63:
+                v -= 1 << 64
+            out.append(str(v))
+        return pd.Series(out)
+
+    _simhash_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_simhash_series, "string")
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash"))
+
+
+def hamming_near_dups(sim: DataFrame, id_col: str, max_distance: int = 3) -> DataFrame:
+    """SimHash near-dup candidates: block on 4×16-bit chunks (any identical
+    chunk ⇒ candidate when distance ≤ 4 by pigeonhole), verify Hamming
+    distance JVM-side via bit_count(xor)."""
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("simhash").cast("long"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.val").alias("val"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    dist = F.bit_count(
+        F.col("a.simhash").cast("long").bitwiseXOR(F.col("b.simhash").cast("long"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dist.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_distance)
+        .distinct()
+    )

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how a 100 TB pipeline works:
+- brute_force_topk / cosine_scores — exact cosine against a query vector,
+  computed JVM-side (zip_with + aggregate fold, no UDF, no shuffle);
+  the correctness baseline and the right plan when the corpus fits a scan.
+- random-hyperplane LSH bucketing (lsh_bucket / ann_topk) — sign-bit
+  bucket per vector; at query time only the query's bucket (plus
+  multi-probe neighbors) is scanned. Bucketing is a narrow map; the
+  bucket column is a join/cluster key at scale.
+
+Embedding-based near-dup (embedding_near_dup_pairs) joins within LSH
+buckets only — never all-pairs.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec_col: Column, q: list[float]) -> Column:
+    """Sequential left-fold dot product against a literal query vector —
+    deterministic summation order (reproducible across runs/engines)."""
+    arr = F.transform(
+        vec_col, lambda x, i: x.cast("double") * F.element_at(F.array(*[F.lit(float(v)) for v in q]), i + 1)
+    )
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def vec_norm(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_scores(
+    df: DataFrame, id_col: str, vec_col: str, query: list[float]
+) -> DataFrame:
+    """Exact cosine similarity of every row against ``query``.
+    Output: (<id_col>, cos double)."""
+    qn = math.sqrt(sum(float(v) * float(v) for v in query))
+    dot = _dot_lit(F.col(vec_col), query)
+    cos = dot / (vec_norm(F.col(vec_col)) * F.lit(qn))
+    return df.select(F.col(id_col), cos.alias("cos"))
+
+
+def brute_force_topk(
+    df: DataFrame, id_col: str, vec_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k nearest by cosine. orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heaps + merge) — the scan stays
+    fully parallel; only k rows reach the driver side of the exchange."""
+    return (
+        cosine_scores(df, id_col, vec_col, query)
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (Gaussian, fixed seed)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane (long)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(_dot_lit(vec_col, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    return df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+
+
+def _probe_buckets(qbucket: int, n_planes: int, probes: int) -> list[int]:
+    """Multi-probe: the query bucket plus single-bit-flip neighbors."""
+    out = [qbucket]
+    for i in range(min(probes, n_planes)):
+        out.append(qbucket ^ (1 << i))
+    return out
+
+
+def ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    probes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket (+ multi-probe
+    neighbor buckets), brute-force cosine within. At scale the bucket
+    column is a partition/cluster key, so this prunes the scan itself."""
+    planes = hyperplanes(len(query), n_planes, seed)
+    bucketed = with_lsh_bucket(df, vec_col, planes)
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(p, query)) >= 0:
+            qb |= 1 << i
+    cand = bucketed.where(
+        F.col("bucket").isin(_probe_buckets(qb, n_planes, probes))
+    )
+    return brute_force_topk(cand, id_col, vec_col, query, k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket join (same-bucket
+    candidates only) verified by exact cosine ≥ threshold. High-cosine
+    pairs land in the same bucket with high probability; n_planes trades
+    recall vs bucket size.
+
+    Output: (id_a, id_b, cos)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = with_lsh_bucket(df, vec_col, planes).select(
+        F.col(id_col), F.col(vec_col), F.col("bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        "inner",
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"),
+            F.col(f"b.{vec_col}"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (vec_norm(F.col(f"a.{vec_col}")) * vec_norm(F.col(f"b.{vec_col}")))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language identification, document fingerprinting.
+
+Everything is a pure Column expression (JVM-side, codegen-friendly) so the
+operators compose with any scan and stay narrow (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword heuristic.
+# Deterministic and tiny on purpose — the operator shape (score per
+# language, argmax) is what matters; swap lists for a real deployment.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "für", "auf"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "dans", "pour", "que"],
+}
+
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens (array<string>)."""
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-flavored token estimate: letter runs count 1 per word, digits 1
+    each, punctuation 1 each (a cheap deterministic proxy for a real
+    tokenizer's token count)."""
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, BPE-ish tokens,
+    unique-token ratio, mean word length."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).cast("double").alias("uniq_ratio"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.size(toks)
+        ).cast("double").alias("mean_word_len"),
+    )
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic quality score in [0,1]: penalizes very short docs, low
+    token diversity and punctuation/symbol soup. Deterministic Column
+    expression (one pass, no shuffle)."""
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    diversity = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)) / n_tok
+    ).otherwise(F.lit(0.0))
+    sym = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    sym_ratio = F.when(F.length(c) > 0, sym / F.length(c)).otherwise(F.lit(1.0))
+    score = len_score * F.lit(0.4) + diversity * F.lit(0.4) + (1 - sym_ratio) * F.lit(0.2)
+    return F.round(score.cast("double"), 6)
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over the token set."""
+    toks = F.array_distinct(tokens(F.lower(c)))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(c: Column) -> Column:
+    """argmax language by stopword hits; '' when nothing matches.
+    Ties break by the fixed language order (en, es, de, fr)."""
+    scores = lang_scores(c)
+    entries = [
+        F.struct(s.alias("score"), F.lit(-i).alias("prio"), F.lit(lang).alias("lang"))
+        for i, (lang, s) in enumerate(scores.items())
+    ]
+    best = F.greatest(*entries)  # struct compare: score first, then priority
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(F.lit(""))
+
+
+def with_lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col), lang_id(F.col(text_col)).alias("lang_guess"))
+
+
+def doc_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, window: int = 16
+) -> DataFrame:
+    """Document fingerprinting: full-content md5 plus a winnowing-style
+    rolling fingerprint (min md5 over all ``window``-char substrings of the
+    normalized text — stable under content reordering/append).
+    md5 keeps the values engine-independent (oracle-checkable)."""
+    from victorialogs_spark.datapipe.dedup import normalize_text
+
+    s = normalize_text(F.col(text_col))
+    n = F.greatest(F.length(s) - F.lit(window - 1), F.lit(1))
+    rolling = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.md5(F.encode(F.substr(s, i, F.lit(window)), "UTF-8")),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(F.encode(s, "UTF-8")).alias("fp_full"),
+        rolling.alias("fp_rolling"),
+    )

@@ -603,6 +603,219 @@ logsql(
     " FROM orders GROUP BY o_custkey) ORDER BY tot DESC LIMIT 10",
     table="orders",
 )
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (datapipe/): dedup, similarity, text analysis,
+# multimodal plumbing — first-class components per the brief
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dp_exact_dedup",
+    f"SELECT md5({_NORM}) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies"
+    " FROM documents GROUP BY 1",
+)
+def _dp_exact_dedup(spark, sf_dir):
+    from victorialogs_spark.datapipe.dedup import exact_dedup
+
+    return exact_dedup(_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dp_ngram_jaccard",
+    # exact token-5-gram Jaccard pairs >= 0.05, mirrored fully in SQL
+    # (5-grams keep the inverted-index join selective on this corpus)
+    "WITH toks AS (SELECT doc_id,"
+    f" string_split_regex({_NORM}, '\\s+') AS t FROM documents),"
+    " grams AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,"
+    " UNNEST(list_transform(range(1, greatest(len(t) - 4, 1) + 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))"
+    " AS g FROM toks)),"
+    " sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),"
+    " shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh"
+    " FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id"
+    " GROUP BY 1, 2)"
+    " SELECT id_a, id_b, ROUND(CAST(sh AS DOUBLE) / (sa.sz + sb.sz - sh), 6)"
+    " AS jaccard FROM shared JOIN sizes sa ON sa.doc_id = id_a"
+    " JOIN sizes sb ON sb.doc_id = id_b"
+    " WHERE CAST(sh AS DOUBLE) / (sa.sz + sb.sz - sh) >= 0.05",
+)
+def _dp_ngram_jaccard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.05)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@register("dp_minhash_lsh")  # xxhash64-based — rows-only by design
+def _dp_minhash_lsh(spark, sf_dir):
+    from victorialogs_spark.datapipe.dedup import minhash_near_dups
+
+    # repartition: the corpus arrives as one small file but the shingle
+    # hashing is CPU-bound — spread it across cores before the heavy map.
+    # 4 bands × 16 rows: a band only collides at sim ≳ 0.84 — the right
+    # operating point for near-dup detection on a highly self-similar corpus
+    docs = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return minhash_near_dups(
+        docs, "doc_id", "text", num_hashes=32, bands=4, threshold=0.7,
+        shingle="token",
+    )
+
+
+@register("dp_simhash")  # pandas-UDF path — rows-only
+def _dp_simhash(spark, sf_dir):
+    from victorialogs_spark.datapipe.dedup import simhash
+
+    return simhash(_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dp_text_stats",
+    "SELECT doc_id, LENGTH(text) AS n_chars,"
+    " len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))"
+    " AS n_tokens,"
+    " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))"
+    " AS n_bpe_tokens FROM documents",
+)
+def _dp_text_stats(spark, sf_dir):
+    from victorialogs_spark.datapipe.text import text_stats
+
+    return text_stats(
+        _table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "n_chars", "n_tokens", "n_bpe_tokens")
+
+
+@register(
+    "dp_quality",
+    "SELECT doc_id, ROUND("
+    " LEAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) / 20.0, 1.0) * 0.4"
+    " + CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) > 0 THEN"
+    "   CAST(len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))) AS DOUBLE)"
+    "   / len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) ELSE 0.0 END * 0.4"
+    " + (1 - CASE WHEN LENGTH(text) > 0 THEN"
+    "   CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / LENGTH(text)"
+    "   ELSE 1.0 END) * 0.2, 6) AS quality FROM documents",
+)
+def _dp_quality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.text import quality_score
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "dp_lang_id",
+    "WITH t AS (SELECT doc_id,"
+    " list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+    " x -> x <> '')) AS toks FROM documents),"
+    " s AS (SELECT doc_id,"
+    " len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])) AS en,"
+    " len(list_intersect(toks, ['el','la','de','que','y','en','un','por','con','los'])) AS es,"
+    " len(list_intersect(toks, ['der','die','das','und','ist','von','mit','den','für','auf'])) AS de,"
+    " len(list_intersect(toks, ['le','la','de','et','les','des','est','dans','pour','que'])) AS fr"
+    " FROM t)"
+    " SELECT doc_id, CASE WHEN GREATEST(en, es, de, fr) = 0 THEN ''"
+    " WHEN en >= es AND en >= de AND en >= fr THEN 'en'"
+    " WHEN es >= de AND es >= fr THEN 'es'"
+    " WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_guess FROM s",
+)
+def _dp_lang_id(spark, sf_dir):
+    from victorialogs_spark.datapipe.text import with_lang_id
+
+    return with_lang_id(_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dp_fingerprint",
+    f"WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents)"
+    " SELECT doc_id, md5(s) AS fp_full,"
+    " list_min(list_transform(range(1, greatest(LENGTH(s) - 15, 1) + 1),"
+    " i -> md5(substr(s, CAST(i AS INT), 16)))) AS fp_rolling FROM n",
+)
+def _dp_fingerprint(spark, sf_dir):
+    from victorialogs_spark.datapipe.text import doc_fingerprints
+
+    return doc_fingerprints(_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dp_cosine_threshold",
+    # neighbors of vec 0 with cosine >= 0.25 (exact, double precision,
+    # rounded 6dp on both sides)
+    "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
+    " SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], qv), 6)"
+    " AS cos FROM embeddings, q"
+    " WHERE list_cosine_similarity(embedding::DOUBLE[], qv) >= 0.25",
+)
+def _dp_cosine_threshold(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.similarity import cosine_scores
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = cosine_scores(emb, "vec_id", "embedding", q)
+    return out.where(F.col("cos") >= 0.25).withColumn("cos", F.round("cos", 6))
+
+
+@register("dp_ann_bruteforce_topk")  # rows-only: float tie-break sensitivity
+def _dp_ann_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.similarity import brute_force_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_topk(emb, "vec_id", "embedding", q, k=10)
+
+
+@register("dp_ann_lsh_topk")  # approximate by construction — rows-only
+def _dp_ann_lsh(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.similarity import ann_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ann_topk(emb, "vec_id", "embedding", q, k=10, n_planes=6, probes=6)
+
+
+@register("dp_embedding_near_dup")  # LSH-bucketed pairs — rows-only
+def _dp_embedding_near_dup(spark, sf_dir):
+    from victorialogs_spark.datapipe.similarity import embedding_near_dup_pairs
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.5, n_planes=4
+    )
+
+
+@register(
+    "dp_multimodal_features",
+    # the fake decoder is deterministic md5 arithmetic — mirror it in SQL
+    "SELECT doc_id AS asset_id, LENGTH(text) AS payload_bytes,"
+    " md5(text) AS content_hash FROM documents",
+)
+def _dp_multimodal(spark, sf_dir):
+    from victorialogs_spark.datapipe.multimodal import (
+        assets_from_documents,
+        decode_features,
+    )
+
+    assets = assets_from_documents(_table(spark, sf_dir, "documents"))
+    return decode_features(assets).select("asset_id", "payload_bytes", "content_hash")
+
+
 logsql(
     "tpch_ship_histogram",
     "* | stats by (_time:7d) count() as n, sum(l_quantity) as qty",

@@ -105,8 +105,9 @@ def ingest_ndjson(
     (_time_field/_msg_field/_stream_fields/ignore_fields/extra_fields,
     app/vlinsert/insertutil/common_params.go:32-100).
 
-    Scale note: this driver-side JSON flattening path is for tests/small
-    feeds; bulk ingest goes through sources/ndjson_stream (mapInPandas).
+    Scale note: driver-side test helper only. Bulk ingest is
+    sources/ndjson.py (mapInPandas, fully distributed) and
+    streaming/ingest.py (Structured Streaming micro-batches).
     """
     if isinstance(path_or_lines, str):
         lines_df = spark.read.text(path_or_lines)

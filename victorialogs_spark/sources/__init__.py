@@ -1,0 +1,1 @@
+"""Data sources: distributed NDJSON ingestion (ndjson.py)."""

@@ -1,0 +1,148 @@
+"""Distributed NDJSON ingestion (the /insert/jsonline path at scale).
+
+Unlike ``schema.ingest_ndjson`` (a driver-side test helper), this path never
+materializes rows on the driver: lines are read as a distributed text scan
+and parsed/flattened per-partition via Arrow-batched ``mapInPandas``
+(json_parser.go flattening semantics: nested keys dot-joined, arrays /
+numbers / bools kept as their JSON string representation).
+
+The parsed stream carries a ``fields map<string,string>`` column; a sampled
+key-promotion step lifts frequent keys to top-level string columns (the
+"promoted columns + spill map" model from SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from victorialogs_spark.schema import flatten_json, with_stream_id
+
+PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("_time_raw", T.StringType()),
+        T.StructField("fields", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+DEFAULT_MSG = (
+    "missing _msg field; see "
+    "https://docs.victoriametrics.com/victorialogs/keyconcepts/#message-field"
+)
+
+PROMOTE_SAMPLE_ROWS = 10_000
+MAX_PROMOTED_COLS = 2000  # mirrors the reference's per-block column cap
+
+
+def parse_ndjson_lines(
+    lines: DataFrame,
+    time_field: str = "_time",
+    msg_field: str = "_msg",
+    ignore_fields: list[str] | None = None,
+    extra_fields: dict[str, str] | None = None,
+    default_msg_value: str = DEFAULT_MSG,
+) -> DataFrame:
+    """text lines (column ``value``) → (_time_raw, fields map) rows.
+    Executes on executors in Arrow batches; malformed lines are dropped.
+    Applies the reference's ingest transforms (_time_field/_msg_field/
+    ignore_fields/extra_fields, insertutil/common_params.go:32-100)."""
+    ig = list(ignore_fields or [])
+    ex = dict(extra_fields or {})
+
+    def _parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            times, fields = [], []
+            for line in pdf["value"]:
+                line = (line or "").strip()
+                if not line:
+                    continue
+                try:
+                    flat = flatten_json(json.loads(line))
+                except (json.JSONDecodeError, AttributeError):
+                    continue
+                for f in ig:
+                    flat.pop(f, None)
+                flat.update(ex)
+                t = flat.pop(time_field, "")
+                if msg_field != "_msg" and msg_field in flat:
+                    flat["_msg"] = flat.pop(msg_field)
+                if not flat.get("_msg"):
+                    flat["_msg"] = default_msg_value
+                times.append(t)
+                fields.append(flat)
+            yield pd.DataFrame({"_time_raw": times, "fields": fields})
+
+    return lines.mapInPandas(_parse, PARSED_SCHEMA)
+
+
+def with_event_time(parsed: DataFrame) -> DataFrame:
+    """_time_raw (RFC3339 / unix seconds / empty) → _time timestamp."""
+    from victorialogs_spark.functions.casts import _try_cast
+
+    t = F.coalesce(
+        F.to_timestamp(F.col("_time_raw")),
+        F.timestamp_seconds(_try_cast(F.col("_time_raw"), "double")),
+        F.current_timestamp(),
+    )
+    return parsed.withColumn("_time", t).drop("_time_raw")
+
+
+def promote_columns(
+    parsed: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Lift field keys to top-level string columns; unsampled keys stay in
+    the ``_other`` spill map. ``keys=None`` infers from a bounded sample
+    (one O(10k-row) job, not a second full pass)."""
+    if keys is None:
+        rows = (
+            parsed.select("fields")
+            .limit(PROMOTE_SAMPLE_ROWS)
+            .select(F.explode(F.map_keys("fields")).alias("k"))
+            .distinct()
+            .limit(MAX_PROMOTED_COLS)
+            .collect()
+        )
+        keys = sorted(r["k"] for r in rows)
+    # promote everything except the engine-derived columns (_msg IS a
+    # promoted column in the log model)
+    keys = [k for k in keys if k not in ("_time", "_day", "_other")]
+    cols = [F.col("_time")]
+    cols += [
+        F.coalesce(F.col("fields")[k], F.lit("")).alias(k) for k in keys
+    ]
+    spill = (
+        F.map_filter(F.col("fields"), lambda k, _: ~k.isin(keys))
+        if keys
+        else F.col("fields")
+    )
+    cols.append(spill.alias("_other"))
+    return parsed.select(*cols)
+
+
+def ingest_ndjson_distributed(
+    spark: SparkSession,
+    path: str,
+    time_field: str = "_time",
+    msg_field: str = "_msg",
+    stream_fields: list[str] | None = None,
+    ignore_fields: list[str] | None = None,
+    extra_fields: dict[str, str] | None = None,
+    promote_keys: list[str] | None = None,
+) -> DataFrame:
+    """NDJSON file(s)/dir → log DataFrame, fully distributed."""
+    lines = spark.read.text(path)
+    parsed = with_event_time(
+        parse_ndjson_lines(
+            lines, time_field, msg_field, ignore_fields, extra_fields
+        )
+    )
+    out = promote_columns(parsed, promote_keys)
+    if stream_fields:
+        out = with_stream_id(out, [f for f in stream_fields if f in out.columns])
+    return out

@@ -1,0 +1,117 @@
+"""Structured Streaming ingestion: NDJSON drop-dir → day-partitioned
+zstd Parquet log table, plus the retention / compaction maintenance jobs
+(the Spark equivalents of the reference's per-day partitions + LSM merges,
+lib/logstorage/storage.go:50,326 and datadb.go:48-101).
+
+Design:
+- micro-batch append (no event-time aggregation): late/backfilled data just
+  lands in its correct ``_day`` partition at file level — same semantics as
+  the reference, which only clips timestamps to retention (storage.go:20-24);
+- retention = dropping whole ``_day=YYYYMMDD`` directories;
+- compaction = rewriting a day partition's small files into few big ones
+  (what the reference's background part-merging achieves).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from victorialogs_spark.schema import with_day_partition, with_stream_id
+from victorialogs_spark.sources.ndjson import (
+    parse_ndjson_lines,
+    promote_columns,
+    with_event_time,
+)
+
+
+def start_ndjson_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    stream_fields: list[str] | None = None,
+    promote_keys: list[str] | None = None,
+    time_field: str = "_time",
+    msg_field: str = "_msg",
+    trigger_seconds: float | None = None,
+):
+    """Start the streaming ingest job: watch ``input_dir`` for NDJSON files,
+    append to ``table_dir`` partitioned by ``_day``. Returns the
+    StreamingQuery (caller owns stop()).
+
+    promote_keys should be passed explicitly for streaming (sampling needs
+    a batch job); if None, each micro-batch infers from itself."""
+    lines = spark.readStream.text(input_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = with_event_time(
+            parse_ndjson_lines(batch_df, time_field, msg_field)
+        )
+        out = promote_columns(parsed, promote_keys)
+        if stream_fields:
+            out = with_stream_id(
+                out, [f for f in stream_fields if f in out.columns]
+            )
+        out = with_day_partition(out)
+        (
+            out.write.mode("append")
+            .option("compression", "zstd")
+            .partitionBy("_day")
+            .parquet(table_dir)
+        )
+
+    writer = lines.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def list_days(table_dir: str) -> list[str]:
+    root = Path(table_dir)
+    return sorted(
+        p.name.split("=", 1)[1]
+        for p in root.glob("_day=*")
+        if p.is_dir()
+    )
+
+
+def apply_retention(table_dir: str, keep_days_from: str) -> list[str]:
+    """Drop every ``_day`` partition strictly older than ``keep_days_from``
+    (YYYYMMDD). Returns the dropped day labels. Mirrors the reference's
+    retention watcher deleting whole per-day partitions (storage.go:50)."""
+    dropped = []
+    for day in list_days(table_dir):
+        if day < keep_days_from:
+            shutil.rmtree(Path(table_dir) / f"_day={day}")
+            dropped.append(day)
+    return dropped
+
+
+def compact_day(
+    spark: SparkSession, table_dir: str, day: str, target_files: int = 1
+) -> int:
+    """Rewrite one day partition's files into ``target_files`` zstd files
+    (the LSM small-parts → big-part merge, datadb.go:75-82). Returns the
+    number of files before compaction."""
+    part = Path(table_dir) / f"_day={day}"
+    files = [p for p in part.glob("*.parquet")]
+    if len(files) <= target_files:
+        return len(files)
+    df = spark.read.parquet(str(part))
+    tmp = str(part) + ".compact"
+    (
+        df.coalesce(target_files)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(tmp)
+    )
+    shutil.rmtree(part)
+    Path(tmp).rename(part)
+    return len(files)
