@@ -1,0 +1,102 @@
+"""Tests for the /select/logsql/* parity helpers and options() wiring."""
+
+import datetime as dt
+import json
+
+import pytest
+
+from victorialogs_spark import endpoints as ep
+from victorialogs_spark.api import run_query
+from victorialogs_spark.schema import with_stream_id
+
+UTC = dt.timezone.utc
+NS = 10**9
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    rows = []
+    for i in range(6):
+        rows.append(
+            (
+                dt.datetime(2024, 1, 1, 0, i // 2, 30 * (i % 2), tzinfo=UTC),
+                "error disk" if i % 3 == 0 else "ok",
+                "web" if i % 2 == 0 else "db",
+            )
+        )
+    df = spark.createDataFrame(rows, "_time timestamp, _msg string, app string")
+    return with_stream_id(df, ["app"])
+
+
+def test_hits(spark, logs):
+    out = ep.hits(spark, logs, "error", step="1m")
+    got = {(r["_time"].minute, r["hits"]) for r in out.collect()}
+    assert got == {(0, 1), (1, 1)}  # errors at i=0 (min 0) and i=3 (min 1)
+    out = ep.hits(spark, logs, "*", step="1m", fields=["app"])
+    got = {(r["_time"].minute, r["app"], r["hits"]) for r in out.collect()}
+    assert (0, "web", 1) in got and (0, "db", 1) in got
+
+
+def test_stats_query(spark, logs):
+    out = ep.stats_query(
+        spark, logs, "* | stats by (app) count() as c, count_uniq(_msg) as u"
+    )
+    rows = {(r["name"], r["labels"], r["value"]) for r in out.collect()}
+    assert ("c", '{"app":"web"}', "3") in rows
+    assert ("u", '{"app":"db"}', "2") in rows
+    with pytest.raises(ValueError):
+        ep.stats_query(spark, logs, "* | fields _msg")
+
+
+def test_stats_query_range(spark, logs):
+    out = ep.stats_query_range(spark, logs, "* | stats by (app) count() as c", step="1m")
+    rows = [(r["name"], r["labels"], r["_time"].minute, r["value"]) for r in out.collect()]
+    assert ("c", '{"app":"web"}', 0, "1") in rows
+    assert ("c", '{"app":"db"}', 2, "1") in rows
+    assert len(rows) == 6  # 2 apps × 3 minute buckets
+
+
+def test_stream_metadata(spark, logs):
+    st = {r["_stream"]: r["hits"] for r in ep.streams(spark, logs).collect()}
+    assert st == {'{app="web"}': 3, '{app="db"}': 3}
+    sids = ep.stream_ids(spark, logs).collect()
+    assert len(sids) == 2 and all(r["hits"] == 3 for r in sids)
+    names = {r["name"] for r in ep.stream_field_names(spark, logs).collect()}
+    assert names == {"app"}
+    vals = {r["value"]: r["hits"] for r in ep.stream_field_values(spark, logs, "app").collect()}
+    assert vals == {"web": 3, "db": 3}
+
+
+def test_field_endpoints(spark, logs):
+    names = {r["name"] for r in ep.field_names(spark, logs).collect()}
+    assert {"_msg", "app", "_stream"} <= names
+    vals = {tuple(r) for r in ep.field_values(spark, logs, "app").collect()}
+    assert vals == {("web", 3), ("db", 3)}
+
+
+def test_query_ndjson(spark, logs):
+    lines = list(ep.query_ndjson(spark, logs, "error | fields _msg, app"))
+    assert len(lines) == 2
+    assert all(json.loads(ln)["_msg"] == "error disk" for ln in lines)
+
+
+def test_global_time_filter_and_option(spark, logs):
+    t0 = int(dt.datetime(2024, 1, 1, 0, 1, tzinfo=UTC).timestamp() * NS)
+    # global time filter restricts the main query
+    out = run_query(spark, logs, "*", start_ns=t0)
+    assert out.count() == 4
+    # subquery inherits the global filter...
+    q = "app:in(* | fields app)"
+    assert run_query(spark, logs, q, start_ns=t0).count() == 4
+    # ...unless it opts out (same result here, but must parse & plan)
+    q2 = "app:in(options(ignore_global_time_filter=true) * | fields app)"
+    assert run_query(spark, logs, q2, start_ns=t0).count() == 4
+
+
+def test_options_concurrency(spark, logs):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        run_query(spark, logs, "options(concurrency=7) * | stats by (app) count() as c").collect()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -604,6 +604,71 @@ logsql(
     table="orders",
 )
 # ---------------------------------------------------------------------------
+# /select/logsql/* endpoint helpers (endpoints.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ep_hits",
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS _time, COUNT(*) AS hits"
+    " FROM events WHERE event_type = 'error' GROUP BY 1",
+)
+def _ep_hits(spark, sf_dir):
+    from victorialogs_spark import endpoints as ep
+
+    return ep.hits(spark, _logs(spark, sf_dir), "event_type:error", step="1d")
+
+
+@register(
+    "ep_stats_query",
+    "SELECT 'c' AS name, '{\"event_type\":\"' || event_type || '\"}' AS labels,"
+    " CAST(COUNT(*) AS VARCHAR) AS value FROM events GROUP BY event_type",
+)
+def _ep_stats_query(spark, sf_dir):
+    from victorialogs_spark import endpoints as ep
+
+    return ep.stats_query(
+        spark, _logs(spark, sf_dir), "* | stats by (event_type) count() as c"
+    )
+
+
+@register(
+    "ep_stats_query_range",
+    "SELECT 'c' AS name, '{\"event_type\":\"' || event_type || '\"}' AS labels,"
+    " CAST(date_trunc('day', ts) AS TIMESTAMP) AS _time,"
+    " CAST(COUNT(*) AS VARCHAR) AS value FROM events GROUP BY 2, 3",
+)
+def _ep_stats_query_range(spark, sf_dir):
+    from victorialogs_spark import endpoints as ep
+
+    return ep.stats_query_range(
+        spark, _logs(spark, sf_dir), "* | stats by (event_type) count() as c",
+        step="1d",
+    )
+
+
+@register(
+    "ep_streams",
+    "SELECT '{event_type=\"' || event_type || '\"}' AS _stream,"
+    " COUNT(*) AS hits FROM events GROUP BY 1",
+)
+def _ep_streams(spark, sf_dir):
+    from victorialogs_spark import endpoints as ep
+
+    return ep.streams(spark, _logs(spark, sf_dir))
+
+
+@register(
+    "ep_stream_field_values",
+    "SELECT event_type AS value, COUNT(*) AS hits FROM events GROUP BY 1",
+)
+def _ep_stream_field_values(spark, sf_dir):
+    from victorialogs_spark import endpoints as ep
+
+    return ep.stream_field_values(spark, _logs(spark, sf_dir), "event_type")
+
+
+# ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (datapipe/): dedup, similarity, text analysis,
 # multimodal plumbing — first-class components per the brief
 # ---------------------------------------------------------------------------

@@ -1,0 +1,225 @@
+"""Query-API parity helpers: the /select/logsql/* endpoints re-expressed as
+DataFrame builders (app/vlselect/logsql/logsql.go).
+
+- hits            — per-step histogram of matching rows (logsql.go:116-219:
+                    drop all pipes, append `stats by (_time:step offset off,
+                    fields...) count() hits`, parser.go:367,408)
+- stats_query     — instant stats vector (logsql.go:828)
+- stats_query_range — range vectors: ensures a `_time:step` bucket in the
+                    final stats pipe (logsql.go:694, parser.go:748)
+- streams / stream_ids / stream_field_names / stream_field_values —
+  metadata queries (storage_search.go:188-488)
+- field_names / field_values — delegate to the pipes of the same name
+- query_ndjson    — run a query and emit NDJSON lines (logsql.go:901)
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from victorialogs_spark.logsql import ast as A
+from victorialogs_spark.logsql.parser import parse_duration_ns, parse_query
+from victorialogs_spark.planner.planner import plan_query
+
+
+def _parse(query: str, timestamp_ns: int | None = None) -> A.Query:
+    return parse_query(query, timestamp_ns)
+
+
+def hits(
+    spark: SparkSession,
+    df: DataFrame,
+    query: str,
+    step: str = "1h",
+    offset: str = "0s",
+    fields: list[str] | None = None,
+    timestamp_ns: int | None = None,
+) -> DataFrame:
+    """Per-step hit counts for the query's filter (pipes are dropped —
+    Query.DropAllPipes + AddCountByTimePipe semantics).
+    Output: (_time, <fields...>, hits)."""
+    q = _parse(query, timestamp_ns)
+    step_ns = parse_duration_ns(step)
+    off_ns = parse_duration_ns(offset) or 0
+    if step_ns is None:
+        raise ValueError(f"invalid step {step!r}")
+    by = [A.ByField("_time", bucket_size=step_ns / 1e9, bucket_offset=off_ns / 1e9)]
+    by += [A.ByField(f) for f in (fields or [])]
+    q.pipes = [A.PStats(by=by, funcs=[A.StatsFunc("count", [], "hits")])]
+    return plan_query(spark, df, q)
+
+
+def _last_stats_pipe(q: A.Query) -> A.PStats:
+    if not q.pipes or not isinstance(q.pipes[-1], A.PStats):
+        raise ValueError("query must end with a `stats` pipe")
+    return q.pipes[-1]
+
+
+def stats_query(
+    spark: SparkSession,
+    df: DataFrame,
+    query: str,
+    timestamp_ns: int | None = None,
+) -> DataFrame:
+    """Instant stats vector: one row per (metric function, group-labels).
+    Output: (name, labels JSON, value string) — the Prometheus-style
+    instant-vector shape."""
+    q = _parse(query, timestamp_ns)
+    st = _last_stats_pipe(q)
+    out = plan_query(spark, df, q)
+    label_cols = [b.name for b in st.by]
+    metric_cols = [f.result for f in st.funcs]
+    labels = F.to_json(F.struct(*[F.col(c).cast("string").alias(c) for c in label_cols])) if label_cols else F.lit("{}")
+    rows = [
+        out.select(
+            F.lit(m).alias("name"),
+            labels.alias("labels"),
+            F.col(m).cast("string").alias("value"),
+        )
+        for m in metric_cols
+    ]
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionByName(r)
+    return res
+
+
+def stats_query_range(
+    spark: SparkSession,
+    df: DataFrame,
+    query: str,
+    step: str = "1h",
+    timestamp_ns: int | None = None,
+) -> DataFrame:
+    """Range vectors: guarantees a `_time:step` bucket in the final stats
+    pipe (GetStatsByFieldsAddGroupingByTime), then melts to
+    (name, labels, _time, value)."""
+    q = _parse(query, timestamp_ns)
+    st = _last_stats_pipe(q)
+    step_ns = parse_duration_ns(step)
+    if step_ns is None:
+        raise ValueError(f"invalid step {step!r}")
+    if not any(b.name == "_time" for b in st.by):
+        st.by.insert(0, A.ByField("_time", bucket_size=step_ns / 1e9))
+    else:
+        for b in st.by:
+            if b.name == "_time":
+                b.bucket_size = step_ns / 1e9
+    out = plan_query(spark, df, q)
+    label_cols = [b.name for b in st.by if b.name != "_time"]
+    metric_cols = [f.result for f in st.funcs]
+    labels = F.to_json(F.struct(*[F.col(c).cast("string").alias(c) for c in label_cols])) if label_cols else F.lit("{}")
+    rows = [
+        out.select(
+            F.lit(m).alias("name"),
+            labels.alias("labels"),
+            F.col("_time"),
+            F.col(m).cast("string").alias("value"),
+        )
+        for m in metric_cols
+    ]
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionByName(r)
+    return res.orderBy("name", "labels", "_time")
+
+
+# ---------------------------------------------------------------- metadata
+
+
+def _filtered(spark: SparkSession, df: DataFrame, query: str) -> DataFrame:
+    q = _parse(query)
+    q.pipes = []
+    return plan_query(spark, df, q)
+
+
+def streams(
+    spark: SparkSession, df: DataFrame, query: str = "*", limit: int = 0
+) -> DataFrame:
+    """Distinct `_stream` values + hit counts (storage_search.go:426)."""
+    out = (
+        _filtered(spark, df, query)
+        .groupBy("_stream")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .orderBy(F.desc("hits"), F.asc("_stream"))
+    )
+    return out.limit(limit) if limit else out
+
+
+def stream_ids(
+    spark: SparkSession, df: DataFrame, query: str = "*", limit: int = 0
+) -> DataFrame:
+    out = (
+        _filtered(spark, df, query)
+        .groupBy("_stream_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .orderBy(F.desc("hits"), F.asc("_stream_id"))
+    )
+    return out.limit(limit) if limit else out
+
+
+_LABEL_RE = r'(\w+)="((?:[^"\\]|\\.)*)"'
+
+
+def stream_field_names(
+    spark: SparkSession, df: DataFrame, query: str = "*"
+) -> DataFrame:
+    """Label names used in `_stream` + row hits (storage_search.go:450)."""
+    out = _filtered(spark, df, query)
+    names = F.explode(F.regexp_extract_all(F.col("_stream"), F.lit(_LABEL_RE), 1))
+    return (
+        out.select(names.alias("name"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .orderBy("name")
+    )
+
+
+def stream_field_values(
+    spark: SparkSession, df: DataFrame, label: str, query: str = "*", limit: int = 0
+) -> DataFrame:
+    """Values of one stream label + row hits (storage_search.go:481)."""
+    out = _filtered(spark, df, query)
+    val = F.regexp_extract(F.col("_stream"), f'{label}="((?:[^"\\\\]|\\\\.)*)"', 1)
+    res = (
+        out.select(val.alias("value"))
+        .where(F.col("value") != "")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .orderBy(F.desc("hits"), F.asc("value"))
+    )
+    return res.limit(limit) if limit else res
+
+
+def field_names(spark: SparkSession, df: DataFrame, query: str = "*") -> DataFrame:
+    q = _parse(query)
+    q.pipes = [A.PFieldNames()]
+    return plan_query(spark, df, q)
+
+
+def field_values(
+    spark: SparkSession, df: DataFrame, field: str, query: str = "*", limit: int = 0
+) -> DataFrame:
+    q = _parse(query)
+    q.pipes = [A.PFieldValues(field_name=field, limit=limit)]
+    return plan_query(spark, df, q)
+
+
+def query_ndjson(
+    spark: SparkSession, df: DataFrame, query: str, timestamp_ns: int | None = None
+) -> Iterator[str]:
+    """Run a query and yield NDJSON lines (the /select/logsql/query wire
+    format). Streams via toLocalIterator — no full driver materialization."""
+    out = plan_query(spark, df, _parse(query, timestamp_ns))
+    for row in out.toLocalIterator():
+        d = row.asDict()
+        for k, v in list(d.items()):
+            if v is None:
+                d[k] = ""
+            elif not isinstance(v, str):
+                d[k] = str(v)
+        yield json.dumps(d, separators=(",", ":"))

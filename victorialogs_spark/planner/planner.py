@@ -27,20 +27,36 @@ IN_VALUES_INLINE_MAX = 10_000
 
 class PlanContext:
     """Carries what pipes need beyond the current DataFrame: the source
-    table (for join/union/in-subqueries and stream_context) and the global
-    time range (for rate(), parser.go:1214)."""
+    table (for join/union/in-subqueries and stream_context), the global
+    time range (for rate(), parser.go:1214), and the API-level time filter
+    (subqueries inherit it unless they set ignore_global_time_filter —
+    parser.go:261-262)."""
 
-    def __init__(self, spark: SparkSession, source_df: DataFrame, query: A.Query):
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_df: DataFrame,
+        query: A.Query,
+        global_time_ns: tuple[int, int] | None = None,
+    ):
         self.spark = spark
         self.source_df = source_df
         self.query = query
+        self.global_time_ns = global_time_ns
         tr = query.time_range
         self.range_seconds: float | None = None
         if tr is not None and tr[0] > -(2**61) and tr[1] < 2**61:
             self.range_seconds = (tr[1] - tr[0] + 1) / NS
 
     def run_subquery(self, q: A.Query) -> DataFrame:
-        return plan_query(self.spark, self.source_df, q)
+        gt = self.global_time_ns
+        if _opt_bool(q.options.get("ignore_global_time_filter")):
+            gt = None
+        return plan_query(self.spark, self.source_df, q, global_time_ns=gt)
+
+
+def _opt_bool(v) -> bool:
+    return str(v).lower() in ("1", "true", "yes")
 
 
 def apply_filter_df(df: DataFrame, f: A.Filter, ctx) -> DataFrame:
@@ -88,9 +104,24 @@ def _in_subquery_df(
     return df.join(vals_df, join_cond, "left_anti" if negate else "left_semi")
 
 
-def plan_query(spark: SparkSession, df: DataFrame, q: A.Query) -> DataFrame:
-    ctx = PlanContext(spark, df, q)
-    out = apply_filter_df(df, q.filter, ctx)
+def plan_query(
+    spark: SparkSession,
+    df: DataFrame,
+    q: A.Query,
+    global_time_ns: tuple[int, int] | None = None,
+) -> DataFrame:
+    ctx = PlanContext(spark, df, q, global_time_ns)
+    # options(concurrency=N) → shuffle parallelism for this plan
+    # (reference: per-query worker count, parser.go:261)
+    conc = q.options.get("concurrency")
+    if conc and str(conc).isdigit():
+        spark.conf.set("spark.sql.shuffle.partitions", int(conc))
+    out = df
+    if global_time_ns is not None:
+        from victorialogs_spark.planner.filters import _time_range
+
+        out = out.where(_time_range(out, global_time_ns[0], global_time_ns[1]))
+    out = apply_filter_df(out, q.filter, ctx)
     for p in q.pipes:
         out = apply_pipe(p, out, ctx)
     return out
