@@ -1,0 +1,95 @@
+"""Plan-shape assertions: the physical plans that matter at 100 TB.
+
+These tests read `.explain` output (executedPlan) and assert the
+scale-critical properties: predicate pushdown into the Parquet scan,
+column pruning, top-k sort (TakeOrderedAndProject), no unbounded
+broadcast in stream_context, partial aggregation for stats.
+"""
+
+import pytest
+
+from victorialogs_spark.api import run_query
+from victorialogs_spark.schema import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_exact_filter_pushdown(spark, events):
+    out = run_query(spark, events, "event_type:=error | fields event_id")
+    plan = plan_of(out)
+    assert "event_type" in plan and "= error" in plan.replace("#3", "")
+    scan = [ln for ln in plan.split("\n") if "FileScan" in ln][0]
+    assert "= error" in scan  # predicate reached the scan
+    assert "value" not in scan.split("FileScan")[1][:200]  # column pruned
+
+
+def test_in_filter_pushdown(spark, events):
+    out = run_query(spark, events, "event_type:in(click, view) | fields event_id")
+    scan = [ln for ln in plan_of(out).split("\n") if "FileScan" in ln][0]
+    assert "IN (click,view)" in scan
+
+
+def test_string_range_pushdown(spark, events):
+    out = run_query(spark, events, "event_type:string_range(click, signup) | fields event_id")
+    scan = [ln for ln in plan_of(out).split("\n") if "FileScan" in ln][0]
+    assert ">= click" in scan and "< signup" in scan
+
+
+def test_sort_limit_is_topk(spark, events):
+    out = run_query(spark, events, "* | sort by (value) desc | limit 5 | fields event_id")
+    assert "TakeOrderedAndProject" in plan_of(out)
+
+
+def test_stats_partial_aggregation(spark, events):
+    out = run_query(spark, events, "* | stats by (event_type) count() as c")
+    plan = plan_of(out)
+    # two-phase hash aggregate: partial (map-side) + final after exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_join_subquery_is_broadcast(spark, events):
+    out = run_query(
+        spark, events,
+        "* | join by (event_type) (* | stats by (event_type) count() as total)",
+    )
+    assert "BroadcastHashJoin" in plan_of(out)
+
+
+def test_stream_context_no_forced_broadcast(spark):
+    from victorialogs_spark.schema import events_as_logs
+
+    logs = events_as_logs(spark, SF_DIR)
+    out = run_query(spark, logs, "value:>199 | stream_context before 1 after 1")
+    # must not contain an explicit broadcast HINT on the anchor side
+    # (AQE may still choose broadcast at runtime, which is fine);
+    # optimizedPlan would show ResolvedHint for an explicit F.broadcast
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "stream_context" or True  # plan builds
+    # the anchors subtree must be join-able without a forced hint: the
+    # logical plan for the *anchor* join side has no broadcast hint node
+    assert logical.count("ResolvedHint") <= 1  # only the tiny 1-row total
+
+
+def test_uniq_limit_no_global_window(spark, events):
+    out = run_query(spark, events, "* | uniq by (event_type) with hits limit 2")
+    plan = plan_of(out)
+    # the hits-zeroing total must be a broadcast of a 1-row aggregate,
+    # not a Window over an unpartitioned frame
+    assert "Window" not in plan
+
+
+def test_histogram_no_row_collect_list(spark, events):
+    out = run_query(spark, events, "* | stats by (event_type) histogram(value) as h")
+    plan = plan_of(out)
+    # two-level: collect_list operates on pre-aggregated bucket counts;
+    # plan must contain two aggregation layers
+    assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 1

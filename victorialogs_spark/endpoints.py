@@ -195,6 +195,29 @@ def stream_field_values(
     return res.limit(limit) if limit else res
 
 
+def facets(
+    spark: SparkSession,
+    df: DataFrame,
+    query: str = "*",
+    limit: int = 10,
+    max_values_per_field: int = 1000,
+    max_value_len: int = 128,
+    keep_const_fields: bool = False,
+) -> DataFrame:
+    """/select/logsql/facets: top values per every field of the matching
+    rows (logsql.go:34 → the facets pipe)."""
+    q = _parse(query)
+    q.pipes = [
+        A.PFacets(
+            n=limit,
+            max_values_per_field=max_values_per_field,
+            max_value_len=max_value_len,
+            keep_const_fields=keep_const_fields,
+        )
+    ]
+    return plan_query(spark, df, q)
+
+
 def field_names(spark: SparkSession, df: DataFrame, query: str = "*") -> DataFrame:
     q = _parse(query)
     q.pipes = [A.PFieldNames()]

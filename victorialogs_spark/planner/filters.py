@@ -38,7 +38,9 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
             out = out | compile_filter(c, df, ctx)
         return out
     if isinstance(f, A.FNot):
-        return ~compile_filter(f.child, df, ctx)
+        # coalesce: NULL (three-valued logic) must read as non-match BEFORE
+        # the negation, so NOT of a NULL-row predicate keeps the row
+        return ~F.coalesce(compile_filter(f.child, df, ctx), F.lit(False))
 
     if isinstance(f, A.FPhrase):
         return _phrase(df, f.field, f.phrase, f.case_insensitive)
@@ -50,13 +52,19 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
             return F.lower(c).rlike(prefix_regex(f.prefix.lower()))
         return c.rlike(prefix_regex(f.prefix))
     if isinstance(f, A.FExact):
-        return fcol(df, f.field) == f.value
+        if f.value == "":
+            return fcol(df, f.field) == ""  # '' must also match NULL/missing
+        return _raw(df, f.field) == f.value
     if isinstance(f, A.FExactPrefix):
-        return fcol(df, f.field).startswith(f.prefix)
+        if f.prefix == "":
+            return F.lit(True)
+        return _raw(df, f.field).startswith(f.prefix)
     if isinstance(f, A.FIn):
         if not f.values:
             return F.lit(False)
-        return fcol(df, f.field).isin(f.values)
+        if "" in f.values:
+            return fcol(df, f.field).isin(f.values)
+        return _raw(df, f.field).isin(f.values)
     if isinstance(f, A.FInSubquery):
         values = _subquery_values(f.query, ctx)
         if values is None:
@@ -95,7 +103,10 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
         n = ipv4_num(fcol(df, f.field))
         return n.isNotNull() & (n >= f.lo) & (n <= f.hi)
     if isinstance(f, A.FStringRange):
-        c = fcol(df, f.field)
+        if f.lo == "":
+            c = fcol(df, f.field)  # lo='' must include NULL/missing values
+            return (c >= f.lo) & (c < f.hi)
+        c = _raw(df, f.field)
         return (c >= f.lo) & (c < f.hi)
     if isinstance(f, A.FLenRange):
         ln = F.octet_length(fcol(df, f.field))
@@ -136,6 +147,23 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
     if isinstance(f, A.FStreamId):
         return fcol(df, "_stream_id").isin(f.ids)
     raise NotImplementedError(f"filter {type(f).__name__}")
+
+
+def _raw(df: DataFrame, field: str) -> Column:
+    """Raw column reference (no coalesce-to-'' wrapper) for predicates whose
+    NULL result is equivalent to False — keeps the predicate pushable into
+    the Parquet scan (PushedFilters), which the fcol() wrapper would block.
+    Only valid when the compared value can never be '' (NULL ≡ missing ≡
+    '' would otherwise need to match)."""
+    if field not in df.columns:
+        return F.lit(None).cast("string")
+    dt = dict(df.dtypes).get(field)
+    c = qcol(field)
+    if dt == "timestamp":
+        return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    if dt != "string":
+        return c.cast("string")
+    return c
 
 
 def _phrase(df: DataFrame, field: str, phrase: str, ci: bool) -> Column:

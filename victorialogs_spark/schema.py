@@ -141,7 +141,8 @@ def ingest_ndjson(
     df = df.withColumn(
         "_time",
         F.coalesce(
-            F.to_timestamp(F.col("_time")),
+            # try_*: ANSI mode makes plain to_timestamp throw on unix-secs
+            F.try_to_timestamp(F.col("_time")),
             F.timestamp_seconds(_try_cast(F.col("_time"), "double")),
             F.current_timestamp(),
         ),

@@ -76,7 +76,13 @@ def parse_ndjson_lines(
                     flat["_msg"] = default_msg_value
                 times.append(t)
                 fields.append(flat)
-            yield pd.DataFrame({"_time_raw": times, "fields": fields})
+            if times:  # empty frames infer float64 dtype, breaking Arrow maps
+                yield pd.DataFrame(
+                    {
+                        "_time_raw": pd.Series(times, dtype="object"),
+                        "fields": pd.Series(fields, dtype="object"),
+                    }
+                )
 
     return lines.mapInPandas(_parse, PARSED_SCHEMA)
 
@@ -86,7 +92,8 @@ def with_event_time(parsed: DataFrame) -> DataFrame:
     from victorialogs_spark.functions.casts import _try_cast
 
     t = F.coalesce(
-        F.to_timestamp(F.col("_time_raw")),
+        # try_*: ANSI mode makes plain to_timestamp THROW on e.g. unix-secs
+        F.try_to_timestamp(F.col("_time_raw")),
         F.timestamp_seconds(_try_cast(F.col("_time_raw"), "double")),
         F.current_timestamp(),
     )

@@ -1,0 +1,365 @@
+"""Ingestion-protocol parsers: the payload formats of the reference's
+/insert/* endpoints (app/vlinsert/*), re-expressed as distributed
+DataFrame transforms. Each parser turns raw payload text into the common
+``(_time_raw, fields map<string,string>)`` shape from sources.ndjson, so
+column promotion / stream-id assignment / day partitioning are shared.
+
+Covered formats (each a mapInPandas batch parser — executors only):
+- Elasticsearch bulk NDJSON  (app/vlinsert/elasticsearch)
+- Loki push JSON             (app/vlinsert/loki/loki_json.go)
+- OpenTelemetry OTLP/JSON    (app/vlinsert/opentelemetry)
+- syslog RFC3164/RFC5424     (app/vlinsert/syslog)
+- journald export format     (app/vlinsert/journald: MESSAGE +
+                              __REALTIME_TIMESTAMP µs)
+- Datadog logs JSON          (app/vlinsert/datadog)
+
+The HTTP layer itself is out of scope (this engine is a library); these
+parsers accept the payload bodies as text files / DataFrames of lines.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from victorialogs_spark.schema import flatten_json, with_stream_id
+from victorialogs_spark.sources.ndjson import (
+    DEFAULT_MSG,
+    PARSED_SCHEMA,
+    promote_columns,
+    with_event_time,
+)
+
+
+def _batch_parser(parse_line: Callable[[str], list[dict]]):
+    """Wrap a line → [flat-dict] parser into a mapInPandas function.
+    Each produced dict may carry ``_time`` (string) + string fields."""
+
+    def _parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            times, fields = [], []
+            for line in pdf["value"]:
+                try:
+                    rows = parse_line(line or "")
+                except Exception:
+                    continue
+                for flat in rows:
+                    t = flat.pop("_time", "")
+                    if not flat.get("_msg"):
+                        flat["_msg"] = DEFAULT_MSG
+                    times.append(t)
+                    fields.append(flat)
+            if times:  # empty frames infer float64 dtype, breaking Arrow maps
+                yield pd.DataFrame(
+                    {
+                        "_time_raw": pd.Series(times, dtype="object"),
+                        "fields": pd.Series(fields, dtype="object"),
+                    }
+                )
+
+    return _parse
+
+
+def _finish(
+    parsed: DataFrame,
+    stream_fields: list[str] | None,
+    promote_keys: list[str] | None,
+) -> DataFrame:
+    out = promote_columns(with_event_time(parsed), promote_keys)
+    if stream_fields:
+        out = with_stream_id(out, [f for f in stream_fields if f in out.columns])
+    return out
+
+
+# ------------------------------------------------------------ elasticsearch
+
+_ES_ACTIONS = {"index", "create", "delete", "update"}
+
+
+def parse_elasticsearch_bulk(
+    spark: SparkSession,
+    path_or_lines,
+    stream_fields: list[str] | None = None,
+    promote_keys: list[str] | None = None,
+) -> DataFrame:
+    """ES bulk NDJSON: alternating action lines ({"index": {...}}) and
+    document lines; only documents become log rows. ``@timestamp`` maps to
+    ``_time``, ``message`` to ``_msg`` (app/vlinsert/elasticsearch)."""
+
+    def one(line: str) -> list[dict]:
+        line = line.strip()
+        if not line:
+            return []
+        obj = json.loads(line)
+        if len(obj) == 1 and next(iter(obj)) in _ES_ACTIONS:
+            return []  # action/metadata line
+        flat = flatten_json(obj)
+        if "@timestamp" in flat:
+            flat["_time"] = flat.pop("@timestamp")
+        if "message" in flat and "_msg" not in flat:
+            flat["_msg"] = flat.pop("message")
+        return [flat]
+
+    lines = (
+        spark.read.text(path_or_lines)
+        if isinstance(path_or_lines, str)
+        else path_or_lines
+    )
+    parsed = lines.mapInPandas(_batch_parser(one), PARSED_SCHEMA)
+    return _finish(parsed, stream_fields, promote_keys)
+
+
+# --------------------------------------------------------------------- loki
+
+
+def parse_loki_push(
+    spark: SparkSession,
+    path_or_lines,
+    promote_keys: list[str] | None = None,
+) -> DataFrame:
+    """Loki push payloads (one JSON body per line):
+    {"streams": [{"stream": {labels}, "values": [["<ns>", "line"], ...]}]}
+    (app/vlinsert/loki/loki_json.go:74-122). Stream labels become fields
+    AND the stream identity."""
+
+    def one(line: str) -> list[dict]:
+        line = line.strip()
+        if not line:
+            return []
+        body = json.loads(line)
+        out = []
+        for stream in body.get("streams", []):
+            labels = {
+                str(k): str(v) for k, v in (stream.get("stream") or {}).items()
+            }
+            for v in stream.get("values", []):
+                ts_ns, msg = v[0], v[1]
+                flat = dict(labels)
+                # ns-precision unix timestamp string → seconds float string
+                flat["_time"] = str(int(ts_ns) / 1e9)
+                flat["_msg"] = msg
+                if len(v) > 2 and isinstance(v[2], dict):  # structured metadata
+                    for mk, mv in v[2].items():
+                        flat[str(mk)] = str(mv)
+                out.append(flat)
+        return out
+
+    lines = (
+        spark.read.text(path_or_lines)
+        if isinstance(path_or_lines, str)
+        else path_or_lines
+    )
+    parsed = lines.mapInPandas(_batch_parser(one), PARSED_SCHEMA)
+    # loki stream labels: promote + use every label as a stream field is
+    # caller-specific; default promotes sampled keys only
+    return _finish(parsed, None, promote_keys)
+
+
+# --------------------------------------------------------------------- otlp
+
+
+def _otlp_attrs(attrs: list) -> dict:
+    out = {}
+    for a in attrs or []:
+        v = a.get("value", {})
+        out[str(a.get("key", ""))] = str(
+            v.get("stringValue")
+            or v.get("intValue")
+            or v.get("doubleValue")
+            or v.get("boolValue")
+            or ""
+        )
+    return out
+
+
+def parse_otlp_logs(
+    spark: SparkSession,
+    path_or_lines,
+    promote_keys: list[str] | None = None,
+) -> DataFrame:
+    """OTLP/JSON logs (one export body per line): resourceLogs →
+    scopeLogs → logRecords with timeUnixNano / body.stringValue /
+    attributes / severityText (app/vlinsert/opentelemetry)."""
+
+    def one(line: str) -> list[dict]:
+        line = line.strip()
+        if not line:
+            return []
+        body = json.loads(line)
+        out = []
+        for rl in body.get("resourceLogs", []):
+            res_attrs = _otlp_attrs((rl.get("resource") or {}).get("attributes"))
+            for sl in rl.get("scopeLogs", []):
+                for rec in sl.get("logRecords", []):
+                    flat = dict(res_attrs)
+                    flat.update(_otlp_attrs(rec.get("attributes")))
+                    t_ns = rec.get("timeUnixNano") or rec.get("observedTimeUnixNano")
+                    if t_ns:
+                        flat["_time"] = str(int(t_ns) / 1e9)
+                    body_v = rec.get("body") or {}
+                    flat["_msg"] = str(body_v.get("stringValue", ""))
+                    if rec.get("severityText"):
+                        flat["severity"] = str(rec["severityText"])
+                    out.append(flat)
+        return out
+
+    lines = (
+        spark.read.text(path_or_lines)
+        if isinstance(path_or_lines, str)
+        else path_or_lines
+    )
+    parsed = lines.mapInPandas(_batch_parser(one), PARSED_SCHEMA)
+    return _finish(parsed, None, promote_keys)
+
+
+# ------------------------------------------------------------------- syslog
+
+
+def parse_syslog_lines(
+    spark: SparkSession,
+    path_or_lines,
+    promote_keys: list[str] | None = None,
+    year: int = 2024,
+) -> DataFrame:
+    """Raw syslog lines (RFC3164/RFC5424) → log rows via the same regex
+    battery as the unpack_syslog pipe; RFC3164 timestamps get ``year``
+    (the wire format omits it)."""
+    import re as _re
+
+    re5424 = _re.compile(
+        r"^<(\d+)>(\d+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s*(?:(\[.*\])|-)?\s*(.*)$"
+    )
+    re3164 = _re.compile(
+        r"^(?:<(\d+)>)?([A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+(\S+)\s+([^:\[\s]+)(?:\[(\d+)\])?:?\s*(.*)$"
+    )
+    months = {m: i + 1 for i, m in enumerate(
+        "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split())}
+
+    def one(line: str) -> list[dict]:
+        line = line.rstrip("\n")
+        if not line.strip():
+            return []
+        m = re5424.match(line)
+        if m:
+            pri, _ver, ts, host, app, procid, msgid, _sd, msg = m.groups()
+            flat = {
+                "_time": ts or "",
+                "hostname": host,
+                "app_name": app,
+                "proc_id": procid or "",
+                "msg_id": msgid or "",
+                "_msg": msg,
+            }
+        else:
+            m = re3164.match(line)
+            if not m:
+                return [{"_msg": line}]
+            pri, ts, host, app, pid, msg = m.groups()
+            parts = ts.split()
+            iso = f"{year:04d}-{months[parts[0]]:02d}-{int(parts[1]):02d}T{parts[2]}Z"
+            flat = {
+                "_time": iso,
+                "hostname": host,
+                "app_name": app,
+                "proc_id": pid or "",
+                "_msg": msg,
+            }
+        if pri:
+            p = int(pri)
+            flat["facility"] = str(p // 8)
+            flat["severity"] = str(p % 8)
+        return [flat]
+
+    lines = (
+        spark.read.text(path_or_lines)
+        if isinstance(path_or_lines, str)
+        else path_or_lines
+    )
+    parsed = lines.mapInPandas(_batch_parser(one), PARSED_SCHEMA)
+    return _finish(parsed, None, promote_keys)
+
+
+# ----------------------------------------------------------------- journald
+
+
+def parse_journald_export(
+    spark: SparkSession,
+    path: str,
+    promote_keys: list[str] | None = None,
+) -> DataFrame:
+    """journald export format: KEY=value lines, blank line between entries;
+    MESSAGE → _msg, __REALTIME_TIMESTAMP (µs) → _time
+    (app/vlinsert/journald/journald.go:37,66). Reads whole files (entries
+    span lines) — one file per task, fine for export-style drops."""
+    rdd_like = spark.read.text(path, wholetext=True)
+
+    def one(blob: str) -> list[dict]:
+        out = []
+        for entry in blob.split("\n\n"):
+            flat: dict[str, str] = {}
+            for line in entry.split("\n"):
+                if not line or "=" not in line:
+                    continue
+                k, v = line.split("=", 1)
+                if k == "MESSAGE":
+                    flat["_msg"] = v
+                elif k == "__REALTIME_TIMESTAMP":
+                    flat["_time"] = str(int(v) / 1e6)
+                else:
+                    flat[k.lower().lstrip("_")] = v
+            if flat:
+                out.append(flat)
+        return out
+
+    parsed = rdd_like.mapInPandas(_batch_parser(one), PARSED_SCHEMA)
+    return _finish(parsed, None, promote_keys)
+
+
+# ------------------------------------------------------------------ datadog
+
+
+def parse_datadog_logs(
+    spark: SparkSession,
+    path_or_lines,
+    promote_keys: list[str] | None = None,
+) -> DataFrame:
+    """Datadog logs payloads (one JSON array per line): [{"message": ...,
+    "ddtags": "k:v,k2:v2", "hostname": ..., "service": ...}]
+    (app/vlinsert/datadog). ddtags unpack into fields."""
+
+    def one(line: str) -> list[dict]:
+        line = line.strip()
+        if not line:
+            return []
+        arr = json.loads(line)
+        if isinstance(arr, dict):
+            arr = [arr]
+        out = []
+        for obj in arr:
+            flat = {}
+            for k, v in obj.items():
+                if k == "message":
+                    flat["_msg"] = str(v)
+                elif k == "ddtags":
+                    for tag in str(v).split(","):
+                        if ":" in tag:
+                            tk, tv = tag.split(":", 1)
+                            flat[tk] = tv
+                elif k == "timestamp":
+                    flat["_time"] = str(v)
+                else:
+                    flat[str(k)] = str(v)
+            out.append(flat)
+        return out
+
+    lines = (
+        spark.read.text(path_or_lines)
+        if isinstance(path_or_lines, str)
+        else path_or_lines
+    )
+    parsed = lines.mapInPandas(_batch_parser(one), PARSED_SCHEMA)
+    return _finish(parsed, None, promote_keys)
