@@ -1,0 +1,58 @@
+"""CLI smoke tests (driving cli.main in-process)."""
+
+import contextlib
+import datetime as dt
+import io
+import json
+
+import pytest
+
+from victorialogs_spark import cli
+from victorialogs_spark.schema import with_stream_id
+
+UTC = dt.timezone.utc
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("clitable") / "logs")
+    rows = [
+        (
+            dt.datetime(2024, 1, 1, 0, 0, i, tzinfo=UTC),
+            f"msg {i} " + ("error" if i % 2 else "ok"),
+            "web" if i < 3 else "db",
+        )
+        for i in range(6)
+    ]
+    df = with_stream_id(
+        spark.createDataFrame(rows, "_time timestamp, _msg string, app string"),
+        ["app"],
+    )
+    df.write.parquet(d)
+    return d
+
+
+def run_cli(args):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(args)
+    assert rc == 0
+    return [json.loads(ln) for ln in buf.getvalue().splitlines()]
+
+
+def test_cli_query(table):
+    out = run_cli(["query", "error | fields _msg, app", "--table", table])
+    assert len(out) == 3
+    assert all("error" in r["_msg"] for r in out)
+
+
+def test_cli_hits_and_streams(table):
+    out = run_cli(["hits", "*", "--table", table, "--step", "1m"])
+    assert out and out[0]["hits"] == "6"
+    out = run_cli(["streams", "--table", table])
+    assert {r["_stream"] for r in out} == {'{app="web"}', '{app="db"}'}
+
+
+def test_cli_field_values_limit(table):
+    out = run_cli(["field-values", "app", "--table", table, "--limit", "1"])
+    assert len(out) == 1

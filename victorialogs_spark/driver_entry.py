@@ -603,6 +603,69 @@ logsql(
     " FROM orders GROUP BY o_custkey) ORDER BY tot DESC LIMIT 10",
     table="orders",
 )
+logsql(
+    "p_math_funcs",
+    # (value+1)^2 keeps results ≥ 1: tiny doubles render scientific in
+    # Spark ('9.0E-4') but plain in DuckDB ('0.0009')
+    "* | math value % 7 as m7, (value + 1) ^ 2 as p2, floor(value / 3) as f3,"
+    " ceil(value) as cv, min(value, 50) as mn, max(value, 150) as mx"
+    " | fields event_id, m7, p2, f3, cv, mn, mx",
+    f"SELECT {EID}, {fmt('fmod(value, 7)')} AS m7, {fmt('(value + 1) * (value + 1)')} AS p2,"
+    f" {fmt('FLOOR(value / 3)')} AS f3, {fmt('CEIL(value)')} AS cv,"
+    f" {fmt('LEAST(value, 50)')} AS mn, {fmt('GREATEST(value, 150)')} AS mx"
+    " FROM events",
+)
+logsql(
+    "p_extract_keep_original",
+    '* | copy event_type as kv | extract ": <kv>}" from _msg keep_original_fields'
+    " | fields event_id, kv",
+    f"SELECT {EID}, event_type AS kv FROM events",
+)
+logsql(
+    "p_uniq_multi",
+    "* | uniq by (event_type, user_id) with hits",
+    "SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS hits"
+    " FROM events GROUP BY 1, 2",
+)
+logsql(
+    "p_top_rank",
+    "* | top 3 by (event_type) rank as r",
+    "SELECT event_type, hits, CAST(r AS VARCHAR) AS r FROM ("
+    "SELECT event_type, COUNT(*) AS hits,"
+    " ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type ASC) r"
+    " FROM events GROUP BY event_type) WHERE r <= 3",
+)
+logsql(
+    "p_fields_missing",
+    "* | fields event_id, nosuch",
+    f"SELECT {EID}, '' AS nosuch FROM events",
+)
+logsql(
+    "s_count_uniq_limit",
+    "* | stats count_uniq(user_id) limit 3 as cu, count_uniq(user_id) as cufull",
+    "SELECT LEAST(COUNT(DISTINCT user_id), 3) AS cu,"
+    " COUNT(DISTINCT user_id) AS cufull FROM events",
+)
+logsql(
+    "s_row_min",
+    # sort key = event_id (unique) so the chosen row is deterministic
+    "* | stats row_min(event_id, user_id) as r",
+    "SELECT '{\"user_id\":\"' || CAST(arg_min(user_id, event_id) AS VARCHAR)"
+    " || '\"}' AS r FROM events",
+)
+
+
+@register("f_stream_id")  # engine-computed stream hash — rows-only
+def _f_stream_id(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.api import run_query
+
+    logs = _logs(spark, sf_dir)
+    sid = logs.where(F.col("event_type") == "error").first()["_stream_id"]
+    return run_query(spark, logs, f"_stream_id:{sid} | fields event_id")
+
+
 # ---------------------------------------------------------------------------
 # /select/logsql/* endpoint helpers (endpoints.py)
 # ---------------------------------------------------------------------------
