@@ -1,0 +1,77 @@
+"""Tests for the token-bloom side index (file pruning for word filters)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from victorialogs_spark.api import run_query
+from victorialogs_spark.index.bloom import (
+    build_token_bloom_index,
+    candidate_files,
+    read_pruned,
+    words_of_query,
+)
+
+UTC = dt.timezone.utc
+
+
+def _write_table(spark, path):
+    # 3 files with disjoint vocabularies (one file per write)
+    batches = [
+        ["alpha request accepted", "alpha cache warm"],
+        ["beta connection refused", "beta retry scheduled"],
+        ["gamma disk full", "gamma quota exceeded"],
+    ]
+    for i, msgs in enumerate(batches):
+        rows = [
+            (dt.datetime(2024, 1, 1, 0, i, j, tzinfo=UTC), m)
+            for j, m in enumerate(msgs)
+        ]
+        df = spark.createDataFrame(rows, "_time timestamp, _msg string")
+        df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_words_of_query():
+    assert words_of_query("error") == ["error"]
+    assert words_of_query('"disk full" beta') == ["disk", "full", "beta"]
+    assert words_of_query("app:x error") == ["error"]  # only _msg conjuncts
+    assert words_of_query("error OR warn") == []  # OR is not prunable
+
+
+def test_bloom_prunes_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "idx")
+    _write_table(spark, table)
+    build_token_bloom_index(spark, table, index)
+
+    n_files = spark.read.parquet(index).count()
+    assert n_files == 3
+    assert len(candidate_files(spark, index, ["beta"])) == 1
+    assert len(candidate_files(spark, index, ["zzz_not_there"])) == 0
+    # conjunctive: tokens from different files → no candidate file
+    assert len(candidate_files(spark, index, ["alpha", "gamma"])) == 0
+
+    pruned = read_pruned(spark, table, index, "beta")
+    assert pruned.select(F.input_file_name()).distinct().count() == 1
+    # correctness: pruned + filter ≡ full + filter
+    got = {r["_msg"] for r in run_query(spark, pruned, "beta").collect()}
+    full = spark.read.parquet(table)
+    want = {r["_msg"] for r in run_query(spark, full, "beta").collect()}
+    assert got == want == {"beta connection refused", "beta retry scheduled"}
+
+
+def test_bloom_unindexed_files_always_scanned(spark, tmp_path):
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "idx")
+    _write_table(spark, table)
+    build_token_bloom_index(spark, table, index)
+    # append a NEW file after the index was built
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, tzinfo=UTC), "delta fresh beta data")],
+        "_time timestamp, _msg string",
+    )
+    df.coalesce(1).write.mode("append").parquet(table)
+    pruned = read_pruned(spark, table, index, "beta")
+    got = {r["_msg"] for r in run_query(spark, pruned, "beta").collect()}
+    assert "delta fresh beta data" in got  # unindexed file was not pruned
+    assert len(got) == 3

@@ -1,0 +1,152 @@
+"""Token-bloom side index: per-file Bloom filters over message tokens,
+used to prune input FILES for word/phrase filters before the scan even
+starts — the Spark-side equivalent of the reference's per-block token
+bloom filters (lib/logstorage/bloomfilter.go:16-19: 6 hashes, 16 bits per
+token; here per parquet file instead of per 2 MB block).
+
+Parquet's built-in bloom filters index whole VALUES; LogsQL word filters
+match TOKENS inside the message, which value blooms can't serve — hence
+this sidecar. Correctness never depends on it: files absent from the
+index are always scanned, and the real filter still runs after pruning.
+
+Build is fully distributed (distinct tokens per file → applyInPandas
+bitset build). Probe reads only the tiny sidecar table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BITS_PER_TOKEN = 16  # same density as the reference
+NUM_HASHES = 6
+
+_TOKEN_RE = r"[0-9A-Za-z_]+"
+
+
+def _bloom_positions(token: str, nbits: int) -> list[int]:
+    """k deterministic bit positions for a token (md5-derived, engine- and
+    process-independent)."""
+    out = []
+    for i in range(NUM_HASHES):
+        h = hashlib.md5(f"{i}|{token}".encode("utf-8")).digest()
+        out.append(int.from_bytes(h[:8], "big") % nbits)
+    return out
+
+
+def _bloom_size(n_tokens: int) -> int:
+    bits = max(64, n_tokens * BITS_PER_TOKEN)
+    return (bits + 7) // 8 * 8  # whole bytes
+
+
+def build_token_bloom_index(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    fields: list[str] | None = None,
+) -> None:
+    """Build the sidecar: one row per (file) with a bloom over the distinct
+    tokens of ``fields`` (default: _msg). Run it after ingest/compaction."""
+    fields = fields or ["_msg"]
+    df = spark.read.parquet(table_path)
+    cols = [c for c in fields if c in df.columns]
+    if not cols:
+        raise ValueError(f"none of {fields} present in {table_path}")
+    toks = F.explode(
+        F.array_distinct(
+            F.flatten(
+                F.array(
+                    *[F.regexp_extract_all(F.col(c), F.lit(_TOKEN_RE), 0) for c in cols]
+                )
+            )
+        )
+    )
+    per_file = (
+        df.select(F.input_file_name().alias("file"), toks.alias("token"))
+        .distinct()
+    )
+
+    def _build(pdf):
+        import pandas as pd
+
+        file = pdf["file"].iloc[0]
+        tokens = pdf["token"].tolist()
+        nbits = _bloom_size(len(tokens))
+        bits = bytearray(nbits // 8)
+        for t in tokens:
+            for pos in _bloom_positions(t, nbits):
+                bits[pos // 8] |= 1 << (pos % 8)
+        return pd.DataFrame(
+            {"file": [file], "n_tokens": [len(tokens)], "bloom": [bytes(bits)]}
+        )
+
+    schema = "file string, n_tokens long, bloom binary"
+    index = per_file.groupBy("file").applyInPandas(_build, schema)
+    index.write.mode("overwrite").parquet(index_path)
+
+
+def _maybe_contains(bloom: bytes, token: str) -> bool:
+    nbits = len(bloom) * 8
+    if nbits == 0:
+        return True
+    for pos in _bloom_positions(token, nbits):
+        if not (bloom[pos // 8] >> (pos % 8)) & 1:
+            return False
+    return True
+
+
+def candidate_files(
+    spark: SparkSession, index_path: str, tokens: list[str]
+) -> list[str]:
+    """Files that may contain ALL of ``tokens`` (bloom AND-semantics, the
+    same conjunctive pruning the reference applies per block)."""
+    rows = spark.read.parquet(index_path).collect()
+    out = []
+    for r in rows:
+        if all(_maybe_contains(bytes(r["bloom"]), t) for t in tokens):
+            out.append(r["file"])
+    return out
+
+
+def words_of_query(query: str, field: str = "_msg") -> list[str]:
+    """Extract the top-level conjunct word/phrase tokens on ``field`` from a
+    LogsQL query — the prunable part of the filter."""
+    from victorialogs_spark.logsql import ast as A
+    from victorialogs_spark.logsql.parser import parse_query
+
+    q = parse_query(query)
+    conjuncts = q.filter.children if isinstance(q.filter, A.FAnd) else [q.filter]
+    toks: list[str] = []
+    for c in conjuncts:
+        if isinstance(c, A.FPhrase) and c.field == field and not c.case_insensitive:
+            toks.extend(re.findall(_TOKEN_RE, c.phrase))
+    return toks
+
+
+def read_pruned(
+    spark: SparkSession, table_path: str, index_path: str, query: str
+) -> DataFrame:
+    """Read the log table scanning ONLY files whose bloom may match the
+    query's word filters. Unknown (unindexed) files are always included.
+    Returns the full table reader when nothing is prunable."""
+    toks = words_of_query(query)
+    full = spark.read.parquet(table_path)
+    if not toks:
+        return full
+    all_files = [
+        r["file"]
+        for r in full.select(F.input_file_name().alias("file")).distinct().collect()
+    ]
+    indexed = {
+        r["file"] for r in spark.read.parquet(index_path).select("file").collect()
+    }
+    cands = set(candidate_files(spark, index_path, toks))
+    keep = [f for f in all_files if f not in indexed or f in cands]
+    if not keep:
+        return full.limit(0)
+    if len(keep) == len(all_files):
+        return full
+    return spark.read.schema(full.schema).parquet(*keep)
