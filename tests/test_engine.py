@@ -488,3 +488,38 @@ def test_stream_context_delimiters(spark):
     msgs = [r["_msg"] for r in out.collect()]
     assert msgs.count("---") == 2  # one delimiter per group (2 groups)
     assert "line0" in msgs and "line2" in msgs and "line3" in msgs and "line5" in msgs
+
+
+def test_value_type_sniff(spark):
+    df = make_logs(spark, [{"v": "200"}, {"v": "1.5"}, {"v": "abc"},
+                           {"v": "10.0.0.1"}, {"v": "2024-01-01T00:00:00Z"}])
+    assert run_query(spark, df, "v:value_type(uint8)").count() == 1
+    assert run_query(spark, df, "v:value_type(float64)").count() == 2
+    assert run_query(spark, df, "v:value_type(ipv4)").count() == 1
+    assert run_query(spark, df, "v:value_type(iso8601)").count() == 1
+
+
+def test_copy_time_column(spark, logs):
+    out = run_query(spark, logs, "* | copy _time as t2 | fields _time, t2")
+    r = out.collect()[0]
+    assert r["t2"] == r["_time"]
+
+
+def test_natural_sort_property(spark):
+    # natural order: numerics numerically first, then strings lexicographic
+    import random
+
+    rng = random.Random(3)
+    vals = [str(rng.randint(0, 10**6)) for _ in range(30)]
+    vals += [f"s{rng.randint(0, 99)}" for _ in range(10)]
+    vals += [str(rng.uniform(0, 1000)) for _ in range(10)]
+    df = make_logs(spark, [{"v": v} for v in vals])
+    got = [r["v"] for r in run_query(spark, df, "* | sort by (v)").collect()]
+
+    def key(s):
+        try:
+            return (0, float(s), s)
+        except ValueError:
+            return (1, 0.0, s)
+
+    assert got == sorted(vals, key=key)

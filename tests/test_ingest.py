@@ -122,3 +122,20 @@ def test_live_tail_poll_loop(spark, tmp_path):
     assert [r["_msg"] for r in tailer.poll_once()] == ["new3"]
     with pytest.raises(ValueError):
         LiveTailer(spark, lambda: spark.read.parquet(src_dir), "* | stats count() as c")
+
+
+def test_tenant_partitioning(spark, tmp_path):
+    from victorialogs_spark.schema import for_tenant, with_day_partition, with_tenant
+
+    rows = [(dt.datetime(2024, 1, 1, tzinfo=UTC), f"m{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "_time timestamp, _msg string")
+    t0 = with_day_partition(with_tenant(df, 1, 10))
+    t1 = with_day_partition(with_tenant(df, 2, 20))
+    path = str(tmp_path / "mt")
+    t0.unionByName(t1).write.partitionBy("tenant", "_day").parquet(path)
+    full = spark.read.parquet(path)
+    one = for_tenant(full, 1, 10)
+    assert one.count() == 4 and full.count() == 8
+    # tenant predicate prunes at partition level
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "tenant" in plan

@@ -655,6 +655,47 @@ logsql(
 )
 
 
+logsql(
+    "s_time_bucket_offset",
+    "* | stats by (_time:1d offset 2h) count() as c",
+    "SELECT make_timestamp(CAST(FLOOR((epoch_us(ts) - 7200000000)"
+    " / 86400000000) * 86400000000 + 7200000000 AS BIGINT)) AS _time,"
+    " COUNT(*) AS c FROM events GROUP BY 1",
+)
+logsql(
+    "s_multi_bucket",
+    "* | stats by (event_type, value:100) count() as c",
+    f"SELECT event_type, {fmt('FLOOR(value / 100) * 100')} AS value,"
+    " COUNT(*) AS c FROM events GROUP BY 1, 2",
+)
+logsql(
+    "p_format_time_conv",
+    '* | math round(value) as rv | format "<time:rv>" as t | fields event_id, t',
+    f"SELECT {EID}, strftime(make_timestamp(CAST(ROUND(value) * 1000000 AS BIGINT)),"
+    " '%Y-%m-%dT%H:%M:%S.') || '000Z' AS t FROM events",
+)
+logsql(
+    "p_unpack_words_limit",
+    "* | unpack_words _msg as w limit 1 | fields event_id, w",
+    f"SELECT {EID}, '[\"k\"]' AS w FROM events",
+)
+logsql(
+    "s_ipv4_bucket",
+    '* | format "10.<user_id>.3.7" as ip | stats by (ip:/16) count() as c',
+    "SELECT '10.' || CAST(user_id AS VARCHAR) || '.0.0' AS ip, COUNT(*) AS c"
+    " FROM events GROUP BY 1",
+)
+logsql(
+    "p_sort_partition_rank",
+    "* | sort by (value, event_id) desc partition by (event_type) limit 2 rank as r"
+    " | fields event_type, event_id, r",
+    "SELECT event_type, CAST(event_id AS VARCHAR) AS event_id,"
+    " CAST(r AS VARCHAR) AS r FROM (SELECT event_type, event_id,"
+    " ROW_NUMBER() OVER (PARTITION BY event_type"
+    " ORDER BY value DESC, event_id DESC) r FROM events) WHERE r <= 2",
+)
+
+
 @register("f_stream_id")  # engine-computed stream hash — rows-only
 def _f_stream_id(spark, sf_dir):
     from pyspark.sql import functions as F

@@ -68,6 +68,22 @@ def with_day_partition(df: DataFrame) -> DataFrame:
     return df.withColumn("_day", F.date_format(F.col("_time"), "yyyyMMdd"))
 
 
+def with_tenant(df: DataFrame, account_id: int = 0, project_id: int = 0) -> DataFrame:
+    """Attach the tenant identity column ('<account>:<project>', mirroring
+    the reference's TenantID pair, lib/logstorage/tenant_id.go:15-21).
+    Physically a partition column: `partitionBy('tenant', '_day')` groups a
+    tenant's data exactly like the reference's per-tenant storage paths."""
+    return df.withColumn("tenant", F.lit(f"{account_id}:{project_id}"))
+
+
+def for_tenant(df: DataFrame, account_id: int = 0, project_id: int = 0) -> DataFrame:
+    """Restrict a multi-tenant table to one tenant (partition-pruned when
+    `tenant` is a partition column)."""
+    if "tenant" not in df.columns:
+        return df
+    return df.where(F.col("tenant") == f"{account_id}:{project_id}")
+
+
 def flatten_json(obj: dict, prefix: str = "", max_name_len: int = 128) -> dict[str, str]:
     """Nested JSON → flat string fields with dot-joined keys; arrays/numbers/
     bools keep their JSON representation (json_parser.go:71,122)."""
