@@ -386,3 +386,20 @@ def test_number_literals():
     assert parse_number("1h30m") == 5400 * NS
     assert parse_number("0x10") == 16.0
     assert parse_number("abc") is None
+
+
+def test_malformed_queries_rejected():
+    import pytest
+    from victorialogs_spark.logsql.parser import ParseError, parse_query
+
+    for bad in [
+        "host:>",
+        "host:>=",
+        "_time:day_range[25:99, 26:00]",
+        "_time:day_range[08:00, 99:00]",
+        '* | replace ("a") at x',
+        "v:range(5,)",
+        "| stats",
+    ]:
+        with pytest.raises(ParseError):
+            parse_query(bad)

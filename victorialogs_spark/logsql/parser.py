@@ -472,6 +472,8 @@ class Parser:
             # non-numeric operand → lexicographic string-range fallback
             # (reference parser.go:2182-2217 tryParseFilterGT/LTString)
             val = self._compound_time_token()
+            if not val or val == "|":
+                raise self.err(f"missing operand after '{op}'")
             if op == ">":
                 lo = val if allow_eq else val + "\x00"
                 return A.FStringRange(field, lo, MAX_STRING_RANGE)
@@ -631,7 +633,10 @@ class Parser:
         m = re.match(r"^(\d{1,2})(?::(\d{2}))?$", txt)
         if not m:
             raise self.err(f"invalid time-of-day {txt!r}")
-        return int(m.group(1)) * 60 + int(m.group(2) or 0)
+        hh, mm = int(m.group(1)), int(m.group(2) or 0)
+        if hh > 24 or mm > 59 or hh * 60 + mm > 24 * 60:
+            raise self.err(f"time-of-day out of range {txt!r}")
+        return hh * 60 + mm
 
     _WEEKDAYS = {
         "sun": 0, "sunday": 0, "mon": 1, "monday": 1, "tue": 2, "tuesday": 2,
