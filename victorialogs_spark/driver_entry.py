@@ -835,7 +835,6 @@ def _dp_minhash_lsh(spark, sf_dir):
     )
     return minhash_near_dups(
         docs, "doc_id", "text", num_hashes=32, bands=4, threshold=0.7,
-        shingle="token",
     )
 
 
