@@ -696,6 +696,35 @@ logsql(
 )
 
 
+logsql(
+    "s_uniq_values_limit",
+    "* | stats uniq_values(event_type) limit 3 as u",
+    "SELECT CAST(to_json(list_sort(list(DISTINCT event_type))[:3]) AS VARCHAR)"
+    " AS u FROM events",
+)
+logsql(
+    "p_top_custom_hits",
+    "* | top 2 by (event_type) hits as cnt",
+    "SELECT event_type, cnt FROM (SELECT event_type, COUNT(*) AS cnt,"
+    " ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type ASC) r"
+    " FROM events GROUP BY event_type) WHERE r <= 2",
+)
+logsql(
+    "p_format_duration_conv",
+    '* | math round(value) * 1000000000 as ns | format "<duration:ns>" as d'
+    " | fields event_id, d",
+    f"SELECT {EID}, {fmt('ROUND(value)')} || 's' AS d FROM events",
+)
+logsql(
+    "p_unroll_zip",
+    "* | unpack_words _msg as w | copy w as w2 | unroll (w, w2)"
+    " | fields event_id, w, w2",
+    f"SELECT {EID}, 'k' AS w, 'k' AS w2 FROM events UNION ALL"
+    f" SELECT {EID}, json_extract_string(props, '$.k'),"
+    " json_extract_string(props, '$.k') FROM events",
+)
+
+
 @register("f_stream_id")  # engine-computed stream hash — rows-only
 def _f_stream_id(spark, sf_dir):
     from pyspark.sql import functions as F
