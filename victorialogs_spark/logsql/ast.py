@@ -476,7 +476,7 @@ class PFacets(Pipe):
 
 @dataclass
 class PFieldNames(Pipe):
-    pass
+    result: str = "name"
 
 
 @dataclass
@@ -534,7 +534,7 @@ class PStreamContext(Pipe):
 
 @dataclass
 class PBlocksCount(Pipe):
-    pass
+    result: str = "blocks_count"
 
 
 @dataclass

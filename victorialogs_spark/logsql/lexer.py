@@ -235,18 +235,49 @@ def parse_number(s: str) -> float | None:
     try:
         if low.startswith("0x") or low.startswith("-0x"):
             return float(int(t, 16))
+        if low.startswith("0o") or low.startswith("-0o"):
+            return float(int(t, 8))
         if low.startswith("0b") or low.startswith("-0b"):
             return float(int(t, 2))
         return float(t)
     except ValueError:
         pass
-    for suf, mult in _SIZE_SUFFIXES:
-        if t.endswith(suf):
-            try:
-                return float(t[: -len(suf)]) * mult
-            except ValueError:
-                return None
+    v = _parse_size_compound(t)
+    if v is not None:
+        return v
     ns = parse_duration_ns(t)
     if ns is not None:
         return float(ns)
     return None
+
+
+_SIZE_PART_RE = re.compile(r"(-?\d+(?:\.\d+)?)([A-Za-z]+)")
+
+
+def _parse_size_compound(t: str) -> float | None:
+    """Size literals incl. compound ones: '1.5KB', '22MB100KB' (sum of
+    parts, like compound durations)."""
+    pos, total = 0, 0.0
+    neg = t.startswith("-")
+    if neg:
+        t = t[1:]
+    while pos < len(t):
+        m = _SIZE_PART_RE.match(t, pos)
+        if not m:
+            return None
+        mult = None
+        for suf, sm in _SIZE_SUFFIXES:
+            # single-letter suffixes stay case-sensitive: 'm' is minutes
+            # (duration), 'M' is mega
+            if m.group(2) == suf or (
+                len(suf) >= 2 and m.group(2).lower() == suf.lower()
+            ):
+                mult = sm
+                break
+        if mult is None:
+            return None
+        total += float(m.group(1)) * mult
+        pos = m.end()
+    if pos == 0:
+        return None
+    return -total if neg else total

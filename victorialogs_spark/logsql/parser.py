@@ -269,15 +269,22 @@ class Parser:
         return val, False
 
     def _parse_string_list(self) -> list[str]:
-        """'(' v1, v2, ... ')'"""
+        """'(' v1, v2, ... ')' — each value is a word or quoted string;
+        '*', bare ',', '|' etc. in value position are errors (the reference
+        rejects prefixes/multi-token args in in()/contains_*())."""
         self.expect("(")
         vals: list[str] = []
         while not self.tok().is_kw(")"):
             self._guard_end("argument list")
-            vals.append(self.tok().text)
-            self.advance()
-            if self.tok().is_kw(","):
+            t = self.tok()
+            if not t.quoted and t.is_kw(",", "*", "|", "("):
+                raise self.err(f"unexpected {t.text!r} in argument list")
+            vals.append(self._compound_phrase(allow_colon=True))
+            t = self.tok()
+            if t.is_kw(","):
                 self.advance()
+            elif not t.is_kw(")"):
+                raise self.err(f"expected ',' or ')' in argument list, got {t.text!r}")
         self.advance()
         return vals
 
@@ -325,7 +332,23 @@ class Parser:
             return A.FPrefix(field, val, case_insensitive=True)
         return A.FPhrase(field, val, case_insensitive=True)
 
+    def _star_arg(self) -> bool:
+        """Consume a sole unquoted '(*)' argument list (match-all) if present."""
+        state = self.lex.backup()
+        if not self.tok().is_kw("("):
+            return False
+        self.advance()
+        if self.tok().is_kw("*") and not self.tok().quoted:
+            self.advance()
+            if self.tok().is_kw(")"):
+                self.advance()
+                return True
+        self.lex.restore(state)
+        return False
+
     def _parse_f_in(self, field: str) -> A.Filter:
+        if self._star_arg():
+            return A.FNoop()  # in(*) matches everything
         if self._looks_like_subquery():
             self.expect("(")
             q = self.parse(subquery=True)
@@ -334,6 +357,8 @@ class Parser:
         return A.FIn(field, self._parse_string_list())
 
     def _parse_f_contains_all(self, field: str) -> A.Filter:
+        if self._star_arg():
+            return A.FNoop()
         if self._looks_like_subquery():
             self.expect("(")
             q = self.parse(subquery=True)
@@ -342,6 +367,8 @@ class Parser:
         return A.FContains(field, self._parse_string_list(), True)
 
     def _parse_f_contains_any(self, field: str) -> A.Filter:
+        if self._star_arg():
+            return A.FNoop()
         if self._looks_like_subquery():
             self.expect("(")
             q = self.parse(subquery=True)
@@ -354,8 +381,25 @@ class Parser:
 
     def _parse_f_re(self, field: str) -> A.Filter:
         self.expect("(")
-        pat = self.tok().text
-        self.advance()
+        if self.tok().quoted:
+            pat = self.tok().text
+            self.advance()
+        else:
+            # bare regex arg: glue tokens (incl. '-', '/', '.') until the
+            # matching ')' — regexes with spaces must be quoted
+            parts: list[str] = []
+            depth = 0
+            while not self.lex.is_end():
+                t = self.tok()
+                if not t.quoted and t.is_kw("("):
+                    depth += 1
+                elif not t.quoted and t.is_kw(")"):
+                    if depth == 0:
+                        break
+                    depth -= 1
+                parts.append(t.text)
+                self.advance()
+            pat = "".join(parts)
         self.expect(")")
         return A.FRegexp(field, pat)
 
@@ -390,6 +434,8 @@ class Parser:
             self.advance()
             second = self.tok().text
             self.advance()
+            if self.tok().is_kw(","):  # tolerate a trailing comma
+                self.advance()
             self.expect(")")
             lo = ipv4_to_u32(first)
             hi = ipv4_to_u32(second)
@@ -431,6 +477,8 @@ class Parser:
             hi = self._parse_float("len_range upper")
         else:
             self.advance()
+        if self.tok().is_kw(","):  # tolerate a trailing comma
+            self.advance()
         self.expect(")")
         return A.FLenRange(field, int(lo), int(hi) if hi != float("inf") else 2**62)
 
@@ -468,7 +516,7 @@ class Parser:
         if self.tok().is_kw("=") and not self.tok().space_before:
             self.advance()
             allow_eq = True
-        if not self.tok().is_kw("-") and parse_number(self.tok().text) is None:
+        if not self.tok().is_kw("-", "+") and parse_number(self.tok().text) is None:
             # non-numeric operand → lexicographic string-range fallback
             # (reference parser.go:2182-2217 tryParseFilterGT/LTString)
             val = self._compound_time_token()
@@ -489,13 +537,26 @@ class Parser:
         if self.tok().is_kw("-"):
             self.advance()
             neg = True
+        elif self.tok().is_kw("+"):
+            self.advance()
         txt = self.tok().text
-        # glue tokens like '1h30m' (lexer may split '1h30m'? no — alnum run)
+        self.advance()
+        # glue scientific notation split at the exponent sign: '1.2e' '-' '5'
+        if (
+            txt
+            and txt[-1] in "eE"
+            and not self.lex.is_end()
+            and not self.tok().space_before
+            and self.tok().is_kw("-", "+")
+        ):
+            sign = self.tok().text
+            self.advance()
+            if not self.tok().space_before and not self.lex.is_end():
+                txt += sign + self.tok().text
+                self.advance()
         v = parse_number(txt)
         if v is None:
             raise self.err(f"cannot parse number for {what}: {txt!r}")
-        self.advance()
-        # handle '1.5e' split? keep simple
         return -v if neg else v
 
     # -- _time filters -------------------------------------------------------
@@ -515,6 +576,11 @@ class Parser:
             if off is None:
                 raise self.err("invalid _time offset")
             return A.FTime(-(2**62), self.now_ns - off)
+        if t.is_kw("="):
+            # '_time:=<point>' — exact point/interval (e.g. '=2024Z', '=2d')
+            self.advance()
+            lo, hi = self._parse_time_point()
+            return self._with_time_offset(A.FTime(lo, hi))
         if t.is_kw(">"):
             self.advance()
             allow_eq = False
@@ -550,15 +616,29 @@ class Parser:
             start = lo_lo if inc_lo else lo_hi + 1
             end = hi_hi if inc_hi else hi_lo - 1
             return self._with_time_offset(A.FTime(start, end))
-        # duration (last N) or a timestamp point
+        # duration (last N), 'now'/'now±dur', or a timestamp point
         txt = self._compound_time_token()
         dur = parse_duration_ns(txt)
         if dur is not None:
             return self._with_time_offset(A.FTime(self.now_ns - dur, self.now_ns))
+        np = self._now_arith(txt)
+        if np is not None:
+            return self._with_time_offset(A.FTime(np, np))
         rng = parse_time_point(txt)
         if rng is None:
             raise self.err(f"cannot parse _time filter value {txt!r}")
         return self._with_time_offset(A.FTime(rng[0], rng[1]))
+
+    def _now_arith(self, txt: str) -> int | None:
+        """'now', 'now-1h', 'now+30m' → absolute ns, else None."""
+        low = txt.lower()
+        if not low.startswith("now"):
+            return None
+        rest = low[3:]
+        if not rest:
+            return self.now_ns
+        d = parse_duration_ns(rest)
+        return self.now_ns + d if d is not None else None
 
     def _with_time_offset(self, f: A.FTime) -> A.FTime:
         if self.tok().is_kw("offset"):
@@ -590,8 +670,9 @@ class Parser:
 
     def _parse_time_point(self) -> tuple[int, int]:
         txt = self._compound_time_token()
-        if txt.lower() == "now":
-            return self.now_ns, self.now_ns
+        np = self._now_arith(txt)
+        if np is not None:
+            return np, np
         dur = parse_duration_ns(txt)
         if dur is not None and not re.match(r"^\d{4}", txt):
             ts = self.now_ns - dur
@@ -674,6 +755,13 @@ class Parser:
     def _parse_stream_id_filter(self) -> A.Filter:
         if self.tok().is_kw("in"):
             self.advance()
+            if self._star_arg():
+                return A.FNoop()
+            if self._looks_like_subquery():
+                self.expect("(")
+                q = self.parse(subquery=True)
+                self.expect(")")
+                return A.FInSubquery("_stream_id", q)
             return A.FStreamId(self._parse_string_list())
         return A.FStreamId([self.tok().text]) if not self.advance() else A.FStreamId([self.lex.prev_token.text])
 
@@ -684,11 +772,18 @@ class Parser:
         cur: list[A.StreamLabelMatcher] = []
         while not self.tok().is_kw("}"):
             self._guard_end("stream filter")
-            if self.tok().is_kw("or"):
+            if self.tok().is_kw("or") and not self.tok().quoted:
+                # 'or' is a separator only when NOT used as a label name
+                # (i.e. the following token is not a matcher op)
+                state = self.lex.backup()
                 self.advance()
-                or_terms.append(cur)
-                cur = []
-                continue
+                is_label = self.tok().text in ("=", "!=", "=~", "!~")
+                self.lex.restore(state)
+                if not is_label:
+                    self.advance()
+                    or_terms.append(cur)
+                    cur = []
+                    continue
             label = self.tok().text
             self.advance()
             op = self.tok().text
@@ -710,6 +805,22 @@ class Parser:
         name = t.text.lower() if not t.quoted else ""
         fn = getattr(self, f"_parse_p_{name}", None)
         if fn is None:
+            if name in _STATS_FUNCS and not t.quoted:
+                # implicit stats pipe: '| count() ...' (pipe.go:367-384)
+                state = self.lex.backup()
+                self.advance()
+                is_call = self.tok().is_kw("(") and not self.tok().space_before
+                self.lex.restore(state)
+                if is_call:
+                    return self._parse_p_stats()
+            if t.is_kw("(") and not t.quoted:
+                # '| (host) count() ...' — implicit stats with a paren
+                # by-list; fall back to a filter group if stats parsing fails
+                state = self.lex.backup()
+                try:
+                    return self._parse_p_stats()
+                except ParseError:
+                    self.lex.restore(state)
             # implicit filter pipe (pipe.go:367-384)
             f = self.parse_filter_or()
             return A.PFilter(f)
@@ -823,6 +934,8 @@ class Parser:
     _parse_p_where = _parse_p_filter
 
     def _parse_p_limit(self) -> A.Pipe:
+        if self.lex.is_end() or self.tok().is_kw("|", ")"):
+            return A.PLimit(10)  # bare 'limit' defaults to 10 (pipe_limit.go:107)
         return A.PLimit(self._int("limit"))
 
     _parse_p_head = _parse_p_limit
@@ -927,6 +1040,9 @@ class Parser:
         if self.tok().is_kw("by"):
             self.advance()
             by = self._parse_by_fields()
+        elif self.tok().is_kw("("):
+            # 'stats (...)' — the by keyword is optional (pipe_stats.go)
+            by = self._parse_by_fields()
         funcs = [self._parse_stats_func()]
         while self.tok().is_kw(","):
             self.advance()
@@ -999,7 +1115,10 @@ class Parser:
         if self.tok().is_kw("if"):
             self.advance()
             self.expect("(")
-            cond = self.parse_filter_or()
+            if self.tok().is_kw(")"):  # 'if ()' — empty condition is a noop
+                cond = None
+            else:
+                cond = self.parse_filter_or()
             self.expect(")")
         default_name = _default_stats_name(name, fields, extra)
         result = self._opt_as_name(default_name)
@@ -1230,6 +1349,8 @@ class Parser:
         if self.tok().is_kw("as"):
             self.advance()
             dst = self._field_name()
+        elif not self.lex.is_end() and not self.tok().is_kw("|", "limit"):
+            dst = self._field_name()  # positional result: 'unpack_words x y'
         limit = 0
         if self.tok().is_kw("limit"):
             self.advance()
@@ -1293,6 +1414,11 @@ class Parser:
             by = self._field_list(parens_required=True)
         elif self.tok().is_kw("("):
             by = self._field_list()
+        elif (
+            not self.lex.is_end()
+            and not self.tok().is_kw("|", "with", "limit")
+        ):
+            by = self._field_list()  # bare 'uniq foo, bar' form
         hits = None
         if self.tok().is_kw("with"):
             self.advance()
@@ -1347,10 +1473,15 @@ class Parser:
         return p
 
     def _parse_p_field_names(self) -> A.Pipe:
-        return A.PFieldNames()
+        return A.PFieldNames(result=self._opt_as_name("name"))
 
     def _parse_p_field_values(self) -> A.Pipe:
+        has_paren = self.tok().is_kw("(")
+        if has_paren:
+            self.advance()
         name = self._field_name()
+        if has_paren:
+            self.expect(")")
         limit = 0
         if self.tok().is_kw("limit"):
             self.advance()
@@ -1358,9 +1489,12 @@ class Parser:
         return A.PFieldValues(name, limit)
 
     def _single_field_as(self, default_suffix: str):
-        self.expect("(")
+        has_paren = self.tok().is_kw("(")
+        if has_paren:
+            self.advance()
         name = self._field_name()
-        self.expect(")")
+        if has_paren:
+            self.expect(")")
         result = self._opt_as_name(f"{default_suffix}({name})")
         return name, result
 
@@ -1422,7 +1556,7 @@ class Parser:
         return p
 
     def _parse_p_blocks_count(self) -> A.Pipe:
-        return A.PBlocksCount()
+        return A.PBlocksCount(result=self._opt_as_name("blocks_count"))
 
     def _parse_p_block_stats(self) -> A.Pipe:
         return A.PBlockStats()

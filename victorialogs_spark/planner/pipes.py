@@ -793,7 +793,8 @@ def _p_field_names(p: A.PFieldNames, df: DataFrame, ctx) -> DataFrame:
             F.array(*[qcol(c) for c in df.columns]),
         )
     )
-    return counts.select(pairs.alias("name", "hits")).where(qcol("hits") > 0)
+    name_col = getattr(p, "result", "name") or "name"
+    return counts.select(pairs.alias(name_col, "hits")).where(qcol("hits") > 0)
 
 
 def _p_facets(p: A.PFacets, df: DataFrame, ctx) -> DataFrame:
@@ -897,7 +898,7 @@ def _p_drop_empty_fields(p: A.PDropEmptyFields, df: DataFrame, ctx) -> DataFrame
 def _p_blocks_count(p: A.PBlocksCount, df: DataFrame, ctx) -> DataFrame:
     spark = df.sparkSession
     n = df.rdd.getNumPartitions()
-    return spark.createDataFrame([(str(n),)], ["blocks_count"])
+    return spark.createDataFrame([(str(n),)], [getattr(p, "result", "blocks_count")])
 
 
 def _p_block_stats(p: A.PBlockStats, df: DataFrame, ctx) -> DataFrame:

@@ -81,11 +81,13 @@ class LiveTailer:
         """One poll: run the query over rows newer than the per-stream
         watermark (minus overlap), return fresh rows sorted by _time."""
         src = self.source_fn()
-        if self._floor_us is None:
-            # first poll starts at the current max time (tail semantics)
+        priming = self._floor_us is None
+        if priming:
+            # first poll starts at the current max time (tail semantics);
+            # rows already inside the overlap window are marked seen (never
+            # yielded) so boundary rows can't re-deliver on the next poll
             row = src.agg(F.max(F.unix_micros(F.col("_time")))).first()
             self._floor_us = row[0] if row and row[0] is not None else 0
-            return []
         lo_us = self._floor_us - int(self.overlap * 1e6)
         windowed = src.where(F.unix_micros(F.col("_time")) > lo_us)
         out = plan_query(self.spark, windowed, self.q)
@@ -103,12 +105,13 @@ class LiveTailer:
             sid = d.get("_stream_id", "") if has_sid else ""
             key = (sid, t_us, tuple(sorted((k, str(v)) for k, v in d.items())))
             wm = self._seen_max_us.get(sid, self._floor_us)
-            if t_us < wm or key in self._seen_keys:
+            if not priming and (t_us < wm or key in self._seen_keys):
                 continue
             self._seen_keys.add(key)
             if t_us > wm:
                 self._seen_max_us[sid] = t_us
-            fresh.append(r)
+            if not priming:
+                fresh.append(r)
         # bound the dedup set: drop keys older than the global floor
         self._floor_us = max(
             self._floor_us, *(self._seen_max_us.values() or [0])
