@@ -523,3 +523,13 @@ def test_natural_sort_property(spark):
             return (1, 0.0, s)
 
     assert got == sorted(vals, key=key)
+
+
+def test_uniq_values_multi_field(spark):
+    df = make_logs(spark, [{"a": "x", "b": "y"}, {"a": "y", "b": ""}])
+    out = run_query(spark, df, "* | stats uniq_values(a, b) as u, values(a, b) as v")
+    r = out.collect()[0]
+    assert r["u"] == '["x","y"]'  # union across fields, deduped, sorted
+    import json as _json
+
+    assert sorted(_json.loads(r["v"])) == ["", "x", "y", "y"]

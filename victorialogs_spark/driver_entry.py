@@ -27,18 +27,20 @@ from victorialogs_spark.schema import events_as_logs, load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# keyed by the session OBJECT (held alive by the key) — an id() key could
+# alias a new session after the old one is garbage-collected
+_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _logs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir, "events_logs")
+    key = (spark, sf_dir, "events_logs")
     if key not in _CACHE:
         _CACHE[key] = events_as_logs(spark, sf_dir)
     return _CACHE[key]
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (spark, sf_dir, name)
     if key not in _CACHE:
         if name == "lineitem_ts":
             # lineitem with l_shipdate exposed as _time (for time-bucket ops)

@@ -174,18 +174,29 @@ def compile_stats_func(
         raise NotImplementedError("histogram is planned via pipes._histogram_agg")
 
     if name == "uniq_values":
-        vals = [guard(_nonempty(df, f)) for f in fields]
-        v = vals[0] if len(vals) == 1 else F.coalesce(*vals)
-        arr = F.array_sort(F.collect_set(v))
+        # unique values across ALL listed fields (union, not per-row pick)
+        if len(fields) == 1:
+            arr = F.array_sort(F.collect_set(guard(_nonempty(df, fields[0]))))
+        else:
+            row_vals = F.filter(
+                F.array(*[fcol(df, f) for f in fields]), lambda x: x != ""
+            )
+            arr = F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(guard(row_vals))))
+            )
         limit = sf.extra.get("limit")
         if limit:
             arr = F.slice(arr, 1, int(limit))
         return F.to_json(arr).alias(sf.result)
 
     if name == "values":
-        vals = [guard(fcol(df, f)) for f in fields]
-        v = vals[0] if len(vals) == 1 else F.coalesce(*vals)
-        arr = F.collect_list(v)
+        # all values (dups kept) across all listed fields
+        if len(fields) == 1:
+            arr = F.collect_list(guard(fcol(df, fields[0])))
+        else:
+            arr = F.flatten(
+                F.collect_list(guard(F.array(*[fcol(df, f) for f in fields])))
+            )
         limit = sf.extra.get("limit")
         if limit:
             arr = F.slice(arr, 1, int(limit))
