@@ -93,3 +93,28 @@ def test_histogram_no_row_collect_list(spark, events):
     # two-level: collect_list operates on pre-aggregated bucket counts;
     # plan must contain two aggregation layers
     assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 1
+
+
+def test_day_partition_pruning(spark, tmp_path):
+    """A bounded _time filter must prune _day partitions at scan time."""
+    import datetime as dt
+
+    from victorialogs_spark.schema import with_day_partition
+
+    UTC = dt.timezone.utc
+    rows = [
+        (dt.datetime(2024, 1, d, 12, 0, tzinfo=UTC), f"m{d}") for d in range(1, 6)
+    ]
+    df = with_day_partition(
+        spark.createDataFrame(rows, "_time timestamp, _msg string")
+    )
+    path = str(tmp_path / "days")
+    df.write.partitionBy("_day").parquet(path)
+    table = spark.read.parquet(path)
+    out = run_query(spark, table, "_time:[2024-01-02, 2024-01-03]")
+    assert out.count() == 2
+    plan = plan_of(out)
+    scan = [ln for ln in plan.split("\n") if "FileScan" in ln][0]
+    assert "PartitionFilters" in scan and "_day" in scan
+    # only 2 of the 5 day partitions are read
+    assert out.select("_msg").rdd.getNumPartitions() <= 3

@@ -121,7 +121,30 @@ def plan_query(
         from victorialogs_spark.planner.filters import _time_range
 
         out = out.where(_time_range(out, global_time_ns[0], global_time_ns[1]))
+        out = _day_prune(out, global_time_ns)
+    if q.time_range is not None:
+        out = _day_prune(out, q.time_range)
     out = apply_filter_df(out, q.filter, ctx)
     for p in q.pipes:
         out = apply_pipe(p, out, ctx)
     return out
+
+
+def _day_prune(df: DataFrame, tr: tuple[int, int]) -> DataFrame:
+    """Derive a `_day` partition predicate from a bounded time range so the
+    scan prunes whole day partitions (the reference's per-day partition
+    walk, storage_search.go:1069-1081). No-op without a `_day` column."""
+    if "_day" not in df.columns:
+        return df
+    import datetime as _dt
+
+    lo_ns, hi_ns = tr
+    pred = None
+    if lo_ns > -(2**61):
+        lo_day = _dt.datetime.fromtimestamp(lo_ns / 1e9, _dt.timezone.utc).strftime("%Y%m%d")
+        pred = F.col("_day") >= lo_day
+    if hi_ns < 2**61:
+        hi_day = _dt.datetime.fromtimestamp(hi_ns / 1e9, _dt.timezone.utc).strftime("%Y%m%d")
+        p2 = F.col("_day") <= hi_day
+        pred = p2 if pred is None else (pred & p2)
+    return df.where(pred) if pred is not None else df
