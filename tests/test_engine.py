@@ -533,3 +533,54 @@ def test_uniq_values_multi_field(spark):
     import json as _json
 
     assert sorted(_json.loads(r["v"])) == ["", "x", "y", "y"]
+
+
+def test_format_q_json_escaping(spark):
+    df = make_logs(spark, [{"v": 'say "hi"\tnow\\ok'}])
+    out = run_query(spark, df, '* | format "<q:v>" as o | fields o')
+    [(o,)] = rows_set(out)
+    import json as _json
+
+    assert _json.loads(o) == 'say "hi"\tnow\\ok'  # valid JSON round-trip
+
+
+def test_math_precedence_and_unary(spark):
+    df = make_logs(spark, [{"a": "2", "b": "3", "c": "4"}])
+    out = run_query(
+        spark, df,
+        "* | math a + b * c as m1, (a + b) * c as m2, -a ^ 2 as m3,"
+        " a - -b as m4 | fields m1, m2, m3, m4",
+    )
+    r = out.collect()[0]
+    assert r["m1"] == "14" and r["m2"] == "20"
+    assert r["m4"] == "5"
+
+
+def test_collapse_nums_prettify(spark):
+    df = make_logs(spark, [{"_msg": "ip 10.0.0.1 at 12:30:45 on 2024-01-02 id 5"}])
+    out = run_query(spark, df, "* | collapse_nums prettify at _msg | fields _msg")
+    [(m,)] = rows_set(out)
+    assert "<IP4>" in m and "<TIME>" in m and "<DATE>" in m and "<N>" in m
+
+
+def test_sort_missing_field_and_empty(spark):
+    df = make_logs(spark, [{"v": "2"}, {"v": ""}, {"v": "10"}])
+    out = run_query(spark, df, "* | sort by (v)")
+    # numeric first (2 < 10), then non-numeric ('' sorts as string before?)
+    got = [r["v"] for r in out.collect()]
+    assert got.index("2") < got.index("10")
+
+
+def test_extract_skip_empty_results(spark):
+    df = make_logs(spark, [{"_msg": "x=1", "f": "keep"}, {"_msg": "none", "f": "keep2"}])
+    out = run_query(
+        spark, df, '* | extract "x=<f>" from _msg skip_empty_results | fields f'
+    )
+    assert rows_set(out) == {("1",), ("keep2",)}
+
+
+def test_first_with_partition(spark, logs):
+    out = run_query(spark, logs, "* | first 1 by (code) partition by (host)")
+    # one row per host, the lowest code
+    got = {(r["host"], r["code"]) for r in out.collect()}
+    assert got == {("h1", "200"), ("h2", "404"), ("h3", "200")}
