@@ -241,6 +241,10 @@ def minhash_near_dups(
         )
     else:
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle=shingle)
+    # the signature sketch feeds THREE plan branches (band buckets + both
+    # verify-join sides); materialize it once instead of recomputing the
+    # hashing per branch (at cluster scale you'd persist the sketch table)
+    sigs = sigs.localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -301,6 +305,9 @@ def ngram_jaccard_pairs(
         else token_ngrams(F.col(text_col), n)
     )
     grams = df.select(F.col(id_col), F.explode(gen).alias("g"))
+    # gram table feeds three branches (sizes + both sides of the self-join):
+    # materialize once instead of re-shingling per branch
+    grams = grams.localCheckpoint(eager=False)
     if max_doc_freq:
         hot = grams.groupBy("g").count().where(F.col("count") > max_doc_freq)
         grams = grams.join(hot.select("g"), "g", "left_anti")
