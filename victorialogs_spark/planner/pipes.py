@@ -813,8 +813,13 @@ def _p_facets(p: A.PFacets, df: DataFrame, ctx) -> DataFrame:
     wf = Window.partitionBy("field_name")
     counted = counted.withColumn("__nvals", F.count(F.lit(1)).over(wf))
     if not p.keep_const_fields:
-        total = df.count()
-        counted = counted.where(~((qcol("__nvals") == 1) & (qcol("hits") == total)))
+        # const-field detection needs the total row count: broadcast a 1-row
+        # aggregate instead of a driver-side count() action mid-plan
+        total = df.agg(F.count(F.lit(1)).alias("__vl_total"))
+        counted = counted.crossJoin(F.broadcast(total))
+        counted = counted.where(
+            ~((qcol("__nvals") == 1) & (qcol("hits") == qcol("__vl_total")))
+        ).drop("__vl_total")
     counted = counted.where(qcol("__nvals") <= p.max_values_per_field)
     w = Window.partitionBy("field_name").orderBy(F.desc("hits"), F.asc("field_value"))
     out = (
@@ -896,8 +901,18 @@ def _p_drop_empty_fields(p: A.PDropEmptyFields, df: DataFrame, ctx) -> DataFrame
 
 
 def _p_blocks_count(p: A.PBlocksCount, df: DataFrame, ctx) -> DataFrame:
+    """Diagnostic: storage-unit count. For file-backed tables this is the
+    number of distinct input files (≈ the reference's block count role);
+    falls back to the partition count for in-memory frames."""
     spark = df.sparkSession
-    n = df.rdd.getNumPartitions()
+    try:
+        n = df.select(F.input_file_name().alias("f")).where(
+            F.col("f") != ""
+        ).distinct().count()
+        if n == 0:
+            n = df.rdd.getNumPartitions()
+    except Exception:
+        n = df.rdd.getNumPartitions()
     return spark.createDataFrame([(str(n),)], [getattr(p, "result", "blocks_count")])
 
 
