@@ -10,7 +10,9 @@ Operators:
 - minhash_signatures   — k char-shingle MinHash sketch (JVM-side xxhash64)
 - lsh_candidate_pairs  — banded LSH bucketing → candidate pairs
 - minhash_near_dups    — LSH candidates verified by signature similarity
-- ngram_jaccard_pairs  — exact token-n-gram Jaccard via gram-bucket join
+- ngram_jaccard_pairs  — exact token-n-gram Jaccard via inverted-index
+                         posting lists (join-free: pairs generated locally
+                         inside each gram's bucket)
 - simhash              — 64-bit SimHash (Arrow-batched pandas UDF)
 """
 
@@ -170,17 +172,10 @@ def minhash_signatures(
     return out.select(F.col(id_col), mins.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, bands: int = 16, num_hashes: int = 64
-) -> DataFrame:
-    """Banded LSH: split each signature into ``bands`` bands, hash each band
-    to a bucket, self-join per bucket. Shuffle key = (band, bucket-hash) —
-    pairs are generated only inside buckets (LSH guarantee), never O(n²).
-
-    Output: distinct (id_a, id_b) with id_a < id_b.
-    """
+def _band_buckets(bands: int, num_hashes: int) -> Column:
+    """array<struct<band,bucket>>: one xxhash64 bucket per signature band."""
     rows_per_band = max(1, num_hashes // bands)
-    band_entries = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -197,22 +192,39 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select(
-        F.col(id_col), F.explode(band_entries).alias("be")
-    ).select(F.col(id_col), F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    num_hashes: int = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` bands, hash each band
+    to a bucket, group doc ids per (band, bucket), emit pairs locally inside
+    each bucket's list. Shuffle key = (band, bucket-hash) — pairs are
+    generated only inside buckets (LSH guarantee), never O(n²), and the
+    pair generation itself is join-free (one groupBy + one distinct).
+
+    ``max_bucket_size`` skips degenerate buckets (e.g. thousands of
+    byte-identical docs — exact dedup's job, not LSH's) — the skew guard
+    that keeps a hot bucket from blowing up an aggregation buffer at scale.
+
+    Output: distinct (id_a, id_b) with id_a < id_b.
+    """
+    buckets = sigs.select(F.col(id_col), F.explode(_band_buckets(bands, num_hashes)).alias("be")).select(
+        F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"), F.col(id_col)
+    )
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("id")))).alias("docs")
+    )
+    if max_bucket_size:
+        grouped = grouped.where(F.size("docs") <= max_bucket_size)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            "inner",
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        grouped.where(F.size("docs") >= 2)
+        .select(F.explode(_bucket_pairs(F.col("docs"))).alias("p"))
+        .select(F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b"))
         .distinct()
     )
 
@@ -233,6 +245,15 @@ def minhash_near_dups(
     ``engine="jvm"`` keeps everything in Column expressions (slower — HOFs
     are interpreted — but zero Python on the executors).
 
+    Join-free single-branch plan: each doc's full signature rides along
+    into the (band, bucket) groupBy, so candidate pairs are verified
+    LOCALLY inside the bucket row (zip_with over the two sigs) and the
+    final distinct dedups pairs that collide in multiple bands. Two
+    shuffles total, no sketch-table re-join, nothing to checkpoint.
+    Shuffle cost = bands × sig bytes per doc — at cluster scale you'd
+    persist the sketch table once and feed it to both this and any other
+    consumer.
+
     Output: (id_a, id_b, est_jaccard) with est_jaccard >= threshold.
     """
     if engine == "arrow":
@@ -241,22 +262,33 @@ def minhash_near_dups(
         )
     else:
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle=shingle)
-    # the signature sketch feeds THREE plan branches (band buckets + both
-    # verify-join sides); materialize it once instead of recomputing the
-    # hashing per branch (at cluster scale you'd persist the sketch table)
-    sigs = sigs.localCheckpoint(eager=False)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes)
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    buckets = sigs.select(
+        F.col(id_col), F.col("sig"), F.explode(_band_buckets(bands, num_hashes)).alias("be")
+    ).select(
+        F.col("be.band").alias("band"),
+        F.col("be.bucket").alias("bucket"),
+        F.struct(F.col(id_col).alias("id"), F.col("sig")).alias("doc"),
+    )
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("doc")).alias("docs")
+    )
+    pairs = grouped.where(F.size("docs") >= 2).select(
+        F.explode(_bucket_pairs(F.col("docs"))).alias("p")
+    )
     est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        F.filter(
+            F.zip_with(F.col("p.a.sig"), F.col("p.b.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
     ) / F.lit(num_hashes)
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("est_jaccard", est.cast("double"))
+        pairs.select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            est.cast("double").alias("est_jaccard"),
+        )
         .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )
 
 
@@ -281,6 +313,26 @@ def token_ngrams_arrow(c_name: str, n: int = 3):
     return F.pandas_udf(_grams, "array<string>")(F.col(c_name))
 
 
+def _bucket_pairs(docs_list: Column) -> Column:
+    """All ordered pairs (a, b) with a.id < b.id from a SORTED array of doc
+    structs — generated LOCALLY inside one aggregation row, so pair
+    generation never shuffles. ``docs_list`` elements must be structs with
+    ``id`` as the first field, pre-sorted (callers apply F.array_sort once
+    on the collected list; keeping the sort out of this expression avoids
+    re-evaluating it inside the nested lambda)."""
+    ids = docs_list
+    # two-parameter transform lambda receives (element, index)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -291,11 +343,19 @@ def ngram_jaccard_pairs(
     engine: str = "arrow",
 ) -> DataFrame:
     """EXACT token-n-gram Jaccard similarity pairs via the inverted-index
-    plan: explode distinct grams, self-join on gram (bucket shuffle), count
-    shared grams per pair, jaccard = shared / (|A| + |B| - shared).
+    plan: explode distinct grams, group docs per gram, emit pairs locally
+    within each gram's posting list, count shared grams per pair,
+    jaccard = shared / (|A| + |B| - shared).
+
+    Exactly two shuffles and zero joins: (1) groupBy gram-hash collects the
+    per-gram posting list (with each doc's gram-set size carried inline, so
+    no sizes join later); (2) groupBy pair counts shared grams. Grams are
+    shuffled as xxhash64 longs, not strings (a 64-bit collision merging two
+    distinct grams is ~2^-64 per pair — negligible for dedup).
 
     ``max_doc_freq`` drops grams shared by more than that many documents
-    (stop-gram removal) — the standard skew guard at scale.
+    (stop-gram removal) — the mandatory skew guard at 100 TB scale, where a
+    stop-gram's posting list would otherwise blow up one aggregation buffer.
 
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
@@ -304,33 +364,29 @@ def ngram_jaccard_pairs(
         if engine == "arrow"
         else token_ngrams(F.col(text_col), n)
     )
-    grams = df.select(F.col(id_col), F.explode(gen).alias("g"))
-    # gram table feeds three branches (sizes + both sides of the self-join):
-    # materialize once instead of re-shingling per branch
-    grams = grams.localCheckpoint(eager=False)
-    if max_doc_freq:
-        hot = grams.groupBy("g").count().where(F.col("count") > max_doc_freq)
-        grams = grams.join(hot.select("g"), "g", "left_anti")
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    grams = (
+        df.select(F.col(id_col), gen.alias("__grams"))
+        .select(
+            F.col(id_col),
+            F.size("__grams").alias("sz"),
+            F.explode("__grams").alias("g"),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(F.xxhash64("g").alias("gh"), F.struct(F.col(id_col).alias("id"), F.col("sz")).alias("doc"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    postings = grams.groupBy("gh").agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+    if max_doc_freq:
+        postings = postings.where(F.size("docs") <= max_doc_freq)
+    pairs = postings.where(F.size("docs") >= 2).select(
+        F.explode(_bucket_pairs(F.col("docs"))).alias("p")
+    )
+    shared = pairs.groupBy(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        F.col("p.a.sz").alias("sz_a"),
+        F.col("p.b.sz").alias("sz_b"),
+    ).agg(F.count(F.lit(1)).alias("shared"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             (F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))).cast(
                 "double"
