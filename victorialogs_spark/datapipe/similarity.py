@@ -70,7 +70,9 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
 
 
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: one sign bit per plane (long)."""
+    """Random-hyperplane LSH bucket id: one sign bit per plane (long).
+    Pure-Column fallback — interpreted HOF fold per plane; prefer the
+    Arrow path (``with_lsh_bucket``) in the hot path."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         bit = F.when(_dot_lit(vec_col, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
@@ -80,9 +82,30 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _lsh_bucket_arrow(planes: list[list[float]]):
+    """Vectorized bucket assignment: one numpy matrix multiply per Arrow
+    batch ((batch × dim) @ (dim × planes)) instead of per-row interpreted
+    folds — the same ~10× win as the MinHash sketch path."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+    weights = (1 << np.arange(P.shape[1], dtype=np.int64))
+
+    def _bucket(series):
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in series])
+        bits = (M @ P) >= 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    _bucket.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_bucket, "long")
+
+
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str, planes: list[list[float]]
+    df: DataFrame, vec_col: str, planes: list[list[float]], engine: str = "arrow"
 ) -> DataFrame:
+    if engine == "arrow":
+        return df.withColumn("bucket", _lsh_bucket_arrow(planes)(F.col(vec_col)))
     return df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
 
 
@@ -127,40 +150,54 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     n_planes: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket join (same-bucket
     candidates only) verified by exact cosine ≥ threshold. High-cosine
     pairs land in the same bucket with high probability; n_planes trades
     recall vs bucket size.
 
+    Join-free plan (same shape as dedup's posting lists): groupBy bucket
+    collects (id, vec) structs, pairs are generated locally inside each
+    bucket row, and the pairwise cosine is one vectorized numpy batch over
+    the exploded pairs. ``max_bucket_size`` guards degenerate buckets at
+    scale (raise n_planes instead of raising the cap).
+
     Output: (id_a, id_b, cos)."""
+    import numpy as np
+    import pandas as pd
+
     planes = hyperplanes(dim, n_planes, seed)
     bucketed = with_lsh_bucket(df, vec_col, planes).select(
-        F.col(id_col), F.col(vec_col), F.col("bucket")
+        F.col("bucket"),
+        F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).alias("doc"),
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        "inner",
+    grouped = bucketed.groupBy("bucket").agg(
+        F.array_sort(F.collect_list("doc")).alias("docs")
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col(f"a.{vec_col}"),
-            F.col(f"b.{vec_col}"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    if max_bucket_size:
+        grouped = grouped.where(F.size("docs") <= max_bucket_size)
+    from victorialogs_spark.datapipe.dedup import _bucket_pairs
+
+    pairs = grouped.where(F.size("docs") >= 2).select(
+        F.explode(_bucket_pairs(F.col("docs"))).alias("p")
     )
-    cos = dot / (vec_norm(F.col(f"a.{vec_col}")) * vec_norm(F.col(f"b.{vec_col}")))
+
+    def _cos(va, vb):
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        dots = (A * B).sum(axis=1)
+        return pd.Series(
+            dots / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        )
+
+    _cos.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    cos_udf = F.pandas_udf(_cos, "double")
     return (
         pairs.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("cos"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            cos_udf(F.col("p.a.vec"), F.col("p.b.vec")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .distinct()
