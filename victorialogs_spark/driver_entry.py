@@ -967,7 +967,17 @@ def _dp_cosine_threshold(spark, sf_dir):
     return out.where(F.col("cos") >= 0.25).withColumn("cos", F.round("cos", 6))
 
 
-@register("dp_ann_bruteforce_topk")  # rows-only: float tie-break sensitivity
+@register(
+    "dp_ann_bruteforce_topk",
+    # exact top-10 by cosine (double precision both sides; deterministic
+    # vec_id tie-break; scores rounded 6dp — synthetic embeddings keep
+    # neighbor gaps far above double rounding noise)
+    "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
+    " SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], qv), 6)"
+    " AS cos FROM embeddings, q"
+    " ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id"
+    " LIMIT 10",
+)
 def _dp_ann_bruteforce(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -975,7 +985,9 @@ def _dp_ann_bruteforce(spark, sf_dir):
 
     emb = _table(spark, sf_dir, "embeddings")
     q = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return brute_force_topk(emb, "vec_id", "embedding", q, k=10)
+    return brute_force_topk(emb, "vec_id", "embedding", q, k=10).withColumn(
+        "cos", F.round("cos", 6)
+    )
 
 
 @register("dp_ann_lsh_topk")  # approximate by construction — rows-only
