@@ -146,6 +146,21 @@ def test_cosine_scores_range(spark, vecs):
     assert all(-1.001 <= r["cos"] <= 1.001 for r in rows)
 
 
+def test_cosine_engines_agree(spark, vecs):
+    q = [float(v) for v in vecs.where(F.col("vec_id") == 0).first()["embedding"]]
+    arrow = {
+        r["vec_id"]: r["cos"]
+        for r in cosine_scores(vecs, "vec_id", "embedding", q, engine="arrow").collect()
+    }
+    jvm = {
+        r["vec_id"]: r["cos"]
+        for r in cosine_scores(vecs, "vec_id", "embedding", q, engine="jvm").collect()
+    }
+    assert set(arrow) == set(jvm)
+    for vid, c in arrow.items():
+        assert c == pytest.approx(jvm[vid], abs=1e-9)
+
+
 def test_multimodal_decode(spark):
     docs = spark.createDataFrame(
         [(0, "aaa", "s0"), (1, "bbbb", "s1"), (2, "ccccc", "s2")],

@@ -1,8 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
 Two tiers, mirroring how a 100 TB pipeline works:
-- brute_force_topk / cosine_scores — exact cosine against a query vector,
-  computed JVM-side (zip_with + aggregate fold, no UDF, no shuffle);
+- brute_force_topk / cosine_scores — exact cosine against a query vector;
+  default engine is a numpy-per-Arrow-batch pandas UDF (one matvec per
+  batch, no shuffle), with a pure-Column fold fallback (engine="jvm");
   the correctness baseline and the right plan when the corpus fits a scan.
 - random-hyperplane LSH bucketing (lsh_bucket / ann_topk) — sign-bit
   bucket per vector; at query time only the query's bucket (plus
@@ -39,11 +40,37 @@ def vec_norm(vec_col: Column) -> Column:
     )
 
 
+def _cosine_arrow(query: list[float]):
+    """Vectorized cosine vs a fixed query: one numpy matrix-vector product
+    per Arrow batch ((batch × dim) @ dim) — C-speed, vs the interpreted
+    per-element HOF fold of ``_dot_lit``. Double precision throughout."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def _cos(series):
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in series])
+        norms = np.sqrt((M * M).sum(axis=1))
+        return pd.Series((M @ q) / (norms * qn))
+
+    _cos.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_cos, "double")
+
+
 def cosine_scores(
-    df: DataFrame, id_col: str, vec_col: str, query: list[float]
+    df: DataFrame, id_col: str, vec_col: str, query: list[float], engine: str = "arrow"
 ) -> DataFrame:
     """Exact cosine similarity of every row against ``query``.
+    ``engine="arrow"`` (default): numpy per Arrow batch — the 100 TB scan
+    path. ``engine="jvm"``: pure-Column left-fold (zero Python on the
+    executors, deterministic summation order).
     Output: (<id_col>, cos double)."""
+    if engine == "arrow":
+        return df.select(
+            F.col(id_col), _cosine_arrow(query)(F.col(vec_col)).alias("cos")
+        )
     qn = math.sqrt(sum(float(v) * float(v) for v in query))
     dot = _dot_lit(F.col(vec_col), query)
     cos = dot / (vec_norm(F.col(vec_col)) * F.lit(qn))
@@ -51,13 +78,18 @@ def cosine_scores(
 
 
 def brute_force_topk(
-    df: DataFrame, id_col: str, vec_col: str, query: list[float], k: int = 10
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Exact top-k nearest by cosine. orderBy+limit compiles to
     TakeOrderedAndProject (per-partition heaps + merge) — the scan stays
     fully parallel; only k rows reach the driver side of the exchange."""
     return (
-        cosine_scores(df, id_col, vec_col, query)
+        cosine_scores(df, id_col, vec_col, query, engine=engine)
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)
     )

@@ -583,6 +583,34 @@ logsql("s_values", "* | stats values(event_type) as v")
 logsql("s_json_values", "event_type:error | stats json_values(event_id) as v")
 logsql("s_row_any", "* | stats row_any(event_type) as r")
 
+# deterministic oracle-checked variants of the collect-order stats above:
+# values() content as a multiset (unrolled + recounted), row_any over a
+# single-valued group, json_values over a constant-per-group field, and a
+# hash() cardinality property (exact hash values are engine-specific).
+logsql(
+    "s_values_unrolled",
+    "* | stats values(event_type) as v | unroll (v) | stats by (v) count() as n",
+    "SELECT event_type AS v, COUNT(*) AS n FROM events GROUP BY 1",
+)
+logsql(
+    "s_row_any_by",
+    "* | stats by (event_type) row_any(event_type) as r",
+    "SELECT event_type, CAST(to_json({'event_type': event_type}) AS VARCHAR) AS r"
+    " FROM events GROUP BY event_type",
+)
+logsql(
+    "s_json_values_by",
+    "* | stats by (event_type) json_values(event_type) as v",
+    "WITH g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)"
+    " SELECT event_type, '[' || array_to_string(list_transform(range(n),"
+    " i -> '{\"event_type\":\"' || event_type || '\"}'), ',') || ']' AS v FROM g",
+)
+logsql(
+    "p_hash_cardinality",
+    "* | hash(event_type) as h | stats count_uniq(h) as nh",
+    "SELECT COUNT(DISTINCT event_type) AS nh FROM events",
+)
+
 # ---------------------------------------------------------------------------
 # scale/bench queries over the TPC-H-ish tables (typed columns)
 # ---------------------------------------------------------------------------
