@@ -32,6 +32,42 @@ def test_prefix():
     assert q.filter == A.FPrefix("_msg", "err")
 
 
+def test_field_scoped_group():
+    # field scope distributes over parens (parser.go parseParensFilter)
+    q = parse_query("level:(error or warn)")
+    assert q.filter == A.FOr([A.FPhrase("level", "error"), A.FPhrase("level", "warn")])
+    q = parse_query("foo:(bar baz)")
+    assert q.filter == A.FAnd([A.FPhrase("foo", "bar"), A.FPhrase("foo", "baz")])
+    q = parse_query("foo:(not bar)")
+    assert q.filter == A.FNot(A.FPhrase("foo", "bar"))
+    # nested colon tokens become phrases under the scope, not nested fields
+    q = parse_query("foo:(_time:abc or not z)")
+    assert q.filter == A.FOr(
+        [A.FPhrase("foo", "_time:abc"), A.FNot(A.FPhrase("foo", "z"))]
+    )
+
+
+def test_compound_suffix_glue():
+    # mid-token quote / '{' / '=' glue into one phrase (getCompoundSuffix)
+    q = parse_query('foo:seq(foo"bar-baz+aa, b)')
+    assert q.filter == A.FSeq("foo", ['foo"bar-baz+aa', "b"])
+    q = parse_query('foo:(_msg:a :x _stream:{c="d"})')
+    assert q.filter == A.FAnd(
+        [
+            A.FPhrase("foo", "_msg:a"),
+            A.FPhrase("foo", "x"),
+            A.FPhrase("foo", '_stream:{c="d"}'),
+        ]
+    )
+
+
+def test_trailing_comma_and_value_type_args():
+    q = parse_query("ipv4_range(1.2.3.4,)")
+    assert q.filter == A.FIPv4Range("_msg", 16909060, 16909060)
+    q = parse_query("x:value_type(dict:x)")
+    assert q.filter == A.FValueType("x", "dict:x")
+
+
 def test_and_or_not():
     q = parse_query("error OR warn")
     assert isinstance(q.filter, A.FOr)

@@ -15,12 +15,8 @@ from victorialogs_spark.logsql.parser import parse_query
 
 REF = Path("/root/reference/lib/logstorage/parser_test.go")
 
-# documented remaining gaps (obscure syntax, ~1% of the corpus)
+# documented remaining gaps
 KNOWN_MISSES = {
-    "ipv4_range(1.2.3.4,)",           # trailing comma after a single arg
-    "x:value_type(dict:x)",           # value_type with sub-typed arg
-    'foo:seq(foo"bar-baz+aa, b)',     # quote fused mid-token
-    "foo:(_time:abc or not z)",       # field-scoped group shadowing _time
     "* | stats_remote count() x",     # internal cluster-only pipe
 }
 
@@ -29,8 +25,12 @@ def _extract():
     src = REF.read_text()
     i = src.index("func TestParseQuery_Success")
     j = src.index("func TestParseQuery_Failure")
+    # bound the failure section at the next test func — later tests also
+    # call f(`...`) with queries that parse fine (they test other props)
+    m = re.search(r"\nfunc Test", src[j + 10 :])
+    end = j + 10 + m.start() if m else len(src)
     succ = re.findall(r"f\(`((?:[^`])*)`", src[i:j])
-    fails = re.findall(r"f\(`((?:[^`])*)`\)", src[j:])
+    fails = re.findall(r"f\(`((?:[^`])*)`\)", src[j:end])
     return succ, fails
 
 

@@ -143,6 +143,12 @@ logsql(
     f"SELECT {EID} FROM events WHERE event_type IN ('click', 'view')",
 )
 logsql(
+    "f_field_group",
+    # field scope distributes over a parenthesized group
+    "event_type:(error or click) | fields event_id",
+    f"SELECT {EID} FROM events WHERE event_type IN ('error', 'click')",
+)
+logsql(
     "f_in_subquery",
     "user_id:in(event_type:signup | fields user_id) | fields event_id",
     f"SELECT {EID} FROM events WHERE user_id IN "

@@ -148,9 +148,15 @@ class Lexer:
         elif ch in ('"', "'", "`"):
             try:
                 val, i = _unquote(s, i, ch)
-            except ValueError as e:
-                raise LexError(f"{e} at offset {start}: ...{s[max(0,start-30):start+10]!r}")
-            self.token = Token(val, s[start:i], True, space, start)
+                self.token = Token(val, s[start:i], True, space, start)
+            except ValueError:
+                # not a valid quoted string: emit the quote as a plain
+                # single-char token (parser.go nextToken falls back to
+                # nextCharToken on QuotedPrefix error; compound phrases
+                # glue it mid-token, and getCompoundPhrase rejects it at
+                # phrase START via isInvalidQuotedString)
+                i = start + 1
+                self.token = Token(ch, ch, False, space, start)
         elif ch == "=" and s[i : i + 2] == "=~":
             i += 2
             self.token = Token("=~", "=~", False, space, start)

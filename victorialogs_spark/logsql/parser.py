@@ -124,19 +124,19 @@ class Parser:
         return opts
 
     # ---------------------------------------------------------------- filters
-    def parse_filter_or(self) -> A.Filter:
-        terms = [self.parse_filter_and()]
+    def parse_filter_or(self, field: str = "") -> A.Filter:
+        terms = [self.parse_filter_and(field)]
         while self.tok().is_kw("or"):
             self.advance()
-            terms.append(self.parse_filter_and())
+            terms.append(self.parse_filter_and(field))
         if len(terms) == 1:
             return terms[0]
         return A.FOr(terms)
 
     _FILTER_END = ("|", ")", "", "or")
 
-    def parse_filter_and(self) -> A.Filter:
-        terms = [self.parse_filter_not()]
+    def parse_filter_and(self, field: str = "") -> A.Filter:
+        terms = [self.parse_filter_not(field)]
         while True:
             t = self.tok()
             if t.is_kw(*self._FILTER_END) and not t.quoted:
@@ -145,26 +145,33 @@ class Parser:
                 break
             if t.is_kw("and"):
                 self.advance()
-            terms.append(self.parse_filter_not())
+            terms.append(self.parse_filter_not(field))
         if len(terms) == 1:
             return terms[0]
         return A.FAnd(terms)
 
-    def parse_filter_not(self) -> A.Filter:
+    def parse_filter_not(self, field: str = "") -> A.Filter:
         if self.tok().is_kw("not", "!", "-"):
             self.advance()
-            child = self.parse_filter_not()
+            child = self.parse_filter_not(field)
             return A.FNot(child)
-        return self.parse_filter_prim("")
+        return self.parse_filter_prim(field)
 
     def parse_filter_prim(self, field: str) -> A.Filter:
         t = self.tok()
         fld = canonical_field(field)
         if t.is_kw("{"):
+            if field not in ("", "_stream"):
+                raise self.err(
+                    f"stream filter cannot be applied to {field!r} field"
+                )
             return self._parse_stream_filter()
         if t.is_kw("("):
+            # field scope distributes over the group:  foo:(a or b)
+            # == foo:a or foo:b  (parser.go parseParensFilter propagates
+            # fieldName)
             self.advance()
-            f = self.parse_filter_or()
+            f = self.parse_filter_or(field)
             self.expect(")")
             return f
         if t.is_kw("*"):
@@ -172,6 +179,11 @@ class Parser:
             if field == "":
                 return A.FNoop()
             return A.FPrefix(fld, "")
+        if t.is_kw(":") and not t.quoted:
+            # stray ':' before a filter is skipped (parser.go:1501-1506)
+            self.advance()
+            self._guard_end("filter after ':'")
+            return self.parse_filter_prim(field)
         if t.is_kw(">"):
             return self._parse_cmp_filter(fld, ">")
         if t.is_kw("<"):
@@ -239,23 +251,32 @@ class Parser:
         t = self.tok()
         if not t.quoted and t.is_kw(*self._STOP):
             raise self.err("unexpected token while parsing phrase")
-        parts = [t.text]
-        quoted_any = t.quoted
+        if not t.quoted and t.text in ('"', "'", "`"):
+            # a bare quote char here means an invalid quoted string
+            # (lexer fell back to a single-char token) — reject like
+            # parser.go isInvalidQuotedString
+            raise self.err("improperly quoted string")
+        first = t
         self.advance()
-        stop = set(self._STOP)
+        # suffix gluing uses the reference's stop set (getCompoundSuffix:
+        # only * , ( ) [ ] | end) and RAW source text, so {`=~<>!} and even
+        # quoted runs fuse verbatim:  _stream:{c="d"} under a field scope
+        # becomes the phrase `_stream:{c="d"}`
+        stop = {"*", ",", "(", ")", "[", "]", "|", ""}
         if not allow_colon:
             stop.add(":")
+        suffix: list[str] = []
         while True:
             t = self.tok()
             if t.space_before or self.lex.is_end():
                 break
-            if not t.quoted and t.text.lower() in stop:
+            if not t.quoted and t.text in stop:
                 break
-            # ':' lookahead — a trailing ':' means field name boundary
-            parts.append(t.text)
-            quoted_any = quoted_any or t.quoted
+            suffix.append(t.raw)
             self.advance()
-        return "".join(parts)
+        if not suffix:
+            return first.text
+        return first.raw + "".join(suffix)
 
     def _compound_phrase_star(self, allow_colon: bool = False) -> tuple[str, bool]:
         """Phrase plus optional trailing '*' → (value, is_prefix)."""
@@ -432,6 +453,12 @@ class Parser:
         self.advance()
         if self.tok().is_kw(","):
             self.advance()
+            if self.tok().is_kw(")"):  # trailing comma: ipv4_range(ip,) == (ip, ip)
+                self.advance()
+                ip = ipv4_to_u32(first)
+                if ip is None:
+                    raise self.err("ipv4_range: invalid IPv4")
+                return A.FIPv4Range(field, ip, ip)
             second = self.tok().text
             self.advance()
             if self.tok().is_kw(","):  # tolerate a trailing comma
@@ -484,8 +511,9 @@ class Parser:
 
     def _parse_f_value_type(self, field: str) -> A.Filter:
         self.expect("(")
-        vt = self.tok().text
-        self.advance()
+        # type name may be a compound token with ':' (e.g. dict:x —
+        # parser_test.go canonicalizes to value_type("dict:x"))
+        vt = self._compound_phrase(allow_colon=True)
         self.expect(")")
         return A.FValueType(field, vt)
 
