@@ -58,7 +58,6 @@ def test_failure_corpus_mostly_rejected():
             accepted += 1
         except Exception:
             pass
-    # we are intentionally lenient in some spots (e.g. subquery pipe
-    # validation happens at plan time); keep the wrongly-accepted share
-    # bounded so regressions are caught
-    assert accepted / len(fails) < 0.36, f"{accepted}/{len(fails)} wrongly accepted"
+    # every query in the reference's failure corpus is rejected; keep a
+    # tiny slack for future corpus drift
+    assert accepted / len(fails) < 0.02, f"{accepted}/{len(fails)} wrongly accepted"

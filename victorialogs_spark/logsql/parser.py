@@ -28,7 +28,7 @@ MAX_STRING_RANGE = "\U0010ffff" * 4
 
 # fmt: off
 _PIPE_NAMES = {
-    "fields", "keep", "delete", "drop", "rm", "copy", "cp", "rename", "mv",
+    "fields", "keep", "delete", "drop", "rm", "del", "copy", "cp", "rename", "mv",
     "filter", "where", "limit", "head", "offset", "skip", "sort", "order",
     "first", "last", "stats", "by", "math", "eval", "extract",
     "extract_regexp", "replace", "replace_regexp", "format", "unpack_json",
@@ -89,9 +89,28 @@ class Parser:
         if self.lex.is_end():
             raise ParseError(f"unexpected end of query while parsing {what}")
 
+    def _check_filter_start(self) -> None:
+        """A filter cannot start with an unquoted pipe / stats-func name
+        (parser.go parseFilter:1430-1435; pipeNames includes statsNames) —
+        catches `filter foo:bar`, `foo | count`, etc."""
+        t = self.tok()
+        if t.quoted:
+            return
+        name = t.text.lower()
+        if name in _PIPE_NAMES or name in _STATS_FUNCS:
+            # a name immediately followed by '(' is a function-style filter
+            # (e.g. len_range(...)) or implicit stats — let those dispatch
+            if getattr(self, f"_parse_f_{name}", None) is not None:
+                return
+            raise self.err(
+                f"query filter cannot start with pipe keyword {name!r};"
+                " put the word into quotes to search for it"
+            )
+
     # ------------------------------------------------------------------ query
     def parse(self, subquery: bool = False) -> A.Query:
         options = self._parse_options()
+        self._check_filter_start()
         f = self.parse_filter_or()
         pipes: list[A.Pipe] = []
         while self.tok().is_kw("|"):
@@ -105,12 +124,11 @@ class Parser:
         opts: dict = {}
         if not self.tok().is_kw("options"):
             return opts
-        state = self.lex.backup()
         self.advance()
-        if not self.tok().is_kw("("):
-            self.lex.restore(state)  # 'options' was a search word
-            return opts
-        self.advance()
+        # 'options' is reserved at query start — reference requires '('
+        # (ParseQuery → parseOptions; a bare 'options' search word must be
+        # quoted)
+        self.expect("(")
         while not self.tok().is_kw(")"):
             self._guard_end("options")
             name = self.tok().text
@@ -167,6 +185,12 @@ class Parser:
                 )
             return self._parse_stream_filter()
         if t.is_kw("("):
+            # '(': only valid after whitespace or an opener token —
+            # `unknown_function(foo)` is an error, not phrase+group
+            # (parser.go:1516-1519)
+            prev = self.lex.prev_token
+            if not t.space_before and prev.raw.lower() not in ("", ":", "(", "!", "-", "not"):
+                raise self.err(f"missing whitespace after the search word {prev.text!r}")
             # field scope distributes over the group:  foo:(a or b)
             # == foo:a or foo:b  (parser.go parseParensFilter propagates
             # fieldName)
@@ -176,6 +200,8 @@ class Parser:
             return f
         if t.is_kw("*"):
             self.advance()
+            if self.tok().is_kw(":") and not self.tok().quoted:
+                raise self.err("cannot search for wildcard field name")
             if field == "":
                 return A.FNoop()
             return A.FPrefix(fld, "")
@@ -201,14 +227,10 @@ class Parser:
             return A.FNot(inner)
         if t.is_kw("~"):
             self.advance()
-            pat = self.tok().text
-            self.advance()
-            return A.FRegexp(fld, pat)
+            return A.FRegexp(fld, self._regexp_arg())
         if t.is_kw("!~"):
             self.advance()
-            pat = self.tok().text
-            self.advance()
-            return A.FNot(A.FRegexp(fld, pat))
+            return A.FNot(A.FRegexp(fld, self._regexp_arg()))
         if t.is_kw("not", "!", "-"):
             self.advance()
             return A.FNot(self.parse_filter_prim(field))
@@ -239,11 +261,47 @@ class Parser:
             return self.parse_filter_prim(fname)
         if self.tok().is_kw("*") and not self.tok().space_before:
             self.advance()
+            if self.tok().is_kw(":") and not self.tok().quoted:
+                # foo*:bar — prefix field names are not supported
+                # (parser.go parseFilterForPhrase:1690-1692)
+                raise self.err(f"field name prefix filter {phrase!r}* isn't supported")
             return A.FPrefix(fld, phrase)
         return A.FPhrase(fld, phrase)
 
     # -- helpers -----------------------------------------------------------
     _STOP = ("*", ",", "(", ")", "[", "]", "|", "{", "}", "", "=", "!", ">", "<", "~", "=~", "!=", "!~")
+
+    def _compound_token(self, stop: tuple = (",", "(", ")", "[", "]", "|", "")) -> str:
+        """Raw-glued compound token (parser.go getCompoundTokenExt)."""
+        t = self.tok()
+        if not t.quoted and t.text in ('"', "'", "`"):
+            raise self.err("improperly quoted string")
+        if not t.quoted and t.text in stop:
+            raise self.err(f"compound token cannot start with {t.text!r}")
+        first = t
+        self.advance()
+        suffix: list[str] = []
+        while True:
+            t = self.tok()
+            if t.space_before or self.lex.is_end():
+                break
+            if not t.quoted and t.text in stop:
+                break
+            suffix.append(t.raw)
+            self.advance()
+        if not suffix:
+            return first.text
+        return first.raw + "".join(suffix)
+
+    def _regexp_arg(self) -> str:
+        """Regex argument for '~' / '!~': a compound token that must
+        compile (the reference rejects bad patterns at newFilterRegexp)."""
+        pat = self._compound_token()
+        try:
+            re.compile(pat)
+        except re.error as e:
+            raise self.err(f"invalid regexp {pat!r}: {e}")
+        return pat
 
     def _compound_phrase(self, allow_colon: bool = False) -> str:
         """Glue adjacent space-free tokens into one phrase
@@ -367,6 +425,23 @@ class Parser:
         self.lex.restore(state)
         return False
 
+    def _check_subquery_fields(self, q: A.Query) -> None:
+        """A value subquery must expose exactly one output field via a
+        trailing `fields x` / `uniq by (x)` pipe (storage_search.go
+        getFieldsFromQuery — in(x | limit 10) and in(x | fields a,b) are
+        rejected at parse time in the reference)."""
+        if not q.pipes:
+            return
+        last = q.pipes[-1]
+        if isinstance(last, A.PFields) and len(last.fields) == 1 and "*" not in last.fields[0]:
+            return
+        if isinstance(last, A.PUniq) and len(last.by) == 1:
+            return
+        raise self.err(
+            "value subquery must end with a 'fields <single-field>'"
+            " or 'uniq by (<single-field>)' pipe"
+        )
+
     def _parse_f_in(self, field: str) -> A.Filter:
         if self._star_arg():
             return A.FNoop()  # in(*) matches everything
@@ -374,6 +449,7 @@ class Parser:
             self.expect("(")
             q = self.parse(subquery=True)
             self.expect(")")
+            self._check_subquery_fields(q)
             return A.FInSubquery(field, q)
         return A.FIn(field, self._parse_string_list())
 
@@ -384,6 +460,7 @@ class Parser:
             self.expect("(")
             q = self.parse(subquery=True)
             self.expect(")")
+            self._check_subquery_fields(q)
             return A.FContains(field, [], True, subquery=q)
         return A.FContains(field, self._parse_string_list(), True)
 
@@ -394,6 +471,7 @@ class Parser:
             self.expect("(")
             q = self.parse(subquery=True)
             self.expect(")")
+            self._check_subquery_fields(q)
             return A.FContains(field, [], False, subquery=q)
         return A.FContains(field, self._parse_string_list(), False)
 
@@ -412,6 +490,9 @@ class Parser:
             depth = 0
             while not self.lex.is_end():
                 t = self.tok()
+                if parts and t.space_before:
+                    # re(a b) is invalid — a spaced regex must be quoted
+                    break
                 if not t.quoted and t.is_kw("("):
                     depth += 1
                 elif not t.quoted and t.is_kw(")"):
@@ -422,6 +503,10 @@ class Parser:
                 self.advance()
             pat = "".join(parts)
         self.expect(")")
+        try:
+            re.compile(pat)
+        except re.error as e:
+            raise self.err(f"invalid regexp {pat!r}: {e}")
         return A.FRegexp(field, pat)
 
     def _parse_f_range(self, field: str) -> A.Filter:
@@ -507,6 +592,8 @@ class Parser:
         if self.tok().is_kw(","):  # tolerate a trailing comma
             self.advance()
         self.expect(")")
+        if lo != int(lo) or (hi != float("inf") and hi != int(hi)):
+            raise self.err("len_range bounds must be non-negative integers")
         return A.FLenRange(field, int(lo), int(hi) if hi != float("inf") else 2**62)
 
     def _parse_f_value_type(self, field: str) -> A.Filter:
@@ -545,6 +632,9 @@ class Parser:
             self.advance()
             allow_eq = True
         if not self.tok().is_kw("-", "+") and parse_number(self.tok().text) is None:
+            ot = self.tok()
+            if not ot.quoted and ot.is_kw("(", ")", "[", "]", ",", "|", "", "*"):
+                raise self.err(f"missing operand after '{op}'")
             # non-numeric operand → lexicographic string-range fallback
             # (reference parser.go:2182-2217 tryParseFilterGT/LTString)
             val = self._compound_time_token()
@@ -850,13 +940,16 @@ class Parser:
                 except ParseError:
                     self.lex.restore(state)
             # implicit filter pipe (pipe.go:367-384)
+            self._check_filter_start()
             f = self.parse_filter_or()
             return A.PFilter(f)
         self.advance()
         return fn()
 
     # helper: parse a (possibly parenthesized) comma-separated field list
-    def _field_list(self, parens_required: bool = False) -> list[str]:
+    def _field_list(
+        self, parens_required: bool = False, min_fields: int = 0
+    ) -> list[str]:
         has_paren = self.tok().is_kw("(")
         if has_paren:
             self.advance()
@@ -876,10 +969,18 @@ class Parser:
             fields.append(name)
             if self.tok().is_kw(","):
                 self.advance()
+                nt = self.tok()
+                # a ',' must be followed by another field name
+                if self.lex.is_end() or (
+                    not nt.quoted and nt.is_kw(")", "|", ",")
+                ):
+                    raise self.err("missing field name after ','")
             elif not has_paren:
                 break
         if has_paren:
             self.expect(")")
+        if len(fields) < min_fields:
+            raise self.err("missing field name(s)")
         return fields
 
     def _field_name(self) -> str:
@@ -887,6 +988,12 @@ class Parser:
         if t.is_kw("*") and not t.quoted:
             self.advance()
             return "*"
+        if self.lex.is_end():
+            raise self.err("missing field name")
+        if not t.quoted and t.text in (
+            ",", ")", "(", "|", "]", "[", "{", "}", "=", ":",
+        ):
+            raise self.err(f"missing field name, got {t.text!r}")
         name = t.text
         self.advance()
         # glue '-'/'.'-ish pieces written without quotes
@@ -902,7 +1009,7 @@ class Parser:
 
     def _int(self, what: str) -> int:
         v = parse_number(self.tok().text)
-        if v is None:
+        if v is None or v != int(v):
             raise self.err(f"expected integer for {what}")
         self.advance()
         return int(v)
@@ -923,15 +1030,16 @@ class Parser:
 
     # -- simple pipes ---------------------------------------------------------
     def _parse_p_fields(self) -> A.Pipe:
-        return A.PFields(self._field_list())
+        return A.PFields(self._field_list(min_fields=1))
 
     _parse_p_keep = _parse_p_fields
 
     def _parse_p_delete(self) -> A.Pipe:
-        return A.PDelete(self._field_list())
+        return A.PDelete(self._field_list(min_fields=1))
 
     _parse_p_drop = _parse_p_delete
     _parse_p_rm = _parse_p_delete
+    _parse_p_del = _parse_p_delete
 
     def _pairs(self) -> list[tuple[str, str]]:
         pairs = []
@@ -957,6 +1065,7 @@ class Parser:
     _parse_p_mv = _parse_p_rename
 
     def _parse_p_filter(self) -> A.Pipe:
+        self._check_filter_start()
         return A.PFilter(self.parse_filter_or())
 
     _parse_p_where = _parse_p_filter
@@ -974,9 +1083,13 @@ class Parser:
     _parse_p_skip = _parse_p_offset
 
     def _parse_p_sort(self) -> A.Pipe:
+        had_by = False
         if self.tok().is_kw("by"):
             self.advance()
+            had_by = True
         fields: list[A.SortField] = []
+        if had_by and not self.tok().is_kw("("):
+            raise self.err("expected '(' after 'sort by'")
         if self.tok().is_kw("("):
             self.advance()
             while not self.tok().is_kw(")"):
@@ -1006,9 +1119,13 @@ class Parser:
                 p.partition_by = self._field_list()
             elif self.tok().is_kw("limit"):
                 self.advance()
+                if p.limit:
+                    raise self.err("duplicate 'limit' in sort")
                 p.limit = self._int("sort limit")
             elif self.tok().is_kw("offset"):
                 self.advance()
+                if p.offset:
+                    raise self.err("duplicate 'offset' in sort")
                 p.offset = self._int("sort offset")
             elif self.tok().is_kw("rank"):
                 self.advance()
@@ -1071,19 +1188,30 @@ class Parser:
         elif self.tok().is_kw("("):
             # 'stats (...)' — the by keyword is optional (pipe_stats.go)
             by = self._parse_by_fields()
-        funcs = [self._parse_stats_func()]
-        while self.tok().is_kw(","):
-            self.advance()
-            funcs.append(self._parse_stats_func())
-        return A.PStats(by, funcs)
+        return A.PStats(by, self._parse_stats_funcs(by))
 
     def _parse_p_by(self) -> A.Pipe:
         by = self._parse_by_fields()
+        return A.PStats(by, self._parse_stats_funcs(by))
+
+    def _parse_stats_funcs(self, by: list) -> list[A.StatsFunc]:
         funcs = [self._parse_stats_func()]
         while self.tok().is_kw(","):
             self.advance()
             funcs.append(self._parse_stats_func())
-        return A.PStats(by, funcs)
+        # result names must be unique and must not shadow a 'by' field
+        # (pipe_stats.go parsePipeStats seenByFields/seenResultNames)
+        by_names = {bf.name for bf in by}
+        seen: set = set()
+        for f in funcs:
+            if f.result in by_names:
+                raise self.err(
+                    f"stats result name {f.result!r} clashes with a 'by' field"
+                )
+            if f.result in seen:
+                raise self.err(f"duplicate stats result name {f.result!r}")
+            seen.add(f.result)
+        return funcs
 
     def _parse_by_fields(self) -> list[A.ByField]:
         self.expect("(")
@@ -1102,6 +1230,8 @@ class Parser:
                     size = _parse_bucket_size(txt, is_time=name == "_time")
                     if size is None:
                         raise self.err(f"invalid bucket size {txt!r}")
+                    if size <= 0:
+                        raise self.err("bucket size must be positive")
                     bf.bucket_size = size
                     if self.tok().is_kw("offset"):
                         self.advance()
@@ -1126,7 +1256,10 @@ class Parser:
         extra: dict = {}
         fields: list[str] = []
         if name == "quantile":
-            extra["phi"] = float(self.tok().text)
+            phi = parse_number(self.tok().text)
+            if phi is None or not (0.0 <= phi <= 1.0):
+                raise self.err("quantile phi must be in [0, 1]")
+            extra["phi"] = phi
             self.advance()
             if self.tok().is_kw(","):
                 self.advance()
@@ -1140,15 +1273,28 @@ class Parser:
             self.advance()
             extra["limit"] = self._int("stats limit")
         cond = None
+        if_text = ""
         if self.tok().is_kw("if"):
             self.advance()
+            p0 = self.tok().pos  # position of '('
             self.expect("(")
             if self.tok().is_kw(")"):  # 'if ()' — empty condition is a noop
                 cond = None
             else:
                 cond = self.parse_filter_or()
             self.expect(")")
+            p1 = self.lex.prev_token.pos  # position of ')'
+            if_text = "if " + self.lex.src[p0 : p1 + 1]
+        if name == "histogram" and (
+            len(fields) != 1 or "*" in fields[0]
+        ):
+            raise self.err("histogram() expects exactly one field")
         default_name = _default_stats_name(name, fields, extra)
+        if if_text:
+            # auto-generated result names include the if-clause so two
+            # identical funcs with different conditions stay distinct
+            # (pipe_stats.go: resultName = sf.String() + " " + iff.String())
+            default_name += " " + if_text
         result = self._opt_as_name(default_name)
         return A.StatsFunc(name, fields, result, extra, cond)
 
@@ -1253,7 +1399,15 @@ class Parser:
 
     def _parse_p_extract(self) -> A.Pipe:
         cond = self._opt_if_cond()
-        pat = self.tok().text
+        t = self.tok()
+        if self.lex.is_end() or (not t.quoted and t.is_kw("from", "|")):
+            raise self.err("missing pattern in 'extract'")
+        pat = t.text
+        # the pattern needs at least one NAMED placeholder; '<>', '<_>' and
+        # '<*>' are anonymous skips (pipe_extract.go pattern validation)
+        names = [m for m in re.findall(r"<([^>]*)>", pat) if m not in ("", "_", "*")]
+        if not names:
+            raise self.err("extract pattern needs at least one named <field>")
         self.advance()
         frm = "_msg"
         if self.tok().is_kw("from"):
@@ -1333,7 +1487,10 @@ class Parser:
             flds = self._field_list(parens_required=True)
         if self.tok().is_kw("result_prefix"):
             self.advance()
-            prefix = self.tok().text
+            t = self.tok()
+            if self.lex.is_end() or (not t.quoted and t.is_kw("|", ")", ",")):
+                raise self.err("missing value after 'result_prefix'")
+            prefix = t.text
             self.advance()
         p = cls(frm, flds, prefix, cond=cond)
         self._common_unpack_opts(p)
@@ -1539,7 +1696,10 @@ class Parser:
         return A.PHash(name, result)
 
     def _parse_p_sample(self) -> A.Pipe:
-        return A.PSample(self._int("sample N"))
+        n = self._int("sample N")
+        if n < 1:
+            raise self.err("sample N must be a positive integer")
+        return A.PSample(n)
 
     def _parse_p_collapse_nums(self) -> A.Pipe:
         cond = self._opt_if_cond()
