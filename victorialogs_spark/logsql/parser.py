@@ -67,6 +67,7 @@ class Parser:
         if now is None:
             now = int(_dt.datetime.now(_dt.timezone.utc).timestamp() * NS)
         self.now_ns = now
+        self._opts_ctx: list[dict] = []  # enclosing-query options stack
 
     # ------------------------------------------------------------------ util
     def tok(self) -> Token:
@@ -110,12 +111,20 @@ class Parser:
     # ------------------------------------------------------------------ query
     def parse(self, subquery: bool = False) -> A.Query:
         options = self._parse_options()
-        self._check_filter_start()
-        f = self.parse_filter_or()
-        pipes: list[A.Pipe] = []
-        while self.tok().is_kw("|"):
-            self.advance()
-            pipes.append(self.parse_pipe())
+        if self._opts_ctx:
+            # subqueries inherit the enclosing query's options; their own
+            # options(...) clause overrides per key (parser.go:261-262)
+            options = {**self._opts_ctx[-1], **options}
+        self._opts_ctx.append(options)
+        try:
+            self._check_filter_start()
+            f = self.parse_filter_or()
+            pipes: list[A.Pipe] = []
+            while self.tok().is_kw("|"):
+                self.advance()
+                pipes.append(self.parse_pipe())
+        finally:
+            self._opts_ctx.pop()
         q = A.Query(filter=f, pipes=pipes, options=options)
         q.time_range = extract_time_range(q.filter)
         return q
@@ -1680,7 +1689,9 @@ class Parser:
         name = self._field_name()
         if has_paren:
             self.expect(")")
-        result = self._opt_as_name(f"{default_suffix}({name})")
+        # default result field is _msg (pipe_len.go:156, pipe_hash.go,
+        # pipe_json_array_len.go:173)
+        result = self._opt_as_name("_msg")
         return name, result
 
     def _parse_p_len(self) -> A.Pipe:
@@ -1848,11 +1859,19 @@ def _parse_bucket_size(txt: str, is_time: bool) -> float | None:
 
 
 def _default_stats_name(name: str, fields: list[str], extra: dict) -> str:
-    args = ", ".join(fields)
+    """Auto result name matches the reference's statsFunc.String(): empty
+    or '*'-containing field lists render as '*' (except quantile, which
+    drops them), and a trailing 'limit N' is part of the name."""
+    shown = [] if "*" in fields else fields
+    args = ", ".join(shown) if shown else "*"
     if name == "quantile":
         phi = extra.get("phi")
-        args = f"{phi}" + (f", {args}" if args else "")
-    return f"{name}({args})"
+        phi_s = f"{phi:g}"
+        args = phi_s + (f", {', '.join(shown)}" if shown else "")
+    out = f"{name}({args})"
+    if extra.get("limit"):
+        out += f" limit {extra['limit']}"
+    return out
 
 
 def extract_time_range(f: A.Filter) -> tuple[int, int] | None:

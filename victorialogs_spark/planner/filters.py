@@ -89,6 +89,12 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
             return F.lit(True)
         return fcol(df, f.field).rlike(seq_regex(f.values))
     if isinstance(f, A.FRegexp):
+        # trivial regexes fold like the reference's Query.optimize:
+        # ~"" / ~".*" match everything; ~".+" is the non-empty check
+        if f.pattern in ("", ".*"):
+            return F.lit(True)
+        if f.pattern == ".+":
+            return fcol(df, f.field) != ""
         return fcol(df, f.field).rlike(f.pattern)
     if isinstance(f, A.FRange):
         n = num(df, f.field)
