@@ -584,3 +584,46 @@ def test_first_with_partition(spark, logs):
     # one row per host, the lowest code
     got = {(r["host"], r["code"]) for r in out.collect()}
     assert got == {("h1", "200"), ("h2", "404"), ("h3", "200")}
+
+
+def test_rename_wildcard_prefix(spark):
+    df = make_logs(spark, [{"foo.a": "1", "foo.b": "2", "keep": "k"}])
+    out = run_query(spark, df, "* | rename foo.* as bar.*")
+    assert {"bar.a", "bar.b", "keep"} <= set(out.columns)
+    assert "foo.a" not in out.columns
+    r = out.first()
+    assert (r["bar.a"], r["bar.b"]) == ("1", "2")
+
+
+def test_copy_wildcard_strip_prefix(spark):
+    df = make_logs(spark, [{"foo.a": "1", "foo.b": "2"}])
+    out = run_query(spark, df, "* | copy foo.* as *")
+    r = out.first()
+    assert (r["a"], r["b"]) == ("1", "2")
+    assert "foo.a" in out.columns  # copy keeps sources
+
+
+def test_unpack_words_drop_duplicates(spark):
+    df = make_logs(spark, [{"_msg": "a b a c b"}])
+    out = run_query(spark, df, "* | unpack_words _msg as w drop_duplicates")
+    assert out.first()["w"] == '["a","b","c"]'
+
+
+def test_ipv4_range_quoted_cidr(spark):
+    df = make_logs(spark, [{"ip": "127.1.2.3"}, {"ip": "128.0.0.1"}])
+    out = run_query(spark, df, 'ip:ipv4_range("127.0.0.0/8") | fields ip')
+    assert rows_set(out) == {("127.1.2.3",)}
+
+
+def test_pack_json_fields_then_as(spark):
+    df = make_logs(spark, [{"foo": "1", "bar": "2", "x": "y"}])
+    out = run_query(spark, df, "* | pack_json fields (foo, bar) as baz")
+    import json
+
+    assert json.loads(out.first()["baz"]) == {"foo": "1", "bar": "2"}
+
+
+def test_first_bare_paren_sort(spark, logs):
+    out = run_query(spark, logs, "* | first 2 (code desc)")
+    got = [r["code"] for r in out.collect()]
+    assert got == ["500", "500"] or set(got) == {"500"}

@@ -143,6 +143,12 @@ logsql(
     f"SELECT {EID} FROM events WHERE event_type IN ('click', 'view')",
 )
 logsql(
+    "p_rename_wildcard",
+    # wildcard field filters remap a whole prefix (pipe_rename.go)
+    "* | rename event_* as e_* | fields e_id, e_type",
+    "SELECT CAST(event_id AS VARCHAR) AS e_id, event_type AS e_type FROM events",
+)
+logsql(
     "f_field_group",
     # field scope distributes over a parenthesized group
     "event_type:(error or click) | fields event_id",

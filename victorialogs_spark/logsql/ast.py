@@ -418,6 +418,7 @@ class PUnpackWords(Pipe):
     src: str
     dst: str
     limit: int = 0
+    drop_duplicates: bool = False
 
 
 @dataclass

@@ -545,6 +545,20 @@ class Parser:
         self.expect("(")
         first = self.tok().text
         self.advance()
+        if "/" in first:
+            # quoted CIDR form: ipv4_range("127.0.0.0/8")
+            base_s, _, bits_s = first.partition("/")
+            base = ipv4_to_u32(base_s)
+            try:
+                bits = int(bits_s)
+            except ValueError:
+                bits = -1
+            if base is None or not (0 <= bits <= 32):
+                raise self.err("ipv4_range: invalid CIDR")
+            self.expect(")")
+            mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
+            lo = base & mask
+            return A.FIPv4Range(field, lo, lo | (~mask & 0xFFFFFFFF))
         if self.tok().is_kw(","):
             self.advance()
             if self.tok().is_kw(")"):  # trailing comma: ipv4_range(ip,) == (ip, ip)
@@ -1050,12 +1064,21 @@ class Parser:
     _parse_p_rm = _parse_p_delete
     _parse_p_del = _parse_p_delete
 
+    def _field_name_maybe_star(self) -> str:
+        """Field name with an optional fused wildcard suffix (copy/rename
+        accept field FILTERS: foo*, *; pipe_copy.go parseFieldFilter)."""
+        name = self._field_name()
+        if name != "*" and self.tok().is_kw("*") and not self.tok().space_before:
+            self.advance()
+            name += "*"
+        return name
+
     def _pairs(self) -> list[tuple[str, str]]:
         pairs = []
         while True:
-            src = self._field_name()
+            src = self._field_name_maybe_star()
             self.expect("as") if self.tok().is_kw("as") else None
-            dst = self._field_name()
+            dst = self._field_name_maybe_star()
             pairs.append((src, dst))
             if self.tok().is_kw(","):
                 self.advance()
@@ -1155,8 +1178,10 @@ class Parser:
         fields: list[A.SortField] = []
         partition: list[str] = []
         rank = None
-        if self.tok().is_kw("by"):
-            self.advance()
+        if self.tok().is_kw("by") or self.tok().is_kw("("):
+            # 'by' is optional: 'first 5 (words_count desc)' (docs examples)
+            if self.tok().is_kw("by"):
+                self.advance()
             if self.tok().is_kw("("):
                 self.advance()
                 while not self.tok().is_kw(")"):
@@ -1549,20 +1574,29 @@ class Parser:
         if self.tok().is_kw("limit"):
             self.advance()
             limit = self._int("unpack_words limit")
-        return A.PUnpackWords(src, dst, limit)
+        drop_dups = False
+        if self.tok().is_kw("drop_duplicates"):
+            self.advance()
+            drop_dups = True
+        return A.PUnpackWords(src, dst, limit, drop_dups)
 
     def _parse_p_unroll(self) -> A.Pipe:
         cond = self._opt_if_cond()
         return A.PUnroll(self._field_list(), cond=cond)
 
     def _parse_pack(self, cls):
+        # both orders are accepted: 'pack_json [as] result [fields (...)]'
+        # and 'pack_json fields (...) as result' (docs examples)
         result = "_msg"
+        flds: list[str] = []
+        if self.tok().is_kw("fields"):
+            self.advance()
+            flds = self._field_list(parens_required=True)
         if not self.lex.is_end() and not self.tok().is_kw("|", "fields"):
             if self.tok().is_kw("as"):
                 self.advance()
             result = self._field_name()
-        flds: list[str] = []
-        if self.tok().is_kw("fields"):
+        if self.tok().is_kw("fields") and not flds:
             self.advance()
             flds = self._field_list(parens_required=True)
         return cls(result, flds)

@@ -75,15 +75,41 @@ def _p_delete(p: A.PDelete, df: DataFrame, ctx) -> DataFrame:
     return df.drop(*names)
 
 
+def _expand_pair_wildcards(
+    pairs: list[tuple[str, str]], columns: list[str]
+) -> list[tuple[str, str]]:
+    """Expand wildcard src/dst field filters against the current schema
+    (pipe_copy.go / pipe_rename.go operate on prefix filters):
+    foo* as bar* remaps the prefix, foo* as * strips it, * as foo*
+    prepends it."""
+    out: list[tuple[str, str]] = []
+    for src, dst in pairs:
+        if src.endswith("*"):
+            sp = src[:-1]
+            for c in columns:
+                if c.startswith(sp):
+                    nd = dst[:-1] + c[len(sp):] if dst.endswith("*") else dst
+                    out.append((c, nd))
+        elif dst.endswith("*"):
+            out.append((src, dst[:-1] + src))
+        else:
+            out.append((src, dst))
+    return out
+
+
 def _p_copy(p: A.PCopy, df: DataFrame, ctx) -> DataFrame:
-    for src, dst in p.pairs:
+    for src, dst in _expand_pair_wildcards(p.pairs, df.columns):
+        if src == dst:
+            continue
         df = df.withColumn(dst, fcol(df, src) if src != "_time" or "_time" not in df.columns else qcol(src))
     return df
 
 
 def _p_rename(p: A.PRename, df: DataFrame, ctx) -> DataFrame:
-    for src, dst in p.pairs:
-        if dst in df.columns and dst != src:
+    for src, dst in _expand_pair_wildcards(p.pairs, df.columns):
+        if src == dst:
+            continue
+        if dst in df.columns:
             # mv overwrites an existing destination (pipe_rename.go);
             # withColumnRenamed alone would keep both copies
             df = df.drop(dst)
@@ -666,6 +692,10 @@ def _p_unpack_syslog(p: A.PUnpackSyslog, df: DataFrame, ctx) -> DataFrame:
 def _p_unpack_words(p: A.PUnpackWords, df: DataFrame, ctx) -> DataFrame:
     src = fcol(df, p.src)
     words = F.filter(F.split(src, NON_TOKEN_RE), lambda w: w != "")
+    if p.drop_duplicates:
+        # first-occurrence order, before the limit applies
+        # (pipe_unpack_words.go keepDuplicateTokens)
+        words = F.array_distinct(words)
     if p.limit:
         words = F.slice(words, 1, p.limit)
     return df.withColumn(p.dst, F.to_json(words))
