@@ -100,3 +100,30 @@ def test_options_concurrency(spark, logs):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_apply_common_args_extra_filters(spark):
+    from victorialogs_spark.endpoints import apply_common_args
+    from victorialogs_spark.logsql import ast as A
+    from victorialogs_spark.logsql.parser import parse_query
+
+    q = apply_common_args(
+        parse_query("error"),
+        extra_filters='{"host": "h1"}',
+        extra_stream_filters='{"env": ["prod", "stage"]}',
+    )
+    assert isinstance(q.filter, A.FAnd)
+    kinds = {type(t) for t in q.filter.children}
+    assert A.FExact in kinds and A.FStream in kinds
+    ex = next(t for t in q.filter.children if isinstance(t, A.FExact))
+    assert (ex.field, ex.value) == ("host", "h1")
+    st = next(t for t in q.filter.children if isinstance(t, A.FStream))
+    assert st.or_terms[0][0].op == "=~"
+
+
+def test_apply_common_args_time_range(spark):
+    from victorialogs_spark.endpoints import apply_common_args
+    from victorialogs_spark.logsql.parser import parse_query
+
+    q = apply_common_args(parse_query("*"), start_ns=10**18, end_ns=2 * 10**18)
+    assert q.time_range == (10**18, 2 * 10**18)

@@ -627,3 +627,42 @@ def test_first_bare_paren_sort(spark, logs):
     out = run_query(spark, logs, "* | first 2 (code desc)")
     got = [r["code"] for r in out.collect()]
     assert got == ["500", "500"] or set(got) == {"500"}
+
+
+def test_format_duration_converter(spark):
+    df = make_logs(
+        spark,
+        [{"ns": "94608005500000000", "neg": "-90000000000", "half": "500000000",
+          "tiny": "1500", "zero": "0", "junk": "hello"}],
+    )
+    out = run_query(
+        spark, df,
+        '* | format "<duration:ns>|<duration:neg>|<duration:half>|<duration:tiny>|<duration:zero>|<duration:junk>" as x',
+    ).first()["x"]
+    assert out == "156w3d5.5s|-1m30s|500ms|1µs500ns|0|hello"
+
+
+def test_format_duration_seconds_converter(spark):
+    df = make_logs(spark, [{"d1": "5m30s", "d2": "1.5h", "d3": "-2m", "junk": "oops"}])
+    out = run_query(
+        spark, df,
+        '* | format "<duration_seconds:d1>|<duration_seconds:d2>|<duration_seconds:d3>|<duration_seconds:junk>" as x',
+    ).first()["x"]
+    assert out == "330|5400|-120|oops"
+
+
+def test_format_converter_passthrough_on_bad_input(spark):
+    df = make_logs(spark, [{"v": "zz-not-a-number"}])
+    out = run_query(
+        spark, df,
+        '* | format "<hexnumencode:v>|<hexnumdecode:v>|<ipv4:v>|<time:v>|<duration:v>" as x',
+    ).first()["x"]
+    assert out == "|".join(["zz-not-a-number"] * 5)
+
+
+def test_format_time_rfc3339nano(spark):
+    df = make_logs(spark, [{"s": "1704067200", "ms": "1704067200123"}])
+    out = run_query(
+        spark, df, '* | format "<time:s> <time:ms>" as x'
+    ).first()["x"]
+    assert out == "2024-01-01T00:00:00Z 2024-01-01T00:00:00.123Z"

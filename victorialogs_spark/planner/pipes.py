@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from victorialogs_spark.functions.casts import _try_cast
 
 from victorialogs_spark.functions.natural import (
+    duration_seconds,
+    duration_string,
     fcol,
     format_number,
     ipv4_str,
@@ -488,29 +490,47 @@ def _format_term(df: DataFrame, spec: str) -> Column:
             return F.base64(c.cast("binary"))
         if conv == "base64decode":
             return F.unbase64(c).cast("string")
+        # converters below pass the ORIGINAL value through when it doesn't
+        # parse (pipe_format.go: `b = append(b, v...)` on !ok)
         if conv == "hexnumencode":
-            return F.hex(_try_cast(c, "long"))
+            n = _try_cast(c, "long")
+            ok = n.isNotNull() & (n >= 0)
+            return F.when(ok, F.lpad(F.hex(n), 16, "0")).otherwise(c)
         if conv == "hexnumdecode":
-            return F.conv(c, 16, 10)
+            ok = c.rlike(r"^[0-9a-fA-F]{1,16}$")
+            return F.when(ok, F.conv(c, 16, 10)).otherwise(c)
         if conv == "time":
             n = _try_cast(c, "long")
-            # heuristic like the reference: interpret by magnitude
-            us = (
-                F.when(F.abs(n) >= F.lit(10**17), (n / 1000).cast("long"))  # ns
-                .when(F.abs(n) >= F.lit(10**14), n)  # µs
-                .when(F.abs(n) >= F.lit(10**11), (n * 1000).cast("long"))  # ms
-                .otherwise((n * 1_000_000).cast("long"))  # s
+            # magnitude heuristic (timeutil.TryParseUnixTimestamp):
+            # ns / µs / ms / s by value range
+            ns = (
+                F.when(F.abs(n) >= F.lit(10**17), n)
+                .when(F.abs(n) >= F.lit(10**14), n * 1000)
+                .when(F.abs(n) >= F.lit(10**11), n * 1_000_000)
+                .otherwise(n * F.lit(10**9))
             )
-            return F.date_format(F.timestamp_micros(us), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+            base = F.date_format(
+                F.timestamp_micros((ns / 1000).cast("long")), "yyyy-MM-dd'T'HH:mm:ss"
+            )
+            # RFC3339Nano: fractional part with trailing zeros trimmed
+            frac = F.regexp_replace(
+                F.lpad((ns % F.lit(10**9)).cast("string"), 9, "0"), r"0+$", ""
+            )
+            out = F.concat(
+                base,
+                F.when(frac != "", F.concat(F.lit("."), frac)).otherwise(F.lit("")),
+                F.lit("Z"),
+            )
+            return F.when(n.isNotNull(), out).otherwise(c)
         if conv == "duration":
             n = _try_cast(c, "long")  # nanoseconds
-            secs = n / F.lit(1e9)
-            return F.concat(format_number(F.round(secs, 3)), F.lit("s"))
+            return F.when(n.isNotNull(), duration_string(n)).otherwise(c)
         if conv == "duration_seconds":
-            # '1h30m' → seconds; approximate with casting common forms
-            return format_number(_try_cast(c, "double"))
+            return duration_seconds(c)
         if conv == "ipv4":
-            return ipv4_str(_try_cast(c, "long"))
+            n = _try_cast(c, "long")
+            ok = n.isNotNull() & (n >= 0) & (n <= F.lit(0xFFFFFFFF))
+            return F.when(ok, ipv4_str(n)).otherwise(c)
         # unknown converter — treat whole spec as a field name
         return fcol(df, spec)
     return fcol(df, spec)
