@@ -185,3 +185,24 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(assets_from_documents(docs), every_ms=500)
     rows = plan.collect()
     assert rows and all(r["frame_ts_ms"] % 500 == 0 for r in rows)
+
+
+def test_ivf_topk_recall(spark, vecs):
+    from victorialogs_spark.datapipe.similarity import ivf_topk
+
+    q = [float(v) for v in vecs.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(vecs, "vec_id", "embedding", q, 5).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(vecs, "vec_id", "embedding", q, 5, n_centroids=6, probes=2).collect()
+    }
+    # on clustered data the query's cell holds its whole cluster
+    assert len(exact & approx) >= 4
+
+
+def test_ivf_centroids_deterministic(spark, vecs):
+    from victorialogs_spark.datapipe.similarity import train_ivf_centroids
+
+    c1 = train_ivf_centroids(vecs, "embedding", n_centroids=4, seed=7)
+    c2 = train_ivf_centroids(vecs, "embedding", n_centroids=4, seed=7)
+    assert c1 == c2

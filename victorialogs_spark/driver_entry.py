@@ -1056,6 +1056,17 @@ def _dp_ann_lsh(spark, sf_dir):
     return ann_topk(emb, "vec_id", "embedding", q, k=10, n_planes=6, probes=6)
 
 
+@register("dp_ann_ivf_topk")  # approximate by construction — rows-only
+def _dp_ann_ivf(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.similarity import ivf_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, "vec_id", "embedding", q, k=10, n_centroids=32, probes=4)
+
+
 @register("dp_embedding_near_dup")  # LSH-bucketed pairs — rows-only
 def _dp_embedding_near_dup(spark, sf_dir):
     from victorialogs_spark.datapipe.similarity import embedding_near_dup_pairs
