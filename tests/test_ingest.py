@@ -139,3 +139,47 @@ def test_tenant_partitioning(spark, tmp_path):
     # tenant predicate prunes at partition level
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "tenant" in plan
+
+
+def test_stream_hits_windowed(spark, tmp_path):
+    """Structured-Streaming windowed hits: file stream in → watermarked
+    window counts out (update mode, memory sink)."""
+    import json as _json
+    import time as _time
+
+    from victorialogs_spark.streaming.windowed import start_stream_hits_to_memory
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("_time timestamp, _msg string, level string")
+        .json(str(src))
+    )
+    q = start_stream_hits_to_memory(
+        stream, "level:error", "hits_tbl", step="1 minute", fields=["level"]
+    )
+    try:
+        lines = [
+            {"_time": "2024-01-01T00:00:05.000Z", "_msg": "boom", "level": "error"},
+            {"_time": "2024-01-01T00:00:30.000Z", "_msg": "ok", "level": "info"},
+            {"_time": "2024-01-01T00:01:10.000Z", "_msg": "boom2", "level": "error"},
+        ]
+        (src / "a.json").write_text("\n".join(_json.dumps(x) for x in lines))
+        q.processAllAvailable()
+        rows = spark.sql("select * from hits_tbl").collect()
+        got = {(r["window"].start.minute, r["hits"]) for r in rows}
+        assert (0, 1) in got and (1, 1) in got
+        # late-ish second error in minute 0 updates the open window
+        (src / "b.json").write_text(
+            _json.dumps({"_time": "2024-01-01T00:00:50.000Z", "_msg": "x", "level": "error"})
+        )
+        q.processAllAvailable()
+        rows = spark.sql("select * from hits_tbl").collect()
+        by_min = {}
+        for r in rows:
+            by_min[r["window"].start.minute] = max(
+                by_min.get(r["window"].start.minute, 0), r["hits"]
+            )
+        assert by_min[0] == 2 and by_min[1] == 1
+    finally:
+        q.stop()
