@@ -250,6 +250,22 @@ logsql(
     f"SELECT {EID} FROM events WHERE dayofweek(ts) BETWEEN 1 AND 5",
 )
 logsql(
+    "f_day_range_offset",
+    # offset SUBTRACTS from the timestamp before the range check
+    # (filter_day_range.go:122) — the round-1 advisor bug, locked in
+    "_time:day_range[08:00, 12:00] offset 2h | fields event_id",
+    f"SELECT {EID} FROM events WHERE"
+    " (EXTRACT(hour FROM ts - INTERVAL 2 HOUR) * 60"
+    " + EXTRACT(minute FROM ts - INTERVAL 2 HOUR)) BETWEEN 480 AND 720",
+)
+logsql(
+    "f_time_gt_offset",
+    # '>' time filters honor offset too (round-1 advisor: the > branch
+    # silently dropped it, turning 'offset 1h' into word filters)
+    "_time:>2024-01-15T07:03:02Z offset 24h | fields event_id",
+    f"SELECT {EID} FROM events WHERE ts > TIMESTAMP '2024-01-14 07:03:02'",
+)
+logsql(
     "f_stream",
     '{event_type=~"err.*|click"} | fields event_id',
     f"SELECT {EID} FROM events WHERE regexp_matches(event_type, '^(?:err.*|click)$')",
@@ -332,6 +348,15 @@ logsql(
     " | fields event_id, v2, vu, rv",
     f"SELECT {EID}, {fmt('value * 2')} AS v2, {fmt('value + user_id')} AS vu,"
     f" {fmt('ROUND(value)')} AS rv FROM events",
+)
+logsql(
+    "p_math_funcs",
+    "* | math abs(value - 60) as av, floor(value) as fv, ceil(value) as cv,"
+    " min(value, user_id) as mn, max(value, user_id) as mx"
+    " | fields event_id, av, fv, cv, mn, mx",
+    f"SELECT {EID}, {fmt('ABS(value - 60)')} AS av, {fmt('FLOOR(value)')} AS fv,"
+    f" {fmt('CEIL(value)')} AS cv, {fmt('LEAST(value, user_id)')} AS mn,"
+    f" {fmt('GREATEST(value, user_id)')} AS mx FROM events",
 )
 logsql(
     "p_extract",
