@@ -18,8 +18,6 @@ Operators:
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,11 +75,11 @@ def minhash_signatures_arrow(
     shingle_k: int = 3,
     shingle: str = "token",
 ) -> DataFrame:
-    """MinHash sketch via a vectorized Arrow pandas UDF: md5 gram hashes +
-    numpy universal hashing ((a·h + b) mod p, min along grams). One narrow
-    map, no shuffle. ~10× faster than the pure-Column formulation because
-    Spark's higher-order functions are interpreted per element, while the
-    numpy min reduction is C.
+    """MinHash sketch via a vectorized Arrow pandas UDF: the whole batch's
+    grams are hashed in ONE C call (``pd.util.hash_array``, SipHash with a
+    fixed key — deterministic across processes), then every signature slot
+    is a segmented ``np.minimum.reduceat`` over multiply-shift re-hashes.
+    Zero per-gram Python: one narrow map, no shuffle, no hashlib.
 
     Output: (<id_col>, sig array<long>[num_hashes]).
     """
@@ -107,18 +105,19 @@ def minhash_signatures_arrow(
         return {s[i : i + k] for i in range(len(s) - k + 1)}
 
     def _sig(series):
-        out = []
-        for text in series:
-            hs = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
-                    for g in _grams(text)
-                ),
-                dtype=np.uint64,
-            )
-            m = (A[:, None] * hs[None, :]).min(axis=1)  # uint64 wrap is intended
-            out.append((m.astype(np.int64)).tolist())
-        return pd.Series(out)
+        texts = series.tolist()
+        if not texts:
+            return pd.Series([], dtype=object)
+        flat: list = []
+        starts = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            starts[i] = len(flat)
+            flat.extend(_grams(text))  # always >= 1 gram per row
+        hs = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+        sig = np.empty((len(texts), num_hashes), dtype=np.uint64)
+        for j in range(num_hashes):
+            sig[:, j] = np.minimum.reduceat(A[j] * hs, starts)
+        return pd.Series(sig.view(np.int64).tolist())
 
     _sig.__annotations__ = {"series": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_sig, "array<long>")
@@ -313,6 +312,42 @@ def token_ngrams_arrow(c_name: str, n: int = 3):
     return F.pandas_udf(_grams, "array<string>")(F.col(c_name))
 
 
+def token_ngram_hashes_arrow(c_name: str, n: int = 3):
+    """Distinct word n-grams PRE-HASHED to int64 inside the pandas UDF
+    (``pd.util.hash_array`` over the whole batch — one C call). Emitting
+    fixed-width longs instead of gram strings shrinks the Arrow transfer
+    and removes the JVM-side string re-hash; a 64-bit collision merging two
+    grams is ~2^-64 per pair — negligible for dedup, same property as the
+    xxhash64 it replaces."""
+    import numpy as np
+    import pandas as pd
+
+    def _gram_hashes(series):
+        texts = series.tolist()
+        if not texts:
+            return pd.Series([], dtype=object)
+        flat: list = []
+        counts = []
+        for text in texts:
+            toks = (text or "").lower().split()
+            if len(toks) < n:
+                g = [" ".join(toks)] if toks else [""]
+            else:
+                g = list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+            flat.extend(g)
+            counts.append(len(g))
+        hs = pd.util.hash_array(np.asarray(flat, dtype=object)).view(np.int64)
+        out = []
+        pos = 0
+        for c in counts:
+            out.append(hs[pos : pos + c].tolist())
+            pos += c
+        return pd.Series(out)
+
+    _gram_hashes.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_gram_hashes, "array<long>")(F.col(c_name))
+
+
 def _bucket_pairs(docs_list: Column) -> Column:
     """All ordered pairs (a, b) with a.id < b.id from a SORTED array of doc
     structs — generated LOCALLY inside one aggregation row, so pair
@@ -359,11 +394,14 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
-    gen = (
-        token_ngrams_arrow(text_col, n)
-        if engine == "arrow"
-        else token_ngrams(F.col(text_col), n)
-    )
+    if engine == "arrow":
+        # grams arrive pre-hashed to longs from the pandas UDF — nothing to
+        # re-hash JVM-side, and the explode ships 8-byte ints, not strings
+        gen = token_ngram_hashes_arrow(text_col, n)
+        gh = F.col("g")
+    else:
+        gen = token_ngrams(F.col(text_col), n)
+        gh = F.xxhash64("g")
     grams = (
         df.select(F.col(id_col), gen.alias("__grams"))
         .select(
@@ -371,7 +409,7 @@ def ngram_jaccard_pairs(
             F.size("__grams").alias("sz"),
             F.explode("__grams").alias("g"),
         )
-        .select(F.xxhash64("g").alias("gh"), F.struct(F.col(id_col).alias("id"), F.col("sz")).alias("doc"))
+        .select(gh.alias("gh"), F.struct(F.col(id_col).alias("id"), F.col("sz")).alias("doc"))
     )
     postings = grams.groupBy("gh").agg(F.array_sort(F.collect_list("doc")).alias("docs"))
     if max_doc_freq:
@@ -398,35 +436,45 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over word tokens (md5-based token hashes, so values are
-    deterministic across engines/processes). Bit-twiddling is the one place
-    built-in columns can't express the semantics cleanly — Arrow-batched
-    pandas UDF (the documented slow path, one narrow map, no shuffle).
+    """64-bit SimHash over word tokens (``pd.util.hash_array`` token hashes —
+    SipHash with a fixed key, deterministic across engines/processes).
+    Bit-twiddling is the one place built-in columns can't express the
+    semantics cleanly — Arrow-batched pandas UDF (the documented slow path,
+    one narrow map, no shuffle); the batch's tokens are hashed in one C
+    call and the per-bit vote is a segmented numpy reduction.
 
     Output: (<id_col>, simhash as SIGNED 64-bit decimal string, so it
     round-trips through cast('long') for Hamming verification).
     """
+    import numpy as np
     import pandas as pd
 
     def _simhash_series(s):
-        out = []
-        for text in s:
+        texts = s.tolist()
+        if not texts:
+            return pd.Series([], dtype=object)
+        flat: list = []
+        starts = np.empty(len(texts), dtype=np.int64)
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
             toks = (text or "").lower().split()
-            acc = [0] * 64
-            for t in toks:
-                h = int.from_bytes(
-                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
-                )
-                for bit in range(64):
-                    acc[bit] += 1 if (h >> bit) & 1 else -1
-            v = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    v |= 1 << bit
-            if v >= 1 << 63:
-                v -= 1 << 64
-            out.append(str(v))
-        return pd.Series(out)
+            starts[i] = len(flat)
+            counts[i] = len(toks)
+            flat.extend(toks)
+        shifts = np.arange(64, dtype=np.uint64)
+        if flat:
+            hs = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+        else:
+            hs = np.zeros(0, dtype=np.uint64)
+        # sentinel row keeps every reduceat index in range; its vote is
+        # subtracted from the final segment below
+        hs = np.append(hs, np.uint64(0))
+        bits = (((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2) - 1
+        acc = np.add.reduceat(bits, starts, axis=0)
+        acc[-1] -= bits[-1]
+        acc[counts == 0] = 0  # reduceat yields arr[start] for empty segments
+        v = ((acc > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        return pd.Series([str(x) for x in v.view(np.int64).tolist()])
 
     _simhash_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_simhash_series, "string")

@@ -105,19 +105,38 @@ def doc_fingerprints(
     """Document fingerprinting: full-content md5 plus a winnowing-style
     rolling fingerprint (min md5 over all ``window``-char substrings of the
     normalized text — stable under content reordering/append).
-    md5 keeps the values engine-independent (oracle-checkable)."""
-    from victorialogs_spark.datapipe.dedup import normalize_text
+    md5 keeps the values engine-independent (oracle-checkable).
 
-    s = normalize_text(F.col(text_col))
-    n = F.greatest(F.length(s) - F.lit(window - 1), F.lit(1))
-    rolling = F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.md5(F.encode(F.substr(s, i, F.lit(window)), "UTF-8")),
-        )
-    )
+    The rolling min runs in an Arrow pandas UDF: hashlib.md5 over a sliding
+    window is ~100× cheaper than the interpreted higher-order-function
+    chain (per-substring Catalyst expression eval) it replaces — still one
+    narrow map, no shuffle."""
+    import hashlib
+
+    import pandas as pd
+
+    def _fps(series):
+        import re
+
+        full, rolling = [], []
+        for text in series:
+            s = re.sub(r"\s+", " ", (text or "").lower()).strip(" ")
+            b = s.encode("utf-8")
+            full.append(hashlib.md5(b).hexdigest())
+            if len(s) <= window:
+                rolling.append(hashlib.md5(b).hexdigest())
+            else:
+                rolling.append(
+                    min(
+                        hashlib.md5(s[i : i + window].encode("utf-8")).hexdigest()
+                        for i in range(len(s) - window + 1)
+                    )
+                )
+        return pd.DataFrame({"fp_full": full, "fp_rolling": rolling})
+
+    _fps.__annotations__ = {"series": pd.Series, "return": pd.DataFrame}
+    udf = F.pandas_udf(_fps, "fp_full string, fp_rolling string")
     return df.select(
         F.col(id_col),
-        F.md5(F.encode(s, "UTF-8")).alias("fp_full"),
-        rolling.alias("fp_rolling"),
-    )
+        udf(F.col(text_col)).alias("__fp"),
+    ).select(F.col(id_col), F.col("__fp.fp_full").alias("fp_full"), F.col("__fp.fp_rolling").alias("fp_rolling"))
