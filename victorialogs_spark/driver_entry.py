@@ -39,6 +39,33 @@ def _logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
+def _spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table repartitioned for CPU-bound pandas-UDF stages (dedup /
+    similarity hashing). Partition count scales with input bytes so tiny
+    correctness-scale inputs don't pay a 32-way Python-worker fan-out
+    (~50-100ms/partition of pure overhead), while bench/production scales
+    use every core. At cluster scale the ceiling is defaultParallelism —
+    the same rule, bigger denominator."""
+    import os
+
+    df = _table(spark, sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        size = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        )
+    except OSError:
+        size = 0
+    target = max(4, min(spark.sparkContext.defaultParallelism, size // 16384))
+    return df.repartition(target)
+
+
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark, sf_dir, name)
     if key not in _CACHE:
@@ -926,9 +953,7 @@ def _dp_ngram_jaccard(spark, sf_dir):
 
     from victorialogs_spark.datapipe.dedup import ngram_jaccard_pairs
 
-    docs = _table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.05)
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
@@ -937,13 +962,11 @@ def _dp_ngram_jaccard(spark, sf_dir):
 def _dp_minhash_lsh(spark, sf_dir):
     from victorialogs_spark.datapipe.dedup import minhash_near_dups
 
-    # repartition: the corpus arrives as one small file but the shingle
+    # _spread: the corpus arrives as one small file but the shingle
     # hashing is CPU-bound — spread it across cores before the heavy map.
     # 4 bands × 16 rows: a band only collides at sim ≳ 0.84 — the right
     # operating point for near-dup detection on a highly self-similar corpus
-    docs = _table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, sf_dir, "documents")
     return minhash_near_dups(
         docs, "doc_id", "text", num_hashes=32, bands=4, threshold=0.7,
     )
@@ -1126,3 +1149,42 @@ logsql(
     f" COUNT(*) AS n, {dsum('l_quantity')} AS qty FROM lineitem GROUP BY 1",
     table="lineitem_ts",
 )
+
+
+# ---------------------------------------------------------------------------
+# Registry run order: a time-budgeted driver walks entries in dict order and
+# may truncate the tail. Rounds 2-3 both covered only the first 50 entries —
+# the same 50 each time — so everything registered after them has never been
+# driver-verified. Reorder so the never-verified entries run FIRST; the
+# 50 twice-green entries run last (they are the best-understood ones, and if
+# the driver truncates again it now truncates re-verification, not coverage).
+# ---------------------------------------------------------------------------
+
+_DRIVER_VERIFIED_R2_R3 = [
+    # exactly the 50-entry prefix recorded in CORRECTNESS_r02/r03.json
+    "f_word", "f_phrase", "f_prefix", "f_any_case", "f_exact",
+    "f_exact_prefix", "f_in", "p_rename_wildcard", "f_field_group",
+    "f_in_subquery", "f_contains_all", "f_contains_any", "f_seq", "f_regexp",
+    "f_range_gt", "f_range_bracket", "f_range_halfopen", "f_ipv4_range",
+    "f_string_range", "f_string_cmp", "f_len_range", "f_eq_field",
+    "f_le_field", "f_time_range", "f_time_duration_offset", "f_day_range",
+    "f_week_range", "f_day_range_offset", "f_time_gt_offset", "f_stream",
+    "f_bool", "p_fields_delete", "p_copy", "p_rename", "p_rename_overwrite",
+    "p_filter", "p_limit", "p_offset", "p_sort_desc_rank",
+    "p_sort_partition_topk", "p_first", "p_last", "p_math", "p_math_funcs",
+    "p_extract", "p_extract_regexp", "p_replace", "p_replace_regexp",
+    "p_format", "p_format_converters",
+]
+
+
+def _reorder_registry() -> None:
+    global QUERIES, ORACLE
+    seen = set(_DRIVER_VERIFIED_R2_R3)
+    order = [k for k in QUERIES if k not in seen] + [
+        k for k in _DRIVER_VERIFIED_R2_R3 if k in QUERIES
+    ]
+    QUERIES = {k: QUERIES[k] for k in order}
+    ORACLE = {k: ORACLE[k] for k in order if k in ORACLE}
+
+
+_reorder_registry()

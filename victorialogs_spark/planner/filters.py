@@ -182,8 +182,23 @@ def _phrase(df: DataFrame, field: str, phrase: str, ci: bool) -> Column:
 
 
 def _time_range(df: DataFrame, lo_ns: int, hi_ns: int) -> Column:
-    """Inclusive ns range on _time. Spark timestamps are µs so bounds are
-    rounded conservatively (floor for lo, ceil-truncate for hi)."""
+    """Inclusive ns range on _time.
+
+    When the scan kept the raw nano-long column (``__time_nanos``, see
+    schema.load_table), compare on it directly: the conversion to timestamp
+    is monotonic, so ``lo_ns <= raw <= hi_ns`` is exact at ns resolution AND
+    the predicate reaches Parquet as a plain long range (row-group pruning —
+    the reference's block min/max time pruning,
+    lib/logstorage/storage_search.go:1069-1081). Otherwise fall back to the
+    µs timestamp with conservative rounding (floor lo, ceil-truncate hi)."""
+    if "__time_nanos" in df.columns:
+        t = F.col("__time_nanos")
+        out = F.lit(True)
+        if lo_ns > -(2**62):
+            out = out & (t >= F.lit(lo_ns))
+        if hi_ns < 2**62:
+            out = out & (t <= F.lit(hi_ns))
+        return out
     t = qcol("_time")
     out = F.lit(True)
     if lo_ns > -(2**62):

@@ -125,6 +125,11 @@ def plan_query(
     if q.time_range is not None:
         out = _day_prune(out, q.time_range)
     out = apply_filter_df(out, q.filter, ctx)
+    # internal scan-side columns (raw nano-long time, kept so time-range
+    # predicates push into Parquet) end their life at the filter stage —
+    # pipes and query output never see them
+    if "__time_nanos" in out.columns:
+        out = out.drop("__time_nanos")
     for p in q.pipes:
         out = apply_pipe(p, out, ctx)
     return out

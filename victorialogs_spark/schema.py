@@ -37,7 +37,10 @@ def normalize_log_df(
     if msg_col and msg_col in out.columns and msg_col != "_msg":
         out = out.withColumn("_msg", F.col(msg_col).cast("string"))
     for c, t in out.dtypes:
-        if c == "_time":
+        if c == "_time" or c.startswith("__"):
+            # '__'-prefixed columns are engine-internal (e.g. __time_nanos,
+            # the raw scan column kept for predicate pushdown) — never
+            # string-coerced, never user-visible
             continue
         if t != "string":
             out = out.withColumn(c, F.coalesce(F.col(c).cast("string"), F.lit("")))
@@ -173,13 +176,24 @@ def ingest_ndjson(
 _NANO_TS_COLS = {"ts"}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, keep_nanos: bool = False
+) -> DataFrame:
     # works on ANY session (incl. the driver's): nanosAsLong is a runtime
     # SQL conf, and nano-long columns are converted back to timestamps
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c, t in df.dtypes:
         if c in _NANO_TS_COLS and t == "bigint":
+            if keep_nanos:
+                # keep the raw nano long under an internal name: time-range
+                # predicates compare on it (monotonic), so the range reaches
+                # the Parquet scan as a plain long comparison and prunes
+                # row groups — the Spark analogue of the reference's block
+                # min/max time pruning (lib/logstorage/storage_search.go:
+                # 1069-1081). The timestamp_micros() wrapper below would
+                # otherwise reduce PushedFilters to IsNotNull.
+                df = df.withColumn("__time_nanos", F.col(c))
             df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
         elif t == "timestamp_ntz":
             # ms-resolution parquet timestamps load as NTZ; normalize so
@@ -191,6 +205,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def events_as_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic `events` table viewed as a log table: ts → _time,
     props (JSON) → _msg, event_type as a stream label."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", keep_nanos=True)
     df = normalize_log_df(ev, time_col="ts", msg_col="props")
     return with_stream_id(df, ["event_type"])
