@@ -64,6 +64,21 @@ def test_join_subquery_is_broadcast(spark, events):
     assert "BroadcastHashJoin" in plan_of(out)
 
 
+def test_join_large_subquery_not_forced_broadcast(spark, events, monkeypatch):
+    """Above the size cap the join pipe must not force a broadcast hint —
+    AQE decides at runtime (a forced broadcast of an unbounded subquery
+    OOMs the driver at scale; the reference errors on its memory cap)."""
+    from victorialogs_spark.planner import pipes as PP
+
+    q = "* | join by (event_type) (* | stats by (event_type) count() as total)"
+    expected = run_query(spark, events, q).count()
+    monkeypatch.setattr(PP, "JOIN_BROADCAST_MAX_BYTES", 1)
+    out = run_query(spark, events, q)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical  # no forced hint
+    assert out.count() == expected  # same answer either way
+
+
 def test_stream_context_no_forced_broadcast(spark):
     from victorialogs_spark.schema import events_as_logs
 
@@ -144,6 +159,36 @@ def test_time_range_pushdown_us_timestamps(spark):
     scan = [ln for ln in plan_of(out).split("\n") if "FileScan" in ln][0]
     pushed = scan.split("PushedFilters:")[1]
     assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+
+
+def test_or_nested_in_subquery_no_driver_collect(spark, events, monkeypatch):
+    """in(subquery) under OR with a large value set must become a join-flag
+    plan, never a driver-side collect of every value into a mega-isin."""
+    from victorialogs_spark.planner import planner as P
+
+    q = "user_id:in(event_type:signup | fields user_id) or event_type:error | fields event_id"
+    expected = run_query(spark, events, q).count()
+    # force the large-set path regardless of data scale
+    monkeypatch.setattr(P, "IN_VALUES_INLINE_MAX", 1)
+    out = run_query(spark, events, q)
+    assert out.count() == expected
+    plan = plan_of(out)
+    assert "Join" in plan  # membership ran as a join
+    # no flag/value internals leak into the output
+    assert out.columns == ["event_id"]
+    nofields = run_query(spark, events, q.rsplit("|", 1)[0])
+    assert not [c for c in nofields.columns if c.startswith("__vl_inflag")]
+
+
+def test_nested_not_in_subquery(spark, events, monkeypatch):
+    from victorialogs_spark.planner import planner as P
+
+    q = ("not (user_id:in(event_type:signup | fields user_id)"
+         " or event_type:click) | fields event_id")
+    expected = run_query(spark, events, q).count()
+    monkeypatch.setattr(P, "IN_VALUES_INLINE_MAX", 1)
+    out = run_query(spark, events, q)
+    assert out.count() == expected
 
 
 def test_day_partition_pruning(spark, tmp_path):

@@ -27,6 +27,20 @@ def normalize_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def py_normalize_text(text: str | None) -> str | None:
+    """Python-side mirror of :func:`normalize_text` for pandas-UDF paths.
+    Must track JVM semantics exactly: Java regex ``\\s`` is ASCII-only
+    ([ \\t\\n\\x0b\\f\\r]) while Python ``\\s`` matches Unicode whitespace
+    (\\xa0, \\u2028, ...) — using the Python class would make fingerprints
+    diverge from exact_dedup/fingerprint() on such inputs. NULL stays None
+    (Spark md5(NULL) is NULL, not md5(''))."""
+    import re
+
+    if text is None:
+        return None
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip(" ")
+
+
 def fingerprint(c: Column) -> Column:
     """Deterministic 128-bit content fingerprint (md5 hex) of normalized text."""
     return F.md5(F.encode(normalize_text(c), "UTF-8"))
@@ -112,7 +126,12 @@ def minhash_signatures_arrow(
         starts = np.empty(len(texts), dtype=np.int64)
         for i, text in enumerate(texts):
             starts[i] = len(flat)
-            flat.extend(_grams(text))  # always >= 1 gram per row
+            flat.extend(_grams(text))
+        # reduceat correctness REQUIRES >=1 gram per row (an empty segment
+        # silently takes the next row's value; a trailing one raises) —
+        # _grams guarantees it, this guards the invariant against edits
+        if len(flat) <= int(starts[-1]):
+            raise AssertionError("minhash: _grams returned 0 grams for a row")
         hs = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
         sig = np.empty((len(texts), num_hashes), dtype=np.uint64)
         for j in range(num_hashes):
@@ -449,15 +468,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    def _simhash_series(s):
-        texts = s.tolist()
-        if not texts:
-            return pd.Series([], dtype=object)
+    # the (tokens+1)x64 int32 bit matrix costs ~768 bytes/token; bound it
+    # per chunk (~256k tokens → ~64 MB) so long-document Arrow batches
+    # can't balloon executor-thread memory
+    TOKEN_CHUNK = 1 << 18
+
+    def _simhash_chunk(texts):
         flat: list = []
         starts = np.empty(len(texts), dtype=np.int64)
         counts = np.empty(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            toks = (text or "").lower().split()
+        for i, toks in enumerate(texts):
             starts[i] = len(flat)
             counts[i] = len(toks)
             flat.extend(toks)
@@ -474,7 +494,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         acc[-1] -= bits[-1]
         acc[counts == 0] = 0  # reduceat yields arr[start] for empty segments
         v = ((acc > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
-        return pd.Series([str(x) for x in v.view(np.int64).tolist()])
+        return v.view(np.int64)
+
+    def _simhash_series(s):
+        texts = s.tolist()
+        if not texts:
+            return pd.Series([], dtype=object)
+        tokenized = [(text or "").lower().split() for text in texts]
+        out: list = []
+        chunk: list = []
+        budget = 0
+        for toks in tokenized:
+            if chunk and budget + len(toks) > TOKEN_CHUNK:
+                out.extend(_simhash_chunk(chunk))
+                chunk, budget = [], 0
+            chunk.append(toks)
+            budget += len(toks)
+        if chunk:
+            out.extend(_simhash_chunk(chunk))
+        return pd.Series([str(x) for x in out])
 
     _simhash_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_simhash_series, "string")

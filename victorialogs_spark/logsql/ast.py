@@ -85,6 +85,14 @@ class FInSubquery(Filter):
 
 
 @dataclass
+class FFlagCol(Filter):
+    """Planner-internal: membership precomputed as a boolean join-flag
+    column (scale-safe form of a nested in(subquery); never produced by
+    the parser)."""
+    name: str
+
+
+@dataclass
 class FContains(Filter):
     """contains_all / contains_any (filter_contains_all.go:15)."""
     field: str

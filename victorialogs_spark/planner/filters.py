@@ -65,7 +65,13 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
         if "" in f.values:
             return fcol(df, f.field).isin(f.values)
         return _raw(df, f.field).isin(f.values)
+    if isinstance(f, A.FFlagCol):
+        # membership precomputed by the planner as a left-join flag
+        return F.coalesce(F.col(f.name), F.lit(False))
     if isinstance(f, A.FInSubquery):
+        # normally resolved by planner._resolve_nested_in_subqueries into
+        # FIn/FFlagCol; this direct path remains for per-func `if (...)`
+        # conditions compiled outside apply_filter_df (bounded below)
         values = _subquery_values(f.query, ctx)
         if values is None:
             raise ValueError("in(subquery) requires a plan context")
@@ -260,10 +266,16 @@ def _value_type(df: DataFrame, field: str, vt: str) -> Column:
     return c.rlike(pat)
 
 
+SUBQUERY_VALUES_MAX = 10_000
+
+
 def _subquery_values(q: A.Query, ctx) -> list[str] | None:
     """Eagerly run an in(...)/contains_*(...) subquery and collect its single
-    output column (reference: storage_search.go:582-606). Values are capped —
-    the reference caps by memory; we cap by count and fail loudly."""
+    output column (reference: storage_search.go:582-606). Hard-capped at
+    SUBQUERY_VALUES_MAX distinct values: contains_* needs driver-side values
+    (each becomes a token-regex matcher), and per-func `if (...)` conditions
+    compile outside the planner's join rewrite — an unbounded collect here
+    would stall the driver at scale, so fail loudly with guidance instead."""
     if ctx is None:
         return None
     sub = ctx.run_subquery(q)
@@ -273,7 +285,11 @@ def _subquery_values(q: A.Query, ctx) -> list[str] | None:
             f"in(subquery): subquery must return exactly one field, got {sub.columns}"
         )
     col0 = sub.columns[0]
-    rows = sub.select(col0).distinct().limit(1_000_001).collect()
-    if len(rows) > 1_000_000:
-        raise ValueError("in(subquery): too many values (>1e6)")
+    rows = sub.select(col0).distinct().limit(SUBQUERY_VALUES_MAX + 1).collect()
+    if len(rows) > SUBQUERY_VALUES_MAX:
+        raise ValueError(
+            f"subquery produced more than {SUBQUERY_VALUES_MAX} distinct values;"
+            " narrow the subquery (add filters / limit), or use a top-level"
+            " in(subquery) / OR of in(subquery) terms, which run as joins"
+        )
     return [r[0] if r[0] is not None else "" for r in rows]

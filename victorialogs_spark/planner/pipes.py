@@ -755,6 +755,15 @@ def _p_pack_logfmt(p: A.PPackLogfmt, df: DataFrame, ctx) -> DataFrame:
 
 # ---------------------------------------------------------------- multi-query
 
+# forced-broadcast ceiling for the join pipe's subquery side: under the
+# cap, hint broadcast (the reference always builds an in-memory hash map
+# of the subquery, storage_search.go:212-273 — but it ERRORS on memory
+# caps, while a forced Spark broadcast of an unbounded subquery OOMs the
+# driver). Above it, no hint: AQE picks broadcast at runtime iff the
+# actual size qualifies, else shuffled hash/sort-merge.
+JOIN_BROADCAST_MAX_BYTES = 64 << 20
+
+
 def _p_join(p: A.PJoin, df: DataFrame, ctx) -> DataFrame:
     sub = ctx.run_subquery(p.query)
     # prefix non-key columns if requested (pipe_join.go:16-31)
@@ -763,9 +772,15 @@ def _p_join(p: A.PJoin, df: DataFrame, ctx) -> DataFrame:
             if c not in p.by:
                 sub = sub.withColumnRenamed(c, p.prefix + c)
     how = "inner" if p.inner else "left"
-    # the reference always builds an in-memory hash map of the subquery
-    # (storage_search.go:212-273) — broadcast-hash join is the same plan
-    sub_b = F.broadcast(sub)
+    sub_b = sub
+    try:
+        est = int(
+            sub._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        est = JOIN_BROADCAST_MAX_BYTES + 1  # unknown size: never force
+    if est <= JOIN_BROADCAST_MAX_BYTES:
+        sub_b = F.broadcast(sub)
     joined = df.join(sub_b, on=[c for c in p.by], how=how)
     # left-join nulls read as '' downstream (missing ≡ empty)
     for c, t in joined.dtypes:
@@ -932,17 +947,22 @@ def _p_decolorize(p: A.PDecolorize, df: DataFrame, ctx) -> DataFrame:
 def _p_drop_empty_fields(p: A.PDropEmptyFields, df: DataFrame, ctx) -> DataFrame:
     """Drop rows where all fields are empty, and columns that are empty
     everywhere (fixed-schema approximation of the per-row semantics in
-    pipe_drop_empty_fields.go — divergence documented)."""
+    pipe_drop_empty_fields.go — divergence documented).
+
+    The column-drop half must observe data before the schema can change, so
+    the filtered frame is persisted (memory, spill to disk) and the boolean
+    flags aggregation materializes it — upstream is scanned exactly ONCE;
+    the downstream query reads the cache (InMemoryTableScan), not a second
+    FileScan of the source."""
+    from pyspark import StorageLevel
+
     str_cols = [c for c, t in df.dtypes if t == "string"]
     if not str_cols:
         return df
     any_nonempty = F.lit(False)
     for c in str_cols:
         any_nonempty = any_nonempty | (fcol(df, c) != "")
-    df = df.where(any_nonempty)
-    # schema change (dropping all-empty columns) inherently needs one extra
-    # driver-visible aggregation; keep it a cheap boolean max (map-side
-    # partial agg, one row collected)
+    df = df.where(any_nonempty).persist(StorageLevel.MEMORY_AND_DISK)
     flags = df.agg(
         *[F.max(fcol(df, c) != "").alias(c) for c in str_cols]
     ).collect()[0]

@@ -65,6 +65,9 @@ def apply_filter_df(df: DataFrame, f: A.Filter, ctx) -> DataFrame:
     isin() below IN_VALUES_INLINE_MAX distinct values, left_semi/left_anti
     join above it (reference collects in-process with memory caps,
     storage_search.go:582-606; the join is the idiomatic Spark equivalent).
+    in(subquery) nested under OR/NOT resolves the same way: small value
+    sets inline, large ones become a left-join boolean flag column the
+    predicate references — the driver never collects an unbounded set.
     Everything else compiles to one Column predicate."""
     conjuncts = list(f.children) if isinstance(f, A.FAnd) else [f]
     out = df
@@ -79,8 +82,55 @@ def apply_filter_df(df: DataFrame, f: A.Filter, ctx) -> DataFrame:
         rest.append(c)
     if rest:
         tree = rest[0] if len(rest) == 1 else A.FAnd(rest)
+        flags: list[str] = []
+        if ctx is not None:
+            tree, out = _resolve_nested_in_subqueries(tree, out, ctx, flags)
         out = out.where(compile_filter(tree, out, ctx))
+        if flags:
+            out = out.drop(*flags)
     return out
+
+
+def _resolve_nested_in_subqueries(
+    f: A.Filter, df: DataFrame, ctx, flags: list[str]
+) -> tuple[A.Filter, DataFrame]:
+    """Replace every in(subquery) below OR/NOT with a bounded form: FIn for
+    small value sets (pushable isin), or a distinct-values left join whose
+    boolean flag column the rewritten tree references (FFlagCol). Replaces
+    the former driver-side collect of up to 1e6 values."""
+    if isinstance(f, (A.FAnd, A.FOr)):
+        kids = []
+        for c in f.children:
+            c2, df = _resolve_nested_in_subqueries(c, df, ctx, flags)
+            kids.append(c2)
+        return type(f)(kids), df
+    if isinstance(f, A.FNot):
+        c2, df = _resolve_nested_in_subqueries(f.child, df, ctx, flags)
+        return A.FNot(c2), df
+    if isinstance(f, A.FInSubquery):
+        sub = ctx.run_subquery(f.query)
+        if len(sub.columns) != 1:
+            raise ValueError(
+                f"in(subquery): subquery must return exactly one field, got {sub.columns}"
+            )
+        key = sub.columns[0]
+        vals_df = sub.select(
+            F.coalesce(qcol(key).cast("string"), F.lit("")).alias("__vl_in")
+        ).distinct()
+        head = vals_df.limit(IN_VALUES_INLINE_MAX + 1).collect()
+        if len(head) <= IN_VALUES_INLINE_MAX:
+            # FIn compiles to the same predicate an inline in(...) would
+            return A.FIn(f.field, [r[0] for r in head]), df
+        flag = f"__vl_inflag_{len(flags)}"
+        flags.append(flag)
+        marked = vals_df.withColumnRenamed("__vl_in", flag + "_v").withColumn(
+            flag, F.lit(True)
+        )
+        df = df.join(
+            marked, fcol(df, f.field) == F.col(flag + "_v"), "left"
+        ).drop(flag + "_v")
+        return A.FFlagCol(flag), df
+    return f, df
 
 
 def _in_subquery_df(
