@@ -60,6 +60,33 @@ def test_bloom_prunes_files(spark, tmp_path):
     assert got == want == {"beta connection refused", "beta retry scheduled"}
 
 
+def test_run_query_consults_registered_bloom_automatically(spark, tmp_path):
+    """api.run_query(spark, <path>, q) must prune files through a
+    registered index with zero caller plumbing — fewer files scanned,
+    identical results (filter_phrase.go:85-122 parity)."""
+    from victorialogs_spark.index.bloom import register_bloom_index
+
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "idx")
+    _write_table(spark, table)
+    build_token_bloom_index(spark, table, index)
+    register_bloom_index(table, index)
+
+    out = run_query(spark, table, "beta")
+    assert len(out.inputFiles()) == 1  # 2 of 3 files pruned at plan time
+    got = {r["_msg"] for r in out.collect()}
+    want = {
+        r["_msg"]
+        for r in run_query(spark, spark.read.parquet(table), "beta").collect()
+    }
+    assert got == want == {"beta connection refused", "beta retry scheduled"}
+    # unregistered path → plain full scan, same answer
+    out2 = run_query(spark, table + "/", "gamma")  # trailing slash normalizes
+    assert {r["_msg"] for r in out2.collect()} == {
+        "gamma disk full", "gamma quota exceeded"
+    }
+
+
 def test_bloom_unindexed_files_always_scanned(spark, tmp_path):
     table = str(tmp_path / "t")
     index = str(tmp_path / "idx")

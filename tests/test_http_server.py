@@ -1,0 +1,111 @@
+"""e2e tests for the thin HTTP facade (http_server.py): POST-ingest, then
+GET-query, and the /select/logsql/query bytes must equal the library's
+query_ndjson output for the same data+query."""
+
+import json
+import urllib.request
+
+import pytest
+
+from victorialogs_spark import endpoints as ep
+from victorialogs_spark.http_server import serve
+from victorialogs_spark.sources.otlp_pb import encode_logs_data
+
+NDJSON = "\n".join(
+    json.dumps(d)
+    for d in [
+        {"_time": "2024-01-01T00:00:01Z", "_msg": "boot ok", "app": "api", "level": "info"},
+        {"_time": "2024-01-01T00:00:02Z", "_msg": "disk full", "app": "db", "level": "error"},
+        {"_time": "2024-01-01T01:00:03Z", "_msg": "retry scheduled", "app": "db", "level": "warn"},
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv = serve(spark)
+    yield srv
+    srv.stop()
+
+
+def _post(srv, path, body: bytes, ctype="text/plain"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=body,
+        headers={"Content-Type": ctype}, method="POST",
+    )
+    return urllib.request.urlopen(req)
+
+
+def _get(srv, path):
+    return urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}")
+
+
+def test_ingest_then_query_matches_library(server, spark):
+    assert _get(server, "/health").read() == b"OK\n"
+    r = _post(server, "/insert/jsonline?_stream_fields=app", NDJSON.encode())
+    assert r.status == 200
+
+    got = _get(server, "/select/logsql/query?query=level:error").read()
+    want = (
+        "".join(
+            line + "\n"
+            for line in ep.query_ndjson(spark, server.state.df(), "level:error")
+        )
+    ).encode()
+    assert got == want  # byte-identical to the library surface
+    assert b"disk full" in got
+
+    # time-bounded query through start/end args
+    out = _get(
+        server,
+        "/select/logsql/query?query=*&start=2024-01-01T00:00:00Z&end=2024-01-01T00:59:59Z",
+    ).read()
+    assert len(out.splitlines()) == 2
+
+
+def test_select_helpers(server):
+    hits = json.loads(_get(server, "/select/logsql/hits?query=*&step=1h").read())
+    assert sum(int(v["hits"]) for v in hits["values"]) == 3
+
+    sq = json.loads(
+        _get(
+            server,
+            "/select/logsql/stats_query?query="
+            + urllib.request.quote("* | stats by (app) count() as c"),
+        ).read()
+    )
+    vals = {json.loads(v["labels"])["app"]: v["value"] for v in sq["values"]}
+    assert vals == {"api": "1", "db": "2"}
+
+    streams = json.loads(_get(server, "/select/logsql/streams?query=*").read())
+    assert {v["_stream"] for v in streams["values"]} == {
+        '{app="api"}', '{app="db"}'
+    }
+
+    fv = json.loads(
+        _get(server, "/select/logsql/field_values?query=*&field=level").read()
+    )
+    assert {v["level"] for v in fv["values"]} == {"info", "error", "warn"}
+
+
+def test_otlp_insert_protobuf_only(server):
+    with pytest.raises(urllib.request.HTTPError) as ei:
+        _post(server, "/insert/opentelemetry/v1/logs", b"{}", "application/json")
+    assert ei.value.code == 415  # reference rejects JSON (opentelemetry.go:27)
+
+    payload = encode_logs_data(
+        {"service.name": "cart"},
+        [{"time_unix_nano": 1704070000_000000000, "body": "otlp hello"}],
+    )
+    r = _post(
+        server, "/insert/opentelemetry/v1/logs", payload, "application/x-protobuf"
+    )
+    assert r.status == 200
+    out = _get(server, "/select/logsql/query?query=otlp").read()
+    assert b"otlp hello" in out
+
+
+def test_bad_query_is_http_400(server):
+    with pytest.raises(urllib.request.HTTPError) as ei:
+        _get(server, "/select/logsql/query?query=" + urllib.request.quote("| |"))
+    assert ei.value.code == 400

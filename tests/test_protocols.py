@@ -65,6 +65,84 @@ def test_otlp_logs(spark):
     assert r["http.status"] == "500"
 
 
+def test_otlp_protobuf_roundtrip(spark):
+    """Wire-format round-trip: encode a LogsData payload, decode it through
+    the distributed parser, match the OTLP/JSON path's output shape."""
+    from victorialogs_spark.sources.otlp_pb import decode_logs_data, encode_logs_data
+
+    payload = encode_logs_data(
+        {"service.name": "cart"},
+        [
+            {
+                "time_unix_nano": 1704067201000000000,
+                "body": "oops",
+                "severity": "ERROR",
+                "attrs": {"http.status": "500"},
+            },
+            {"time_unix_nano": 1704067202000000000, "body": "fine"},
+        ],
+    )
+    # pure decoder first (no Spark): both records, resource attrs merged
+    rows = decode_logs_data(payload)
+    assert len(rows) == 2
+    assert rows[0]["_msg"] == "oops" and rows[0]["service.name"] == "cart"
+    assert rows[1]["_msg"] == "fine" and rows[1]["service.name"] == "cart"
+
+    from victorialogs_spark.sources.protocols import parse_otlp_protobuf
+
+    df = parse_otlp_protobuf(spark, [payload])
+    got = {r["_msg"]: r.asDict() for r in df.collect()}
+    assert got["oops"]["service.name"] == "cart"
+    assert got["oops"]["severity"] == "ERROR"
+    assert got["oops"]["http.status"] == "500"
+    assert got["oops"]["_time"].second == 1
+    assert got["fine"]["_time"].second == 2
+
+
+def test_otlp_protobuf_all_value_types(spark):
+    """AnyValue oneof coverage: bool/int/double/bytes/array/kvlist decode
+    to the same stringification the JSON path produces."""
+    import struct as st
+
+    from victorialogs_spark.sources import otlp_pb as pb
+
+    def any_field(fnum, raw):
+        return pb._len_field(fnum, raw) if isinstance(raw, bytes) else raw
+
+    cases = [
+        (pb._len_field(1, b"plain"), "plain"),
+        (pb._tag(2, 0) + pb._varint(1), "true"),
+        (pb._tag(3, 0) + pb._varint((1 << 64) - 5), "-5"),  # negative int64
+        (pb._tag(4, 1) + st.pack("<d", 2.5), "2.5"),
+        (pb._len_field(7, b"\x01\xff"), "01ff"),
+    ]
+    for raw, want in cases:
+        assert pb._any_value_str(raw) == want, (raw, want)
+    # array_value of two strings
+    arr = pb._len_field(1, pb._enc_any_string("a")) + pb._len_field(
+        1, pb._enc_any_string("b")
+    )
+    assert pb._any_value_str(pb._len_field(5, arr)) == '["a","b"]'
+    # kvlist_value
+    kvl = pb._len_field(1, pb._enc_kv("k", "v"))
+    assert pb._any_value_str(pb._len_field(6, kvl)) == '{"k":"v"}'
+
+
+def test_otlp_protobuf_from_files(spark, tmp_path):
+    from victorialogs_spark.sources.otlp_pb import encode_logs_data
+    from victorialogs_spark.sources.protocols import parse_otlp_protobuf
+
+    for i in range(3):
+        payload = encode_logs_data(
+            {"host": f"h{i}"},
+            [{"time_unix_nano": 1704067200000000000 + i, "body": f"m{i}"}],
+        )
+        (tmp_path / f"p{i}.bin").write_bytes(payload)
+    df = parse_otlp_protobuf(spark, str(tmp_path))
+    rows = {r["_msg"]: r["host"] for r in df.collect()}
+    assert rows == {"m0": "h0", "m1": "h1", "m2": "h2"}
+
+
 def test_syslog_lines(spark):
     lines = [
         "<165>1 2024-01-01T00:00:05Z host1 app1 123 ID7 - structured hello",

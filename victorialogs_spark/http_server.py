@@ -1,0 +1,264 @@
+"""Thin HTTP facade over the query/ingest API — the reference's primary
+interface is HTTP (app/vlselect/main.go:216-266 routes /select/logsql/*;
+app/vlinsert/main.go:63-85 routes /insert/*). This server maps those URLs
+onto endpoints.py / sources, nothing more: every byte of query output is
+produced by the same code paths the library API uses (an e2e GET of
+/select/logsql/query returns exactly ``endpoints.query_ndjson``'s lines).
+
+stdlib ThreadingHTTPServer on purpose: the work happens in Spark; the
+facade only parses params and streams results. Ingested rows accumulate in
+an in-memory log DataFrame (union of ingest batches) — a production
+deployment would point the sinks at a parquet/Delta table instead.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame, SparkSession
+
+from victorialogs_spark import endpoints as ep
+from victorialogs_spark.logsql.parser import parse_time_point
+from victorialogs_spark.schema import ingest_ndjson
+
+
+def _time_arg_ns(v: str | None, end: bool) -> int | None:
+    """start/end args: RFC3339 (possibly partial) or unix seconds/ms/ns
+    (the reference's promutils.ParseTimeAt semantics, trimmed)."""
+    if not v:
+        return None
+    rng = parse_time_point(v)
+    if rng is not None:
+        return rng[1] if end else rng[0]
+    f = float(v)
+    if f < 1e11:  # seconds
+        return int(f * 1e9)
+    if f < 1e14:  # millis
+        return int(f * 1e6)
+    if f < 1e17:  # micros
+        return int(f * 1e3)
+    return int(f)
+
+
+class _State:
+    def __init__(self, spark: SparkSession, logs: DataFrame | None):
+        self.spark = spark
+        self.logs = logs
+        self.lock = threading.Lock()
+
+    def df(self) -> DataFrame:
+        with self.lock:
+            if self.logs is None:
+                raise ValueError("no data ingested yet")
+            return self.logs
+
+    def append(self, df: DataFrame) -> None:
+        with self.lock:
+            self.logs = (
+                df
+                if self.logs is None
+                else self.logs.unionByName(df, allowMissingColumns=True)
+            )
+
+
+def _df_json_rows(df: DataFrame) -> str:
+    rows = []
+    for r in df.collect():
+        d = r.asDict()
+        for k, v in list(d.items()):
+            if v is None:
+                d[k] = ""
+            elif not isinstance(v, str):
+                d[k] = str(v)
+        rows.append(d)
+    return json.dumps({"values": rows}, separators=(",", ":"))
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: _State  # set by serve()
+
+    # ------------------------------------------------------------- plumbing
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _params(self) -> dict[str, list[str]]:
+        parsed = urllib.parse.urlparse(self.path)
+        params = urllib.parse.parse_qs(parsed.query)
+        if self.command == "POST":
+            ln = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(ln) if ln else b""
+            self._body = body
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            if ctype == "application/x-www-form-urlencoded":
+                for k, vs in urllib.parse.parse_qs(body.decode("utf-8")).items():
+                    params.setdefault(k, []).extend(vs)
+        return params
+
+    def _get(self, params, name, default=None):
+        vs = params.get(name)
+        return vs[0] if vs else default
+
+    def _send(self, code: int, body: bytes, ctype: str = "application/json"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _err(self, e: Exception):
+        self._send(400, (str(e) + "\n").encode("utf-8"), "text/plain")
+
+    # --------------------------------------------------------------- routes
+    def do_GET(self):
+        self._route()
+
+    def do_POST(self):
+        self._route()
+
+    def _route(self):
+        path = urllib.parse.urlparse(self.path).path
+        try:
+            params = self._params()
+            if path == "/health":
+                return self._send(200, b"OK\n", "text/plain")
+            if path.startswith("/select/"):
+                return self._select(path, params)
+            if path.startswith("/insert/"):
+                return self._insert(path, params)
+            return self._send(404, b"unknown path\n", "text/plain")
+        except BrokenPipeError:
+            pass
+        except Exception as e:  # surface errors as HTTP 400, like vlselect
+            try:
+                self._err(e)
+            except Exception:
+                pass
+
+    def _select(self, path: str, params):
+        st = self.state
+        spark, df = st.spark, st.df()
+        q = self._get(params, "query", "*")
+        start = _time_arg_ns(self._get(params, "start"), end=False)
+        end = _time_arg_ns(self._get(params, "end"), end=True)
+        if path == "/select/logsql/query":
+            limit = int(self._get(params, "limit", "0"))
+            # validate eagerly: query_ndjson is a generator, and a parse
+            # error after the 200 header is unreportable
+            from victorialogs_spark.logsql.parser import parse_query
+
+            parse_query(q)
+            lines = ep.query_ndjson(
+                spark, df, q, start_ns=start, end_ns=end,
+                extra_filters=params.get("extra_filters"),
+                extra_stream_filters=params.get("extra_stream_filters"),
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", "application/stream+json")
+            self.end_headers()
+            for i, line in enumerate(lines):
+                if limit and i >= limit:
+                    break
+                self.wfile.write(line.encode("utf-8") + b"\n")
+            return
+        if path == "/select/logsql/hits":
+            out = ep.hits(
+                spark, df, q,
+                step=self._get(params, "step", "1h"),
+                offset=self._get(params, "offset", "0s"),
+                fields=params.get("field"),
+            )
+            return self._send(200, _df_json_rows(out).encode("utf-8"))
+        if path == "/select/logsql/stats_query":
+            out = ep.stats_query(spark, df, q)
+            return self._send(200, _df_json_rows(out).encode("utf-8"))
+        if path == "/select/logsql/stats_query_range":
+            out = ep.stats_query_range(
+                spark, df, q, step=self._get(params, "step", "1h")
+            )
+            return self._send(200, _df_json_rows(out).encode("utf-8"))
+        if path == "/select/logsql/facets":
+            out = ep.facets(spark, df, q, limit=int(self._get(params, "limit", "10")))
+            return self._send(200, _df_json_rows(out).encode("utf-8"))
+        if path == "/select/logsql/field_names":
+            return self._send(
+                200, _df_json_rows(ep.field_names(spark, df, q)).encode("utf-8")
+            )
+        if path == "/select/logsql/field_values":
+            out = ep.field_values(
+                spark, df, self._get(params, "field", ""),
+                q, limit=int(self._get(params, "limit", "0")),
+            )
+            return self._send(200, _df_json_rows(out).encode("utf-8"))
+        if path == "/select/logsql/streams":
+            out = ep.streams(spark, df, q, limit=int(self._get(params, "limit", "0")))
+            return self._send(200, _df_json_rows(out).encode("utf-8"))
+        if path == "/select/logsql/stream_ids":
+            out = ep.stream_ids(spark, df, q, limit=int(self._get(params, "limit", "0")))
+            return self._send(200, _df_json_rows(out).encode("utf-8"))
+        if path == "/select/logsql/stream_field_names":
+            return self._send(
+                200, _df_json_rows(ep.stream_field_names(spark, df, q)).encode("utf-8")
+            )
+        if path == "/select/logsql/stream_field_values":
+            out = ep.stream_field_values(
+                spark, df, self._get(params, "field", ""), q,
+                limit=int(self._get(params, "limit", "0")),
+            )
+            return self._send(200, _df_json_rows(out).encode("utf-8"))
+        return self._send(404, b"unknown /select path\n", "text/plain")
+
+    def _insert(self, path: str, params):
+        st = self.state
+        body = getattr(self, "_body", b"")
+        if path == "/insert/jsonline":
+            lines = body.decode("utf-8", "replace").splitlines()
+            sf = self._get(params, "_stream_fields", "")
+            df = ingest_ndjson(
+                st.spark, lines,
+                time_field=self._get(params, "_time_field", "_time"),
+                msg_field=self._get(params, "_msg_field", "_msg"),
+                stream_fields=[s for s in sf.split(",") if s] or None,
+            )
+            st.append(df)
+            return self._send(200, b"", "text/plain")
+        if path == "/insert/opentelemetry/v1/logs":
+            # protobuf ONLY, like the reference (opentelemetry.go:27)
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            if ctype == "application/json":
+                return self._send(
+                    415, b"json encoding isn't supported; use protobuf\n",
+                    "text/plain",
+                )
+            from victorialogs_spark.sources.protocols import parse_otlp_protobuf
+
+            st.append(parse_otlp_protobuf(st.spark, [body]))
+            return self._send(200, b"", "text/plain")
+        return self._send(404, b"unknown /insert path\n", "text/plain")
+
+
+class LogHTTPServer:
+    """`serve(spark, df, port).stop()` — a facade instance per test/session."""
+
+    def __init__(self, spark: SparkSession, logs: DataFrame | None = None, port: int = 0):
+        handler = type("Handler", (_Handler,), {"state": _State(spark, logs)})
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
+        self.port = self.httpd.server_address[1]
+        self.state = handler.state
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+
+    def start(self) -> "LogHTTPServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def serve(
+    spark: SparkSession, logs: DataFrame | None = None, port: int = 0
+) -> LogHTTPServer:
+    return LogHTTPServer(spark, logs, port).start()

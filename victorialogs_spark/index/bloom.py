@@ -102,13 +102,20 @@ def candidate_files(
     spark: SparkSession, index_path: str, tokens: list[str]
 ) -> list[str]:
     """Files that may contain ALL of ``tokens`` (bloom AND-semantics, the
-    same conjunctive pruning the reference applies per block)."""
-    rows = spark.read.parquet(index_path).collect()
-    out = []
-    for r in rows:
-        if all(_maybe_contains(bytes(r["bloom"]), t) for t in tokens):
-            out.append(r["file"])
-    return out
+    same conjunctive pruning the reference applies per block). The probe
+    runs distributed over the sidecar — only matching file NAMES reach the
+    driver, never the bloom bitsets (at 100 TB the sidecar holds one row
+    per file; bitsets can be MBs each)."""
+    toks = list(tokens)
+
+    def _probe(b) -> bool:
+        return b is not None and all(
+            _maybe_contains(bytes(b), t) for t in toks
+        )
+
+    probe = F.udf(_probe, "boolean")
+    idx = spark.read.parquet(index_path)
+    return [r["file"] for r in idx.where(probe(F.col("bloom"))).select("file").collect()]
 
 
 def words_of_query(query: str, field: str = "_msg") -> list[str]:
@@ -150,3 +157,36 @@ def read_pruned(
     if len(keep) == len(all_files):
         return full
     return spark.read.schema(full.schema).parquet(*keep)
+
+
+# ---------------------------------------------------------------------------
+# planner integration: registered indexes are consulted automatically when
+# a query runs against a table PATH (api.run_query accepts either a
+# DataFrame or a path) — the analogue of the reference probing its token
+# blooms on every word filter (lib/logstorage/filter_phrase.go:85-122).
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, str] = {}
+
+
+def _norm_path(p: str) -> str:
+    import os
+
+    return os.path.abspath(p).rstrip("/")
+
+
+def register_bloom_index(table_path: str, index_path: str) -> None:
+    """Associate a sidecar bloom index with a log-table path. Subsequent
+    ``api.run_query(spark, table_path, query)`` calls prune input files
+    through it automatically."""
+    _REGISTRY[_norm_path(table_path)] = index_path
+
+
+def open_log_table(spark: SparkSession, table_path: str, query: str) -> DataFrame:
+    """Open a log table for a query, applying registered bloom pruning.
+    Falls back to a plain reader when no index is registered or nothing in
+    the query is prunable; correctness never depends on the index."""
+    idx = _REGISTRY.get(_norm_path(table_path))
+    if idx is None:
+        return spark.read.parquet(table_path)
+    return read_pruned(spark, table_path, idx, query)

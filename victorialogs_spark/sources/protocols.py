@@ -216,6 +216,56 @@ def parse_otlp_logs(
     return _finish(parsed, None, promote_keys)
 
 
+def parse_otlp_protobuf(
+    spark: SparkSession,
+    payloads,
+    promote_keys: list[str] | None = None,
+) -> DataFrame:
+    """OTLP/protobuf logs — the ONE encoding real exporters send (the
+    reference rejects JSON: app/vlinsert/opentelemetry/opentelemetry.go:27).
+    ``payloads``: a directory/glob of payload files (read via binaryFile —
+    distributed), a DataFrame with a binary ``content`` column, or a list
+    of ``bytes`` (driver-side convenience). Decoding runs in mapInPandas on
+    executors via the dependency-free wire decoder (sources/otlp_pb.py)."""
+    from victorialogs_spark.sources.otlp_pb import decode_logs_data
+
+    if isinstance(payloads, str):
+        bin_df = spark.read.format("binaryFile").load(payloads).select("content")
+    elif isinstance(payloads, DataFrame):
+        bin_df = payloads.select("content")
+    else:
+        bin_df = spark.createDataFrame(
+            [(bytearray(p),) for p in payloads], "content binary"
+        )
+
+    def _parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            times, fields = [], []
+            for payload in pdf["content"]:
+                try:
+                    rows = decode_logs_data(bytes(payload))
+                except Exception:
+                    continue
+                for flat in rows:
+                    t = flat.pop("_time", "")
+                    if not flat.get("_msg"):
+                        flat["_msg"] = DEFAULT_MSG
+                    times.append(t)
+                    fields.append(flat)
+            if times:
+                yield pd.DataFrame(
+                    {
+                        "_time_raw": pd.Series(times, dtype="object"),
+                        "fields": pd.Series(fields, dtype="object"),
+                    }
+                )
+
+    parsed = bin_df.mapInPandas(_parse, PARSED_SCHEMA)
+    return _finish(parsed, None, promote_keys)
+
+
 # ------------------------------------------------------------------- syslog
 
 
