@@ -1,0 +1,65 @@
+"""Syslog TCP/UDP listener tests: real sockets, RFC6587 framing parity."""
+
+import socket
+import time
+
+from victorialogs_spark.sources.syslog_listener import (
+    SyslogCollector,
+    listen_tcp,
+    listen_udp,
+)
+
+MSG1 = "<165>1 2024-01-01T00:00:05Z host1 app1 123 ID7 - structured hello"
+MSG2 = "<34>Jan  2 03:04:05 host2 app2[77]: classic message"
+
+
+def _wait(collector, n, timeout=5.0):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        with collector._lock:
+            if len(collector._lines) >= n:
+                return True
+        time.sleep(0.02)
+    return False
+
+
+def test_tcp_mixed_framing():
+    srv = listen_tcp()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port)) as s:
+            # octet-counting frame followed by a newline-delimited frame
+            # on the SAME connection (syslog.go nextLine handles both)
+            s.sendall(f"{len(MSG1)} {MSG1}".encode() + MSG2.encode() + b"\n")
+        assert _wait(srv.collector, 2)
+        lines = srv.collector.drain()
+        assert lines == [MSG1, MSG2]
+    finally:
+        srv.stop()
+
+
+def test_udp_datagrams():
+    srv = listen_udp()
+    try:
+        with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+            s.sendto(MSG1.encode(), ("127.0.0.1", srv.port))
+            s.sendto(MSG2.encode() + b"\n" + MSG1.encode(), ("127.0.0.1", srv.port))
+        assert _wait(srv.collector, 3)
+        assert sorted(srv.collector.drain()) == sorted([MSG1, MSG2, MSG1])
+    finally:
+        srv.stop()
+
+
+def test_drain_dataframe_parses(spark):
+    srv = listen_tcp()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port)) as s:
+            s.sendall(f"{len(MSG1)} {MSG1}".encode())
+            s.sendall(MSG2.encode() + b"\n")
+        assert _wait(srv.collector, 2)
+        df = srv.collector.drain_dataframe(spark)
+        rows = {r["_msg"]: r.asDict() for r in df.collect()}
+        assert rows["structured hello"]["hostname"] == "host1"
+        assert rows["classic message"]["hostname"] == "host2"
+        assert srv.collector.drain_dataframe(spark) is None  # drained empty
+    finally:
+        srv.stop()

@@ -970,24 +970,80 @@ def _p_drop_empty_fields(p: A.PDropEmptyFields, df: DataFrame, ctx) -> DataFrame
     return df.drop(*empties) if empties else df
 
 
-def _p_blocks_count(p: A.PBlocksCount, df: DataFrame, ctx) -> DataFrame:
-    """Diagnostic: storage-unit count. For file-backed tables this is the
-    number of distinct input files (≈ the reference's block count role);
-    falls back to the partition count for in-memory frames."""
-    spark = df.sparkSession
+def _local_paths(df: DataFrame) -> list[str]:
+    import urllib.parse
+
     try:
-        n = df.select(F.input_file_name().alias("f")).where(
-            F.col("f") != ""
-        ).distinct().count()
-        if n == 0:
-            n = df.rdd.getNumPartitions()
+        return [urllib.parse.urlparse(f).path or f for f in df.inputFiles()]
     except Exception:
+        return []
+
+
+def _row_group_stats_df(spark, paths: list[str]) -> DataFrame:
+    """Per-(row-group, column-chunk) parquet metadata, read distributed
+    (footers only — executors each read their files' metadata). The Spark
+    analogue of the reference's per-block column stats
+    (pipe_block_stats.go:167: name, type, values_size, ..., part_path);
+    Parquet has no per-block blooms/dicts to report, so the columns are
+    the chunk's physical type, compressed/uncompressed bytes and rows."""
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        cols = ["field", "type", "values_size", "uncompressed_size", "rows", "part_path"]
+        for chunk in batches:
+            out = []
+            for path in chunk["path"]:
+                md = pq.read_metadata(path)
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        out.append(
+                            (
+                                c.path_in_schema,
+                                str(c.physical_type),
+                                str(c.total_compressed_size),
+                                str(c.total_uncompressed_size),
+                                str(c.num_values),
+                                f"{path}#rg{rg}",
+                            )
+                        )
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    schema = ("field string, type string, values_size string,"
+              " uncompressed_size string, rows string, part_path string")
+    return pdf.mapInPandas(_stats, schema)
+
+
+def _p_blocks_count(p: A.PBlocksCount, df: DataFrame, ctx) -> DataFrame:
+    """Storage-unit count: parquet ROW GROUPS of the input files (the
+    closest analogue of the reference's ~2MB blocks; blocks_count docs).
+    Falls back to the partition count for in-memory frames."""
+    spark = df.sparkSession
+    paths = _local_paths(df)
+    if paths:
+        n = (
+            _row_group_stats_df(spark, paths)
+            .select("part_path")
+            .distinct()
+            .count()
+        )
+    else:
         n = df.rdd.getNumPartitions()
     return spark.createDataFrame([(str(n),)], [getattr(p, "result", "blocks_count")])
 
 
 def _p_block_stats(p: A.PBlockStats, df: DataFrame, ctx) -> DataFrame:
+    """Per-block per-column storage stats from parquet row-group metadata
+    (footers read distributed); dtype listing for in-memory frames."""
     spark = df.sparkSession
+    paths = _local_paths(df)
+    if paths:
+        return _row_group_stats_df(spark, paths)
     rows = [(c, t) for c, t in df.dtypes]
     return spark.createDataFrame(rows, ["field", "type"])
 
