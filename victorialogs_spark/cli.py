@@ -7,9 +7,11 @@ query surface, as a CLI (this engine is a library — no server needed).
     python -m victorialogs_spark.cli field-values app --table DIR
     python -m victorialogs_spark.cli streams --table DIR
     python -m victorialogs_spark.cli tail '*' --table DIR
+    python -m victorialogs_spark.cli serve --table DIR --port 9428
 
 ``--table`` accepts a parquet path (a log table with _time/_msg columns).
-Output is NDJSON on stdout (the /select/logsql wire format).
+Output is NDJSON on stdout (the /select/logsql wire format). ``serve``
+starts the HTTP facade (http_server.py) on the reference's default port.
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="victorialogs-spark")
     ap.add_argument("command", choices=[
         "query", "hits", "facets", "field-names", "field-values",
-        "streams", "stream-ids", "tail",
+        "streams", "stream-ids", "tail", "serve",
     ])
     ap.add_argument("arg", nargs="?", default="*",
                     help="LogsQL query (or field name for field-values)")
@@ -49,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--polls", type=int, default=0,
                     help="tail: number of polls (0 = forever)")
     ap.add_argument("--refresh", type=float, default=1.0)
+    ap.add_argument("--port", type=int, default=9428,
+                    help="serve: HTTP port (reference default 9428)")
     args = ap.parse_args(argv)
 
     from victorialogs_spark import endpoints as ep
@@ -74,6 +78,18 @@ def main(argv: list[str] | None = None) -> int:
         _emit(ep.streams(spark, df), args.limit)
     elif args.command == "stream-ids":
         _emit(ep.stream_ids(spark, df), args.limit)
+    elif args.command == "serve":
+        from victorialogs_spark.http_server import serve
+
+        srv = serve(spark, df, port=args.port)
+        sys.stderr.write(f"listening on http://127.0.0.1:{srv.port}\n")
+        try:
+            import time as _time
+
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
     elif args.command == "tail":
         from victorialogs_spark.streaming.tail import LiveTailer
 

@@ -387,7 +387,9 @@ logsql(
     f" {fmt('ROUND(value)')} AS rv FROM events",
 )
 logsql(
-    "p_math_funcs",
+    "p_math_abs",
+    # abs/least/greatest coverage (the modulo/power variants live in the
+    # later p_math_funcs entry; this one was previously shadowed by it)
     "* | math abs(value - 60) as av, floor(value) as fv, ceil(value) as cv,"
     " min(value, user_id) as mn, max(value, user_id) as mx"
     " | fields event_id, av, fv, cv, mn, mx",
