@@ -1138,6 +1138,44 @@ def _dp_embedding_near_dup(spark, sf_dir):
 
 
 @register(
+    "dp_stream_exact_dedup",
+    # one availableNow pass over a bounded source ≡ the batch group-dedup:
+    # min-string-doc_id representative per fingerprint + copy count
+    f"WITH n AS (SELECT CAST(doc_id AS VARCHAR) AS did, text, {_NORM} AS s"
+    " FROM documents)"
+    " SELECT md5(s) AS fp, MIN(did) AS doc_id, arg_min(text, did) AS text,"
+    " COUNT(*) AS n_copies FROM n GROUP BY 1",
+)
+def _dp_stream_exact_dedup(spark, sf_dir):
+    """Streaming stateful dedup (applyInPandasWithState) checked against
+    the batch semantics: over a bounded source, first-occurrence-wins
+    equals group-by-fingerprint with the min doc_id representative."""
+    import tempfile
+    import uuid
+
+    from victorialogs_spark.streaming.dedup import stream_exact_dedup
+
+    name = "sded_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="vl_sded_")
+    # the file stream source monitors directories (or globs) — a direct
+    # file path is rejected; this glob matches only the documents table
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{sf_dir}/documents.*"
+    )
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
     "dp_multimodal_features",
     # the fake decoder is deterministic md5 arithmetic — mirror it in SQL
     "SELECT doc_id AS asset_id, LENGTH(text) AS payload_bytes,"
