@@ -105,6 +105,34 @@ def test_otlp_insert_protobuf_only(server):
     assert b"otlp hello" in out
 
 
+def test_tail_endpoint_streams(server):
+    """Tail yields rows ingested AFTER the connection primes (tail
+    semantics: the first poll sets the watermark at current max _time)."""
+    import threading
+    import time
+
+    result = {}
+
+    def fetch():
+        result["out"] = _get(
+            server, "/select/logsql/tail?query=*&polls=12&refresh=0.2"
+        ).read()
+
+    t = threading.Thread(target=fetch)
+    t.start()
+    time.sleep(1.0)  # let the priming poll run
+    _post(
+        server,
+        "/insert/jsonline",
+        json.dumps(
+            {"_time": "2026-06-01T00:00:00Z", "_msg": "tailed row", "app": "api"}
+        ).encode(),
+    )
+    t.join(60)
+    lines = [json.loads(l) for l in result["out"].splitlines()]
+    assert any(l["_msg"] == "tailed row" for l in lines)
+
+
 def test_bad_query_is_http_400(server):
     with pytest.raises(urllib.request.HTTPError) as ei:
         _get(server, "/select/logsql/query?query=" + urllib.request.quote("| |"))

@@ -42,10 +42,22 @@ def fcol(df: DataFrame, name: str) -> Column:
     return F.coalesce(c, F.lit(""))
 
 
+# dtypes whose direct cast to double equals the string round-trip bit for
+# bit (double round-trips through its shortest repr; ints round to nearest
+# double either way). float (32-bit) is excluded: its decimal string
+# re-parses through double to a different value than a widening cast.
+_DIRECT_DOUBLE_TYPES = ("double", "int", "bigint", "smallint", "tinyint", "long")
+
+
 def num(df: DataFrame, name: str) -> Column:
-    """Numeric view of a field: double, NULL when not parseable."""
+    """Numeric view of a field: double, NULL when not parseable. Typed
+    numeric columns cast directly (identical results), which keeps range
+    predicates pushable into the Parquet scan — the string round-trip the
+    generic path takes would reduce PushedFilters to nothing."""
     if name in df.columns and dict(df.dtypes).get(name) == "timestamp":
         return (F.unix_micros(qcol(name)) / F.lit(1_000_000.0))
+    if name in df.columns and dict(df.dtypes).get(name) in _DIRECT_DOUBLE_TYPES:
+        return qcol(name).cast("double")
     return _try_cast(fcol(df, name), "double")
 
 

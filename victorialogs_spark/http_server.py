@@ -163,6 +163,28 @@ class _Handler(BaseHTTPRequestHandler):
                     break
                 self.wfile.write(line.encode("utf-8") + b"\n")
             return
+        if path == "/select/logsql/tail":
+            from victorialogs_spark.logsql.parser import parse_query
+
+            parse_query(q)
+            from victorialogs_spark.streaming.tail import LiveTailer
+
+            polls = int(self._get(params, "polls", "0")) or None
+            refresh = float(self._get(params, "refresh", "1.0"))
+            tailer = LiveTailer(spark, lambda: st.df(), q, refresh_interval=refresh)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/stream+json")
+            self.end_headers()
+            for row in tailer.tail(max_polls=polls):
+                d = {
+                    k: (str(v) if not isinstance(v, str) else v)
+                    for k, v in row.asDict().items()
+                }
+                self.wfile.write(
+                    json.dumps(d, separators=(",", ":")).encode("utf-8") + b"\n"
+                )
+                self.wfile.flush()
+            return
         if path == "/select/logsql/hits":
             out = ep.hits(
                 spark, df, q,
