@@ -180,6 +180,97 @@ def test_multimodal_decode(spark):
         decode_features(assets, decoder="pil")
 
 
+def _wav_bytes(freq=440.0, rate=8000, secs=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        n = int(rate * secs)
+        frames = b"".join(
+            struct.pack("<h", int(20000 * math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _bmp_bytes(px_rows):
+    """Minimal 24-bit uncompressed BMP from [[(r,g,b),...],...] (top-down
+    input, written bottom-up as BMP convention)."""
+    import struct
+
+    h, w = len(px_rows), len(px_rows[0])
+    stride = (w * 3 + 3) // 4 * 4
+    pixel_data = b""
+    for row in reversed(px_rows):
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        pixel_data += line + b"\0" * (stride - len(line))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    return header + dib + pixel_data
+
+
+def test_stdlib_decode_real_formats(spark):
+    from victorialogs_spark.datapipe.multimodal import decode_features
+
+    wav = _wav_bytes()
+    bmp = _bmp_bytes([[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
+    ppm = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    rows = [
+        (1, "audio", "audio/wav", bytearray(wav), {}),
+        (2, "image", "image/bmp", bytearray(bmp), {}),
+        (3, "image", "image/x-portable-pixmap", bytearray(ppm), {}),
+        (4, "video", "video/mp4", bytearray(b"\x00\x00\x00 ftypmp42"), {}),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, modality string, mime string, payload binary,"
+        " meta map<string,string>"
+    )
+    out = {r["asset_id"]: r.asDict() for r in
+           decode_features(assets, decoder="stdlib", feat_dim=2).collect()}
+    assert out[1]["duration_ms"] == 500  # real WAV duration
+    assert 0.4 < out[1]["feature"][0] < 0.5  # sine RMS = (20000/32768)/sqrt(2) ≈ 0.43
+    assert (out[2]["width"], out[2]["height"]) == (2, 2)
+    assert (out[3]["width"], out[3]["height"]) == (2, 1)
+    # PPM strip means: left px (10,20,30)→20/255, right (40,50,60)→50/255
+    assert abs(out[3]["feature"][0] - 20 / 255) < 1e-6
+    assert abs(out[3]["feature"][1] - 50 / 255) < 1e-6
+    assert out[4]["width"] is None and out[4]["feature"] is None  # honest NULL
+
+
+def test_resize_image_real(spark):
+    from victorialogs_spark.datapipe.multimodal import (
+        _decode_ppm,
+        resize_image,
+    )
+
+    # 4x4 BMP with distinct quadrant colors → 2x2 nearest-neighbor
+    quads = [
+        [(255, 0, 0), (255, 0, 0), (0, 255, 0), (0, 255, 0)],
+        [(255, 0, 0), (255, 0, 0), (0, 255, 0), (0, 255, 0)],
+        [(0, 0, 255), (0, 0, 255), (9, 9, 9), (9, 9, 9)],
+        [(0, 0, 255), (0, 0, 255), (9, 9, 9), (9, 9, 9)],
+    ]
+    assets = spark.createDataFrame(
+        [(7, "image", "image/bmp", bytearray(_bmp_bytes(quads)), {})],
+        "asset_id long, modality string, mime string, payload binary,"
+        " meta map<string,string>",
+    )
+    (row,) = resize_image(assets, 2, 2).collect()
+    assert (row["width"], row["height"]) == (2, 2)
+    px = _decode_ppm(bytes(row["payload"]), 1)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[0, 1].tolist() == [0, 255, 0]
+    assert px[1, 0].tolist() == [0, 0, 255]
+    assert px[1, 1].tolist() == [9, 9, 9]
+
+
 def test_frame_sample_plan(spark):
     docs = spark.createDataFrame([(2, "vvv", "s")], "doc_id long, text string, source string")
     plan = frame_sample_plan(assets_from_documents(docs), every_ms=500)
