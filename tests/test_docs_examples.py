@@ -39,3 +39,31 @@ def test_all_docs_examples_parse():
         except Exception as e:  # noqa: BLE001
             failures.append((q, str(e)[:80]))
     assert not failures, f"{len(failures)} docs examples fail: {failures[:5]}"
+
+
+@pytest.mark.skipif(not DOCS.exists(), reason="reference docs not present")
+def test_all_docs_examples_plan(spark):
+    """Parsing is not enough: every docs example must also COMPILE to a
+    DataFrame plan against a representative log table (catches
+    filter/pipe-compile crashes on exotic combinations the registry
+    doesn't cover). Planning is lazy — no execution here."""
+    from victorialogs_spark.planner.planner import plan_query
+    from victorialogs_spark.schema import events_as_logs
+
+    logs = events_as_logs(spark, "/root/testdata/sf0.001")
+    failures = []
+    for q in _examples():
+        try:
+            ast = parse_query(q, timestamp_ns=TS)
+            plan_query(spark, logs, ast)
+        except NotImplementedError:
+            # documented engine divergences may refuse at plan time
+            # (e.g. cluster-only pipes) — refusing cleanly is fine
+            pass
+        except ValueError:
+            # semantic errors over this particular table (e.g. join on a
+            # missing field) are legitimate refusals, not crashes
+            pass
+        except Exception as e:  # noqa: BLE001
+            failures.append((q, type(e).__name__, str(e)[:80]))
+    assert not failures, f"{len(failures)} docs examples fail to plan: {failures[:5]}"

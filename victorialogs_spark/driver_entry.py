@@ -576,8 +576,26 @@ logsql(
     "p_stream_context",
     "value:>199.8 | stream_context before 1 after 1 | fields _time, event_id, event_type",
 )
-logsql("p_blocks_count", "* | blocks_count")
-logsql("p_block_stats", "* | block_stats")
+# block_stats/blocks_count read parquet row-group metadata; DuckDB's
+# parquet_metadata() is an exact independent oracle for them (the driver
+# contract runs correctness at sf=0.01, so the path is known)
+_EVENTS_PQ = "/root/testdata/sf0.01/events.parquet"
+logsql(
+    "p_blocks_count",
+    "* | blocks_count",
+    "SELECT CAST(COUNT(*) AS VARCHAR) AS blocks_count FROM"
+    f" (SELECT DISTINCT file_name, row_group_id FROM parquet_metadata('{_EVENTS_PQ}'))",
+)
+logsql(
+    "p_block_stats",
+    "* | block_stats",
+    "SELECT path_in_schema AS field, type,"
+    " CAST(total_compressed_size AS VARCHAR) AS values_size,"
+    " CAST(total_uncompressed_size AS VARCHAR) AS uncompressed_size,"
+    ' CAST(num_values AS VARCHAR) AS "rows",'
+    " file_name || '#rg' || row_group_id AS part_path"
+    f" FROM parquet_metadata('{_EVENTS_PQ}')",
+)
 
 # ---------------------------------------------------------------------------
 # §2.4 stats functions
@@ -630,6 +648,14 @@ logsql(
     "* | stats by (value:50) count() as c",
     f"SELECT {fmt('FLOOR(value / 50) * 50')} AS value, COUNT(*) AS c"
     " FROM events GROUP BY 1",
+)
+logsql(
+    "s_wildcard_no_match",
+    # wildcard stats args matching no columns ≡ aggregating an absent
+    # field (docs example `stats avg(foo*)`; crashed the compiler before)
+    "* | stats avg(zz*) as a, sum(zz*) as s, count() as c",
+    "SELECT CAST(NULL AS DOUBLE) AS a, CAST(NULL AS DOUBLE) AS s,"
+    " COUNT(*) AS c FROM events",
 )
 logsql(
     "s_stats_if",

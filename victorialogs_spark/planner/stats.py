@@ -82,6 +82,11 @@ def compile_stats_func(
     compiled per-function if-filter (pipe_stats.go:62-71)."""
     name = sf.name
     fields = _expand(df, sf.fields, by_names)
+    if sf.fields and not fields:
+        # a wildcard arg that matched no columns behaves exactly like
+        # naming an absent field (missing ≡ empty); without this, the
+        # per-function loops would fold over zero operands and crash
+        fields = ["__vl_absent__"]
 
     def guard(c: Column) -> Column:
         return F.when(cond, c) if cond is not None else c
