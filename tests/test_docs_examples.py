@@ -67,3 +67,25 @@ def test_all_docs_examples_plan(spark):
         except Exception as e:  # noqa: BLE001
             failures.append((q, type(e).__name__, str(e)[:80]))
     assert not failures, f"{len(failures)} docs examples fail to plan: {failures[:5]}"
+
+
+@pytest.mark.skipif(not DOCS.exists(), reason="reference docs not present")
+def test_all_docs_examples_execute(spark):
+    """The strongest net: every docs example must also EXECUTE against a
+    real log table (limit 3 — runtime behavior, not result values; the
+    oracle registry checks values). Catches execution-only failures the
+    lazy plan step can't see (bad casts, UDF errors, codegen issues)."""
+    from victorialogs_spark.planner.planner import plan_query
+    from victorialogs_spark.schema import events_as_logs
+
+    logs = events_as_logs(spark, "/root/testdata/sf0.001")
+    failures = []
+    for q in _examples():
+        try:
+            ast = parse_query(q, timestamp_ns=TS)
+            plan_query(spark, logs, ast).limit(3).collect()
+        except (NotImplementedError, ValueError):
+            pass  # clean documented refusals
+        except Exception as e:  # noqa: BLE001
+            failures.append((q, type(e).__name__, str(e)[:80]))
+    assert not failures, f"{len(failures)} docs examples fail to run: {failures[:5]}"
