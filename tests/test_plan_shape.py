@@ -191,6 +191,24 @@ def test_nested_not_in_subquery(spark, events, monkeypatch):
     assert out.count() == expected
 
 
+def test_dedup_plans_join_free_bounded_shuffles(spark):
+    """The dedup candidate generators must stay join-free (pairs are
+    generated locally inside each bucket) with a bounded shuffle count:
+    1 round-robin spread + 2 hash shuffles (bucket groupBy, pair groupBy).
+    An accidental join or extra shuffle here is the 100 TB regression."""
+    from victorialogs_spark.driver_entry import QUERIES
+
+    for name in ("dp_ngram_jaccard", "dp_minhash_lsh"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = plan_of(df)
+        joins = sum(
+            plan.count(j)
+            for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        )
+        assert joins == 0, f"{name}: join crept into the dedup plan"
+        assert plan.count("Exchange") <= 3, f"{name}: extra shuffle"
+
+
 def test_day_partition_pruning(spark, tmp_path):
     """A bounded _time filter must prune _day partitions at scan time."""
     import datetime as dt

@@ -22,7 +22,11 @@ import duckdb
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
-SF_DIR = "/root/testdata/sf0.01"
+# override with SPARK_GRAFT_ORACLE_SF_DIR to gate at another scale
+# (e.g. sf0.1 as a scale-sensitivity soak)
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def norm_cell(v):

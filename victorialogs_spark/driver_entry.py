@@ -115,15 +115,19 @@ def fmt(expr: str) -> str:
 
 
 def dsum(expr: str) -> str:
-    """DuckDB SQL replicating the engine's decimal(38,9) sum → double."""
-    return f"CAST(SUM(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,9))) AS DOUBLE)"
+    """DuckDB SQL replicating the engine's decimal(38,9) sum → double.
+    The double conversion hops through VARCHAR: DuckDB's direct
+    decimal→double rounds twice (int128→double, then /1e9) and can be off
+    by 1 ulp on 12+ significant digits, while decimal→string→double
+    rounds once — exactly what Java's BigDecimal.doubleValue does."""
+    return (
+        f"CAST(CAST(SUM(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,9)))"
+        " AS VARCHAR) AS DOUBLE)"
+    )
 
 
 def davg(expr: str) -> str:
-    return (
-        f"CAST(SUM(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,9))) AS DOUBLE)"
-        f" / COUNT({expr})"
-    )
+    return f"{dsum(expr)} / COUNT({expr})"
 
 
 EID = "CAST(event_id AS VARCHAR) AS event_id"
@@ -431,12 +435,17 @@ logsql(
 logsql(
     "p_format_numeric_converters",
     # reference-exact numeric converters: fixed-width hexnum, ipv4 from
-    # uint32, compound duration string, RFC3339Nano time
-    '* | format "<hexnumencode:user_id>|<ipv4:user_id>|<duration:user_id>|<time:user_id>"'
+    # uint32 (real octet math — valid at any user_id scale), compound
+    # duration bounded below 1µs so the SQL mirror stays one unit,
+    # RFC3339Nano time
+    "* | math user_id % 200 as m"
+    ' | format "<hexnumencode:user_id>|<ipv4:user_id>|<duration:m>|<time:m>"'
     " as x | fields event_id, x",
-    f"SELECT {EID}, UPPER(LPAD(to_hex(user_id), 16, '0')) || '|0.0.0.' || user_id"
-    " || '|' || (CASE WHEN user_id = 0 THEN '0' ELSE user_id || 'ns' END)"
-    " || '|' || strftime(make_timestamp(CAST(user_id AS BIGINT) * 1000000),"
+    f"SELECT {EID}, UPPER(LPAD(to_hex(user_id), 16, '0'))"
+    " || '|' || ((user_id >> 24) & 255) || '.' || ((user_id >> 16) & 255)"
+    " || '.' || ((user_id >> 8) & 255) || '.' || (user_id & 255)"
+    " || '|' || (CASE WHEN user_id % 200 = 0 THEN '0' ELSE (user_id % 200) || 'ns' END)"
+    " || '|' || strftime(make_timestamp(CAST(user_id % 200 AS BIGINT) * 1000000),"
     " '%Y-%m-%dT%H:%M:%SZ') AS x FROM events",
 )
 logsql(
@@ -514,6 +523,9 @@ logsql(
 logsql(
     "p_facets",
     "* | fields event_type, user_id | facets 3",
+    # mirrors the engine's (and reference's) caps: fields with more than
+    # 1000 distinct values are dropped entirely (pipe_facets.go
+    # maxValuesPerField), as are constant fields
     "WITH melted AS ("
     "  SELECT 'event_type' AS field_name, event_type AS field_value FROM events"
     "  UNION ALL"
@@ -521,9 +533,14 @@ logsql(
     "), counted AS ("
     "  SELECT field_name, field_value, COUNT(*) AS hits FROM melted"
     "  WHERE field_value <> '' GROUP BY field_name, field_value"
+    "), capped AS ("
+    "  SELECT *, COUNT(*) OVER (PARTITION BY field_name) AS nvals,"
+    "  (SELECT COUNT(*) FROM events) AS total FROM counted"
     ") SELECT field_name, field_value, hits FROM ("
     "  SELECT *, ROW_NUMBER() OVER (PARTITION BY field_name"
-    "  ORDER BY hits DESC, field_value ASC) r FROM counted) WHERE r <= 3",
+    "  ORDER BY hits DESC, field_value ASC) r FROM capped"
+    "  WHERE nvals <= 1000 AND NOT (nvals = 1 AND hits = total))"
+    " WHERE r <= 3",
 )
 logsql(
     "p_field_names",
@@ -825,9 +842,11 @@ logsql(
 )
 logsql(
     "s_ipv4_bucket",
-    '* | format "10.<user_id>.3.7" as ip | stats by (ip:/16) count() as c',
-    "SELECT '10.' || CAST(user_id AS VARCHAR) || '.0.0' AS ip, COUNT(*) AS c"
-    " FROM events GROUP BY 1",
+    # user_id % 200 keeps the second octet valid at any data scale
+    '* | math user_id % 200 as m | format "10.<m>.3.7" as ip'
+    " | stats by (ip:/16) count() as c",
+    "SELECT '10.' || CAST(CAST(user_id % 200 AS BIGINT) AS VARCHAR) || '.0.0' AS ip,"
+    " COUNT(*) AS c FROM events GROUP BY 1",
 )
 logsql(
     "p_sort_partition_rank",
