@@ -162,7 +162,11 @@ def plan_query(
 ) -> DataFrame:
     ctx = PlanContext(spark, df, q, global_time_ns)
     # options(concurrency=N) → shuffle parallelism for this plan
-    # (reference: per-query worker count, parser.go:261)
+    # (reference: per-query worker count, parser.go:261). Session-scoped by
+    # necessity: Spark reads the conf when the ACTION runs, so a set/restore
+    # pair here would undo itself before execution. The setting therefore
+    # persists until the next concurrency option; AQE coalescing makes the
+    # initial partition count mostly irrelevant either way.
     conc = q.options.get("concurrency")
     if conc and str(conc).isdigit():
         spark.conf.set("spark.sql.shuffle.partitions", int(conc))
