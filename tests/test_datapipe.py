@@ -180,6 +180,71 @@ def test_multimodal_decode(spark):
         decode_features(assets, decoder="pil")
 
 
+def test_hash_sample_deterministic_and_stable(spark):
+    from victorialogs_spark.datapipe.sampling import hash_sample
+    from victorialogs_spark.schema import load_table
+
+    big = load_table(spark, "/root/testdata/sf0.01", "documents")  # 500 rows
+    a = {r["doc_id"] for r in hash_sample(big, "doc_id", 0.2).select("doc_id").collect()}
+    # same selection after an arbitrary repartition (stability is the point)
+    b = {
+        r["doc_id"]
+        for r in hash_sample(big.repartition(7), "doc_id", 0.2)
+        .select("doc_id").collect()
+    }
+    assert a == b and a  # non-empty, partitioning-independent
+    n = big.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # ~20%
+    # fraction monotonicity: a 10% sample is a subset of the 20% sample
+    c = {r["doc_id"] for r in hash_sample(big, "doc_id", 0.1).select("doc_id").collect()}
+    assert c <= a
+    assert hash_sample(big, "doc_id", 0.0).count() == 0
+
+
+def test_train_val_test_split_stable_partition(spark):
+    from victorialogs_spark.datapipe.sampling import train_val_test_split
+    from victorialogs_spark.schema import load_table
+
+    big = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = train_val_test_split(big, "doc_id", 0.1, 0.1)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = big.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 0.7 * n
+    # disjoint + exhaustive by construction (one label per row)
+    assert sum(counts.values()) == n
+
+
+def test_decontaminate_drops_exact_overlap(spark):
+    from victorialogs_spark.datapipe.sampling import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "Keep me"), (2, "SHARED  doc"), (3, "also keep")],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        # same normalized content as train doc 2 (case/whitespace differ)
+        [(9, "shared doc"), (10, "unrelated")], "doc_id long, text string"
+    )
+    out = {r["doc_id"] for r in decontaminate(train, heldout).collect()}
+    assert out == {1, 3}
+
+
+def test_dedup_keep_best(spark):
+    from victorialogs_spark.datapipe.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, "same  TEXT", 5), (2, "same text", 9), (3, "same text", 9),
+         (4, "other", 1)],
+        "doc_id long, text string, score long",
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in dedup_keep_best(df, "doc_id", "text", "score").collect()}
+    assert set(rows) == {3, 4}  # best score, tie → max id
+    assert rows[3]["n_copies"] == 3 and rows[3]["score"] == 9
+
+
 def _wav_bytes(freq=440.0, rate=8000, secs=0.5):
     import io
     import math

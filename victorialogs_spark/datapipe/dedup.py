@@ -60,6 +60,30 @@ def exact_dedup(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame, id_col: str, text_col: str, score_col: str
+) -> DataFrame:
+    """Exact dedup keeping the BEST copy per normalized-content
+    fingerprint (highest ``score_col``, ties broken by max id — fully
+    deterministic). The curation form of exact_dedup: when near-identical
+    copies differ in quality metadata, keep the one worth training on.
+    Single hash-shuffle groupBy with max_by — no window, no sort."""
+    key = F.struct(F.col(score_col), F.col(id_col))
+    return (
+        df.select(
+            fingerprint(F.col(text_col)).alias("fp"),
+            F.col(id_col),
+            F.col(score_col),
+        )
+        .groupBy("fp")
+        .agg(
+            F.max_by(F.col(id_col), key).alias(id_col),
+            F.max(F.col(score_col)).alias(score_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 def char_shingles(c: Column, k: int = 5) -> Column:
     """Distinct k-character shingles of normalized text (array<string>)."""
     s = normalize_text(c)

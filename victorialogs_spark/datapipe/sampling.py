@@ -1,0 +1,85 @@
+"""Deterministic sampling / splitting / decontamination for training-data
+pipelines.
+
+All operators key on a CONTENT- or ID-derived md5 prefix rather than
+rand(): at 100 TB, sampling must be stable across reruns, executors and
+engines (re-ingesting a shard must not resample it), and a hash bucket
+gives exactly that. The 4-hex-digit md5 prefix is uniform over 65536
+buckets and its LEXICOGRAPHIC order equals its numeric order (fixed-width
+lowercase hex), so thresholds are plain string comparisons — pushable,
+shuffle-free, and bit-identical in any engine that computes md5.
+
+- hash_sample          — keep ~fraction of rows, deterministically
+- train_val_test_split — stable 'split' label column
+- decontaminate        — drop train docs whose normalized content appears
+                         in a held-out corpus (left_anti on fingerprint;
+                         the classic benchmark-decontamination step)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from victorialogs_spark.datapipe.dedup import fingerprint
+
+
+def _bucket(c: Column) -> Column:
+    """Uniform 4-hex-char bucket of a key column ('0000'..'ffff')."""
+    return F.substring(F.md5(c.cast("string").cast("binary")), 1, 4)
+
+
+def _threshold(fraction: float) -> str:
+    """Largest bucket kept for ``fraction`` (inclusive upper bound)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    n = int(fraction * 65536)
+    return format(n - 1, "04x") if n > 0 else ""
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on md5(key): stable across
+    reruns/engines, no shuffle, predicate stays a pushable string compare.
+    Exact expectation: floor(fraction * 65536) / 65536 of the key space."""
+    t = _threshold(fraction)
+    if not t:
+        return df.limit(0)
+    return df.where(_bucket(F.col(key_col)) <= t)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+    split_col: str = "split",
+) -> DataFrame:
+    """Stable split label: 'test' takes the lowest hash buckets, 'val' the
+    next range, 'train' the rest — membership depends only on the key, so
+    re-ingested or re-partitioned data never migrates between splits."""
+    if val_fraction + test_fraction >= 1.0:
+        raise ValueError("val_fraction + test_fraction must be < 1")
+    b = _bucket(F.col(key_col))
+    t_test = _threshold(test_fraction)
+    t_val = _threshold(test_fraction + val_fraction)
+    expr = F.lit("train")
+    if t_val:
+        expr = F.when(b <= t_val, "val").otherwise("train")
+    if t_test:
+        expr = F.when(b <= t_test, "test").otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def decontaminate(
+    train: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop training docs whose normalized-content fingerprint appears in
+    the held-out corpus (exact-match decontamination). A fingerprint
+    left_anti join: the held-out side reduces to distinct 128-bit keys,
+    broadcast by AQE when small, hash-shuffled when not — never a driver
+    collect."""
+    t_fp = train.withColumn("__vl_fp", fingerprint(F.col(text_col)))
+    h_fp = heldout.select(fingerprint(F.col(text_col)).alias("__vl_fp")).distinct()
+    return t_fp.join(h_fp, "__vl_fp", "left_anti").drop("__vl_fp")

@@ -1182,6 +1182,89 @@ def _dp_embedding_near_dup(spark, sf_dir):
     )
 
 
+_B4 = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+
+
+@register(
+    "dp_hash_sample",
+    # deterministic md5-bucket sampling: ~10% = buckets 0000..1998
+    f"SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents"
+    f" WHERE {_B4} <= '1998'",
+)
+def _dp_hash_sample(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.sampling import hash_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1).select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+
+
+@register(
+    "dp_train_val_test_split",
+    # stable content-keyed split labels: test = lowest 5% of buckets,
+    # val = next 5%, train = rest
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+    f" CASE WHEN {_B4} <= '0ccb' THEN 'test'"
+    f" WHEN {_B4} <= '1998' THEN 'val' ELSE 'train' END AS split"
+    " FROM documents",
+)
+def _dp_split(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.sampling import train_val_test_split
+
+    docs = _table(spark, sf_dir, "documents")
+    return train_val_test_split(docs, "doc_id", 0.05, 0.05).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "split"
+    )
+
+
+@register(
+    "dp_dedup_keep_best",
+    # keep the highest-(score, id) copy per normalized-content fingerprint;
+    # score = deterministic quality proxy (text length)
+    f"WITH s AS (SELECT doc_id, LENGTH(text) AS score, md5({_NORM}) AS fp"
+    " FROM documents), r AS (SELECT *,"
+    " ROW_NUMBER() OVER (PARTITION BY fp ORDER BY score DESC, doc_id DESC) AS rn,"
+    " COUNT(*) OVER (PARTITION BY fp) AS n FROM s)"
+    " SELECT fp, doc_id, score, n AS n_copies FROM r WHERE rn = 1",
+)
+def _dp_dedup_keep_best(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.dedup import dedup_keep_best
+
+    docs = _table(spark, sf_dir, "documents").withColumn(
+        "score", F.length("text")
+    )
+    return dedup_keep_best(docs, "doc_id", "text", "score")
+
+
+@register(
+    "dp_decontaminate",
+    # benchmark decontamination: drop even-id docs whose normalized
+    # content also appears among odd-id docs (fingerprint anti-join)
+    f"WITH f AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents)"
+    " SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM f"
+    " WHERE doc_id % 2 = 0 AND fp NOT IN"
+    " (SELECT fp FROM f WHERE doc_id % 2 = 1)",
+)
+def _dp_decontaminate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.sampling import decontaminate
+
+    docs = _table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    heldout = docs.where(F.col("doc_id") % 2 == 1)
+    return decontaminate(train, heldout, "text").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+
+
 @register(
     "dp_stream_exact_dedup",
     # one availableNow pass over a bounded source ≡ the batch group-dedup:
