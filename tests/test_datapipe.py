@@ -231,6 +231,28 @@ def test_decontaminate_drops_exact_overlap(spark):
     assert out == {1, 3}
 
 
+def test_chunk_documents_overlap_and_coverage(spark):
+    from victorialogs_spark.datapipe.text import chunk_documents
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(250))
+    df = spark.createDataFrame([(1, text), (2, "short"), (3, "")],
+                               "doc_id long, text string")
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_start"], r["chunk_text"])
+        for r in chunk_documents(df, "doc_id", "text", 100, 20).collect()
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    # stride 80: starts 0, 80, 160 cover 250 chars
+    assert [r[2] for r in d1] == [0, 80, 160]
+    assert d1[0][3] == text[0:100] and d1[1][3] == text[80:180]
+    assert d1[2][3] == text[160:250]  # tail chunk shorter, nothing lost
+    # consecutive chunks share exactly the 20-char overlap
+    assert d1[0][3][-20:] == d1[1][3][:20]
+    # short and empty docs still yield one chunk each
+    assert [r[3] for r in rows if r[0] == 2] == ["short"]
+    assert [r[3] for r in rows if r[0] == 3] == [""]
+
+
 def test_dedup_keep_best(spark):
     from victorialogs_spark.datapipe.dedup import dedup_keep_best
 

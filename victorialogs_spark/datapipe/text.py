@@ -99,6 +99,37 @@ def with_lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), lang_id(F.col(text_col)).alias("lang_guess"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 2048,
+    overlap: int = 256,
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the context-window packing step of a training pipeline. Pure Column
+    expressions (sequence → transform → explode): a narrow per-row
+    expansion, no shuffle, no UDF. Output: (id, chunk_idx, chunk_start,
+    chunk_text); every document yields at least one chunk (possibly
+    empty), so no row silently disappears."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    c = F.col(text_col)
+    n = F.greatest(
+        F.ceil((F.length(c) - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_idx")
+    out = df.select(F.col(id_col), F.length(c).alias("__len"), idx, c.alias("__t"))
+    start = F.col("chunk_idx") * stride
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        start.alias("chunk_start"),
+        F.col("__t").substr(start + F.lit(1), F.lit(chunk_chars)).alias("chunk_text"),
+    )
+
+
 def doc_fingerprints(
     df: DataFrame, id_col: str, text_col: str, window: int = 16
 ) -> DataFrame:

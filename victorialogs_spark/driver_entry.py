@@ -1186,6 +1186,31 @@ _B4 = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
 
 
 @register(
+    "dp_chunk_documents",
+    # 120-char windows, 20-char overlap (stride 100); every doc yields
+    # >= 1 chunk
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id, i AS chunk_idx,"
+    " i * 100 AS chunk_start,"
+    " substr(text, i * 100 + 1, 120) AS chunk_text FROM documents,"
+    " UNNEST(range(0, GREATEST(CAST(CEIL((LENGTH(text) - 20) / 100.0) AS BIGINT), 1)))"
+    " AS u(i)",
+)
+def _dp_chunk_documents(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.text import chunk_documents
+
+    docs = _table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", "text", chunk_chars=120, overlap=20)
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        "chunk_text",
+    )
+
+
+@register(
     "dp_hash_sample",
     # deterministic md5-bucket sampling: ~10% = buckets 0000..1998
     f"SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents"
