@@ -80,10 +80,19 @@ def test_run_query_consults_registered_bloom_automatically(spark, tmp_path):
         for r in run_query(spark, spark.read.parquet(table), "beta").collect()
     }
     assert got == want == {"beta connection refused", "beta retry scheduled"}
-    # unregistered path → plain full scan, same answer
-    out2 = run_query(spark, table + "/", "gamma")  # trailing slash normalizes
+    # path spelling variants normalize to the registered key
+    out2 = run_query(spark, table + "/", "gamma")
     assert {r["_msg"] for r in out2.collect()} == {
         "gamma disk full", "gamma quota exceeded"
+    }
+    # a genuinely UNREGISTERED table takes the plain-reader branch:
+    # all files scanned, correct answer
+    other = str(tmp_path / "unregistered")
+    _write_table(spark, other)
+    out3 = run_query(spark, other, "alpha")
+    assert len(out3.inputFiles()) == 3  # nothing pruned
+    assert {r["_msg"] for r in out3.collect()} == {
+        "alpha request accepted", "alpha cache warm"
     }
 
 

@@ -88,6 +88,26 @@ def test_select_helpers(server):
     assert {v["level"] for v in fv["values"]} == {"info", "error", "warn"}
 
 
+def test_select_helpers_respect_time_bounds(server):
+    """start/end must bound EVERY select endpoint, not just /query."""
+    hits = json.loads(
+        _get(
+            server,
+            "/select/logsql/hits?query=*&step=1h"
+            "&start=2024-01-01T00:00:00Z&end=2024-01-01T00:59:59Z",
+        ).read()
+    )
+    assert sum(int(v["hits"]) for v in hits["values"]) == 2  # 3rd row at 01:00
+    fv = json.loads(
+        _get(
+            server,
+            "/select/logsql/field_values?query=*&field=level"
+            "&start=2024-01-01T00:00:00Z&end=2024-01-01T00:59:59Z",
+        ).read()
+    )
+    assert {v["level"] for v in fv["values"]} == {"info", "error"}  # no 'warn'
+
+
 def test_otlp_insert_protobuf_only(server):
     with pytest.raises(urllib.request.HTTPError) as ei:
         _post(server, "/insert/opentelemetry/v1/logs", b"{}", "application/json")

@@ -257,12 +257,14 @@ def resize_image(assets: DataFrame, width: int, height: int) -> DataFrame:
                         px = _decode_ppm(b, 1)
                     else:
                         continue
+                    h0, w0 = px.shape[0], px.shape[1]
+                    if h0 == 0 or w0 == 0:
+                        continue  # degenerate-but-decodable (0-dim) image
+                    yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                    xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                    out = px[yi][:, xi]
                 except Exception:
-                    continue
-                h0, w0 = px.shape[0], px.shape[1]
-                yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
-                xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
-                out = px[yi][:, xi]
+                    continue  # a bad asset must not fail the batch
                 ppm = b"P6\n%d %d\n255\n" % (width, height) + out.astype(
                     np.uint8
                 ).tobytes()

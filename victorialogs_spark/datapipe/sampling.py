@@ -80,6 +80,11 @@ def decontaminate(
     left_anti join: the held-out side reduces to distinct 128-bit keys,
     broadcast by AQE when small, hash-shuffled when not — never a driver
     collect."""
-    t_fp = train.withColumn("__vl_fp", fingerprint(F.col(text_col)))
-    h_fp = heldout.select(fingerprint(F.col(text_col)).alias("__vl_fp")).distinct()
+    # NULL text reads as empty content (missing ≡ empty, the engine-wide
+    # rule) so the join key is never NULL — a NULL key would silently
+    # bypass the anti-join on the Spark side and NULL-poison a NOT IN on
+    # any SQL mirror
+    key = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+    t_fp = train.withColumn("__vl_fp", key)
+    h_fp = heldout.select(key.alias("__vl_fp")).distinct()
     return t_fp.join(h_fp, "__vl_fp", "left_anti").drop("__vl_fp")

@@ -120,7 +120,7 @@ def chunk_documents(
         F.ceil((F.length(c) - F.lit(overlap)) / F.lit(stride)), F.lit(1)
     ).cast("int")
     idx = F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_idx")
-    out = df.select(F.col(id_col), F.length(c).alias("__len"), idx, c.alias("__t"))
+    out = df.select(F.col(id_col), idx, c.alias("__t"))
     start = F.col("chunk_idx") * stride
     return out.select(
         F.col(id_col),

@@ -594,9 +594,16 @@ logsql(
     "value:>199.8 | stream_context before 1 after 1 | fields _time, event_id, event_type",
 )
 # block_stats/blocks_count read parquet row-group metadata; DuckDB's
-# parquet_metadata() is an exact independent oracle for them (the driver
-# contract runs correctness at sf=0.01, so the path is known)
-_EVENTS_PQ = "/root/testdata/sf0.01/events.parquet"
+# parquet_metadata() is an exact independent oracle for them. The oracle
+# SQL must embed a literal path: default to the driver contract's sf0.01,
+# and follow SPARK_GRAFT_ORACLE_SF_DIR so the multi-scale soak gate
+# (tools/check_oracle.py) stays green at every scale.
+import os as _os
+
+_EVENTS_PQ = (
+    _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    + "/events.parquet"
+)
 logsql(
     "p_blocks_count",
     "* | blocks_count",
@@ -1268,11 +1275,15 @@ def _dp_dedup_keep_best(spark, sf_dir):
     return dedup_keep_best(docs, "doc_id", "text", "score")
 
 
+_NORM_NN = _NORM.replace("lower(text)", "lower(COALESCE(text, ''))")
+
+
 @register(
     "dp_decontaminate",
     # benchmark decontamination: drop even-id docs whose normalized
-    # content also appears among odd-id docs (fingerprint anti-join)
-    f"WITH f AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents)"
+    # content also appears among odd-id docs (fingerprint anti-join);
+    # NULL text reads as empty content on both sides
+    f"WITH f AS (SELECT doc_id, md5({_NORM_NN}) AS fp FROM documents)"
     " SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM f"
     " WHERE doc_id % 2 = 0 AND fp NOT IN"
     " (SELECT fp FROM f WHERE doc_id % 2 = 1)",

@@ -26,21 +26,26 @@ from victorialogs_spark.schema import ingest_ndjson
 
 
 def _time_arg_ns(v: str | None, end: bool) -> int | None:
-    """start/end args: RFC3339 (possibly partial) or unix seconds/ms/ns
-    (the reference's promutils.ParseTimeAt semantics, trimmed)."""
+    """start/end args: RFC3339 (possibly partial) or unix seconds/ms/µs/ns
+    (the reference's promutils.ParseTimeAt semantics, trimmed). Integer
+    timestamps parse as int end-to-end — a float hop would lose ns
+    precision (float64 has 53 mantissa bits; unix-ns needs 63)."""
     if not v:
         return None
     rng = parse_time_point(v)
     if rng is not None:
         return rng[1] if end else rng[0]
-    f = float(v)
-    if f < 1e11:  # seconds
-        return int(f * 1e9)
-    if f < 1e14:  # millis
-        return int(f * 1e6)
-    if f < 1e17:  # micros
-        return int(f * 1e3)
-    return int(f)
+    if v.lstrip("-").isdigit():
+        n = int(v)
+        if abs(n) < 10**11:  # seconds
+            return n * 10**9
+        if abs(n) < 10**14:  # millis
+            return n * 10**6
+        if abs(n) < 10**17:  # micros
+            return n * 10**3
+        return n
+    f = float(v)  # fractional seconds
+    return int(f * 1e9)
 
 
 class _State:
@@ -143,22 +148,40 @@ class _Handler(BaseHTTPRequestHandler):
         q = self._get(params, "query", "*")
         start = _time_arg_ns(self._get(params, "start"), end=False)
         end = _time_arg_ns(self._get(params, "end"), end=True)
+        if start is not None or end is not None:
+            # the [start, end] args bound EVERY select endpoint, exactly
+            # like the reference's common params (logsql.go:1180-1208) —
+            # /query applies them via query_ndjson below; everything else
+            # gets the pre-bounded frame
+            from victorialogs_spark.planner.filters import _time_range
+
+            df = df.where(
+                _time_range(
+                    df,
+                    start if start is not None else -(2**62),
+                    end if end is not None else 2**62,
+                )
+            )
         if path == "/select/logsql/query":
             limit = int(self._get(params, "limit", "0"))
-            # validate eagerly: query_ndjson is a generator, and a parse
-            # error after the 200 header is unreportable
-            from victorialogs_spark.logsql.parser import parse_query
-
-            parse_query(q)
             lines = ep.query_ndjson(
-                spark, df, q, start_ns=start, end_ns=end,
+                spark, st.df(), q, start_ns=start, end_ns=end,
                 extra_filters=params.get("extra_filters"),
                 extra_stream_filters=params.get("extra_stream_filters"),
             )
+            # pull the first line BEFORE sending headers: query_ndjson is
+            # a generator, so parse/plan/first-batch errors fire here and
+            # surface as a clean 400 instead of corrupting a 200 stream
+            _EOS = object()
+            first = next(lines, _EOS)
             self.send_response(200)
             self.send_header("Content-Type", "application/stream+json")
             self.end_headers()
-            for i, line in enumerate(lines):
+            if first is _EOS:
+                return
+            import itertools
+
+            for i, line in enumerate(itertools.chain([first], lines)):
                 if limit and i >= limit:
                     break
                 self.wfile.write(line.encode("utf-8") + b"\n")

@@ -963,6 +963,14 @@ def _p_drop_empty_fields(p: A.PDropEmptyFields, df: DataFrame, ctx) -> DataFrame
     for c in str_cols:
         any_nonempty = any_nonempty | (fcol(df, c) != "")
     df = df.where(any_nonempty).persist(StorageLevel.MEMORY_AND_DISK)
+    # bound the cache across a long-lived session (cli serve): Spark has
+    # no post-execution hook to unpersist, so retire the oldest cached
+    # frames FIFO once more than a few are alive — by then their
+    # downstream actions have run (disk-spilled blocks otherwise
+    # accumulate until session end)
+    _DROP_EMPTY_CACHES.append(df)
+    while len(_DROP_EMPTY_CACHES) > 4:
+        _DROP_EMPTY_CACHES.pop(0).unpersist()
     flags = df.agg(
         *[F.max(fcol(df, c) != "").alias(c) for c in str_cols]
     ).collect()[0]
@@ -970,11 +978,22 @@ def _p_drop_empty_fields(p: A.PDropEmptyFields, df: DataFrame, ctx) -> DataFrame
     return df.drop(*empties) if empties else df
 
 
+_DROP_EMPTY_CACHES: list = []
+
+
 def _local_paths(df: DataFrame) -> list[str]:
+    """Input files as pyarrow-readable paths: file:// URIs become local
+    paths; other schemes (s3://, hdfs://) pass through untouched — pyarrow
+    handles them when the matching filesystem is importable, and the
+    metadata readers below skip files they can't open."""
     import urllib.parse
 
     try:
-        return [urllib.parse.urlparse(f).path or f for f in df.inputFiles()]
+        out = []
+        for f in df.inputFiles():
+            p = urllib.parse.urlparse(f)
+            out.append(p.path if p.scheme in ("", "file") else f)
+        return out
     except Exception:
         return []
 
@@ -996,7 +1015,10 @@ def _row_group_stats_df(spark, paths: list[str]) -> DataFrame:
         for chunk in batches:
             out = []
             for path in chunk["path"]:
-                md = pq.read_metadata(path)
+                try:
+                    md = pq.read_metadata(path)
+                except Exception:
+                    continue  # unreadable scheme/file: skip, don't fail
                 for rg in range(md.num_row_groups):
                     g = md.row_group(rg)
                     for ci in range(g.num_columns):
@@ -1025,6 +1047,7 @@ def _p_blocks_count(p: A.PBlocksCount, df: DataFrame, ctx) -> DataFrame:
     Falls back to the partition count for in-memory frames."""
     spark = df.sparkSession
     paths = _local_paths(df)
+    n = 0
     if paths:
         n = (
             _row_group_stats_df(spark, paths)
@@ -1032,7 +1055,7 @@ def _p_blocks_count(p: A.PBlocksCount, df: DataFrame, ctx) -> DataFrame:
             .distinct()
             .count()
         )
-    else:
+    if n == 0:  # in-memory frame, or no readable footer
         n = df.rdd.getNumPartitions()
     return spark.createDataFrame([(str(n),)], [getattr(p, "result", "blocks_count")])
 
