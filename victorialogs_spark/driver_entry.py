@@ -593,6 +593,22 @@ logsql(
     "p_stream_context",
     "value:>199.8 | stream_context before 1 after 1 | fields _time, event_id, event_type",
 )
+logsql(
+    "p_stream_context_window",
+    # deterministic oracle-checked variant: single anchor (the max-value
+    # row via in(subquery)), one context group (no delimiter rows), and
+    # before/after large enough that the ±1h time window is the only
+    # bound — row-rank tie-breaks can't affect the result
+    "value:in(* | sort by (value) desc limit 1 | fields value)"
+    " | stream_context before 100000 after 100000 | fields _time, event_id",
+    "WITH m AS (SELECT event_type AS et, ts AS at FROM events"
+    " ORDER BY value DESC, event_id LIMIT 1)"
+    " SELECT DISTINCT CAST(e.ts AS TIMESTAMP) AS _time,"
+    " CAST(e.event_id AS VARCHAR) AS event_id FROM events e, m"
+    " WHERE e.event_type = m.et"
+    " AND epoch_us(e.ts) BETWEEN epoch_us(m.at) - 3600000000"
+    " AND epoch_us(m.at) + 3600000000",
+)
 # block_stats/blocks_count read parquet row-group metadata; DuckDB's
 # parquet_metadata() is an exact independent oracle for them. The oracle
 # SQL must embed a literal path: default to the driver contract's sf0.01,
