@@ -231,6 +231,55 @@ def test_decontaminate_drops_exact_overlap(spark):
     assert out == {1, 3}
 
 
+def test_stratified_hash_sample(spark):
+    from victorialogs_spark.datapipe.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+    from victorialogs_spark.schema import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    out = stratified_hash_sample(
+        ev, "event_type", "event_id", {"error": 1.0, "click": 0.2}
+    )
+    counts = {r["event_type"]: r["n"] for r in
+              out.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    totals = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"error", "click"}  # unlisted groups dropped
+    assert counts["error"] == totals["error"]  # fraction 1.0 keeps all
+    assert 0.1 * totals["click"] < counts["click"] < 0.3 * totals["click"]
+    # per-group selection ≡ plain hash_sample restricted to the group
+    clicks = ev.where(F.col("event_type") == "click")
+    want = {r["event_id"] for r in hash_sample(clicks, "event_id", 0.2)
+            .select("event_id").collect()}
+    got = {r["event_id"] for r in out.where(F.col("event_type") == "click")
+           .select("event_id").collect()}
+    assert got == want
+
+
+def test_redact_pii(spark):
+    from victorialogs_spark.datapipe.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example now"),
+            (2, "from 192.168.1.254 port 22"),
+            (3, "call +1 (555) 123-4567 or 555-123-4567"),
+            (4, "ssn 123-45-6789."),
+            (5, "clean text stays"),
+        ],
+        "id long, t string",
+    )
+    rows = {r["id"]: r["out"] for r in
+            df.select("id", redact_pii(F.col("t")).alias("out")).collect()}
+    assert rows[1] == "mail <EMAIL> now"
+    assert rows[2] == "from <IPV4> port 22"
+    assert "<PHONE>" in rows[3] and "4567" not in rows[3]
+    assert rows[4] == "ssn <SSN>."
+    assert rows[5] == "clean text stays"
+
+
 def test_chunk_documents_overlap_and_coverage(spark):
     from victorialogs_spark.datapipe.text import chunk_documents
 

@@ -70,6 +70,28 @@ def train_val_test_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sampling (dataset rebalancing): each group
+    keeps its own fraction of the md5 key space. Same stability story as
+    hash_sample — membership is a pure function of (group fraction, key),
+    no shuffle, no rand(). Groups absent from ``fractions`` keep
+    ``default_fraction``."""
+    t_default = _threshold(default_fraction)
+    expr = F.lit(t_default) if t_default else F.lit("")
+    for g, frac in sorted(fractions.items()):
+        t = _threshold(frac)
+        expr = F.when(F.col(group_col) == g, F.lit(t if t else "")).otherwise(expr)
+    return df.where(
+        (expr != "") & (_bucket(F.col(key_col)) <= expr)
+    )
+
+
 def decontaminate(
     train: DataFrame,
     heldout: DataFrame,

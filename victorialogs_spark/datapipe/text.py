@@ -99,6 +99,27 @@ def with_lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), lang_id(F.col(text_col)).alias("lang_guess"))
 
 
+# PII patterns kept to syntax valid AND equivalent in both Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround, explicit classes
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"(\+?\d{1,3}[-. (]{0,2})?\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(c: Column, kinds: list[str] | None = None) -> Column:
+    """Replace common PII shapes with <KIND> placeholders — the standard
+    pre-training scrub. Pure chained regexp_replace (JVM-side, narrow,
+    no UDF); patterns are engine-portable so the operation is
+    oracle-checkable."""
+    out = c
+    for kind in kinds or list(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -1295,6 +1295,58 @@ _NORM_NN = _NORM.replace("lower(text)", "lower(COALESCE(text, ''))")
 
 
 @register(
+    "dp_stratified_sample",
+    # per-class rebalancing: keep all errors, 10% of clicks, drop the rest
+    "SELECT CAST(event_id AS VARCHAR) AS event_id, event_type FROM events"
+    " WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) <="
+    " CASE event_type WHEN 'error' THEN 'ffff' WHEN 'click' THEN '1998'"
+    " ELSE '' END"
+    " AND event_type IN ('error', 'click')",
+)
+def _dp_stratified_sample(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.sampling import stratified_hash_sample
+
+    ev = _table(spark, sf_dir, "events")
+    out = stratified_hash_sample(
+        ev, "event_type", "event_id", {"error": 1.0, "click": 0.1}
+    )
+    return out.select(
+        F.col("event_id").cast("string").alias("event_id"), "event_type"
+    )
+
+
+@register(
+    "dp_redact_pii",
+    # the synthetic corpus carries no PII, so the entry constructs a row
+    # with email/ipv4 shapes from typed columns and scrubs it; the same
+    # regex battery runs in DuckDB (patterns are Java-regex/RE2 portable)
+    "SELECT CAST(event_id AS VARCHAR) AS event_id,"
+    " regexp_replace(regexp_replace("
+    "   'reach u' || user_id || '@corp.example or 10.0.' || (user_id % 200) || '.7',"
+    "   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    "   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')"
+    " AS t FROM events",
+)
+def _dp_redact_pii(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.text import redact_pii
+
+    ev = _table(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("reach u"), F.col("user_id").cast("string"),
+        F.lit("@corp.example or 10.0."),
+        (F.col("user_id") % 200).cast("string"), F.lit(".7"),
+    )
+    return ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        redact_pii(raw, ["email", "ipv4"]).alias("t"),
+    )
+
+
+@register(
     "dp_decontaminate",
     # benchmark decontamination: drop even-id docs whose normalized
     # content also appears among odd-id docs (fingerprint anti-join);
