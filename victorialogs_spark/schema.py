@@ -180,8 +180,11 @@ def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, keep_nanos: bool = False
 ) -> DataFrame:
     # works on ANY session (incl. the driver's): nanosAsLong is a runtime
-    # SQL conf, and nano-long columns are converted back to timestamps
+    # SQL conf, and nano-long columns are converted back to timestamps.
+    # The timezone pin keeps ntz→timestamp casts shift-free on sessions
+    # that weren't created by our session factory.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c, t in df.dtypes:
         if c in _NANO_TS_COLS and t == "bigint":
