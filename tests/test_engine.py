@@ -666,3 +666,28 @@ def test_format_time_rfc3339nano(spark):
         spark, df, '* | format "<time:s> <time:ms>" as x'
     ).first()["x"]
     assert out == "2024-01-01T00:00:00Z 2024-01-01T00:00:00.123Z"
+
+
+def test_range_filter_excludes_nan(spark):
+    """NaN never matches a range (Go: NaN comparisons are false; Spark
+    orders NaN above all doubles, which would match open-ended '>x')."""
+    df = spark.createDataFrame(
+        [("1", "NaN"), ("2", "7"), ("3", "abc")], "id string, v string"
+    )
+    out = run_query(spark, df, "v:>5 | fields id")
+    assert {r["id"] for r in out.collect()} == {"2"}
+    out2 = run_query(spark, df, "v:<1e30 | fields id")
+    assert {r["id"] for r in out2.collect()} == {"2"}
+
+
+def test_join_overwrites_same_named_columns(spark):
+    """The reference overwrites matched rows' fields with the subquery's
+    non-empty values; a duplicate column would be ambiguous in Spark."""
+    df = spark.createDataFrame(
+        [("a", "old1"), ("b", "old2")], "k string, x string"
+    )
+    out = run_query(
+        spark, df, '* | join by (k) (k:=a | format "new" as x | fields k, x)'
+    )
+    rows = {r["k"]: r["x"] for r in out.collect()}
+    assert rows == {"a": "new", "b": "old2"}  # matched overwritten, left kept

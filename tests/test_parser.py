@@ -439,3 +439,47 @@ def test_malformed_queries_rejected():
     ]:
         with pytest.raises(ParseError):
             parse_query(bad)
+
+
+def test_now_plus_arithmetic():
+    """'now+30m' must parse (parse_duration_ns accepts a '+' prefix)."""
+    from victorialogs_spark.logsql import ast as A
+    from victorialogs_spark.logsql.parser import parse_query
+
+    NOW = 1704067200_000000000
+    q = parse_query("_time:now+30m", NOW)
+    assert isinstance(q.filter, A.FTime)
+    assert q.filter.lo_ns == q.filter.hi_ns == NOW + 30 * 60 * NS
+    q2 = parse_query("_time:<now+1h", NOW)
+    assert q2.filter.hi_ns == NOW + 3600 * NS - 1
+
+
+def test_first_by_asc_keyword():
+    """'asc' in a first/last by-list is the explicit default, not a field."""
+    from victorialogs_spark.logsql.parser import parse_query
+
+    q = parse_query("* | first 5 by (foo asc, bar desc)")
+    p = q.pipes[0]
+    assert [(f.name, f.desc) for f in p.fields] == [("foo", False), ("bar", True)]
+
+
+def test_zero_arg_stats_functions_rejected():
+    """sum()/avg()/min() etc. must fail with a clear error, not a crash."""
+    import pytest
+
+    from victorialogs_spark.logsql.parser import parse_query
+    from victorialogs_spark.planner.stats import compile_stats_func
+
+    for q in ["* | stats sum() as s", "* | stats min() as m",
+              "* | stats row_min() as r"]:
+        ast = parse_query(q)
+        sf = ast.pipes[0].funcs[0]
+        with pytest.raises((ValueError, Exception), match="field|at least"):
+            compile_stats_func(sf, _dummy_df(), [], None, None)
+
+
+def _dummy_df():
+    class _D:
+        columns = ["a", "b"]
+        dtypes = [("a", "string"), ("b", "string")]
+    return _D()

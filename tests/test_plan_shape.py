@@ -147,6 +147,9 @@ def test_time_range_pushdown_nano_long(spark, tmp_path):
     # and the internal raw column never leaks into the query output
     nofields = run_query(spark, logs, "_time:[2024-01-03, 2024-01-05)")
     assert "__time_nanos" not in nofields.columns
+    # stream_context re-joins the raw source — it must shed internals too
+    sc = run_query(spark, logs, "value:>17 | stream_context before 1 after 1")
+    assert not [c for c in sc.columns if c.startswith("__")]
 
 
 def test_time_range_pushdown_us_timestamps(spark):

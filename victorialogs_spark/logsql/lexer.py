@@ -197,10 +197,11 @@ _DUR_RE = re.compile(
 
 
 def parse_duration_ns(s: str) -> int | None:
-    """Parse ``1h33m55s`` style durations → nanoseconds, or None."""
+    """Parse ``1h33m55s`` style durations → nanoseconds, or None.
+    Accepts a '+' or '-' sign prefix ('now+30m' arithmetic passes '+30m')."""
     s = s.strip()
     neg = s.startswith("-")
-    if neg:
+    if neg or s.startswith("+"):
         s = s[1:]
     pos = 0
     total = 0.0

@@ -904,7 +904,9 @@ class Parser:
                 self.expect(")")
                 return A.FInSubquery("_stream_id", q)
             return A.FStreamId(self._parse_string_list())
-        return A.FStreamId([self.tok().text]) if not self.advance() else A.FStreamId([self.lex.prev_token.text])
+        sid = self.tok().text
+        self.advance()
+        return A.FStreamId([sid])
 
     # -- stream filter {...} --------------------------------------------------
     def _parse_stream_filter(self) -> A.Filter:
@@ -1191,6 +1193,8 @@ class Parser:
                     if self.tok().is_kw("desc"):
                         self.advance()
                         fdesc = True
+                    elif self.tok().is_kw("asc"):
+                        self.advance()  # explicit ascending (the default)
                     fields.append(A.SortField(name, fdesc))
                     if self.tok().is_kw(","):
                         self.advance()

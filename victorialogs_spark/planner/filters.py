@@ -13,14 +13,11 @@ from pyspark.sql import functions as F
 
 from victorialogs_spark.functions.natural import fcol, ipv4_num, num, qcol
 from victorialogs_spark.functions.text import (
-    java_quote,
     phrase_regex,
     prefix_regex,
     seq_regex,
 )
 from victorialogs_spark.logsql import ast as A
-
-NS = 10**9
 
 
 def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
@@ -110,7 +107,10 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
             lo = F.lit(True)
         if f.hi == float("inf") and f.include_hi:
             hi = F.lit(True)
-        return n.isNotNull() & lo & hi
+        # NaN never matches a range (Go: any NaN comparison is false;
+        # Spark orders NaN above all doubles, which would make open-ended
+        # '>x' ranges match "NaN" values)
+        return n.isNotNull() & ~F.isnan(n) & lo & hi
     if isinstance(f, A.FIPv4Range):
         n = ipv4_num(fcol(df, f.field))
         return n.isNotNull() & (n >= f.lo) & (n <= f.hi)
@@ -285,7 +285,8 @@ def _subquery_values(q: A.Query, ctx) -> list[str] | None:
             f"in(subquery): subquery must return exactly one field, got {sub.columns}"
         )
     col0 = sub.columns[0]
-    rows = sub.select(col0).distinct().limit(SUBQUERY_VALUES_MAX + 1).collect()
+    # qcol: a plain name string would resolve dots as struct access
+    rows = sub.select(qcol(col0)).distinct().limit(SUBQUERY_VALUES_MAX + 1).collect()
     if len(rows) > SUBQUERY_VALUES_MAX:
         raise ValueError(
             f"subquery produced more than {SUBQUERY_VALUES_MAX} distinct values;"

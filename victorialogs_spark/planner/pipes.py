@@ -8,7 +8,6 @@ Python/pandas UDFs appear only where Spark genuinely lacks the semantics
 
 from __future__ import annotations
 
-import json
 import re
 
 from pyspark.sql import Column, DataFrame, Window
@@ -771,6 +770,14 @@ def _p_join(p: A.PJoin, df: DataFrame, ctx) -> DataFrame:
         for c in sub.columns:
             if c not in p.by:
                 sub = sub.withColumnRenamed(c, p.prefix + c)
+    # same-named non-key columns: the reference OVERWRITES the row's field
+    # with the subquery's value when it is non-empty (getJoinMapGeneric
+    # skips empty values), keeping the original otherwise — a duplicate
+    # column would be an ambiguous schema in Spark
+    conflicts = [c for c in sub.columns if c in df.columns and c not in p.by]
+    left_tmp = {c: f"__vl_jl_{c}" for c in conflicts}
+    for c, tmp in left_tmp.items():
+        df = df.withColumnRenamed(c, tmp)
     how = "inner" if p.inner else "left"
     sub_b = sub
     try:
@@ -782,9 +789,16 @@ def _p_join(p: A.PJoin, df: DataFrame, ctx) -> DataFrame:
     if est <= JOIN_BROADCAST_MAX_BYTES:
         sub_b = F.broadcast(sub)
     joined = df.join(sub_b, on=[c for c in p.by], how=how)
+    for c, tmp in left_tmp.items():
+        joined = joined.withColumn(
+            c,
+            F.when(
+                F.coalesce(qcol(c).cast("string"), F.lit("")) != "", qcol(c)
+            ).otherwise(qcol(tmp)),
+        ).drop(tmp)
     # left-join nulls read as '' downstream (missing ≡ empty)
     for c, t in joined.dtypes:
-        if t == "string" and c not in df.columns:
+        if t == "string" and c not in df.columns and c not in left_tmp:
             joined = joined.withColumn(c, F.coalesce(qcol(c), F.lit("")))
     return joined
 
@@ -1083,6 +1097,11 @@ def _p_stream_context(p: A.PStreamContext, df: DataFrame, ctx) -> DataFrame:
     source = ctx.source_df
     if source is None or "_stream_id" not in source.columns:
         raise NotImplementedError("stream_context requires a log table with _stream_id")
+    # the piped frame had engine-internal scan columns dropped by the
+    # planner; this re-join of the raw source must shed them too
+    internal = [c for c in source.columns if c.startswith("__")]
+    if internal:
+        source = source.drop(*internal)
     anchors = df.select(
         qcol("_stream_id").alias("__a_sid"), qcol("_time").alias("__a_time")
     ).distinct()

@@ -22,7 +22,9 @@ NS = 10**9
 # in(subquery) values up to this count are inlined as isin() (pushes into the
 # Parquet scan); beyond it the filter becomes a left_semi join so neither the
 # driver nor Catalyst ever materialize a million-literal expression tree.
-IN_VALUES_INLINE_MAX = 10_000
+from victorialogs_spark.planner.filters import SUBQUERY_VALUES_MAX
+
+IN_VALUES_INLINE_MAX = SUBQUERY_VALUES_MAX  # one policy, two entry paths
 
 
 class PlanContext:
@@ -108,19 +110,10 @@ def _resolve_nested_in_subqueries(
         c2, df = _resolve_nested_in_subqueries(f.child, df, ctx, flags)
         return A.FNot(c2), df
     if isinstance(f, A.FInSubquery):
-        sub = ctx.run_subquery(f.query)
-        if len(sub.columns) != 1:
-            raise ValueError(
-                f"in(subquery): subquery must return exactly one field, got {sub.columns}"
-            )
-        key = sub.columns[0]
-        vals_df = sub.select(
-            F.coalesce(qcol(key).cast("string"), F.lit("")).alias("__vl_in")
-        ).distinct()
-        head = vals_df.limit(IN_VALUES_INLINE_MAX + 1).collect()
-        if len(head) <= IN_VALUES_INLINE_MAX:
+        vals_df, head = _subquery_distinct_values(ctx, f.query)
+        if head is not None:
             # FIn compiles to the same predicate an inline in(...) would
-            return A.FIn(f.field, [r[0] for r in head]), df
+            return A.FIn(f.field, head), df
         flag = f"__vl_inflag_{len(flags)}"
         flags.append(flag)
         marked = vals_df.withColumnRenamed("__vl_in", flag + "_v").withColumn(
@@ -133,22 +126,30 @@ def _resolve_nested_in_subqueries(
     return f, df
 
 
-def _in_subquery_df(
-    df: DataFrame, f: A.FInSubquery, ctx, negate: bool
-) -> DataFrame:
-    sub = ctx.run_subquery(f.query)
+def _subquery_distinct_values(ctx, query):
+    """Shared in(subquery) resolution: distinct single-column values as a
+    DataFrame, plus the materialized value list when it fits under
+    IN_VALUES_INLINE_MAX (else None — caller must join)."""
+    sub = ctx.run_subquery(query)
     if len(sub.columns) != 1:
         raise ValueError(
             f"in(subquery): subquery must return exactly one field, got {sub.columns}"
         )
-    key = sub.columns[0]
     vals_df = sub.select(
-        F.coalesce(qcol(key).cast("string"), F.lit("")).alias("__vl_in")
+        F.coalesce(qcol(sub.columns[0]).cast("string"), F.lit("")).alias("__vl_in")
     ).distinct()
     head = vals_df.limit(IN_VALUES_INLINE_MAX + 1).collect()
     if len(head) <= IN_VALUES_INLINE_MAX:
-        vals = [r[0] for r in head]
-        pred = fcol(df, f.field).isin(vals) if vals else F.lit(False)
+        return vals_df, [r[0] for r in head]
+    return vals_df, None
+
+
+def _in_subquery_df(
+    df: DataFrame, f: A.FInSubquery, ctx, negate: bool
+) -> DataFrame:
+    vals_df, head = _subquery_distinct_values(ctx, f.query)
+    if head is not None:
+        pred = fcol(df, f.field).isin(head) if head else F.lit(False)
         return df.where(~pred if negate else pred)
     join_cond = fcol(df, f.field) == vals_df["__vl_in"]
     return df.join(vals_df, join_cond, "left_anti" if negate else "left_semi")

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from victorialogs_spark.functions.casts import _try_cast
 
-from victorialogs_spark.functions.natural import fcol, format_number, num
+from victorialogs_spark.functions.natural import fcol, num
 from victorialogs_spark.logsql import ast as A
 
 
@@ -64,11 +64,9 @@ def _decimal_src(df: DataFrame, field: str) -> Column:
     return fcol(df, field)
 
 
-def _dsum(df: DataFrame, f: str, cond: Column | None) -> Column:
-    v = _try_cast(fcol(df, f), "decimal(38,9)")
-    if cond is not None:
-        v = F.when(cond, v)
-    return F.sum(v)
+# functions whose zero-field form is meaningful: count()/rate() count
+# rows; row_any() captures the whole row
+_ZERO_ARG_FUNCS = ("count", "rate", "row_any")
 
 
 def compile_stats_func(
@@ -87,6 +85,10 @@ def compile_stats_func(
         # naming an absent field (missing ≡ empty); without this, the
         # per-function loops would fold over zero operands and crash
         fields = ["__vl_absent__"]
+    if not fields and name not in _ZERO_ARG_FUNCS:
+        # reference rejects these at parse time; raising here covers every
+        # entry path with a clear error instead of a fold-over-nothing crash
+        raise ValueError(f"stats function {name}() requires at least one field arg")
 
     def guard(c: Column) -> Column:
         return F.when(cond, c) if cond is not None else c
