@@ -433,3 +433,28 @@ def test_ivf_centroids_deterministic(spark, vecs):
     c1 = train_ivf_centroids(vecs, "embedding", n_centroids=4, seed=7)
     c2 = train_ivf_centroids(vecs, "embedding", n_centroids=4, seed=7)
     assert c1 == c2
+
+
+def test_token_ngrams_short_docs_no_ansi_crash(spark):
+    """Docs shorter than n tokens must yield one short gram, not an ANSI
+    INVALID_ARRAY_INDEX crash."""
+    from victorialogs_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "only two"), (3, "x")], "doc_id long, text string"
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_cosine_null_vectors_yield_null(spark):
+    from victorialogs_spark.datapipe.similarity import cosine_scores
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r["cos"] for r in
+            cosine_scores(df, "vec_id", "embedding", [1.0, 0.0]).collect()}
+    assert rows[1] == 1.0 and rows[3] == 0.0
+    assert rows[2] is None  # NULL, not NaN (NaN would pass >= thresholds)

@@ -691,3 +691,10 @@ def test_join_overwrites_same_named_columns(spark):
     )
     rows = {r["k"]: r["x"] for r in out.collect()}
     assert rows == {"a": "new", "b": "old2"}  # matched overwritten, left kept
+
+
+def test_math_nan_and_overflow_no_ansi_crash(spark, logs):
+    """format_number must not throw under ANSI mode on NaN/huge doubles."""
+    out = run_query(spark, logs, "* | math value / 0 as inf, 0 * 1e308 * 10 as big"
+                    " | fields event_id, inf, big | limit 3")
+    assert out.count() == 3  # executes without CAST_OVERFLOW

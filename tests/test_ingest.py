@@ -183,3 +183,29 @@ def test_stream_hits_windowed(spark, tmp_path):
         assert by_min[0] == 2 and by_min[1] == 1
     finally:
         q.stop()
+
+
+def test_live_tail_query_without_time_column(spark, tmp_path):
+    """Pipes that drop _time (e.g. `| fields _msg`) must still tail."""
+    import datetime as dt
+
+    from victorialogs_spark.streaming.tail import LiveTailer
+
+    UTC = dt.timezone.utc
+    path = str(tmp_path / "t")
+
+    def w(rows):
+        spark.createDataFrame(rows, "_time timestamp, _msg string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+    w([(dt.datetime(2024, 1, 1, 0, 0, 1, tzinfo=UTC), "old1")])
+    tailer = LiveTailer(
+        spark, lambda: spark.read.parquet(path), "* | fields _msg",
+        refresh_interval=0.01,
+    )
+    assert tailer.poll_once() == []  # priming
+    w([(dt.datetime(2024, 1, 1, 0, 0, 5, tzinfo=UTC), "fresh1")])
+    got = [r["_msg"] for r in tailer.poll_once()]
+    assert got == ["fresh1"]
+    assert tailer.poll_once() == []  # no re-delivery

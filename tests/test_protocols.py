@@ -182,3 +182,34 @@ def test_datadog_logs(spark):
     assert r["_msg"] == "dd hello"
     assert r["env"] == "prod" and r["team"] == "core"
     assert r["hostname"] == "h1" and r["service"] == "api"
+
+
+def test_otlp_falsy_attribute_values(spark):
+    """false/0/0.0 attribute values must survive, not collapse to ''."""
+    import json as _json
+
+    body = {"resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "enabled", "value": {"boolValue": False}},
+            {"key": "count", "value": {"intValue": 0}},
+            {"key": "ratio", "value": {"doubleValue": 0.0}},
+        ]},
+        "scopeLogs": [{"logRecords": [
+            {"timeUnixNano": "1704067201000000000",
+             "body": {"stringValue": "m"}}]}],
+    }]}
+    df = parse_otlp_logs(spark, _lines_df(spark, [_json.dumps(body)]))
+    r = df.collect()[0].asDict()
+    assert r["enabled"] == "false"
+    assert r["count"] == "0"
+    assert r["ratio"] == "0.0"
+
+
+def test_syslog_sd_message_with_brackets(spark):
+    """Message text containing ']' after structured data must not be
+    swallowed by a greedy SD capture."""
+    line = '<34>1 2024-01-01T00:00:00Z host app 1 id [sd@1 x="y"] took [5] ms'
+    df = parse_syslog_lines(spark, _lines_df(spark, [line]), year=2024)
+    r = df.collect()[0].asDict()
+    assert r["_msg"] == "took [5] ms"
+    assert r["hostname"] == "host"

@@ -97,10 +97,15 @@ def token_ngrams(c: Column, n: int = 3) -> Column:
     """Distinct word n-grams of normalized text (array<string>)."""
     toks = F.filter(F.split(normalize_text(c), r"\s+"), lambda t: t != "")
     cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    # try_element_at: docs shorter than n tokens index past the array end,
+    # which THROWS under default ANSI mode (plain element_at); the nulls
+    # drop out of concat_ws, leaving one short gram — intended semantics
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
+            ),
         )
     )
 
@@ -225,7 +230,9 @@ def _band_buckets(bands: int, num_hashes: int) -> Column:
                     F.concat_ws(
                         ",",
                         *[
-                            F.element_at("sig", b * rows_per_band + j + 1).cast("string")
+                            # try_: bands*rows_per_band may exceed the
+                            # sketch length (ANSI element_at throws)
+                            F.try_element_at(F.col("sig"), F.lit(b * rows_per_band + j + 1)).cast("string")
                             for j in range(rows_per_band)
                         ],
                     )

@@ -26,8 +26,16 @@ from pyspark.sql import functions as F
 def _dot_lit(vec_col: Column, q: list[float]) -> Column:
     """Sequential left-fold dot product against a literal query vector —
     deterministic summation order (reproducible across runs/engines)."""
+    # try_element_at: a stored vector longer than the query would index
+    # past the literal array and THROW under default ANSI mode; excess
+    # dims contribute 0 instead
     arr = F.transform(
-        vec_col, lambda x, i: x.cast("double") * F.element_at(F.array(*[F.lit(float(v)) for v in q]), i + 1)
+        vec_col,
+        lambda x, i: x.cast("double")
+        * F.coalesce(
+            F.try_element_at(F.array(*[F.lit(float(v)) for v in q]), i + 1),
+            F.lit(0.0),
+        ),
     )
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -38,6 +46,37 @@ def vec_norm(vec_col: Column) -> Column:
             vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
+
+
+def _stack_vectors(series, dim: int):
+    """(matrix, valid mask) for an Arrow batch of vectors. NULL rows and
+    dimension-mismatched rows become zero rows with valid=False instead of
+    blowing up np.stack — the UDF must yield NULL for them, not kill the
+    job (the jvm-engine paths return NULL for the same inputs). Fast path:
+    the all-valid batch stacks directly."""
+    import numpy as np
+
+    vals = series.tolist()
+    if not vals:
+        return np.zeros((0, dim)), np.zeros(0, dtype=bool)
+    valid = np.array([v is not None and len(v) == dim for v in vals])
+    if valid.all():
+        return np.stack([np.asarray(v, dtype=np.float64) for v in vals]), valid
+    M = np.zeros((len(vals), dim))
+    for i, v in enumerate(vals):
+        if valid[i]:
+            M[i] = np.asarray(v, dtype=np.float64)
+    return M, valid
+
+
+def _masked_series(values, valid, dtype: str):
+    """pandas nullable series: invalid rows → NULL (a NaN would sort ABOVE
+    every number in Spark and sail through >= thresholds)."""
+    import pandas as pd
+
+    arr = pd.array(values, dtype=dtype)
+    arr[~valid] = pd.NA
+    return pd.Series(arr)
 
 
 def _cosine_arrow(query: list[float]):
@@ -51,9 +90,9 @@ def _cosine_arrow(query: list[float]):
     qn = float(np.sqrt((q * q).sum()))
 
     def _cos(series):
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in series])
-        norms = np.sqrt((M * M).sum(axis=1))
-        return pd.Series((M @ q) / (norms * qn))
+        M, valid = _stack_vectors(series, len(q))
+        norms = np.maximum(np.sqrt((M * M).sum(axis=1)), 1e-300)
+        return _masked_series((M @ q) / (norms * qn), valid, "Float64")
 
     _cos.__annotations__ = {"series": pd.Series, "return": pd.Series}
     return F.pandas_udf(_cos, "double")
@@ -125,9 +164,9 @@ def _lsh_bucket_arrow(planes: list[list[float]]):
     weights = (1 << np.arange(P.shape[1], dtype=np.int64))
 
     def _bucket(series):
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in series])
+        M, valid = _stack_vectors(series, P.shape[0])
         bits = (M @ P) >= 0
-        return pd.Series((bits @ weights).astype(np.int64))
+        return _masked_series((bits @ weights).astype(np.int64), valid, "Int64")
 
     _bucket.__annotations__ = {"series": pd.Series, "return": pd.Series}
     return F.pandas_udf(_bucket, "long")
@@ -216,12 +255,13 @@ def embedding_near_dup_pairs(
     )
 
     def _cos(va, vb):
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in va])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        A, va_ok = _stack_vectors(va, dim)
+        B, vb_ok = _stack_vectors(vb, dim)
         dots = (A * B).sum(axis=1)
-        return pd.Series(
-            dots / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        norms = np.maximum(
+            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1), 1e-300
         )
+        return _masked_series(dots / norms, va_ok & vb_ok, "Float64")
 
     _cos.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
     cos_udf = F.pandas_udf(_cos, "double")
@@ -277,9 +317,11 @@ def _ivf_assign_arrow(centroids):
     C = np.asarray(centroids, dtype=np.float64).T  # dim × k
 
     def _assign(series):
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in series])
+        M, valid = _stack_vectors(series, C.shape[0])
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series((M @ C).argmax(axis=1).astype(np.int32))
+        return _masked_series(
+            (M @ C).argmax(axis=1).astype(np.int32), valid, "Int32"
+        )
 
     _assign.__annotations__ = {"series": pd.Series, "return": pd.Series}
     return F.pandas_udf(_assign, "int")

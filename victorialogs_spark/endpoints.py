@@ -111,9 +111,13 @@ def hits(
     Output: (_time, <fields...>, hits)."""
     q = _parse(query, timestamp_ns)
     step_ns = parse_duration_ns(step)
-    off_ns = parse_duration_ns(offset) or 0
     if step_ns is None:
         raise ValueError(f"invalid step {step!r}")
+    off_ns = parse_duration_ns(offset)
+    if off_ns is None:
+        # an unparseable offset must error like an unparseable step —
+        # silently coercing to 0 misaligns every bucket
+        raise ValueError(f"invalid offset {offset!r}")
     by = [A.ByField("_time", bucket_size=step_ns / 1e9, bucket_offset=off_ns / 1e9)]
     by += [A.ByField(f) for f in (fields or [])]
     q.pipes = [A.PStats(by=by, funcs=[A.StatsFunc("count", [], "hits")])]
@@ -249,9 +253,18 @@ def stream_field_names(
 def stream_field_values(
     spark: SparkSession, df: DataFrame, label: str, query: str = "*", limit: int = 0
 ) -> DataFrame:
-    """Values of one stream label + row hits (storage_search.go:481)."""
+    """Values of one stream label + row hits (storage_search.go:481).
+    The label is regex-escaped and boundary-anchored: unescaped it would
+    match as a suffix of longer labels ('foo' inside 'barfoo') and regex
+    metacharacters would break or subvert the match."""
+    import re as _re
+
     out = _filtered(spark, df, query)
-    val = F.regexp_extract(F.col("_stream"), f'{label}="((?:[^"\\\\]|\\\\.)*)"', 1)
+    val = F.regexp_extract(
+        F.col("_stream"),
+        f'(?:[{{,]){_re.escape(label)}="((?:[^"\\\\]|\\\\.)*)"',
+        1,
+    )
     res = (
         out.select(val.alias("value"))
         .where(F.col("value") != "")

@@ -80,11 +80,14 @@ def natural_keys(df: DataFrame, name: str) -> list[Column]:
 
 def format_number(c: Column) -> Column:
     """Format a double like Go's strconv.FormatFloat(-1): integral values get
-    no decimal point ('18' not '18.0')."""
-    as_long = c.cast("long")
+    no decimal point ('18' not '18.0'). try_cast: a plain cast of NaN or an
+    out-of-long-range double THROWS under default ANSI mode, and this
+    expression runs on arbitrary user math (`math 0/0 as x`)."""
+    as_long = _try_cast(c, "long")
     return F.when(c.isNull(), F.lit("")).otherwise(
         F.when(
-            (c == as_long.cast("double"))
+            as_long.isNotNull()
+            & (c == as_long.cast("double"))
             & (F.abs(c) < F.lit(1e15)),
             as_long.cast("string"),
         ).otherwise(c.cast("string"))

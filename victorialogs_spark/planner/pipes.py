@@ -674,7 +674,7 @@ def _p_unpack_logfmt(p: A.PUnpackLogfmt, df: DataFrame, ctx) -> DataFrame:
 
 # RFC5424 / RFC3164 syslog (syslog_parser.go) — regex battery
 _SYSLOG_5424 = (
-    r"^<(\d+)>(\d+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s*(?:(\[.*\])|-)?\s*(.*)$"
+    r"^<(\d+)>(\d+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s*(?:((?:\[[^\]]*\])+)|-)?\s*(.*)$"
 )
 _SYSLOG_3164 = (
     r"^(?:<(\d+)>)?([A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+(\S+)\s+([^:\[\s]+)(?:\[(\d+)\])?:?\s*(.*)$"

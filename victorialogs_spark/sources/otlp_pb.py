@@ -151,7 +151,10 @@ def _log_record(buf, res_attrs: dict[str, str]) -> dict[str, str]:
             flat["span_id"] = bytes(val).hex()
     ts = t_ns or obs_ns
     if ts:
-        flat["_time"] = str(ts / 1e9)
+        # exact decimal seconds truncated to µs (float division would put
+        # the µs digit at the double's ulp and sometimes round it wrong)
+        us = ts // 1000
+        flat["_time"] = f"{us // 10**6}.{us % 10**6:06d}"
     flat.setdefault("_msg", "")
     return flat
 

@@ -139,8 +139,8 @@ def parse_loki_push(
             for v in stream.get("values", []):
                 ts_ns, msg = v[0], v[1]
                 flat = dict(labels)
-                # ns-precision unix timestamp string → seconds float string
-                flat["_time"] = str(int(ts_ns) / 1e9)
+                # ns-precision unix timestamp → exact decimal seconds
+                flat["_time"] = unix_frac_seconds(int(ts_ns), 10**9)
                 flat["_msg"] = msg
                 if len(v) > 2 and isinstance(v[2], dict):  # structured metadata
                     for mk, mv in v[2].items():
@@ -162,17 +162,30 @@ def parse_loki_push(
 # --------------------------------------------------------------------- otlp
 
 
+def unix_frac_seconds(value: int, scale: int) -> str:
+    """Exact decimal-seconds string for an integer unix timestamp at
+    1/``scale`` second resolution (truncated to µs — Spark's timestamp
+    resolution). A float division here would put the µs digit at the
+    double's ~0.24µs ulp and occasionally round it wrong."""
+    us = value * (10**6 // scale) if scale <= 10**6 else value // (scale // 10**6)
+    return f"{us // 10**6}.{us % 10**6:06d}"
+
+
+def _otlp_value_str(v: dict) -> str:
+    # explicit None checks: an `or` chain collapses false/0/0.0 to ''
+    for k in ("stringValue", "intValue", "doubleValue", "boolValue"):
+        val = v.get(k)
+        if val is not None:
+            if isinstance(val, bool):
+                return "true" if val else "false"
+            return str(val)
+    return ""
+
+
 def _otlp_attrs(attrs: list) -> dict:
     out = {}
     for a in attrs or []:
-        v = a.get("value", {})
-        out[str(a.get("key", ""))] = str(
-            v.get("stringValue")
-            or v.get("intValue")
-            or v.get("doubleValue")
-            or v.get("boolValue")
-            or ""
-        )
+        out[str(a.get("key", ""))] = _otlp_value_str(a.get("value", {}))
     return out
 
 
@@ -199,7 +212,7 @@ def parse_otlp_logs(
                     flat.update(_otlp_attrs(rec.get("attributes")))
                     t_ns = rec.get("timeUnixNano") or rec.get("observedTimeUnixNano")
                     if t_ns:
-                        flat["_time"] = str(int(t_ns) / 1e9)
+                        flat["_time"] = unix_frac_seconds(int(t_ns), 10**9)
                     body_v = rec.get("body") or {}
                     flat["_msg"] = str(body_v.get("stringValue", ""))
                     if rec.get("severityText"):
@@ -281,7 +294,7 @@ def parse_syslog_lines(
     import re as _re
 
     re5424 = _re.compile(
-        r"^<(\d+)>(\d+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s*(?:(\[.*\])|-)?\s*(.*)$"
+        r"^<(\d+)>(\d+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s*(?:((?:\[[^\]]*\])+)|-)?\s*(.*)$"
     )
     re3164 = _re.compile(
         r"^(?:<(\d+)>)?([A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+(\S+)\s+([^:\[\s]+)(?:\[(\d+)\])?:?\s*(.*)$"
@@ -358,7 +371,7 @@ def parse_journald_export(
                 if k == "MESSAGE":
                     flat["_msg"] = v
                 elif k == "__REALTIME_TIMESTAMP":
-                    flat["_time"] = str(int(v) / 1e6)
+                    flat["_time"] = unix_frac_seconds(int(v), 10**6)
                 else:
                     flat[k.lower().lstrip("_")] = v
             if flat:

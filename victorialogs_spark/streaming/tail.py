@@ -88,11 +88,28 @@ class LiveTailer:
             # yielded) so boundary rows can't re-deliver on the next poll
             row = src.agg(F.max(F.unix_micros(F.col("_time")))).first()
             self._floor_us = row[0] if row and row[0] is not None else 0
+        has_src_time = "_time" in src.columns
+        if has_src_time:
+            cur_max_row = src.agg(F.max(F.unix_micros(F.col("_time")))).first()
+            cur_max = cur_max_row[0] if cur_max_row and cur_max_row[0] is not None else self._floor_us
+        else:
+            cur_max = self._floor_us
         lo_us = self._floor_us - int(self.overlap * 1e6)
-        windowed = src.where(F.unix_micros(F.col("_time")) > lo_us)
+        windowed = src.where(F.unix_micros(F.col("_time")) > lo_us) if has_src_time else src
         out = plan_query(self.spark, windowed, self.q)
         has_sid = "_stream_id" in out.columns
         has_time = "_time" in out.columns
+        if not has_time:
+            # the query's pipes dropped _time, so per-row watermarks can't
+            # apply. Poll over DISJOINT source windows instead: emit every
+            # result row whose source window is strictly newer than the
+            # floor (exact for append-in-order sources; late arrivals
+            # inside the overlap are the same trade the reference makes)
+            windowed = src.where(F.unix_micros(F.col("_time")) > self._floor_us)
+            out = plan_query(self.spark, windowed, self.q)
+            rows = out.collect()
+            self._floor_us = max(self._floor_us, cur_max)
+            return [] if priming else rows
         rows = out.collect()
         fresh = []
         for r in rows:
