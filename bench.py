@@ -74,7 +74,10 @@ def main() -> int:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    docs.select(noop(F.col("text"))).count()
+    # noop WRITE, not count(): count(*) needs no columns, so Catalyst
+    # prunes the UDF projection away and no Python worker ever starts —
+    # exactly the pruning hazard this file's header documents
+    docs.select(noop(F.col("text"))).write.format("noop").mode("overwrite").save()
 
     # hot-run convention (same as the ClickBench methodology the reference
     # benchmarks under): run each query N times, report the best — masks

@@ -96,6 +96,28 @@ def test_run_query_consults_registered_bloom_automatically(spark, tmp_path):
     }
 
 
+def test_bloom_pruning_never_affects_subqueries(spark, tmp_path):
+    """'Correctness never depends on the index': union/join/in(subquery)
+    must plan against the UNPRUNED table even when the outer scan was
+    bloom-pruned — rows living only in pruned files stay reachable."""
+    from victorialogs_spark.index.bloom import register_bloom_index
+
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "idx")
+    _write_table(spark, table)
+    build_token_bloom_index(spark, table, index)
+    register_bloom_index(table, index)
+
+    # outer filter 'beta' prunes 2 of 3 files; the union subquery wants
+    # 'gamma' rows that live ONLY in a pruned file
+    out = run_query(spark, table, "beta | union (gamma)")
+    msgs = {r["_msg"] for r in out.collect()}
+    assert msgs == {
+        "beta connection refused", "beta retry scheduled",
+        "gamma disk full", "gamma quota exceeded",
+    }
+
+
 def test_bloom_unindexed_files_always_scanned(spark, tmp_path):
     table = str(tmp_path / "t")
     index = str(tmp_path / "idx")

@@ -27,10 +27,16 @@ def run_query(
     options(ignore_global_time_filter=true)."""
     from victorialogs_spark.planner.planner import plan_query
 
+    source_df = None
     if isinstance(df, str):
         from victorialogs_spark.index.bloom import open_log_table
 
-        df = open_log_table(spark, df, query)
+        path = df
+        df = open_log_table(spark, path, query)
+        # subqueries / join / union / stream_context must plan against the
+        # UNPRUNED table — the bloom prune narrows only the outer scan,
+        # never what other plan nodes can see
+        source_df = spark.read.parquet(path)
     q = parse_query(query, timestamp_ns)
     gt = None
     if start_ns is not None or end_ns is not None:
@@ -38,4 +44,4 @@ def run_query(
             start_ns if start_ns is not None else -(2**62),
             end_ns if end_ns is not None else 2**62,
         )
-    return plan_query(spark, df, q, global_time_ns=gt)
+    return plan_query(spark, df, q, global_time_ns=gt, source_df=source_df)

@@ -1403,7 +1403,11 @@ def _dp_stream_exact_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a partial memory table would be a flaky oracle FAIL and the
+        # query/checkpoint would leak — fail loudly instead
+        q.stop()
+        raise TimeoutError("dp_stream_exact_dedup: stream did not finish in 300s")
     return spark.table(name)
 
 

@@ -111,9 +111,15 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
+        self._streaming = True  # headers are out; no second response allowed
         self.wfile.write(body)
 
     def _err(self, e: Exception):
+        if getattr(self, "_streaming", False):
+            # a status line injected into an open 200 stream would corrupt
+            # the client's NDJSON — truncate the connection instead
+            self.close_connection = True
+            return
         self._send(400, (str(e) + "\n").encode("utf-8"), "text/plain")
 
     # --------------------------------------------------------------- routes
@@ -125,6 +131,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _route(self):
         path = urllib.parse.urlparse(self.path).path
+        self._streaming = False  # reset per request (keep-alive reuse)
         try:
             params = self._params()
             if path == "/health":
@@ -177,6 +184,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(200)
             self.send_header("Content-Type", "application/stream+json")
             self.end_headers()
+            self._streaming = True
             if first is _EOS:
                 return
             import itertools
@@ -194,10 +202,24 @@ class _Handler(BaseHTTPRequestHandler):
 
             polls = int(self._get(params, "polls", "0")) or None
             refresh = float(self._get(params, "refresh", "1.0"))
-            tailer = LiveTailer(spark, lambda: st.df(), q, refresh_interval=refresh)
+            if start is not None or end is not None:
+                # bound each poll's source like every other select
+                # endpoint (the lambda re-reads state, keeping liveness)
+                from victorialogs_spark.planner.filters import _time_range
+
+                lo = start if start is not None else -(2**62)
+                hi = end if end is not None else 2**62
+
+                def _src():
+                    d = st.df()
+                    return d.where(_time_range(d, lo, hi))
+            else:
+                _src = st.df
+            tailer = LiveTailer(spark, _src, q, refresh_interval=refresh)
             self.send_response(200)
             self.send_header("Content-Type", "application/stream+json")
             self.end_headers()
+            self._streaming = True
             for row in tailer.tail(max_polls=polls):
                 d = {
                     k: (str(v) if not isinstance(v, str) else v)

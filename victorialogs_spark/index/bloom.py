@@ -55,11 +55,19 @@ def build_token_bloom_index(
     cols = [c for c in fields if c in df.columns]
     if not cols:
         raise ValueError(f"none of {fields} present in {table_path}")
+    # coalesce each field to '': a single NULL field would make flatten()
+    # NULL and drop the row's OTHER tokens from the bloom — a false
+    # negative that would let pruning skip files containing real matches
     toks = F.explode(
         F.array_distinct(
             F.flatten(
                 F.array(
-                    *[F.regexp_extract_all(F.col(c), F.lit(_TOKEN_RE), 0) for c in cols]
+                    *[
+                        F.regexp_extract_all(
+                            F.coalesce(F.col(c), F.lit("")), F.lit(_TOKEN_RE), 0
+                        )
+                        for c in cols
+                    ]
                 )
             )
         )
@@ -143,10 +151,16 @@ def read_pruned(
     full = spark.read.parquet(table_path)
     if not toks:
         return full
-    all_files = [
-        r["file"]
-        for r in full.select(F.input_file_name().alias("file")).distinct().collect()
-    ]
+    # metadata-only file listing — a select(input_file_name()).distinct()
+    # would scan every row just to enumerate files, costing more than the
+    # pruning saves
+    all_files = list(full.inputFiles())
+    if any("=" in f.rsplit("/", 2)[-2] for f in all_files if "/" in f):
+        # Hive-partitioned layout: partition values live in directory
+        # names, and re-reading leaf files directly would NULL those
+        # columns. Partition pruning already serves such tables; the
+        # bloom prune applies to flat layouts only.
+        return full
     indexed = {
         r["file"] for r in spark.read.parquet(index_path).select("file").collect()
     }
@@ -171,8 +185,14 @@ _REGISTRY: dict[str, str] = {}
 
 def _norm_path(p: str) -> str:
     import os
+    import urllib.parse
 
-    return os.path.abspath(p).rstrip("/")
+    # abspath only for scheme-less local paths: it would mangle
+    # s3://bucket/x into <cwd>/s3:/bucket/x and make registered indexes
+    # unfindable (or cwd-dependent)
+    if urllib.parse.urlparse(p).scheme in ("", "file"):
+        return os.path.abspath(p).rstrip("/")
+    return p.rstrip("/")
 
 
 def register_bloom_index(table_path: str, index_path: str) -> None:

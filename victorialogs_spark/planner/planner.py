@@ -160,8 +160,13 @@ def plan_query(
     df: DataFrame,
     q: A.Query,
     global_time_ns: tuple[int, int] | None = None,
+    source_df: DataFrame | None = None,
 ) -> DataFrame:
-    ctx = PlanContext(spark, df, q, global_time_ns)
+    """``source_df``: the UNPRUNED table for subquery/join/union/
+    stream_context planning when ``df`` is a bloom-pruned reader — those
+    lookups must see every file or pruning would change results (the
+    index is a perf-only structure)."""
+    ctx = PlanContext(spark, source_df if source_df is not None else df, q, global_time_ns)
     # options(concurrency=N) → shuffle parallelism for this plan
     # (reference: per-query worker count, parser.go:261). Session-scoped by
     # necessity: Spark reads the conf when the ACTION runs, so a set/restore
