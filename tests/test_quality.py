@@ -1,0 +1,88 @@
+"""Gopher-style repetition signals: hand-computed expectations on small
+documents, including the tie-break and empty/NULL edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from victorialogs_spark.datapipe.quality import ngram_repetition, repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_dup_lines(spark):
+    # 4 non-empty lines, "a b" twice: dup_line_frac = 1/4; chars: the
+    # repeated 3-char line counts once as duplicated -> 3/(3+5+3+9)=3/20
+    text = "a b\nxx yy\na b\n\nlong line"
+    row = repetition_stats(_docs(spark, [(1, text)]), "doc_id", "text").collect()[0]
+    assert row["n_lines"] == 4
+    assert row["dup_line_frac"] == pytest.approx(0.25)
+    assert row["dup_line_char_frac"] == pytest.approx(3 / 20)
+    # paragraphs: "a b\nxx yy\na b" and "long line" -> no dups
+    assert row["dup_para_frac"] == pytest.approx(0.0)
+    assert row["dup_para_char_frac"] == pytest.approx(0.0)
+
+
+def test_repetition_stats_dup_paragraphs(spark):
+    text = "para one\n\npara one\n\npara two"
+    row = repetition_stats(_docs(spark, [(1, text)]), "doc_id", "text").collect()[0]
+    assert row["dup_para_frac"] == pytest.approx(1 / 3)
+    assert row["dup_para_char_frac"] == pytest.approx(8 / 24)
+
+
+def test_repetition_stats_empty_and_null(spark):
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            _docs(spark, [(1, ""), (2, None), (3, "   \n  ")]), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1]["dup_line_frac"] is None
+    assert out[2]["dup_line_frac"] is None
+    assert out[3]["dup_line_frac"] is None
+
+
+def test_ngram_repetition_uniform_text(spark):
+    # "a b c d e": 2-grams all distinct -> top covers 1 occurrence
+    out = ngram_repetition(
+        _docs(spark, [(1, "aa bb cc dd")]), "doc_id", "text", n=2
+    ).collect()[0]
+    # grams: "aa bb","bb cc","cc dd" each once; word chars each = 4
+    assert out["top_ngram_char_frac"] == pytest.approx(4 / 12)
+    assert out["dup_ngram_char_frac"] == pytest.approx(0.0)
+
+
+def test_ngram_repetition_repeated_gram(spark):
+    # "x y x y x y": 2-grams = [x y, y x, x y, y x, x y] -> "x y"×3, "y x"×2
+    out = ngram_repetition(
+        _docs(spark, [(1, "x y x y x y")]), "doc_id", "text", n=2
+    ).collect()[0]
+    # word chars per gram instance = 2; total = 10; top "x y" covers 6
+    assert out["top_ngram_char_frac"] == pytest.approx(6 / 10)
+    # dup: (3-1)*2 + (2-1)*2 = 6
+    assert out["dup_ngram_char_frac"] == pytest.approx(6 / 10)
+
+
+def test_ngram_repetition_tie_breaks_lexicographic(spark):
+    # "b a b a": grams [b a, a b, b a] -> "b a"×2 top. with n=2 and text
+    # "z z y y z z": grams [z z, z y, y y, y z, z z] -> "z z"×2 unique top
+    out = ngram_repetition(
+        _docs(spark, [(1, "z z y y z z")]), "doc_id", "text", n=2
+    ).collect()[0]
+    assert out["top_ngram_char_frac"] == pytest.approx(4 / 10)
+
+
+def test_ngram_repetition_short_doc_dropped(spark):
+    out = ngram_repetition(
+        _docs(spark, [(1, "one"), (2, None), (3, "aa bb")]), "doc_id", "text", n=2
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [3]
+
+
+def test_ngram_repetition_case_insensitive(spark):
+    out = ngram_repetition(
+        _docs(spark, [(1, "The the THE the")]), "doc_id", "text", n=2
+    ).collect()[0]
+    # all 2-grams identical "the the" -> top covers everything
+    assert out["top_ngram_char_frac"] == pytest.approx(1.0)

@@ -1,0 +1,175 @@
+"""Duplicate-cluster formation: connected components over near-dup pairs.
+
+Pair generators (minhash_near_dups, ngram_jaccard_pairs, hamming_near_dups,
+embedding_near_dup_pairs) emit edges; a real curation pipeline must then
+GROUP transitively-linked documents into clusters and keep one
+representative per cluster — A~B and B~C dedups all three even when A~C
+was never emitted as a pair.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+O(log n)-round, skew-safe formulation for massive graphs:
+
+- large-star: every node points its LARGER neighbors at its smallest
+  known neighbor (or itself);
+- small-star: every node points its smaller-or-equal neighbors at the
+  minimum of that set.
+
+Each round is two hash-shuffles (groupBy min + co-partitioned join) —
+no collect_list of a hub's full neighborhood ever materializes on one
+row, so a 10M-copy boilerplate cluster cannot blow an aggregation
+buffer. Convergence in O(log n) rounds vs O(diameter) for naive label
+propagation (a 1M-node chain converges in ~20 rounds, not 1M).
+
+Spark-specific: each iteration localCheckpoints the edge set —
+truncating lineage is MANDATORY for iterative DataFrame algorithms
+(otherwise the plan doubles per round and Catalyst analysis time
+explodes), and it materializes the round's result so the convergence
+check and next round share one computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """(u,v) ∪ (v,u) with self-loops and null endpoints dropped."""
+    fwd = edges.select(F.col("u"), F.col("v"))
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return fwd.union(rev).where(F.col("u") != F.col("v")).where(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+
+
+def _star_round(sym: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star round over a symmetric edge list.
+
+    Both stars share the shape: per node u, m = min(N(u) ∪ {u}); then
+    large-star re-points strictly-larger neighbors at m, small-star
+    re-points smaller-or-equal neighbors (plus u itself) at m. Computed
+    as groupBy-min + join back on u: two shuffles on the same key (the
+    join is co-partitioned with the aggregation output under AQE), and
+    no per-node adjacency list is ever collected into a single row.
+    """
+    mins = sym.groupBy("u").agg(F.min("v").alias("minv"))
+    mins = mins.select("u", F.least(F.col("u"), F.col("minv")).alias("m"))
+    j = sym.join(mins, "u")
+    if large:
+        out = j.where(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        # keep u's own link to m so singleton-after-filter nodes survive
+        own = mins.select(F.col("u"), F.col("m").alias("v"))
+        out = out.union(own)
+    else:
+        out = j.where(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        own = mins.select(F.col("u"), F.col("m").alias("v"))
+        out = out.union(own)
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair list.
+
+    Output: (node, component) — component = MIN node id in the
+    component, the conventional deterministic representative. Only nodes
+    that appear in ``pairs`` are returned (callers union in singletons;
+    see :func:`dup_clusters`).
+
+    Converges when the edge set reaches the star fixpoint (every node
+    points directly at its component minimum): detected by the
+    (count, hash-sum) signature of the round's edge set being identical
+    to the previous round's — one cheap aggregate per round, no full
+    edge-set comparison join. Raises after ``max_iter`` rounds (log₂ of
+    the largest component's size bounds the rounds needed; 25 covers
+    components of 2^25 ≈ 33M duplicates).
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+    )
+    cur = _symmetric(edges).distinct().localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        stepped = _star_round(_symmetric(cur), large=True)
+        stepped = _star_round(_symmetric(stepped), large=False)
+        cur = stepped.localCheckpoint(eager=True)
+        # bit_xor: order-independent edge-set digest with no ANSI
+        # overflow hazard (sum of int64 hashes can exceed long range)
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # fixpoint edge set is a star forest: u -> component min. A node that
+    # IS a component min appears only on the v side; union it back as its
+    # own representative.
+    nodes = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return (
+        nodes.union(roots)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for EVERY row of ``df``: docs linked (directly
+    or transitively) through ``pairs`` share a cluster id (= min doc id
+    in the cluster); unpaired docs are their own singleton cluster.
+    Output: (<id_col>, cluster). The pair side is usually tiny relative
+    to the corpus (dup rate ≪ 100%), so the backfill join is an AQE
+    broadcast at typical dup rates and a plain shuffle join worst-case.
+    """
+    cc = connected_components(pairs, a_col, b_col)
+    out = df.select(F.col(id_col)).join(
+        cc.select(
+            F.col("node").alias(id_col), F.col("component").alias("cluster")
+        ),
+        id_col,
+        "left",
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster"), F.col(id_col).cast("long")).alias("cluster"),
+    )
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Keep one representative row per duplicate cluster (the min-id
+    member — deterministic). The transitive-closure form of
+    exact_dedup: rows of ``df`` whose id equals their cluster id."""
+    assign = dup_clusters(df, id_col, pairs, a_col, b_col)
+    keep = assign.where(F.col(id_col) == F.col("cluster")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

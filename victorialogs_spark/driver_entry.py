@@ -1427,6 +1427,127 @@ def _dp_multimodal(spark, sf_dir):
     return decode_features(assets).select("asset_id", "payload_bytes", "content_hash")
 
 
+@register(
+    "dp_repetition",
+    # Gopher-style line/paragraph duplication signals, mirrored with list
+    # functions; NULL text propagates NULL through both engines
+    "WITH p AS (SELECT doc_id,"
+    " list_filter(str_split(text, chr(10)), l -> trim(l) <> '') AS lines,"
+    " list_filter(string_split_regex(text, '\\n[ \\t]*\\n+'),"
+    " l -> trim(l) <> '') AS paras FROM documents)"
+    " SELECT doc_id, len(lines) AS n_lines,"
+    " CASE WHEN len(lines) > 0 THEN CAST(len(lines) - len(list_distinct(lines))"
+    "  AS DOUBLE) / len(lines) END AS dup_line_frac,"
+    " CASE WHEN list_sum(list_transform(lines, x -> LENGTH(x))) > 0 THEN"
+    "  CAST(list_sum(list_transform(lines, x -> LENGTH(x)))"
+    "   - list_sum(list_transform(list_distinct(lines), x -> LENGTH(x)))"
+    "  AS DOUBLE) / list_sum(list_transform(lines, x -> LENGTH(x)))"
+    " END AS dup_line_char_frac,"
+    " CASE WHEN len(paras) > 0 THEN CAST(len(paras) - len(list_distinct(paras))"
+    "  AS DOUBLE) / len(paras) END AS dup_para_frac,"
+    " CASE WHEN list_sum(list_transform(paras, x -> LENGTH(x))) > 0 THEN"
+    "  CAST(list_sum(list_transform(paras, x -> LENGTH(x)))"
+    "   - list_sum(list_transform(list_distinct(paras), x -> LENGTH(x)))"
+    "  AS DOUBLE) / list_sum(list_transform(paras, x -> LENGTH(x)))"
+    " END AS dup_para_char_frac FROM p",
+)
+def _dp_repetition(spark, sf_dir):
+    from victorialogs_spark.datapipe.quality import repetition_stats
+
+    return repetition_stats(_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dp_ngram_repetition",
+    # word-3-gram repetition: top-gram coverage + duplicated-gram chars.
+    # ROW_NUMBER replicates the engine's min_by((cnt,gram),(-cnt,gram))
+    # tie-break (most frequent, then lexicographically smallest gram)
+    "WITH toks AS (SELECT doc_id,"
+    " list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t"
+    " FROM documents),"
+    " g AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t) - 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram"
+    " FROM toks WHERE len(t) >= 3),"
+    " pg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),"
+    " agg AS (SELECT doc_id, SUM(cnt * (LENGTH(gram) - 2)) AS total_chars,"
+    " SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * (LENGTH(gram) - 2) ELSE 0 END)"
+    " AS dup_chars FROM pg GROUP BY 1),"
+    " top AS (SELECT doc_id, cnt, gram, ROW_NUMBER() OVER (PARTITION BY doc_id"
+    " ORDER BY cnt DESC, gram ASC) AS rn FROM pg)"
+    " SELECT a.doc_id,"
+    " CASE WHEN total_chars > 0 THEN CAST(t.cnt * (LENGTH(t.gram) - 2)"
+    "  AS DOUBLE) / total_chars END AS top_ngram_char_frac,"
+    " CASE WHEN total_chars > 0 THEN CAST(dup_chars AS DOUBLE) / total_chars"
+    " END AS dup_ngram_char_frac"
+    " FROM agg a JOIN top t ON t.doc_id = a.doc_id AND t.rn = 1",
+)
+def _dp_ngram_repetition(spark, sf_dir):
+    from victorialogs_spark.datapipe.quality import ngram_repetition
+
+    return ngram_repetition(_table(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+# shared edge set for the clustering oracles: exact token-5-gram Jaccard
+# pairs >= 0.05 (same CTE chain as dp_ngram_jaccard, without the rounding)
+_CLUSTER_EDGES_SQL = (
+    "toks AS (SELECT doc_id,"
+    f" string_split_regex({_NORM}, '\\s+') AS t FROM documents),"
+    " grams AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,"
+    " UNNEST(list_transform(range(1, greatest(len(t) - 4, 1) + 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))"
+    " AS g FROM toks)),"
+    " sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),"
+    " shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh"
+    " FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id"
+    " GROUP BY 1, 2),"
+    " pairs AS (SELECT id_a, id_b FROM shared"
+    " JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b"
+    " WHERE CAST(sh AS DOUBLE) / (sa.sz + sb.sz - sh) >= 0.05),"
+    " edges AS (SELECT id_a AS u, id_b AS v FROM pairs"
+    " UNION SELECT id_b, id_a FROM pairs),"
+    " reach AS (SELECT u, v FROM edges UNION"
+    " SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),"
+    " comp AS (SELECT d.doc_id, COALESCE(LEAST(d.doc_id, m.mn), d.doc_id)"
+    " AS cluster FROM documents d LEFT JOIN"
+    " (SELECT u, MIN(v) AS mn FROM reach GROUP BY u) m ON m.u = d.doc_id)"
+)
+
+
+def _cluster_pairs(spark, sf_dir):
+    from victorialogs_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = _spread(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.05)
+
+
+@register(
+    "dp_dup_clusters",
+    # transitive duplicate clusters over the Jaccard pair graph: the
+    # iterative large-star/small-star Spark algorithm checked against a
+    # DuckDB recursive-CTE transitive closure
+    f"WITH RECURSIVE {_CLUSTER_EDGES_SQL} SELECT doc_id, cluster FROM comp",
+)
+def _dp_dup_clusters(spark, sf_dir):
+    from victorialogs_spark.datapipe.clusters import dup_clusters
+
+    docs = _table(spark, sf_dir, "documents")
+    return dup_clusters(docs, "doc_id", _cluster_pairs(spark, sf_dir))
+
+
+@register(
+    "dp_cluster_dedup",
+    f"WITH RECURSIVE {_CLUSTER_EDGES_SQL}"
+    " SELECT doc_id FROM comp WHERE cluster = doc_id",
+)
+def _dp_cluster_dedup(spark, sf_dir):
+    from victorialogs_spark.datapipe.clusters import dedup_by_clusters
+
+    docs = _table(spark, sf_dir, "documents")
+    return dedup_by_clusters(
+        docs, "doc_id", _cluster_pairs(spark, sf_dir)
+    ).select("doc_id")
+
+
 logsql(
     "tpch_ship_histogram",
     "* | stats by (_time:7d) count() as n, sum(l_quantity) as qty",
