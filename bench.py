@@ -36,6 +36,8 @@ HEADLINE = [
     "dp_minhash_lsh",        # banded MinHash-LSH near-dup pairs
     "dp_ngram_jaccard",      # exact n-gram Jaccard via gram-bucket join
     "dp_cosine_threshold",   # exact cosine scan over embeddings
+    "dp_repetition",         # narrow-map repetition quality signals
+    "dp_dup_clusters",       # iterative connected-components clustering
 ]
 
 
@@ -94,8 +96,12 @@ def main() -> int:
             # dp entries tune shuffle partitions internally on some paths;
             # re-pin before each run so no query inherits another's setting
             spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
-            df = fn(spark, sf_dir)
+            # timer wraps DF construction too: iterative operators
+            # (connected components) execute jobs eagerly while building
+            # the result DF — timing only the final action would miss
+            # them (plan construction for lazy queries is sub-ms noise)
             t0 = time.monotonic()
+            df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
         n = df.count()

@@ -16,8 +16,8 @@ def _pairs(spark, edges):
     return spark.createDataFrame(edges, "id_a long, id_b long")
 
 
-def _cc_dict(spark, edges):
-    out = connected_components(_pairs(spark, edges)).collect()
+def _cc_dict(spark, edges, **kw):
+    out = connected_components(_pairs(spark, edges), **kw).collect()
     return {r["node"]: r["component"] for r in out}
 
 
@@ -38,9 +38,16 @@ def test_cc_two_components_and_reversed_edges(spark):
 
 
 def test_cc_long_chain_converges_in_log_rounds(spark):
+    # driver_edge_cap=0 forces the distributed star-alternation path —
+    # the driver union-find shortcut must not be the only tested engine
     n = 64
-    got = _cc_dict(spark, [(i, i + 1) for i in range(1, n)])
+    got = _cc_dict(spark, [(i, i + 1) for i in range(1, n)], driver_edge_cap=0)
     assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_cc_distributed_path_matches_driver_path(spark):
+    edges = [(1, 2), (2, 3), (7, 9), (9, 8), (3, 7), (20, 21)]
+    assert _cc_dict(spark, edges, driver_edge_cap=0) == _cc_dict(spark, edges)
 
 
 def test_cc_star_and_duplicate_pairs(spark):

@@ -72,11 +72,33 @@ def _star_round(sym: DataFrame, large: bool) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
+def _driver_union_find(rows) -> dict[int, int]:
+    """Path-compressed union-find over a collected edge list."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row["u"]), find(row["v"])
+        if ra != rb:
+            # union by min so the representative is the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    driver_edge_cap: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of an undirected pair list.
 
@@ -85,18 +107,38 @@ def connected_components(
     that appear in ``pairs`` are returned (callers union in singletons;
     see :func:`dup_clusters`).
 
-    Converges when the edge set reaches the star fixpoint (every node
-    points directly at its component minimum): detected by the
-    (count, hash-sum) signature of the round's edge set being identical
-    to the previous round's — one cheap aggregate per round, no full
-    edge-set comparison join. Raises after ``max_iter`` rounds (log₂ of
-    the largest component's size bounds the rounds needed; 25 covers
-    components of 2^25 ≈ 33M duplicates).
+    Hybrid execution, same pattern as Spark's own broadcast-join
+    threshold: near-dup pair graphs are tiny relative to the corpus
+    (a few duplicate edges per thousand docs), so when the deduped edge
+    count is ≤ ``driver_edge_cap`` (default 2M edges ≈ 32 MB — a hard
+    cap, counted on the materialized edge set before collecting
+    anything) the components are solved with driver-side union-find in
+    one pass — milliseconds instead of one Spark job per star round.
+    Larger graphs take the distributed star-alternation path unchanged.
+
+    The distributed path converges when the edge set reaches the star
+    fixpoint (every node points directly at its component minimum):
+    detected by the (count, xor-hash) signature of the round's edge set
+    being identical to the previous round's — one cheap aggregate per
+    round, no full edge-set comparison join. Raises after ``max_iter``
+    rounds (log₂ of the largest component's size bounds the rounds
+    needed; 25 covers components of 2^25 ≈ 33M duplicates).
     """
+    spark = pairs.sparkSession
     edges = pairs.select(
         F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
     )
     cur = _symmetric(edges).distinct().localCheckpoint(eager=True)
+    if cur.count() <= driver_edge_cap:
+        # collect(), not toLocalIterator(): the cap already bounds the
+        # materialized size (≤ ~32 MB) and one round-trip beats
+        # per-partition pulls
+        comp = _driver_union_find(cur.collect())
+        if not comp:
+            return spark.createDataFrame([], "node long, component long")
+        return spark.createDataFrame(
+            list(comp.items()), "node long, component long"
+        )
     prev_sig = None
     for _ in range(max_iter):
         stepped = _star_round(_symmetric(cur), large=True)

@@ -81,70 +81,80 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _positional_ngrams(c: Column, n: int) -> Column:
-    """ALL word n-grams of the lowercased text in positional order
-    (duplicates preserved — unlike dedup.token_ngrams, which
-    distinct-ifies for shingling). Docs with < n words yield []."""
-    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
-    cnt = F.size(toks) - F.lit(n - 1)
-    return F.when(
-        cnt >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def ngram_repetition(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Word-n-gram repetition per document, computed relationally.
+    """Word-n-gram repetition per document.
 
-    top_ngram_char_frac: chars covered by all occurrences of the single
-    most frequent n-gram (ties → lexicographically smallest gram, fully
-    deterministic) / total word chars. dup_ngram_char_frac: chars of
-    gram instances beyond each gram's first occurrence / total word
-    chars (a positional-overlap-free approximation of the Gopher rule —
+    top_ngram_char_frac: word-chars covered by all occurrences of the
+    single most frequent n-gram (ties → lexicographically smallest gram,
+    fully deterministic) / total gram word-chars. dup_ngram_char_frac:
+    word-chars of gram instances beyond each gram's first occurrence /
+    total (a positional-overlap-free approximation of the Gopher rule —
     documented divergence: Gopher masks overlapping token positions,
     which needs per-token bookkeeping; the per-instance form is the
-    standard relational surrogate and is monotone in the same signal).
+    standard surrogate and is monotone in the same signal).
 
-    Plan: explode grams → groupBy(doc, gram) count (partial map-side
-    combine absorbs each doc's repeats BEFORE the shuffle, so shuffle
-    volume ≈ distinct grams, not gram instances) → groupBy(doc) max_by +
-    conditional sums. Two shuffles, no UDF, no window.
+    The statistic is strictly per-document, so the scale-correct plan is
+    a NARROW Arrow-batched map — no shuffle at all. (The relational
+    explode → groupBy(doc, gram) formulation shuffles every positional
+    gram string: ~2000 grams × ~20 bytes per doc = 40 KB/doc of shuffle
+    for a per-doc number — measured 20× slower at sf0.1.) Tokenization
+    matches Java/RE2 ``\\s`` (ASCII-only) so the values stay
+    oracle-checkable against DuckDB SQL; docs with < n words produce no
+    output row (same as the relational form's inner aggregation).
     """
-    grams = df.select(
-        F.col(id_col),
-        F.explode(_positional_ngrams(F.col(text_col), n)).alias("gram"),
-    )
-    per_gram = grams.groupBy(id_col, "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    gchars = F.length(F.col("gram")) - F.lit(n - 1)  # word chars, no separators
-    per_doc = per_gram.groupBy(id_col).agg(
-        F.sum(F.col("cnt") * gchars).alias("total_chars"),
-        # most frequent gram; ties broken toward the lexicographically
-        # smallest gram (max of (cnt, negated ordering) is not expressible
-        # on strings, so use min_by over (-cnt, gram))
-        F.min_by(
-            F.struct(F.col("cnt"), F.col("gram")),
-            F.struct((-F.col("cnt")).alias("nc"), F.col("gram")),
-        ).alias("top"),
-        F.sum(
-            F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * gchars).otherwise(0)
-        ).alias("dup_chars"),
-    )
-    top_chars = F.col("top.cnt") * (F.length(F.col("top.gram")) - F.lit(n - 1))
-    return per_doc.select(
-        F.col(id_col),
-        F.when(
-            F.col("total_chars") > 0, top_chars / F.col("total_chars")
-        ).cast("double").alias("top_ngram_char_frac"),
-        F.when(
-            F.col("total_chars") > 0, F.col("dup_chars") / F.col("total_chars")
-        ).cast("double").alias("dup_ngram_char_frac"),
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _rep(series):
+        from collections import Counter
+
+        top_out, dup_out, keep = [], [], []
+        for text in series:
+            if text is None:
+                keep.append(False)
+                top_out.append(None)
+                dup_out.append(None)
+                continue
+            toks = [t for t in ws.split(text.lower()) if t]
+            if len(toks) < n:
+                keep.append(False)
+                top_out.append(None)
+                dup_out.append(None)
+                continue
+            keep.append(True)
+            # per-gram word chars = len(joined gram) - (n-1) separators
+            counts = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            total = dup = 0
+            top_cnt, top_gram = 0, ""
+            for gram, cnt in counts.items():
+                chars = len(gram) - (n - 1)
+                total += cnt * chars
+                if cnt > 1:
+                    dup += (cnt - 1) * chars
+                if cnt > top_cnt or (cnt == top_cnt and gram < top_gram):
+                    top_cnt, top_gram = cnt, gram
+            top_chars = top_cnt * (len(top_gram) - (n - 1))
+            top_out.append(top_chars / total if total > 0 else None)
+            dup_out.append(dup / total if total > 0 else None)
+        return pd.DataFrame(
+            {"keep": keep, "top_frac": top_out, "dup_frac": dup_out}
+        )
+
+    _rep.__annotations__ = {"series": pd.Series, "return": pd.DataFrame}
+    udf = F.pandas_udf(_rep, "keep boolean, top_frac double, dup_frac double")
+    return (
+        df.select(F.col(id_col), udf(F.col(text_col)).alias("__r"))
+        .where(F.col("__r.keep"))
+        .select(
+            F.col(id_col),
+            F.col("__r.top_frac").alias("top_ngram_char_frac"),
+            F.col("__r.dup_frac").alias("dup_ngram_char_frac"),
+        )
     )
