@@ -86,3 +86,54 @@ def test_ngram_repetition_case_insensitive(spark):
     ).collect()[0]
     # all 2-grams identical "the the" -> top covers everything
     assert out["top_ngram_char_frac"] == pytest.approx(1.0)
+
+
+def test_gopher_flags_passing_doc(spark):
+    from victorialogs_spark.datapipe.quality import gopher_quality_flags
+
+    # 66 normal words with stopwords -> passes every rule
+    text = " ".join(["the quick brown fox and that dog have fun with it"] * 6)
+    row = gopher_quality_flags(
+        _docs(spark, [(1, text)]), "doc_id", "text"
+    ).collect()[0]
+    assert row["n_words"] == 66
+    assert row["gopher_pass"] is True
+    assert row["stopword_hits"] >= 2
+    assert row["alpha_word_frac"] == pytest.approx(1.0)
+
+
+def test_gopher_flags_symbol_soup_fails(spark):
+    from victorialogs_spark.datapipe.quality import gopher_quality_flags
+
+    text = " ".join(["### ##"] * 30)  # hash-heavy, no stopwords
+    row = gopher_quality_flags(
+        _docs(spark, [(1, text)]), "doc_id", "text"
+    ).collect()[0]
+    assert row["symbol_word_ratio"] > 0.1
+    assert row["gopher_pass"] is False
+
+
+def test_gopher_flags_bullets_and_ellipsis(spark):
+    from victorialogs_spark.datapipe.quality import gopher_quality_flags
+
+    text = "- item one\n- item two\nplain tail..."
+    row = gopher_quality_flags(
+        _docs(spark, [(1, text)]), "doc_id", "text"
+    ).collect()[0]
+    assert row["bullet_line_frac"] == pytest.approx(2 / 3)
+    assert row["ellipsis_line_frac"] == pytest.approx(1 / 3)
+    assert row["gopher_pass"] is False  # too short anyway
+
+
+def test_gopher_flags_null_and_empty(spark):
+    from victorialogs_spark.datapipe.quality import gopher_quality_flags
+
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            _docs(spark, [(1, None), (2, "")]), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1]["gopher_pass"] is False
+    assert out[2]["gopher_pass"] is False
+    assert out[2]["mean_word_len"] is None

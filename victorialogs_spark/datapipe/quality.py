@@ -2,16 +2,17 @@
 (Rae et al. 2021, "Scaling Language Models", table A1) used to filter
 machine-generated / boilerplate text before training.
 
-Two execution shapes, both shuffle-free or single-shuffle:
+Every operator here is a NARROW per-document map — these statistics
+never aggregate across documents, so the scale-correct plan has zero
+shuffles and runs at scan speed on any corpus size:
 
-- Line/paragraph duplication (:func:`repetition_stats`): pure array
-  higher-order functions over each row — a narrow map, NO shuffle, no
-  UDF. At 100 TB this is scan-speed.
-- N-gram repetition (:func:`ngram_repetition`): relational
-  explode → two-level groupBy — per-doc gram counting happens as a
-  partial aggregate map-side, so the single shuffle carries (doc, gram)
-  partial counts, never raw gram instances. Fully SQL-expressible
-  (oracle-checkable in DuckDB).
+- Line/paragraph duplication (:func:`repetition_stats`) and the Gopher
+  rule set (:func:`gopher_quality_flags`): pure array higher-order
+  functions / Column expressions, no Python.
+- N-gram repetition (:func:`ngram_repetition`): one Arrow-batched
+  pandas UDF (per-doc gram counting needs a hash map, which Column
+  expressions lack) — values still deterministic and SQL-expressible,
+  so DuckDB oracles check all of them.
 
 Definitions follow the Gopher appendix:
 - dup_line_frac:       duplicated lines / total non-empty lines
@@ -157,4 +158,86 @@ def ngram_repetition(
             F.col("__r.top_frac").alias("top_ngram_char_frac"),
             F.col("__r.dup_frac").alias("dup_ngram_char_frac"),
         )
+    )
+
+
+# stopwords for the Gopher "contains ≥2 stopwords" rule (Rae et al. A1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, table A1)
+    as one narrow projection — each signal a pure Column expression, no
+    shuffle, no UDF, so at 100 TB this runs at scan speed:
+
+    - n_words, mean_word_len        (rule: 50..100k words, mean 3..10)
+    - symbol_word_ratio             (# or ... per word, rule: <= 0.1)
+    - bullet_line_frac              (lines starting with a bullet, <= 0.9)
+    - ellipsis_line_frac            (lines ending with ..., <= 0.3)
+    - alpha_word_frac               (words with >= 1 alphabetic char, >= 0.8)
+    - stopword_hits                 (distinct Gopher stopwords present, >= 2)
+    - gopher_pass                   (all rules hold)
+
+    Word = ASCII-whitespace-separated token, matching the repo-wide
+    Java/RE2 ``\\s`` convention so every signal is oracle-checkable.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    n_words = F.size(words)
+    total_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(n_words > 0, total_word_chars / n_words).cast("double")
+    # symbols-per-word: '#' occurrences plus '...' occurrences
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ellipsis = F.floor(
+        (F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / 3
+    )
+    symbol_word_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / n_words
+    ).cast("double")
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])"))) / n_lines,
+    ).cast("double")
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))) / n_lines,
+    ).cast("double")
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / n_words,
+    ).cast("double")
+    low_words = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(low_words),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_word_len >= 3)
+        & (mean_word_len <= 10)
+        & (symbol_word_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        F.coalesce(gopher_pass, F.lit(False)).alias("gopher_pass"),
     )

@@ -1487,6 +1487,46 @@ def _dp_ngram_repetition(spark, sf_dir):
     return ngram_repetition(_table(spark, sf_dir, "documents"), "doc_id", "text", n=3)
 
 
+@register(
+    "dp_gopher_quality",
+    # full Gopher rule set mirrored in DuckDB list/regexp functions
+    "WITH w AS (SELECT doc_id, text,"
+    " list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS words,"
+    " list_filter(str_split(text, chr(10)), l -> trim(l) <> '') AS lines,"
+    " list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),"
+    " t -> t <> '')) AS low FROM documents),"
+    " s AS (SELECT doc_id, len(words) AS n_words,"
+    " CASE WHEN len(words) > 0 THEN CAST(list_sum(list_transform(words,"
+    "  x -> LENGTH(x))) AS DOUBLE) / len(words) END AS mean_word_len,"
+    " CASE WHEN len(words) > 0 THEN"
+    "  CAST(LENGTH(text) - LENGTH(replace(text, '#', ''))"
+    "   + FLOOR((LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3)"
+    "  AS DOUBLE) / len(words) END AS symbol_word_ratio,"
+    " CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines,"
+    "  l -> regexp_matches(trim(l), '^([-*•])'))) AS DOUBLE) / len(lines)"
+    " END AS bullet_line_frac,"
+    " CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines,"
+    "  l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS DOUBLE) / len(lines)"
+    " END AS ellipsis_line_frac,"
+    " CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words,"
+    "  x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words)"
+    " END AS alpha_word_frac,"
+    " len(list_intersect(low, ['the','be','to','of','and','that','have','with']))"
+    " AS stopword_hits FROM w)"
+    " SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,"
+    " bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stopword_hits,"
+    " COALESCE(n_words BETWEEN 50 AND 100000"
+    "  AND mean_word_len BETWEEN 3 AND 10 AND symbol_word_ratio <= 0.1"
+    "  AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3"
+    "  AND alpha_word_frac >= 0.8 AND stopword_hits >= 2, FALSE)"
+    " AS gopher_pass FROM s",
+)
+def _dp_gopher_quality(spark, sf_dir):
+    from victorialogs_spark.datapipe.quality import gopher_quality_flags
+
+    return gopher_quality_flags(_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # shared edge set for the clustering oracles: exact token-5-gram Jaccard
 # pairs >= 0.05 (same CTE chain as dp_ngram_jaccard, without the rounding)
 _CLUSTER_EDGES_SQL = (
