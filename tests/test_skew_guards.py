@@ -1,0 +1,81 @@
+"""Skew-guard behavior under degenerate duplicate mass — the 100 TB
+hazard class: thousands of byte-identical documents (boilerplate, error
+pages) landing in one LSH bucket / one gram posting list / one
+connected component. The guards must keep candidate generation bounded
+WITHOUT losing legitimate near-dup pairs elsewhere in the corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from victorialogs_spark.datapipe.clusters import dup_clusters
+from victorialogs_spark.datapipe.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures_arrow,
+    ngram_jaccard_pairs,
+)
+
+BOILER = "connection refused while contacting upstream service retry later"
+A = "the quick brown fox jumps over the lazy dog near the riverbank today"
+B = "the quick brown fox jumps over the lazy dog near the riverbank now"
+
+
+def _corpus(spark, n_boiler=800):
+    rows = [(i, BOILER) for i in range(n_boiler)]
+    rows += [(10_000, A), (10_001, B)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_bucket_guard_bounds_degenerate_bucket(spark):
+    docs = _corpus(spark)
+    sigs = minhash_signatures_arrow(docs, "doc_id", "text", num_hashes=16)
+    # without a guard the boilerplate bucket alone implies ~320k pairs;
+    # with the guard the bucket is skipped but the legit near-dup pair
+    # (A, B) still surfaces from its own small buckets
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", bands=4, num_hashes=16, max_bucket_size=100
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (10_000, 10_001) in ids
+    assert len(ids) == 1  # no pair explosion from the 800-doc bucket
+
+
+def test_exact_dedup_owns_the_identical_mass(spark):
+    # the guard's contract: byte-identical mass is exact_dedup's job —
+    # one groupBy row per fingerprint, regardless of copy count
+    out = exact_dedup(_corpus(spark), "doc_id", "text").collect()
+    by_n = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_n[0] == 800  # min-id representative of the boilerplate
+
+
+def test_stop_gram_guard_keeps_rare_gram_pairs(spark):
+    docs = _corpus(spark, n_boiler=300)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=50
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    # boilerplate grams exceed doc-freq 50 -> dropped entirely; A/B share
+    # rare grams below the cutoff and survive with high jaccard
+    assert (10_000, 10_001) in ids
+    assert all(a >= 10_000 for a, _ in ids)
+
+
+def test_dup_clusters_giant_component_bounded(spark):
+    # an 800-copy exact-dup star collapses to one cluster without any
+    # quadratic pair materialization: star edges from the fingerprint
+    # group representative, then components
+    docs = _corpus(spark)
+    fp = docs.select(
+        F.col("doc_id"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"),
+    )
+    mins = fp.groupBy("fp").agg(F.min("doc_id").alias("id_a"))
+    edges = (
+        fp.join(mins, "fp")
+        .where(F.col("doc_id") != F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
+    )
+    out = dup_clusters(docs, "doc_id", edges).collect()
+    comp = {r["doc_id"]: r["cluster"] for r in out}
+    assert all(comp[i] == 0 for i in range(800))
+    assert comp[10_000] == 10_000 and comp[10_001] == 10_001
