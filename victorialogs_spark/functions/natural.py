@@ -27,6 +27,18 @@ def qcol(name: str) -> Column:
     return F.col("`" + name.replace("`", "") + "`")
 
 
+def let(c: Column, body) -> Column:
+    """Single-evaluation binding: ``body(c)`` with ``c`` evaluated exactly
+    once per row. Column references copy their whole expression tree, so
+    a helper that mentions its argument k times multiplies the upstream
+    expression k-fold — chains of such helpers (math → format → bucket)
+    grow multiplicatively and measured 5-10× slower than single
+    evaluation. A lambda variable inside a higher-order function is a
+    true binding, so ``transform(array(c), body)[0]`` evaluates ``c``
+    once no matter how many times ``body`` references it."""
+    return F.get(F.transform(F.array(c), body), 0)
+
+
 def fcol(df: DataFrame, name: str) -> Column:
     """Field access with missing≡empty semantics: unknown fields and NULLs
     read as ''. `_time` reads as its RFC3339 string form when used as a
@@ -95,32 +107,43 @@ def format_number(c: Column) -> Column:
 
 
 def ipv4_num(c: Column) -> Column:
-    """Dotted-quad string → uint32 as long; NULL when not an IPv4."""
-    is_ip = c.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
-    parts = F.split(c, r"\.")
-    octets_ok = (
-        (_try_cast(parts[0], "int") <= 255)
-        & (_try_cast(parts[1], "int") <= 255)
-        & (_try_cast(parts[2], "int") <= 255)
-        & (_try_cast(parts[3], "int") <= 255)
-    )
-    val = (
-        _try_cast(parts[0], "long") * 16777216
-        + _try_cast(parts[1], "long") * 65536
-        + _try_cast(parts[2], "long") * 256
-        + _try_cast(parts[3], "long")
-    )
-    return F.when(is_ip & octets_ok, val)
+    """Dotted-quad string → uint32 as long; NULL when not an IPv4.
+    let-bound: the input and its split are each evaluated once (the
+    naive form mentions the input 9× — multiplied by whatever expression
+    produced it)."""
+
+    def _of(s: Column) -> Column:
+        is_ip = s.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+
+        def _val(octs: Column) -> Column:
+            ok = F.forall(octs, lambda o: o <= 255)
+            val = F.aggregate(
+                octs, F.lit(0).cast("long"), lambda acc, o: acc * 256 + o
+            )
+            return F.when(ok, val)
+
+        return F.when(
+            is_ip,
+            let(
+                F.transform(F.split(s, r"\."), lambda p: _try_cast(p, "long")),
+                _val,
+            ),
+        )
+
+    return let(c, _of)
 
 
 def ipv4_str(c: Column) -> Column:
-    """uint32 (long) → dotted-quad string."""
-    return F.concat_ws(
-        ".",
-        ((c / 16777216).cast("long") % 256).cast("string"),
-        ((c / 65536).cast("long") % 256).cast("string"),
-        ((c / 256).cast("long") % 256).cast("string"),
-        (c % 256).cast("string"),
+    """uint32 (long) → dotted-quad string (input let-bound, 4 refs)."""
+    return let(
+        c,
+        lambda n: F.concat_ws(
+            ".",
+            ((n / 16777216).cast("long") % 256).cast("string"),
+            ((n / 65536).cast("long") % 256).cast("string"),
+            ((n / 256).cast("long") % 256).cast("string"),
+            (n % 256).cast("string"),
+        ),
     )
 
 
@@ -140,7 +163,13 @@ def duration_string(n: Column) -> Column:
     # modulo arithmetic, NOT chained remainders: a chained tree duplicates
     # the whole prefix expression at every level and blows past janino's
     # 64KB method limit (killing whole-stage codegen); with `%` each piece
-    # references `a` exactly once, so the tree stays linear
+    # references `a` exactly once, so the tree stays linear. On top of
+    # that, let-bind the input: `a` is still mentioned ~12 times below,
+    # each of which would otherwise copy the caller's whole expression
+    return let(n, _duration_string_of)
+
+
+def _duration_string_of(n: Column) -> Column:
     a = F.abs(n)
     W, D, H, M, S, MS = (
         _NS["w"], _NS["d"], _NS["h"], _NS["m"], _NS["s"], _NS["ms"],

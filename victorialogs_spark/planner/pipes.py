@@ -20,6 +20,7 @@ from victorialogs_spark.functions.natural import (
     fcol,
     format_number,
     ipv4_str,
+    let,
     natural_keys,
     num,
     qcol,
@@ -225,19 +226,31 @@ def _by_exprs(df: DataFrame, by: list[A.ByField]) -> list[Column]:
             from victorialogs_spark.functions.natural import ipv4_num
 
             mask = (0xFFFFFFFF << (32 - bf.ipv4_mask)) & 0xFFFFFFFF
-            n = ipv4_num(fcol(df, bf.name))
-            masked = F.when(n.isNotNull(), (n.bitwiseAND(F.lit(mask))))
-            cols.append(
-                F.when(masked.isNotNull(), ipv4_str(masked)).otherwise(F.lit("")).alias(bf.name)
+            # let-bound at each level: the parse result and the masked
+            # value are referenced twice each (null-guard + use)
+            bucket = let(
+                ipv4_num(fcol(df, bf.name)),
+                lambda n: let(
+                    F.when(n.isNotNull(), n.bitwiseAND(F.lit(mask))),
+                    lambda masked: F.when(
+                        masked.isNotNull(), ipv4_str(masked)
+                    ).otherwise(F.lit("")),
+                ),
             )
+            cols.append(bucket.alias(bf.name))
         elif bf.bucket_size:
-            n = num(df, bf.name)
-            b = F.floor((n - F.lit(bf.bucket_offset)) / F.lit(bf.bucket_size)) * F.lit(
-                bf.bucket_size
-            ) + F.lit(bf.bucket_offset)
-            cols.append(
-                F.when(n.isNotNull(), format_number(b)).otherwise(F.lit("")).alias(bf.name)
+            b_off, b_size = bf.bucket_offset, bf.bucket_size
+            bucket = let(
+                num(df, bf.name),
+                lambda n: F.when(
+                    n.isNotNull(),
+                    format_number(
+                        F.floor((n - F.lit(b_off)) / F.lit(b_size)) * F.lit(b_size)
+                        + F.lit(b_off)
+                    ),
+                ).otherwise(F.lit("")),
             )
+            cols.append(bucket.alias(bf.name))
         else:
             if bf.name in df.columns and dict(df.dtypes).get(bf.name) == "timestamp":
                 cols.append(qcol(bf.name))
@@ -499,37 +512,50 @@ def _format_term(df: DataFrame, spec: str) -> Column:
             ok = c.rlike(r"^[0-9a-fA-F]{1,16}$")
             return F.when(ok, F.conv(c, 16, 10)).otherwise(c)
         if conv == "time":
-            n = _try_cast(c, "long")
             # magnitude heuristic (timeutil.TryParseUnixTimestamp):
-            # ns / µs / ms / s by value range
-            ns = (
-                F.when(F.abs(n) >= F.lit(10**17), n)
-                .when(F.abs(n) >= F.lit(10**14), n * 1000)
-                .when(F.abs(n) >= F.lit(10**11), n * 1_000_000)
-                .otherwise(n * F.lit(10**9))
-            )
-            base = F.date_format(
-                F.timestamp_micros((ns / 1000).cast("long")), "yyyy-MM-dd'T'HH:mm:ss"
-            )
-            # RFC3339Nano: fractional part with trailing zeros trimmed
-            frac = F.regexp_replace(
-                F.lpad((ns % F.lit(10**9)).cast("string"), 9, "0"), r"0+$", ""
-            )
-            out = F.concat(
-                base,
-                F.when(frac != "", F.concat(F.lit("."), frac)).otherwise(F.lit("")),
-                F.lit("Z"),
-            )
-            return F.when(n.isNotNull(), out).otherwise(c)
+            # ns / µs / ms / s by value range. let-bound: n and ns are
+            # each referenced several times below
+            def _time_of(n):
+                def _fmt(ns):
+                    base = F.date_format(
+                        F.timestamp_micros((ns / 1000).cast("long")),
+                        "yyyy-MM-dd'T'HH:mm:ss",
+                    )
+                    # RFC3339Nano: fractional part, trailing zeros trimmed
+                    frac = F.regexp_replace(
+                        F.lpad((ns % F.lit(10**9)).cast("string"), 9, "0"),
+                        r"0+$", "",
+                    )
+                    return F.concat(
+                        base,
+                        F.when(frac != "", F.concat(F.lit("."), frac)).otherwise(
+                            F.lit("")
+                        ),
+                        F.lit("Z"),
+                    )
+
+                ns = (
+                    F.when(F.abs(n) >= F.lit(10**17), n)
+                    .when(F.abs(n) >= F.lit(10**14), n * 1000)
+                    .when(F.abs(n) >= F.lit(10**11), n * 1_000_000)
+                    .otherwise(n * F.lit(10**9))
+                )
+                return F.when(n.isNotNull(), let(ns, _fmt)).otherwise(c)
+
+            return let(_try_cast(c, "long"), _time_of)
         if conv == "duration":
             n = _try_cast(c, "long")  # nanoseconds
             return F.when(n.isNotNull(), duration_string(n)).otherwise(c)
         if conv == "duration_seconds":
             return duration_seconds(c)
         if conv == "ipv4":
-            n = _try_cast(c, "long")
-            ok = n.isNotNull() & (n >= 0) & (n <= F.lit(0xFFFFFFFF))
-            return F.when(ok, ipv4_str(n)).otherwise(c)
+            return let(
+                _try_cast(c, "long"),
+                lambda n: F.when(
+                    n.isNotNull() & (n >= 0) & (n <= F.lit(0xFFFFFFFF)),
+                    ipv4_str(n),
+                ).otherwise(c),
+            )
         # unknown converter — treat whole spec as a field name
         return fcol(df, spec)
     return fcol(df, spec)
