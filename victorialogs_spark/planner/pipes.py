@@ -1045,7 +1045,12 @@ def _row_group_stats_df(spark, paths: list[str]) -> DataFrame:
     (pipe_block_stats.go:167: name, type, values_size, ..., part_path);
     Parquet has no per-block blooms/dicts to report, so the columns are
     the chunk's physical type, compressed/uncompressed bytes and rows."""
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    # one partition per file (capped at the cluster's parallelism): the
+    # default layout spreads N paths over defaultParallelism partitions,
+    # paying a Python-worker launch per EMPTY partition when N is small
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        min(len(paths), spark.sparkContext.defaultParallelism)
+    )
 
     def _stats(batches):
         import pandas as pd
@@ -1089,12 +1094,28 @@ def _p_blocks_count(p: A.PBlocksCount, df: DataFrame, ctx) -> DataFrame:
     paths = _local_paths(df)
     n = 0
     if paths:
-        n = (
-            _row_group_stats_df(spark, paths)
-            .select("part_path")
-            .distinct()
-            .count()
-        )
+        # count-only path: per-file num_row_groups summed — no per-chunk
+        # row explosion and no distinct shuffle (block_stats keeps the
+        # full listing; this pipe only needs the count)
+        import pandas as pd
+
+        def _count(batches):
+            import pyarrow.parquet as pq
+
+            for chunk in batches:
+                c = 0
+                for path in chunk["path"]:
+                    try:
+                        c += pq.read_metadata(path).num_row_groups
+                    except Exception:
+                        continue
+                yield pd.DataFrame({"n": [c]})
+
+        pdf = spark.createDataFrame(
+            [(q,) for q in paths], "path string"
+        ).repartition(min(len(paths), spark.sparkContext.defaultParallelism))
+        row = pdf.mapInPandas(_count, "n long").agg(F.sum("n")).collect()[0]
+        n = row[0] or 0
     if n == 0:  # in-memory frame, or no readable footer
         n = df.rdd.getNumPartitions()
     return spark.createDataFrame([(str(n),)], [getattr(p, "result", "blocks_count")])
