@@ -1624,12 +1624,22 @@ _DRIVER_VERIFIED_R2_R3 = [
 ]
 
 
+# entries added in round 4 — never seen by any driver run; they go before
+# the round-2/3-era unverified block so a truncated run reaches them first
+_NEWEST_FIRST = [
+    "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
+    "dp_dup_clusters", "dp_cluster_dedup",
+]
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLE
-    seen = set(_DRIVER_VERIFIED_R2_R3)
-    order = [k for k in QUERIES if k not in seen] + [
-        k for k in _DRIVER_VERIFIED_R2_R3 if k in QUERIES
-    ]
+    seen = set(_DRIVER_VERIFIED_R2_R3) | set(_NEWEST_FIRST)
+    order = (
+        [k for k in _NEWEST_FIRST if k in QUERIES]
+        + [k for k in QUERIES if k not in seen]
+        + [k for k in _DRIVER_VERIFIED_R2_R3 if k in QUERIES]
+    )
     QUERIES = {k: QUERIES[k] for k in order}
     ORACLE = {k: ORACLE[k] for k in order if k in ORACLE}
 
