@@ -79,3 +79,33 @@ def test_dup_clusters_giant_component_bounded(spark):
     comp = {r["doc_id"]: r["cluster"] for r in out}
     assert all(comp[i] == 0 for i in range(800))
     assert comp[10_000] == 10_000 and comp[10_001] == 10_001
+
+
+def test_minhash_md5_matches_hand_computation(spark):
+    import hashlib
+
+    from victorialogs_spark.datapipe.dedup import minhash_signatures_md5
+
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    row = minhash_signatures_md5(df, "doc_id", "text", num_hashes=4).collect()[0]
+    grams = ["a b c", "b c d", "c d e"]
+    expected = [
+        min(hashlib.md5(f"{j}:{g}".encode()).hexdigest() for g in grams)
+        for j in range(4)
+    ]
+    assert row["sig"] == expected
+
+
+def test_minhash_md5_near_dups_find_close_pair(spark):
+    from victorialogs_spark.datapipe.dedup import minhash_near_dups_md5
+
+    docs = spark.createDataFrame(
+        [(1, A), (2, B), (3, "completely different text about gardens and rain")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_near_dups_md5(
+        docs, "doc_id", "text", num_hashes=8, bands=4, threshold=0.3
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids
+    assert not any(3 in p for p in ids)

@@ -593,3 +593,98 @@ def hamming_near_dups(sim: DataFrame, id_col: str, max_distance: int = 3) -> Dat
         .where(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+def minhash_signatures_md5(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, n: int = 3
+) -> DataFrame:
+    """Oracle-checkable MinHash: sig[j] = MIN over distinct word-n-grams g
+    of md5(j || ':' || g) — engine-independent (md5 of UTF-8 text, string
+    min), so DuckDB reproduces the exact signature. Slower than the
+    xxhash/Arrow production sketch (interpreted HOF per hash row); its
+    job is to pin the full minhash pipeline's SEMANTICS against an
+    independent engine, not to win benchmarks. Output: (id, sig
+    array<string>)."""
+    from victorialogs_spark.functions.natural import let
+
+    # closure factory, NOT `lambda g, j=j:` — pyspark reads the lambda's
+    # full signature, and a second parameter (even a defaulted one)
+    # selects the two-argument (element, index) HOF form, silently
+    # rebinding j to the index Column
+    def _hash_j(j: int):
+        return lambda g: F.md5(F.encode(F.concat(F.lit(f"{j}:"), g), "UTF-8"))
+
+    def _sig(grams: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(F.transform(grams, _hash_j(j)))
+                for j in range(num_hashes)
+            ]
+        )
+
+    return df.select(
+        F.col(id_col),
+        let(token_ngrams(F.col(text_col), n), _sig).alias("sig"),
+    )
+
+
+def minhash_near_dups_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the md5 signature — the
+    deterministic, DuckDB-mirrorable variant of minhash_near_dups (same
+    banded plan: bucket groupBy, join-free local pair generation,
+    signature-overlap verification). Output: (id_a, id_b, est_jaccard)."""
+    rows_per_band = max(1, num_hashes // bands)
+    sigs = minhash_signatures_md5(df, id_col, text_col, num_hashes, n)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            "|",
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        ),
+                        "UTF-8",
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.col("sig"), F.explode(band_entries).alias("be")
+    ).select(
+        F.col("be.band").alias("band"),
+        F.col("be.bucket").alias("bucket"),
+        F.struct(F.col(id_col).alias("id"), F.col("sig")).alias("doc"),
+    )
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("doc")).alias("docs")
+    )
+    pairs = grouped.where(F.size("docs") >= 2).select(
+        F.explode(_bucket_pairs(F.col("docs"))).alias("p")
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("p.a.sig"), F.col("p.b.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ) / F.lit(num_hashes)
+    return (
+        pairs.select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            est.cast("double").alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )

@@ -1038,6 +1038,38 @@ def _dp_ngram_jaccard(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
+@register(
+    "dp_minhash_md5",
+    # the ENTIRE minhash pipeline (distinct 3-gram shingles → 8-row md5
+    # signature → 4-band buckets → in-bucket pairs → signature-overlap
+    # estimate) reproduced in DuckDB — pins the semantics the xxhash
+    # production variant (dp_minhash_lsh, rows-only) shares
+    f"WITH toks AS (SELECT doc_id, list_filter(string_split_regex({_NORM},"
+    " '\\s+'), t -> t <> '') AS t FROM documents),"
+    " grams AS (SELECT doc_id, list_distinct(list_transform("
+    " range(1, greatest(len(t) - 2, 1) + 1),"
+    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g FROM toks),"
+    " sigs AS (SELECT doc_id, list_transform(range(0, 8),"
+    " j -> list_min(list_transform(g, s -> md5(CAST(j AS VARCHAR) || ':' || s))))"
+    " AS sig FROM grams),"
+    " bk AS (SELECT doc_id, sig, UNNEST(range(0, 4)) AS band FROM sigs),"
+    " bk2 AS (SELECT doc_id, sig, band,"
+    " md5(array_to_string(sig[band*2+1 : band*2+2], '|')) AS bucket FROM bk),"
+    " pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,"
+    " CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS DOUBLE)/8"
+    " AS est_jaccard FROM bk2 a JOIN bk2 b ON a.band = b.band"
+    " AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"
+    " SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5",
+)
+def _dp_minhash_md5(spark, sf_dir):
+    from victorialogs_spark.datapipe.dedup import minhash_near_dups_md5
+
+    return minhash_near_dups_md5(
+        _table(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=8, bands=4, threshold=0.5, n=3,
+    )
+
+
 @register("dp_minhash_lsh")  # xxhash64-based — rows-only by design
 def _dp_minhash_lsh(spark, sf_dir):
     from victorialogs_spark.datapipe.dedup import minhash_near_dups
@@ -1628,7 +1660,7 @@ _DRIVER_VERIFIED_R2_R3 = [
 # the round-2/3-era unverified block so a truncated run reaches them first
 _NEWEST_FIRST = [
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
-    "dp_dup_clusters", "dp_cluster_dedup",
+    "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5",
 ]
 
 
