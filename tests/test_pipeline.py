@@ -1,0 +1,57 @@
+"""curate_corpus: the composed quality → dedup → decontamination
+pipeline on a corpus where each stage must remove a specific doc."""
+
+import pytest
+
+from victorialogs_spark.datapipe.pipeline import curate_corpus
+
+GOOD_A = "the quick brown fox jumps over the lazy dog near the river today"
+GOOD_A_DUP = "the quick brown fox jumps over the lazy dog near the river now"
+GOOD_B = "completely different prose about mountain weather and long hiking trips"
+LEAKED = "this exact paragraph also appears in the evaluation benchmark set"
+SYMBOLS = "### #### ## # ### ## #### # ## ###"
+
+
+def test_each_stage_removes_its_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, GOOD_A),
+            (2, GOOD_A_DUP),  # near-dup of 1 -> dropped (cluster rep = 1)
+            (3, GOOD_B),
+            (4, LEAKED),      # exact match in heldout -> dropped
+            (5, SYMBOLS),     # symbol soup -> dropped by quality rules
+        ],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame([(100, LEAKED)], "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, "doc_id", "text", heldout=heldout,
+            jaccard_n=3, jaccard_threshold=0.5,
+        ).collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_no_heldout_keeps_leaked_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, GOOD_A), (4, LEAKED)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in curate_corpus(docs, "doc_id", "text").collect()
+    )
+    assert kept == [1, 4]
+
+
+def test_require_gopher_applies_full_rule_set(spark):
+    # GOOD_A has stopwords but only 12 words -> fails the 50-word rule
+    docs = spark.createDataFrame([(1, GOOD_A)], "doc_id long, text string")
+    kept = curate_corpus(docs, "doc_id", "text", require_gopher=True).collect()
+    assert kept == []
+    # needs >= 2 distinct Gopher stopwords: "the" and "of"
+    long_doc = " ".join([GOOD_A + " south of town"] * 6)
+    docs2 = spark.createDataFrame([(1, long_doc)], "doc_id long, text string")
+    kept2 = curate_corpus(docs2, "doc_id", "text", require_gopher=True).collect()
+    assert [r["doc_id"] for r in kept2] == [1]

@@ -1560,7 +1560,8 @@ def _dp_gopher_quality(spark, sf_dir):
 
 
 # shared edge set for the clustering oracles: exact token-5-gram Jaccard
-# pairs >= 0.05 (same CTE chain as dp_ngram_jaccard, without the rounding)
+# pairs >= 0.05 (same CTE chain as dp_ngram_jaccard, without the rounding).
+# _cluster_edges_sql(base) rebinds the chain onto any doc-shaped CTE.
 _CLUSTER_EDGES_SQL = (
     "toks AS (SELECT doc_id,"
     f" string_split_regex({_NORM}, '\\s+') AS t FROM documents),"
@@ -1583,6 +1584,11 @@ _CLUSTER_EDGES_SQL = (
     " AS cluster FROM documents d LEFT JOIN"
     " (SELECT u, MIN(v) AS mn FROM reach GROUP BY u) m ON m.u = d.doc_id)"
 )
+
+
+def _cluster_edges_sql(base: str) -> str:
+    """The cluster-edges CTE chain over an arbitrary doc-shaped CTE."""
+    return _CLUSTER_EDGES_SQL.replace("FROM documents", f"FROM {base}")
 
 
 def _cluster_pairs(spark, sf_dir):
@@ -1617,6 +1623,45 @@ def _dp_cluster_dedup(spark, sf_dir):
     docs = _table(spark, sf_dir, "documents")
     return dedup_by_clusters(
         docs, "doc_id", _cluster_pairs(spark, sf_dir)
+    ).select("doc_id")
+
+
+@register(
+    "dp_curate",
+    # the END-TO-END curation pipeline: quality filter (language-agnostic
+    # rules) → transitive near-dup dedup over even-id docs → exact-content
+    # decontamination against the odd-id half as held-out
+    "WITH RECURSIVE"
+    " base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),"
+    " w AS (SELECT doc_id, text,"
+    " list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS words"
+    " FROM base),"
+    " q AS (SELECT doc_id, text FROM w WHERE len(words) >= 1"
+    " AND CASE WHEN len(words) > 0 THEN"
+    "  CAST(LENGTH(text) - LENGTH(replace(text, '#', ''))"
+    "   + FLOOR((LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3)"
+    "  AS DOUBLE) / len(words) END <= 0.1"
+    " AND CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words,"
+    "  x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words)"
+    " END >= 0.8),"
+    f" {_cluster_edges_sql('q')},"
+    " ho AS (SELECT DISTINCT md5("
+    f" {_NORM_NN}) AS fp FROM documents WHERE doc_id % 2 = 1)"
+    " SELECT c.doc_id FROM comp c JOIN q USING (doc_id)"
+    f" WHERE c.cluster = c.doc_id AND md5({_NORM_NN.replace('(text', '(q.text')})"
+    " NOT IN (SELECT fp FROM ho)",
+)
+def _dp_curate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.pipeline import curate_corpus
+
+    docs = _spread(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    heldout = docs.where(F.col("doc_id") % 2 == 1)
+    return curate_corpus(
+        train, "doc_id", "text", heldout=heldout,
+        jaccard_n=5, jaccard_threshold=0.05,
     ).select("doc_id")
 
 
@@ -1660,7 +1705,7 @@ _DRIVER_VERIFIED_R2_R3 = [
 # the round-2/3-era unverified block so a truncated run reaches them first
 _NEWEST_FIRST = [
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
-    "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5",
+    "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5", "dp_curate",
 ]
 
 
