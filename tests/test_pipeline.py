@@ -55,3 +55,45 @@ def test_require_gopher_applies_full_rule_set(spark):
     docs2 = spark.createDataFrame([(1, long_doc)], "doc_id long, text string")
     kept2 = curate_corpus(docs2, "doc_id", "text", require_gopher=True).collect()
     assert [r["doc_id"] for r in kept2] == [1]
+
+
+def test_stream_minhash_neardup_across_batches(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.streaming.neardup import stream_minhash_neardup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: doc 1; batch 2: doc 5 = near-dup of 1, doc 9 = unrelated.
+    # maxFilesPerTrigger=1 forces separate micro-batches, so the collision
+    # is detected via STATE, not within one batch.
+    pd.DataFrame({"doc_id": [1], "text": [GOOD_A]}).to_parquet(src / "a.parquet")
+    pd.DataFrame(
+        {"doc_id": [5, 9], "text": [GOOD_A_DUP, GOOD_B]}
+    ).to_parquet(src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = "sndup_test"
+    q = (
+        stream_minhash_neardup(stream, num_hashes=8, bands=4, n=3)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .collect()
+    )
+    got = {r["doc_id"]: r["dup_of"] for r in out}
+    assert got == {5: 1}  # 5 collides with 1 through state; 9 clean

@@ -1444,6 +1444,61 @@ def _dp_stream_exact_dedup(spark, sf_dir):
 
 
 @register(
+    "dp_stream_neardup",
+    # bounded availableNow run of the streaming minhash-band collision
+    # detector ≡ batch bucket-min semantics: for every doc that is not
+    # its bucket's minimum in >=1 band, dup_of = min over its colliding
+    # buckets' minima. md5 signatures make the values engine-exact.
+    f"WITH toks AS (SELECT doc_id, list_filter(string_split_regex({_NORM},"
+    " '\\s+'), t -> t <> '') AS t FROM documents),"
+    " grams AS (SELECT doc_id, list_distinct(list_transform("
+    " range(1, greatest(len(t) - 2, 1) + 1),"
+    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g FROM toks),"
+    " sigs AS (SELECT doc_id, list_transform(range(0, 8),"
+    " j -> list_min(list_transform(g, s -> md5(CAST(j AS VARCHAR) || ':' || s))))"
+    " AS sig FROM grams),"
+    " bk AS (SELECT doc_id, sig, UNNEST(range(0, 4)) AS band FROM sigs),"
+    " bk2 AS (SELECT doc_id, band,"
+    " md5(array_to_string(sig[band*2+1 : band*2+2], '|')) AS bucket FROM bk),"
+    " mins AS (SELECT band, bucket, MIN(doc_id) AS m FROM bk2 GROUP BY 1, 2)"
+    " SELECT b.doc_id, MIN(m.m) AS dup_of FROM bk2 b"
+    " JOIN mins m USING (band, bucket) WHERE m.m < b.doc_id GROUP BY 1",
+)
+def _dp_stream_neardup(spark, sf_dir):
+    """Streaming stateful minhash near-dup over a bounded source, checked
+    against the batch bucket-min oracle."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.streaming.neardup import stream_minhash_neardup
+
+    name = "sndup_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="vl_sndup_")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{sf_dir}/documents.*"
+    )
+    q = (
+        stream_minhash_neardup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("dp_stream_neardup: stream did not finish in 300s")
+    return (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
+
+
+@register(
     "dp_multimodal_features",
     # the fake decoder is deterministic md5 arithmetic — mirror it in SQL
     "SELECT doc_id AS asset_id, LENGTH(text) AS payload_bytes,"
@@ -1706,6 +1761,7 @@ _DRIVER_VERIFIED_R2_R3 = [
 _NEWEST_FIRST = [
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
     "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5", "dp_curate",
+    "dp_stream_neardup",
 ]
 
 
