@@ -84,13 +84,14 @@ def main() -> int:
     # hot-run convention (same as the ClickBench methodology the reference
     # benchmarks under): run each query N times, report the best — masks
     # one-time plan/codegen compilation and co-tenant scheduling noise.
-    # dp_* queries run 3x: their pandas-UDF stages showed a 3.5-9.1s spread
-    # across rounds under best-of-2, so one extra hot run buys stability.
+    # This host shows BURSTY co-tenant contention (observed 0.2s → 4s on
+    # the same query minutes apart with zero local processes running), so
+    # every query gets 3 hot runs and the noisiest (pandas-UDF dp_*) get 4.
     times: dict[str, float] = {}
     shuffle_parts = spark.conf.get("spark.sql.shuffle.partitions")
     for name in HEADLINE:
         fn = QUERIES[name]
-        runs = 3 if name.startswith("dp_") else 2
+        runs = 4 if name.startswith("dp_") else 3
         best, n = float("inf"), 0
         for _ in range(runs):
             # dp entries tune shuffle partitions internally on some paths;
