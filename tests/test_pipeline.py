@@ -97,3 +97,41 @@ def test_stream_minhash_neardup_across_batches(spark, tmp_path):
     )
     got = {r["doc_id"]: r["dup_of"] for r in out}
     assert got == {5: 1}  # 5 collides with 1 through state; 9 clean
+
+
+def test_stream_neardup_flags_late_smaller_id(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.streaming.neardup import stream_minhash_neardup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # doc 7 arrives first, then near-dup doc 2 with a SMALLER id: the
+    # late arrival must still be flagged (dup_of = the earlier doc 7)
+    pd.DataFrame({"doc_id": [7], "text": [GOOD_A]}).to_parquet(src / "a.parquet")
+    pd.DataFrame({"doc_id": [2], "text": [GOOD_A_DUP]}).to_parquet(
+        src / "b.parquet"
+    )
+    q = (
+        stream_minhash_neardup(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            num_hashes=8, bands=4, n=3,
+        )
+        .writeStream.format("memory")
+        .queryName("sndup_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = (
+        spark.table("sndup_late")
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .collect()
+    )
+    assert {r["doc_id"]: r["dup_of"] for r in out} == {2: 7}

@@ -72,8 +72,8 @@ def _star_round(sym: DataFrame, large: bool) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
-def _driver_union_find(rows) -> dict[int, int]:
-    """Path-compressed union-find over a collected edge list."""
+def _driver_union_find(edges) -> dict[int, int]:
+    """Path-compressed union-find over an iterable of (u, v) int pairs."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -84,13 +84,29 @@ def _driver_union_find(rows) -> dict[int, int]:
             parent[x], x = r, parent[x]
         return r
 
-    for row in rows:
-        ra, rb = find(row["u"]), find(row["v"])
+    for u, v in edges:
+        ra, rb = find(u), find(v)
         if ra != rb:
             # union by min so the representative is the component min
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     return {x: find(x) for x in parent}
+
+
+_INT_DTYPES = ("tinyint", "smallint", "int", "bigint", "long")
+
+
+def _require_integral_ids(df: DataFrame, cols: tuple[str, ...]) -> None:
+    """Components mix ids across columns and cast them to long; a
+    non-numeric id column would cast to NULL and silently dissolve every
+    edge (dedup_by_clusters would then drop ALL rows) — fail loudly."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) not in _INT_DTYPES:
+            raise TypeError(
+                f"column {c!r} must be an integral id (got {dtypes.get(c)}); "
+                "map string ids to longs (e.g. xxhash64 or a join table) first"
+            )
 
 
 def connected_components(
@@ -109,38 +125,44 @@ def connected_components(
 
     Hybrid execution, same pattern as Spark's own broadcast-join
     threshold: near-dup pair graphs are tiny relative to the corpus
-    (a few duplicate edges per thousand docs), so when the deduped edge
-    count is ≤ ``driver_edge_cap`` (default 2M edges ≈ 32 MB — a hard
-    cap, counted on the materialized edge set before collecting
-    anything) the components are solved with driver-side union-find in
-    one pass — milliseconds instead of one Spark job per star round.
-    Larger graphs take the distributed star-alternation path unchanged.
+    (a few duplicate edges per thousand docs), so when the distinct
+    UNDIRECTED edge count is ≤ ``driver_edge_cap`` (default 2M; counted
+    on the materialized edge set BEFORE collecting anything, and pulled
+    via Arrow as two int64 numpy columns ≈ 32 MB at the cap — not as
+    Python Row objects) the components are solved with driver-side
+    union-find in one pass — milliseconds instead of one Spark job per
+    star round. Larger graphs take the distributed star path unchanged.
 
     The distributed path converges when the edge set reaches the star
     fixpoint (every node points directly at its component minimum):
     detected by the (count, xor-hash) signature of the round's edge set
     being identical to the previous round's — one cheap aggregate per
-    round, no full edge-set comparison join. Raises after ``max_iter``
-    rounds (log₂ of the largest component's size bounds the rounds
-    needed; 25 covers components of 2^25 ≈ 33M duplicates).
+    round, no full edge-set comparison join. ``max_iter`` bounds the
+    PRODUCTIVE rounds (log₂ of the largest component's size; 25 covers
+    components of 2^25 ≈ 33M duplicates); one extra confirmation round
+    runs on top, so a graph converging exactly at the bound still
+    succeeds.
     """
+    _require_integral_ids(pairs, (a_col, b_col))
     spark = pairs.sparkSession
     edges = pairs.select(
         F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
     )
     cur = _symmetric(edges).distinct().localCheckpoint(eager=True)
-    if cur.count() <= driver_edge_cap:
-        # collect(), not toLocalIterator(): the cap already bounds the
-        # materialized size (≤ ~32 MB) and one round-trip beats
-        # per-partition pulls
-        comp = _driver_union_find(cur.collect())
+    # cur is symmetrized (each undirected edge appears twice) — compare
+    # the cap against the undirected count the caller reasons about
+    if cur.count() <= 2 * driver_edge_cap:
+        pdf = cur.toPandas()  # Arrow: two int64 columns, no Row objects
+        comp = _driver_union_find(
+            zip(pdf["u"].to_numpy().tolist(), pdf["v"].to_numpy().tolist())
+        )
         if not comp:
             return spark.createDataFrame([], "node long, component long")
         return spark.createDataFrame(
             list(comp.items()), "node long, component long"
         )
     prev_sig = None
-    for _ in range(max_iter):
+    for _ in range(max_iter + 1):
         stepped = _star_round(_symmetric(cur), large=True)
         stepped = _star_round(_symmetric(stepped), large=False)
         cur = stepped.localCheckpoint(eager=True)

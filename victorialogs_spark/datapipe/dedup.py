@@ -221,7 +221,7 @@ def minhash_signatures(
 
 def _band_buckets(bands: int, num_hashes: int) -> Column:
     """array<struct<band,bucket>>: one xxhash64 bucket per signature band."""
-    rows_per_band = max(1, num_hashes // bands)
+    rows_per_band = check_banding(num_hashes, bands)
     return F.array(
         *[
             F.struct(
@@ -628,22 +628,27 @@ def minhash_signatures_md5(
     )
 
 
-def minhash_near_dups_md5(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 8,
-    bands: int = 4,
-    threshold: float = 0.5,
-    n: int = 3,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs with the md5 signature — the
-    deterministic, DuckDB-mirrorable variant of minhash_near_dups (same
-    banded plan: bucket groupBy, join-free local pair generation,
-    signature-overlap verification). Output: (id_a, id_b, est_jaccard)."""
-    rows_per_band = max(1, num_hashes // bands)
-    sigs = minhash_signatures_md5(df, id_col, text_col, num_hashes, n)
-    band_entries = F.array(
+def check_banding(num_hashes: int, bands: int) -> int:
+    """Validate an LSH banding and return rows-per-band. bands must
+    divide num_hashes: bands > num_hashes would hash EMPTY slices (every
+    doc collides in those bands — one global bucket, the O(n²) blowup
+    the skew guards exist to prevent), and a non-divisor silently drops
+    the tail signature rows, lowering recall with no warning."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be a divisor of num_hashes={num_hashes}"
+        )
+    return num_hashes // bands
+
+
+def md5_band_entries(num_hashes: int, bands: int) -> Column:
+    """array<struct<band,bucket>> over a 'sig' array<string> column: one
+    md5 bucket per signature band. The bucket string format is a shared
+    oracle contract — batch (minhash_near_dups_md5), streaming
+    (stream_minhash_neardup) and the DuckDB mirrors all derive from this
+    single definition."""
+    rows_per_band = check_banding(num_hashes, bands)
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -660,6 +665,23 @@ def minhash_near_dups_md5(
             for b in range(bands)
         ]
     )
+
+
+def minhash_near_dups_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the md5 signature — the
+    deterministic, DuckDB-mirrorable variant of minhash_near_dups (same
+    banded plan: bucket groupBy, join-free local pair generation,
+    signature-overlap verification). Output: (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures_md5(df, id_col, text_col, num_hashes, n)
+    band_entries = md5_band_entries(num_hashes, bands)
     buckets = sigs.select(
         F.col(id_col), F.col("sig"), F.explode(band_entries).alias("be")
     ).select(

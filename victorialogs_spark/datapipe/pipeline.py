@@ -45,7 +45,9 @@ def curate_corpus(
 
     ``require_gopher=True`` applies the full Gopher rule set (including
     the stopword rule — English-centric); the default applies only the
-    language-agnostic length/symbol/alpha rules with the given bounds.
+    language-agnostic length/symbol/alpha rules with the given bounds
+    (Catalyst column-prunes the unused signal expressions out of the
+    executed plan, verified on the optimized plan).
     """
     flags = gopher_quality_flags(docs, id_col, text_col)
     if require_gopher:

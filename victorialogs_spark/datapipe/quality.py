@@ -101,15 +101,16 @@ def ngram_repetition(
     explode → groupBy(doc, gram) formulation shuffles every positional
     gram string: ~2000 grams × ~20 bytes per doc = 40 KB/doc of shuffle
     for a per-doc number — measured 20× slower at sf0.1.) Tokenization
-    matches Java/RE2 ``\\s`` (ASCII-only) so the values stay
-    oracle-checkable against DuckDB SQL; docs with < n words produce no
-    output row (same as the relational form's inner aggregation).
+    uses the explicit class ``[ \\t\\n\\f\\r]`` — the intersection both
+    regex engines agree on (Java ``\\s`` includes \\x0b, RE2's doesn't)
+    — so values stay oracle-checkable against DuckDB SQL; docs with < n
+    words produce no output row.
     """
     import re
 
     import pandas as pd
 
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    ws = re.compile(r"[ \t\n\f\r]+")
 
     def _rep(series):
         from collections import Counter
@@ -184,7 +185,9 @@ def gopher_quality_flags(
     Java/RE2 ``\\s`` convention so every signal is oracle-checkable.
     """
     c = F.col(text_col)
-    words = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    # explicit class, not \s: Java \s includes \x0b, RE2's (the DuckDB
+    # oracle) doesn't — split on the set both engines agree on
+    words = F.filter(F.split(c, r"[ \t\n\f\r]+"), lambda t: t != "")
     n_words = F.size(words)
     total_word_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
@@ -212,7 +215,7 @@ def gopher_quality_flags(
         n_words > 0,
         F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / n_words,
     ).cast("double")
-    low_words = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    low_words = F.filter(F.split(F.lower(c), r"[ \t\n\f\r]+"), lambda t: t != "")
     stop_hits = F.size(
         F.array_intersect(
             F.array_distinct(low_words),

@@ -35,33 +35,21 @@ def stream_minhash_neardup(
     n: int = 3,
 ) -> DataFrame:
     """Streaming DataFrame → (doc_id, band, bucket, dup_of) rows for every
-    document that collides with an earlier-seen document in some band
-    bucket (dup_of = the bucket's smallest doc id). First arrivals emit
-    nothing. Downstream, ``groupBy(doc_id).agg(min(dup_of))`` gives one
-    flag per duplicate document."""
-    from victorialogs_spark.datapipe.dedup import minhash_signatures_md5
-
-    rows_per_band = max(1, num_hashes // bands)
-    sigs = minhash_signatures_md5(stream_df, id_col, text_col, num_hashes, n)
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.encode(
-                        F.concat_ws(
-                            "|",
-                            F.slice(
-                                F.col("sig"), b * rows_per_band + 1, rows_per_band
-                            ),
-                        ),
-                        "UTF-8",
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
+    document that collides with a bucket-mate. Within a bucket's FIRST
+    batch, the min-id row is the representative (emits nothing) and the
+    rest are its duplicates — so a bounded single-batch run reproduces
+    batch bucket-min semantics exactly (the DuckDB oracle). Once a
+    bucket has state, every later arrival is flagged, including one with
+    a smaller id than the stored minimum (temporal first-seen-wins — the
+    only semantics append mode can honor). Downstream,
+    ``groupBy(doc_id).agg(min(dup_of))`` gives one flag per document."""
+    from victorialogs_spark.datapipe.dedup import (
+        md5_band_entries,
+        minhash_signatures_md5,
     )
+
+    sigs = minhash_signatures_md5(stream_df, id_col, text_col, num_hashes, n)
+    band_entries = md5_band_entries(num_hashes, bands)
     keyed = (
         sigs.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -83,14 +71,28 @@ def stream_minhash_neardup(
         prev = state.get[0] if state.exists else None
         overall = batch_min if prev is None else min(prev, batch_min)
         state.update((overall,))
-        dups = rows[rows["doc_id"] != overall]
+        if prev is None:
+            # first batch for this bucket: the min-id row is the
+            # representative, every other row is its duplicate
+            dups = rows[rows["doc_id"] != overall]
+            dup_of = [overall] * len(dups)
+        else:
+            # bucket already seen: EVERY current row collides with an
+            # earlier arrival. A row that undercuts the stored minimum
+            # still gets flagged (dup_of = the previously-seen doc) —
+            # dropping it was the late-smaller-id hole: batch 1 {7},
+            # batch 2 {2} must emit (2, dup_of=7), not nothing.
+            dups = rows
+            dup_of = [
+                prev if int(d) <= overall else overall for d in rows["doc_id"]
+            ]
         if len(dups):
             yield pd.DataFrame(
                 {
                     "doc_id": dups["doc_id"].astype("int64"),
                     "band": int(key[0]),
                     "bucket": key[1],
-                    "dup_of": overall,
+                    "dup_of": dup_of,
                 }
             )
 
