@@ -135,3 +135,40 @@ def test_stream_neardup_flags_late_smaller_id(spark, tmp_path):
         .collect()
     )
     assert {r["doc_id"]: r["dup_of"] for r in out} == {2: 7}
+
+
+def test_decontaminate_ngrams_catches_partial_leak(spark):
+    from victorialogs_spark.datapipe.sampling import decontaminate_ngrams
+
+    leak = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words {leak} suffix words"),  # embeds the 13-gram
+            (2, GOOD_B),
+            (3, None),  # NULL text must survive, not crash
+        ],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(9, f"benchmark prompt: {leak}")], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate_ngrams(train, heldout, "text", n=13).collect()
+    )
+    # doc 1 shares the embedded 13-gram -> dropped; exact-fingerprint
+    # decontamination would have MISSED it (texts differ)
+    assert kept == [2, 3]
+
+
+def test_decontaminate_ngrams_min_shared_threshold(spark):
+    from victorialogs_spark.datapipe.sampling import decontaminate_ngrams
+
+    t = "a b c d e f g h i j k l m n"
+    train = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    heldout = spark.createDataFrame([(9, t)], "doc_id long, text string")
+    # identical 14-token docs share exactly 2 distinct 13-grams
+    kept2 = decontaminate_ngrams(train, heldout, "text", n=13, min_shared=3)
+    assert [r["doc_id"] for r in kept2.collect()] == [1]
+    kept1 = decontaminate_ngrams(train, heldout, "text", n=13, min_shared=2)
+    assert kept1.collect() == []

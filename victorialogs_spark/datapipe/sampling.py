@@ -92,6 +92,46 @@ def stratified_hash_sample(
     )
 
 
+def decontaminate_ngrams(
+    train: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """N-gram-overlap decontamination (the GPT-3 appendix-C style check):
+    drop training docs sharing at least ``min_shared`` distinct word
+    n-grams with the held-out corpus — catches partial/embedded leaks
+    that exact-fingerprint decontamination misses.
+
+    Plan: held-out docs reduce to a distinct gram-hash set (tiny for
+    benchmark-sized held-out corpora → AQE broadcasts it); distinct
+    training CONTENTS (keyed by normalized-text fingerprint — a
+    deterministic key, unlike monotonically_increasing_id, which can
+    diverge between the two plan branches that reference it) explode to
+    (fp, gram-hash), inner-join the held-out set, count shared grams
+    per content, and anti-join contents at/above the cutoff. Grams ship
+    as xxhash64 longs, never strings. 13 is the conventional n: long
+    enough that a shared gram implies copying, not coincidence.
+    """
+    from victorialogs_spark.datapipe.dedup import token_ngram_hashes_arrow
+
+    gen = token_ngram_hashes_arrow(text_col, n)
+    key = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+    t = train.withColumn("__vl_fp", key)
+    ho_grams = heldout.select(F.explode(gen).alias("g")).distinct()
+    contents = t.select("__vl_fp", text_col).dropDuplicates(["__vl_fp"])
+    contaminated = (
+        contents.select(F.col("__vl_fp"), F.explode(gen).alias("g"))
+        .join(ho_grams, "g")
+        .groupBy("__vl_fp")
+        .agg(F.count(F.lit(1)).alias("__vl_shared"))
+        .where(F.col("__vl_shared") >= min_shared)
+        .select("__vl_fp")
+    )
+    return t.join(contaminated, "__vl_fp", "left_anti").drop("__vl_fp")
+
+
 def decontaminate(
     train: DataFrame,
     heldout: DataFrame,

@@ -1443,6 +1443,40 @@ def _dp_stream_exact_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+_NGRAM13 = ", ".join(f"t[i+{j}]" for j in range(13))
+
+
+@register(
+    "dp_decontaminate_ngrams",
+    # GPT-3-style 13-gram-overlap decontamination: drop even-id docs
+    # sharing any distinct word 13-gram with the odd-id held-out half.
+    # The Spark side joins on xxhash64 gram hashes; the oracle joins on
+    # the gram strings themselves — identical doc sets modulo a ~2^-64
+    # collision that a fixed corpus either never has or always has.
+    "WITH t AS (SELECT doc_id,"
+    " list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t"
+    " FROM documents),"
+    " g AS (SELECT doc_id, UNNEST(CASE WHEN len(t) < 13"
+    " THEN [array_to_string(t, ' ')]"
+    f" ELSE list_transform(range(1, len(t) - 11), i -> concat_ws(' ', {_NGRAM13}))"
+    " END) AS g FROM t),"
+    " hog AS (SELECT DISTINCT g FROM g WHERE doc_id % 2 = 1),"
+    " bad AS (SELECT DISTINCT g.doc_id FROM g JOIN hog USING (g)"
+    " WHERE g.doc_id % 2 = 0)"
+    " SELECT doc_id FROM documents WHERE doc_id % 2 = 0"
+    " AND doc_id NOT IN (SELECT doc_id FROM bad)",
+)
+def _dp_decontaminate_ngrams(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.sampling import decontaminate_ngrams
+
+    docs = _spread(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    heldout = docs.where(F.col("doc_id") % 2 == 1)
+    return decontaminate_ngrams(train, heldout, "text", n=13).select("doc_id")
+
+
 @register(
     "dp_stream_neardup",
     # bounded availableNow run of the streaming minhash-band collision
@@ -1761,7 +1795,7 @@ _DRIVER_VERIFIED_R2_R3 = [
 _NEWEST_FIRST = [
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
     "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5", "dp_curate",
-    "dp_stream_neardup",
+    "dp_stream_neardup", "dp_decontaminate_ngrams",
 ]
 
 
