@@ -172,3 +172,24 @@ def test_decontaminate_ngrams_min_shared_threshold(spark):
     assert [r["doc_id"] for r in kept2.collect()] == [1]
     kept1 = decontaminate_ngrams(train, heldout, "text", n=13, min_shared=2)
     assert kept1.collect() == []
+
+
+def test_curate_ngram_decontamination_mode(spark):
+    leak = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    docs = spark.createDataFrame(
+        [(1, GOOD_A), (2, f"intro {leak} outro")], "doc_id long, text string"
+    )
+    heldout = spark.createDataFrame([(9, leak)], "doc_id long, text string")
+    # exact mode misses the embedded leak; ngram mode catches it
+    exact = curate_corpus(docs, "doc_id", "text", heldout=heldout)
+    assert sorted(r["doc_id"] for r in exact.collect()) == [1, 2]
+    ngram = curate_corpus(
+        docs, "doc_id", "text", heldout=heldout, decontaminate_mode="ngram"
+    )
+    assert sorted(r["doc_id"] for r in ngram.collect()) == [1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate_corpus(
+            docs, "doc_id", "text", heldout=heldout, decontaminate_mode="bogus"
+        ).collect()

@@ -38,6 +38,8 @@ def curate_corpus(
     jaccard_n: int = 5,
     jaccard_threshold: float = 0.05,
     max_doc_freq: int | None = None,
+    decontaminate_mode: str = "exact",
+    decontaminate_n: int = 13,
 ) -> DataFrame:
     """Curated corpus: rows of ``docs`` that (1) pass the quality rules,
     (2) are their near-dup cluster's min-id representative, and (3) if
@@ -69,7 +71,19 @@ def curate_corpus(
     )
     deduped = dedup_by_clusters(filtered, id_col, pairs)
     if heldout is not None:
-        from victorialogs_spark.datapipe.sampling import decontaminate
+        if decontaminate_mode == "ngram":
+            from victorialogs_spark.datapipe.sampling import decontaminate_ngrams
 
-        deduped = decontaminate(deduped, heldout, text_col)
+            deduped = decontaminate_ngrams(
+                deduped, heldout, text_col, n=decontaminate_n
+            )
+        elif decontaminate_mode == "exact":
+            from victorialogs_spark.datapipe.sampling import decontaminate
+
+            deduped = decontaminate(deduped, heldout, text_col)
+        else:
+            raise ValueError(
+                f"decontaminate_mode must be 'exact' or 'ngram', got"
+                f" {decontaminate_mode!r}"
+            )
     return deduped
