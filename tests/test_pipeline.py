@@ -12,6 +12,18 @@ LEAKED = "this exact paragraph also appears in the evaluation benchmark set"
 SYMBOLS = "### #### ## # ### ## #### # ## ###"
 
 
+def _pin_file_order(first, second):
+    """FileStreamSource orders files by modification time; back-to-back
+    writes can tie on coarse-granularity filesystems, flipping batch
+    order under maxFilesPerTrigger=1. Pin it explicitly."""
+    import os
+    import time
+
+    now = time.time()
+    os.utime(first, (now - 10, now - 10))
+    os.utime(second, (now, now))
+
+
 def test_each_stage_removes_its_doc(spark):
     docs = spark.createDataFrame(
         [
@@ -72,6 +84,7 @@ def test_stream_minhash_neardup_across_batches(spark, tmp_path):
     pd.DataFrame(
         {"doc_id": [5, 9], "text": [GOOD_A_DUP, GOOD_B]}
     ).to_parquet(src / "b.parquet")
+    _pin_file_order(src / "a.parquet", src / "b.parquet")
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -113,6 +126,7 @@ def test_stream_neardup_flags_late_smaller_id(spark, tmp_path):
     pd.DataFrame({"doc_id": [2], "text": [GOOD_A_DUP]}).to_parquet(
         src / "b.parquet"
     )
+    _pin_file_order(src / "a.parquet", src / "b.parquet")
     q = (
         stream_minhash_neardup(
             spark.readStream.schema("doc_id long, text string")

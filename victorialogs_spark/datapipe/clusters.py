@@ -128,8 +128,9 @@ def connected_components(
     (a few duplicate edges per thousand docs), so when the distinct
     UNDIRECTED edge count is ≤ ``driver_edge_cap`` (default 2M; counted
     on the materialized edge set BEFORE collecting anything, and pulled
-    via Arrow as two int64 numpy columns ≈ 32 MB at the cap — not as
-    Python Row objects) the components are solved with driver-side
+    via Arrow as two int64 numpy columns — the u < v half only, ≈ 32 MB
+    at the cap plus the transient Python tuple iteration) the
+    components are solved with driver-side
     union-find in one pass — milliseconds instead of one Spark job per
     star round. Larger graphs take the distributed star path unchanged.
 
@@ -150,9 +151,11 @@ def connected_components(
     )
     cur = _symmetric(edges).distinct().localCheckpoint(eager=True)
     # cur is symmetrized (each undirected edge appears twice) — compare
-    # the cap against the undirected count the caller reasons about
+    # the cap against the undirected count the caller reasons about, and
+    # collect only the u < v half (the (v, u) mirror would be a no-op
+    # union and doubles the Arrow transfer for nothing)
     if cur.count() <= 2 * driver_edge_cap:
-        pdf = cur.toPandas()  # Arrow: two int64 columns, no Row objects
+        pdf = cur.where(F.col("u") < F.col("v")).toPandas()
         comp = _driver_union_find(
             zip(pdf["u"].to_numpy().tolist(), pdf["v"].to_numpy().tolist())
         )

@@ -60,7 +60,11 @@ def curate_corpus(
             & (F.col("symbol_word_ratio") <= max_symbol_ratio)
             & (F.col("alpha_word_frac") >= min_alpha_frac)
         )
-    filtered = docs.join(keep.select(id_col), id_col, "left_semi")
+    # filtered feeds three plan branches (pair generation — executed
+    # eagerly inside connected components — the cluster backfill join,
+    # and the final semi-join); without a cache each branch re-scans the
+    # corpus and re-runs the quality filter, ~3-4 full scans at 100 TB
+    filtered = docs.join(keep.select(id_col), id_col, "left_semi").cache()
     pairs = ngram_jaccard_pairs(
         filtered,
         id_col,

@@ -1450,12 +1450,14 @@ _NGRAM13 = ", ".join(f"t[i+{j}]" for j in range(13))
     "dp_decontaminate_ngrams",
     # GPT-3-style 13-gram-overlap decontamination: drop even-id docs
     # sharing any distinct word 13-gram with the odd-id held-out half.
-    # The Spark side joins on xxhash64 gram hashes; the oracle joins on
+    # The Spark side joins on 64-bit gram hashes; the oracle joins on
     # the gram strings themselves — identical doc sets modulo a ~2^-64
     # collision that a fixed corpus either never has or always has.
+    # COALESCE mirrors the engine's missing≡empty rule: a NULL text
+    # yields the single '' gram on the Spark side, not zero grams.
     "WITH t AS (SELECT doc_id,"
-    " list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t"
-    " FROM documents),"
+    " list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'),"
+    " x -> x <> '') AS t FROM documents),"
     " g AS (SELECT doc_id, UNNEST(CASE WHEN len(t) < 13"
     " THEN [array_to_string(t, ' ')]"
     f" ELSE list_transform(range(1, len(t) - 11), i -> concat_ws(' ', {_NGRAM13}))"

@@ -43,11 +43,17 @@ def stream_minhash_neardup(
     a smaller id than the stored minimum (temporal first-seen-wins — the
     only semantics append mode can honor). Downstream,
     ``groupBy(doc_id).agg(min(dup_of))`` gives one flag per document."""
+    from victorialogs_spark.datapipe.clusters import _require_integral_ids
     from victorialogs_spark.datapipe.dedup import (
         md5_band_entries,
         minhash_signatures_md5,
     )
 
+    # same silent-cast hazard as clusters: a string id column would cast
+    # to NULL, and a NULL id reaching the state function turns the whole
+    # pandas group float64/NaN and kills the streaming query
+    _require_integral_ids(stream_df, (id_col,))
+    stream_df = stream_df.where(F.col(id_col).isNotNull())
     sigs = minhash_signatures_md5(stream_df, id_col, text_col, num_hashes, n)
     band_entries = md5_band_entries(num_hashes, bands)
     keyed = (
@@ -75,17 +81,16 @@ def stream_minhash_neardup(
             # first batch for this bucket: the min-id row is the
             # representative, every other row is its duplicate
             dups = rows[rows["doc_id"] != overall]
-            dup_of = [overall] * len(dups)
+            dup_of = overall
         else:
-            # bucket already seen: EVERY current row collides with an
-            # earlier arrival. A row that undercuts the stored minimum
-            # still gets flagged (dup_of = the previously-seen doc) —
-            # dropping it was the late-smaller-id hole: batch 1 {7},
-            # batch 2 {2} must emit (2, dup_of=7), not nothing.
-            dups = rows
-            dup_of = [
-                prev if int(d) <= overall else overall for d in rows["doc_id"]
-            ]
+            # bucket already seen: every row EXCEPT a re-arrival of the
+            # stored representative itself collides with it (flagging
+            # prev as a dup of a later doc, or a re-crawled id as a dup
+            # of itself, would make a dedup consumer drop originals).
+            # This includes rows undercutting the minimum — batch 1 {7},
+            # batch 2 {2} emits (2, dup_of=7), not nothing.
+            dups = rows[rows["doc_id"] != prev]
+            dup_of = prev
         if len(dups):
             yield pd.DataFrame(
                 {
