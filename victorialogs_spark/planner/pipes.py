@@ -749,8 +749,15 @@ def _p_unpack_words(p: A.PUnpackWords, df: DataFrame, ctx) -> DataFrame:
 def _p_unroll(p: A.PUnroll, df: DataFrame, ctx) -> DataFrame:
     if len(p.fields) == 1:
         f = p.fields[0]
-        arr = F.from_json(fcol(df, f), "array<string>")
-        arr = F.when(arr.isNull() | (F.size(arr) == 0), F.array(F.lit(""))).otherwise(arr)
+        # let-bound: the null/empty guard references the parsed array 3x,
+        # which would otherwise run from_json (over the whole upstream
+        # expression) three times per row
+        arr = let(
+            F.from_json(fcol(df, f), "array<string>"),
+            lambda a: F.when(
+                a.isNull() | (F.size(a) == 0), F.array(F.lit(""))
+            ).otherwise(a),
+        )
         return df.withColumn(f, F.explode(arr))
     arrays = {f: F.from_json(fcol(df, f), "array<string>") for f in p.fields}
     zipped = F.arrays_zip(*[arrays[f].alias(f) for f in p.fields])
