@@ -1237,6 +1237,23 @@ def _dp_embedding_near_dup(spark, sf_dir):
     )
 
 
+@register("dp_embedding_clusters")  # composition over LSH pairs — rows-only
+def _dp_embedding_clusters(spark, sf_dir):
+    """Semantic dedup: transitive clusters over embedding-cosine near-dup
+    pairs — the same components machinery the text path uses, applied to
+    the vector modality (pairs are hyperplane-bucket pruned, never
+    all-pairs; fixed seed keeps the run deterministic, but the bucket
+    boundary depends on numpy hyperplanes no SQL engine reproduces)."""
+    from victorialogs_spark.datapipe.clusters import dup_clusters
+    from victorialogs_spark.datapipe.similarity import embedding_near_dup_pairs
+
+    emb = _table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.5, n_planes=4
+    ).select("id_a", "id_b")
+    return dup_clusters(emb, "vec_id", pairs)
+
+
 _B4 = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
 
 
