@@ -698,3 +698,19 @@ def test_math_nan_and_overflow_no_ansi_crash(spark, logs):
     out = run_query(spark, logs, "* | math value / 0 as inf, 0 * 1e308 * 10 as big"
                     " | fields event_id, inf, big | limit 3")
     assert out.count() == 3  # executes without CAST_OVERFLOW
+
+
+def test_value_type_typed_column_is_storage_type(spark):
+    # typed columns: the Parquet physical type IS the stored type, so the
+    # filter is all-or-nothing per column (filter_value_type.go analog)
+    df = spark.createDataFrame(
+        [(1, 2.5, "abc")], "n long, x double, s string"
+    )
+    from victorialogs_spark.api import run_query
+
+    assert run_query(spark, df, "n:value_type(int64)").count() == 1
+    assert run_query(spark, df, "n:value_type(uint64)").count() == 1
+    assert run_query(spark, df, "n:value_type(float64)").count() == 0
+    assert run_query(spark, df, "x:value_type(float64)").count() == 1
+    assert run_query(spark, df, "x:value_type(int64)").count() == 0
+    assert run_query(spark, df, "s:value_type(string)").count() == 1

@@ -251,10 +251,33 @@ _TYPE_SNIFF = {
 }
 
 
+# Spark column dtype → the reference storage types it corresponds to
+# (values_encoder.go valueType*): a typed Parquet column IS the stored
+# type, which is exactly what value_type() introspects
+_DTYPE_VALUE_TYPES = {
+    "tinyint": {"uint8", "int64"},
+    "smallint": {"uint16", "int64"},
+    "int": {"uint32", "int64"},
+    "bigint": {"uint64", "int64"},
+    "long": {"uint64", "int64"},
+    "float": {"float64"},
+    "double": {"float64"},
+    "timestamp": {"iso8601"},
+    "timestamp_ntz": {"iso8601"},
+}
+
+
 def _value_type(df: DataFrame, field: str, vt: str) -> Column:
     """value_type(t) is storage introspection in the reference
-    (filter_value_type.go:14); Parquet has no per-block value types, so we
-    sniff the logical type of each value (diagnostic parity only)."""
+    (filter_value_type.go:14). For TYPED columns the Parquet physical
+    type IS the stored type, so the filter is a constant all-or-nothing
+    per column — the exact analog of the reference's per-block check
+    (our blocks are column chunks with one type each). For string
+    columns (the schema-less spill fields) we sniff the logical type of
+    each value — documented approximation."""
+    dt = dict(df.dtypes).get(field)
+    if dt is not None and dt != "string":
+        return F.lit(vt in _DTYPE_VALUE_TYPES.get(dt, set()))
     c = fcol(df, field)
     if vt == "string":
         return c != ""
