@@ -714,3 +714,16 @@ def test_value_type_typed_column_is_storage_type(spark):
     assert run_query(spark, df, "x:value_type(float64)").count() == 1
     assert run_query(spark, df, "x:value_type(int64)").count() == 0
     assert run_query(spark, df, "s:value_type(string)").count() == 1
+
+
+def test_value_type_typed_null_and_negative(spark):
+    from victorialogs_spark.api import run_query
+
+    df = spark.createDataFrame([(1,), (None,), (-5,)], "n long")
+    # NULL rows have no stored value -> never match; negatives are never
+    # stored as uint (values_encoder.go picks int64 for signed blocks)
+    assert run_query(spark, df, "n:value_type(int64)").count() == 2
+    assert run_query(spark, df, "n:value_type(uint64)").count() == 1
+    # unmapped typed dtypes fall back to the rendered-value sniff
+    dfb = spark.createDataFrame([(True,)], "b boolean")
+    assert run_query(spark, dfb, "b:value_type(string)").count() == 1

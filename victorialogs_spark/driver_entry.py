@@ -1245,12 +1245,11 @@ def _dp_embedding_clusters(spark, sf_dir):
     all-pairs; fixed seed keeps the run deterministic, but the bucket
     boundary depends on numpy hyperplanes no SQL engine reproduces)."""
     from victorialogs_spark.datapipe.clusters import dup_clusters
-    from victorialogs_spark.datapipe.similarity import embedding_near_dup_pairs
 
+    # reuse the registered near-dup entry so both benchmarks share ONE
+    # candidate-set definition (dim/threshold/n_planes tuned in one place)
     emb = _table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", dim=64, threshold=0.5, n_planes=4
-    ).select("id_a", "id_b")
+    pairs = _dp_embedding_near_dup(spark, sf_dir).select("id_a", "id_b")
     return dup_clusters(emb, "vec_id", pairs)
 
 

@@ -251,9 +251,11 @@ _TYPE_SNIFF = {
 }
 
 
-# Spark column dtype → the reference storage types it corresponds to
-# (values_encoder.go valueType*): a typed Parquet column IS the stored
-# type, which is exactly what value_type() introspects
+# Spark integer/float/timestamp dtype → the reference storage types it
+# can correspond to (values_encoder.go valueType*). uint* additionally
+# requires the VALUE to be non-negative (the reference only picks a
+# uint encoding when every value in the block is >= 0 — a signed column
+# holding -5 stores as int64, never uint32).
 _DTYPE_VALUE_TYPES = {
     "tinyint": {"uint8", "int64"},
     "smallint": {"uint16", "int64"},
@@ -269,15 +271,19 @@ _DTYPE_VALUE_TYPES = {
 
 def _value_type(df: DataFrame, field: str, vt: str) -> Column:
     """value_type(t) is storage introspection in the reference
-    (filter_value_type.go:14). For TYPED columns the Parquet physical
-    type IS the stored type, so the filter is a constant all-or-nothing
-    per column — the exact analog of the reference's per-block check
-    (our blocks are column chunks with one type each). For string
-    columns (the schema-less spill fields) we sniff the logical type of
-    each value — documented approximation."""
+    (filter_value_type.go:14). For typed columns WITH a storage-type
+    mapping, the Parquet physical type answers the question directly
+    (NULL rows never match — missing ≡ no stored type; uint* claims are
+    gated on the value being non-negative). Everything else — string
+    spill fields and unmapped dtypes (boolean, date, decimal) — sniffs
+    the logical type of the rendered value, the documented
+    approximation."""
     dt = dict(df.dtypes).get(field)
-    if dt is not None and dt != "string":
-        return F.lit(vt in _DTYPE_VALUE_TYPES.get(dt, set()))
+    if dt in _DTYPE_VALUE_TYPES:
+        ok = F.lit(vt in _DTYPE_VALUE_TYPES[dt]) & qcol(field).isNotNull()
+        if vt.startswith("uint"):
+            ok = ok & (qcol(field) >= 0)
+        return ok
     c = fcol(df, field)
     if vt == "string":
         return c != ""
