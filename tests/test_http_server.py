@@ -153,6 +153,60 @@ def test_tail_endpoint_streams(server):
     assert any(l["_msg"] == "tailed row" for l in lines)
 
 
+def test_protocol_insert_routes(server):
+    """The remaining /insert/* routes of app/vlinsert/main.go:63-85:
+    elasticsearch bulk, loki push, datadog, journald — each lands rows
+    queryable through the same select surface."""
+    bulk = (
+        '{"index":{"_index":"logs"}}\n'
+        '{"@timestamp":"2024-03-01T00:00:00Z","message":"es bulk row","svc":"es"}\n'
+    )
+    r = _post(server, "/insert/elasticsearch/_bulk", bulk.encode(), "application/json")
+    assert r.status == 200 and json.loads(r.read())["errors"] is False
+    assert b"es bulk row" in _get(
+        server, "/select/logsql/query?query=%22es%20bulk%20row%22"
+    ).read()
+
+    ver = json.loads(_get(server, "/insert/elasticsearch/").read())
+    assert "number" in ver["version"]  # exporter version probe
+
+    loki = json.dumps({
+        "streams": [{
+            "stream": {"job": "node"},
+            "values": [["1709251200000000000", "loki pushed row"]],
+        }]
+    }, indent=2)  # pretty-printed on purpose: body must not be line-split
+    r = _post(server, "/insert/loki/api/v1/push", loki.encode(), "application/json")
+    assert r.status == 204
+    assert b"loki pushed row" in _get(
+        server, "/select/logsql/query?query=%22loki%20pushed%20row%22"
+    ).read()
+
+    dd = json.dumps([{
+        "message": "datadog agent row",
+        "ddtags": "env:prod,team:core",
+        "hostname": "h1",
+        "service": "api",
+    }])
+    r = _post(server, "/insert/datadog/api/v2/logs", dd.encode(), "application/json")
+    assert r.status == 202
+    out = _get(
+        server, "/select/logsql/query?query=%22datadog%20agent%20row%22"
+    ).read()
+    assert b"datadog agent row" in out and b"prod" in out
+
+    jd = (
+        "MESSAGE=journald exported row\n"
+        "__REALTIME_TIMESTAMP=1709251200000000\n"
+        "PRIORITY=6\n"
+    )
+    r = _post(server, "/insert/journald", jd.encode(), "application/octet-stream")
+    assert r.status == 200
+    assert b"journald exported row" in _get(
+        server, "/select/logsql/query?query=%22journald%20exported%20row%22"
+    ).read()
+
+
 def test_bad_query_is_http_400(server):
     with pytest.raises(urllib.request.HTTPError) as ei:
         _get(server, "/select/logsql/query?query=" + urllib.request.quote("| |"))

@@ -69,6 +69,18 @@ class _State:
             )
 
 
+def _lines_df(
+    spark: SparkSession, body: bytes, split: bool = True
+) -> DataFrame:
+    """HTTP body → one-column text DataFrame (the shape every protocol
+    parser accepts). split=False keeps the body as ONE row — loki/datadog
+    bodies are a single JSON document (possibly pretty-printed across
+    lines) that the parser json.loads whole."""
+    text = body.decode("utf-8", "replace")
+    lines = (text.splitlines() or [""]) if split else [text]
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
 def _df_json_rows(df: DataFrame) -> str:
     rows = []
     for r in df.collect():
@@ -290,6 +302,51 @@ class _Handler(BaseHTTPRequestHandler):
                 stream_fields=[s for s in sf.split(",") if s] or None,
             )
             st.append(df)
+            return self._send(200, b"", "text/plain")
+        if path == "/insert/elasticsearch/_bulk":
+            # app/vlinsert/elasticsearch: bulk NDJSON, action lines skipped
+            from victorialogs_spark.sources.protocols import (
+                parse_elasticsearch_bulk,
+            )
+
+            st.append(
+                parse_elasticsearch_bulk(st.spark, _lines_df(st.spark, body))
+            )
+            # ES clients require a JSON ack with per-item status
+            return self._send(200, b'{"took":0,"errors":false,"items":[]}')
+        if path == "/insert/elasticsearch/":
+            # fake version probe answered like the reference so ES
+            # exporters accept the endpoint (elasticsearch.go TODO probe)
+            return self._send(
+                200, b'{"version":{"number":"8.9.0"}}', "application/json"
+            )
+        if path == "/insert/loki/api/v1/push":
+            from victorialogs_spark.sources.protocols import parse_loki_push
+
+            st.append(
+                parse_loki_push(st.spark, _lines_df(st.spark, body, split=False))
+            )
+            return self._send(204, b"", "text/plain")
+        if path == "/insert/datadog/api/v2/logs":
+            from victorialogs_spark.sources.protocols import (
+                parse_datadog_logs,
+            )
+
+            st.append(
+                parse_datadog_logs(
+                    st.spark, _lines_df(st.spark, body, split=False)
+                )
+            )
+            return self._send(202, b'{"status":"accepted"}')
+        if path == "/insert/journald":
+            from victorialogs_spark.sources.protocols import (
+                parse_journald_export,
+            )
+
+            blob = st.spark.createDataFrame(
+                [(body.decode("utf-8", "replace"),)], "value string"
+            )
+            st.append(parse_journald_export(st.spark, blob))
             return self._send(200, b"", "text/plain")
         if path == "/insert/opentelemetry/v1/logs":
             # protobuf ONLY, like the reference (opentelemetry.go:27)

@@ -351,14 +351,19 @@ def parse_syslog_lines(
 
 def parse_journald_export(
     spark: SparkSession,
-    path: str,
+    path_or_blobs,
     promote_keys: list[str] | None = None,
 ) -> DataFrame:
     """journald export format: KEY=value lines, blank line between entries;
     MESSAGE → _msg, __REALTIME_TIMESTAMP (µs) → _time
     (app/vlinsert/journald/journald.go:37,66). Reads whole files (entries
-    span lines) — one file per task, fine for export-style drops."""
-    rdd_like = spark.read.text(path, wholetext=True)
+    span lines) — one file per task, fine for export-style drops. Also
+    accepts a one-column DataFrame of whole export blobs (HTTP bodies)."""
+    rdd_like = (
+        spark.read.text(path_or_blobs, wholetext=True)
+        if isinstance(path_or_blobs, str)
+        else path_or_blobs
+    )
 
     def one(blob: str) -> list[dict]:
         out = []
