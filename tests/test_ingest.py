@@ -89,6 +89,54 @@ def test_streaming_ingest_retention_compaction(spark, tmp_path):
     assert spark.read.parquet(table).count() == 2
 
 
+def test_compaction_clusters_by_stream_and_time(spark, tmp_path):
+    """compact_day must produce files clustered (_stream_id, _time) —
+    the reference's one-stream-per-block layout (block.go:15-24) as
+    parquet row-group locality. Sortedness is the property row-group
+    min/max pruning rests on at scale; assert it directly on file bytes."""
+    indir = tmp_path / "in"
+    indir.mkdir()
+    table = str(tmp_path / "table")
+    rows = [
+        {
+            "_time": f"2024-01-05T0{h}:00:{s:02d}Z",
+            "_msg": f"m{h}{s}",
+            "app": app,
+        }
+        for s in range(10)
+        for h, app in ((1, "web"), (2, "db"), (3, "web"))
+    ]
+    # shuffled across several input files → unsorted multi-file day
+    for i in range(3):
+        _write_ndjson(indir / f"f{i}.ndjson", rows[i::3])
+    q = start_ndjson_ingest(
+        spark, str(indir), table, str(tmp_path / "ckpt"),
+        stream_fields=["app"], promote_keys=["_msg", "app"],
+    )
+    q.awaitTermination(60)
+    before = {(r["_stream_id"], r["_time"]) for r in
+              spark.read.parquet(table).select("_stream_id", "_time").collect()}
+    compact_day(spark, table, "20240105", target_files=1)
+    df = spark.read.parquet(table)
+    after = {(r["_stream_id"], r["_time"]) for r in
+             df.select("_stream_id", "_time").collect()}
+    assert after == before  # lossless rewrite
+
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    files = list((Path(table) / "_day=20240105").glob("*.parquet"))
+    assert len(files) == 1
+    t = pq.read_table(files[0], columns=["_stream_id", "_time"])
+    pairs = list(zip(t.column("_stream_id").to_pylist(),
+                     t.column("_time").to_pylist()))
+    assert pairs == sorted(pairs)  # physically clustered
+    # row-group statistics present for _stream_id → pruning-capable scan
+    md = pq.ParquetFile(files[0]).metadata
+    sid_idx = md.schema.names.index("_stream_id")
+    assert md.row_group(0).column(sid_idx).statistics is not None
+
+
 def test_can_live_tail_classification():
     assert can_live_tail(parse_query("error | fields _msg | extract 'a<x>b' from _msg"))
     assert not can_live_tail(parse_query("* | stats count() as c"))
