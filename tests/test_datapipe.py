@@ -458,3 +458,47 @@ def test_cosine_null_vectors_yield_null(spark):
             cosine_scores(df, "vec_id", "embedding", [1.0, 0.0]).collect()}
     assert rows[1] == 1.0 and rows[3] == 0.0
     assert rows[2] is None  # NULL, not NaN (NaN would pass >= thresholds)
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    from victorialogs_spark.datapipe.packing import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = shuffle_shards(df, "doc_id", seed=1).collect()
+    b = shuffle_shards(df.repartition(7), "doc_id", seed=1).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["shuffle_pos"]) for r in rows)
+    assert key(a) == key(b)  # partitioning-independent
+    # positions are dense 1..n per shard
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in a:
+        per[r["shard"]].append(r["shuffle_pos"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    # a different seed is a different permutation
+    c = shuffle_shards(df, "doc_id", seed=2).collect()
+    assert key(a) != key(c)
+
+
+def test_pack_sequences_budget_layout(spark):
+    from victorialogs_spark.datapipe.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 30 + (i * 17) % 90) for i in range(40)], "doc_id long, cost long"
+    )
+    out = pack_sequences(df, "doc_id", "cost", budget=100, seed=0).collect()
+    # reconstruct each shard's layout: offsets are consistent with a
+    # concatenate-then-cut of the deterministic order
+    from collections import defaultdict
+    shards = defaultdict(list)
+    for r in out:
+        shards[r["shard"]].append(r)
+    for rows in shards.values():
+        rows.sort(key=lambda r: (r["seq"], r["seq_offset"]))
+        run = 0
+        for r in rows:
+            assert r["seq"] == run // 100 and r["seq_offset"] == run % 100
+            run += r["cost"]
+    # every doc appears exactly once
+    assert sorted(r["doc_id"] for r in out) == list(range(40))
+    with __import__("pytest").raises(ValueError):
+        pack_sequences(df, "doc_id", "cost", budget=0)

@@ -1366,6 +1366,61 @@ def _dp_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "dp_shuffle_shards",
+    # deterministic corpus shuffle: md5(key || ':seed') orders rows,
+    # 2-hex-char prefix = shard, dense position per shard — shards in
+    # shard order reproduce the permutation (datapipe/packing.py)
+    "WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+    " md5(CAST(doc_id AS VARCHAR) || ':7') AS hh FROM documents)"
+    " SELECT doc_id, substr(hh, 1, 2) AS shard,"
+    " CAST(ROW_NUMBER() OVER (PARTITION BY substr(hh, 1, 2)"
+    " ORDER BY hh) AS BIGINT) AS shuffle_pos FROM h",
+)
+def _dp_shuffle_shards(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.packing import shuffle_shards
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", seed=7).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "shard",
+        F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
+    )
+
+
+@register(
+    "dp_pack_sequences",
+    # context-window packing: docs in deterministic shuffled order, cut
+    # into 512-cost-unit sequences per shard (cost = n_chars here);
+    # a doc belongs to the sequence its first unit lands in
+    "WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars,"
+    " md5(CAST(doc_id AS VARCHAR) || ':3') AS hh FROM documents),"
+    " s AS (SELECT doc_id, n_chars, substr(hh, 1, 2) AS shard,"
+    " SUM(n_chars) OVER (PARTITION BY substr(hh, 1, 2) ORDER BY hh"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS st"
+    " FROM h)"
+    " SELECT doc_id, shard, CAST(FLOOR(st / 512) AS BIGINT) AS seq,"
+    " CAST(st % 512 AS BIGINT) AS seq_offset,"
+    " CAST(n_chars AS BIGINT) AS n_chars FROM s",
+)
+def _dp_pack_sequences(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.packing import pack_sequences
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = pack_sequences(docs, "doc_id", "n_chars", budget=512, seed=3)
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "shard",
+        "seq",
+        "seq_offset",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@register(
     "dp_redact_pii",
     # the synthetic corpus carries no PII, so the entry constructs a row
     # with email/ipv4 shapes from typed columns and scrubs it; the same
@@ -1811,6 +1866,7 @@ _DRIVER_VERIFIED_R2_R3 = [
 # entries added in round 4 — never seen by any driver run; they go before
 # the round-2/3-era unverified block so a truncated run reaches them first
 _NEWEST_FIRST = [
+    "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
     "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5", "dp_curate",
     "dp_stream_neardup", "dp_decontaminate_ngrams",
