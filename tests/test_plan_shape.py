@@ -235,3 +235,21 @@ def test_day_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in scan and "_day" in scan
     # only 2 of the 5 day partitions are read
     assert out.select("_msg").rdd.getNumPartitions() <= 3
+
+
+def test_packing_has_no_global_sort(spark):
+    """shuffle_shards/pack_sequences must never collapse the corpus into a
+    single range partition (the 100 TB killer a global ORDER BY implies):
+    their windows partition by shard, so the only exchange is a hash
+    partitioning on shard."""
+    from victorialogs_spark.datapipe.packing import pack_sequences, shuffle_shards
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (
+        shuffle_shards(docs.select("doc_id"), "doc_id", seed=1),
+        pack_sequences(docs.select("doc_id", "n_chars"), "doc_id", "n_chars", 512),
+    ):
+        plan = plan_of(df)
+        assert "rangepartitioning" not in plan.lower()
+        assert "SinglePartition" not in plan
+        assert "hashpartitioning(shard" in plan
