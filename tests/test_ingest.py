@@ -257,3 +257,36 @@ def test_live_tail_query_without_time_column(spark, tmp_path):
     got = [r["_msg"] for r in tailer.poll_once()]
     assert got == ["fresh1"]
     assert tailer.poll_once() == []  # no re-delivery
+
+
+def test_ingest_jvm_path_parity(spark, tmp_path, monkeypatch):
+    """The JVM bulk-load path must produce the same flattened rows as the
+    mapInPandas path (modulo documented divergences: arrays re-serialize
+    from the inferred all-string type)."""
+    from victorialogs_spark.sources import ndjson as nd
+
+    rows = [
+        {"_time": "2024-01-01T00:00:01Z", "_msg": "hello", "app": "web",
+         "ctx": {"user": {"id": 7}, "ok": True}, "n": 29.27},
+        {"_time": "2024-01-02T00:00:02Z", "_msg": "bye", "app": "db"},
+        {"_time": "2024-01-02T00:00:03Z", "app": "db"},  # no _msg
+    ]
+    p = tmp_path / "in.ndjson"
+    _write_ndjson(p, rows)
+    with open(p, "a") as f:
+        f.write("{not json}\n")
+
+    jvm = nd.ingest_ndjson_jvm(spark, str(p), stream_fields=["app"])
+    pd_ = nd.ingest_ndjson_distributed(spark, str(p), stream_fields=["app"])
+    cols = sorted(set(jvm.columns) & set(pd_.columns) - {"_other"})
+    a = sorted(tuple(r[c] for c in cols) for r in jvm.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in pd_.collect())
+    assert a == b and len(a) == 3  # malformed line dropped on both paths
+    assert "_other" in jvm.columns  # spill map present (empty here)
+    assert all(r["_other"] == {} for r in jvm.collect())
+
+    # promote-cap overflow spills to _other instead of dropping data
+    monkeypatch.setattr(nd, "MAX_PROMOTED_COLS", 2)
+    capped = nd.ingest_ndjson_jvm(spark, str(p))
+    got = {r["_msg"]: r["_other"] for r in capped.collect()}
+    assert got["hello"].get("n") == "29.27"
