@@ -290,3 +290,30 @@ def test_ingest_jvm_path_parity(spark, tmp_path, monkeypatch):
     capped = nd.ingest_ndjson_jvm(spark, str(p))
     got = {r["_msg"]: r["_other"] for r in capped.collect()}
     assert got["hello"].get("n") == "29.27"
+
+
+def test_streaming_ingest_jvm_schema_path(spark, tmp_path):
+    """With a known json_schema, streaming micro-batches parse through the
+    from_json JVM path and land the same day-partitioned rows."""
+    indir = tmp_path / "in"
+    indir.mkdir()
+    table = str(tmp_path / "table")
+    _write_ndjson(indir / "a.ndjson", [
+        {"_time": "2024-01-01T10:00:00Z", "_msg": "m1", "app": "w",
+         "ctx": {"id": 5}},
+        {"_time": "2024-01-02T10:00:00Z", "_msg": "m2", "app": "x"},
+    ])
+    with open(indir / "a.ndjson", "a") as f:
+        f.write("{bad\n")
+    q = start_ndjson_ingest(
+        spark, str(indir), table, str(tmp_path / "ckpt"),
+        stream_fields=["app"],
+        json_schema="_time string, _msg string, app string, ctx struct<id:string>",
+    )
+    q.awaitTermination(60)
+    df = spark.read.parquet(table)
+    got = {r["_msg"]: r.asDict() for r in df.collect()}
+    assert set(got) == {"m1", "m2"}  # malformed line dropped
+    assert got["m1"]["ctx.id"] == "5"  # nested flattening intact
+    assert got["m1"]["_stream"] == '{app="w"}'
+    assert sorted(list_days(table)) == ["20240101", "20240102"]

@@ -180,6 +180,45 @@ def ingest_ndjson_jvm(
     beat per-row Python by an order of magnitude.
     """
     raw = spark.read.json(path, primitivesAsString=True, mode="DROPMALFORMED")
+    out = _flatten_promote_jvm(raw, time_field, msg_field, default_msg_value)
+    if stream_fields:
+        out = with_stream_id(
+            out, [f for f in stream_fields if f in out.columns]
+        )
+    return out
+
+
+def parse_json_lines_jvm(
+    lines: DataFrame,
+    schema: T.StructType | str,
+    time_field: str = "_time",
+    msg_field: str = "_msg",
+    default_msg_value: str = DEFAULT_MSG,
+) -> DataFrame:
+    """JVM parse of a text-lines DataFrame against a KNOWN schema via
+    ``from_json`` — works identically on batch and Structured Streaming
+    frames (no extra inference scan, no Python workers). Lines that don't
+    parse (from_json → NULL struct) are dropped, like DROPMALFORMED."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    parsed = lines.select(F.from_json(F.col("value"), schema).alias("__j"))
+    # PERMISSIVE from_json yields an ALL-NULL struct for malformed lines
+    # (not a NULL struct) — drop rows where no field parsed at all
+    any_field = F.lit(False)
+    for field in schema.fields:
+        any_field = any_field | F.col("__j").getField(field.name).isNotNull()
+    parsed = parsed.where(F.col("__j").isNotNull() & any_field).select("__j.*")
+    return _flatten_promote_jvm(parsed, time_field, msg_field, default_msg_value)
+
+
+def _flatten_promote_jvm(
+    raw: DataFrame,
+    time_field: str,
+    msg_field: str,
+    default_msg_value: str,
+) -> DataFrame:
+    """Shared tail of the JVM ingest paths: flatten the struct columns,
+    promote up to MAX_PROMOTED_COLS keys, spill the rest to _other."""
     flat = _flatten_schema_cols(raw.schema)
     flat.sort(key=lambda kv: kv[0])
     by_name = dict(flat)
@@ -211,12 +250,7 @@ def ingest_ndjson_jvm(
     else:
         spill = F.expr("cast(map() as map<string,string>)")
     cols.append(spill.alias("_other"))
-    out = with_event_time(raw.select(*cols))
-    if stream_fields:
-        out = with_stream_id(
-            out, [f for f in stream_fields if f in out.columns]
-        )
-    return out
+    return with_event_time(raw.select(*cols))
 
 
 def ingest_ndjson_distributed(
