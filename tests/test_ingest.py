@@ -317,3 +317,48 @@ def test_streaming_ingest_jvm_schema_path(spark, tmp_path):
     assert got["m1"]["ctx.id"] == "5"  # nested flattening intact
     assert got["m1"]["_stream"] == '{app="w"}'
     assert sorted(list_days(table)) == ["20240101", "20240102"]
+
+
+def test_compaction_value_type_specialization(spark, tmp_path):
+    """type_columns=True re-encodes uniformly-numeric string columns as
+    typed parquet (values_encoder.go:109-127 parity): query results are
+    unchanged and numeric range predicates push into the scan."""
+    from victorialogs_spark.api import run_query
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    table = str(tmp_path / "table")
+    _write_ndjson(indir / "a.ndjson", [
+        {"_time": "2024-01-07T00:00:00Z", "_msg": f"m{i}", "app": "w",
+         "code": str(200 + i % 3), "ratio": f"{i}.5", "name": f"u{i}",
+         "maybe": "" if i % 2 else str(i)}
+        for i in range(10)
+    ])
+    q = start_ndjson_ingest(
+        spark, str(indir), table, str(tmp_path / "ckpt"),
+        stream_fields=["app"],
+        promote_keys=["_msg", "app", "code", "ratio", "name", "maybe"],
+    )
+    q.awaitTermination(60)
+    want = {r["_msg"] for r in run_query(
+        spark, spark.read.parquet(table), "code:>=201 ratio:<7"
+    ).collect()}
+    compact_day(spark, table, "20240107", target_files=1, type_columns=True)
+    df = spark.read.parquet(table)
+    dtypes = dict(df.dtypes)
+    assert dtypes["code"] == "bigint" and dtypes["ratio"] == "double"
+    assert dtypes["maybe"] == "bigint"  # empties don't block typing
+    assert dtypes["name"] == "string"   # mixed content stays string
+    out = run_query(spark, df, "code:>=201 ratio:<7")
+    assert {r["_msg"] for r in out.collect()} == want
+    # the numeric range reached the parquet scan (formatted explain is
+    # untruncated, unlike executedPlan().toString())
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue().replace(" ", "")
+    assert "GreaterThanOrEqual(code,201)" in plan
+    assert "LessThan(ratio,7.0)" in plan

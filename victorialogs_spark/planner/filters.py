@@ -100,6 +100,8 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
             return fcol(df, f.field) != ""
         return fcol(df, f.field).rlike(f.pattern)
     if isinstance(f, A.FRange):
+        if dict(df.dtypes).get(f.field) in _INTEGRAL_TYPES:
+            return _int_range(df, f)
         n = num(df, f.field)
         lo = (n >= f.lo) if f.include_lo else (n > f.lo)
         hi = (n <= f.hi) if f.include_hi else (n < f.hi)
@@ -185,6 +187,37 @@ def _phrase(df: DataFrame, field: str, phrase: str, ci: bool) -> Column:
     if ci:
         return F.lower(c).rlike(phrase_regex(phrase.lower()))
     return c.rlike(phrase_regex(phrase))
+
+
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
+_LONG_MIN, _LONG_MAX = -(2**63), 2**63 - 1
+
+
+def _int_range(df: DataFrame, f: A.FRange) -> Column:
+    """Range filter on an INTEGRAL typed column: compare with integer
+    literals in the column's own type. The generic path casts the column
+    to double, which Catalyst cannot push into the Parquet scan — on a
+    typed log table that turns a row-group-pruned range into a full
+    column scan. Float bounds round to the equivalent integer bound
+    (n > 200.5 ≡ n >= 201); integers can't be NaN, so the double path's
+    NaN guard is unnecessary."""
+    import math
+
+    c = qcol(f.field)
+    cond = c.isNotNull()
+    if f.lo != float("-inf"):
+        lo_i = math.ceil(f.lo) if f.include_lo else math.floor(f.lo) + 1
+        if lo_i > _LONG_MAX:
+            return F.lit(False)
+        if lo_i > _LONG_MIN:
+            cond = cond & (c >= F.lit(max(lo_i, _LONG_MIN)))
+    if f.hi != float("inf"):
+        hi_i = math.floor(f.hi) if f.include_hi else math.ceil(f.hi) - 1
+        if hi_i < _LONG_MIN:
+            return F.lit(False)
+        if hi_i < _LONG_MAX:
+            cond = cond & (c <= F.lit(min(hi_i, _LONG_MAX)))
+    return cond
 
 
 def _time_range(df: DataFrame, lo_ns: int, hi_ns: int) -> Column:

@@ -18,7 +18,9 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from victorialogs_spark.functions.natural import qcol
 from victorialogs_spark.schema import with_day_partition, with_stream_id
 from victorialogs_spark.sources.ndjson import (
     parse_ndjson_lines,
@@ -113,8 +115,59 @@ def apply_retention(table_dir: str, keep_days_from: str) -> list[str]:
     return dropped
 
 
+def detect_value_types(df: DataFrame) -> dict[str, str]:
+    """Write-time value-type detection (the reference tries encodings per
+    column block, values_encoder.go:109-127): for each string column whose
+    non-empty values ALL parse as a number, return the narrowest Spark type
+    ('bigint' before 'double'). Engine-owned columns and the spill map are
+    never re-typed. One full aggregation pass over the frame — it must be
+    exhaustive, not sampled: a single unparseable value outside a sample
+    would silently become NULL in the typed rewrite.
+
+    Empty string ↔ NULL is the lossless part of the mapping (missing ≡
+    empty is the engine-wide rule, block.go:69-73); lexical forms are NOT
+    preserved ('1.50' reads back as '1.5'), same as the reference's float
+    re-encoding."""
+    skip = {"_msg", "_time", "_day", "_stream", "_stream_id", "_other", "tenant"}
+    cands = [
+        name
+        for name, dt in df.dtypes
+        if dt == "string" and name not in skip
+    ]
+    if not cands:
+        return {}
+    sample = df.select(cands)
+    aggs = []
+    for c in cands:
+        q = qcol(c)
+        nonempty = q.isNotNull() & (q != "")
+        aggs.append(F.count(F.when(nonempty, 1)).alias(f"n_{c}"))
+        aggs.append(
+            F.count(
+                F.when(nonempty & q.try_cast("bigint").isNotNull(), 1)
+            ).alias(f"l_{c}")
+        )
+        aggs.append(
+            F.count(
+                F.when(nonempty & q.try_cast("double").isNotNull(), 1)
+            ).alias(f"d_{c}")
+        )
+    row = sample.agg(*aggs).collect()[0]
+    out: dict[str, str] = {}
+    for c in cands:
+        n = row[f"n_{c}"]
+        if not n:
+            continue
+        if row[f"l_{c}"] == n:
+            out[c] = "bigint"
+        elif row[f"d_{c}"] == n:
+            out[c] = "double"
+    return out
+
+
 def compact_day(
-    spark: SparkSession, table_dir: str, day: str, target_files: int = 1
+    spark: SparkSession, table_dir: str, day: str, target_files: int = 1,
+    type_columns: bool = False,
 ) -> int:
     """Rewrite one day partition's files into ``target_files`` zstd files
     (the LSM small-parts → big-part merge, datadb.go:75-82). Returns the
@@ -129,9 +182,20 @@ def compact_day(
     `{app="x"} _time:5m` query from touching every row group of the day."""
     part = Path(table_dir) / f"_day={day}"
     files = [p for p in part.glob("*.parquet")]
-    if len(files) <= target_files:
+    if len(files) <= target_files and not type_columns:
         return len(files)
     df = spark.read.parquet(str(part))
+    if type_columns:
+        # the reference's per-block value-type specialization at merge
+        # time: uniformly-numeric string columns re-encode typed, so
+        # numeric range filters push into the parquet scan afterwards
+        for col, dt in detect_value_types(df).items():
+            df = df.withColumn(
+                col,
+                F.when(qcol(col) == "", None).otherwise(
+                    qcol(col).try_cast(dt)
+                ),
+            )
     tmp = str(part) + ".compact"
     sort_cols = [c for c in ("_stream_id", "_time") if c in df.columns]
     if sort_cols:
