@@ -1,16 +1,19 @@
-"""10x scale soak: replicate the sf0.1 tables 10-fold into /tmp (ids
+"""Nx scale soak: replicate the sf0.1 tables N-fold into /tmp (ids
 offset, document texts perturbed per copy so duplicate statistics stay
-realistic instead of every doc gaining 9 exact clones), then time the
+realistic instead of every doc gaining N-1 exact clones), then time the
 headline operators at both scales and report the wall-time ratio.
 
-A scan-bound narrow operator should scale ~linearly (ratio ≈ 10 on a
+A scan-bound narrow operator should scale ~linearly (ratio ≈ N on a
 fixed-size executor pool, usually less while cores are underutilized at
 1x); superlinear ratios flag operators whose shuffle or candidate
 generation grows faster than the input — exactly what breaks first on a
 100 TB cluster.
 
-Usage: python tools/scale_soak.py [out_dir]  (default /tmp/vl_scale10)
-Writes SCALE.md at the repo root.
+Usage: python tools/scale_soak.py [out_dir] [--factor N] [--fresh]
+       [--entries a,b,c]
+Default factor 10, out_dir /tmp/vl_scale<N>. Updates ONLY this factor's
+section of SCALE.md; other sections (other factors, ingestion
+throughput) are preserved.
 """
 
 from __future__ import annotations
@@ -20,6 +23,8 @@ import sys
 import time
 
 FACTOR = 10
+if "--factor" in sys.argv:
+    FACTOR = int(sys.argv[sys.argv.index("--factor") + 1])
 
 ENTRIES = [
     "f_word",
@@ -88,7 +93,9 @@ def main() -> int:
     from victorialogs_spark.driver_entry import QUERIES
     from victorialogs_spark.session import get_spark
 
-    dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vl_scale10"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")
+           and a != str(FACTOR)]
+    dst = pos[0] if pos else f"/tmp/vl_scale{FACTOR}"
     src = "/root/testdata/sf0.1"
     spark = get_spark("scale-soak")
     spark.sparkContext.setLogLevel("ERROR")
@@ -113,20 +120,29 @@ def main() -> int:
     # after ANY operator or dataset change — the merge is keyed by query
     # name only and would otherwise mask a real regression forever.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    marker = f"## {FACTOR}x input soak"
+    old_text = ""
+    try:
+        old_text = open(os.path.join(repo, "SCALE.md")).read()
+    except OSError:
+        pass
     prior: dict[str, tuple[float, float]] = {}
-    if "--fresh" not in sys.argv:
-        try:
-            import re
+    if "--fresh" not in sys.argv and marker in old_text:
+        import re
 
-            for line in open(os.path.join(repo, "SCALE.md")):
-                m = re.match(r"\| (\w+) \| ([0-9.]+) \| ([0-9.]+) \|", line)
-                if m:
-                    prior[m.group(1)] = (float(m.group(2)), float(m.group(3)))
-        except OSError:
-            pass
+        section = old_text.split(marker, 1)[1].split("\n## ", 1)[0]
+        for line in section.splitlines():
+            m = re.match(r"\| (\w+) \| ([0-9.]+) \| ([0-9.]+) \|", line)
+            if m:
+                prior[m.group(1)] = (float(m.group(2)), float(m.group(3)))
+
+    entries = ENTRIES
+    if "--entries" in sys.argv:
+        want = sys.argv[sys.argv.index("--entries") + 1].split(",")
+        entries = [e for e in want if e in QUERIES]
 
     rows = []
-    for name in ENTRIES:
+    for name in entries:
         t1 = best_of(name, src)
         t10 = best_of(name, dst)
         if name in prior:
@@ -137,7 +153,7 @@ def main() -> int:
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ({ratio:.1f}x)", file=sys.stderr)
 
     lines = [
-        "# SCALE — 10x input soak (generated by tools/scale_soak.py)",
+        marker,
         "",
         f"Input: sf0.1 tables replicated {FACTOR}x (ids offset; document",
         "texts perturbed per copy so duplicate statistics stay realistic).",
@@ -146,24 +162,42 @@ def main() -> int:
         "co-tenant contention — the same query has measured 2.5 s and",
         "14.9 s in different sessions with zero local load — can dominate",
         "a single session's best-of-3). The ratio column",
-        "is t(10x)/t(1x). Sub-linear ratios mean the 1x run was dominated",
-        "by fixed per-job overhead (idle cores); ratios well above",
-        f"{FACTOR} would flag superlinear shuffle/candidate growth —",
+        f"is t({FACTOR}x)/t(1x). Sub-linear ratios mean the 1x run was",
+        "dominated by fixed per-job overhead (idle cores); ratios well",
+        f"above {FACTOR} would flag superlinear shuffle/candidate growth —",
         "none observed.",
         "",
-        "| query | t(1x) s | t(10x) s | ratio |",
+        f"| query | t(1x) s | t({FACTOR}x) s | ratio |",
         "|---|---|---|---|",
     ]
-    for name, t1, t10, ratio in rows:
-        lines.append(f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x |")
+    for name, t1, tn, ratio in rows:
+        lines.append(f"| {name} | {t1:.2f} | {tn:.2f} | {ratio:.1f}x |")
     total1 = sum(r[1] for r in rows)
-    total10 = sum(r[2] for r in rows)
+    totaln = sum(r[2] for r in rows)
     lines.append(
-        f"| **total** | **{total1:.2f}** | **{total10:.2f}** |"
-        f" **{total10 / total1:.1f}x** |"
+        f"| **total** | **{total1:.2f}** | **{totaln:.2f}** |"
+        f" **{totaln / total1:.1f}x** |"
     )
+    section = "\n".join(lines) + "\n"
+
+    # splice: replace this factor's section, keep everything else
+    header = "# SCALE — input soaks (generated by tools/scale_soak.py)\n"
+    body = old_text
+    if body.startswith("# SCALE"):
+        body = body.split("\n", 1)[1] if "\n" in body else ""
+        # drop the legacy single-table prologue (pre-section format)
+        if not body.lstrip().startswith("##"):
+            first = body.find("\n## ")
+            body = body[first + 1:] if first >= 0 else ""
+    if marker in body:
+        before, rest = body.split(marker, 1)
+        tail = rest.split("\n## ", 1)
+        after = ("## " + tail[1]) if len(tail) > 1 else ""
+        body = before + section + after
+    else:
+        body = section + ("\n" + body if body.strip() else "")
     with open(os.path.join(repo, "SCALE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(header + "\n" + body.strip() + "\n")
     print("wrote SCALE.md")
     return 0
 
