@@ -42,9 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("command", choices=[
         "query", "hits", "facets", "field-names", "field-values",
         "streams", "stream-ids", "tail", "serve",
+        "ingest", "compact", "retention",
     ])
     ap.add_argument("arg", nargs="?", default="*",
-                    help="LogsQL query (or field name for field-values)")
+                    help="LogsQL query (or field name for field-values; "
+                         "NDJSON path for ingest; day/keep-from for "
+                         "compact/retention)")
     ap.add_argument("--table", required=True, help="parquet log-table path")
     ap.add_argument("--step", default="1h")
     ap.add_argument("--limit", type=int, default=0)
@@ -53,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--refresh", type=float, default=1.0)
     ap.add_argument("--port", type=int, default=9428,
                     help="serve: HTTP port (reference default 9428)")
+    ap.add_argument("--stream-fields", default="",
+                    help="ingest: comma-separated stream label fields")
+    ap.add_argument("--target-files", type=int, default=1,
+                    help="compact: files per day partition after rewrite")
+    ap.add_argument("--type-columns", action="store_true",
+                    help="compact: re-encode uniformly-numeric string "
+                         "columns as typed parquet")
     args = ap.parse_args(argv)
 
     from victorialogs_spark import endpoints as ep
@@ -61,6 +71,35 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("victorialogs-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.command == "ingest":
+        from victorialogs_spark.sources.ndjson import ingest_ndjson_jvm
+        from victorialogs_spark.streaming.ingest import append_day_partitioned
+
+        sf = [s for s in args.stream_fields.split(",") if s]
+        rows = ingest_ndjson_jvm(spark, args.arg, stream_fields=sf or None)
+        append_day_partitioned(rows, args.table)
+        sys.stderr.write(f"ingested {rows.count()} rows into {args.table}\n")
+        return 0
+    if args.command == "compact":
+        from victorialogs_spark.streaming.ingest import compact_day, list_days
+
+        days = [args.arg] if args.arg != "*" else list_days(args.table)
+        for day in days:
+            n = compact_day(
+                spark, args.table, day,
+                target_files=args.target_files,
+                type_columns=args.type_columns,
+            )
+            sys.stderr.write(f"compacted _day={day} ({n} files before)\n")
+        return 0
+    if args.command == "retention":
+        from victorialogs_spark.streaming.ingest import apply_retention
+
+        dropped = apply_retention(args.table, args.arg)
+        sys.stderr.write(f"dropped days: {dropped}\n")
+        return 0
+
     df = spark.read.parquet(args.table)
 
     if args.command == "query":

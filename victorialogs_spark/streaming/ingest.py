@@ -70,19 +70,7 @@ def start_ndjson_ingest(
             out = with_stream_id(
                 out, [f for f in stream_fields if f in out.columns]
             )
-        out = with_day_partition(out)
-        # cluster each micro-batch file by (stream, time) — small batches
-        # are re-clustered for real at compact_day time, but sorted
-        # appends mean even un-compacted days prune on stream filters
-        sort_cols = [c for c in ("_stream_id", "_time") if c in out.columns]
-        if sort_cols:
-            out = out.sortWithinPartitions(*sort_cols)
-        (
-            out.write.mode("append")
-            .option("compression", "zstd")
-            .partitionBy("_day")
-            .parquet(table_dir)
-        )
+        append_day_partitioned(out, table_dir)
 
     writer = lines.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -92,6 +80,23 @@ def start_ndjson_ingest(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def append_day_partitioned(df: DataFrame, table_dir: str) -> None:
+    """Append log rows into the day-partitioned table, clustered
+    (_stream_id, _time) within each file — small appended files are
+    re-clustered for real at compact_day time, but sorted appends mean
+    even un-compacted days prune on stream filters."""
+    out = df if "_day" in df.columns else with_day_partition(df)
+    sort_cols = [c for c in ("_stream_id", "_time") if c in out.columns]
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    (
+        out.write.mode("append")
+        .option("compression", "zstd")
+        .partitionBy("_day")
+        .parquet(table_dir)
+    )
 
 
 def list_days(table_dir: str) -> list[str]:
