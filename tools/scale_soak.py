@@ -93,8 +93,17 @@ def main() -> int:
     from victorialogs_spark.driver_entry import QUERIES
     from victorialogs_spark.session import get_spark
 
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")
-           and a != str(FACTOR)]
+    args = sys.argv[1:]
+    pos = []
+    skip = False
+    for i, a in enumerate(args):
+        if skip:
+            skip = False
+            continue
+        if a in ("--factor", "--entries"):
+            skip = True  # consumes a value
+        elif not a.startswith("--"):
+            pos.append(a)
     dst = pos[0] if pos else f"/tmp/vl_scale{FACTOR}"
     src = "/root/testdata/sf0.1"
     spark = get_spark("scale-soak")
