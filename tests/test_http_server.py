@@ -211,3 +211,52 @@ def test_bad_query_is_http_400(server):
     with pytest.raises(urllib.request.HTTPError) as ei:
         _get(server, "/select/logsql/query?query=" + urllib.request.quote("| |"))
     assert ei.value.code == 400
+
+
+def test_tenant_header_isolation(spark):
+    """AccountID/ProjectID headers select the tenant on BOTH paths
+    (tenant_id.go:74-84): rows ingested under a tenant are invisible to
+    other tenants' queries, and the default tenant is (0,0)."""
+    srv = serve(spark)
+    try:
+        def post_t(path, body, acct=None, proj=None):
+            headers = {"Content-Type": "text/plain"}
+            if acct is not None:
+                headers["AccountID"] = str(acct)
+            if proj is not None:
+                headers["ProjectID"] = str(proj)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}{path}", data=body,
+                headers=headers, method="POST",
+            )
+            return urllib.request.urlopen(req)
+
+        def get_t(path, acct=None, proj=None):
+            headers = {}
+            if acct is not None:
+                headers["AccountID"] = str(acct)
+            if proj is not None:
+                headers["ProjectID"] = str(proj)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}{path}", headers=headers
+            )
+            return urllib.request.urlopen(req)
+
+        row = {"_time": "2024-01-01T00:00:00Z", "_msg": "tenant one row", "app": "a"}
+        post_t("/insert/jsonline", json.dumps(row).encode(), acct=1, proj=7)
+        row2 = {"_time": "2024-01-01T00:00:00Z", "_msg": "default tenant row", "app": "a"}
+        post_t("/insert/jsonline", json.dumps(row2).encode())
+
+        out1 = get_t("/select/logsql/query?query=*", acct=1, proj=7).read()
+        assert b"tenant one row" in out1 and b"default tenant row" not in out1
+        out0 = get_t("/select/logsql/query?query=*").read()
+        assert b"default tenant row" in out0 and b"tenant one row" not in out0
+        # unknown tenant sees nothing
+        out9 = get_t("/select/logsql/query?query=*", acct=9).read()
+        assert out9 == b""
+        # malformed tenant header is a clean 400
+        with pytest.raises(urllib.request.HTTPError) as ei:
+            get_t("/select/logsql/query?query=*", acct="nope")
+        assert ei.value.code == 400
+    finally:
+        srv.stop()

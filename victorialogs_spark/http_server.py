@@ -118,6 +118,26 @@ class _Handler(BaseHTTPRequestHandler):
         vs = params.get(name)
         return vs[0] if vs else default
 
+    def _tenant(self) -> tuple[int, int]:
+        """(AccountID, ProjectID) request headers, defaulting to (0,0) —
+        the reference's GetTenantIDFromRequest (tenant_id.go:74-84)."""
+        def u32(name):
+            v = (self.headers.get(name) or "0").strip() or "0"
+            n = int(v)
+            if not 0 <= n < 2**32:
+                raise ValueError(f"{name} must be a uint32, got {v}")
+            return n
+
+        return u32("AccountID"), u32("ProjectID")
+
+    def _append(self, df: DataFrame) -> None:
+        """Stamp ingested rows with the request's tenant before they join
+        the shared frame — physical per-tenant grouping, like the
+        reference's per-tenant storage paths."""
+        from victorialogs_spark.schema import with_tenant
+
+        self.state.append(with_tenant(df, *self._tenant()))
+
     def _send(self, code: int, body: bytes, ctype: str = "application/json"):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
@@ -164,6 +184,13 @@ class _Handler(BaseHTTPRequestHandler):
     def _select(self, path: str, params):
         st = self.state
         spark, df = st.spark, st.df()
+        if "tenant" in df.columns:
+            # queries run over ONE tenant, chosen by the same headers as
+            # ingestion (reference: every /select handler resolves
+            # GetTenantIDFromRequest first)
+            from victorialogs_spark.schema import for_tenant
+
+            df = for_tenant(df, *self._tenant())
         q = self._get(params, "query", "*")
         start = _time_arg_ns(self._get(params, "start"), end=False)
         end = _time_arg_ns(self._get(params, "end"), end=True)
@@ -183,8 +210,15 @@ class _Handler(BaseHTTPRequestHandler):
             )
         if path == "/select/logsql/query":
             limit = int(self._get(params, "limit", "0"))
+            # the UNBOUNDED tenant frame: query_ndjson applies start/end
+            # itself (tenant filtering must still apply)
+            base = st.df()
+            if "tenant" in base.columns:
+                from victorialogs_spark.schema import for_tenant
+
+                base = for_tenant(base, *self._tenant())
             lines = ep.query_ndjson(
-                spark, st.df(), q, start_ns=start, end_ns=end,
+                spark, base, q, start_ns=start, end_ns=end,
                 extra_filters=params.get("extra_filters"),
                 extra_stream_filters=params.get("extra_stream_filters"),
             )
@@ -214,19 +248,28 @@ class _Handler(BaseHTTPRequestHandler):
 
             polls = int(self._get(params, "polls", "0")) or None
             refresh = float(self._get(params, "refresh", "1.0"))
-            if start is not None or end is not None:
-                # bound each poll's source like every other select
-                # endpoint (the lambda re-reads state, keeping liveness)
-                from victorialogs_spark.planner.filters import _time_range
+            from victorialogs_spark.planner.filters import _time_range
+            from victorialogs_spark.schema import for_tenant
 
-                lo = start if start is not None else -(2**62)
-                hi = end if end is not None else 2**62
+            lo = start if start is not None else None
+            hi = end if end is not None else None
+            acct, proj = self._tenant()
 
-                def _src():
-                    d = st.df()
-                    return d.where(_time_range(d, lo, hi))
-            else:
-                _src = st.df
+            def _src():
+                # the lambda re-reads state, keeping liveness; each poll
+                # re-applies the request's tenant + time bounds
+                d = st.df()
+                if "tenant" in d.columns:
+                    d = for_tenant(d, acct, proj)
+                if lo is not None or hi is not None:
+                    d = d.where(
+                        _time_range(
+                            d,
+                            lo if lo is not None else -(2**62),
+                            hi if hi is not None else 2**62,
+                        )
+                    )
+                return d
             tailer = LiveTailer(spark, _src, q, refresh_interval=refresh)
             self.send_response(200)
             self.send_header("Content-Type", "application/stream+json")
@@ -301,7 +344,7 @@ class _Handler(BaseHTTPRequestHandler):
                 msg_field=self._get(params, "_msg_field", "_msg"),
                 stream_fields=[s for s in sf.split(",") if s] or None,
             )
-            st.append(df)
+            self._append(df)
             return self._send(200, b"", "text/plain")
         if path == "/insert/elasticsearch/_bulk":
             # app/vlinsert/elasticsearch: bulk NDJSON, action lines skipped
@@ -309,7 +352,7 @@ class _Handler(BaseHTTPRequestHandler):
                 parse_elasticsearch_bulk,
             )
 
-            st.append(
+            self._append(
                 parse_elasticsearch_bulk(st.spark, _lines_df(st.spark, body))
             )
             # ES clients require a JSON ack with per-item status
@@ -323,7 +366,7 @@ class _Handler(BaseHTTPRequestHandler):
         if path == "/insert/loki/api/v1/push":
             from victorialogs_spark.sources.protocols import parse_loki_push
 
-            st.append(
+            self._append(
                 parse_loki_push(st.spark, _lines_df(st.spark, body, split=False))
             )
             return self._send(204, b"", "text/plain")
@@ -332,7 +375,7 @@ class _Handler(BaseHTTPRequestHandler):
                 parse_datadog_logs,
             )
 
-            st.append(
+            self._append(
                 parse_datadog_logs(
                     st.spark, _lines_df(st.spark, body, split=False)
                 )
@@ -346,7 +389,7 @@ class _Handler(BaseHTTPRequestHandler):
             blob = st.spark.createDataFrame(
                 [(body.decode("utf-8", "replace"),)], "value string"
             )
-            st.append(parse_journald_export(st.spark, blob))
+            self._append(parse_journald_export(st.spark, blob))
             return self._send(200, b"", "text/plain")
         if path == "/insert/opentelemetry/v1/logs":
             # protobuf ONLY, like the reference (opentelemetry.go:27)
@@ -358,7 +401,7 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             from victorialogs_spark.sources.protocols import parse_otlp_protobuf
 
-            st.append(parse_otlp_protobuf(st.spark, [body]))
+            self._append(parse_otlp_protobuf(st.spark, [body]))
             return self._send(200, b"", "text/plain")
         return self._send(404, b"unknown /insert path\n", "text/plain")
 
