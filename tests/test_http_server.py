@@ -260,3 +260,25 @@ def test_tenant_header_isolation(spark):
         assert ei.value.code == 400
     finally:
         srv.stop()
+
+
+def test_many_inserts_bounded_lineage(spark):
+    """Dozens of small inserts must not grow the query plan per-insert:
+    the state checkpoint truncates lineage, so analysis stays flat and
+    all rows survive."""
+    srv = serve(spark)
+    try:
+        for i in range(40):
+            _post(
+                srv, "/insert/jsonline",
+                json.dumps({"_time": "2024-01-01T00:00:00Z",
+                            "_msg": f"bulk {i}", "app": "a"}).encode(),
+            )
+        out = _get(srv, "/select/logsql/query?query=bulk").read()
+        assert len(out.splitlines()) == 40
+        plan = srv.state.df()._jdf.queryExecution().analyzed().toString()
+        # a checkpointed frame's plan is a scan of materialized rows, not
+        # a 40-deep union tree
+        assert plan.count("Union") < srv.state.CHECKPOINT_EVERY
+    finally:
+        srv.stop()

@@ -49,10 +49,17 @@ def _time_arg_ns(v: str | None, end: bool) -> int | None:
 
 
 class _State:
+    # every append adds a unionByName layer; past this depth the frame is
+    # localCheckpoint'ed so plan analysis stays O(1) per request instead
+    # of growing with ingest count (the same lineage rule iterative
+    # algorithms follow, datapipe/clusters.py)
+    CHECKPOINT_EVERY = 16
+
     def __init__(self, spark: SparkSession, logs: DataFrame | None):
         self.spark = spark
         self.logs = logs
         self.lock = threading.Lock()
+        self._depth = 0
 
     def df(self) -> DataFrame:
         with self.lock:
@@ -67,6 +74,10 @@ class _State:
                 if self.logs is None
                 else self.logs.unionByName(df, allowMissingColumns=True)
             )
+            self._depth += 1
+            if self._depth >= self.CHECKPOINT_EVERY:
+                self.logs = self.logs.localCheckpoint(eager=True)
+                self._depth = 0
 
 
 def _lines_df(
