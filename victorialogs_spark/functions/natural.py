@@ -58,9 +58,7 @@ def fcol(df: DataFrame, name: str) -> Column:
 # bit (double round-trips through its shortest repr; ints round to nearest
 # double either way). float (32-bit) is excluded: its decimal string
 # re-parses through double to a different value than a widening cast.
-_DIRECT_DOUBLE_TYPES = (
-    "double", "float", "int", "bigint", "smallint", "tinyint", "long"
-)
+_DIRECT_DOUBLE_TYPES = ("double", "int", "bigint", "smallint", "tinyint", "long")
 
 
 def num(df: DataFrame, name: str) -> Column:
