@@ -46,10 +46,15 @@ def test_ingest_then_query_matches_library(server, spark):
     assert r.status == 200
 
     got = _get(server, "/select/logsql/query?query=level:error").read()
+    # the facade scopes to the request's tenant and drops the identity
+    # column; mirror that projection for the byte-level comparison
+    base = server.state.df()
+    if "tenant" in base.columns:
+        base = base.where(base["tenant"] == "0:0").drop("tenant")
     want = (
         "".join(
             line + "\n"
-            for line in ep.query_ndjson(spark, server.state.df(), "level:error")
+            for line in ep.query_ndjson(spark, base, "level:error")
         )
     ).encode()
     assert got == want  # byte-identical to the library surface
@@ -280,5 +285,31 @@ def test_many_inserts_bounded_lineage(spark):
         # a checkpointed frame's plan is a scan of materialized rows, not
         # a 40-deep union tree
         assert plan.count("Union") < srv.state.CHECKPOINT_EVERY
+    finally:
+        srv.stop()
+
+
+def test_preloaded_table_survives_tenant_stamping(spark):
+    """A tenant-less preloaded table (cli serve --table DIR) belongs to
+    the default tenant: it must stay queryable after the first HTTP
+    insert introduces the tenant column, and the tenant column itself
+    never appears in wire output."""
+    pre = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "preloaded row", "a")],
+        "_time string, _msg string, app string",
+    ).withColumn("_time", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("_time"))
+    srv = serve(spark, pre)
+    try:
+        assert b"preloaded row" in _get(
+            srv, "/select/logsql/query?query=*"
+        ).read()
+        _post(srv, "/insert/jsonline", json.dumps(
+            {"_time": "2024-01-01T00:00:01Z", "_msg": "posted row", "app": "a"}
+        ).encode())
+        out = _get(srv, "/select/logsql/query?query=*").read()
+        assert b"preloaded row" in out and b"posted row" in out
+        assert b'"tenant"' not in out  # engine identity, not a log field
+        names = _get(srv, "/select/logsql/field_names?query=*").read()
+        assert b"tenant" not in names
     finally:
         srv.stop()

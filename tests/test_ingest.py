@@ -362,3 +362,20 @@ def test_compaction_value_type_specialization(spark, tmp_path):
     plan = buf.getvalue().replace(" ", "")
     assert "GreaterThanOrEqual(code,201)" in plan
     assert "LessThan(ratio,7.0)" in plan
+
+
+def test_jvm_schema_path_keeps_empty_objects(spark):
+    """'{}' is a VALID line (default-_msg row); only truly malformed
+    lines drop. A user field literally named _other lands in the spill
+    map instead of vanishing."""
+    from victorialogs_spark.sources.ndjson import parse_json_lines_jvm
+
+    lines = spark.createDataFrame(
+        [("{}",), ('{"_msg":"a","_other":"kept"}',), ("{bad",), ("",)],
+        "value string",
+    )
+    out = parse_json_lines_jvm(
+        lines, "_msg string, _other string"
+    ).collect()
+    assert len(out) == 2  # {} kept, {bad and blank dropped
+    assert any(r["_other"].get("_other") == "kept" for r in out)

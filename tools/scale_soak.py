@@ -161,6 +161,15 @@ def main() -> int:
         rows.append((name, t1, t10, ratio))
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ({ratio:.1f}x)", file=sys.stderr)
 
+    # an --entries subset run must not erase the other operators' prior
+    # rows from this factor's section — carry them over untouched
+    ran = {r[0] for r in rows}
+    for name, (p1, pn) in prior.items():
+        if name not in ran:
+            rows.append((name, p1, pn, pn / p1 if p1 > 0 else float("nan")))
+    order = {n: i for i, n in enumerate(ENTRIES)}
+    rows.sort(key=lambda r: order.get(r[0], len(ENTRIES)))
+
     lines = [
         marker,
         "",

@@ -79,23 +79,43 @@ def main(argv: list[str] | None = None) -> int:
         sf = [s for s in args.stream_fields.split(",") if s]
         rows = ingest_ndjson_jvm(spark, args.arg, stream_fields=sf or None)
         append_day_partitioned(rows, args.table)
-        sys.stderr.write(f"ingested {rows.count()} rows into {args.table}\n")
+        # count the WRITTEN table, not the ingest plan — re-executing the
+        # plan would re-run the whole parse (including inference scan)
+        n = spark.read.parquet(args.table).count()
+        sys.stderr.write(f"ingested into {args.table} ({n} rows total)\n")
         return 0
     if args.command == "compact":
-        from victorialogs_spark.streaming.ingest import compact_day, list_days
+        from victorialogs_spark.streaming.ingest import compact_day, compact_table
 
-        days = [args.arg] if args.arg != "*" else list_days(args.table)
-        for day in days:
-            n = compact_day(
-                spark, args.table, day,
+        if args.arg == "*":
+            # table-wide: one value-type detection for ALL days, keeping
+            # the physical schema uniform across the table
+            res = compact_table(
+                spark, args.table,
                 target_files=args.target_files,
                 type_columns=args.type_columns,
             )
-            sys.stderr.write(f"compacted _day={day} ({n} files before)\n")
+            for day, n in res.items():
+                sys.stderr.write(f"compacted _day={day} ({n} files before)\n")
+        else:
+            if args.type_columns:
+                sys.stderr.write(
+                    "warning: typing a single day can diverge from sibling"
+                    " days' schema; prefer compact '*' --type-columns\n"
+                )
+            n = compact_day(
+                spark, args.table, args.arg,
+                target_files=args.target_files,
+                type_columns=args.type_columns,
+            )
+            sys.stderr.write(f"compacted _day={args.arg} ({n} files before)\n")
         return 0
     if args.command == "retention":
         from victorialogs_spark.streaming.ingest import apply_retention
 
+        if args.arg == "*":
+            ap.error("retention requires an explicit keep-from day "
+                     "(YYYYMMDD); '*' would silently keep everything")
         dropped = apply_retention(args.table, args.arg)
         sys.stderr.write(f"dropped days: {dropped}\n")
         return 0

@@ -69,6 +69,18 @@ class _State:
 
     def append(self, df: DataFrame) -> None:
         with self.lock:
+            if (
+                self.logs is not None
+                and "tenant" in df.columns
+                and "tenant" not in self.logs.columns
+            ):
+                # a preloaded tenant-less table (cli serve --table DIR)
+                # belongs to the default tenant; stamping it BEFORE the
+                # union keeps it visible — a NULL tenant from
+                # allowMissingColumns would fail every tenant filter
+                from victorialogs_spark.schema import with_tenant
+
+                self.logs = with_tenant(self.logs, 0, 0)
             self.logs = (
                 df
                 if self.logs is None
@@ -198,10 +210,12 @@ class _Handler(BaseHTTPRequestHandler):
         if "tenant" in df.columns:
             # queries run over ONE tenant, chosen by the same headers as
             # ingestion (reference: every /select handler resolves
-            # GetTenantIDFromRequest first)
+            # GetTenantIDFromRequest first); the tenant column itself is
+            # engine identity, never a queryable log field — drop it so
+            # wire output and field listings match the reference
             from victorialogs_spark.schema import for_tenant
 
-            df = for_tenant(df, *self._tenant())
+            df = for_tenant(df, *self._tenant()).drop("tenant")
         q = self._get(params, "query", "*")
         start = _time_arg_ns(self._get(params, "start"), end=False)
         end = _time_arg_ns(self._get(params, "end"), end=True)
@@ -227,7 +241,7 @@ class _Handler(BaseHTTPRequestHandler):
             if "tenant" in base.columns:
                 from victorialogs_spark.schema import for_tenant
 
-                base = for_tenant(base, *self._tenant())
+                base = for_tenant(base, *self._tenant()).drop("tenant")
             lines = ep.query_ndjson(
                 spark, base, q, start_ns=start, end_ns=end,
                 extra_filters=params.get("extra_filters"),
@@ -271,7 +285,7 @@ class _Handler(BaseHTTPRequestHandler):
                 # re-applies the request's tenant + time bounds
                 d = st.df()
                 if "tenant" in d.columns:
-                    d = for_tenant(d, acct, proj)
+                    d = for_tenant(d, acct, proj).drop("tenant")
                 if lo is not None or hi is not None:
                     d = d.where(
                         _time_range(

@@ -201,13 +201,28 @@ def parse_json_lines_jvm(
     parse (from_json → NULL struct) are dropped, like DROPMALFORMED."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    parsed = lines.select(F.from_json(F.col("value"), schema).alias("__j"))
-    # PERMISSIVE from_json yields an ALL-NULL struct for malformed lines
-    # (not a NULL struct) — drop rows where no field parsed at all
-    any_field = F.lit(False)
-    for field in schema.fields:
-        any_field = any_field | F.col("__j").getField(field.name).isNotNull()
-    parsed = parsed.where(F.col("__j").isNotNull() & any_field).select("__j.*")
+    # PERMISSIVE from_json yields an ALL-NULL struct for malformed lines —
+    # indistinguishable from a VALID line none of whose fields appear
+    # (e.g. '{}', which must still become a default-_msg row). A corrupt-
+    # record column separates the two exactly.
+    corrupt = "_vl_corrupt"
+    while corrupt in schema.fieldNames():
+        corrupt += "_"
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt, T.StringType())])
+    parsed = lines.where(F.trim(F.col("value")) != "").select(
+        F.from_json(
+            F.col("value"), full,
+            {"columnNameOfCorruptRecord": corrupt},
+        ).alias("__j")
+    )
+    parsed = (
+        parsed.where(
+            F.col("__j").isNotNull()
+            & F.col("__j").getField(corrupt).isNull()
+        )
+        .select("__j.*")
+        .drop(corrupt)
+    )
     return _flatten_promote_jvm(parsed, time_field, msg_field, default_msg_value)
 
 
@@ -231,6 +246,10 @@ def _flatten_promote_jvm(
     ]
     promoted = user_cols[:MAX_PROMOTED_COLS]
     overflow = user_cols[MAX_PROMOTED_COLS:]
+    # a user field literally named _other can't be promoted (the name is
+    # engine-owned) but must not vanish either — it lives in the spill
+    # map under its own name, same as the mapInPandas path
+    overflow += [(k, v) for k, v in flat if k == "_other"]
     cols = [t_raw.alias("_time_raw")]
     cols.append(
         F.when(

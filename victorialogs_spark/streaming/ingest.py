@@ -173,6 +173,7 @@ def detect_value_types(df: DataFrame) -> dict[str, str]:
 def compact_day(
     spark: SparkSession, table_dir: str, day: str, target_files: int = 1,
     type_columns: bool = False,
+    value_types: dict[str, str] | None = None,
 ) -> int:
     """Rewrite one day partition's files into ``target_files`` zstd files
     (the LSM small-parts → big-part merge, datadb.go:75-82). Returns the
@@ -184,9 +185,19 @@ def compact_day(
     locality: stream filters skip row groups via column min/max stats and
     the `_stream_id` bloom filter written below, and `_time` ranges prune
     within a stream. At 100 TB this clustering is what keeps a
-    `{app="x"} _time:5m` query from touching every row group of the day."""
+    `{app="x"} _time:5m` query from touching every row group of the day.
+
+    type_columns=True additionally re-encodes uniformly-numeric string
+    columns typed (values_encoder.go:109-127 parity). IMPORTANT: typing
+    a single day can diverge from sibling days' physical schema, which
+    breaks cross-day reads — use :func:`compact_table` (one table-wide
+    detection, applied to every day) unless only one day exists, and
+    re-run it after appending string-typed micro-batches into a typed
+    day. ``value_types`` supplies a precomputed detection result."""
     part = Path(table_dir) / f"_day={day}"
     files = [p for p in part.glob("*.parquet")]
+    if not files:
+        return 0
     if len(files) <= target_files and not type_columns:
         return len(files)
     df = spark.read.parquet(str(part))
@@ -194,7 +205,15 @@ def compact_day(
         # the reference's per-block value-type specialization at merge
         # time: uniformly-numeric string columns re-encode typed, so
         # numeric range filters push into the parquet scan afterwards
-        for col, dt in detect_value_types(df).items():
+        str_cols = {name for name, dt in df.dtypes if dt == "string"}
+        types = (
+            {c: t for c, t in value_types.items() if c in str_cols}
+            if value_types is not None
+            else detect_value_types(df)
+        )
+        if not types and len(files) <= target_files:
+            return len(files)  # already typed + compacted: idempotent no-op
+        for col, dt in types.items():
             df = df.withColumn(
                 col,
                 F.when(qcol(col) == "", None).otherwise(
@@ -216,3 +235,29 @@ def compact_day(
     shutil.rmtree(part)
     Path(tmp).rename(part)
     return len(files)
+
+
+def compact_table(
+    spark: SparkSession, table_dir: str, target_files: int = 1,
+    type_columns: bool = False,
+) -> dict[str, int]:
+    """Compact every day partition. With type_columns=True, value types
+    are detected ONCE over the whole table and the same mapping applies
+    to every day, so all days agree on the physical schema (a per-day
+    detection could type a column in one day and not another, making
+    `spark.read.parquet(table)` fail on the mixed types)."""
+    value_types = None
+    if type_columns:
+        days = list_days(table_dir)
+        if not days:
+            return {}
+        value_types = detect_value_types(spark.read.parquet(table_dir))
+    return {
+        day: compact_day(
+            spark, table_dir, day,
+            target_files=target_files,
+            type_columns=type_columns,
+            value_types=value_types,
+        )
+        for day in list_days(table_dir)
+    }
