@@ -137,3 +137,24 @@ def test_gopher_flags_null_and_empty(spark):
     assert out[1]["gopher_pass"] is False
     assert out[2]["gopher_pass"] is False
     assert out[2]["mean_word_len"] is None
+
+
+def test_unigram_logprob_orders_gibberish_below_common_text(spark):
+    """Rare-token soup must score below text made of corpus-common
+    tokens; uniform corpora give every doc ln(tf/N) exactly."""
+    import math
+
+    from victorialogs_spark.datapipe.quality import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "zqxj vwpk grlm"),
+         (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            unigram_logprob(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}  # empty/null docs have no distribution
+    assert rows[3]["logprob"] < rows[1]["logprob"]  # gibberish scores lower
+    # 9 total tokens; 'zqxj vwpk grlm' are singletons: mean ln(1/9)
+    assert abs(rows[3]["logprob"] - math.log(1 / 9)) < 1e-6
+    assert rows[1]["n_tokens"] == 3

@@ -244,3 +244,61 @@ def gopher_quality_flags(
         stop_hits.alias("stopword_hits"),
         F.coalesce(gopher_pass, F.lit(False)).alias("gopher_pass"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, round_digits: int = 6
+) -> DataFrame:
+    """Corpus-relative unigram log-probability per document — the
+    perplexity-style quality signal (CCNet, Wenzek et al. 2020) with the
+    language model reduced to corpus unigram frequencies, so the whole
+    computation stays inside the engine: score(d) = mean over tokens t
+    of ln(freq(t) / N). Low scores flag gibberish / rare-token soup;
+    suspiciously high scores flag boilerplate.
+
+    Plan: one explode → token-frequency aggregate (hash shuffle on
+    token), one join back (token-partitioned, AQE-skew-safe — stop-word
+    tokens are the hot keys), one per-doc aggregate. No driver state, no
+    UDF; the frequency table lives in the shuffle, never on one node.
+
+    Determinism for cross-engine checking: per-token ln values round to
+    9 decimals and sum as decimal(38,9) — addition becomes exact and
+    order-independent, so any engine computing the same lns gets the
+    bit-identical mean, which then rounds to ``round_digits``.
+
+    Output: (<id_col>, n_tokens long, logprob double) — docs with no
+    tokens are absent (no tokens ⇒ no distribution).
+    """
+    from victorialogs_spark.datapipe.dedup import normalize_text
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), r"\s+")
+            ).alias("__tok"),
+        )
+        .where(F.col("__tok") != "")
+    )
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    total = freq.agg(F.sum("__tf").alias("__n"))
+    per_doc = (
+        toks.join(freq, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.round(F.log(F.col("__tf").cast("double")), 9)
+                .cast("decimal(38,9)")
+            ).alias("__sum_ln_tf"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("__sum_ln_tf").cast("double") / F.col("n_tokens")
+            - F.log(F.col("__n").cast("double")),
+            round_digits,
+        ).alias("logprob"),
+    )

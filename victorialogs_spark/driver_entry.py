@@ -1366,6 +1366,36 @@ def _dp_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "dp_unigram_logprob",
+    # corpus-relative unigram log-prob (perplexity-style filter):
+    # per-token lns round to 9dp and sum as DECIMAL(38,9) so the mean is
+    # exact + order-independent in any engine
+    f"WITH toks AS (SELECT doc_id, t AS tok FROM documents,"
+    f" UNNEST(regexp_split_to_array({_NORM}, '\\s+')) AS u(t)"
+    " WHERE t <> ''),"
+    " freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),"
+    " tot AS (SELECT COUNT(*) AS n FROM toks),"
+    " per AS (SELECT doc_id, COUNT(*) AS cnt,"
+    " SUM(CAST(ROUND(LN(CAST(tf AS DOUBLE)), 9) AS DECIMAL(38,9))) AS s"
+    " FROM toks JOIN freq USING (tok) GROUP BY doc_id)"
+    " SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(cnt AS BIGINT) AS n_tokens,"
+    " ROUND(CAST(s AS DOUBLE) / cnt - LN(CAST(n AS DOUBLE)), 6) AS logprob"
+    " FROM per, tot",
+)
+def _dp_unigram_logprob(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.quality import unigram_logprob
+
+    docs = _table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "n_tokens",
+        "logprob",
+    )
+
+
+@register(
     "dp_shuffle_shards",
     # deterministic corpus shuffle: md5(key || ':seed') orders rows,
     # 2-hex-char prefix = shard, dense position per shard — shards in
@@ -1866,7 +1896,7 @@ _DRIVER_VERIFIED_R2_R3 = [
 # entries added in round 4 — never seen by any driver run; they go before
 # the round-2/3-era unverified block so a truncated run reaches them first
 _NEWEST_FIRST = [
-    "dp_shuffle_shards", "dp_pack_sequences",
+    "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
     "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5", "dp_curate",
     "dp_stream_neardup", "dp_decontaminate_ngrams",
