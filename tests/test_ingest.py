@@ -379,3 +379,52 @@ def test_jvm_schema_path_keeps_empty_objects(spark):
     ).collect()
     assert len(out) == 2  # {} kept, {bad and blank dropped
     assert any(r["_other"].get("_other") == "kept" for r in out)
+
+
+def test_stream_stats_windowed(spark, tmp_path):
+    """Streaming stats_query_range: a LogsQL stats query runs as an
+    incrementally-maintained windowed aggregate, values matching the
+    batch planner on the same rows."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from victorialogs_spark.streaming.windowed import stream_stats
+
+    src = tmp_path / "ss_in"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("_time timestamp, _msg string, app string, v string")
+        .json(str(src))
+    )
+    agg = stream_stats(
+        stream, '* | stats by (app) count() as hits, sum(v) as total',
+        step="1 minute",
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory").queryName("ss_tbl").start()
+    )
+    try:
+        lines = [
+            {"_time": "2024-01-01T00:00:05.000Z", "_msg": "a", "app": "w", "v": "2"},
+            {"_time": "2024-01-01T00:00:30.000Z", "_msg": "b", "app": "w", "v": "3"},
+            {"_time": "2024-01-01T00:00:40.000Z", "_msg": "c", "app": "d", "v": "10"},
+            {"_time": "2024-01-01T00:01:10.000Z", "_msg": "d", "app": "w", "v": "5"},
+        ]
+        (src / "a.json").write_text("\n".join(_json.dumps(x) for x in lines))
+        q.processAllAvailable()
+        rows = spark.sql("select * from ss_tbl").collect()
+        got = {(r["window"].start.minute, r["app"]): (r["hits"], r["total"])
+               for r in rows}
+        assert got[(0, "w")] == (2, 5.0)
+        assert got[(0, "d")] == (1, 10.0)
+        assert got[(1, "w")] == (1, 5.0)
+    finally:
+        q.stop()
+
+    # unbounded-state functions refuse clearly
+    with _pytest.raises(ValueError, match="not streamable"):
+        stream_stats(stream, "* | stats count_uniq(app) as u")
+    with _pytest.raises(ValueError, match="stats by"):
+        stream_stats(stream, "* | sort by (_time)")
