@@ -38,6 +38,8 @@ HEADLINE = [
     "dp_cosine_threshold",   # exact cosine scan over embeddings
     "dp_repetition",         # narrow-map repetition quality signals
     "dp_dup_clusters",       # iterative connected-components clustering
+    "dp_unigram_logprob",    # token-freq aggregate + join-back scoring
+    "dp_pack_sequences",     # shard-windowed sequence packing
 ]
 
 

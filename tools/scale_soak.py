@@ -45,6 +45,8 @@ ENTRIES = [
     "dp_ngram_repetition",
     "dp_gopher_quality",
     "dp_dup_clusters",
+    "dp_unigram_logprob",
+    "dp_pack_sequences",
 ]
 
 TABLES = (

@@ -1818,11 +1818,10 @@ def _dp_cluster_dedup(spark, sf_dir):
     ).select("doc_id")
 
 
-@register(
-    "dp_curate",
-    # the END-TO-END curation pipeline: quality filter (language-agnostic
-    # rules) → transitive near-dup dedup over even-id docs → exact-content
-    # decontamination against the odd-id half as held-out
+# the END-TO-END curation pipeline: quality filter (language-agnostic
+# rules) → transitive near-dup dedup over even-id docs → exact-content
+# decontamination against the odd-id half as held-out
+_CURATE_SQL = (
     "WITH RECURSIVE"
     " base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),"
     " w AS (SELECT doc_id, text,"
@@ -1841,8 +1840,11 @@ def _dp_cluster_dedup(spark, sf_dir):
     f" {_NORM_NN}) AS fp FROM documents WHERE doc_id % 2 = 1)"
     " SELECT c.doc_id FROM comp c JOIN q USING (doc_id)"
     f" WHERE c.cluster = c.doc_id AND md5({_NORM_NN.replace('(text', '(q.text')})"
-    " NOT IN (SELECT fp FROM ho)",
+    " NOT IN (SELECT fp FROM ho)"
 )
+
+
+@register("dp_curate", _CURATE_SQL)
 def _dp_curate(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1855,6 +1857,45 @@ def _dp_curate(spark, sf_dir):
         train, "doc_id", "text", heldout=heldout,
         jaccard_n=5, jaccard_threshold=0.05,
     ).select("doc_id")
+
+
+@register(
+    "dp_curate_packed",
+    # the curated corpus laid out as training sequences: the dp_curate
+    # pipeline feeding pack_sequences (256-char budget, seed 3) — the
+    # full filter → dedup → decontaminate → shuffle → pack chain with
+    # one composed oracle
+    "WITH h AS (SELECT CAST(c.doc_id AS VARCHAR) AS doc_id, d.n_chars,"
+    " md5(CAST(c.doc_id AS VARCHAR) || ':3') AS hh"
+    f" FROM ({_CURATE_SQL}) c JOIN documents d USING (doc_id)),"
+    " s AS (SELECT doc_id, n_chars, substr(hh, 1, 2) AS shard,"
+    " SUM(n_chars) OVER (PARTITION BY substr(hh, 1, 2) ORDER BY hh"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS st"
+    " FROM h)"
+    " SELECT doc_id, shard, CAST(FLOOR(st / 256) AS BIGINT) AS seq,"
+    " CAST(st % 256 AS BIGINT) AS seq_offset FROM s",
+)
+def _dp_curate_packed(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.packing import pack_sequences
+    from victorialogs_spark.datapipe.pipeline import curate_corpus
+
+    docs = _spread(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    heldout = docs.where(F.col("doc_id") % 2 == 1)
+    cur = curate_corpus(
+        train, "doc_id", "text", heldout=heldout,
+        jaccard_n=5, jaccard_threshold=0.05,
+    )
+    out = pack_sequences(
+        cur.select("doc_id", "n_chars"), "doc_id", "n_chars",
+        budget=256, seed=3,
+    )
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "shard", "seq", "seq_offset",
+    )
 
 
 logsql(
@@ -1899,7 +1940,7 @@ _NEWEST_FIRST = [
     "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
     "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5", "dp_curate",
-    "dp_stream_neardup", "dp_decontaminate_ngrams",
+    "dp_stream_neardup", "dp_decontaminate_ngrams", "dp_curate_packed",
 ]
 
 
