@@ -502,3 +502,62 @@ def test_pack_sequences_budget_layout(spark):
     assert sorted(r["doc_id"] for r in out) == list(range(40))
     with __import__("pytest").raises(ValueError):
         pack_sequences(df, "doc_id", "cost", budget=0)
+
+
+def _make_ppm(w, h, fn):
+    rows = bytearray()
+    for y in range(h):
+        for x in range(w):
+            r, g, b = fn(x, y)
+            rows += bytes((r, g, b))
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(rows)
+
+
+def test_image_phash_robust_to_resize_and_noise(spark):
+    """pHash must be close across resolutions of the same scene, stable
+    under sparse pixel noise, and far from a different scene;
+    undecodable payloads yield NULL."""
+    import math
+
+    # textured multi-frequency scene in NORMALIZED coordinates, so a
+    # lower-resolution render really is the same image resized
+    def scene(u, v):
+        s = (math.sin(7 * u) + math.sin(5 * v)
+             + math.sin(11 * (u + v)) + math.sin(3 * u * v + 1))
+        return int((s + 4) / 8 * 255)
+
+    def tex(w, h):
+        return lambda x, y: (scene(x / w * 6, y / h * 6),) * 3
+
+    def tex_noisy(w, h):
+        base = tex(w, h)
+        return lambda x, y: (
+            (base(x, y)[0] + (4 if (x * 7 + y) % 13 == 0 else 0)) % 256,
+        ) * 3
+
+    def other(w, h):
+        return lambda x, y: (scene(x / w * 6 + 2, y / h * 6 + 3),) * 3
+
+    from victorialogs_spark.datapipe.multimodal import image_phash, phash_near_dups
+
+    df = spark.createDataFrame(
+        [
+            (1, _make_ppm(64, 48, tex(64, 48))),
+            (2, _make_ppm(32, 24, tex(32, 24))),       # same scene, half res
+            (3, _make_ppm(64, 48, tex_noisy(64, 48))),  # sparse pixel noise
+            (4, _make_ppm(64, 48, other(64, 48))),      # different scene
+            (5, b"not an image"),
+        ],
+        "asset_id long, payload binary",
+    )
+    hashes = {r["asset_id"]: r["phash"] for r in image_phash(df).collect()}
+    assert hashes[5] is None
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(hashes[1], hashes[2]) <= 4   # scale-robust
+    assert ham(hashes[1], hashes[3]) <= 4   # noise-robust
+    assert ham(hashes[1], hashes[4]) > 10   # different scene is far
+
+    pairs = {frozenset((r["id_a"], r["id_b"])) for r in
+             phash_near_dups(image_phash(df), max_distance=4).collect()}
+    assert frozenset((1, 2)) in pairs and frozenset((1, 3)) in pairs
+    assert not any(4 in p for p in pairs)

@@ -289,3 +289,112 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.transform(F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_ms)
         ).alias("frame_ts_ms"),
     )
+
+
+def image_phash(assets: DataFrame, id_col: str = "asset_id",
+                payload_col: str = "payload") -> DataFrame:
+    """64-bit perceptual hash (pHash) of BMP/PPM image payloads — the
+    image analog of text SimHash, robust to resizing and small pixel
+    noise: grayscale → 32×32 nearest-neighbor downsample → 2-D DCT-II
+    (one numpy matrix sandwich per image) → 8×8 low-frequency block →
+    bit per coefficient above the median (DC excluded).
+
+    One narrow Arrow map; undecodable payloads yield NULL. Output:
+    (<id_col>, phash long) — feed to :func:`phash_near_dups` for
+    blocked Hamming candidate pairs.
+    """
+    import numpy as np
+
+    def _dct_mat(n: int):
+        k = np.arange(n)
+        return np.cos(np.pi / n * (k[None, :] + 0.5) * k[:, None])
+
+    D32 = None  # built lazily inside workers
+
+    def _phash_one(payload) -> int | None:
+        nonlocal D32
+        import numpy as np
+
+        b = bytes(payload) if payload is not None else b""
+        try:
+            px = _stdlib_decode_pixels(b)
+        except Exception:
+            return None
+        if D32 is None:
+            D32 = _dct_mat(32)
+        gray = px.mean(axis=2)
+        # center-aligned bilinear resample to 32x32 (not nearest-neighbor
+        # sampling, whose grid-phase aliasing makes hashes differ between
+        # resolutions of the same scene; handles sources smaller than 32)
+        small = _bilinear_32(gray)
+        dct = D32 @ small @ D32.T
+        block = dct[:8, :8].flatten()
+        coeffs = block[1:]  # drop the DC term (overall brightness)
+        bits = coeffs > np.median(coeffs)
+        v = np.uint64(0)
+        for bit in bits:
+            v = (v << np.uint64(1)) | np.uint64(bool(bit))
+        return int(v.astype(np.int64))
+
+    def _batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col],
+                    "phash": pd.Series(
+                        [_phash_one(p) for p in pdf[payload_col]],
+                        dtype="object",
+                    ),
+                }
+            )
+
+    id_type = dict(assets.dtypes)[id_col]
+    out = assets.select(id_col, payload_col).mapInPandas(
+        _batches, f"__id {id_type}, phash long"
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
+def _bilinear_32(gray, n: int = 32):
+    """Center-aligned bilinear resample of a 2-D array to n×n."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = (np.arange(n) + 0.5) * h / n - 0.5
+    xs = (np.arange(n) + 0.5) * w / n - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    a = gray[np.ix_(y0, x0)]
+    b = gray[np.ix_(y0, x1)]
+    c = gray[np.ix_(y1, x0)]
+    d = gray[np.ix_(y1, x1)]
+    return a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
+
+
+def _stdlib_decode_pixels(b: bytes):
+    """BMP/PPM payload → HxWx3 uint8 pixels (raises on anything else)."""
+    if b[:2] == b"BM":
+        return _decode_bmp(b, 0)
+    if b[:2] == b"P6":
+        return _decode_ppm(b, 0)
+    raise ValueError("not a decodable image")
+
+
+def phash_near_dups(hashes: DataFrame, id_col: str = "asset_id",
+                    max_distance: int = 3) -> DataFrame:
+    """Near-duplicate image candidates: the same pigeonhole 16-bit-chunk
+    blocking + JVM bit_count Hamming verify the text SimHash path uses
+    (dedup.hamming_near_dups) — identical scale story, no all-pairs."""
+    from victorialogs_spark.datapipe.dedup import hamming_near_dups
+
+    renamed = hashes.where(F.col("phash").isNotNull()).withColumnRenamed(
+        "phash", "simhash"
+    )
+    out = hamming_near_dups(renamed, id_col, max_distance=max_distance)
+    return out
