@@ -561,3 +561,19 @@ def test_image_phash_robust_to_resize_and_noise(spark):
              phash_near_dups(image_phash(df), max_distance=4).collect()}
     assert frozenset((1, 2)) in pairs and frozenset((1, 3)) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_simhash_md5_variant_mirrors_production_semantics(spark, docs):
+    """The oracle variant must agree with production simhash on the
+    relations that define the semantics: same token multiset → same
+    hash; empty docs absent."""
+    from victorialogs_spark.datapipe.dedup import simhash_md5_bitstring
+
+    bits = {r["doc_id"]: r["simhash_bits"]
+            for r in simhash_md5_bitstring(docs, "doc_id", "text").collect()}
+    assert bits[0] == bits[1]  # dup after case/whitespace normalization
+    assert len(bits[0]) == 64 and set(bits[0]) <= {"0", "1"}
+    assert bits[0] != bits[3]  # different content
+    # near-dup (one word changed) is closer than unrelated content
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(bits[0], bits[2]) < ham(bits[0], bits[3])

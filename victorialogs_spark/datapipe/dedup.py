@@ -710,3 +710,42 @@ def minhash_near_dups_md5(
         .where(F.col("est_jaccard") >= threshold)
         .distinct()
     )
+
+
+def simhash_md5_bitstring(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Oracle-checkable SimHash variant: identical tokenization and
+    per-bit-vote semantics to :func:`simhash`, with the token hash
+    switched from SipHash to md5 (reproducible in any SQL engine) and
+    the output emitted as an MSB-first 64-char '0'/'1' bitstring (no
+    signed-overflow trap in either engine). Pins the semantics the
+    production vectorized simhash shares — same role dp_minhash_md5
+    plays for the MinHash pipeline. Docs with zero tokens are absent
+    (no votes → no hash).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def _bits(s):
+        out = []
+        for text in s.tolist():
+            toks = (text or "").lower().split()
+            if not toks:
+                out.append(None)
+                continue
+            votes = [0] * 64
+            for t in toks:
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for b in range(64):
+                    votes[b] += 1 if (h >> (63 - b)) & 1 else -1
+            out.append("".join("1" if v > 0 else "0" for v in votes))
+        return pd.Series(out, dtype="object")
+
+    _bits.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_bits, "string")
+    return (
+        df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash_bits"))
+        .where(F.col("simhash_bits").isNotNull())
+    )

@@ -1366,6 +1366,36 @@ def _dp_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "dp_simhash_md5",
+    # oracle-checked SimHash variant (md5 token hash, bitstring output):
+    # bit b of a token's hash = bit (7-b%8) of md5 byte b//8, per-bit
+    # vote summed over the token MULTISET, '1' iff the vote is positive
+    "WITH toks AS (SELECT doc_id, t FROM documents,"
+    " UNNEST(string_split_regex(lower(text), '\\s+')) AS u(t)"
+    " WHERE t <> ''),"
+    " tb AS (SELECT doc_id, b, CASE WHEN"
+    " ((16 * (strpos('0123456789abcdef', substr(md5(t), 1 + 2*(b // 8), 1)) - 1)"
+    "  + (strpos('0123456789abcdef', substr(md5(t), 2 + 2*(b // 8), 1)) - 1))"
+    "  // CAST(POW(2, 7 - (b % 8)) AS BIGINT)) % 2 = 1"
+    " THEN 1 ELSE -1 END AS v"
+    " FROM toks, UNNEST(range(64)) AS u(b)),"
+    " agg AS (SELECT doc_id, b, SUM(v) AS sv FROM tb GROUP BY 1, 2)"
+    " SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+    " string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY b)"
+    " AS simhash_bits FROM agg GROUP BY doc_id",
+)
+def _dp_simhash_md5(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.dedup import simhash_md5_bitstring
+
+    docs = _spread(spark, sf_dir, "documents")
+    return simhash_md5_bitstring(docs, "doc_id", "text").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "simhash_bits"
+    )
+
+
+@register(
     "dp_unigram_logprob",
     # corpus-relative unigram log-prob (perplexity-style filter):
     # per-token lns round to 9dp and sum as DECIMAL(38,9) so the mean is
@@ -1937,7 +1967,7 @@ _DRIVER_VERIFIED_R2_R3 = [
 # entries added in round 4 — never seen by any driver run; they go before
 # the round-2/3-era unverified block so a truncated run reaches them first
 _NEWEST_FIRST = [
-    "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
+    "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
     "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5", "dp_curate",
     "dp_stream_neardup", "dp_decontaminate_ngrams", "dp_curate_packed",
