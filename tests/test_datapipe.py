@@ -577,3 +577,70 @@ def test_simhash_md5_variant_mirrors_production_semantics(spark, docs):
     # near-dup (one word changed) is closer than unrelated content
     ham = lambda a, b: sum(x != y for x, y in zip(a, b))
     assert ham(bits[0], bits[2]) < ham(bits[0], bits[3])
+
+
+def _make_wav(rate, seconds, tones, amp=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(rate * seconds)
+    frames = bytearray()
+    for i in range(n):
+        t = i / rate
+        v = sum(math.sin(2 * math.pi * f * t) for f in tones) / len(tones)
+        frames += struct.pack("<h", int(v * amp * 32767))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_invariances(spark):
+    """The spectral fingerprint must be identical under amplitude scaling,
+    close under resampling of the same signal, and far for different
+    spectral content; non-WAV payloads yield NULL."""
+    from victorialogs_spark.datapipe.multimodal import audio_fingerprint
+
+    sweep = [(440, 880), (523, 1046), (659, 1318), (440, 523)]
+
+    def seq(rate, amp=0.5):
+        import io
+        import wave
+
+        parts = [
+            _make_wav(rate, 0.25, tones, amp)
+            for tones in sweep
+        ]
+        # concatenate the pcm of the four segments into one wav
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            for p in parts:
+                with wave.open(io.BytesIO(p)) as r:
+                    w.writeframes(r.readframes(r.getnframes()))
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [
+            (1, seq(8000)),
+            (2, seq(8000, amp=0.1)),   # same signal, quieter
+            (3, seq(16000)),           # same signal, resampled
+            (4, seq(8000)[::-1]),      # garbage bytes
+            (5, _make_wav(8000, 1.0, (3000, 3500))),  # different spectrum
+        ],
+        "asset_id long, payload binary",
+    )
+    fps = {r["asset_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert fps[4] is None
+    # amplitude scaling only perturbs via int16 quantization noise
+    assert ham(fps[1], fps[2]) <= 6
+    assert ham(fps[1], fps[3]) <= 6    # resample-robust
+    assert ham(fps[1], fps[5]) > 10    # different content is far

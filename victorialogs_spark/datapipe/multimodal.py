@@ -398,3 +398,96 @@ def phash_near_dups(hashes: DataFrame, id_col: str = "asset_id",
     )
     out = hamming_near_dups(renamed, id_col, max_distance=max_distance)
     return out
+
+
+def _wav_pcm(payload: bytes):
+    """WAV payload → (mono float64 pcm in [-1,1], sample_rate)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        rate, nframes, width = w.getframerate(), w.getnframes(), w.getsampwidth()
+        nch = w.getnchannels()
+        raw = w.readframes(nframes)
+    if width == 2:
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        pcm = pcm[: len(pcm) // nch * nch].reshape(-1, nch).mean(axis=1)
+    return pcm, rate
+
+
+def audio_fingerprint(assets: DataFrame, id_col: str = "asset_id",
+                      payload_col: str = "payload",
+                      n_frames: int = 16, n_bands: int = 5) -> DataFrame:
+    """64-bit spectral fingerprint of WAV payloads — the audio analog of
+    :func:`image_phash`, after Haitsma–Kalker (2002): the signal is cut
+    into ``n_frames`` fixed TIME-FRACTION windows (so duration/sample-
+    rate changes align), each window's FFT magnitude folds into
+    ``n_bands`` log-spaced frequency bands measured in ABSOLUTE Hz
+    (scale-invariant), and bit (frame, band) = band energy increased
+    vs the previous frame. (n_frames-1) * (n_bands-1) = 60 bits, packed
+    MSB-first into a signed long; amplitude-robust by construction
+    (per-frame normalized energies compare, never absolute levels —
+    int16 quantization noise can still flip bits whose band difference
+    sits near zero).
+
+    One narrow Arrow map; undecodable payloads yield NULL. Feed to
+    :func:`phash_near_dups` (rename the column) or dedup.
+    hamming_near_dups for blocked near-dup candidates.
+    """
+    import numpy as np
+
+    def _fp_one(payload) -> int | None:
+        b = bytes(payload) if payload is not None else b""
+        try:
+            pcm, rate = _wav_pcm(b)
+        except Exception:
+            return None
+        if len(pcm) < n_frames * 2 or rate <= 0:
+            return None
+        # log-spaced band edges in Hz, clipped to Nyquist
+        hi = min(4000.0, rate / 2.0)
+        edges = np.geomspace(100.0, hi, n_bands + 1)
+        frames = np.array_split(pcm, n_frames)
+        energies = np.empty((n_frames, n_bands))
+        for i, fr in enumerate(frames):
+            mag = np.abs(np.fft.rfft(fr))
+            freqs = np.fft.rfftfreq(len(fr), d=1.0 / rate)
+            for j in range(n_bands):
+                sel = (freqs >= edges[j]) & (freqs < edges[j + 1])
+                energies[i, j] = float((mag[sel] ** 2).sum())
+        # normalize per frame: amplitude scaling cancels entirely
+        tot = energies.sum(axis=1, keepdims=True)
+        tot[tot == 0] = 1.0
+        energies /= tot
+        diff = np.diff(energies, axis=0)        # frame-to-frame change
+        bits = (np.diff(diff, axis=1) > 0)      # band-to-band difference
+        v = 0
+        for bit in bits.flatten():
+            v = (v << 1) | int(bool(bit))
+        return v
+
+    def _batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col],
+                    "afp": pd.Series(
+                        [_fp_one(p) for p in pdf[payload_col]], dtype="object"
+                    ),
+                }
+            )
+
+    id_type = dict(assets.dtypes)[id_col]
+    out = assets.select(id_col, payload_col).mapInPandas(
+        _batches, f"__id {id_type}, afp long"
+    )
+    return out.withColumnRenamed("__id", id_col)
