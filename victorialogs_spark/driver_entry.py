@@ -1365,6 +1365,68 @@ def _dp_stratified_sample(spark, sf_dir):
     )
 
 
+@register("dp_image_phash")  # rows-only: 2-D DCT isn't SQL-reproducible
+def _dp_image_phash(spark, sf_dir):
+    """Deterministic P6 payloads rendered from document text (24x24 RGB =
+    1728 bytes of rpad'ed text), hashed with the DCT perceptual hash —
+    drives the real decode→resample→DCT path on the driver's corpus."""
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.multimodal import image_phash
+
+    docs = _table(spark, sf_dir, "documents")
+    body = F.encode(
+        F.substring(F.rpad(F.coalesce(F.col("text"), F.lit("")), 1728, "x"), 1, 1728),
+        "UTF-8",
+    )
+    assets = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit(b"P6\n24 24\n255\n"), body).alias("payload"),
+    )
+    return image_phash(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "phash"
+    )
+
+
+@register("dp_audio_fingerprint")  # rows-only: FFT isn't SQL-reproducible
+def _dp_audio_fingerprint(spark, sf_dir):
+    """Deterministic WAV payloads synthesized from document text (each
+    byte = one int16 sample, 8 kHz mono), run through the spectral
+    fingerprint — drives the real WAV decode→FFT→band-vote path."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.multimodal import audio_fingerprint
+
+    def _wav(s):
+        out = []
+        for text in s.tolist():
+            data = ((text or "").encode("utf-8", "replace") * 40)[:4000]
+            pcm = b"".join(
+                struct.pack("<h", (b - 128) * 200) for b in data
+            )
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(pcm)
+            out.append(buf.getvalue())
+        return pd.Series(out, dtype="object")
+
+    _wav.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    wav_udf = F.pandas_udf(_wav, "binary")
+    docs = _table(spark, sf_dir, "documents")
+    assets = docs.select("doc_id", wav_udf(F.col("text")).alias("payload"))
+    return audio_fingerprint(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "afp"
+    )
+
+
 @register(
     "dp_simhash_md5",
     # oracle-checked SimHash variant (md5 token hash, bitstring output):
@@ -1967,7 +2029,7 @@ _DRIVER_VERIFIED_R2_R3 = [
 # entries added in round 4 — never seen by any driver run; they go before
 # the round-2/3-era unverified block so a truncated run reaches them first
 _NEWEST_FIRST = [
-    "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
+    "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
     "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5", "dp_curate",
     "dp_stream_neardup", "dp_decontaminate_ngrams", "dp_curate_packed",
