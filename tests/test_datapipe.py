@@ -70,9 +70,12 @@ def test_simhash_and_hamming(spark, docs):
     sh = simhash(docs, "doc_id", "text")
     vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
     assert vals[0] == vals[1]  # same token multiset → identical simhash
-    out = hamming_near_dups(sh, "doc_id", max_distance=16)
+    out = hamming_near_dups(sh, "doc_id", max_distance=7)
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
     assert pairs[(0, 1)] == 0
+    # radii beyond the pigeonhole guarantee are rejected, not silently lossy
+    with pytest.raises(ValueError, match="max_distance"):
+        hamming_near_dups(sh, "doc_id", max_distance=16)
 
 
 def test_text_stats_and_quality(spark, docs):

@@ -551,18 +551,31 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def hamming_near_dups(sim: DataFrame, id_col: str, max_distance: int = 3) -> DataFrame:
-    """SimHash near-dup candidates: block on 4×16-bit chunks (any identical
-    chunk ⇒ candidate when distance ≤ 4 by pigeonhole), verify Hamming
-    distance JVM-side via bit_count(xor)."""
+    """SimHash near-dup candidates: block on equal-width bit chunks (by
+    pigeonhole, c chunks guarantee a shared chunk for any pair with
+    distance ≤ c-1), verify Hamming distance JVM-side via
+    bit_count(xor). Chunk width adapts to the requested distance:
+    4×16-bit for d ≤ 3, 8×8-bit for d ≤ 7 (more candidates per bucket —
+    the standard recall/candidate tradeoff); d > 7 would need 4-bit
+    buckets whose collision rate defeats the blocking, so it's
+    rejected."""
+    if max_distance > 7:
+        raise ValueError(
+            "hamming_near_dups blocking supports max_distance <= 7; "
+            "larger radii need a different candidate structure"
+        )
+    n_chunks = 4 if max_distance <= 3 else 8
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk"),
-                F.shiftright(F.col("simhash").cast("long"), i * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(F.col("simhash").cast("long"), i * width)
+                .bitwiseAND(F.lit(mask))
                 .alias("val"),
             )
-            for i in range(4)
+            for i in range(n_chunks)
         ]
     )
     blocked = sim.select(
@@ -715,9 +728,11 @@ def minhash_near_dups_md5(
 def simhash_md5_bitstring(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """Oracle-checkable SimHash variant: identical tokenization and
-    per-bit-vote semantics to :func:`simhash`, with the token hash
-    switched from SipHash to md5 (reproducible in any SQL engine) and
+    """Oracle-checkable SimHash variant: the per-bit-vote semantics of
+    :func:`simhash` with the token hash switched from SipHash to md5
+    (reproducible in any SQL engine), tokenization on ASCII whitespace
+    (matching the SQL mirror's '\\s+'; production simhash's Python
+    .split() additionally breaks on Unicode whitespace), and
     the output emitted as an MSB-first 64-char '0'/'1' bitstring (no
     signed-overflow trap in either engine). Pins the semantics the
     production vectorized simhash shares — same role dp_minhash_md5
@@ -728,10 +743,18 @@ def simhash_md5_bitstring(
 
     import pandas as pd
 
+    import re as _re
+
+    # ASCII \s only: Python str.split() breaks on Unicode whitespace
+    # (\xa0,  , ...) that RE2/Java '\s+' does NOT — the same
+    # cross-engine trap py_normalize_text documents. The oracle splits
+    # with '\s+', so this side must match it exactly.
+    _ws = _re.compile(r"[ \t\n\r\f\v]+")
+
     def _bits(s):
         out = []
         for text in s.tolist():
-            toks = (text or "").lower().split()
+            toks = [t for t in _ws.split((text or "").lower()) if t]
             if not toks:
                 out.append(None)
                 continue

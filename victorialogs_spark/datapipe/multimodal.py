@@ -293,11 +293,12 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def image_phash(assets: DataFrame, id_col: str = "asset_id",
                 payload_col: str = "payload") -> DataFrame:
-    """64-bit perceptual hash (pHash) of BMP/PPM image payloads — the
-    image analog of text SimHash, robust to resizing and small pixel
-    noise: grayscale → 32×32 nearest-neighbor downsample → 2-D DCT-II
+    """Perceptual hash (pHash) of BMP/PPM image payloads — the image
+    analog of text SimHash, robust to resizing and small pixel noise:
+    grayscale → center-aligned bilinear resample to 32×32 → 2-D DCT-II
     (one numpy matrix sandwich per image) → 8×8 low-frequency block →
-    bit per coefficient above the median (DC excluded).
+    bit per coefficient above the median, DC excluded (63 significant
+    bits in the returned long).
 
     One narrow Arrow map; undecodable payloads yield NULL. Output:
     (<id_col>, phash long) — feed to :func:`phash_near_dups` for
@@ -451,8 +452,12 @@ def audio_fingerprint(assets: DataFrame, id_col: str = "asset_id",
             return None
         if len(pcm) < n_frames * 2 or rate <= 0:
             return None
-        # log-spaced band edges in Hz, clipped to Nyquist
+        # log-spaced band edges in Hz, clipped to Nyquist; a Nyquist at
+        # or below the lowest band edge would make every band empty and
+        # hash ALL such files to 0 — degenerate input, not a fingerprint
         hi = min(4000.0, rate / 2.0)
+        if hi <= 110.0:
+            return None
         edges = np.geomspace(100.0, hi, n_bands + 1)
         frames = np.array_split(pcm, n_frames)
         energies = np.empty((n_frames, n_bands))

@@ -280,7 +280,10 @@ def unigram_logprob(
         )
         .where(F.col("__tok") != "")
     )
-    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    # freq feeds TWO plan branches (the join back and the corpus total);
+    # without a cache each branch re-scans and re-explodes the whole
+    # corpus — the same multi-branch rule curate_corpus documents
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__tf")).cache()
     total = freq.agg(F.sum("__tf").alias("__n"))
     per_doc = (
         toks.join(freq, "__tok")

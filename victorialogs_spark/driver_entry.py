@@ -1374,7 +1374,7 @@ def _dp_image_phash(spark, sf_dir):
 
     from victorialogs_spark.datapipe.multimodal import image_phash
 
-    docs = _table(spark, sf_dir, "documents")
+    docs = _spread(spark, sf_dir, "documents")
     body = F.encode(
         F.substring(F.rpad(F.coalesce(F.col("text"), F.lit("")), 1728, "x"), 1, 1728),
         "UTF-8",
@@ -1420,7 +1420,7 @@ def _dp_audio_fingerprint(spark, sf_dir):
 
     _wav.__annotations__ = {"s": pd.Series, "return": pd.Series}
     wav_udf = F.pandas_udf(_wav, "binary")
-    docs = _table(spark, sf_dir, "documents")
+    docs = _spread(spark, sf_dir, "documents")
     assets = docs.select("doc_id", wav_udf(F.col("text")).alias("payload"))
     return audio_fingerprint(assets, "doc_id").select(
         F.col("doc_id").cast("string").alias("doc_id"), "afp"
@@ -2029,10 +2029,10 @@ _DRIVER_VERIFIED_R2_R3 = [
 # entries added in round 4 — never seen by any driver run; they go before
 # the round-2/3-era unverified block so a truncated run reaches them first
 _NEWEST_FIRST = [
-    "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
+    "dp_curate_packed", "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
     "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5", "dp_curate",
-    "dp_stream_neardup", "dp_decontaminate_ngrams", "dp_curate_packed",
+    "dp_stream_neardup", "dp_decontaminate_ngrams",
 ]
 
 
