@@ -647,3 +647,30 @@ def test_audio_fingerprint_invariances(spark):
     assert ham(fps[1], fps[2]) <= 6
     assert ham(fps[1], fps[3]) <= 6    # resample-robust
     assert ham(fps[1], fps[5]) > 10    # different content is far
+
+
+def test_pca_reduction_preserves_cluster_structure(spark, vecs):
+    """PCA to 3 dims must keep the 3-centroid structure (intra-cluster
+    distances << inter-cluster), be deterministic across partitionings,
+    and NULL out malformed vectors."""
+    import math
+
+    from victorialogs_spark.datapipe.similarity import pca_fit, pca_transform
+
+    mean, comps = pca_fit(vecs, "embedding", k=3)
+    assert len(comps) == 3 and all(len(c) == 16 for c in comps)
+    mean2, comps2 = pca_fit(vecs.repartition(7), "embedding", k=3)
+    for a, b in zip(sum(comps, []), sum(comps2, [])):
+        assert abs(a - b) < 1e-9  # partitioning-independent fit
+
+    red = {r["vec_id"]: r["reduced"]
+           for r in pca_transform(vecs, "vec_id", "embedding", mean, comps).collect()}
+    dist = lambda a, b: math.dist(red[a], red[b])
+    intra = max(dist(0, 1), dist(20, 21), dist(40, 41))
+    inter = min(dist(0, 20), dist(0, 40), dist(20, 40))
+    assert intra < inter  # clusters survive the projection
+
+    bad = spark.createDataFrame([(99, [1.0, 2.0])],
+                                "vec_id long, embedding array<float>")
+    out = pca_transform(bad, "vec_id", "embedding", mean, comps).collect()
+    assert out[0]["reduced"] is None  # wrong dim → NULL, not a crash

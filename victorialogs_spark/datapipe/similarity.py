@@ -360,3 +360,99 @@ def ivf_topk(
     cells = [int(c) for c in order]
     cand = with_ivf_cell(df, vec_col, centroids).where(F.col("cell").isin(cells))
     return brute_force_topk(cand.drop("cell"), id_col, vec_col, query, k)
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str, k: int, dim: int | None = None
+) -> tuple[list[float], list[list[float]]]:
+    """Fit a k-component PCA over an embedding column — the standard
+    dimensionality-reduction step before ANN indexing at scale.
+
+    Distributed moment accumulation: each Arrow batch reduces to
+    (count, Σv, ΣvvT) inside a mapInPandas partial (d² floats per
+    partition, NEVER per row — a posexplode pair formulation would ship
+    d² values for every vector), the per-partition partials sum on the
+    driver (numPartitions × d² — bounded), and the d×d eigensolve runs
+    in numpy. Sign convention: each component's largest-|coefficient|
+    entry is positive, so results are deterministic across runs.
+
+    Returns (mean, components) where components is k rows of length d,
+    ordered by descending explained variance.
+    """
+    import numpy as np
+
+    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError("pca_fit: no non-null vectors")
+    d = dim or len(first[0])
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+
+    def _moments(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vs = [v for v in pdf[vec_col] if v is not None and len(v) == d]
+            if not vs:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            yield pd.DataFrame(
+                {
+                    "n": [len(vs)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).flatten().tolist()],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        _moments, "n long, s array<double>, ss array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("pca_fit: no valid vectors of the expected dim")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    ss = np.sum([np.asarray(p["ss"]) for p in parts], axis=0).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k x d
+    for i in range(k):  # deterministic sign
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean.tolist(), comps.tolist()
+
+
+def pca_transform(
+    df: DataFrame, id_col: str, vec_col: str,
+    mean: list[float], components: list[list[float]],
+) -> DataFrame:
+    """Project vectors onto fitted PCA components: one numpy matmul per
+    Arrow batch (the fitted model broadcasts inside the UDF closure —
+    k×d floats, trivially serializable). NULL/mismatched vectors yield
+    NULL. Output: (<id_col>, reduced array<double> of length k)."""
+    import numpy as np
+
+    mu = np.asarray(mean, dtype=np.float64)
+    W = np.asarray(components, dtype=np.float64)  # k x d
+    d = W.shape[1]
+
+    def _project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for v in pdf[vec_col]:
+                if v is None or len(v) != d:
+                    out.append(None)
+                else:
+                    out.append(
+                        (W @ (np.asarray(v, np.float64) - mu)).tolist()
+                    )
+            yield pd.DataFrame({"__id": pdf[id_col], "reduced": pd.Series(out, dtype="object")})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        _project, f"__id {id_type}, reduced array<double>"
+    ).withColumnRenamed("__id", id_col)

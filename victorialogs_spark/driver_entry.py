@@ -1365,6 +1365,36 @@ def _dp_stratified_sample(spark, sf_dir):
     )
 
 
+@register("dp_pca_topk")  # rows-only: the eigensolve isn't SQL-reproducible
+def _dp_pca_topk(spark, sf_dir):
+    """PCA 64→8 dims fitted on the corpus (distributed moment partials,
+    driver eigensolve) then exact nearest-neighbors to vector 0 in the
+    REDUCED space — the reduce-then-index shape an ANN pipeline uses."""
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.similarity import pca_fit, pca_transform
+
+    emb = _table(spark, sf_dir, "embeddings")
+    mean, comps = pca_fit(emb, "embedding", k=8)
+    red = pca_transform(emb, "vec_id", "embedding", mean, comps)
+    q = red.where(F.col("vec_id") == 0).first()["reduced"]
+    qarr = F.array(*[F.lit(float(v)) for v in q])
+    d2 = F.aggregate(
+        F.zip_with(F.col("reduced"), qarr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        red.where(F.col("reduced").isNotNull())
+        .select(
+            F.col("vec_id").cast("string").alias("vec_id"),
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
+
+
 @register("dp_image_phash")  # rows-only: 2-D DCT isn't SQL-reproducible
 def _dp_image_phash(spark, sf_dir):
     """Deterministic P6 payloads rendered from document text (24x24 RGB =
@@ -2029,7 +2059,7 @@ _DRIVER_VERIFIED_R2_R3 = [
 # entries added in round 4 — never seen by any driver run; they go before
 # the round-2/3-era unverified block so a truncated run reaches them first
 _NEWEST_FIRST = [
-    "dp_curate_packed", "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
+    "dp_curate_packed", "dp_pca_topk", "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
     "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5", "dp_curate",
     "dp_stream_neardup", "dp_decontaminate_ngrams",
