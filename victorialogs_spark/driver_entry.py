@@ -1365,6 +1365,64 @@ def _dp_stratified_sample(spark, sf_dir):
     )
 
 
+@register(
+    "dp_stream_stats",
+    # one availableNow pass of the streaming windowed stats ≡ the batch
+    # tumbling-window aggregate (decimal-accumulated sum on both sides)
+    "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,"
+    f" event_type, COUNT(*) AS hits, {dsum('value')} AS total"
+    " FROM events GROUP BY 1, 2",
+)
+def _dp_stream_stats(spark, sf_dir):
+    """Streaming LogsQL stats (stream_stats) checked against the batch
+    semantics: over a bounded source the watermarked hourly windows
+    equal a plain tumbling-window GROUP BY."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.streaming.windowed import stream_stats
+
+    name = "sstats_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="vl_sstats_")
+    # the streaming parquet reader hands TIMESTAMP(NANOS) over as a µs
+    # timestamp when the declared schema says so (unlike the batch
+    # reader, which needs the nanosAsLong detour in schema.load_table)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .parquet(f"{sf_dir}/events.*")
+        .withColumn("_time", F.col("ts"))
+    )
+    agg = stream_stats(
+        stream,
+        "* | stats by (event_type) count() as hits, sum(value) as total",
+        step="1 hour",
+        watermark="365 days",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("dp_stream_stats: stream did not finish in 300s")
+    out = spark.table(name)
+    return out.select(
+        F.col("window.start").alias("wstart"),
+        "event_type",
+        F.col("hits").cast("long").alias("hits"),
+        "total",
+    )
+
+
 @register("dp_pca_topk")  # rows-only: the eigensolve isn't SQL-reproducible
 def _dp_pca_topk(spark, sf_dir):
     """PCA 64→8 dims fitted on the corpus (distributed moment partials,
@@ -2059,7 +2117,7 @@ _DRIVER_VERIFIED_R2_R3 = [
 # entries added in round 4 — never seen by any driver run; they go before
 # the round-2/3-era unverified block so a truncated run reaches them first
 _NEWEST_FIRST = [
-    "dp_curate_packed", "dp_pca_topk", "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
+    "dp_curate_packed", "dp_stream_stats", "dp_pca_topk", "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
     "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5", "dp_curate",
     "dp_stream_neardup", "dp_decontaminate_ngrams",
