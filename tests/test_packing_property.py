@@ -1,0 +1,62 @@
+"""Property tests: the packing/shuffle layout invariants hold for
+arbitrary corpora — every doc appears exactly once, per-shard positions
+are dense, and the concatenate-then-cut layout reconstructs exactly from
+(seq, seq_offset) regardless of costs, seeds, or partitioning."""
+
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from victorialogs_spark.datapipe.packing import pack_sequences, shuffle_shards
+
+corpora = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**9),  # doc id
+        st.integers(min_value=0, max_value=5000),   # cost (0 allowed)
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpora, seed=st.integers(min_value=0, max_value=3),
+       budget=st.sampled_from([1, 7, 100]))
+def test_pack_sequences_layout_invariants(spark, rows, seed, budget):
+    df = spark.createDataFrame(rows, "doc_id long, cost long")
+    out = pack_sequences(df, "doc_id", "cost", budget=budget, seed=seed).collect()
+    # every doc exactly once
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+    shards = defaultdict(list)
+    for r in out:
+        shards[r["shard"]].append(r)
+    for rs in shards.values():
+        rs.sort(key=lambda r: (r["seq"], r["seq_offset"], r["doc_id"]))
+        run = 0
+        for r in rs:
+            assert r["seq"] == run // budget
+            assert r["seq_offset"] == run % budget
+            run += r["cost"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpora, seed=st.integers(min_value=0, max_value=3))
+def test_shuffle_shards_is_a_dense_permutation(spark, rows, seed):
+    df = spark.createDataFrame(rows, "doc_id long, cost long")
+    out = shuffle_shards(df, "doc_id", seed=seed).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+    per = defaultdict(list)
+    for r in out:
+        per[r["shard"]].append(r["shuffle_pos"])
+    for pos in per.values():
+        assert sorted(pos) == list(range(1, len(pos) + 1))
