@@ -660,8 +660,8 @@ def test_pca_reduction_preserves_cluster_structure(spark, vecs):
     mean, comps = pca_fit(vecs, "embedding", k=3)
     assert len(comps) == 3 and all(len(c) == 16 for c in comps)
     mean2, comps2 = pca_fit(vecs.repartition(7), "embedding", k=3)
-    for a, b in zip(sum(comps, []), sum(comps2, [])):
-        assert abs(a - b) < 1e-9  # partitioning-independent fit
+    for a, b in zip(sum(comps, []) + mean, sum(comps2, []) + mean2):
+        assert abs(a - b) < 1e-9  # partitioning-independent fit (mean too)
 
     red = {r["vec_id"]: r["reduced"]
            for r in pca_transform(vecs, "vec_id", "embedding", mean, comps).collect()}
@@ -674,3 +674,9 @@ def test_pca_reduction_preserves_cluster_structure(spark, vecs):
                                 "vec_id long, embedding array<float>")
     out = pca_transform(bad, "vec_id", "embedding", mean, comps).collect()
     assert out[0]["reduced"] is None  # wrong dim → NULL, not a crash
+
+    # a stray truncated vector must not poison dimension inference,
+    # whichever partition it lands in
+    poisoned = vecs.unionByName(bad).repartition(1)
+    mean3, comps3 = pca_fit(poisoned, "embedding", k=3)
+    assert len(comps3[0]) == 16  # majority dimension wins

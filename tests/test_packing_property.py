@@ -29,6 +29,8 @@ corpora = st.lists(
 @given(rows=corpora, seed=st.integers(min_value=0, max_value=3),
        budget=st.sampled_from([1, 7, 100]))
 def test_pack_sequences_layout_invariants(spark, rows, seed, budget):
+    import hashlib
+
     df = spark.createDataFrame(rows, "doc_id long, cost long")
     out = pack_sequences(df, "doc_id", "cost", budget=budget, seed=seed).collect()
     # every doc exactly once
@@ -36,8 +38,12 @@ def test_pack_sequences_layout_invariants(spark, rows, seed, budget):
     shards = defaultdict(list)
     for r in out:
         shards[r["shard"]].append(r)
+    # replay in the operator's ACTUAL layout order — the md5 hash order —
+    # not a (seq, seq_offset) tiebreak: zero-cost docs share offsets, and
+    # an offset-based replay would misattribute their positions
+    h = lambda i: hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
     for rs in shards.values():
-        rs.sort(key=lambda r: (r["seq"], r["seq_offset"], r["doc_id"]))
+        rs.sort(key=lambda r: (h(r["doc_id"]), r["doc_id"]))
         run = 0
         for r in rs:
             assert r["seq"] == run // budget

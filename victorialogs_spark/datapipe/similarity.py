@@ -378,40 +378,58 @@ def pca_fit(
 
     Returns (mean, components) where components is k rows of length d,
     ordered by descending explained variance.
+
+    When ``dim`` is not given, per-dimension moment partials come back
+    for EVERY vector length in the data and the majority dimension wins
+    — one stray truncated vector cannot poison the fit the way trusting
+    an arbitrary first() row would (partition order decides which row
+    that is).
     """
     import numpy as np
-
-    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
-    if first is None:
-        raise ValueError("pca_fit: no non-null vectors")
-    d = dim or len(first[0])
-    if not 1 <= k <= d:
-        raise ValueError(f"k must be in [1, {d}], got {k}")
 
     def _moments(batches):
         import pandas as pd
 
         for pdf in batches:
-            vs = [v for v in pdf[vec_col] if v is not None and len(v) == d]
-            if not vs:
-                continue
-            X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-            yield pd.DataFrame(
-                {
-                    "n": [len(vs)],
-                    "s": [X.sum(axis=0).tolist()],
-                    "ss": [(X.T @ X).flatten().tolist()],
-                }
-            )
+            by_dim: dict[int, list] = {}
+            for v in pdf[vec_col]:
+                if v is not None and len(v) > 0:
+                    by_dim.setdefault(len(v), []).append(v)
+            if dim is not None:
+                by_dim = {dim: by_dim.get(dim, [])}
+            rows = []
+            for d_, vs in by_dim.items():
+                if not vs:
+                    continue
+                X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+                rows.append(
+                    {
+                        "d": d_,
+                        "n": len(vs),
+                        "s": X.sum(axis=0).tolist(),
+                        "ss": (X.T @ X).flatten().tolist(),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
 
     parts = df.select(vec_col).mapInPandas(
-        _moments, "n long, s array<double>, ss array<double>"
+        _moments, "d long, n long, s array<double>, ss array<double>"
     ).collect()
     if not parts:
-        raise ValueError("pca_fit: no valid vectors of the expected dim")
-    n = sum(p["n"] for p in parts)
-    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
-    ss = np.sum([np.asarray(p["ss"]) for p in parts], axis=0).reshape(d, d)
+        raise ValueError("pca_fit: no valid vectors")
+    counts: dict[int, int] = {}
+    for p in parts:
+        counts[p["d"]] = counts.get(p["d"], 0) + p["n"]
+    d = dim or max(counts, key=lambda x: (counts[x], x))
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+    mine = [p for p in parts if p["d"] == d]
+    if not mine:
+        raise ValueError(f"pca_fit: no vectors of dim {d}")
+    n = sum(p["n"] for p in mine)
+    s = np.sum([np.asarray(p["s"]) for p in mine], axis=0)
+    ss = np.sum([np.asarray(p["ss"]) for p in mine], axis=0).reshape(d, d)
     mean = s / n
     cov = ss / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)  # ascending
@@ -442,15 +460,12 @@ def pca_transform(
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for v in pdf[vec_col]:
-                if v is None or len(v) != d:
-                    out.append(None)
-                else:
-                    out.append(
-                        (W @ (np.asarray(v, np.float64) - mu)).tolist()
-                    )
-            yield pd.DataFrame({"__id": pdf[id_col], "reduced": pd.Series(out, dtype="object")})
+            M, valid = _stack_vectors(pdf[vec_col], d)
+            R = (M - mu) @ W.T  # ONE matmul per batch, never per row
+            out = [r.tolist() if ok else None for r, ok in zip(R, valid)]
+            yield pd.DataFrame(
+                {"__id": pdf[id_col], "reduced": pd.Series(out, dtype="object")}
+            )
 
     id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, vec_col).mapInPandas(

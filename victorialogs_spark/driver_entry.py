@@ -1435,7 +1435,12 @@ def _dp_pca_topk(spark, sf_dir):
     emb = _table(spark, sf_dir, "embeddings")
     mean, comps = pca_fit(emb, "embedding", k=8)
     red = pca_transform(emb, "vec_id", "embedding", mean, comps)
-    q = red.where(F.col("vec_id") == 0).first()["reduced"]
+    row = red.where(F.col("vec_id") == 0).first()
+    if row is None or row["reduced"] is None:
+        raise ValueError(
+            "dp_pca_topk: embeddings table has no projectable vec_id 0"
+        )
+    q = row["reduced"]
     qarr = F.array(*[F.lit(float(v)) for v in q])
     d2 = F.aggregate(
         F.zip_with(F.col("reduced"), qarr, lambda x, y: (x - y) * (x - y)),
