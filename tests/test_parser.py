@@ -281,6 +281,19 @@ def test_pipe_stats_implicit_by():
     assert isinstance(q.pipes[0], A.PStats)
 
 
+def test_pipe_stats_remote():
+    # cluster-internal spelling (pipe_stats.go:1258-1260) — same AST as
+    # stats apart from the mode flag; Spark's partial+final aggregate is
+    # the remote/local split, so planning is identical
+    q = parse_query("* | stats_remote count() x")
+    p = q.pipes[0]
+    assert isinstance(p, A.PStats) and p.mode == "remote"
+    assert p.funcs[0].result == "x"
+    q2 = parse_query("* | stats_remote by (host) count() x, sum(v) s")
+    assert q2.pipes[0].mode == "remote" and len(q2.pipes[0].funcs) == 2
+    assert parse_query("* | stats count() x").pipes[0].mode == "default"
+
+
 def test_pipe_math():
     q = parse_query("* | math (a + b) * 2 as c")
     p = q.pipes[0]

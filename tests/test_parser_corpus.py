@@ -15,10 +15,8 @@ from victorialogs_spark.logsql.parser import parse_query
 
 REF = Path("/root/reference/lib/logstorage/parser_test.go")
 
-# documented remaining gaps
-KNOWN_MISSES = {
-    "* | stats_remote count() x",     # internal cluster-only pipe
-}
+# documented remaining gaps (none — stats_remote parses as of round 5)
+KNOWN_MISSES: set[str] = set()
 
 
 def _extract():

@@ -314,6 +314,12 @@ class PFirst(Pipe):
 class PStats(Pipe):
     by: list[ByField]
     funcs: list[StatsFunc]
+    # "default" | "remote" — the reference's cluster path marks the
+    # storage-node half of a split aggregation `stats_remote`
+    # (pipe_stats.go:1258-1260; modes at pipe_stats.go:127-133). Spark's
+    # shuffle IS the remote/local split (partial + final hash aggregate),
+    # so both modes plan identically; the flag is kept for round-tripping.
+    mode: str = "default"
 
 
 @dataclass

@@ -1228,6 +1228,16 @@ class Parser:
             by = self._parse_by_fields()
         return A.PStats(by, self._parse_stats_funcs(by))
 
+    def _parse_p_stats_remote(self) -> A.Pipe:
+        # cluster-internal spelling: the storage-node half of a split
+        # aggregation (pipe_stats.go:1258-1260). Parsed for full LogsQL
+        # surface parity; planned as a regular stats pipe because Spark's
+        # partial+final hash aggregate IS the remote/local split the
+        # reference implements by hand (pipe.go:15-22 splitToRemoteAndLocal).
+        ps = self._parse_p_stats()
+        ps.mode = "remote"
+        return ps
+
     def _parse_p_by(self) -> A.Pipe:
         by = self._parse_by_fields()
         return A.PStats(by, self._parse_stats_funcs(by))
