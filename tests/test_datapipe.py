@@ -680,3 +680,30 @@ def test_pca_reduction_preserves_cluster_structure(spark, vecs):
     poisoned = vecs.unionByName(bad).repartition(1)
     mean3, comps3 = pca_fit(poisoned, "embedding", k=3)
     assert len(comps3[0]) == 16  # majority dimension wins
+
+
+def test_repeated_spans_and_span_dedup(spark):
+    from victorialogs_spark.datapipe.dedup import repeated_spans, span_dedup
+
+    boiler = "terms of service apply to all users of this website now"
+    rows = [
+        (0, boiler + " alpha beta gamma"),
+        (1, boiler + " delta epsilon zeta"),          # shares the boilerplate spans
+        (2, "a wholly original document with no copied spans at all"),
+        (3, "tiny"),                                   # < span_tokens → whole-text span
+        (4, "tiny"),                                   # exact short dup of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {r["doc_id"]: r for r in
+          repeated_spans(df, "doc_id", "text", span_tokens=5).collect()}
+    # per-row output, sliding distinct spans: 11+3 = 14 toks → 10 spans of 5
+    assert st[0]["n_spans"] == 10 and st[2]["shared_spans"] == 0
+    # docs 0/1 share exactly the 7 spans fully inside the 11-token boilerplate
+    assert st[0]["shared_spans"] == 7 and st[1]["shared_spans"] == 7
+    # short docs: single whole-text span, shared between the two copies
+    assert st[3]["n_spans"] == 1 and st[3]["dup_span_fraction"] == 1.0
+    kept = {r["doc_id"] for r in
+            span_dedup(df, "doc_id", "text", span_tokens=5,
+                       max_dup_fraction=0.5).collect()}
+    # 0/1 are 70% boilerplate, 3/4 are full dups — only 2 survives
+    assert kept == {2}

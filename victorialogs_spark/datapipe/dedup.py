@@ -772,3 +772,71 @@ def simhash_md5_bitstring(
         df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash_bits"))
         .where(F.col("simhash_bits").isNotNull())
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+) -> DataFrame:
+    """Cross-document repeated-span statistics — the span-granular
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    uses a suffix array; a distributed suffix array is unnecessary when
+    span boundaries may be quantized to token windows). For every
+    document, counts how many of its distinct ``span_tokens``-token
+    sliding windows also appear in at least one OTHER document.
+
+    Plan (100 TB story): one narrow Arrow map emits distinct per-doc
+    span HASHES as 8-byte longs (never span strings); one hash shuffle
+    aggregates document-frequency per span; one shuffle join marks each
+    doc's spans with their corpus frequency; one per-doc aggregate
+    finishes. The join is preferred over a count-window (which would
+    materialize each span's full partition in one task — a boilerplate
+    span shared by millions of docs is exactly the skewed key AQE's
+    skew-join splits but WindowExec cannot). The narrow explode is
+    recomputed for the join branch rather than persisted: two scans of
+    the source beat caching an exploded corpus at scale.
+
+    Docs shorter than ``span_tokens`` contribute their whole text as a
+    single span (same rule as token_ngram_hashes_arrow), so short exact
+    duplicates are still counted; a NULL/empty doc contributes the ''
+    span. Output: (<id_col>, n_spans, shared_spans, dup_span_fraction),
+    one row per input row.
+    """
+    grams = token_ngram_hashes_arrow(text_col, span_tokens)
+    per_doc = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    span_df = per_doc.groupBy("__g").agg(F.count(F.lit(1)).alias("__docs"))
+    return (
+        per_doc.join(span_df, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0)).alias(
+                "shared_spans"
+            ),
+        )
+        .withColumn(
+            "dup_span_fraction",
+            F.col("shared_spans").cast("double") / F.col("n_spans"),
+        )
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+    max_dup_fraction: float = 0.5,
+) -> DataFrame:
+    """Drop documents whose duplicated-span fraction exceeds
+    ``max_dup_fraction`` — removes near-copies AND heavily boilerplate
+    docs that fingerprint dedup misses (they differ somewhere, so their
+    md5s differ, yet most of their content is copied). Keeps the
+    original columns; join is on the id (semi-join, spill-safe)."""
+    keep = repeated_spans(df, id_col, text_col, span_tokens).where(
+        F.col("dup_span_fraction") <= max_dup_fraction
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")

@@ -1765,6 +1765,55 @@ def _dp_decontaminate_ngrams(spark, sf_dir):
     return decontaminate_ngrams(train, heldout, "text", n=13).select("doc_id")
 
 
+_SPAN20 = ", ".join(f"t[i+{j}]" for j in range(20))
+# distinct 20-token sliding spans per doc (short doc → whole text as one span)
+_SPANS_CTE = (
+    "WITH t AS (SELECT doc_id,"
+    " list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'),"
+    " x -> x <> '') AS t FROM documents),"
+    " g AS (SELECT doc_id, UNNEST(CASE WHEN len(t) < 20"
+    " THEN [array_to_string(t, ' ')]"
+    f" ELSE list_distinct(list_transform(range(1, len(t) - 18),"
+    f" i -> concat_ws(' ', {_SPAN20}))) END) AS g FROM t),"
+    " d AS (SELECT g, COUNT(*) AS docs FROM g GROUP BY g),"
+    " j AS (SELECT doc_id, COUNT(*) AS n_spans,"
+    " SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS shared_spans"
+    " FROM g JOIN d USING (g) GROUP BY doc_id)"
+)
+
+
+@register(
+    "dp_repeated_spans",
+    # span-granular exact-substring dedup statistics (Lee et al. 2022
+    # approximated at token-window boundaries): per doc, how many of its
+    # distinct 20-token sliding spans occur in >=1 OTHER document. The
+    # Spark side counts span HASHES, the oracle the span strings —
+    # identical modulo the ~2^-64 collision argument decontaminate makes.
+    _SPANS_CTE + " SELECT doc_id, n_spans, shared_spans,"
+    " CAST(shared_spans AS DOUBLE) / n_spans AS dup_span_fraction FROM j",
+)
+def _dp_repeated_spans(spark, sf_dir):
+    from victorialogs_spark.datapipe.dedup import repeated_spans
+
+    docs = _spread(spark, sf_dir, "documents")
+    return repeated_spans(docs, "doc_id", "text", span_tokens=20)
+
+
+@register(
+    "dp_span_dedup",
+    # the filter form: drop docs with >50% duplicated spans — catches
+    # heavy-boilerplate near-copies whose md5 fingerprints differ
+    _SPANS_CTE + " SELECT doc_id FROM j"
+    " WHERE CAST(shared_spans AS DOUBLE) / n_spans <= 0.5",
+)
+def _dp_span_dedup(spark, sf_dir):
+    from victorialogs_spark.datapipe.dedup import span_dedup
+
+    docs = _spread(spark, sf_dir, "documents")
+    return span_dedup(docs, "doc_id", "text", span_tokens=20,
+                      max_dup_fraction=0.5).select("doc_id")
+
+
 @register(
     "dp_stream_neardup",
     # bounded availableNow run of the streaming minhash-band collision
