@@ -707,3 +707,69 @@ def test_repeated_spans_and_span_dedup(spark):
                        max_dup_fraction=0.5).collect()}
     # 0/1 are 70% boilerplate, 3/4 are full dups — only 2 survives
     assert kept == {2}
+
+
+def test_tfidf_top_terms(spark):
+    from victorialogs_spark.datapipe.text import tfidf_top_terms
+
+    rows = [
+        (0, "spark spark spark engine"),
+        (1, "engine engine duckdb"),
+        (2, "common common common common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    top = {(r["doc_id"], r["rank"]): (r["term"], r["tf"]) for r in out}
+    # 'spark' (tf 3, df 1) dominates doc 0; 'engine' (df 2) is demoted
+    assert top[(0, 1)] == ("spark", 3) and top[(0, 2)] == ("engine", 1)
+    assert top[(1, 1)] == ("engine", 2)
+    assert top[(2, 1)] == ("common", 4)
+    assert all(r["tfidf"] > 0 for r in out)
+    # per-doc top-k: never more than k rows per doc
+    assert len([r for r in out if r["doc_id"] == 0]) == 2
+
+
+def test_dsir_logweights_separate_domains(spark):
+    from victorialogs_spark.datapipe.sampling import dsir_logweights
+
+    src = spark.createDataFrame(
+        [
+            (0, "der hund läuft durch den park"),
+            (1, "the dog runs through the park"),
+            (2, "the cat sleeps on the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(10, "the dog and the cat and the park")],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["dsir_logweight"]
+         for r in dsir_logweights(src, tgt, "doc_id", "text").collect()}
+    # English docs look like the English target; German doc does not
+    assert w[1] > w[0] and w[2] > w[0]
+    assert len(w) == 3
+
+
+def test_quantized_topk_matches_exact_neighbors(spark, vecs):
+    from victorialogs_spark.datapipe.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    exact = [r["vec_id"] for r in
+             brute_force_topk(vecs, "vec_id", "embedding", q, k=3).collect()]
+    approx = [r["vec_id"] for r in
+              quantized_topk(vecs, "vec_id", "embedding", q, k=3).collect()]
+    # int8 quantization keeps the neighbor ranking on well-separated vectors
+    assert approx == exact
+    qv = {r["vec_id"]: r for r in
+          quantize_embeddings(vecs, "vec_id", "embedding").collect()}
+    for r in qv.values():
+        assert all(-127 <= x <= 127 for x in r["qvec"])
+        assert r["qscale"] >= 0.0
+    # scale reconstructs the max component to within one quantization step
+    some = next(iter(qv.values()))
+    assert max(abs(x) for x in some["qvec"]) == 127

@@ -152,3 +152,106 @@ def decontaminate(
     t_fp = train.withColumn("__vl_fp", key)
     h_fp = heldout.select(key.alias("__vl_fp")).distinct()
     return t_fp.join(h_fp, "__vl_fp", "left_anti").drop("__vl_fp")
+
+
+def dsir_logweights(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") with the feature space
+    reduced to unigrams: per source document, the mean over its token
+    occurrences of ln(p_target(t) / p_source(t)), add-one smoothed over
+    the UNION vocabulary of both corpora. High weights mark source docs
+    that look like the target domain; resampling the source corpus
+    proportionally to exp(weight) shifts it toward the target
+    distribution. Feature-hash DSIR reduces to the same plan with the
+    token replaced by a bounded hash — unigram IDs keep it exact and
+    oracle-checkable.
+
+    Plan (100 TB story): two explode → token-frequency aggregates (hash
+    shuffle each); a full outer join of the two frequency tables on token
+    builds the smoothed log-ratio table IN the shuffle (never on the
+    driver); source tokens join it (AQE-skew-safe on stop-token hot keys)
+    and aggregate per doc. Corpus totals (N_src, N_tgt, |V|) broadcast as
+    one row.
+
+    Determinism for cross-engine checking: the per-token log-ratio is ONE
+    ln of one IEEE product/quotient, rounded to 9 decimals and summed as
+    decimal(38,9) — exact, order-independent addition (same scheme as
+    quality.unigram_logprob); the mean rounds to ``round_digits``.
+
+    Output: (<id_col>, n_tokens long, dsir_logweight double); source docs
+    with no tokens are absent.
+    """
+    from victorialogs_spark.datapipe.dedup import normalize_text
+
+    def _toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), r"\s+")
+            ).alias("__tok")
+        ).where(F.col("__tok") != "")
+
+    src_toks = source.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias(
+            "__tok"
+        ),
+    ).where(F.col("__tok") != "")
+    # frequency tables feed two branches each (totals + the ratio join):
+    # cache so the corpus is exploded once per side, not twice
+    sf = (
+        src_toks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__sf"))
+        .cache()
+    )
+    tf = (
+        _toks(target)
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .cache()
+    )
+    vocab = sf.join(tf, "__tok", "full_outer").select(
+        "__tok",
+        F.coalesce("__sf", F.lit(0)).alias("__sf"),
+        F.coalesce("__tf", F.lit(0)).alias("__tf"),
+    )
+    totals = (
+        vocab.agg(
+            F.sum("__sf").alias("__ns"),
+            F.sum("__tf").alias("__nt"),
+            F.count(F.lit(1)).alias("__v"),
+        )
+    )
+    ratio = vocab.crossJoin(F.broadcast(totals)).select(
+        "__tok",
+        F.round(
+            F.log(
+                ((F.col("__tf") + 1).cast("double")
+                 * (F.col("__ns") + F.col("__v")).cast("double"))
+                / ((F.col("__sf") + 1).cast("double")
+                   * (F.col("__nt") + F.col("__v")).cast("double"))
+            ),
+            9,
+        ).alias("__lr"),
+    )
+    return (
+        src_toks.join(ratio, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__lr").cast("decimal(38,9)")).alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("__s").cast("double") / F.col("n_tokens"),
+                round_digits,
+            ).alias("dsir_logweight"),
+        )
+    )

@@ -471,3 +471,84 @@ def pca_transform(
     return df.select(id_col, vec_col).mapInPandas(
         _project, f"__id {id_type}, reduced array<double>"
     ).withColumnRenamed("__id", id_col)
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: per vector, scale =
+    max(|x_i|)/127 and q_i = floor(x_i/scale + 0.5) (explicit half-up so
+    every engine rounds identically; banker's rounding is NOT portable).
+    4× memory reduction for the ANN scan path — at 100 TB of embeddings
+    the quantized table is what the fleet keeps hot, the float32
+    originals stay cold for rescoring. Pure Column expressions (JVM-side
+    transform/aggregate, codegen, no UDF, narrow).
+
+    Output: (<id_col>, qvec array<int> in [-127,127], qscale double);
+    an all-zero vector gets qscale 0 and an all-zero qvec.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0.0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    qvec = F.when(
+        F.col("qscale") > 0.0,
+        F.transform(
+            v, lambda x: F.floor(x / F.col("qscale") + 0.5).cast("int")
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn("qscale", scale).withColumn("qvec", qvec).select(
+        F.col(id_col), "qvec", "qscale"
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k cosine over int8-quantized vectors — the
+    memory-bandwidth-bound scan path of a quantized vector index. The
+    score is the TRUE cosine of the quantized vectors (integer dot and
+    integer norms: exact 64-bit sums, one IEEE sqrt/divide at the end —
+    bit-identical across engines, hence oracle-checkable, unlike a
+    float32 scan). orderBy+limit compiles to TakeOrderedAndProject, so
+    only k rows leave each partition; rescoring the k candidates against
+    the float originals is a k-row broadcast join the caller composes.
+
+    Output: (<id_col>, qcos double) — rows whose quantized vector or the
+    quantized query is all-zero are dropped (cosine undefined).
+    """
+    q = quantize_embeddings(df, id_col, vec_col)
+    amax = max(abs(x) for x in query) if query else 0.0
+    qq = (
+        [int(math.floor(x / (amax / 127.0) + 0.5)) for x in query]
+        if amax > 0
+        else [0] * len(query)
+    )
+    qnorm = math.sqrt(sum(x * x for x in qq))
+    if qnorm == 0.0:
+        raise ValueError("quantized query vector is all-zero")
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.array(*[F.lit(x) for x in qq]),
+                   lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    return (
+        q.where(F.col("qscale") > 0.0)
+        .select(
+            F.col(id_col),
+            (dot.cast("double") / (dnorm * F.lit(qnorm))).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.col(id_col))
+        .limit(k)
+    )

@@ -214,3 +214,58 @@ def doc_fingerprints(
         F.col(id_col),
         udf(F.col(text_col)).alias("__fp"),
     ).select(F.col(id_col), F.col("__fp.fp_full").alias("fp_full"), F.col("__fp.fp_rolling").alias("fp_rolling"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — keyword extraction for corpus
+    exploration and topic-balanced sampling. tfidf = tf * (ln((N+1)/(df+1))
+    + 1) (the smoothed scikit-learn-style idf: never negative, defined for
+    unseen terms); ties break on the term string so the result is
+    deterministic and engine-portable (a single multiply of a count by one
+    ln — bit-identical IEEE in any engine, no summation-order hazard).
+
+    Plan (100 TB story): one explode → (doc, term) partial-agg shuffle for
+    tf; per-doc distinct terms → term shuffle for document frequency; one
+    join back on term (hot stop-terms are exactly what AQE skew-join
+    splits); final per-doc top-k via a row_number window PARTITIONED BY
+    doc — bounded by a single document's vocabulary, never global. The
+    corpus size N broadcasts as one row.
+
+    Output: (<id_col>, term, tf, tfidf, rank), rank 1..k per doc.
+    """
+    from pyspark.sql import Window
+
+    from victorialogs_spark.datapipe.dedup import normalize_text
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias(
+            "term"
+        ),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("__n") + 1).cast("double")
+                    / (F.col("__df") + 1).cast("double")
+                )
+                + 1.0
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

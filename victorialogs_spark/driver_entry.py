@@ -1183,6 +1183,39 @@ def _dp_cosine_threshold(spark, sf_dir):
 
 
 @register(
+    "dp_ann_quantized_topk",
+    # int8-quantized cosine top-10: both engines quantize with the SAME
+    # explicit half-up rule q = floor(x/(amax/127) + 0.5), then the score
+    # is exact 64-bit integer dot/norms with one final IEEE sqrt/divide —
+    # bit-identical, so a full-precision oracle checks the approximate op
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+    " dq AS (SELECT vec_id, v,"
+    " list_max(list_transform(v, y -> abs(y))) AS amax FROM d),"
+    " dv AS (SELECT vec_id, list_transform(v,"
+    " x -> CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)) AS qv"
+    " FROM dq WHERE amax > 0),"
+    " qv AS (SELECT qv AS qq FROM dv WHERE vec_id = 0),"
+    " sc AS (SELECT vec_id,"
+    " CAST(list_sum(list_transform(range(1, len(qv) + 1),"
+    " i -> qv[i] * qq[i])) AS DOUBLE) /"
+    " (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) *"
+    " sqrt(CAST(list_sum(list_transform(qq, x -> x * x)) AS DOUBLE)))"
+    " AS qcos FROM dv, qv)"
+    " SELECT vec_id, ROUND(qcos, 6) AS qcos FROM"
+    " (SELECT * FROM sc ORDER BY qcos DESC, vec_id LIMIT 10)",
+)
+def _dp_ann_quantized(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.similarity import quantized_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = quantized_topk(emb, "vec_id", "embedding", q, k=10)
+    return out.withColumn("qcos", F.round("qcos", 6))
+
+
+@register(
     "dp_ann_bruteforce_topk",
     # exact top-10 by cosine (double precision both sides; deterministic
     # vec_id tie-break; scores rounded 6dp — synthetic embeddings keep
@@ -1577,6 +1610,85 @@ def _dp_unigram_logprob(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"),
         "n_tokens",
         "logprob",
+    )
+
+
+@register(
+    "dp_dsir_weights",
+    # DSIR unigram importance log-weights: target = zh docs, source = the
+    # whole corpus. One ln of one IEEE quotient per token, rounded 9dp,
+    # summed as DECIMAL(38,9) → order-independent exact mean (6dp out).
+    # Parenthesization of the smoothed ratio mirrors the Spark expression
+    # term-for-term so both engines hit identical IEEE intermediates.
+    f"WITH stoks AS (SELECT doc_id, t AS tok FROM documents,"
+    f" UNNEST(regexp_split_to_array({_NORM}, '\\s+')) AS u(t)"
+    " WHERE t <> ''),"
+    f" ttoks AS (SELECT t AS tok FROM documents,"
+    f" UNNEST(regexp_split_to_array({_NORM}, '\\s+')) AS u(t)"
+    " WHERE lang = 'zh' AND t <> ''),"
+    " sfq AS (SELECT tok, COUNT(*) AS sf FROM stoks GROUP BY tok),"
+    " tfq AS (SELECT tok, COUNT(*) AS tf FROM ttoks GROUP BY tok),"
+    " v AS (SELECT tok, COALESCE(sf, 0) AS sf, COALESCE(tf, 0) AS tf"
+    " FROM sfq FULL OUTER JOIN tfq USING (tok)),"
+    " tot AS (SELECT SUM(sf) AS ns, SUM(tf) AS nt, COUNT(*) AS vc FROM v),"
+    " r AS (SELECT tok, ROUND(LN((CAST(tf + 1 AS DOUBLE) *"
+    " CAST(ns + vc AS DOUBLE)) / (CAST(sf + 1 AS DOUBLE) *"
+    " CAST(nt + vc AS DOUBLE))), 9) AS lr FROM v, tot),"
+    " per AS (SELECT doc_id, COUNT(*) AS cnt,"
+    " SUM(CAST(lr AS DECIMAL(38,9))) AS s"
+    " FROM stoks JOIN r USING (tok) GROUP BY doc_id)"
+    " SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(cnt AS BIGINT)"
+    " AS n_tokens, ROUND(CAST(s AS DOUBLE) / cnt, 6) AS dsir_logweight"
+    " FROM per",
+)
+def _dp_dsir_weights(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.sampling import dsir_logweights
+
+    docs = _table(spark, sf_dir, "documents")
+    out = dsir_logweights(docs, docs.where(F.col("lang") == "zh"),
+                          "doc_id", "text")
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "n_tokens",
+        "dsir_logweight",
+    )
+
+
+@register(
+    "dp_tfidf_terms",
+    # top-5 TF-IDF terms per doc: smoothed sklearn-style idf; ORDER uses
+    # the raw double (a count times one ln — IEEE-identical per engine),
+    # the EMITTED score rounds to 6dp like the other ln-valued entries
+    f"WITH toks AS (SELECT doc_id, t AS term FROM documents,"
+    f" UNNEST(regexp_split_to_array({_NORM}, '\\s+')) AS u(t)"
+    " WHERE t <> ''),"
+    " tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),"
+    " dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),"
+    " n AS (SELECT COUNT(*) AS n FROM documents),"
+    " s AS (SELECT doc_id, term, tf, CAST(tf AS DOUBLE) *"
+    " (LN(CAST(n + 1 AS DOUBLE) / CAST(dfc + 1 AS DOUBLE)) + 1.0) AS tfidf"
+    " FROM tf JOIN dfq USING (term) CROSS JOIN n),"
+    " r AS (SELECT doc_id, term, tf, tfidf, ROW_NUMBER() OVER"
+    " (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk FROM s)"
+    " SELECT CAST(doc_id AS VARCHAR) AS doc_id, term, CAST(tf AS BIGINT)"
+    ' AS tf, ROUND(tfidf, 6) AS tfidf, CAST(rnk AS INT) AS "rank"'
+    " FROM r WHERE rnk <= 5",
+)
+def _dp_tfidf_terms(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.text import tfidf_top_terms
+
+    docs = _table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=5)
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "term",
+        "tf",
+        F.round("tfidf", 6).alias("tfidf"),
+        "rank",
     )
 
 
