@@ -799,13 +799,14 @@ def repeated_spans(
     recomputed for the join branch rather than persisted: two scans of
     the source beat caching an exploded corpus at scale.
 
-    Docs shorter than ``span_tokens`` contribute their whole text as a
-    single span (same rule as token_ngram_hashes_arrow), so short exact
-    duplicates are still counted; a NULL/empty doc contributes the ''
-    span. Output: (<id_col>, n_spans, shared_spans, dup_span_fraction),
-    one row per input row.
+    Docs shorter than ``span_tokens`` contribute their whole token
+    sequence as a single span (same rule as token_ngram_hashes_arrow), so
+    short exact duplicates are still counted; a NULL/empty doc
+    contributes one sentinel span shared by all empty docs. Output:
+    (<id_col>, n_spans, shared_spans, dup_span_fraction), one row per
+    input row.
     """
-    grams = token_ngram_hashes_arrow(text_col, span_tokens)
+    grams = token_window_hashes_arrow(text_col, span_tokens)
     per_doc = df.select(F.col(id_col), F.explode(grams).alias("__g"))
     span_df = per_doc.groupBy("__g").agg(F.count(F.lit(1)).alias("__docs"))
     return (
@@ -840,3 +841,73 @@ def span_dedup(
         F.col("dup_span_fraction") <= max_dup_fraction
     )
     return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def token_window_hashes_arrow(c_name: str, n: int):
+    """Distinct per-doc hashes of every ``n``-token sliding window,
+    computed WITHOUT materializing window strings: the batch's tokens are
+    hashed in one C call (``pd.util.hash_array``), then every window hash
+    is a degree-``n`` polynomial of its token hashes (odd base, uint64
+    wraparound) evaluated for ALL windows at once as one
+    ``sliding_window_view @ powers`` matmul. Equal windows ⇒ equal hashes
+    exactly; unequal windows collide at ~2^-64 — the same contract as
+    hashing the joined span string (token_ngram_hashes_arrow), at
+    O(tokens·n) C multiply-adds instead of O(tokens·n) Python string
+    bytes. Docs shorter than ``n`` hash their whole token sequence (the
+    polynomial is length-sensitive, so a 3-token doc never collides with
+    a 3-token window prefix of a longer doc's 20-token window — they use
+    different power suffixes); an empty/NULL doc yields the single
+    sentinel hash 0."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd → invertible mod 2^64
+    powers = np.empty(n, dtype=np.uint64)
+    powers[n - 1] = np.uint64(1)
+    # wraparound is the point — suppress numpy's scalar-overflow warning
+    with np.errstate(over="ignore"):
+        for j in range(n - 2, -1, -1):
+            powers[j] = powers[j + 1] * B
+
+    def _win_hashes(series):
+        texts = series.tolist()
+        if not texts:
+            return pd.Series([], dtype=object)
+        flat: list = []
+        bounds = np.empty(len(texts) + 1, dtype=np.int64)
+        bounds[0] = 0
+        for i, text in enumerate(texts):
+            toks = (text or "").lower().split()
+            flat.extend(toks)
+            bounds[i + 1] = len(flat)
+        if flat:
+            hs = pd.util.hash_array(
+                np.asarray(flat, dtype=object)
+            ).astype(np.uint64)
+        else:
+            hs = np.zeros(0, dtype=np.uint64)
+        # all window hashes of the whole batch in one matmul; windows
+        # crossing doc boundaries exist in `win` but are never selected
+        if len(hs) >= n:
+            win = np.lib.stride_tricks.sliding_window_view(hs, n) @ powers
+        else:
+            win = np.zeros(0, dtype=np.uint64)
+        out = []
+        for i in range(len(texts)):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            ln = e - s
+            if ln == 0:
+                out.append([0])
+            elif ln < n:
+                out.append(
+                    [int((hs[s:e] * powers[n - ln:]).sum(dtype=np.uint64)
+                         .view(np.int64))]
+                )
+            else:
+                out.append(
+                    np.unique(win[s : e - n + 1]).view(np.int64).tolist()
+                )
+        return pd.Series(out)
+
+    _win_hashes.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_win_hashes, "array<long>")(F.col(c_name))
