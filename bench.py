@@ -40,6 +40,8 @@ HEADLINE = [
     "dp_dup_clusters",       # iterative connected-components clustering
     "dp_unigram_logprob",    # token-freq aggregate + join-back scoring
     "dp_pack_sequences",     # shard-windowed sequence packing
+    "dp_repeated_spans",     # rolling-hash cross-doc span statistics
+    "dp_tfidf_terms",        # tf/df aggregates + per-doc top-k window
 ]
 
 

@@ -2280,9 +2280,13 @@ _DRIVER_VERIFIED_R2_R3 = [
 ]
 
 
-# entries added in round 4 — never seen by any driver run; they go before
+# entries added in rounds 4-5 — least driver-verified; they go before
 # the round-2/3-era unverified block so a truncated run reaches them first
 _NEWEST_FIRST = [
+    # round 5
+    "dp_repeated_spans", "dp_span_dedup", "dp_tfidf_terms",
+    "dp_dsir_weights", "dp_ann_quantized_topk",
+    # round 4
     "dp_curate_packed", "dp_stream_stats", "dp_pca_topk", "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
     "dp_dup_clusters", "dp_cluster_dedup", "dp_minhash_md5", "dp_curate",
