@@ -253,3 +253,53 @@ def test_packing_has_no_global_sort(spark):
         assert "rangepartitioning" not in plan.lower()
         assert "SinglePartition" not in plan
         assert "hashpartitioning(shard" in plan
+
+
+def test_quantized_topk_is_columnar_topk(spark):
+    """Quantized ANN must stay a pure-Column scan: no Python UDF, no
+    shuffle except the top-k exchange (TakeOrderedAndProject)."""
+    from victorialogs_spark.driver_entry import QUERIES
+
+    df = QUERIES["dp_ann_quantized_topk"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan  # scan-side only
+
+
+def test_span_and_tfidf_bounded_shuffles(spark):
+    """The token-heavy round-5 operators keep bounded shuffle counts and
+    use partial aggregation; the per-doc top-k window in tfidf is
+    partitioned (never a global single-partition window)."""
+    from victorialogs_spark.driver_entry import QUERIES
+
+    spans = QUERIES["dp_repeated_spans"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(spans)
+    assert "partial_count" in plan  # map-side combine on the span agg
+    assert plan.count("Exchange") <= 5
+    assert "CartesianProduct" not in plan
+
+    tfidf = QUERIES["dp_tfidf_terms"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(tfidf)
+    assert "partial_count" in plan
+    assert "Window" in plan
+    # the window must be partitioned by doc — a global window would say
+    # "Window [...] ORDER BY" with an empty partition spec
+    import re as _re
+
+    w = [ln for ln in plan.split("\n") if "Window" in ln][0]
+    assert "windowspecdefinition(doc_id" in w.replace("#", "").lower() or \
+        _re.search(r"windowspecdefinition\(doc_id#\d+", w)
+
+
+def test_dsir_ratio_table_built_in_shuffle(spark):
+    """DSIR's smoothed ratio table is a full-outer join of two token
+    frequency aggregates — it must never collect to the driver (no
+    LocalTableScan of tokens) and totals must broadcast as one row."""
+    from victorialogs_spark.driver_entry import QUERIES
+
+    df = QUERIES["dp_dsir_weights"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals broadcast
+    assert "partial_count" in plan

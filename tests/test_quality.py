@@ -158,3 +158,27 @@ def test_unigram_logprob_orders_gibberish_below_common_text(spark):
     # 9 total tokens; 'zqxj vwpk grlm' are singletons: mean ln(1/9)
     assert abs(rows[3]["logprob"] - math.log(1 / 9)) < 1e-6
     assert rows[1]["n_tokens"] == 3
+
+
+def test_perplexity_buckets_terciles(spark):
+    from victorialogs_spark.datapipe.quality import perplexity_buckets
+
+    # 9 docs from a shared vocabulary with varying rare-token load
+    # (each rare token unique, so more rares = strictly lower logprob)
+    rows = [(i, " ".join(["the", "of", "and"] * 3
+                         + [f"rare{i}_{j}" for j in range(i)]))
+            for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(df, "doc_id", "text").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["doc_id"])
+    assert len(out) == 9
+    # terciles: each bucket non-empty, head = most-fluent (fewest rares)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert 0 in by_bucket["head"] and 8 in by_bucket["tail"]
+    # threshold semantics: every head logprob > every tail logprob
+    lp = {r["doc_id"]: r["logprob"] for r in out}
+    assert min(lp[d] for d in by_bucket["head"]) > max(
+        lp[d] for d in by_bucket["tail"]
+    )

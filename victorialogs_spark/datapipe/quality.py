@@ -305,3 +305,45 @@ def unigram_logprob(
             round_digits,
         ).alias("logprob"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus-relative unigram log-probability, cut the
+    score distribution at its terciles, and label docs head (most fluent
+    / highest logprob), middle, or tail. CCNet trains the LM once and
+    streams docs against FIXED thresholds — mirrored here: the cuts are
+    one global aggregate (two numbers), broadcast to a threshold compare,
+    so no global sort or rank shuffle ever happens.
+
+    The cut aggregate uses Spark's exact interpolated ``percentile`` so
+    the boundaries are engine-reproducible (DuckDB ``quantile_cont`` has
+    the same 1+p(n-1) definition); a 100 TB deployment would swap in
+    ``approx_percentile`` and accept boundary fuzz — the bucket SEMANTICS
+    (threshold compare against two broadcast constants) are identical.
+
+    Output: (<id_col>, n_tokens, logprob, bucket string); docs with no
+    tokens are absent (no score).
+    """
+    # the score table feeds TWO branches (the cut aggregate and the
+    # labeled output) — cache it so the corpus is scored once, not twice;
+    # it is 3 narrow columns per doc, disk-spillable
+    scored = unigram_logprob(df, id_col, text_col).cache()
+    cuts = scored.agg(
+        F.percentile("logprob", F.lit(1.0 / 3.0)).alias("__c1"),
+        F.percentile("logprob", F.lit(2.0 / 3.0)).alias("__c2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col),
+        "n_tokens",
+        "logprob",
+        F.when(F.col("logprob") > F.col("__c2"), F.lit(labels[0]))
+        .when(F.col("logprob") > F.col("__c1"), F.lit(labels[1]))
+        .otherwise(F.lit(labels[2]))
+        .alias("bucket"),
+    )

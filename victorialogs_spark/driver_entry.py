@@ -1614,6 +1614,44 @@ def _dp_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "dp_perplexity_buckets",
+    # CCNet head/middle/tail bucketing: unigram logprob terciles as fixed
+    # broadcast thresholds. quantile_cont shares Spark percentile's
+    # 1+p(n-1) interpolation; scores are 6dp-rounded before the cut so
+    # both engines interpolate identical inputs.
+    f"WITH toks AS (SELECT doc_id, t AS tok FROM documents,"
+    f" UNNEST(regexp_split_to_array({_NORM}, '\\s+')) AS u(t)"
+    " WHERE t <> ''),"
+    " freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),"
+    " tot AS (SELECT COUNT(*) AS n FROM toks),"
+    " per AS (SELECT doc_id, COUNT(*) AS cnt,"
+    " SUM(CAST(ROUND(LN(CAST(tf AS DOUBLE)), 9) AS DECIMAL(38,9))) AS s"
+    " FROM toks JOIN freq USING (tok) GROUP BY doc_id),"
+    " sc AS (SELECT doc_id, CAST(cnt AS BIGINT) AS n_tokens,"
+    " ROUND(CAST(s AS DOUBLE) / cnt - LN(CAST(n AS DOUBLE)), 6) AS logprob"
+    " FROM per, tot),"
+    " cuts AS (SELECT quantile_cont(logprob, 1.0/3.0) AS c1,"
+    " quantile_cont(logprob, 2.0/3.0) AS c2 FROM sc)"
+    " SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_tokens, logprob,"
+    " CASE WHEN logprob > c2 THEN 'head' WHEN logprob > c1 THEN 'middle'"
+    " ELSE 'tail' END AS bucket FROM sc, cuts",
+)
+def _dp_perplexity_buckets(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.quality import perplexity_buckets
+
+    docs = _table(spark, sf_dir, "documents")
+    out = perplexity_buckets(docs, "doc_id", "text")
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "n_tokens",
+        "logprob",
+        "bucket",
+    )
+
+
+@register(
     "dp_dsir_weights",
     # DSIR unigram importance log-weights: target = zh docs, source = the
     # whole corpus. One ln of one IEEE quotient per token, rounded 9dp,
@@ -2285,7 +2323,7 @@ _DRIVER_VERIFIED_R2_R3 = [
 _NEWEST_FIRST = [
     # round 5
     "dp_repeated_spans", "dp_span_dedup", "dp_tfidf_terms",
-    "dp_dsir_weights", "dp_ann_quantized_topk",
+    "dp_dsir_weights", "dp_ann_quantized_topk", "dp_perplexity_buckets",
     # round 4
     "dp_curate_packed", "dp_stream_stats", "dp_pca_topk", "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
