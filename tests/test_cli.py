@@ -56,3 +56,22 @@ def test_cli_hits_and_streams(table):
 def test_cli_field_values_limit(table):
     out = run_cli(["field-values", "app", "--table", table, "--limit", "1"])
     assert len(out) == 1
+
+
+def test_cli_curate(spark, tmp_path):
+    docs_path = str(tmp_path / "docs")
+    out_path = str(tmp_path / "curated")
+    rows = [
+        (0, "a perfectly normal document about distributed query engines"),
+        (1, "a perfectly normal document about distributed query engines"),
+        (2, "@@@ ### $$$ %%%"),  # symbol soup: fails quality
+        (3, "another unique readable document with enough plain words here"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        docs_path
+    )
+    rc = cli.main(["curate", "--table", docs_path, "--out", out_path])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    # dup folds to its min-id representative; symbol soup dropped
+    assert kept == {0, 3}

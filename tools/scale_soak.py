@@ -47,6 +47,11 @@ ENTRIES = [
     "dp_dup_clusters",
     "dp_unigram_logprob",
     "dp_pack_sequences",
+    "dp_repeated_spans",
+    "dp_tfidf_terms",
+    "dp_dsir_weights",
+    "dp_perplexity_buckets",
+    "dp_ann_quantized_topk",
 ]
 
 TABLES = (

@@ -8,6 +8,8 @@ query surface, as a CLI (this engine is a library — no server needed).
     python -m victorialogs_spark.cli streams --table DIR
     python -m victorialogs_spark.cli tail '*' --table DIR
     python -m victorialogs_spark.cli serve --table DIR --port 9428
+    python -m victorialogs_spark.cli curate --table DOCS --out OUT \
+        [--heldout HELDOUT] [--require-gopher] [--decontaminate-mode ngram]
 
 ``--table`` accepts a parquet path (a log table with _time/_msg columns).
 Output is NDJSON on stdout (the /select/logsql wire format). ``serve``
@@ -42,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("command", choices=[
         "query", "hits", "facets", "field-names", "field-values",
         "streams", "stream-ids", "tail", "serve",
-        "ingest", "compact", "retention",
+        "ingest", "compact", "retention", "curate",
     ])
     ap.add_argument("arg", nargs="?", default="*",
                     help="LogsQL query (or field name for field-values; "
@@ -63,6 +65,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--type-columns", action="store_true",
                     help="compact: re-encode uniformly-numeric string "
                          "columns as typed parquet")
+    ap.add_argument("--out", default="",
+                    help="curate: output parquet path (required)")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--heldout", default="",
+                    help="curate: parquet path of a held-out corpus to "
+                         "decontaminate against")
+    ap.add_argument("--require-gopher", action="store_true",
+                    help="curate: apply the full Gopher rule set")
+    ap.add_argument("--decontaminate-mode", default="exact",
+                    choices=["exact", "ngram"],
+                    help="curate: fingerprint or 13-gram-overlap check")
     args = ap.parse_args(argv)
 
     from victorialogs_spark import endpoints as ep
@@ -109,6 +123,31 @@ def main(argv: list[str] | None = None) -> int:
                 type_columns=args.type_columns,
             )
             sys.stderr.write(f"compacted _day={args.arg} ({n} files before)\n")
+        return 0
+    if args.command == "curate":
+        from victorialogs_spark.datapipe.pipeline import curate_corpus
+
+        if not args.out:
+            ap.error("curate requires --out <parquet path>")
+        docs = spark.read.parquet(args.table)
+        heldout = (
+            spark.read.parquet(args.heldout) if args.heldout else None
+        )
+        curated = curate_corpus(
+            docs,
+            args.id_col,
+            args.text_col,
+            heldout=heldout,
+            require_gopher=args.require_gopher,
+            decontaminate_mode=args.decontaminate_mode,
+        )
+        curated.write.mode("overwrite").parquet(args.out)
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.out).count()
+        sys.stderr.write(
+            f"curated {args.table} ({n_in} docs) -> {args.out} "
+            f"({n_out} kept, {n_in - n_out} dropped)\n"
+        )
         return 0
     if args.command == "retention":
         from victorialogs_spark.streaming.ingest import apply_retention

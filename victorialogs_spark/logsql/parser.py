@@ -30,7 +30,7 @@ MAX_STRING_RANGE = "\U0010ffff" * 4
 _PIPE_NAMES = {
     "fields", "keep", "delete", "drop", "rm", "del", "copy", "cp", "rename", "mv",
     "filter", "where", "limit", "head", "offset", "skip", "sort", "order",
-    "first", "last", "stats", "by", "math", "eval", "extract",
+    "first", "last", "stats", "stats_remote", "by", "math", "eval", "extract",
     "extract_regexp", "replace", "replace_regexp", "format", "unpack_json",
     "unpack_logfmt", "unpack_syslog", "unpack_words", "unroll", "pack_json",
     "pack_logfmt", "join", "union", "uniq", "top", "facets", "field_names",
