@@ -570,3 +570,10 @@ class Query:
     # filter tree; used for partition pruning and rate() step injection
     # (parser.go:504-525, parser.go:1214)
     time_range: Optional[tuple[int, int]] = None
+
+    def to_logsql(self) -> str:
+        """Print this query back to LogsQL (the reference's Query.String()
+        analogue; reparses to an identical AST — see logsql/printer.py)."""
+        from victorialogs_spark.logsql.printer import print_query
+
+        return print_query(self)
