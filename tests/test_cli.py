@@ -75,3 +75,14 @@ def test_cli_curate(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
     # dup folds to its min-id representative; symbol soup dropped
     assert kept == {0, 3}
+
+
+def test_cli_explain(table):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(["explain", "error | stats by (app) count() as hits",
+                       "--table", table])
+    assert rc == 0
+    out = buf.getvalue()
+    assert out.startswith("-- canonical: error | stats by (app) count() as hits")
+    assert "HashAggregate" in out and "Scan parquet" in out

@@ -44,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("command", choices=[
         "query", "hits", "facets", "field-names", "field-values",
         "streams", "stream-ids", "tail", "serve",
-        "ingest", "compact", "retention", "curate",
+        "ingest", "compact", "retention", "curate", "explain",
     ])
     ap.add_argument("arg", nargs="?", default="*",
                     help="LogsQL query (or field name for field-values; "
@@ -164,6 +164,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "query":
         out = run_query(spark, df, args.arg)
         _emit(out, args.limit)
+    elif args.command == "explain":
+        from victorialogs_spark.logsql.parser import parse_query
+
+        q = parse_query(args.arg)
+        sys.stdout.write(f"-- canonical: {q.to_logsql()}\n")
+        out = run_query(spark, df, args.arg)
+        sys.stdout.write(
+            out._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+        )
     elif args.command == "hits":
         _emit(ep.hits(spark, df, args.arg, step=args.step), args.limit)
     elif args.command == "facets":
