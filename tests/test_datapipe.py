@@ -773,3 +773,26 @@ def test_quantized_topk_matches_exact_neighbors(spark, vecs):
     # scale reconstructs the max component to within one quantization step
     some = next(iter(qv.values()))
     assert max(abs(x) for x in some["qvec"]) == 127
+
+
+def test_cut_repeated_spans(spark):
+    from victorialogs_spark.datapipe.dedup import cut_repeated_spans
+
+    boiler = "one two three four five six"
+    rows = [
+        (0, boiler + " alpha beta"),
+        (1, boiler + " gamma delta"),
+        (2, "totally original text here"),
+        (3, None),
+        (4, "Mixed CASE original and unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cut_repeated_spans(df, "doc_id", "text", span_tokens=3).collect()}
+    # the shared 6-token boilerplate is cut; the unique tails survive
+    assert out[0]["text"] == "alpha beta" and out[0]["n_cut_tokens"] == 6
+    assert out[1]["text"] == "gamma delta"
+    # untouched docs keep their tokens (case preserved, whitespace normed)
+    assert out[2]["text"] == "totally original text here"
+    assert out[4]["text"] == "Mixed CASE original and unique"
+    assert out[3]["text"] == "" and out[3]["n_cut_tokens"] == 0

@@ -911,3 +911,124 @@ def token_window_hashes_arrow(c_name: str, n: int):
 
     _win_hashes.__annotations__ = {"series": pd.Series, "return": pd.Series}
     return F.pandas_udf(_win_hashes, "array<long>")(F.col(c_name))
+
+
+def token_window_hashes_pos_arrow(c_name: str, n: int):
+    """Like :func:`token_window_hashes_arrow` but POSITIONAL: returns every
+    window hash in document order (index i = window starting at token i),
+    duplicates kept, so ``posexplode`` recovers (start_pos, span) pairs.
+    Same hash construction (batch token hashing + one uint64 polynomial
+    matmul); a doc shorter than ``n`` yields its single whole-sequence
+    hash at position 0, an empty/NULL doc the sentinel 0."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(0x9E3779B97F4A7C15 | 1)
+    powers = np.empty(n, dtype=np.uint64)
+    powers[n - 1] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(n - 2, -1, -1):
+            powers[j] = powers[j + 1] * B
+
+    def _win_hashes(series):
+        texts = series.tolist()
+        if not texts:
+            return pd.Series([], dtype=object)
+        flat: list = []
+        bounds = np.empty(len(texts) + 1, dtype=np.int64)
+        bounds[0] = 0
+        for i, text in enumerate(texts):
+            toks = (text or "").lower().split()
+            flat.extend(toks)
+            bounds[i + 1] = len(flat)
+        hs = (
+            pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+            if flat
+            else np.zeros(0, dtype=np.uint64)
+        )
+        win = (
+            np.lib.stride_tricks.sliding_window_view(hs, n) @ powers
+            if len(hs) >= n
+            else np.zeros(0, dtype=np.uint64)
+        )
+        out = []
+        for i in range(len(texts)):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            ln = e - s
+            if ln == 0:
+                out.append([0])
+            elif ln < n:
+                out.append(
+                    [int((hs[s:e] * powers[n - ln:]).sum(dtype=np.uint64)
+                         .view(np.int64))]
+                )
+            else:
+                out.append(win[s : e - n + 1].view(np.int64).tolist())
+        return pd.Series(out)
+
+    _win_hashes.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_win_hashes, "array<long>")(F.col(c_name))
+
+
+def cut_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+) -> DataFrame:
+    """Exact-substring dedup, CUT variant (Lee et al. 2022 remove the
+    duplicated substring, not the document): rewrite every document with
+    the tokens covered by cross-document shared spans removed. A span is
+    shared when it occurs in >= 2 distinct documents; a token is cut when
+    any shared span covers it. Whitespace is normalized to single spaces
+    in the output (token positions, not byte offsets, are the unit).
+
+    Plan: one positional Arrow map (same uint64 polynomial matmul as
+    repeated_spans) → per-doc-distinct span doc-frequency (2 shuffles) →
+    join positions to shared spans → per-doc sorted start list (bounded
+    by doc length) → pure-Column rebuild: tokens filtered by an indexed
+    exists over the start list, JVM-side, no second Python pass.
+
+    Output: all original columns with <text_col> replaced by the cut
+    text, plus n_cut_tokens.
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(token_window_hashes_pos_arrow(text_col, span_tokens))
+        .alias("__pos", "__g"),
+    )
+    shared = (
+        spans.select(id_col, "__g")
+        .distinct()
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .where(F.col("__docs") >= 2)
+        .select("__g")
+    )
+    starts = (
+        spans.join(shared, "__g")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__starts"))
+    )
+    k = span_tokens
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+            lambda s: (s <= i) & (i <= s + F.lit(k - 1)),
+        ),
+    )
+    out_cols = [
+        F.array_join(kept, " ").alias(text_col)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return (
+        df.join(starts, id_col, "left")
+        .select(*out_cols, (F.size(toks) - F.size(kept)).alias("n_cut_tokens"))
+    )

@@ -1965,6 +1965,51 @@ def _dp_span_dedup(spark, sf_dir):
 
 
 @register(
+    "dp_cut_spans",
+    # exact-substring dedup, CUT variant: tokens covered by a span shared
+    # across >=2 docs are removed from the text (Lee et al. 2022 cut the
+    # duplicated substring, not the document). Spark counts span hashes,
+    # the oracle span strings; DuckDB list lambdas are 1-indexed, hence
+    # the i-1. Output text is single-space re-joined in both engines.
+    "WITH tt AS (SELECT doc_id, list_filter(string_split_regex("
+    " lower(COALESCE(text, '')), '\\s+'), x -> x <> '') AS t"
+    " FROM documents),"
+    " w AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN ['']"
+    " WHEN len(t) < 20 THEN [array_to_string(t, ' ')]"
+    f" ELSE list_transform(range(1, len(t) - 18),"
+    f" i -> concat_ws(' ', {_SPAN20})) END AS spans FROM tt),"
+    " g AS (SELECT doc_id, UNNEST(spans) AS g,"
+    " UNNEST(range(0, len(spans))) AS pos FROM w),"
+    " d AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)"
+    " GROUP BY g HAVING COUNT(*) >= 2),"
+    " st AS (SELECT doc_id, list_sort(list(pos)) AS starts"
+    " FROM g JOIN d USING (g) GROUP BY doc_id),"
+    " o AS (SELECT doc_id, list_filter(string_split_regex("
+    " COALESCE(text, ''), '\\s+'), x -> x <> '') AS otoks FROM documents),"
+    " r AS (SELECT o.doc_id, otoks, COALESCE(starts, []) AS starts"
+    " FROM o LEFT JOIN st USING (doc_id)),"
+    " c AS (SELECT doc_id, otoks, list_filter(otoks, (x, i) ->"
+    " len(list_filter(starts, s -> s <= i - 1 AND i - 1 <= s + 19)) = 0)"
+    " AS kept FROM r)"
+    " SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+    " COALESCE(array_to_string(kept, ' '), '') AS text,"
+    " CAST(len(otoks) - len(kept) AS INT) AS n_cut_tokens FROM c",
+)
+def _dp_cut_spans(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.dedup import cut_repeated_spans
+
+    docs = _spread(spark, sf_dir, "documents")
+    out = cut_repeated_spans(docs, "doc_id", "text", span_tokens=20)
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        F.col("n_cut_tokens").cast("int").alias("n_cut_tokens"),
+    )
+
+
+@register(
     "dp_stream_neardup",
     # bounded availableNow run of the streaming minhash-band collision
     # detector ≡ batch bucket-min semantics: for every doc that is not
@@ -2322,7 +2367,7 @@ _DRIVER_VERIFIED_R2_R3 = [
 # the round-2/3-era unverified block so a truncated run reaches them first
 _NEWEST_FIRST = [
     # round 5
-    "dp_repeated_spans", "dp_span_dedup", "dp_tfidf_terms",
+    "dp_repeated_spans", "dp_span_dedup", "dp_cut_spans", "dp_tfidf_terms",
     "dp_dsir_weights", "dp_ann_quantized_topk", "dp_perplexity_buckets",
     # round 4
     "dp_curate_packed", "dp_stream_stats", "dp_pca_topk", "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
