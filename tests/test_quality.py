@@ -182,3 +182,20 @@ def test_perplexity_buckets_terciles(spark):
     assert min(lp[d] for d in by_bucket["head"]) > max(
         lp[d] for d in by_bucket["tail"]
     )
+
+
+def test_bigram_logprob_detects_word_salad(spark):
+    from victorialogs_spark.datapipe.quality import bigram_logprob
+
+    prose = "the cat sat on the mat and the dog sat on the rug"
+    # word salad: same vocabulary, shuffled order (no common bigrams)
+    salad = "mat the on dog sat rug cat the and on the sat mat the"
+    rows = [(0, prose), (1, prose), (2, salad), (3, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           bigram_logprob(df, "doc_id", "text").collect()}
+    # prose bigrams repeat across docs 0/1 -> higher conditional prob
+    assert out[0]["bigram_logprob"] > out[2]["bigram_logprob"]
+    assert out[0]["bigram_logprob"] == out[1]["bigram_logprob"]
+    assert 3 not in out  # <2 tokens: no bigrams, absent
+    assert out[0]["n_bigrams"] == len(prose.split()) - 1

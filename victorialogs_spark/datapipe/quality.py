@@ -347,3 +347,94 @@ def perplexity_buckets(
         .otherwise(F.lit(labels[2]))
         .alias("bucket"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, round_digits: int = 6
+) -> DataFrame:
+    """Corpus-relative BIGRAM log-probability per document — the next step
+    up from :func:`unigram_logprob` toward a KenLM-style fluency filter:
+    score(d) = mean over adjacent token pairs (w1, w2) of
+    ln P(w2 | w1), with add-one smoothing over the corpus vocabulary:
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Word-salad documents built
+    from common tokens in random order — which unigram scoring cannot
+    distinguish from prose — score low here.
+
+    Plan (100 TB story): one narrow map builds adjacent pairs per doc
+    (pure Column: arrays_zip of the token array with itself shifted — no
+    UDF), then the same shape as unigram_logprob: pair-frequency
+    aggregate, unigram-frequency aggregate, join back on the pair
+    (AQE-skew-safe), per-doc aggregate; V broadcasts as one row.
+
+    Determinism: one ln of one IEEE quotient per pair, rounded 9dp,
+    summed as decimal(38,9) (order-independent exact), mean rounded to
+    ``round_digits``. Output: (<id_col>, n_bigrams long, bigram_logprob
+    double); docs with fewer than 2 tokens are absent.
+    """
+    from victorialogs_spark.datapipe.dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), r"\s+"),
+        lambda t: t != "",
+    )
+    pairs_arr = F.expr(
+        # slice(a, 1, n-1) zipped with slice(a, 2, n-1): adjacent pairs
+        "zip_with(slice(__toks, 1, size(__toks) - 1),"
+        " slice(__toks, 2, size(__toks) - 1),"
+        " (a, b) -> struct(a as w1, b as w2))"
+    )
+    pairs = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .where(F.size("__toks") >= 2)
+        .select(F.col(id_col), F.explode(pairs_arr).alias("__p"))
+        .select(
+            F.col(id_col),
+            F.col("__p.w1").alias("__w1"),
+            F.col("__p.w2").alias("__w2"),
+        )
+    )
+    # the pair table feeds the frequency aggregate AND the join back;
+    # unigram counts come from the same pair table's w1 side PLUS each
+    # doc's final token — but the conditional P(w2|w1) only ever
+    # conditions on w1 occurrences that HAVE a successor, so c(w1) is
+    # exactly the w1-side count of the pair table. V is the vocabulary
+    # of the whole corpus (distinct tokens, from a separate cheap agg).
+    pair_freq = (
+        pairs.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__pf"))
+    )
+    w1_freq = pairs.groupBy("__w1").agg(F.count(F.lit(1)).alias("__uf"))
+    vocab = (
+        df.select(F.explode(toks).alias("__t"))
+        .agg(F.countDistinct("__t").alias("__v"))
+    )
+    ratio = (
+        pair_freq.join(w1_freq, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__w1",
+            "__w2",
+            F.round(
+                F.log(
+                    (F.col("__pf") + 1).cast("double")
+                    / (F.col("__uf") + F.col("__v")).cast("double")
+                ),
+                9,
+            ).alias("__lr"),
+        )
+    )
+    return (
+        pairs.join(ratio, ["__w1", "__w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("__lr").cast("decimal(38,9)")).alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round(
+                F.col("__s").cast("double") / F.col("n_bigrams"),
+                round_digits,
+            ).alias("bigram_logprob"),
+        )
+    )

@@ -1731,6 +1731,41 @@ def _dp_tfidf_terms(spark, sf_dir):
 
 
 @register(
+    "dp_bigram_logprob",
+    # corpus-relative bigram log-prob (KenLM-style fluency signal):
+    # P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) where c(w1) counts w1 occurrences
+    # that have a successor; same decimal-sum determinism as unigram
+    f"WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    f"{_NORM}, '\\s+'), x -> x <> '') AS t FROM documents),"
+    " p AS (SELECT doc_id, UNNEST(t[1:len(t)-1]) AS w1,"
+    " UNNEST(t[2:len(t)]) AS w2 FROM toks WHERE len(t) >= 2),"
+    " pf AS (SELECT w1, w2, COUNT(*) AS pf FROM p GROUP BY w1, w2),"
+    " uf AS (SELECT w1, COUNT(*) AS uf FROM p GROUP BY w1),"
+    " v AS (SELECT COUNT(DISTINCT x) AS v FROM"
+    " (SELECT UNNEST(t) AS x FROM toks)),"
+    " r AS (SELECT w1, w2, ROUND(LN(CAST(pf + 1 AS DOUBLE) /"
+    " CAST(uf + v AS DOUBLE)), 9) AS lr FROM pf JOIN uf USING (w1), v),"
+    " per AS (SELECT doc_id, COUNT(*) AS cnt,"
+    " SUM(CAST(lr AS DECIMAL(38,9))) AS s"
+    " FROM p JOIN r USING (w1, w2) GROUP BY doc_id)"
+    " SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(cnt AS BIGINT)"
+    " AS n_bigrams, ROUND(CAST(s AS DOUBLE) / cnt, 6) AS bigram_logprob"
+    " FROM per",
+)
+def _dp_bigram_logprob(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.quality import bigram_logprob
+
+    docs = _table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "n_bigrams",
+        "bigram_logprob",
+    )
+
+
+@register(
     "dp_shuffle_shards",
     # deterministic corpus shuffle: md5(key || ':seed') orders rows,
     # 2-hex-char prefix = shard, dense position per shard — shards in
@@ -2369,6 +2404,7 @@ _NEWEST_FIRST = [
     # round 5
     "dp_repeated_spans", "dp_span_dedup", "dp_cut_spans", "dp_tfidf_terms",
     "dp_dsir_weights", "dp_ann_quantized_topk", "dp_perplexity_buckets",
+    "dp_bigram_logprob",
     # round 4
     "dp_curate_packed", "dp_stream_stats", "dp_pca_topk", "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
