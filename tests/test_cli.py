@@ -86,3 +86,17 @@ def test_cli_explain(table):
     out = buf.getvalue()
     assert out.startswith("-- canonical: error | stats by (app) count() as hits")
     assert "HashAggregate" in out and "Scan parquet" in out
+
+
+def test_cli_index(spark, table, tmp_path):
+    import json as _json
+
+    idx = str(tmp_path / "bloom_idx")
+    rc = cli.main(["index", "_msg", "--table", table, "--out", idx])
+    assert rc == 0
+    assert spark.read.parquet(idx).count() >= 1
+    # queries through the path form now consult the index transparently
+    from victorialogs_spark.api import run_query
+
+    rows = run_query(spark, table, "error | fields _msg").collect()
+    assert rows and all("error" in r["_msg"] for r in rows)

@@ -44,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("command", choices=[
         "query", "hits", "facets", "field-names", "field-values",
         "streams", "stream-ids", "tail", "serve",
-        "ingest", "compact", "retention", "curate", "explain",
+        "ingest", "compact", "retention", "curate", "explain", "index",
     ])
     ap.add_argument("arg", nargs="?", default="*",
                     help="LogsQL query (or field name for field-values; "
@@ -147,6 +147,23 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write(
             f"curated {args.table} ({n_in} docs) -> {args.out} "
             f"({n_out} kept, {n_in - n_out} dropped)\n"
+        )
+        return 0
+    if args.command == "index":
+        from victorialogs_spark.index.bloom import (
+            build_token_bloom_index,
+            register_bloom_index,
+        )
+
+        if not args.out:
+            ap.error("index requires --out <sidecar parquet path>")
+        flds = [s for s in (args.arg or "_msg").split(",") if s]
+        build_token_bloom_index(spark, args.table, args.out, fields=flds)
+        register_bloom_index(args.table, args.out)
+        n = spark.read.parquet(args.out).count()
+        sys.stderr.write(
+            f"token-bloom sidecar at {args.out} ({n} files indexed);"
+            f" run_query(spark, {args.table!r}, q) now prunes scans\n"
         )
         return 0
     if args.command == "retention":
