@@ -89,14 +89,13 @@ def test_cli_explain(table):
 
 
 def test_cli_index(spark, table, tmp_path):
-    import json as _json
-
     idx = str(tmp_path / "bloom_idx")
-    rc = cli.main(["index", "_msg", "--table", table, "--out", idx])
+    # bare invocation (no field arg) defaults to indexing _msg
+    rc = cli.main(["index", "--table", table, "--out", idx])
     assert rc == 0
     assert spark.read.parquet(idx).count() >= 1
-    # queries through the path form now consult the index transparently
-    from victorialogs_spark.api import run_query
-
-    rows = run_query(spark, table, "error | fields _msg").collect()
+    # --index registers the sidecar for the process and routes the query
+    # through the pruning path form
+    rows = run_cli(["query", "error | fields _msg",
+                    "--table", table, "--index", idx])
     assert rows and all("error" in r["_msg"] for r in rows)

@@ -303,3 +303,23 @@ def test_dsir_ratio_table_built_in_shuffle(spark):
     assert "FullOuter" in plan or "full_outer" in plan.lower()
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals broadcast
     assert "partial_count" in plan
+
+
+def test_cut_spans_and_bigram_bounded_plans(spark):
+    """cut_repeated_spans: no cartesian product, partial aggregation on
+    the span doc-frequency, and the rebuild is Column-only (exactly one
+    Python stage — the positional window hasher). bigram_logprob: pair
+    construction is pure Column (no UDF at all) with partial aggs."""
+    from victorialogs_spark.driver_entry import QUERIES
+
+    plan = plan_of(QUERIES["dp_cut_spans"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert plan.count("ArrowEvalPython") <= 2  # hasher per plan branch
+
+    plan = plan_of(
+        QUERIES["dp_bigram_logprob"](spark, "/root/testdata/sf0.001")
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan

@@ -37,6 +37,7 @@ NOTES = {
     "dp_ann_quantized_topk": "pure-Column int8 quantize + integer dot/norm scan + TakeOrderedAndProject",
     "dp_cut_spans": "positional rolling-hash map → span doc-freq (2 shuffles) → per-doc start list → pure-Column indexed token filter rebuild",
     "dp_perplexity_buckets": "cached score table → one exact-percentile aggregate broadcast as two thresholds — no global sort/rank",
+    "dp_bigram_logprob": "pure-Column adjacent-pair zip → pair/w1 frequency aggregates joined in the shuffle → per-doc decimal mean; no UDF",
 }
 
 

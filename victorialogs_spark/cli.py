@@ -66,7 +66,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="compact: re-encode uniformly-numeric string "
                          "columns as typed parquet")
     ap.add_argument("--out", default="",
-                    help="curate: output parquet path (required)")
+                    help="curate/index: output parquet path (required)")
+    ap.add_argument("--index", default="",
+                    help="query/hits/explain: token-bloom sidecar path "
+                         "(built by the index command); prunes scan files "
+                         "for word filters")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--heldout", default="",
@@ -150,20 +154,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
     if args.command == "index":
-        from victorialogs_spark.index.bloom import (
-            build_token_bloom_index,
-            register_bloom_index,
-        )
+        from victorialogs_spark.index.bloom import build_token_bloom_index
 
         if not args.out:
             ap.error("index requires --out <sidecar parquet path>")
-        flds = [s for s in (args.arg or "_msg").split(",") if s]
+        # the positional arg defaults to '*' (match-all query); for index
+        # it means "default fields", i.e. _msg
+        raw = args.arg if args.arg != "*" else "_msg"
+        flds = [s for s in raw.split(",") if s]
         build_token_bloom_index(spark, args.table, args.out, fields=flds)
-        register_bloom_index(args.table, args.out)
         n = spark.read.parquet(args.out).count()
         sys.stderr.write(
             f"token-bloom sidecar at {args.out} ({n} files indexed);"
-            f" run_query(spark, {args.table!r}, q) now prunes scans\n"
+            f" pass --index {args.out} to query/explain to prune"
+        " scans (registration is per-process)\n"
         )
         return 0
     if args.command == "retention":
@@ -176,17 +180,25 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write(f"dropped days: {dropped}\n")
         return 0
 
+    if args.index:
+        # register the sidecar for THIS process and route query/explain
+        # through the path form, which consults the registry and prunes
+        from victorialogs_spark.index.bloom import register_bloom_index
+
+        register_bloom_index(args.table, args.index)
+
     df = spark.read.parquet(args.table)
+    target = args.table if args.index else df
 
     if args.command == "query":
-        out = run_query(spark, df, args.arg)
+        out = run_query(spark, target, args.arg)
         _emit(out, args.limit)
     elif args.command == "explain":
         from victorialogs_spark.logsql.parser import parse_query
 
         q = parse_query(args.arg)
         sys.stdout.write(f"-- canonical: {q.to_logsql()}\n")
-        out = run_query(spark, df, args.arg)
+        out = run_query(spark, target, args.arg)
         sys.stdout.write(
             out._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode

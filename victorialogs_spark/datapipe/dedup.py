@@ -46,6 +46,22 @@ def fingerprint(c: Column) -> Column:
     return F.md5(F.encode(normalize_text(c), "UTF-8"))
 
 
+import re as _re  # noqa: E402  (module-scope: compiled once per process)
+
+# ASCII whitespace only — the intersection Java \s+, RE2 \s+ and this
+# class agree on. Python str.split() splits Unicode whitespace (\xa0,
+#  , ...) that the JVM/DuckDB sides do NOT, which would misalign
+# token positions between the Arrow hashers and Column rebuilds (the
+# py_normalize_text trap). Use this for any UDF whose token INDEXES or
+# strings must match an engine-side split.
+_ASCII_WS = _re.compile(r"[ \t\n\r\f\v]+")
+
+
+def ascii_tokens(text: str | None) -> list[str]:
+    """Lowercased ASCII-whitespace tokens, engine-aligned (see _ASCII_WS)."""
+    return [t for t in _ASCII_WS.split((text or "").lower()) if t]
+
+
 def exact_dedup(
     df: DataFrame, id_col: str, text_col: str, keep: str = "min"
 ) -> DataFrame:
@@ -877,7 +893,7 @@ def token_window_hashes_arrow(c_name: str, n: int):
         bounds = np.empty(len(texts) + 1, dtype=np.int64)
         bounds[0] = 0
         for i, text in enumerate(texts):
-            toks = (text or "").lower().split()
+            toks = ascii_tokens(text)
             flat.extend(toks)
             bounds[i + 1] = len(flat)
         if flat:
@@ -938,7 +954,7 @@ def token_window_hashes_pos_arrow(c_name: str, n: int):
         bounds = np.empty(len(texts) + 1, dtype=np.int64)
         bounds[0] = 0
         for i, text in enumerate(texts):
-            toks = (text or "").lower().split()
+            toks = ascii_tokens(text)
             flat.extend(toks)
             bounds[i + 1] = len(flat)
         hs = (

@@ -393,16 +393,23 @@ def bigram_logprob(
             F.col("__p.w2").alias("__w2"),
         )
     )
-    # the pair table feeds the frequency aggregate AND the join back;
-    # unigram counts come from the same pair table's w1 side PLUS each
-    # doc's final token — but the conditional P(w2|w1) only ever
-    # conditions on w1 occurrences that HAVE a successor, so c(w1) is
-    # exactly the w1-side count of the pair table. V is the vocabulary
-    # of the whole corpus (distinct tokens, from a separate cheap agg).
+    # c(w1) conditions only on w1 occurrences that HAVE a successor, so
+    # it is exactly the w1-marginal of the pair-frequency table — derive
+    # it from pair_freq (an agg of an agg: tiny) instead of re-exploding
+    # the corpus. pair_freq itself feeds the marginal AND the ratio
+    # join: cache it so the heavy pair build runs once for both (the
+    # final per-doc join streams `pairs` a second time — one more
+    # narrow-map pass, the same recompute-don't-persist tradeoff
+    # repeated_spans documents). V is the corpus vocabulary (separate
+    # cheap aggregate).
+    from pyspark import StorageLevel
+
     pair_freq = (
-        pairs.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__pf"))
+        pairs.groupBy("__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__pf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    w1_freq = pairs.groupBy("__w1").agg(F.count(F.lit(1)).alias("__uf"))
+    w1_freq = pair_freq.groupBy("__w1").agg(F.sum("__pf").alias("__uf"))
     vocab = (
         df.select(F.explode(toks).alias("__t"))
         .agg(F.countDistinct("__t").alias("__v"))

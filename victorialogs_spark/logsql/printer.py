@@ -30,10 +30,14 @@ _INF_HI = 2**62
 _WORD_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
 
 
-def _reserved() -> set:
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _reserved() -> frozenset:
     from victorialogs_spark.logsql.parser import _PIPE_NAMES, _STATS_FUNCS
 
-    return _PIPE_NAMES | _STATS_FUNCS | {
+    return frozenset(_PIPE_NAMES) | frozenset(_STATS_FUNCS) | {
         "and", "or", "not", "in", "as", "by", "if", "inf", "options",
         "seq", "exact", "i", "range", "contains_all", "contains_any",
         "eq_field", "le_field", "lt_field", "len_range", "string_range",
