@@ -109,3 +109,19 @@ def test_print_parse_roundtrip_fuzz_fragments():
         assert parse_query(printed, timestamp_ns=TS) == ast1, (
             f"{q!r} drifted via {printed!r}"
         )
+
+
+def test_print_parse_roundtrip_adversarial_cases():
+    """Regression cases from review: keyword-colliding field names and
+    open-ended ranges whose include flags must survive the round-trip."""
+    cases = [
+        '"stats":foo', '"limit":x', '"not":x', '"options":y',
+        '"count":v and "by":w', 'foo:range(-inf, 10]', 'foo:range[5, inf)',
+        'foo:range(-inf, inf)', 'foo:>5', 'foo:<=3',
+        '* | sort by ("count") limit 2', '* | fields "by", a',
+        '* | stats by ("fields") count() as c',
+    ]
+    for q in cases:
+        ast1 = parse_query(q, timestamp_ns=TS)
+        printed = print_query(ast1)
+        assert parse_query(printed, timestamp_ns=TS) == ast1, (q, printed)

@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", default="",
                     help="curate/index: output parquet path (required)")
     ap.add_argument("--index", default="",
-                    help="query/hits/explain: token-bloom sidecar path "
+                    help="query/explain: token-bloom sidecar path "
                          "(built by the index command); prunes scan files "
                          "for word filters")
     ap.add_argument("--id-col", default="doc_id")
@@ -187,8 +187,10 @@ def main(argv: list[str] | None = None) -> int:
 
         register_bloom_index(args.table, args.index)
 
-    df = spark.read.parquet(args.table)
-    target = args.table if args.index else df
+    use_path = bool(args.index) and args.command in ("query", "explain")
+    # skip the up-front footer/schema read when the path form re-reads it
+    df = None if use_path else spark.read.parquet(args.table)
+    target = args.table if use_path else df
 
     if args.command == "query":
         out = run_query(spark, target, args.arg)

@@ -48,12 +48,14 @@ def fingerprint(c: Column) -> Column:
 
 import re as _re  # noqa: E402  (module-scope: compiled once per process)
 
-# ASCII whitespace only — the intersection Java \s+, RE2 \s+ and this
-# class agree on. Python str.split() splits Unicode whitespace (\xa0,
-#  , ...) that the JVM/DuckDB sides do NOT, which would misalign
-# token positions between the Arrow hashers and Column rebuilds (the
-# py_normalize_text trap). Use this for any UDF whose token INDEXES or
-# strings must match an engine-side split.
+# Exactly Java's \s class ([ \t\n\x0B\f\r]) -- what Spark-side \s+
+# splits and Column rebuilds see. Python str.split() splits Unicode
+# whitespace (\xa0, \u2028, ...) that the JVM does NOT, which would
+# misalign token positions between the Arrow hashers and Column
+# rebuilds (the py_normalize_text trap); RE2's \s additionally omits
+# \x0b, so DuckDB oracles must spell the SAME explicit class instead
+# of '\s+' (driver_entry._NORM does). Use this for any UDF whose token
+# INDEXES or strings must match an engine-side split.
 _ASCII_WS = _re.compile(r"[ \t\n\r\f\v]+")
 
 
@@ -859,89 +861,35 @@ def span_dedup(
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
-def token_window_hashes_arrow(c_name: str, n: int):
-    """Distinct per-doc hashes of every ``n``-token sliding window,
-    computed WITHOUT materializing window strings: the batch's tokens are
+def _token_window_hashes(c_name: str, n: int, positional: bool):
+    """Shared builder for the window-hash UDFs: the batch's tokens are
     hashed in one C call (``pd.util.hash_array``), then every window hash
     is a degree-``n`` polynomial of its token hashes (odd base, uint64
     wraparound) evaluated for ALL windows at once as one
-    ``sliding_window_view @ powers`` matmul. Equal windows ⇒ equal hashes
-    exactly; unequal windows collide at ~2^-64 — the same contract as
-    hashing the joined span string (token_ngram_hashes_arrow), at
-    O(tokens·n) C multiply-adds instead of O(tokens·n) Python string
-    bytes. Docs shorter than ``n`` hash their whole token sequence (the
-    polynomial is length-sensitive, so a 3-token doc never collides with
-    a 3-token window prefix of a longer doc's 20-token window — they use
-    different power suffixes); an empty/NULL doc yields the single
-    sentinel hash 0."""
+    ``sliding_window_view @ powers`` matmul. Equal windows => equal
+    hashes exactly; unequal windows collide at ~2^-64 -- the same
+    contract as hashing the joined span string, at O(tokens*n) C
+    multiply-adds instead of O(tokens*n) Python string bytes.
+
+    Tokenization is :func:`ascii_tokens` (exactly Java \\s), so window
+    INDEXES align with engine-side ``\\s+`` splits. Docs shorter than
+    ``n`` hash their whole token sequence (the polynomial is
+    length-sensitive, so a 3-token doc never collides with a 3-token
+    prefix of a longer doc's window -- different power suffixes); an
+    empty/NULL doc yields the single sentinel hash 0.
+
+    ``positional=False`` -> distinct hashes per doc (set semantics);
+    ``positional=True`` -> every window hash in document order, index i =
+    window starting at token i, duplicates kept (posexplode recovers
+    (start_pos, span) pairs).
+    """
     import numpy as np
     import pandas as pd
 
-    B = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd → invertible mod 2^64
+    B = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd -> invertible mod 2^64
     powers = np.empty(n, dtype=np.uint64)
     powers[n - 1] = np.uint64(1)
-    # wraparound is the point — suppress numpy's scalar-overflow warning
-    with np.errstate(over="ignore"):
-        for j in range(n - 2, -1, -1):
-            powers[j] = powers[j + 1] * B
-
-    def _win_hashes(series):
-        texts = series.tolist()
-        if not texts:
-            return pd.Series([], dtype=object)
-        flat: list = []
-        bounds = np.empty(len(texts) + 1, dtype=np.int64)
-        bounds[0] = 0
-        for i, text in enumerate(texts):
-            toks = ascii_tokens(text)
-            flat.extend(toks)
-            bounds[i + 1] = len(flat)
-        if flat:
-            hs = pd.util.hash_array(
-                np.asarray(flat, dtype=object)
-            ).astype(np.uint64)
-        else:
-            hs = np.zeros(0, dtype=np.uint64)
-        # all window hashes of the whole batch in one matmul; windows
-        # crossing doc boundaries exist in `win` but are never selected
-        if len(hs) >= n:
-            win = np.lib.stride_tricks.sliding_window_view(hs, n) @ powers
-        else:
-            win = np.zeros(0, dtype=np.uint64)
-        out = []
-        for i in range(len(texts)):
-            s, e = int(bounds[i]), int(bounds[i + 1])
-            ln = e - s
-            if ln == 0:
-                out.append([0])
-            elif ln < n:
-                out.append(
-                    [int((hs[s:e] * powers[n - ln:]).sum(dtype=np.uint64)
-                         .view(np.int64))]
-                )
-            else:
-                out.append(
-                    np.unique(win[s : e - n + 1]).view(np.int64).tolist()
-                )
-        return pd.Series(out)
-
-    _win_hashes.__annotations__ = {"series": pd.Series, "return": pd.Series}
-    return F.pandas_udf(_win_hashes, "array<long>")(F.col(c_name))
-
-
-def token_window_hashes_pos_arrow(c_name: str, n: int):
-    """Like :func:`token_window_hashes_arrow` but POSITIONAL: returns every
-    window hash in document order (index i = window starting at token i),
-    duplicates kept, so ``posexplode`` recovers (start_pos, span) pairs.
-    Same hash construction (batch token hashing + one uint64 polynomial
-    matmul); a doc shorter than ``n`` yields its single whole-sequence
-    hash at position 0, an empty/NULL doc the sentinel 0."""
-    import numpy as np
-    import pandas as pd
-
-    B = np.uint64(0x9E3779B97F4A7C15 | 1)
-    powers = np.empty(n, dtype=np.uint64)
-    powers[n - 1] = np.uint64(1)
+    # wraparound is the point -- suppress numpy's scalar-overflow warning
     with np.errstate(over="ignore"):
         for j in range(n - 2, -1, -1):
             powers[j] = powers[j + 1] * B
@@ -962,6 +910,8 @@ def token_window_hashes_pos_arrow(c_name: str, n: int):
             if flat
             else np.zeros(0, dtype=np.uint64)
         )
+        # all window hashes of the whole batch in one matmul; windows
+        # crossing doc boundaries exist in `win` but are never selected
         win = (
             np.lib.stride_tricks.sliding_window_view(hs, n) @ powers
             if len(hs) >= n
@@ -979,11 +929,27 @@ def token_window_hashes_pos_arrow(c_name: str, n: int):
                          .view(np.int64))]
                 )
             else:
-                out.append(win[s : e - n + 1].view(np.int64).tolist())
+                w = win[s : e - n + 1]
+                if not positional:
+                    w = np.unique(w)
+                out.append(w.view(np.int64).tolist())
         return pd.Series(out)
 
     _win_hashes.__annotations__ = {"series": pd.Series, "return": pd.Series}
     return F.pandas_udf(_win_hashes, "array<long>")(F.col(c_name))
+
+
+def token_window_hashes_arrow(c_name: str, n: int):
+    """Distinct per-doc hashes of every ``n``-token sliding window
+    (set semantics; see :func:`_token_window_hashes`)."""
+    return _token_window_hashes(c_name, n, positional=False)
+
+
+def token_window_hashes_pos_arrow(c_name: str, n: int):
+    """POSITIONAL window hashes: every window hash in document order,
+    duplicates kept, so ``posexplode`` recovers (start_pos, span) pairs
+    (see :func:`_token_window_hashes`)."""
+    return _token_window_hashes(c_name, n, positional=True)
 
 
 def cut_repeated_spans(

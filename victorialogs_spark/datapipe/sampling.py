@@ -189,19 +189,15 @@ def dsir_logweights(
     """
     from victorialogs_spark.datapipe.dedup import normalize_text
 
-    def _toks(df: DataFrame) -> DataFrame:
-        return df.select(
+    def _toks(df: DataFrame, with_id: bool = False) -> DataFrame:
+        cols = ([F.col(id_col)] if with_id else []) + [
             F.explode(
                 F.split(normalize_text(F.col(text_col)), r"\s+")
             ).alias("__tok")
-        ).where(F.col("__tok") != "")
+        ]
+        return df.select(*cols).where(F.col("__tok") != "")
 
-    src_toks = source.select(
-        F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias(
-            "__tok"
-        ),
-    ).where(F.col("__tok") != "")
+    src_toks = _toks(source, with_id=True)
     # frequency tables feed two branches each (totals + the ratio join):
     # cache so the corpus is exploded once per side, not twice
     sf = (

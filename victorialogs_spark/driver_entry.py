@@ -995,7 +995,11 @@ def _ep_stream_field_values(spark, sf_dir):
 # multimodal plumbing — first-class components per the brief
 # ---------------------------------------------------------------------------
 
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# normalization for oracle SQL: the EXPLICIT class [ \t\n\r\f\x0b] is
+# exactly Java's \s (what Spark's normalize_text collapses); RE2's \s
+# omits \x0b, so a literal '\s+' here would diverge from the engine on
+# vertical-tab-containing text
+_NORM = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))"
 
 
 @register(
@@ -1014,7 +1018,7 @@ def _dp_exact_dedup(spark, sf_dir):
     # exact token-5-gram Jaccard pairs >= 0.05, mirrored fully in SQL
     # (5-grams keep the inverted-index join selective on this corpus)
     "WITH toks AS (SELECT doc_id,"
-    f" string_split_regex({_NORM}, '\\s+') AS t FROM documents),"
+    f" string_split_regex({_NORM}, '[ \\t\\n\\r\\f\\x0b]+') AS t FROM documents),"
     " grams AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,"
     " UNNEST(list_transform(range(1, greatest(len(t) - 4, 1) + 1),"
     " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))"
@@ -1045,7 +1049,7 @@ def _dp_ngram_jaccard(spark, sf_dir):
     # estimate) reproduced in DuckDB — pins the semantics the xxhash
     # production variant (dp_minhash_lsh, rows-only) shares
     f"WITH toks AS (SELECT doc_id, list_filter(string_split_regex({_NORM},"
-    " '\\s+'), t -> t <> '') AS t FROM documents),"
+    " '[ \\t\\n\\r\\f\\x0b]+'), t -> t <> '') AS t FROM documents),"
     " grams AS (SELECT doc_id, list_distinct(list_transform("
     " range(1, greatest(len(t) - 2, 1) + 1),"
     " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g FROM toks),"
@@ -1094,7 +1098,7 @@ def _dp_simhash(spark, sf_dir):
 @register(
     "dp_text_stats",
     "SELECT doc_id, LENGTH(text) AS n_chars,"
-    " len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))"
+    " len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'), t -> t <> ''))"
     " AS n_tokens,"
     " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))"
     " AS n_bpe_tokens FROM documents",
@@ -1110,10 +1114,10 @@ def _dp_text_stats(spark, sf_dir):
 @register(
     "dp_quality",
     "SELECT doc_id, ROUND("
-    " LEAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) / 20.0, 1.0) * 0.4"
-    " + CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) > 0 THEN"
-    "   CAST(len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))) AS DOUBLE)"
-    "   / len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) ELSE 0.0 END * 0.4"
+    " LEAST(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'), t -> t <> '')) / 20.0, 1.0) * 0.4"
+    " + CASE WHEN len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'), t -> t <> '')) > 0 THEN"
+    "   CAST(len(list_distinct(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'), t -> t <> ''))) AS DOUBLE)"
+    "   / len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'), t -> t <> '')) ELSE 0.0 END * 0.4"
     " + (1 - CASE WHEN LENGTH(text) > 0 THEN"
     "   CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / LENGTH(text)"
     "   ELSE 1.0 END) * 0.2, 6) AS quality FROM documents",
@@ -1130,7 +1134,7 @@ def _dp_quality(spark, sf_dir):
 @register(
     "dp_lang_id",
     "WITH t AS (SELECT doc_id,"
-    " list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+    " list_distinct(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),"
     " x -> x <> '')) AS toks FROM documents),"
     " s AS (SELECT doc_id,"
     " len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])) AS en,"
@@ -1559,7 +1563,7 @@ def _dp_audio_fingerprint(spark, sf_dir):
     # bit b of a token's hash = bit (7-b%8) of md5 byte b//8, per-bit
     # vote summed over the token MULTISET, '1' iff the vote is positive
     "WITH toks AS (SELECT doc_id, t FROM documents,"
-    " UNNEST(string_split_regex(lower(text), '\\s+')) AS u(t)"
+    " UNNEST(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0b]+')) AS u(t)"
     " WHERE t <> ''),"
     " tb AS (SELECT doc_id, b, CASE WHEN"
     " ((16 * (strpos('0123456789abcdef', substr(md5(t), 1 + 2*(b // 8), 1)) - 1)"
@@ -1589,7 +1593,7 @@ def _dp_simhash_md5(spark, sf_dir):
     # per-token lns round to 9dp and sum as DECIMAL(38,9) so the mean is
     # exact + order-independent in any engine
     f"WITH toks AS (SELECT doc_id, t AS tok FROM documents,"
-    f" UNNEST(regexp_split_to_array({_NORM}, '\\s+')) AS u(t)"
+    f" UNNEST(regexp_split_to_array({_NORM}, '[ \\t\\n\\r\\f\\x0b]+')) AS u(t)"
     " WHERE t <> ''),"
     " freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),"
     " tot AS (SELECT COUNT(*) AS n FROM toks),"
@@ -1620,7 +1624,7 @@ def _dp_unigram_logprob(spark, sf_dir):
     # 1+p(n-1) interpolation; scores are 6dp-rounded before the cut so
     # both engines interpolate identical inputs.
     f"WITH toks AS (SELECT doc_id, t AS tok FROM documents,"
-    f" UNNEST(regexp_split_to_array({_NORM}, '\\s+')) AS u(t)"
+    f" UNNEST(regexp_split_to_array({_NORM}, '[ \\t\\n\\r\\f\\x0b]+')) AS u(t)"
     " WHERE t <> ''),"
     " freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),"
     " tot AS (SELECT COUNT(*) AS n FROM toks),"
@@ -1659,10 +1663,10 @@ def _dp_perplexity_buckets(spark, sf_dir):
     # Parenthesization of the smoothed ratio mirrors the Spark expression
     # term-for-term so both engines hit identical IEEE intermediates.
     f"WITH stoks AS (SELECT doc_id, t AS tok FROM documents,"
-    f" UNNEST(regexp_split_to_array({_NORM}, '\\s+')) AS u(t)"
+    f" UNNEST(regexp_split_to_array({_NORM}, '[ \\t\\n\\r\\f\\x0b]+')) AS u(t)"
     " WHERE t <> ''),"
     f" ttoks AS (SELECT t AS tok FROM documents,"
-    f" UNNEST(regexp_split_to_array({_NORM}, '\\s+')) AS u(t)"
+    f" UNNEST(regexp_split_to_array({_NORM}, '[ \\t\\n\\r\\f\\x0b]+')) AS u(t)"
     " WHERE lang = 'zh' AND t <> ''),"
     " sfq AS (SELECT tok, COUNT(*) AS sf FROM stoks GROUP BY tok),"
     " tfq AS (SELECT tok, COUNT(*) AS tf FROM ttoks GROUP BY tok),"
@@ -1700,7 +1704,7 @@ def _dp_dsir_weights(spark, sf_dir):
     # the raw double (a count times one ln — IEEE-identical per engine),
     # the EMITTED score rounds to 6dp like the other ln-valued entries
     f"WITH toks AS (SELECT doc_id, t AS term FROM documents,"
-    f" UNNEST(regexp_split_to_array({_NORM}, '\\s+')) AS u(t)"
+    f" UNNEST(regexp_split_to_array({_NORM}, '[ \\t\\n\\r\\f\\x0b]+')) AS u(t)"
     " WHERE t <> ''),"
     " tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),"
     " dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),"
@@ -1736,7 +1740,7 @@ def _dp_tfidf_terms(spark, sf_dir):
     # P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) where c(w1) counts w1 occurrences
     # that have a successor; same decimal-sum determinism as unigram
     f"WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
-    f"{_NORM}, '\\s+'), x -> x <> '') AS t FROM documents),"
+    f"{_NORM}, '[ \\t\\n\\r\\f\\x0b]+'), x -> x <> '') AS t FROM documents),"
     " p AS (SELECT doc_id, UNNEST(t[1:len(t)-1]) AS w1,"
     " UNNEST(t[2:len(t)]) AS w2 FROM toks WHERE len(t) >= 2),"
     " pf AS (SELECT w1, w2, COUNT(*) AS pf FROM p GROUP BY w1, w2),"
@@ -1927,7 +1931,7 @@ _NGRAM13 = ", ".join(f"t[i+{j}]" for j in range(13))
     # COALESCE mirrors the engine's missing≡empty rule: a NULL text
     # yields the single '' gram on the Spark side, not zero grams.
     "WITH t AS (SELECT doc_id,"
-    " list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'),"
+    " list_filter(string_split_regex(lower(COALESCE(text, '')), '[ \\t\\n\\r\\f\\x0b]+'),"
     " x -> x <> '') AS t FROM documents),"
     " g AS (SELECT doc_id, UNNEST(CASE WHEN len(t) < 13"
     " THEN [array_to_string(t, ' ')]"
@@ -1954,7 +1958,7 @@ _SPAN20 = ", ".join(f"t[i+{j}]" for j in range(20))
 # distinct 20-token sliding spans per doc (short doc → whole text as one span)
 _SPANS_CTE = (
     "WITH t AS (SELECT doc_id,"
-    " list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'),"
+    " list_filter(string_split_regex(lower(COALESCE(text, '')), '[ \\t\\n\\r\\f\\x0b]+'),"
     " x -> x <> '') AS t FROM documents),"
     " g AS (SELECT doc_id, UNNEST(CASE WHEN len(t) < 20"
     " THEN [array_to_string(t, ' ')]"
@@ -2007,7 +2011,7 @@ def _dp_span_dedup(spark, sf_dir):
     # the oracle span strings; DuckDB list lambdas are 1-indexed, hence
     # the i-1. Output text is single-space re-joined in both engines.
     "WITH tt AS (SELECT doc_id, list_filter(string_split_regex("
-    " lower(COALESCE(text, '')), '\\s+'), x -> x <> '') AS t"
+    " lower(COALESCE(text, '')), '[ \\t\\n\\r\\f\\x0b]+'), x -> x <> '') AS t"
     " FROM documents),"
     " w AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN ['']"
     " WHEN len(t) < 20 THEN [array_to_string(t, ' ')]"
@@ -2020,7 +2024,7 @@ def _dp_span_dedup(spark, sf_dir):
     " st AS (SELECT doc_id, list_sort(list(pos)) AS starts"
     " FROM g JOIN d USING (g) GROUP BY doc_id),"
     " o AS (SELECT doc_id, list_filter(string_split_regex("
-    " COALESCE(text, ''), '\\s+'), x -> x <> '') AS otoks FROM documents),"
+    " COALESCE(text, ''), '[ \\t\\n\\r\\f\\x0b]+'), x -> x <> '') AS otoks FROM documents),"
     " r AS (SELECT o.doc_id, otoks, COALESCE(starts, []) AS starts"
     " FROM o LEFT JOIN st USING (doc_id)),"
     " c AS (SELECT doc_id, otoks, list_filter(otoks, (x, i) ->"
@@ -2051,7 +2055,7 @@ def _dp_cut_spans(spark, sf_dir):
     # its bucket's minimum in >=1 band, dup_of = min over its colliding
     # buckets' minima. md5 signatures make the values engine-exact.
     f"WITH toks AS (SELECT doc_id, list_filter(string_split_regex({_NORM},"
-    " '\\s+'), t -> t <> '') AS t FROM documents),"
+    " '[ \\t\\n\\r\\f\\x0b]+'), t -> t <> '') AS t FROM documents),"
     " grams AS (SELECT doc_id, list_distinct(list_transform("
     " range(1, greatest(len(t) - 2, 1) + 1),"
     " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g FROM toks),"
@@ -2151,7 +2155,7 @@ def _dp_repetition(spark, sf_dir):
     # ROW_NUMBER replicates the engine's min_by((cnt,gram),(-cnt,gram))
     # tie-break (most frequent, then lexicographically smallest gram)
     "WITH toks AS (SELECT doc_id,"
-    " list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t"
+    " list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0b]+'), t -> t <> '') AS t"
     " FROM documents),"
     " g AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t) - 1),"
     " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram"
@@ -2179,9 +2183,9 @@ def _dp_ngram_repetition(spark, sf_dir):
     "dp_gopher_quality",
     # full Gopher rule set mirrored in DuckDB list/regexp functions
     "WITH w AS (SELECT doc_id, text,"
-    " list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS words,"
+    " list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\x0b]+'), t -> t <> '') AS words,"
     " list_filter(str_split(text, chr(10)), l -> trim(l) <> '') AS lines,"
-    " list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),"
+    " list_distinct(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0b]+'),"
     " t -> t <> '')) AS low FROM documents),"
     " s AS (SELECT doc_id, len(words) AS n_words,"
     " CASE WHEN len(words) > 0 THEN CAST(list_sum(list_transform(words,"
@@ -2220,7 +2224,7 @@ def _dp_gopher_quality(spark, sf_dir):
 # _cluster_edges_sql(base) rebinds the chain onto any doc-shaped CTE.
 _CLUSTER_EDGES_SQL = (
     "toks AS (SELECT doc_id,"
-    f" string_split_regex({_NORM}, '\\s+') AS t FROM documents),"
+    f" string_split_regex({_NORM}, '[ \\t\\n\\r\\f\\x0b]+') AS t FROM documents),"
     " grams AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,"
     " UNNEST(list_transform(range(1, greatest(len(t) - 4, 1) + 1),"
     " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))"
@@ -2289,7 +2293,7 @@ _CURATE_SQL = (
     "WITH RECURSIVE"
     " base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),"
     " w AS (SELECT doc_id, text,"
-    " list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS words"
+    " list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\x0b]+'), t -> t <> '') AS words"
     " FROM base),"
     " q AS (SELECT doc_id, text FROM w WHERE len(words) >= 1"
     " AND CASE WHEN len(words) > 0 THEN"

@@ -54,8 +54,10 @@ def _q(s: str) -> str:
 
 
 def _qf(name: str) -> str:
-    """Quote a field name."""
-    if _WORD_RE.match(name):
+    """Quote a field name. Names colliding with pipe/stats keywords MUST
+    be quoted too: a bare 'stats:foo' is rejected at filter start and a
+    bare field named 'not' reparses as negation."""
+    if _WORD_RE.match(name) and name.lower() not in _reserved():
         return name
     return json.dumps(name, ensure_ascii=False)
 
@@ -167,15 +169,16 @@ def print_filter(f: A.Filter) -> str:
     if isinstance(f, A.FRegexp):
         return f"{_pfx(f.field)}~{json.dumps(f.pattern, ensure_ascii=False)}"
     if isinstance(f, A.FRange):
-        if f.hi == float("inf") and not f.include_hi is False:
-            # '>lo' / '>=lo' shapes keep the comparison spelling
+        # comparison spellings only when the reparse reproduces the exact
+        # include flags: '>lo' gives (lo, inf] and '<hi' gives [-inf, hi)
+        if (f.hi == float("inf") and f.include_hi
+                and f.lo != float("-inf")):
             op = ">=" if f.include_lo else ">"
-            if f.lo != float("-inf"):
-                return f"{_pfx(f.field)}{op}{_num(f.lo)}"
-        if f.lo == float("-inf"):
+            return f"{_pfx(f.field)}{op}{_num(f.lo)}"
+        if (f.lo == float("-inf") and f.include_lo
+                and f.hi != float("inf")):
             op = "<=" if f.include_hi else "<"
-            if f.hi != float("inf"):
-                return f"{_pfx(f.field)}{op}{_num(f.hi)}"
+            return f"{_pfx(f.field)}{op}{_num(f.hi)}"
         lb = "[" if f.include_lo else "("
         rb = "]" if f.include_hi else ")"
         return f"{_pfx(f.field)}range{lb}{_num(f.lo)}, {_num(f.hi)}{rb}"
