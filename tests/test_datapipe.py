@@ -796,3 +796,29 @@ def test_cut_repeated_spans(spark):
     assert out[2]["text"] == "totally original text here"
     assert out[4]["text"] == "Mixed CASE original and unique"
     assert out[3]["text"] == "" and out[3]["n_cut_tokens"] == 0
+
+
+def test_cut_spans_whitespace_alignment(spark):
+    """Token indexes must align between the Python hasher and the JVM
+    rebuild for the whitespace characters the engines disagree on:
+    \x0b (vertical tab: Java \\s splits it, RE2 \\s does not) and
+    \xa0 (NBSP: Python str.split() splits it, Java does not)."""
+    from victorialogs_spark.datapipe.dedup import cut_repeated_spans
+
+    b = "one two three four five six"
+    rows = [
+        (0, b + " alpha\x0bbeta gamma"),   # \x0b IS a separator (Java \\s)
+        (1, b + " other tail here"),
+        (2, b.replace(" ", "\xa0") + " x y z"),  # NBSP: NOT a separator
+        (3, b + " p q r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cut_repeated_spans(df, "doc_id", "text", span_tokens=3).collect()}
+    # doc 0: boilerplate cut exactly; the \x0b-separated tail survives
+    # with its tokens intact (re-joined by single spaces)
+    assert out[0]["text"] == "alpha beta gamma"
+    assert out[0]["n_cut_tokens"] == 6
+    # doc 2's NBSP-glued boilerplate is ONE token - shares nothing with
+    # docs 1/3's space-separated spans, so nothing is cut
+    assert out[2]["n_cut_tokens"] == 0
