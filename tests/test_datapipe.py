@@ -822,3 +822,31 @@ def test_cut_spans_whitespace_alignment(spark):
     # doc 2's NBSP-glued boilerplate is ONE token - shares nothing with
     # docs 1/3's space-separated spans, so nothing is cut
     assert out[2]["n_cut_tokens"] == 0
+
+
+def test_mix_sources_proportions(spark):
+    from victorialogs_spark.datapipe.sampling import mix_sources
+
+    rows = ([(i, "web") for i in range(600)]
+            + [(1000 + i, "code") for i in range(200)]
+            + [(2000 + i, "papers") for i in range(100)]
+            + [(3000 + i, "junk") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mix_sources(df, "src", "doc_id",
+                      {"web": 0.5, "code": 0.3, "papers": 0.2})
+    counts = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # papers is binding: T = min(600/.5, 200/.3, 100/.2) = 500
+    # expected keeps ~ web 250, code 150, papers 100 (hash-bucket jitter)
+    assert set(counts) == {"web", "code", "papers"}  # junk dropped
+    assert counts["papers"] == 100  # binding group keeps everything
+    assert abs(counts["web"] - 250) < 40 and abs(counts["code"] - 150) < 30
+    # determinism: identical output on rerun
+    again = {r["src"]: r["n"] for r in
+             mix_sources(df, "src", "doc_id",
+                         {"web": 0.5, "code": 0.3, "papers": 0.2})
+             .groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == counts
+    import pytest as _pt
+    with _pt.raises(ValueError, match="absent"):
+        mix_sources(df, "src", "doc_id", {"nope": 1.0})

@@ -251,3 +251,46 @@ def dsir_logweights(
             ).alias("dsir_logweight"),
         )
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Deterministic corpus mixing: downsample groups so the OUTPUT
+    proportions match the target ``weights`` (the data-mixture step of a
+    training pipeline — e.g. 60% web, 30% code, 10% papers — DoReMi-style
+    weights applied by deterministic selection rather than rand()).
+
+    No group is upsampled: the achievable total is bounded by the group
+    with the scarcest supply relative to its weight, T = min_g n_g/w_g;
+    each listed group then keeps fraction (w_g * T) / n_g of its rows (the
+    binding group keeps 100%). Groups absent from ``weights`` are dropped.
+
+    Group counts are one tiny aggregate (|groups| rows to the driver);
+    membership is then a pure function of (group, md5(key)) — a pushable
+    string compare, no shuffle, rerun- and engine-stable like the other
+    hash samplers. Floor effects of the 16-bit bucket space make the
+    realized fractions exact multiples of 1/65536 (documented bound).
+    """
+    if not weights:
+        raise ValueError("weights must name at least one group")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    counts = {
+        r["__g"]: r["__n"]
+        for r in df.where(F.col(group_col).isin(list(weights)))
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    missing = [g for g in weights if counts.get(g, 0) == 0]
+    if missing:
+        raise ValueError(f"groups absent from the corpus: {missing}")
+    total = min(counts[g] / w for g, w in weights.items())
+    fractions = {
+        g: min(1.0, (w * total) / counts[g]) for g, w in weights.items()
+    }
+    return stratified_hash_sample(df, group_col, key_col, fractions)

@@ -1403,6 +1403,38 @@ def _dp_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "dp_mix_sources",
+    # corpus mixing to target proportions (60/25/15 over three langs):
+    # the oracle recomputes the binding-group total T = min(n/w), the
+    # per-group keep fractions and the 16-bit md5-bucket thresholds with
+    # the same IEEE ops, then applies the same pushable string compare
+    "WITH c AS (SELECT lang AS g, COUNT(*) AS n FROM documents"
+    " WHERE lang IN ('en', 'zh', 'de') GROUP BY lang),"
+    " w AS (SELECT * FROM (VALUES ('en', CAST(0.6 AS DOUBLE)),"
+    " ('zh', CAST(0.25 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)))"
+    " AS t(g, w)),"
+    " j AS (SELECT c.g, n, w FROM c JOIN w ON c.g = w.g),"
+    " t AS (SELECT MIN(n / w) AS tot FROM j),"
+    " f AS (SELECT g, printf('%04x', CAST(floor(LEAST(1.0,"
+    " (w * tot) / n) * 65536) AS INT) - 1) AS thr FROM j, t)"
+    " SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents"
+    " JOIN f ON lang = f.g"
+    " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= thr",
+)
+def _dp_mix_sources(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.sampling import mix_sources
+
+    docs = _table(spark, sf_dir, "documents")
+    out = mix_sources(docs, "lang", "doc_id",
+                      {"en": 0.6, "zh": 0.25, "de": 0.15})
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang"
+    )
+
+
+@register(
     "dp_stream_stats",
     # one availableNow pass of the streaming windowed stats ≡ the batch
     # tumbling-window aggregate (decimal-accumulated sum on both sides)
@@ -2408,7 +2440,7 @@ _NEWEST_FIRST = [
     # round 5
     "dp_repeated_spans", "dp_span_dedup", "dp_cut_spans", "dp_tfidf_terms",
     "dp_dsir_weights", "dp_ann_quantized_topk", "dp_perplexity_buckets",
-    "dp_bigram_logprob",
+    "dp_bigram_logprob", "dp_mix_sources",
     # round 4
     "dp_curate_packed", "dp_stream_stats", "dp_pca_topk", "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
