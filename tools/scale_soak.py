@@ -48,10 +48,13 @@ ENTRIES = [
     "dp_unigram_logprob",
     "dp_pack_sequences",
     "dp_repeated_spans",
+    "dp_cut_spans",
     "dp_tfidf_terms",
     "dp_dsir_weights",
     "dp_perplexity_buckets",
     "dp_ann_quantized_topk",
+    "dp_bigram_logprob",
+    "dp_mix_sources",
 ]
 
 TABLES = (
