@@ -97,6 +97,11 @@ def main() -> int:
         fn = QUERIES[name]
         runs = 4 if name.startswith("dp_") else 3
         best, n = float("inf"), 0
+        # drop frames cached by PREVIOUS entries (several dp operators
+        # cache mid-plan intermediates): leftover blocks inflate GC and
+        # executor memory pressure for later queries — measured 4x noise
+        # on dp_dup_clusters when 20 earlier entries' caches were live
+        spark.catalog.clearCache()
         for _ in range(runs):
             # dp entries tune shuffle partitions internally on some paths;
             # re-pin before each run so no query inherits another's setting
