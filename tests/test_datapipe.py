@@ -850,3 +850,22 @@ def test_mix_sources_proportions(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="absent"):
         mix_sources(df, "src", "doc_id", {"nope": 1.0})
+
+
+def test_mix_sources_binding_group_keeps_all_under_ulp_rounding(spark):
+    """The binding group's fraction must be exactly 1.0 even when the
+    round-trip (w * (n/w)) / n lands on 1-1ulp in IEEE doubles."""
+    from victorialogs_spark.datapipe.sampling import mix_sources
+
+    # weights chosen so (w * total) / n rounds below 1.0 for the binding
+    # group if recomputed naively
+    w = {"a": 0.29791333491520167, "b": 0.7942629103034694}
+    rows = ([(i, "a") for i in range(311)]
+            + [(10_000 + i, "b") for i in range(829)])
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    counts = {"a": 311, "b": 829}
+    binding = min(w, key=lambda g: counts[g] / w[g])
+    out = mix_sources(df, "src", "doc_id", w)
+    kept = {r["src"]: r["n"] for r in
+            out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept[binding] == counts[binding]

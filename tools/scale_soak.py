@@ -48,6 +48,7 @@ ENTRIES = [
     "dp_unigram_logprob",
     "dp_pack_sequences",
     "dp_repeated_spans",
+    "dp_span_dedup",
     "dp_cut_spans",
     "dp_tfidf_terms",
     "dp_dsir_weights",

@@ -290,7 +290,16 @@ def mix_sources(
     if missing:
         raise ValueError(f"groups absent from the corpus: {missing}")
     total = min(counts[g] / w for g, w in weights.items())
+    # the binding group's fraction is pinned to exactly 1.0 by the
+    # supply-ratio equality, NOT recomputed as (w*(n/w))/n — that
+    # round-trip lands on 1-1ulp for ~5% of weight/count combinations,
+    # which floors to bucket 'fffe' and silently drops the 'ffff' sliver
+    # of the scarcest group. Groups whose fraction floors below 1/65536
+    # are dropped entirely (the bucket space can't represent them) —
+    # same rule as hash_sample, mirrored by the oracle.
     fractions = {
-        g: min(1.0, (w * total) / counts[g]) for g, w in weights.items()
+        g: (1.0 if counts[g] / w == total
+            else min(1.0, (w * total) / counts[g]))
+        for g, w in weights.items()
     }
     return stratified_hash_sample(df, group_col, key_col, fractions)

@@ -1415,8 +1415,14 @@ def _dp_stratified_sample(spark, sf_dir):
     " AS t(g, w)),"
     " j AS (SELECT c.g, n, w FROM c JOIN w ON c.g = w.g),"
     " t AS (SELECT MIN(n / w) AS tot FROM j),"
-    " f AS (SELECT g, printf('%04x', CAST(floor(LEAST(1.0,"
-    " (w * tot) / n) * 65536) AS INT) - 1) AS thr FROM j, t)"
+    # binding group (n/w = tot) pins to exactly 1.0 like the engine;
+    # fractions flooring to bucket 0 yield '' (group dropped — the
+    # <= '' compare is never true), NOT printf(-1)='ffffffff'
+    " f0 AS (SELECT g, n, CASE WHEN n / w = tot THEN 1.0"
+    " ELSE LEAST(1.0, (w * tot) / n) END AS frac FROM j, t),"
+    " f AS (SELECT g, CASE WHEN CAST(floor(frac * 65536) AS INT) = 0"
+    " THEN '' ELSE printf('%04x',"
+    " CAST(floor(frac * 65536) AS INT) - 1) END AS thr FROM f0)"
     " SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents"
     " JOIN f ON lang = f.g"
     " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= thr",
