@@ -869,3 +869,21 @@ def test_mix_sources_binding_group_keeps_all_under_ulp_rounding(spark):
     kept = {r["src"]: r["n"] for r in
             out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert kept[binding] == counts[binding]
+
+
+def test_label_centroids_and_knn_purity(spark, vecs):
+    from victorialogs_spark.datapipe.similarity import (
+        knn_label_purity,
+        label_centroids,
+    )
+
+    labeled = vecs.withColumn("label", (F.col("vec_id") / 20).cast("int"))
+    cent = label_centroids(labeled, "label", "embedding").collect()
+    # 3 clusters x 16 dims, every group has the full 20 members
+    assert len(cent) == 48 and all(r["n"] == 20 for r in cent)
+    purity = knn_label_purity(labeled, "vec_id", "embedding", "label",
+                              n_queries=30).collect()
+    assert len(purity) == 30
+    # tight synthetic clusters: every nearest neighbor shares the label
+    assert all(r["same_label"] for r in purity)
+    assert all(r["nn_id"] != r["vec_id"] for r in purity)

@@ -552,3 +552,112 @@ def quantized_topk(
         .orderBy(F.desc("qcos"), F.col(id_col))
         .limit(k)
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Per-label embedding centroids in LONG format (label, dim, n,
+    mean_val) — class prototypes for dataset cartography, nearest-class
+    labeling, and drift monitoring. Long format keeps the whole
+    computation one posexplode + one hash-shuffle aggregate (partial
+    combine on (label, dim)); reassembling array centroids is a trivial
+    downstream collect_list when a caller wants them.
+
+    Determinism for cross-engine checking: per-value rounds to 9dp and
+    sums as decimal(38,9) (order-independent exact), mean rounds to 6 —
+    the same scheme as the logprob operators.
+    """
+    long = df.select(
+        F.col(label_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    return (
+        long.groupBy(label_col, "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("val"), 9).cast("decimal(38,9)")
+            ).alias("__s"),
+        )
+        .select(
+            F.col(label_col),
+            "dim",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("__s").cast("double") / F.col("n"), 6).alias(
+                "mean_val"
+            ),
+        )
+    )
+
+
+def knn_label_purity(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    n_queries: int = 200,
+) -> DataFrame:
+    """Nearest-neighbor label agreement — the standard mislabel /
+    cluster-quality probe: for each of the ``n_queries`` lowest-id
+    vectors, find its cosine-nearest OTHER vector and report whether the
+    labels agree. Low purity flags noisy labels or entangled classes
+    before the embeddings are trusted for dedup/search.
+
+    Plan: the bounded query set broadcasts against the full corpus (a
+    narrow broadcast-nested-loop: |Q| x N rows with |Q| fixed — the
+    corpus side streams, nothing shuffles until the per-query max_by
+    aggregate, which carries one row per (query, candidate) score pair).
+    The exact integer tie-break (higher cos, then lower candidate id)
+    makes the winner deterministic. At 100 TB the same shape holds —
+    |Q| is the knob; an LSH/IVF-pruned candidate set (ann module) drops
+    the scan cost when |Q| is large.
+
+    Output: (<id_col>, nn_id, nn_cos rounded 6dp, same_label).
+    """
+    q = (
+        df.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("__qlabel"),
+        )
+        .orderBy("__qid")
+        .limit(n_queries)
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.transform(F.col("__qv"), lambda x: x.cast("double")),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (vec_norm(F.col(vec_col)) * vec_norm(F.col("__qv")))
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid"),
+            F.col("__qlabel"),
+            F.col(id_col).alias("__cid"),
+            F.col(label_col).alias("__clabel"),
+            cos.alias("__cos"),
+        )
+    )
+    best = F.max_by(
+        F.struct("__cid", "__clabel", "__cos"),
+        F.struct(F.col("__cos"), -F.col("__cid")),
+    )
+    return (
+        scored.groupBy("__qid", "__qlabel")
+        .agg(best.alias("__b"))
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__b.__cid").alias("nn_id"),
+            F.round(F.col("__b.__cos"), 6).alias("nn_cos"),
+            (F.col("__b.__clabel") == F.col("__qlabel")).alias("same_label"),
+        )
+    )

@@ -1187,6 +1187,56 @@ def _dp_cosine_threshold(spark, sf_dir):
 
 
 @register(
+    "dp_label_centroids",
+    # per-(label, dim) centroid means, decimal-summed for exact
+    # order-independent addition (same scheme as the logprob entries)
+    "WITH l AS (SELECT label, UNNEST(embedding::DOUBLE[]) AS val,"
+    " UNNEST(range(0, len(embedding))) AS dim FROM embeddings)"
+    " SELECT CAST(label AS INT) AS label, CAST(dim AS INT) AS dim,"
+    " CAST(COUNT(*) AS BIGINT) AS n,"
+    " ROUND(CAST(SUM(CAST(ROUND(val, 9) AS DECIMAL(38,9))) AS DOUBLE)"
+    " / COUNT(*), 6) AS mean_val"
+    " FROM l GROUP BY label, dim",
+)
+def _dp_label_centroids(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.similarity import label_centroids
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = label_centroids(emb, "label", "embedding")
+    return out.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        "mean_val",
+    )
+
+
+@register(
+    "dp_knn_purity",
+    # nearest-neighbor label agreement for the 100 lowest-id vectors:
+    # exact cosine, deterministic (cos desc, id asc) winner; synthetic
+    # clusters keep neighbor gaps far above 6dp rounding noise
+    "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,"
+    " label AS qlabel FROM embeddings ORDER BY vec_id LIMIT 100),"
+    " s AS (SELECT qid, qlabel, e.vec_id AS cid, e.label AS clabel,"
+    " list_cosine_similarity(e.embedding::DOUBLE[], qv) AS cos"
+    " FROM embeddings e, q WHERE e.vec_id <> qid),"
+    " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+    " ORDER BY cos DESC, cid ASC) AS rn FROM s)"
+    " SELECT qid AS vec_id, cid AS nn_id, ROUND(cos, 6) AS nn_cos,"
+    " clabel = qlabel AS same_label FROM r WHERE rn = 1",
+)
+def _dp_knn_purity(spark, sf_dir):
+    from victorialogs_spark.datapipe.similarity import knn_label_purity
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return knn_label_purity(emb, "vec_id", "embedding", "label",
+                            n_queries=100)
+
+
+@register(
     "dp_ann_quantized_topk",
     # int8-quantized cosine top-10: both engines quantize with the SAME
     # explicit half-up rule q = floor(x/(amax/127) + 0.5), then the score
@@ -2446,7 +2496,8 @@ _NEWEST_FIRST = [
     # round 5
     "dp_repeated_spans", "dp_span_dedup", "dp_cut_spans", "dp_tfidf_terms",
     "dp_dsir_weights", "dp_ann_quantized_topk", "dp_perplexity_buckets",
-    "dp_bigram_logprob", "dp_mix_sources",
+    "dp_bigram_logprob", "dp_mix_sources", "dp_label_centroids",
+    "dp_knn_purity",
     # round 4
     "dp_curate_packed", "dp_stream_stats", "dp_pca_topk", "dp_image_phash", "dp_audio_fingerprint", "dp_simhash_md5", "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
     "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
