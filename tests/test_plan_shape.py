@@ -323,3 +323,21 @@ def test_cut_spans_and_bigram_bounded_plans(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_cartography_plans(spark):
+    """knn_label_purity must broadcast the bounded query set (never
+    shuffle the corpus side before the per-query aggregate) and
+    label_centroids must partial-combine on (label, dim)."""
+    from victorialogs_spark.driver_entry import QUERIES
+
+    plan = plan_of(QUERIES["dp_knn_purity"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max_by" in plan or "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(
+        QUERIES["dp_label_centroids"](spark, "/root/testdata/sf0.001")
+    )
+    assert "partial_count" in plan and "Generate posexplode" in plan
+    assert plan.count("Exchange") <= 1  # one hash shuffle, nothing else
