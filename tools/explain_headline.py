@@ -38,6 +38,9 @@ NOTES = {
     "dp_cut_spans": "positional rolling-hash map → span doc-freq (2 shuffles) → per-doc start list → pure-Column indexed token filter rebuild",
     "dp_perplexity_buckets": "cached score table → one exact-percentile aggregate broadcast as two thresholds — no global sort/rank",
     "dp_bigram_logprob": "pure-Column adjacent-pair zip → pair/w1 frequency aggregates joined in the shuffle → per-doc decimal mean; no UDF",
+    "dp_mix_sources": "one bounded group-count aggregate → pushable md5-bucket string compare; no shuffle on the kept path",
+    "dp_label_centroids": "posexplode → one partial-combined (label, dim) hash aggregate",
+    "dp_knn_purity": "bounded query set broadcast (nested-loop) over the streaming corpus → per-query max_by aggregate",
 }
 
 

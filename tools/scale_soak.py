@@ -56,6 +56,8 @@ ENTRIES = [
     "dp_ann_quantized_topk",
     "dp_bigram_logprob",
     "dp_mix_sources",
+    "dp_label_centroids",
+    "dp_knn_purity",
 ]
 
 TABLES = (
