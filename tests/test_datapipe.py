@@ -887,3 +887,23 @@ def test_label_centroids_and_knn_purity(spark, vecs):
     # tight synthetic clusters: every nearest neighbor shares the label
     assert all(r["same_label"] for r in purity)
     assert all(r["nn_id"] != r["vec_id"] for r in purity)
+
+
+def test_knn_purity_guards(spark, vecs):
+    from victorialogs_spark.datapipe.similarity import knn_label_purity
+
+    labeled = vecs.withColumn("label", (F.col("vec_id") / 20).cast("int"))
+    # zero vectors are excluded from queries AND candidates
+    zero = spark.createDataFrame(
+        [(999, [0.0] * 16, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_label_purity(labeled.unionByName(zero), "vec_id",
+                           "embedding", "label", n_queries=100).collect()
+    ids = {r["vec_id"] for r in out}
+    nns = {r["nn_id"] for r in out}
+    assert 999 not in ids and 999 not in nns
+    # non-numeric ids are rejected (tie-break needs order negation)
+    with pytest.raises(TypeError, match="numeric id"):
+        knn_label_purity(
+            labeled.withColumn("sid", F.col("vec_id").cast("string")),
+            "sid", "embedding", "label")

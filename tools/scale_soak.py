@@ -195,8 +195,9 @@ def main() -> int:
         "a single session's best-of-3). The ratio column",
         f"is t({FACTOR}x)/t(1x). Sub-linear ratios mean the 1x run was",
         "dominated by fixed per-job overhead (idle cores); ratios well",
-        f"above {FACTOR} would flag superlinear shuffle/candidate growth —",
-        "none observed.",
+        f"above {FACTOR} flag superlinear growth UNLESS the operator's",
+        "output itself grows superlinearly in this replicated corpus —",
+        "see 'Reading the 100x ratios' for the pair-producing operators.",
         "",
         f"| query | t(1x) s | t({FACTOR}x) s | ratio |",
         "|---|---|---|---|",

@@ -577,7 +577,9 @@ def label_centroids(
     return (
         long.groupBy(label_col, "dim")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            # count NON-NULL values so sum and count stay symmetric — a
+            # NULL element must not drag the mean toward zero
+            F.count("val").alias("n"),
             F.sum(
                 F.round(F.col("val"), 9).cast("decimal(38,9)")
             ).alias("__s"),
@@ -610,18 +612,38 @@ def knn_label_purity(
     narrow broadcast-nested-loop: |Q| x N rows with |Q| fixed — the
     corpus side streams, nothing shuffles until the per-query max_by
     aggregate, which carries one row per (query, candidate) score pair).
+    Norms precompute once per corpus row / once per query, NOT per pair.
     The exact integer tie-break (higher cos, then lower candidate id)
-    makes the winner deterministic. At 100 TB the same shape holds —
+    makes the winner deterministic — which is why ``id_col`` must be
+    numeric (a string id cannot be order-negated inside max_by; use a
+    surrogate long id). Zero-norm vectors are excluded on both the
+    query and candidate sides (cosine undefined — and the engines
+    disagree on 0/0: Spark NULL sorts last, DuckDB NaN sorts first);
+    NULL ids are excluded from the query set (Spark sorts NULLS FIRST,
+    SQL engines default NULLS LAST). At 100 TB the same shape holds —
     |Q| is the knob; an LSH/IVF-pruned candidate set (ann module) drops
     the scan cost when |Q| is large.
 
     Output: (<id_col>, nn_id, nn_cos rounded 6dp, same_label).
     """
+    id_type = dict(df.dtypes)[id_col]
+    if not any(t in id_type for t in ("int", "long", "short", "byte",
+                                      "float", "double", "decimal")):
+        raise TypeError(
+            f"knn_label_purity needs a numeric id column for the"
+            f" deterministic tie-break; {id_col} is {id_type}"
+        )
+    corpus = (
+        df.withColumn("__norm", vec_norm(F.col(vec_col)))
+        .where(F.col("__norm") > 0.0)
+    )
     q = (
-        df.select(
+        corpus.where(F.col(id_col).isNotNull())
+        .select(
             F.col(id_col).alias("__qid"),
             F.col(vec_col).alias("__qv"),
             F.col(label_col).alias("__qlabel"),
+            F.col("__norm").alias("__qnorm"),
         )
         .orderBy("__qid")
         .limit(n_queries)
@@ -635,9 +657,9 @@ def knn_label_purity(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (vec_norm(F.col(vec_col)) * vec_norm(F.col("__qv")))
+    cos = dot / (F.col("__norm") * F.col("__qnorm"))
     scored = (
-        df.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("__qid"))
         .select(
             F.col("__qid"),

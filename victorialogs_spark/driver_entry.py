@@ -1218,11 +1218,16 @@ def _dp_label_centroids(spark, sf_dir):
     # nearest-neighbor label agreement for the 100 lowest-id vectors:
     # exact cosine, deterministic (cos desc, id asc) winner; synthetic
     # clusters keep neighbor gaps far above 6dp rounding noise
-    "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,"
-    " label AS qlabel FROM embeddings ORDER BY vec_id LIMIT 100),"
-    " s AS (SELECT qid, qlabel, e.vec_id AS cid, e.label AS clabel,"
-    " list_cosine_similarity(e.embedding::DOUBLE[], qv) AS cos"
-    " FROM embeddings e, q WHERE e.vec_id <> qid),"
+    # zero-norm vectors and NULL ids are excluded on both engines
+    # (cosine undefined / NULLS-FIRST-vs-LAST ordering divergence)
+    "WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v"
+    " FROM embeddings WHERE vec_id IS NOT NULL"
+    " AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),"
+    " q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM c"
+    " ORDER BY vec_id LIMIT 100),"
+    " s AS (SELECT qid, qlabel, c.vec_id AS cid, c.label AS clabel,"
+    " list_cosine_similarity(c.v, qv) AS cos"
+    " FROM c, q WHERE c.vec_id <> qid),"
     " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
     " ORDER BY cos DESC, cid ASC) AS rn FROM s)"
     " SELECT qid AS vec_id, cid AS nn_id, ROUND(cos, 6) AS nn_cos,"
