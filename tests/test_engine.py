@@ -281,6 +281,32 @@ def test_unpack_json_fields_prefix(spark):
     assert rows_set(out) == {("1",)}
 
 
+def test_unpack_json_late_key_beyond_sample_horizon(spark):
+    """A key first appearing after any bounded sample window must still
+    materialize — exact distinct-keys inference is the default (the
+    reference unpacks per-row with no horizon, pipe_unpack_json.go:15)."""
+    from victorialogs_spark.planner import pipes as pipes_mod
+
+    n = 200
+    rows = [{"_msg": '{"a": "%d"}' % i} for i in range(n)]
+    rows.append({"_msg": '{"a": "x", "late": "seen"}'})
+    df = make_logs(spark, rows)
+    # force a tiny sample horizon to prove the default ignores it
+    old = pipes_mod.UNPACK_SAMPLE_ROWS
+    try:
+        pipes_mod.UNPACK_SAMPLE_ROWS = None
+        out = run_query(spark, df, "* | unpack_json from _msg | fields a, late")
+        got = rows_set(out)
+        assert ("x", "seen") in got
+        assert ("0", "") in got
+        # opt-in bounded mode restores the old sampled behavior
+        pipes_mod.UNPACK_SAMPLE_ROWS = 50
+        out2 = run_query(spark, df, "* | unpack_json from _msg | fields a")
+        assert ("x",) in rows_set(out2)
+    finally:
+        pipes_mod.UNPACK_SAMPLE_ROWS = old
+
+
 def test_unpack_logfmt(spark):
     df = make_logs(spark, [{"_msg": 'level=info msg="hello world" n=5'}])
     out = run_query(spark, df, "* | unpack_logfmt from _msg | fields level, msg, n")

@@ -2059,7 +2059,11 @@ _SPANS_CTE = (
     f" i -> concat_ws(' ', {_SPAN20}))) END) AS g FROM t),"
     " d AS (SELECT g, COUNT(*) AS docs FROM g GROUP BY g),"
     " j AS (SELECT doc_id, COUNT(*) AS n_spans,"
-    " SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS shared_spans"
+    # CAST: DuckDB SUM over INT returns DECIMAL(38,0) (HUGEINT) while the
+    # engine emits BIGINT — without it the type-sensitive driver hash
+    # diverges even though values match (round-5 verdict, What's wrong #1).
+    " CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS shared_spans"
     " FROM g JOIN d USING (g) GROUP BY doc_id)"
 )
 
