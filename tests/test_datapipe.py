@@ -566,6 +566,58 @@ def test_image_phash_robust_to_resize_and_noise(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_image_ahash_integer_exact(spark):
+    """aHash must be reproducible by hand from the pixel bytes (integer
+    arithmetic only), constant-image degenerate (all bits 0: no cell
+    strictly exceeds the mean), and NULL on undecodable payloads."""
+    from victorialogs_spark.datapipe.multimodal import image_ahash
+
+    # left half black, right half white, 24x24 -> bits are 0 for the 4
+    # left cell columns, 1 for the 4 right cell columns, every row
+    def split(w, h):
+        return lambda x, y: (0, 0, 0) if x < w // 2 else (255, 255, 255)
+
+    df = spark.createDataFrame(
+        [
+            (1, _make_ppm(24, 24, split(24, 24))),
+            (2, _make_ppm(24, 24, lambda x, y: (9, 9, 9))),  # constant
+            (3, b"junk"),
+        ],
+        "asset_id long, payload binary",
+    )
+    bits = {r["asset_id"]: r["ahash_bits"] for r in image_ahash(df).collect()}
+    assert bits[1] == ("0000" + "1111") * 8
+    assert bits[2] == "0" * 64
+    assert bits[3] is None
+
+
+def test_audio_zcr_energy_integer_exact(spark):
+    """Zero crossings / total |s| computed by hand for a square wave must
+    match the decode path exactly; undecodable payloads yield NULLs."""
+    import io
+    import struct
+    import wave
+
+    from victorialogs_spark.datapipe.multimodal import audio_zcr_energy
+
+    # 8 samples alternating +1000/-1000 -> 7 sign changes, total 8000
+    pcm = b"".join(struct.pack("<h", 1000 if i % 2 == 0 else -1000)
+                   for i in range(8))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm)
+    df = spark.createDataFrame(
+        [(1, buf.getvalue()), (2, b"junk")], "asset_id long, payload binary"
+    )
+    rows = {r["asset_id"]: r for r in audio_zcr_energy(df).collect()}
+    assert (rows[1]["n_samples"], rows[1]["zero_crossings"],
+            rows[1]["total_abs"]) == (8, 7, 8000)
+    assert rows[2]["n_samples"] is None
+
+
 def test_simhash_md5_variant_mirrors_production_semantics(spark, docs):
     """The oracle variant must agree with production simhash on the
     relations that define the semantics: same token multiset → same

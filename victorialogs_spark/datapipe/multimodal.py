@@ -496,3 +496,134 @@ def audio_fingerprint(assets: DataFrame, id_col: str = "asset_id",
         _batches, f"__id {id_type}, afp long"
     )
     return out.withColumnRenamed("__id", id_col)
+
+
+def image_ahash(assets: DataFrame, id_col: str = "asset_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Average-hash (aHash) of BMP/PPM payloads — the integer-exact
+    sibling of :func:`image_phash`, built so an independent engine can
+    reproduce it bit-for-bit from the same pixel bytes (no float DCT /
+    resample whose IEEE summation order could flip near-threshold bits):
+
+    - integer grayscale ``(299*R + 587*G + 114*B) // 1000`` per pixel,
+    - 8×8 block pooling by integer index ``(row*8)//H``/``(col*8)//W``
+      (equal blocks whenever H, W are multiples of 8),
+    - bit(cell) = 1 iff the cell's mean gray strictly exceeds the image
+      mean, compared in exact integer cross-multiplication
+      ``cell_sum * total_n > total_sum * cell_n``.
+
+    Runs the REAL container decode path (:func:`_stdlib_decode_pixels`)
+    inside one narrow Arrow map. Output: (<id_col>, ahash_bits string of
+    64 chars, row-major cell order); undecodable payloads yield NULL.
+    """
+    import numpy as np
+
+    def _ahash_one(payload) -> str | None:
+        b = bytes(payload) if payload is not None else b""
+        try:
+            px = _stdlib_decode_pixels(b)
+        except Exception:
+            return None
+        h, w = px.shape[0], px.shape[1]
+        if h < 8 or w < 8:
+            return None
+        p64 = px.astype(np.int64)
+        gray = (299 * p64[:, :, 0] + 587 * p64[:, :, 1] + 114 * p64[:, :, 2]) // 1000
+        rows = np.arange(h) * 8 // h
+        cols = np.arange(w) * 8 // w
+        cell = rows[:, None] * 8 + cols[None, :]
+        sums = np.bincount(cell.ravel(), weights=gray.ravel(), minlength=64).astype(np.int64)
+        ns = np.bincount(cell.ravel(), minlength=64).astype(np.int64)
+        total_sum, total_n = int(sums.sum()), int(ns.sum())
+        bits = sums * total_n > total_sum * ns
+        return "".join("1" if bit else "0" for bit in bits)
+
+    def _batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col],
+                    "ahash_bits": pd.Series(
+                        [_ahash_one(p) for p in pdf[payload_col]], dtype="object"
+                    ),
+                }
+            )
+
+    id_type = dict(assets.dtypes)[id_col]
+    out = assets.select(id_col, payload_col).mapInPandas(
+        _batches, f"__id {id_type}, ahash_bits string"
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
+def audio_zcr_energy(assets: DataFrame, id_col: str = "asset_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Integer time-domain audio features — the exact-arithmetic sibling
+    of :func:`audio_fingerprint` (whose FFT is not reproducible across
+    engines bit-for-bit). Runs the REAL stdlib ``wave`` decode path and
+    emits only integers, so an independent engine reading the same PCM
+    bytes must agree exactly:
+
+    - ``n_samples`` — frame count of channel 0,
+    - ``zero_crossings`` — #{i ≥ 1 : (s[i-1] >= 0) != (s[i] >= 0)},
+    - ``total_abs`` — Σ|s[i]| in int64 (|-32768| included safely).
+
+    Multi-channel files use channel 0 (an integer channel mean is not
+    exact when nch ∤ sum). Output: (<id_col>, n_samples long,
+    zero_crossings long, total_abs long); undecodable payloads → NULLs.
+    """
+    import numpy as np
+
+    def _feats_one(payload):
+        import io
+        import wave
+
+        b = bytes(payload) if payload is not None else b""
+        try:
+            with wave.open(io.BytesIO(b)) as w:
+                nframes, width, nch = w.getnframes(), w.getsampwidth(), w.getnchannels()
+                raw = w.readframes(nframes)
+        except Exception:
+            return None
+        if width == 2:
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        elif width == 1:
+            s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+        else:
+            return None
+        if nch > 1:
+            s = s[: len(s) // nch * nch].reshape(-1, nch)[:, 0]
+        if len(s) == 0:
+            return (0, 0, 0)
+        nonneg = s >= 0
+        zc = int((nonneg[:-1] != nonneg[1:]).sum())
+        return (int(len(s)), zc, int(np.abs(s).sum()))
+
+    def _batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [_feats_one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col],
+                    "n_samples": pd.Series(
+                        [f[0] if f else None for f in feats], dtype="object"
+                    ),
+                    "zero_crossings": pd.Series(
+                        [f[1] if f else None for f in feats], dtype="object"
+                    ),
+                    "total_abs": pd.Series(
+                        [f[2] if f else None for f in feats], dtype="object"
+                    ),
+                }
+            )
+
+    id_type = dict(assets.dtypes)[id_col]
+    out = assets.select(id_col, payload_col).mapInPandas(
+        _batches,
+        f"__id {id_type}, n_samples long, zero_crossings long, total_abs long",
+    )
+    return out.withColumnRenamed("__id", id_col)

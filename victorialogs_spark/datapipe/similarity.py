@@ -363,7 +363,8 @@ def ivf_topk(
 
 
 def pca_fit(
-    df: DataFrame, vec_col: str, k: int, dim: int | None = None
+    df: DataFrame, vec_col: str, k: int, dim: int | None = None,
+    _model_out: dict | None = None,
 ) -> tuple[list[float], list[list[float]]]:
     """Fit a k-component PCA over an embedding column — the standard
     dimensionality-reduction step before ANN indexing at scale.
@@ -433,13 +434,38 @@ def pca_fit(
     mean = s / n
     cov = ss / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(vals)[::-1][:k]
+    full_order = np.argsort(vals)[::-1]
+    order = full_order[:k]
     comps = vecs[:, order].T  # k x d
     for i in range(k):  # deterministic sign
         j = int(np.abs(comps[i]).argmax())
         if comps[i, j] < 0:
             comps[i] = -comps[i]
+    if _model_out is not None:
+        _model_out.update(
+            n=n,
+            d=d,
+            eigenvalues=vals[full_order].tolist(),  # all d, descending
+            cov_diag=np.diag(cov).tolist(),
+        )
     return mean.tolist(), comps.tolist()
+
+
+def pca_fit_model(
+    df: DataFrame, vec_col: str, k: int, dim: int | None = None
+) -> dict:
+    """:func:`pca_fit` plus the fit diagnostics an oracle can cross-check
+    against plain SQL aggregates: per-dimension mean and population
+    variance (= AVG / VAR_POP over the unnested vectors) and the full
+    eigenvalue spectrum, whose sum equals the covariance trace — a
+    genuine cross-engine identity linking the driver eigensolve to
+    SQL-computable moments. Returns
+    ``{mean, components, eigenvalues, cov_diag, n, d}``."""
+    out: dict = {}
+    mean, comps = pca_fit(df, vec_col, k, dim=dim, _model_out=out)
+    out["mean"] = mean
+    out["components"] = comps
+    return out
 
 
 def pca_transform(
@@ -666,7 +692,11 @@ def knn_label_purity(
             F.col("__qlabel"),
             F.col(id_col).alias("__cid"),
             F.col(label_col).alias("__clabel"),
-            cos.alias("__cos"),
+            # 9dp round BEFORE the max_by tie-break: Spark's sequential
+            # fold and another engine's pairwise/SIMD dot evaluate in
+            # different IEEE orders, so near-tied neighbors could pick
+            # different winners if raw doubles were the comparison key
+            F.round(cos, 9).alias("__cos"),
         )
     )
     best = F.max_by(

@@ -1216,8 +1216,9 @@ def _dp_label_centroids(spark, sf_dir):
 @register(
     "dp_knn_purity",
     # nearest-neighbor label agreement for the 100 lowest-id vectors:
-    # exact cosine, deterministic (cos desc, id asc) winner; synthetic
-    # clusters keep neighbor gaps far above 6dp rounding noise
+    # cosine rounded to 9dp on BOTH engines before the (cos desc, id asc)
+    # winner pick, so the comparison key is engine-identical even for
+    # near-tied neighbors (IEEE summation order differs between engines)
     # zero-norm vectors and NULL ids are excluded on both engines
     # (cosine undefined / NULLS-FIRST-vs-LAST ordering divergence)
     "WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v"
@@ -1226,7 +1227,7 @@ def _dp_label_centroids(spark, sf_dir):
     " q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM c"
     " ORDER BY vec_id LIMIT 100),"
     " s AS (SELECT qid, qlabel, c.vec_id AS cid, c.label AS clabel,"
-    " list_cosine_similarity(c.v, qv) AS cos"
+    " ROUND(list_cosine_similarity(c.v, qv), 9) AS cos"
     " FROM c, q WHERE c.vec_id <> qid),"
     " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
     " ORDER BY cos DESC, cid ASC) AS rn FROM s)"
@@ -1585,6 +1586,167 @@ def _dp_pca_topk(spark, sf_dir):
         )
         .orderBy("dist", "vec_id")
         .limit(10)
+    )
+
+
+# shared hex-pair → byte-value extraction for the md5-stream fixtures of
+# the integer-exact multimodal twins below: byte i of a doc's synthetic
+# payload is byte (i % 16) of md5(doc_id || salt || (i // 16))
+def _md5_byte(salt: str) -> str:
+    h = f"md5(doc_id || '{salt}' || CAST(i // 16 AS VARCHAR))"
+    return (
+        f"(16 * (strpos('0123456789abcdef', substr({h}, 1 + 2 * (i % 16), 1)) - 1)"
+        f" + (strpos('0123456789abcdef', substr({h}, 2 + 2 * (i % 16), 1)) - 1))"
+    )
+
+
+def _md5_stream_payload(salt: str, header: bytes, n_chunks: int):
+    """Column: header || unhex(md5(doc_id||salt||0)) || ... — a
+    deterministic byte stream both engines can regenerate exactly."""
+    from pyspark.sql import functions as F
+
+    sid = F.col("doc_id").cast("string")
+    chunks = [
+        F.unhex(F.md5(F.concat(sid, F.lit(f"{salt}{i}"))))
+        for i in range(n_chunks)
+    ]
+    return F.concat(F.lit(header), *chunks)
+
+
+@register(
+    "dp_image_ahash",
+    # integer-exact oracle twin of dp_image_phash: the 24x24 P6 pixel
+    # bytes are an md5 stream both engines regenerate; aHash is pure
+    # integer arithmetic (gray = (299R+587G+114B)//1000, 3x3-block sums,
+    # strict cross-multiplied mean compare), so the DuckDB replica is
+    # bit-identical while Spark still runs the REAL decode->pool path
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':img:')} AS v"
+    " FROM ids, UNNEST(range(1728)) AS u(i)),"
+    " px AS (SELECT doc_id, i // 3 AS p,"
+    " CAST(SUM(CASE WHEN i % 3 = 0 THEN 299 * v"
+    " WHEN i % 3 = 1 THEN 587 * v ELSE 114 * v END) AS BIGINT) // 1000 AS gray"
+    " FROM b GROUP BY 1, 2),"
+    " cells AS (SELECT doc_id, ((p // 24) * 8 // 24) * 8 + (p % 24) * 8 // 24 AS cell,"
+    " CAST(SUM(gray) AS BIGINT) AS cs, COUNT(*) AS cn FROM px GROUP BY 1, 2),"
+    " tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,"
+    " CAST(SUM(cn) AS BIGINT) AS tn FROM cells GROUP BY 1)"
+    " SELECT c.doc_id, string_agg(CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END,"
+    " '' ORDER BY cell) AS ahash_bits"
+    " FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id",
+)
+def _dp_image_ahash(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.multimodal import image_ahash
+
+    docs = _spread(spark, sf_dir, "documents").select("doc_id")
+    payload = _md5_stream_payload(":img:", b"P6\n24 24\n255\n", 108)
+    assets = docs.select("doc_id", payload.alias("payload"))
+    return image_ahash(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "ahash_bits"
+    )
+
+
+@register(
+    "dp_audio_zcr",
+    # integer-exact oracle twin of dp_audio_fingerprint: 864 int16 LE
+    # samples from an md5 stream, wrapped in a canonical 44-byte WAV
+    # header that Spark REALLY decodes via stdlib wave; the features
+    # (zero crossings, total |sample|) are integers, so DuckDB's
+    # byte-level replica must agree exactly
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':aud:')} AS v"
+    " FROM ids, UNNEST(range(1728)) AS u(i)),"
+    " sm AS (SELECT doc_id, i // 2 AS j,"
+    " CAST(SUM(CASE WHEN i % 2 = 0 THEN v ELSE 256 * v END) AS BIGINT) AS u"
+    " FROM b GROUP BY 1, 2),"
+    " ss AS (SELECT doc_id, j,"
+    " u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s FROM sm),"
+    " lg AS (SELECT doc_id, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY j) AS ps"
+    " FROM ss)"
+    " SELECT doc_id, CAST(864 AS BIGINT) AS n_samples,"
+    " CAST(SUM(CASE WHEN ps IS NOT NULL AND ((ps >= 0) <> (s >= 0))"
+    " THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,"
+    " CAST(SUM(ABS(s)) AS BIGINT) AS total_abs"
+    " FROM lg GROUP BY doc_id",
+)
+def _dp_audio_zcr(spark, sf_dir):
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.multimodal import audio_zcr_energy
+
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + 1728) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 1728)
+    )
+    docs = _spread(spark, sf_dir, "documents").select("doc_id")
+    payload = _md5_stream_payload(":aud:", header, 108)
+    assets = docs.select("doc_id", payload.alias("payload"))
+    return audio_zcr_energy(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "n_samples",
+        "zero_crossings",
+        "total_abs",
+    )
+
+
+@register(
+    "dp_pca_moments",
+    # oracle twin #1 for the PCA fit: the distributed moment partials'
+    # per-dimension mean and population variance must equal plain
+    # AVG/VAR_POP over the unnested vectors (6dp; IEEE order differs at
+    # ~1e-13 relative, far below the rounding grid)
+    "WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
+    " WHERE embedding IS NOT NULL AND len(embedding) = 64)"
+    " SELECT CAST(i AS INT) AS dim, ROUND(AVG(v[i + 1]), 6) AS mean_6dp,"
+    " ROUND(VAR_POP(v[i + 1]), 6) AS var_6dp"
+    " FROM e, UNNEST(range(64)) AS u(i) GROUP BY i",
+)
+def _dp_pca_moments(spark, sf_dir):
+    from victorialogs_spark.datapipe.similarity import pca_fit_model
+
+    emb = _table(spark, sf_dir, "embeddings")
+    m = pca_fit_model(emb, "embedding", k=8, dim=64)
+    rows = [
+        (i, round(m["mean"][i], 6), round(m["cov_diag"][i], 6))
+        for i in range(m["d"])
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, mean_6dp double, var_6dp double"
+    )
+
+
+@register(
+    "dp_pca_check",
+    # oracle twin #2 for the PCA fit: sum of ALL eigenvalues from the
+    # driver eigensolve must equal the covariance trace = SUM(VAR_POP)
+    # over dimensions (a genuine cross-engine identity linking the
+    # eigensolve to SQL-computable moments), and the k=8 component rows
+    # must be orthonormal (||C C^T - I||_F = 0 at 9dp)
+    "WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
+    " WHERE embedding IS NOT NULL AND len(embedding) = 64),"
+    " d AS (SELECT i, VAR_POP(v[i + 1]) AS vv"
+    " FROM e, UNNEST(range(64)) AS u(i) GROUP BY i)"
+    " SELECT CAST(64 AS BIGINT) AS n_dims, ROUND(SUM(vv), 6) AS trace_6dp,"
+    " CAST(0.0 AS DOUBLE) AS ortho_err_9dp FROM d",
+)
+def _dp_pca_check(spark, sf_dir):
+    import numpy as np
+
+    from victorialogs_spark.datapipe.similarity import pca_fit_model
+
+    emb = _table(spark, sf_dir, "embeddings")
+    m = pca_fit_model(emb, "embedding", k=8, dim=64)
+    C = np.asarray(m["components"])
+    ortho_err = float(np.sqrt(((C @ C.T - np.eye(C.shape[0])) ** 2).sum()))
+    trace = round(float(sum(m["eigenvalues"])), 6)
+    return spark.createDataFrame(
+        [(int(m["d"]), trace, round(ortho_err, 9))],
+        "n_dims long, trace_6dp double, ortho_err_9dp double",
     )
 
 
