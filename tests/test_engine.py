@@ -719,6 +719,16 @@ def test_join_overwrites_same_named_columns(spark):
     assert rows == {"a": "new", "b": "old2"}  # matched overwritten, left kept
 
 
+def test_stats_remote_executes_as_stats(spark, logs):
+    """stats_remote is the reference's cluster-internal spelling
+    (pipe_stats.go:1258-1260); Spark's partial+final hash aggregate IS
+    the remote/local split, so a copied cluster query must run and
+    return exactly what plain stats returns."""
+    a = run_query(spark, logs, "* | stats_remote by (host) count() as c")
+    b = run_query(spark, logs, "* | stats by (host) count() as c")
+    assert rows_set(a) == rows_set(b)
+
+
 def test_math_nan_and_overflow_no_ansi_crash(spark, logs):
     """format_number must not throw under ANSI mode on NaN/huge doubles."""
     out = run_query(spark, logs, "* | math value / 0 as inf, 0 * 1e308 * 10 as big"
@@ -740,6 +750,50 @@ def test_value_type_typed_column_is_storage_type(spark):
     assert run_query(spark, df, "x:value_type(float64)").count() == 1
     assert run_query(spark, df, "x:value_type(int64)").count() == 0
     assert run_query(spark, df, "s:value_type(string)").count() == 1
+
+
+def test_value_type_dict_reads_parquet_footer_truth(spark, tmp_path):
+    """value_type(dict) answers from the footers' per-chunk encodings on
+    a parquet-backed table (valueTypeDict analog): a low-cardinality
+    column is dict-encoded and matches its non-empty rows; an in-memory
+    frame has no storage to introspect and matches nothing."""
+    from victorialogs_spark.api import run_query
+
+    path = str(tmp_path / "t.parquet")
+    rows = [("a" if i % 2 == 0 else "b", "") for i in range(100)]
+    rows[0] = ("a", "x")
+    spark.createDataFrame(rows, "k string, e string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    stored = spark.read.parquet(path)
+    assert run_query(spark, stored, "k:value_type(dict)").count() == 100
+    # empty values ≡ field missing from the block -> excluded
+    assert run_query(spark, stored, "e:value_type(dict)").count() == 1
+    # no parquet behind an in-memory frame -> nothing to introspect
+    mem = spark.createDataFrame(rows, "k string, e string")
+    assert run_query(spark, mem, "k:value_type(dict)").count() == 0
+
+
+def test_value_type_typed_after_compact_day(spark, tmp_path):
+    """After compact_day(type_columns=True) re-encodes a uniformly
+    numeric string column, value_type answers from the Parquet physical
+    type instead of sniffing — block-encoding truth, not regex."""
+    from victorialogs_spark.api import run_query
+    from victorialogs_spark.streaming.ingest import compact_day
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("7", "x", "2024-01-01")] * 20 + [("8", "y", "2024-01-01")] * 20,
+        "n string, s string, _day string",
+    )
+    df.write.partitionBy("_day").parquet(tdir)
+    compact_day(spark, tdir, "2024-01-01", type_columns=True)
+    typed = spark.read.parquet(tdir)
+    assert dict(typed.dtypes)["n"] == "bigint"
+    assert run_query(spark, typed, "n:value_type(int64)").count() == 40
+    assert run_query(spark, typed, "n:value_type(uint64)").count() == 40
+    # the untyped column stays string; dict truth comes from the footer
+    assert run_query(spark, typed, "s:value_type(dict)").count() == 40
 
 
 def test_value_type_typed_null_and_negative(spark):

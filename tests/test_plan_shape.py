@@ -341,3 +341,24 @@ def test_embedding_cartography_plans(spark):
     )
     assert "partial_count" in plan and "Generate posexplode" in plan
     assert plan.count("Exchange") <= 1  # one hash shuffle, nothing else
+
+
+def test_drop_empty_fields_no_persist_above_threshold(spark, events):
+    """Above the persist ceiling, drop_empty_fields must NOT cache the
+    filtered input (at 100 TB the spill is the cost) — plan shows a
+    plain scan, not InMemoryTableScan; below the ceiling it caches so
+    flags-agg + downstream share one scan. Results identical either way."""
+    from victorialogs_spark.planner import pipes as pipes_mod
+
+    old = pipes_mod.DROP_EMPTY_PERSIST_MAX_BYTES
+    try:
+        pipes_mod.DROP_EMPTY_PERSIST_MAX_BYTES = 1  # force the large branch
+        out_large = run_query(spark, events, "* | drop_empty_fields")
+        assert "InMemoryTableScan" not in plan_of(out_large)
+        n_large = out_large.count()
+        pipes_mod.DROP_EMPTY_PERSIST_MAX_BYTES = old  # small branch again
+        out_small = run_query(spark, events, "* | drop_empty_fields")
+        assert "InMemoryTableScan" in plan_of(out_small)
+        assert out_small.count() == n_large
+    finally:
+        pipes_mod.DROP_EMPTY_PERSIST_MAX_BYTES = old

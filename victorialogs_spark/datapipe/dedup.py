@@ -823,7 +823,19 @@ def repeated_spans(
     contributes one sentinel span shared by all empty docs. Output:
     (<id_col>, n_spans, shared_spans, dup_span_fraction), one row per
     input row.
+
+    Ids must be non-NULL: a NULL id would silently collapse all NULL-id
+    docs into one group here, and NULL never equals NULL in
+    :func:`span_dedup`'s semi-join, silently dropping those docs — fail
+    loudly instead (same contract as knn_label_purity).
     """
+    null_ids = df.where(F.col(id_col).isNull()).limit(1).count()
+    if null_ids:
+        raise ValueError(
+            f"repeated_spans: {id_col} contains NULLs; the per-document "
+            "grouping and span_dedup's semi-join require non-NULL ids — "
+            "filter or assign ids (e.g. monotonically_increasing_id) first"
+        )
     grams = token_window_hashes_arrow(text_col, span_tokens)
     per_doc = df.select(F.col(id_col), F.explode(grams).alias("__g"))
     span_df = per_doc.groupBy("__g").agg(F.count(F.lit(1)).alias("__docs"))
@@ -973,7 +985,17 @@ def cut_repeated_spans(
 
     Output: all original columns with <text_col> replaced by the cut
     text, plus n_cut_tokens.
+
+    Like :func:`repeated_spans`, ids must be non-NULL (NULL would merge
+    all NULL-id docs' span sets and break the join-back) — checked
+    eagerly; parquet IsNull pushdown + null-count row-group stats keep
+    the check cheap at scale.
     """
+    if df.where(F.col(id_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"cut_repeated_spans: {id_col} contains NULLs; assign ids "
+            "(e.g. monotonically_increasing_id) first"
+        )
     spans = df.select(
         F.col(id_col),
         F.posexplode(token_window_hashes_pos_arrow(text_col, span_tokens))

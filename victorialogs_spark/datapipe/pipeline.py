@@ -64,7 +64,11 @@ def curate_corpus(
     # eagerly inside connected components — the cluster backfill join,
     # and the final semi-join); without a cache each branch re-scans the
     # corpus and re-runs the quality filter, ~3-4 full scans at 100 TB
-    filtered = docs.join(keep.select(id_col), id_col, "left_semi").cache()
+    from victorialogs_spark.datapipe.cacheutil import bounded_cache
+
+    filtered = bounded_cache(
+        docs.join(keep.select(id_col), id_col, "left_semi")
+    )
     pairs = ngram_jaccard_pairs(
         filtered,
         id_col,

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from victorialogs_spark.datapipe.cacheutil import bounded_cache
+
 
 def _nonempty(parts: Column) -> Column:
     return F.filter(parts, lambda p: F.trim(p) != "")
@@ -283,7 +285,9 @@ def unigram_logprob(
     # freq feeds TWO plan branches (the join back and the corpus total);
     # without a cache each branch re-scans and re-explodes the whole
     # corpus — the same multi-branch rule curate_corpus documents
-    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__tf")).cache()
+    freq = bounded_cache(
+        toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    )
     total = freq.agg(F.sum("__tf").alias("__n"))
     per_doc = (
         toks.join(freq, "__tok")
@@ -333,7 +337,7 @@ def perplexity_buckets(
     # the score table feeds TWO branches (the cut aggregate and the
     # labeled output) — cache it so the corpus is scored once, not twice;
     # it is 3 narrow columns per doc, disk-spillable
-    scored = unigram_logprob(df, id_col, text_col).cache()
+    scored = bounded_cache(unigram_logprob(df, id_col, text_col))
     cuts = scored.agg(
         F.percentile("logprob", F.lit(1.0 / 3.0)).alias("__c1"),
         F.percentile("logprob", F.lit(2.0 / 3.0)).alias("__c2"),
@@ -404,10 +408,9 @@ def bigram_logprob(
     # cheap aggregate).
     from pyspark import StorageLevel
 
-    pair_freq = (
-        pairs.groupBy("__w1", "__w2")
-        .agg(F.count(F.lit(1)).alias("__pf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    pair_freq = bounded_cache(
+        pairs.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__pf")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     w1_freq = pair_freq.groupBy("__w1").agg(F.sum("__pf").alias("__uf"))
     vocab = (

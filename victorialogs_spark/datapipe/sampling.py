@@ -200,16 +200,13 @@ def dsir_logweights(
     src_toks = _toks(source, with_id=True)
     # frequency tables feed two branches each (totals + the ratio join):
     # cache so the corpus is exploded once per side, not twice
-    sf = (
-        src_toks.groupBy("__tok")
-        .agg(F.count(F.lit(1)).alias("__sf"))
-        .cache()
+    from victorialogs_spark.datapipe.cacheutil import bounded_cache
+
+    sf = bounded_cache(
+        src_toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__sf"))
     )
-    tf = (
-        _toks(target)
-        .groupBy("__tok")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-        .cache()
+    tf = bounded_cache(
+        _toks(target).groupBy("__tok").agg(F.count(F.lit(1)).alias("__tf"))
     )
     vocab = sf.join(tf, "__tok", "full_outer").select(
         "__tok",

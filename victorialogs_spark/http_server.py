@@ -104,17 +104,26 @@ def _lines_df(
     return spark.createDataFrame([(l,) for l in lines], "value string")
 
 
-def _df_json_rows(df: DataFrame) -> str:
-    rows = []
-    for r in df.collect():
+def _iter_json_values(df: DataFrame):
+    """``{"values":[...]}`` as an incremental byte iterator. One row is
+    in driver memory at a time (``toLocalIterator`` pulls one partition
+    per job), so a stats_query_range over 10⁶ groups streams under a
+    small driver heap instead of ``collect()``-ing into one string —
+    the reference streams every response (vlselect/logsql/logsql.go:901).
+    Byte-compatible with the former collect-based writer."""
+    yield b'{"values":['
+    first = True
+    for r in df.toLocalIterator(prefetchPartitions=True):
         d = r.asDict()
         for k, v in list(d.items()):
             if v is None:
                 d[k] = ""
             elif not isinstance(v, str):
                 d[k] = str(v)
-        rows.append(d)
-    return json.dumps({"values": rows}, separators=(",", ":"))
+        blob = json.dumps(d, separators=(",", ":")).encode("utf-8")
+        yield blob if first else b"," + blob
+        first = False
+    yield b"]}"
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -168,6 +177,23 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self._streaming = True  # headers are out; no second response allowed
         self.wfile.write(body)
+
+    def _send_json_stream(self, df: DataFrame):
+        """Stream a JSON-shaped endpoint response. The first pull runs
+        the plan BEFORE headers go out, so parse/plan errors still
+        surface as a clean 400; a mid-stream executor failure truncates
+        the connection (same contract as the NDJSON query path)."""
+        gen = _iter_json_values(df)
+        head = next(gen)      # static prefix
+        second = next(gen)    # first row (or closing bracket): runs the plan
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self._streaming = True
+        self.wfile.write(head)
+        self.wfile.write(second)
+        for chunk in gen:
+            self.wfile.write(chunk)
 
     def _err(self, e: Exception):
         if getattr(self, "_streaming", False):
@@ -317,44 +343,40 @@ class _Handler(BaseHTTPRequestHandler):
                 offset=self._get(params, "offset", "0s"),
                 fields=params.get("field"),
             )
-            return self._send(200, _df_json_rows(out).encode("utf-8"))
+            return self._send_json_stream(out)
         if path == "/select/logsql/stats_query":
             out = ep.stats_query(spark, df, q)
-            return self._send(200, _df_json_rows(out).encode("utf-8"))
+            return self._send_json_stream(out)
         if path == "/select/logsql/stats_query_range":
             out = ep.stats_query_range(
                 spark, df, q, step=self._get(params, "step", "1h")
             )
-            return self._send(200, _df_json_rows(out).encode("utf-8"))
+            return self._send_json_stream(out)
         if path == "/select/logsql/facets":
             out = ep.facets(spark, df, q, limit=int(self._get(params, "limit", "10")))
-            return self._send(200, _df_json_rows(out).encode("utf-8"))
+            return self._send_json_stream(out)
         if path == "/select/logsql/field_names":
-            return self._send(
-                200, _df_json_rows(ep.field_names(spark, df, q)).encode("utf-8")
-            )
+            return self._send_json_stream(ep.field_names(spark, df, q))
         if path == "/select/logsql/field_values":
             out = ep.field_values(
                 spark, df, self._get(params, "field", ""),
                 q, limit=int(self._get(params, "limit", "0")),
             )
-            return self._send(200, _df_json_rows(out).encode("utf-8"))
+            return self._send_json_stream(out)
         if path == "/select/logsql/streams":
             out = ep.streams(spark, df, q, limit=int(self._get(params, "limit", "0")))
-            return self._send(200, _df_json_rows(out).encode("utf-8"))
+            return self._send_json_stream(out)
         if path == "/select/logsql/stream_ids":
             out = ep.stream_ids(spark, df, q, limit=int(self._get(params, "limit", "0")))
-            return self._send(200, _df_json_rows(out).encode("utf-8"))
+            return self._send_json_stream(out)
         if path == "/select/logsql/stream_field_names":
-            return self._send(
-                200, _df_json_rows(ep.stream_field_names(spark, df, q)).encode("utf-8")
-            )
+            return self._send_json_stream(ep.stream_field_names(spark, df, q))
         if path == "/select/logsql/stream_field_values":
             out = ep.stream_field_values(
                 spark, df, self._get(params, "field", ""), q,
                 limit=int(self._get(params, "limit", "0")),
             )
-            return self._send(200, _df_json_rows(out).encode("utf-8"))
+            return self._send_json_stream(out)
         return self._send(404, b"unknown /select path\n", "text/plain")
 
     def _insert(self, path: str, params):

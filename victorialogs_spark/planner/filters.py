@@ -302,15 +302,68 @@ _DTYPE_VALUE_TYPES = {
 }
 
 
+# footer sample cap for the dict-encoding probe: at 100 TB inputFiles()
+# can list 10^5 paths; the probe is a plan-time diagnostic, so it reads a
+# bounded deterministic sample of footers, never the whole listing
+_DICT_SAMPLE_FILES = 8
+
+
+def _stored_dict_encoded(df: DataFrame, field: str) -> bool | None:
+    """Does storage hold ``field`` dictionary-encoded? — the Parquet
+    footer truth behind ``value_type(dict)`` (valueTypeDict,
+    values_encoder.go:109-127: the reference picks dict encoding when a
+    block has few distinct values; parquet-mr makes the same adaptive
+    choice per column chunk). Returns None when the frame has no local
+    parquet files (in-memory) or a footer is unreadable — sniff fallback.
+    True requires every sampled chunk to be purely dictionary-encoded
+    (a PLAIN data-page fallback means storage gave up on the dict)."""
+    import urllib.parse
+
+    try:
+        paths = []
+        for f in df.inputFiles():
+            p = urllib.parse.urlparse(f)
+            paths.append(p.path if p.scheme in ("", "file") else f)
+    except Exception:
+        return None
+    if not paths:
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    saw_chunk = False
+    for path in sorted(paths)[:_DICT_SAMPLE_FILES]:
+        try:
+            md = pq.read_metadata(path)
+        except Exception:
+            return None
+        try:
+            idx = list(md.schema.names).index(field)
+        except ValueError:
+            return None  # column absent from this file's footer
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            encs = set(col.encodings)
+            if not encs & {"PLAIN_DICTIONARY", "RLE_DICTIONARY"}:
+                return False
+            if "PLAIN" in encs:  # dict page overflowed mid-chunk
+                return False
+            saw_chunk = True
+    return True if saw_chunk else None
+
+
 def _value_type(df: DataFrame, field: str, vt: str) -> Column:
     """value_type(t) is storage introspection in the reference
-    (filter_value_type.go:14). For typed columns WITH a storage-type
-    mapping, the Parquet physical type answers the question directly
-    (NULL rows never match — missing ≡ no stored type; uint* claims are
-    gated on the value being non-negative). Everything else — string
-    spill fields and unmapped dtypes (boolean, date, decimal) — sniffs
-    the logical type of the rendered value, the documented
-    approximation."""
+    (filter_value_type.go:14). Storage answers wherever Parquet records
+    the truth: typed columns (written by compact_day(type_columns=True))
+    answer from the physical type via _DTYPE_VALUE_TYPES (NULL rows
+    never match — missing ≡ no stored type; uint* claims are gated on
+    the value being non-negative), and value_type(dict) answers from the
+    footers' per-chunk encodings. Only string spill fields with no
+    footer (in-memory frames) and unmapped dtypes (boolean, date,
+    decimal) fall back to sniffing the logical type of the rendered
+    value — the documented approximation."""
     dt = dict(df.dtypes).get(field)
     if dt in _DTYPE_VALUE_TYPES:
         ok = F.lit(vt in _DTYPE_VALUE_TYPES[dt]) & qcol(field).isNotNull()
@@ -318,10 +371,20 @@ def _value_type(df: DataFrame, field: str, vt: str) -> Column:
             ok = ok & (qcol(field) >= 0)
         return ok
     c = fcol(df, field)
-    if vt == "string":
-        return c != ""
     if vt == "dict":
-        return F.lit(False)
+        stored = _stored_dict_encoded(df, field)
+        if stored is None:
+            return F.lit(False)  # no storage to introspect
+        # non-empty rows of a dict-encoded column match, like the
+        # reference (empty ≡ field missing from the block)
+        return F.lit(stored) & (c != "")
+    if vt == "string":
+        # NOT made exclusive with dict (unlike the reference's type
+        # partition): parquet dict-encodes string chunks adaptively with
+        # a far looser threshold than the reference's ≤8-unique rule, so
+        # excluding dict-encoded chunks would make value_type(string)
+        # match nothing on typical parquet tables — documented divergence
+        return c != ""
     pat = _TYPE_SNIFF.get(vt)
     if pat is None:
         return F.lit(False)

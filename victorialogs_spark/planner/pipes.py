@@ -1002,33 +1002,61 @@ def _p_decolorize(p: A.PDecolorize, df: DataFrame, ctx) -> DataFrame:
     return df.withColumn(p.field_name, F.regexp_replace(src, ANSI_COLOR_RE, ""))
 
 
+# persist ceiling for drop_empty_fields: below it, caching the filtered
+# frame makes the flags aggregation + downstream read share ONE scan; at
+# 100 TB the persist itself IS the cost (every executor spills the whole
+# input to its local disks), so large inputs skip it and accept a second
+# scan of the source — the flags agg reads only the string columns and
+# pushes nothing else, so scan #1 is cheap relative to a full-input spill
+DROP_EMPTY_PERSIST_MAX_BYTES = 2 << 30
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (file sizes for scans,
+    actual bytes for local relations); None when unavailable."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
 def _p_drop_empty_fields(p: A.PDropEmptyFields, df: DataFrame, ctx) -> DataFrame:
     """Drop rows where all fields are empty, and columns that are empty
     everywhere (fixed-schema approximation of the per-row semantics in
     pipe_drop_empty_fields.go — divergence documented).
 
-    The column-drop half must observe data before the schema can change, so
-    the filtered frame is persisted (memory, spill to disk) and the boolean
-    flags aggregation materializes it — upstream is scanned exactly ONCE;
-    the downstream query reads the cache (InMemoryTableScan), not a second
-    FileScan of the source."""
-    from pyspark import StorageLevel
-
+    The column-drop half must observe data before the schema can change.
+    Small inputs (Catalyst estimate under DROP_EMPTY_PERSIST_MAX_BYTES)
+    persist the filtered frame so the flags aggregation and the
+    downstream query share one scan; large or unestimable inputs skip
+    the persist — two scans of a 100 TB source beat spilling it to every
+    executor's disks."""
     str_cols = [c for c, t in df.dtypes if t == "string"]
     if not str_cols:
         return df
     any_nonempty = F.lit(False)
     for c in str_cols:
         any_nonempty = any_nonempty | (fcol(df, c) != "")
-    df = df.where(any_nonempty).persist(StorageLevel.MEMORY_AND_DISK)
-    # bound the cache across a long-lived session (cli serve): Spark has
-    # no post-execution hook to unpersist, so retire the oldest cached
-    # frames FIFO once more than a few are alive — by then their
-    # downstream actions have run (disk-spilled blocks otherwise
-    # accumulate until session end)
-    _DROP_EMPTY_CACHES.append(df)
-    while len(_DROP_EMPTY_CACHES) > 4:
-        _DROP_EMPTY_CACHES.pop(0).unpersist()
+    # estimate on a THROWAWAY frame: forcing queryExecution freezes that
+    # JVM Dataset's lazy plan, which would otherwise pin the persisted
+    # frame to a pre-cache physical plan (it would never read its own
+    # InMemoryRelation)
+    est = _estimated_bytes(df.where(any_nonempty))
+    df = df.where(any_nonempty)
+    if est is not None and est <= DROP_EMPTY_PERSIST_MAX_BYTES:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # bound the cache across a long-lived session (cli serve): Spark
+        # has no post-execution hook to unpersist, so retire the oldest
+        # cached frames FIFO once more than a few are alive — by then
+        # their downstream actions have run (disk-spilled blocks
+        # otherwise accumulate until session end)
+        _DROP_EMPTY_CACHES.append(df)
+        while len(_DROP_EMPTY_CACHES) > 4:
+            _DROP_EMPTY_CACHES.pop(0).unpersist()
     flags = df.agg(
         *[F.max(fcol(df, c) != "").alias(c) for c in str_cols]
     ).collect()[0]
