@@ -645,19 +645,22 @@ def _flat_json_map(c: Column) -> Column:
 UNPACK_SAMPLE_ROWS: int | None = None
 
 
-def _infer_keys(df: DataFrame, map_col: Column, ctx) -> list[str]:
+def _infer_keys(df: DataFrame, keys_col: Column, ctx) -> list[str]:
     """Learn the key set (the dynamic-schema step; capped at
     MAX_UNPACK_COLS like the reference's 2000-column block cap,
-    consts.go:30). Exact by default: explode(map_keys) -> distinct is one
+    consts.go:30). Exact by default: explode(keys) -> distinct is one
     extra scan of the filtered input, but the shuffle is tiny (map-side
     partial distinct reduces it to the key cardinality, not the row count).
-    The cap is applied on SORTED keys so which 2000 survive is
-    deterministic, not partition-order dependent."""
-    keyed = df.select(map_col.alias("__m"))
+    ``keys_col`` is an ARRAY<STRING> of per-row keys — callers pass the
+    cheapest extractor they have (json_object_keys beats building the
+    full value map just to drop the values). The cap is applied on
+    SORTED keys so which 2000 survive is deterministic, not
+    partition-order dependent."""
+    keyed = df.select(keys_col.alias("__ks"))
     if UNPACK_SAMPLE_ROWS is not None:
         keyed = keyed.limit(UNPACK_SAMPLE_ROWS)
     rows = (
-        keyed.select(F.explode(F.map_keys(qcol("__m"))).alias("k"))
+        keyed.select(F.explode(qcol("__ks")).alias("k"))
         .distinct()
         .sort("k")
         .limit(MAX_UNPACK_COLS)
@@ -671,7 +674,9 @@ def _p_unpack_json(p: A.PUnpackJson, df: DataFrame, ctx) -> DataFrame:
     m = _flat_json_map(src)
     tmp = "__vl_unpack"
     with_map = df.withColumn(tmp, m)
-    keys = p.fields or _infer_keys(with_map, qcol(tmp), ctx)
+    # inference parses keys ONLY (json_object_keys) — building the full
+    # value map on the inference pass doubled its cost for nothing
+    keys = p.fields or _infer_keys(df, F.json_object_keys(src), ctx)
     cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
     out = with_map
     for k in keys:
@@ -699,7 +704,9 @@ def _p_unpack_logfmt(p: A.PUnpackLogfmt, df: DataFrame, ctx) -> DataFrame:
     m = F.map_from_arrays(keys_arr, F.transform(vals_arr, unq))
     tmp = "__vl_unpack"
     with_map = df.withColumn(tmp, m)
-    keys = p.fields or _infer_keys(with_map, qcol(tmp), ctx)
+    # inference extracts keys only (group-1 regexp), skipping the value
+    # unquote+map build
+    keys = p.fields or _infer_keys(df, keys_arr, ctx)
     cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
     out = with_map
     for k in keys:
