@@ -618,6 +618,30 @@ def test_audio_zcr_energy_integer_exact(spark):
     assert rows[2]["n_samples"] is None
 
 
+def test_semantic_dedup_min_id_leader(spark):
+    """Near-identical vectors in one sign bucket: the smallest id stays,
+    larger ids report it as dup_of; a different-direction vector and a
+    zero-norm (incomparable) vector are kept."""
+    from victorialogs_spark.datapipe.similarity import semantic_dedup
+
+    d = 8
+    a = [1.0, 1.0] + [0.0] * (d - 2)
+    a2 = [1.0, 0.999] + [0.0] * (d - 2)       # cos(a, a2) ~ 1
+    b = [1.0, -1.0] + [0.0] * (d - 2)          # different bucket/direction
+    z = [0.0] * d                               # zero norm: incomparable
+    df = spark.createDataFrame(
+        [(1, a), (2, a2), (3, b), (4, z)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in
+            semantic_dedup(df, "vec_id", "embedding", dim=d,
+                           threshold=0.9, n_sign_bits=4).collect()}
+    assert rows[1]["kept"] and rows[1]["dup_of"] is None
+    assert not rows[2]["kept"] and rows[2]["dup_of"] == 1
+    assert rows[3]["kept"]
+    assert rows[4]["kept"] and rows[4]["dup_of"] is None
+
+
 def test_simhash_md5_variant_mirrors_production_semantics(spark, docs):
     """The oracle variant must agree with production simhash on the
     relations that define the semantics: same token multiset → same

@@ -713,3 +713,115 @@ def knn_label_purity(
             (F.col("__b.__clabel") == F.col("__qlabel")).alias("same_label"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.85,
+    n_sign_bits: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023: remove
+    embedding-level near-duplicates within clusters, keeping one
+    representative per ε-ball), deterministic min-id-leader variant: a
+    vector is dropped when SOME smaller-id vector in its bucket has
+    cosine ≥ ``threshold`` to it; the smallest such id is reported as
+    ``dup_of``.
+
+    Buckets are the sign bits of the first ``n_sign_bits`` coordinates —
+    axis-aligned LSH with no trained state, chosen so an independent
+    engine reading the same float32 values derives identical buckets
+    (sign of a stored float is exact; random hyperplanes or k-means
+    cells are not cross-engine reproducible). A production run at 100 TB
+    would swap buckets for IVF cells (:func:`with_ivf_cell`) — the plan
+    shape below is identical.
+
+    Plan (100 TB story): bucket id is pure Column bit arithmetic; pair
+    generation is join-free (groupBy bucket, local pairs inside the
+    aggregation row — dedup._bucket_pairs), pair cosine is one
+    vectorized numpy batch, and the verdict per vector is a min
+    aggregate + one left join back to the id spine. ``max_bucket_size``
+    guards degenerate buckets (drops their pairs — documented recall
+    trade, same guard as embedding_near_dup_pairs).
+
+    Cosine is rounded to 9dp BEFORE the threshold compare so the
+    keep/drop verdict is engine-identical (same recipe as
+    knn_label_purity). Vectors that cannot be compared (NULL id/vector,
+    wrong length, zero norm) are kept with NULL ``dup_of``.
+
+    Output: (<id_col>, kept boolean, dup_of nullable) — one row per
+    input row with a non-NULL id; NULL-id rows are kept-by-definition
+    but excluded (they cannot be joined back distinctly).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from victorialogs_spark.datapipe.dedup import _bucket_pairs
+
+    vec = F.col(vec_col)
+    norm2 = F.aggregate(
+        F.transform(vec, lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    comparable = (
+        F.col(id_col).isNotNull()
+        & vec.isNotNull()
+        & (F.size(vec) == dim)
+        & (norm2 > 0)
+    )
+    bucket = F.lit(0)
+    for j in range(n_sign_bits):
+        bucket = bucket + F.when(
+            F.element_at(vec, j + 1).cast("double") > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+
+    cand = df.where(comparable).select(
+        bucket.alias("__bucket"),
+        F.struct(
+            F.col(id_col).alias("id"), vec.alias("vec")
+        ).alias("doc"),
+    )
+    grouped = cand.groupBy("__bucket").agg(
+        F.array_sort(F.collect_list("doc")).alias("docs")
+    )
+    if max_bucket_size:
+        grouped = grouped.where(F.size("docs") <= max_bucket_size)
+    pairs = grouped.where(F.size("docs") >= 2).select(
+        F.explode(_bucket_pairs(F.col("docs"))).alias("p")
+    )
+
+    def _cos9(va, vb):
+        A, a_ok = _stack_vectors(va, dim)
+        B, b_ok = _stack_vectors(vb, dim)
+        dots = (A * B).sum(axis=1)
+        norms = np.maximum(
+            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1), 1e-300
+        )
+        return _masked_series(np.round(dots / norms, 9), a_ok & b_ok, "Float64")
+
+    _cos9.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    cos_udf = F.pandas_udf(_cos9, "double")
+
+    dup = (
+        pairs.select(
+            F.col("p.b.id").alias("__bid"),
+            F.col("p.a.id").alias("__aid"),
+            cos_udf(F.col("p.a.vec"), F.col("p.b.vec")).alias("__cos"),
+        )
+        .where(F.col("__cos") >= threshold)
+        .groupBy("__bid")
+        .agg(F.min("__aid").alias("dup_of"))
+    )
+    spine = df.where(F.col(id_col).isNotNull()).select(F.col(id_col))
+    return (
+        spine.join(dup.withColumnRenamed("__bid", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of").isNull().alias("kept"),
+            F.col("dup_of"),
+        )
+    )

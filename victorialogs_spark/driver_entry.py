@@ -1750,6 +1750,38 @@ def _dp_pca_check(spark, sf_dir):
     )
 
 
+@register(
+    "dp_semdedup",
+    # SemDeDup-style semantic dedup, deterministic min-id-leader variant:
+    # axis-aligned sign-bit buckets (exact cross-engine: sign of a stored
+    # float32), pair cosine ROUNDed to 9dp before the threshold on both
+    # engines (knn_label_purity recipe), dup_of = smallest qualifying
+    # smaller id. Incomparable vectors (wrong len / zero norm) kept.
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    " WHERE vec_id IS NOT NULL),"
+    " c AS (SELECT vec_id, v, CAST(list_sum(list_transform(range(8),"
+    " j -> CASE WHEN v[j + 1] > 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS b"
+    " FROM e WHERE len(v) = 64"
+    " AND list_sum(list_transform(v, x -> x * x)) > 0),"
+    " p AS (SELECT b2.vec_id AS bid, MIN(a.vec_id) AS dup_of"
+    " FROM c a JOIN c b2 ON a.b = b2.b AND a.vec_id < b2.vec_id"
+    " WHERE ROUND(list_cosine_similarity(a.v, b2.v), 9) >= 0.30"
+    " GROUP BY b2.vec_id)"
+    " SELECT e.vec_id, dup_of IS NULL AS kept, dup_of"
+    " FROM e LEFT JOIN p ON p.bid = e.vec_id",
+)
+def _dp_semdedup(spark, sf_dir):
+    from victorialogs_spark.datapipe.similarity import semantic_dedup
+
+    emb = _table(spark, sf_dir, "embeddings")
+    # 0.30: the synthetic embeddings' cluster structure is loose (the
+    # all-pairs cosine max is ~0.51), so the production default 0.85
+    # would be vacuously all-kept here; 0.30 exercises real drops
+    return semantic_dedup(
+        emb, "vec_id", "embedding", dim=64, threshold=0.30, n_sign_bits=8
+    )
+
+
 @register("dp_image_phash")  # rows-only: 2-D DCT isn't SQL-reproducible
 def _dp_image_phash(spark, sf_dir):
     """Deterministic P6 payloads rendered from document text (24x24 RGB =
@@ -2685,6 +2717,7 @@ _DRIVER_VERIFIED_R5 = [
 _RECHECK_AND_NEW_R6 = [
     "dp_repeated_spans",
     "dp_image_ahash", "dp_audio_zcr", "dp_pca_moments", "dp_pca_check",
+    "dp_semdedup",
 ]
 
 
