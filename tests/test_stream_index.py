@@ -1,0 +1,112 @@
+"""Tests for the per-file stream-value sidecar (file pruning for
+``{label=...}`` / ``_stream_id`` filters) — index/streams.py."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from victorialogs_spark.api import run_query
+from victorialogs_spark.index.bloom import read_pruned
+from victorialogs_spark.index.streams import (
+    build_stream_index,
+    prune_files,
+    stream_candidate_files,
+    stream_constraints_of_query,
+)
+
+UTC = dt.timezone.utc
+
+
+def _write_table(spark, path):
+    # 3 files, each holding ONE app's streams (the post-compact_day
+    # clustered layout the sidecar is designed for)
+    for i, (app, sid) in enumerate(
+        [("web", "s1"), ("db", "s2"), ("cache", "s3")]
+    ):
+        rows = [
+            (
+                dt.datetime(2024, 1, 1, 0, i, j, tzinfo=UTC),
+                f"{app} message {j}",
+                app,
+                sid,
+            )
+            for j in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows, "_time timestamp, _msg string, app string, _stream_id string"
+        )
+        df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_constraints_of_query():
+    c = stream_constraints_of_query('{app="web"} error')
+    assert c == {"app": {"web"}}
+    c = stream_constraints_of_query('{app="web" or app="db"}')
+    assert c == {"app": {"web", "db"}}
+    # an OR term without '=' on the field makes it unprunable
+    assert stream_constraints_of_query('{app="web" or env="x"}') == {}
+    # negations never prune
+    assert stream_constraints_of_query('{app!="web"}') == {}
+    c = stream_constraints_of_query('_stream_id:in(s1, s2)')
+    assert c == {"_stream_id": {"s1", "s2"}}
+    # two conjuncts on one field intersect
+    c = stream_constraints_of_query('{app="web"} {app="db"}')
+    assert c == {"app": set()}
+
+
+def test_stream_index_prunes_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "sidx")
+    _write_table(spark, table)
+    build_stream_index(spark, table, index, fields=["_stream_id", "app"])
+
+    idx = spark.read.parquet(index)
+    assert idx.count() == 6  # 3 files x 2 fields
+    assert not idx.where("overflow").count()
+
+    indexed, cands = stream_candidate_files(
+        spark, index, {"app": {"web"}}
+    )
+    assert len(indexed) == 3 and len(cands) == 1
+    _, cands = stream_candidate_files(
+        spark, index, {"app": {"web"}, "_stream_id": {"s2"}}
+    )
+    assert cands == set()  # AND across fields: web lives in s1's file
+
+    full = spark.read.parquet(table)
+    files = list(full.inputFiles())
+    assert len(prune_files(spark, table, index, '{app="web"}', files)) == 1
+    assert len(prune_files(spark, table, index, "plain words", files)) == 3
+
+    # end-to-end through read_pruned (stream sidecar only, no bloom)
+    pruned = read_pruned(
+        spark, table, None, '{app="web"}', stream_index_path=index
+    )
+    assert pruned.select(F.input_file_name()).distinct().count() == 1
+    got = {r["_msg"] for r in run_query(spark, pruned, '{app="web"}').collect()}
+    want = {r["_msg"] for r in run_query(spark, full, '{app="web"}').collect()}
+    assert got == want and len(got) == 4
+
+    # _stream_id pruning
+    pruned = read_pruned(
+        spark, table, None, "_stream_id:in(s3)", stream_index_path=index
+    )
+    assert pruned.select(F.input_file_name()).distinct().count() == 1
+
+
+def test_stream_index_unindexed_files_survive(spark, tmp_path):
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "sidx")
+    _write_table(spark, table)
+    build_stream_index(spark, table, index, fields=["app"])
+    # a file written AFTER the index build must never be pruned away
+    late = [(dt.datetime(2024, 1, 2, tzinfo=UTC), "web late row", "web", "s9")]
+    spark.createDataFrame(
+        late, "_time timestamp, _msg string, app string, _stream_id string"
+    ).coalesce(1).write.mode("append").parquet(table)
+
+    pruned = read_pruned(
+        spark, table, None, '{app="web"}', stream_index_path=index
+    )
+    got = {r["_msg"] for r in run_query(spark, pruned, '{app="web"}').collect()}
+    assert "web late row" in got and len(got) == 5

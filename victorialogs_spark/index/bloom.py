@@ -142,14 +142,20 @@ def words_of_query(query: str, field: str = "_msg") -> list[str]:
 
 
 def read_pruned(
-    spark: SparkSession, table_path: str, index_path: str, query: str
+    spark: SparkSession,
+    table_path: str,
+    index_path: str | None,
+    query: str,
+    stream_index_path: str | None = None,
 ) -> DataFrame:
-    """Read the log table scanning ONLY files whose bloom may match the
-    query's word filters. Unknown (unindexed) files are always included.
+    """Read the log table scanning ONLY files that may match the query's
+    word filters (token-bloom sidecar, ``index_path``) AND its stream
+    constraints (stream-value sidecar, ``stream_index_path`` —
+    index/streams.py). Unknown (unindexed) files are always included.
     Returns the full table reader when nothing is prunable."""
-    toks = words_of_query(query)
+    toks = words_of_query(query) if index_path else []
     full = spark.read.parquet(table_path)
-    if not toks:
+    if not toks and stream_index_path is None:
         return full
     # metadata-only file listing — a select(input_file_name()).distinct()
     # would scan every row just to enumerate files, costing more than the
@@ -159,13 +165,20 @@ def read_pruned(
         # Hive-partitioned layout: partition values live in directory
         # names, and re-reading leaf files directly would NULL those
         # columns. Partition pruning already serves such tables; the
-        # bloom prune applies to flat layouts only.
+        # sidecar prunes apply to flat layouts only.
         return full
-    indexed = {
-        r["file"] for r in spark.read.parquet(index_path).select("file").collect()
-    }
-    cands = set(candidate_files(spark, index_path, toks))
-    keep = [f for f in all_files if f not in indexed or f in cands]
+    keep = all_files
+    if toks:
+        indexed = {
+            r["file"]
+            for r in spark.read.parquet(index_path).select("file").collect()
+        }
+        cands = set(candidate_files(spark, index_path, toks))
+        keep = [f for f in keep if f not in indexed or f in cands]
+    if stream_index_path is not None:
+        from victorialogs_spark.index.streams import prune_files
+
+        keep = prune_files(spark, table_path, stream_index_path, query, keep)
     if not keep:
         return full.limit(0)
     if len(keep) == len(all_files):
@@ -203,10 +216,15 @@ def register_bloom_index(table_path: str, index_path: str) -> None:
 
 
 def open_log_table(spark: SparkSession, table_path: str, query: str) -> DataFrame:
-    """Open a log table for a query, applying registered bloom pruning.
-    Falls back to a plain reader when no index is registered or nothing in
-    the query is prunable; correctness never depends on the index."""
-    idx = _REGISTRY.get(_norm_path(table_path))
-    if idx is None:
+    """Open a log table for a query, applying every registered sidecar
+    prune (token bloom + stream values). Falls back to a plain reader
+    when nothing is registered or nothing in the query is prunable;
+    correctness never depends on the indexes."""
+    from victorialogs_spark.index.streams import _STREAM_REGISTRY
+
+    key = _norm_path(table_path)
+    idx = _REGISTRY.get(key)
+    sidx = _STREAM_REGISTRY.get(key)
+    if idx is None and sidx is None:
         return spark.read.parquet(table_path)
-    return read_pruned(spark, table_path, idx, query)
+    return read_pruned(spark, table_path, idx, query, stream_index_path=sidx)

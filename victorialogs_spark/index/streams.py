@@ -1,0 +1,177 @@
+"""Per-file stream-value sidecar — the ``{label=...}`` / ``_stream_id``
+analogue of the token-bloom index (bloom.py).
+
+The reference resolves stream filters against its inverted index first
+and scans only the matching streams' blocks (indexdb.go:182-213). After
+:func:`streaming.ingest.compact_day` clusters rows by ``(_stream_id,
+_time)``, each parquet file holds FEW distinct streams — so a sidecar of
+one row per (file, field) with the file's distinct value SET is tiny,
+and a stream-filtered query can skip whole files by scanning the sidecar
+instead of opening 10⁵ footers for row-group stats. Row-group min/max
+still prunes WITHIN the files that survive.
+
+Exact sets, not blooms: stream cardinality per file is low by
+construction (the clustering is what makes this index worth building),
+and exact sets also serve negative lookups. A file whose distinct-value
+count exceeds ``MAX_VALUES_PER_FILE`` records ``overflow`` and is never
+pruned — correctness cannot depend on the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_VALUES_PER_FILE = 4096
+
+_STREAM_REGISTRY: dict[str, str] = {}
+
+
+def build_stream_index(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    fields: list[str] | None = None,
+) -> None:
+    """Build the sidecar: one row per (file, field) with the file's
+    distinct values of each stream-identity field (default:
+    ``_stream_id`` plus every promoted label column is the CALLER's
+    choice — pass the table's stream fields). Run after compaction, like
+    build_token_bloom_index."""
+    fields = fields or ["_stream_id"]
+    df = spark.read.parquet(table_path)
+    cols = [c for c in fields if c in df.columns]
+    if not cols:
+        raise ValueError(f"none of {fields} present in {table_path}")
+    parts = []
+    for c in cols:
+        per = (
+            df.select(
+                F.input_file_name().alias("file"),
+                F.col(c).cast("string").alias("value"),
+            )
+            .distinct()
+            .groupBy("file")
+            .agg(
+                F.lit(c).alias("field"),
+                F.count(F.lit(1)).alias("n_values"),
+                (F.count(F.lit(1)) > MAX_VALUES_PER_FILE).alias("overflow"),
+                F.array_sort(F.collect_set("value")).alias("values"),
+            )
+        )
+        # overflowed rows keep an EMPTY list (the set is useless and can
+        # be arbitrarily large; overflow=true already disables pruning)
+        parts.append(
+            per.withColumn(
+                "values",
+                F.when(F.col("overflow"), F.array().cast("array<string>"))
+                .otherwise(F.col("values")),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(index_path)
+
+
+def stream_constraints_of_query(query: str) -> dict[str, set[str]]:
+    """Extract per-field equality value sets from the query's TOP-LEVEL
+    conjuncts — the prunable part of stream filters, AND-semantics
+    across fields:
+
+    - ``_stream_id:in(id, ...)`` → {"_stream_id": ids}
+    - ``{a="x"}`` → {"a": {"x"}}; ``{a="x" or a="y"}`` → {"a": {"x","y"}}
+
+    An OR term that does not constrain a field with ``=`` makes that
+    field unprunable (negations/regexes never prune — conservative,
+    like the reference's matching-streams resolution)."""
+    from victorialogs_spark.logsql import ast as A
+    from victorialogs_spark.logsql.parser import parse_query
+
+    q = parse_query(query)
+    conjuncts = q.filter.children if isinstance(q.filter, A.FAnd) else [q.filter]
+    out: dict[str, set[str]] = {}
+
+    def _merge(field: str, values: set[str]) -> None:
+        if field in out:
+            # two conjuncts on one field: both must hold; candidate
+            # values are the intersection
+            out[field] &= values
+        else:
+            out[field] = values
+
+    for c in conjuncts:
+        if isinstance(c, A.FStreamId) and c.ids:
+            _merge("_stream_id", set(c.ids))
+        elif isinstance(c, A.FStream):
+            # per field: every OR term must pin it with '=' for the
+            # union of pinned values to be a sound file filter
+            fields: dict[str, set[str]] = {}
+            sound: set[str] | None = None
+            for term in c.or_terms:
+                eqs = {m.label: m.value for m in term if m.op == "="}
+                term_fields = set(eqs)
+                sound = term_fields if sound is None else sound & term_fields
+                for f_, v in eqs.items():
+                    fields.setdefault(f_, set()).add(v)
+            for f_ in sound or set():
+                _merge(f_, fields[f_])
+    return {k: v for k, v in out.items()}
+
+
+def stream_candidate_files(
+    spark: SparkSession, index_path: str, constraints: dict[str, set[str]]
+) -> tuple[set[str], set[str]]:
+    """(indexed_files, candidate_files): files whose recorded value set
+    intersects EVERY constrained field's wanted values. Overflowed rows
+    always qualify for their field. The probe runs distributed over the
+    sidecar; only file names reach the driver."""
+    idx = spark.read.parquet(index_path)
+    indexed = {r["file"] for r in idx.select("file").distinct().collect()}
+    cands = indexed
+    for field, values in constraints.items():
+        rows = (
+            idx.where(F.col("field") == field)
+            .where(
+                F.col("overflow")
+                | (
+                    F.size(
+                        F.array_intersect(
+                            F.col("values"),
+                            F.array(*[F.lit(v) for v in sorted(values)]),
+                        )
+                    )
+                    > 0
+                )
+            )
+            .select("file")
+            .collect()
+        )
+        cands = cands & {r["file"] for r in rows}
+    return indexed, cands
+
+
+def register_stream_index(table_path: str, index_path: str) -> None:
+    """Associate a stream-value sidecar with a log-table path;
+    ``api.run_query(spark, table_path, query)`` prunes through it
+    automatically (composes with a registered bloom index)."""
+    from victorialogs_spark.index.bloom import _norm_path
+
+    _STREAM_REGISTRY[_norm_path(table_path)] = index_path
+
+
+def prune_files(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    query: str,
+    files: list[str],
+) -> list[str]:
+    """Filter a file listing through the sidecar for ``query``. Unindexed
+    files always survive; returns ``files`` unchanged when the query has
+    no prunable stream constraint."""
+    constraints = stream_constraints_of_query(query)
+    if not constraints:
+        return files
+    indexed, cands = stream_candidate_files(spark, index_path, constraints)
+    return [f for f in files if f not in indexed or f in cands]
