@@ -99,3 +99,15 @@ def test_cli_index(spark, table, tmp_path):
     rows = run_cli(["query", "error | fields _msg",
                     "--table", table, "--index", idx])
     assert rows and all("error" in r["_msg"] for r in rows)
+
+
+def test_cli_stream_index(spark, table, tmp_path):
+    idx = str(tmp_path / "stream_idx")
+    # default field is _stream_id; index app too (promoted label column)
+    rc = cli.main(["stream-index", "_stream_id,app",
+                   "--table", table, "--out", idx])
+    assert rc == 0
+    assert spark.read.parquet(idx).where("field = 'app'").count() >= 1
+    rows = run_cli(["query", '{app="web"} | fields _msg, app',
+                    "--table", table, "--stream-index", idx])
+    assert rows and all(r["app"] == "web" for r in rows)

@@ -45,6 +45,7 @@ def main(argv: list[str] | None = None) -> int:
         "query", "hits", "facets", "field-names", "field-values",
         "streams", "stream-ids", "tail", "serve",
         "ingest", "compact", "retention", "curate", "explain", "index",
+        "stream-index",
     ])
     ap.add_argument("arg", nargs="?", default="*",
                     help="LogsQL query (or field name for field-values; "
@@ -71,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="query/explain: token-bloom sidecar path "
                          "(built by the index command); prunes scan files "
                          "for word filters")
+    ap.add_argument("--stream-index", default="",
+                    help="query/explain: stream-value sidecar path "
+                         "(built by the stream-index command); prunes scan "
+                         "files for {label=...}/_stream_id filters")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--heldout", default="",
@@ -170,6 +175,21 @@ def main(argv: list[str] | None = None) -> int:
         " scans (registration is per-process)\n"
         )
         return 0
+    if args.command == "stream-index":
+        from victorialogs_spark.index.streams import build_stream_index
+
+        if not args.out:
+            ap.error("stream-index requires --out <sidecar parquet path>")
+        raw = args.arg if args.arg != "*" else "_stream_id"
+        flds = [s for s in raw.split(",") if s]
+        build_stream_index(spark, args.table, args.out, fields=flds)
+        n = spark.read.parquet(args.out).select("file").distinct().count()
+        sys.stderr.write(
+            f"stream-value sidecar at {args.out} ({n} files indexed);"
+            f" pass --stream-index {args.out} to query/explain to prune"
+            " scans for stream filters (registration is per-process)\n"
+        )
+        return 0
     if args.command == "retention":
         from victorialogs_spark.streaming.ingest import apply_retention
 
@@ -186,8 +206,13 @@ def main(argv: list[str] | None = None) -> int:
         from victorialogs_spark.index.bloom import register_bloom_index
 
         register_bloom_index(args.table, args.index)
+    if args.stream_index:
+        from victorialogs_spark.index.streams import register_stream_index
 
-    use_path = bool(args.index) and args.command in ("query", "explain")
+        register_stream_index(args.table, args.stream_index)
+
+    use_path = bool(args.index or args.stream_index) and args.command in (
+        "query", "explain")
     # skip the up-front footer/schema read when the path form re-reads it
     df = None if use_path else spark.read.parquet(args.table)
     target = args.table if use_path else df
