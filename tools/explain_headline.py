@@ -13,7 +13,7 @@ NOTES = {
     "s_time_bucket": "bucket expr computed pre-shuffle; two-phase aggregate",
     "s_histogram": "two-level aggregate: (keys,bucket) counts then O(buckets) pack",
     "p_top": "aggregate + TakeOrderedAndProject (top-k heaps, no full sort)",
-    "p_unpack_json": "from_json map + sampled key promotion, single pass",
+    "p_unpack_json": "from_json map + EXACT distinct-key promotion (keys-only json_object_keys inference pass)",
     "p_join": "subquery aggregated then BroadcastHashJoin (no shuffle of the big side)",
     "p_sort_desc_rank": "TakeOrderedAndProject first, rank over the k-row result",
     "tpch_pricing_summary": "wide decimal aggregate, partial+final",
@@ -41,6 +41,9 @@ NOTES = {
     "dp_mix_sources": "one bounded group-count aggregate → pushable md5-bucket string compare; no shuffle on the kept path",
     "dp_label_centroids": "posexplode → one partial-combined (label, dim) hash aggregate",
     "dp_knn_purity": "bounded query set broadcast (nested-loop) over the streaming corpus → per-query max_by aggregate",
+    "dp_semdedup": "pure-Column sign-bit bucket → join-free local pair gen → 9dp-cosine verify → min-id aggregate + one join back to the id spine",
+    "dp_image_ahash": "payload synth + real P6 decode in one narrow Arrow map; zero shuffles",
+    "dp_audio_zcr": "real WAV decode + integer features in one narrow Arrow map; zero shuffles",
 }
 
 
