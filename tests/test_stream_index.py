@@ -72,6 +72,10 @@ def test_stream_index_prunes_files(spark, tmp_path):
         spark, index, {"app": {"web"}, "_stream_id": {"s2"}}
     )
     assert cands == set()  # AND across fields: web lives in s1's file
+    # contradictory conjuncts ({a="x"} {a="y"}) -> empty value set ->
+    # no candidates, and no untyped-empty-array crash
+    _, cands = stream_candidate_files(spark, index, {"app": set()})
+    assert cands == set()
 
     full = spark.read.parquet(table)
     files = list(full.inputFiles())

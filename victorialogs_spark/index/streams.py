@@ -130,6 +130,10 @@ def stream_candidate_files(
     indexed = {r["file"] for r in idx.select("file").distinct().collect()}
     cands = indexed
     for field, values in constraints.items():
+        if not values:
+            # contradictory conjuncts ({a="x"} {a="y"}) — no file can
+            # match; an empty F.array() below would also be untyped
+            return indexed, set()
         rows = (
             idx.where(F.col("field") == field)
             .where(
