@@ -98,6 +98,49 @@ def test_stream_index_prunes_files(spark, tmp_path):
     assert pruned.select(F.input_file_name()).distinct().count() == 1
 
 
+def test_stream_index_unindexed_field_is_unprunable(spark, tmp_path):
+    """A constraint on a field the sidecar never indexed must be SKIPPED
+    (unprunable), not treated as matching zero files — otherwise a
+    default _stream_id-only sidecar would empty out {app=...} queries."""
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "sidx")
+    _write_table(spark, table)
+    build_stream_index(spark, table, index, fields=["_stream_id"])  # no app
+
+    full = spark.read.parquet(table)
+    pruned = read_pruned(
+        spark, table, None, '{app="web"}', stream_index_path=index
+    )
+    got = {r["_msg"] for r in run_query(spark, pruned, '{app="web"}').collect()}
+    want = {r["_msg"] for r in run_query(spark, full, '{app="web"}').collect()}
+    assert got == want and len(got) == 4
+    # a combined constraint still prunes on the indexed field
+    pruned = read_pruned(
+        spark, table, None, '{app="web"} _stream_id:in(s1)',
+        stream_index_path=index,
+    )
+    assert pruned.select(F.input_file_name()).distinct().count() == 1
+
+
+def test_stream_index_null_labels_match_empty(spark, tmp_path):
+    """NULL label values index as '' (the engine's missing≡empty rule),
+    so {label=""} keeps the files holding NULL-label rows."""
+    import datetime as dt
+
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "sidx")
+    rows = [(dt.datetime(2024, 1, 1, tzinfo=UTC), "null app row", None, "s1")]
+    spark.createDataFrame(
+        rows, "_time timestamp, _msg string, app string, _stream_id string"
+    ).coalesce(1).write.parquet(table)
+    build_stream_index(spark, table, index, fields=["app"])
+    pruned = read_pruned(
+        spark, table, None, '{app=""}', stream_index_path=index
+    )
+    got = {r["_msg"] for r in run_query(spark, pruned, '{app=""}').collect()}
+    assert got == {"null app row"}
+
+
 def test_stream_index_unindexed_files_survive(spark, tmp_path):
     table = str(tmp_path / "t")
     index = str(tmp_path / "sidx")

@@ -792,6 +792,24 @@ def simhash_md5_bitstring(
     )
 
 
+def _require_non_null_ids(df: DataFrame, id_col: str, op: str) -> None:
+    """Raise when ``id_col`` contains NULLs. Free when the schema
+    declares the column non-nullable; otherwise one eager IsNull probe
+    (pushed to parquet with null-count row-group pruning on file-backed
+    frames; one upstream pass on derived plans)."""
+    try:
+        if not df.schema[id_col].nullable:
+            return
+    except Exception:
+        pass  # dotted/odd names: fall through to the probe
+    if df.where(F.col(id_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"{op}: {id_col} contains NULLs; the per-document grouping "
+            "and id joins require non-NULL ids — filter or assign ids "
+            "(e.g. monotonically_increasing_id) first"
+        )
+
+
 def repeated_spans(
     df: DataFrame,
     id_col: str,
@@ -827,15 +845,13 @@ def repeated_spans(
     Ids must be non-NULL: a NULL id would silently collapse all NULL-id
     docs into one group here, and NULL never equals NULL in
     :func:`span_dedup`'s semi-join, silently dropping those docs — fail
-    loudly instead (same contract as knn_label_purity).
+    loudly instead (same contract as knn_label_purity). The probe is
+    free when the schema already declares the column non-nullable; on
+    parquet-backed frames IsNull pushdown + null-count row-group stats
+    keep it cheap; on derived plans it does cost one upstream pass —
+    the price of the silent-drop alternative being a correctness trap.
     """
-    null_ids = df.where(F.col(id_col).isNull()).limit(1).count()
-    if null_ids:
-        raise ValueError(
-            f"repeated_spans: {id_col} contains NULLs; the per-document "
-            "grouping and span_dedup's semi-join require non-NULL ids — "
-            "filter or assign ids (e.g. monotonically_increasing_id) first"
-        )
+    _require_non_null_ids(df, id_col, "repeated_spans")
     grams = token_window_hashes_arrow(text_col, span_tokens)
     per_doc = df.select(F.col(id_col), F.explode(grams).alias("__g"))
     span_df = per_doc.groupBy("__g").agg(F.count(F.lit(1)).alias("__docs"))
@@ -987,15 +1003,11 @@ def cut_repeated_spans(
     text, plus n_cut_tokens.
 
     Like :func:`repeated_spans`, ids must be non-NULL (NULL would merge
-    all NULL-id docs' span sets and break the join-back) — checked
-    eagerly; parquet IsNull pushdown + null-count row-group stats keep
-    the check cheap at scale.
+    all NULL-id docs' span sets and break the join-back) — checked via
+    :func:`_require_non_null_ids` (schema fast-path, eager probe
+    otherwise).
     """
-    if df.where(F.col(id_col).isNull()).limit(1).count():
-        raise ValueError(
-            f"cut_repeated_spans: {id_col} contains NULLs; assign ids "
-            "(e.g. monotonically_increasing_id) first"
-        )
+    _require_non_null_ids(df, id_col, "cut_repeated_spans")
     spans = df.select(
         F.col(id_col),
         F.posexplode(token_window_hashes_pos_arrow(text_col, span_tokens))

@@ -774,7 +774,8 @@ def semantic_dedup(
         & (norm2 > 0)
     )
     bucket = F.lit(0)
-    for j in range(n_sign_bits):
+    # clamp to dim: element_at past the array end THROWS under ANSI mode
+    for j in range(min(n_sign_bits, dim)):
         bucket = bucket + F.when(
             F.element_at(vec, j + 1).cast("double") > 0, F.lit(1 << j)
         ).otherwise(F.lit(0))

@@ -1759,9 +1759,13 @@ def _dp_pca_check(spark, sf_dir):
     # smaller id. Incomparable vectors (wrong len / zero norm) kept.
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
     " WHERE vec_id IS NOT NULL),"
+    # NULL-element exclusion mirrors Spark exactly: the engine's norm2
+    # fold nulls out on a NULL element (row incomparable -> kept), while
+    # DuckDB's list_sum would skip NULLs like SUM and keep comparing
     " c AS (SELECT vec_id, v, CAST(list_sum(list_transform(range(8),"
     " j -> CASE WHEN v[j + 1] > 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS b"
     " FROM e WHERE len(v) = 64"
+    " AND len(list_filter(v, x -> x IS NULL)) = 0"
     " AND list_sum(list_transform(v, x -> x * x)) > 0),"
     " p AS (SELECT b2.vec_id AS bid, MIN(a.vec_id) AS dup_of"
     " FROM c a JOIN c b2 ON a.b = b2.b AND a.vec_id < b2.vec_id"

@@ -48,7 +48,11 @@ def build_stream_index(
         per = (
             df.select(
                 F.input_file_name().alias("file"),
-                F.col(c).cast("string").alias("value"),
+                # NULL records as "": the engine matches missing/NULL
+                # fields as empty strings (fcol = coalesce(col, '')), so
+                # {label=""} must find files whose rows are NULL there —
+                # collect_set would silently drop NULLs otherwise
+                F.coalesce(F.col(c).cast("string"), F.lit("")).alias("value"),
             )
             .distinct()
             .groupBy("file")
@@ -128,8 +132,17 @@ def stream_candidate_files(
     sidecar; only file names reach the driver."""
     idx = spark.read.parquet(index_path)
     indexed = {r["file"] for r in idx.select("file").distinct().collect()}
+    indexed_fields = {
+        r["field"] for r in idx.select("field").distinct().collect()
+    }
     cands = indexed
     for field, values in constraints.items():
+        if field not in indexed_fields:
+            # the sidecar never indexed this field — it is UNPRUNABLE,
+            # not unmatched; treating it as matching zero files would
+            # empty out correct results ("correctness cannot depend on
+            # the index")
+            continue
         if not values:
             # contradictory conjuncts ({a="x"} {a="y"}) — no file can
             # match; an empty F.array() below would also be untyped

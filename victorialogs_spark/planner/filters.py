@@ -323,7 +323,13 @@ def _stored_dict_encoded(df: DataFrame, field: str) -> bool | None:
         paths = []
         for f in df.inputFiles():
             p = urllib.parse.urlparse(f)
-            paths.append(p.path if p.scheme in ("", "file") else f)
+            # unquote: inputFiles() percent-encodes (a space becomes
+            # %20), which pyarrow's local reader would treat literally
+            paths.append(
+                urllib.parse.unquote(p.path)
+                if p.scheme in ("", "file")
+                else f
+            )
     except Exception:
         return None
     if not paths:

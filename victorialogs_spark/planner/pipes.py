@@ -1085,7 +1085,13 @@ def _local_paths(df: DataFrame) -> list[str]:
         out = []
         for f in df.inputFiles():
             p = urllib.parse.urlparse(f)
-            out.append(p.path if p.scheme in ("", "file") else f)
+            # unquote: inputFiles() percent-encodes local paths (space →
+            # %20); pyarrow would treat the encoding literally
+            out.append(
+                urllib.parse.unquote(p.path)
+                if p.scheme in ("", "file")
+                else f
+            )
         return out
     except Exception:
         return []
