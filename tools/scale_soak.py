@@ -58,6 +58,7 @@ ENTRIES = [
     "dp_mix_sources",
     "dp_label_centroids",
     "dp_knn_purity",
+    "dp_semdedup",
 ]
 
 TABLES = (
