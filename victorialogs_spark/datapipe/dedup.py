@@ -793,15 +793,14 @@ def simhash_md5_bitstring(
 
 
 def _require_non_null_ids(df: DataFrame, id_col: str, op: str) -> None:
-    """Raise when ``id_col`` contains NULLs. Free when the schema
-    declares the column non-nullable; otherwise one eager IsNull probe
-    (pushed to parquet with null-count row-group pruning on file-backed
-    frames; one upstream pass on derived plans)."""
-    try:
-        if not df.schema[id_col].nullable:
-            return
-    except Exception:
-        pass  # dotted/odd names: fall through to the probe
+    """Raise when ``id_col`` contains NULLs. Always probes: Spark's
+    schema ``nullable`` flag is advisory (createDataFrame/Arrow and
+    user-supplied read schemas don't validate it), so it cannot be
+    trusted as a fast-path — a wrong skip here reintroduces the silent
+    NULL-id drop this guard exists to catch. The probe pushes IsNull to
+    parquet (null-count row-group pruning) on file-backed frames; on
+    derived plans it costs one upstream pass — the price of not
+    silently corrupting results."""
     if df.where(F.col(id_col).isNull()).limit(1).count():
         raise ValueError(
             f"{op}: {id_col} contains NULLs; the per-document grouping "
@@ -845,11 +844,12 @@ def repeated_spans(
     Ids must be non-NULL: a NULL id would silently collapse all NULL-id
     docs into one group here, and NULL never equals NULL in
     :func:`span_dedup`'s semi-join, silently dropping those docs — fail
-    loudly instead (same contract as knn_label_purity). The probe is
-    free when the schema already declares the column non-nullable; on
-    parquet-backed frames IsNull pushdown + null-count row-group stats
-    keep it cheap; on derived plans it does cost one upstream pass —
-    the price of the silent-drop alternative being a correctness trap.
+    loudly instead (same contract as knn_label_purity). On parquet-
+    backed frames IsNull pushdown + null-count row-group stats keep the
+    probe cheap; on derived plans it does cost one upstream pass — the
+    price of the silent-drop alternative being a correctness trap
+    (the schema's nullable flag is advisory in Spark, so it cannot
+    stand in for the probe).
     """
     _require_non_null_ids(df, id_col, "repeated_spans")
     grams = token_window_hashes_arrow(text_col, span_tokens)
@@ -1004,8 +1004,7 @@ def cut_repeated_spans(
 
     Like :func:`repeated_spans`, ids must be non-NULL (NULL would merge
     all NULL-id docs' span sets and break the join-back) — checked via
-    :func:`_require_non_null_ids` (schema fast-path, eager probe
-    otherwise).
+    :func:`_require_non_null_ids` (eager probe).
     """
     _require_non_null_ids(df, id_col, "cut_repeated_spans")
     spans = df.select(

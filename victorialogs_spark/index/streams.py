@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 
 MAX_VALUES_PER_FILE = 4096
 
+# on-disk format version. v2: NULL label values are recorded as "" (the
+# engine's missing≡empty rule). A sidecar without the version column
+# predates v2 and its value sets may lack "" — the reader treats "" as
+# unprunable through such files rather than pruning wrong.
+FORMAT_VERSION = 2
+
 _STREAM_REGISTRY: dict[str, str] = {}
 
 
@@ -75,7 +81,9 @@ def build_stream_index(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out.write.mode("overwrite").parquet(index_path)
+    out.withColumn("version", F.lit(FORMAT_VERSION)).write.mode(
+        "overwrite"
+    ).parquet(index_path)
 
 
 def stream_constraints_of_query(query: str) -> dict[str, set[str]]:
@@ -131,10 +139,13 @@ def stream_candidate_files(
     always qualify for their field. The probe runs distributed over the
     sidecar; only file names reach the driver."""
     idx = spark.read.parquet(index_path)
-    indexed = {r["file"] for r in idx.select("file").distinct().collect()}
-    indexed_fields = {
-        r["field"] for r in idx.select("field").distinct().collect()
-    }
+    # one driver job yields both the indexed-file and indexed-field sets
+    pairs = idx.select("file", "field").distinct().collect()
+    indexed = {r["file"] for r in pairs}
+    indexed_fields = {r["field"] for r in pairs}
+    # pre-v2 sidecars recorded NULL labels as absent, not "" — an ""
+    # constraint through them would prune files that DO match
+    nulls_as_empty = "version" in idx.columns
     cands = indexed
     for field, values in constraints.items():
         if field not in indexed_fields:
@@ -147,6 +158,9 @@ def stream_candidate_files(
             # contradictory conjuncts ({a="x"} {a="y"}) — no file can
             # match; an empty F.array() below would also be untyped
             return indexed, set()
+        if "" in values and not nulls_as_empty:
+            # stale (pre-v2) sidecar can't answer "" soundly — skip
+            continue
         rows = (
             idx.where(F.col("field") == field)
             .where(

@@ -308,6 +308,30 @@ _DTYPE_VALUE_TYPES = {
 _DICT_SAMPLE_FILES = 8
 
 
+def local_input_paths(df: DataFrame) -> list[str]:
+    """``df.inputFiles()`` as pyarrow-readable paths. ``file:`` URIs are
+    percent-encoded by Spark (a space becomes %20) and must be
+    unquoted; a scheme-less entry is a RAW path (never encoded — a
+    directory literally named ``100%20off`` must stay as-is); other
+    schemes (s3://, hdfs://) pass through for pyarrow's filesystem
+    layer. Shared by the dict-encoding probe below and the block-stats
+    pipes (planner/pipes.py) so path handling cannot diverge. Returns
+    [] when the frame has no input files (in-memory)."""
+    import urllib.parse
+
+    try:
+        out = []
+        for f in df.inputFiles():
+            p = urllib.parse.urlparse(f)
+            if p.scheme == "file":
+                out.append(urllib.parse.unquote(p.path))
+            else:
+                out.append(f)
+        return out
+    except Exception:
+        return []
+
+
 def _stored_dict_encoded(df: DataFrame, field: str) -> bool | None:
     """Does storage hold ``field`` dictionary-encoded? — the Parquet
     footer truth behind ``value_type(dict)`` (valueTypeDict,
@@ -317,21 +341,7 @@ def _stored_dict_encoded(df: DataFrame, field: str) -> bool | None:
     parquet files (in-memory) or a footer is unreadable — sniff fallback.
     True requires every sampled chunk to be purely dictionary-encoded
     (a PLAIN data-page fallback means storage gave up on the dict)."""
-    import urllib.parse
-
-    try:
-        paths = []
-        for f in df.inputFiles():
-            p = urllib.parse.urlparse(f)
-            # unquote: inputFiles() percent-encodes (a space becomes
-            # %20), which pyarrow's local reader would treat literally
-            paths.append(
-                urllib.parse.unquote(p.path)
-                if p.scheme in ("", "file")
-                else f
-            )
-    except Exception:
-        return None
+    paths = local_input_paths(df)
     if not paths:
         return None
     try:

@@ -1075,26 +1075,11 @@ _DROP_EMPTY_CACHES: list = []
 
 
 def _local_paths(df: DataFrame) -> list[str]:
-    """Input files as pyarrow-readable paths: file:// URIs become local
-    paths; other schemes (s3://, hdfs://) pass through untouched — pyarrow
-    handles them when the matching filesystem is importable, and the
-    metadata readers below skip files they can't open."""
-    import urllib.parse
+    """Input files as pyarrow-readable paths — the shared helper in
+    planner/filters.py (one decoding rule for every footer reader)."""
+    from victorialogs_spark.planner.filters import local_input_paths
 
-    try:
-        out = []
-        for f in df.inputFiles():
-            p = urllib.parse.urlparse(f)
-            # unquote: inputFiles() percent-encodes local paths (space →
-            # %20); pyarrow would treat the encoding literally
-            out.append(
-                urllib.parse.unquote(p.path)
-                if p.scheme in ("", "file")
-                else f
-            )
-        return out
-    except Exception:
-        return []
+    return local_input_paths(df)
 
 
 def _row_group_stats_df(spark, paths: list[str]) -> DataFrame:
