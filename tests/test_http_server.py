@@ -342,3 +342,23 @@ def test_json_endpoints_stream_large_group_counts(spark):
         assert set(doc["values"][0]) >= {"name", "value"}
     finally:
         srv.stop()
+
+
+def test_metrics_endpoint(spark):
+    """/metrics exposes reference-named counters in Prometheus text
+    format: requests by path, ingested rows by protocol, errors."""
+    srv = serve(spark)
+    try:
+        _post(srv, "/insert/jsonline", NDJSON.encode())
+        _get(srv, "/select/logsql/query?query=*").read()
+        try:
+            _get(srv, "/select/logsql/query?query=%7Cbad")
+        except Exception:
+            pass
+        body = _get(srv, "/metrics").read().decode()
+        assert 'vl_http_requests_total{path="/insert/jsonline"} 1' in body
+        assert 'vl_http_requests_total{path="/select/logsql/query"} 2' in body
+        assert 'vl_rows_ingested_total{type="jsonline"} 3' in body
+        assert 'vl_http_errors_total{path="/select/logsql/query"} 1' in body
+    finally:
+        srv.stop()

@@ -60,6 +60,25 @@ class _State:
         self.logs = logs
         self.lock = threading.Lock()
         self._depth = 0
+        # Prometheus-style counters, named like the reference's
+        # (vl_http_requests_total{path=...}, vl_http_errors_total{...},
+        # vl_rows_ingested_total{type=...} — app/vlselect/main.go:290+,
+        # insertutil/common_params.go:318). Key = (name, label_k, label_v).
+        self.counters: dict[tuple[str, str, str], int] = {}
+        self._mlock = threading.Lock()
+
+    def inc(self, name: str, label: str, value: str, n: int = 1) -> None:
+        with self._mlock:
+            k = (name, label, value)
+            self.counters[k] = self.counters.get(k, 0) + n
+
+    def render_metrics(self) -> bytes:
+        with self._mlock:
+            lines = [
+                f'{name}{{{label}="{value}"}} {n}'
+                for (name, label, value), n in sorted(self.counters.items())
+            ]
+        return ("\n".join(lines) + "\n").encode("utf-8")
 
     def df(self) -> DataFrame:
         with self.lock:
@@ -162,12 +181,17 @@ class _Handler(BaseHTTPRequestHandler):
 
         return u32("AccountID"), u32("ProjectID")
 
-    def _append(self, df: DataFrame) -> None:
+    def _append(self, df: DataFrame, proto: str | None = None) -> None:
         """Stamp ingested rows with the request's tenant before they join
         the shared frame — physical per-tenant grouping, like the
-        reference's per-tenant storage paths."""
+        reference's per-tenant storage paths. ``proto`` feeds the
+        vl_rows_ingested_total{type=...} counter (the count() costs one
+        parse of the request-sized body — the reference also counts
+        every parsed row, insertutil/common_params.go:318)."""
         from victorialogs_spark.schema import with_tenant
 
+        if proto:
+            self.state.inc("vl_rows_ingested_total", "type", proto, df.count())
         self.state.append(with_tenant(df, *self._tenant()))
 
     def _send(self, code: int, body: bytes, ctype: str = "application/json"):
@@ -217,14 +241,22 @@ class _Handler(BaseHTTPRequestHandler):
             params = self._params()
             if path == "/health":
                 return self._send(200, b"OK\n", "text/plain")
-            if path.startswith("/select/"):
-                return self._select(path, params)
-            if path.startswith("/insert/"):
+            if path == "/metrics":
+                # Prometheus text exposition, reference metric names
+                return self._send(
+                    200, self.state.render_metrics(),
+                    "text/plain; version=0.0.4",
+                )
+            if path.startswith("/select/") or path.startswith("/insert/"):
+                self.state.inc("vl_http_requests_total", "path", path)
+                if path.startswith("/select/"):
+                    return self._select(path, params)
                 return self._insert(path, params)
             return self._send(404, b"unknown path\n", "text/plain")
         except BrokenPipeError:
             pass
         except Exception as e:  # surface errors as HTTP 400, like vlselect
+            self.state.inc("vl_http_errors_total", "path", path)
             try:
                 self._err(e)
             except Exception:
@@ -391,7 +423,7 @@ class _Handler(BaseHTTPRequestHandler):
                 msg_field=self._get(params, "_msg_field", "_msg"),
                 stream_fields=[s for s in sf.split(",") if s] or None,
             )
-            self._append(df)
+            self._append(df, "jsonline")
             return self._send(200, b"", "text/plain")
         if path == "/insert/elasticsearch/_bulk":
             # app/vlinsert/elasticsearch: bulk NDJSON, action lines skipped
@@ -400,7 +432,8 @@ class _Handler(BaseHTTPRequestHandler):
             )
 
             self._append(
-                parse_elasticsearch_bulk(st.spark, _lines_df(st.spark, body))
+                parse_elasticsearch_bulk(st.spark, _lines_df(st.spark, body)),
+                "elasticsearch_bulk",
             )
             # ES clients require a JSON ack with per-item status
             return self._send(200, b'{"took":0,"errors":false,"items":[]}')
@@ -414,7 +447,8 @@ class _Handler(BaseHTTPRequestHandler):
             from victorialogs_spark.sources.protocols import parse_loki_push
 
             self._append(
-                parse_loki_push(st.spark, _lines_df(st.spark, body, split=False))
+                parse_loki_push(st.spark, _lines_df(st.spark, body, split=False)),
+                "loki",
             )
             return self._send(204, b"", "text/plain")
         if path == "/insert/datadog/api/v2/logs":
@@ -425,7 +459,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._append(
                 parse_datadog_logs(
                     st.spark, _lines_df(st.spark, body, split=False)
-                )
+                ),
+                "datadog",
             )
             return self._send(202, b'{"status":"accepted"}')
         if path == "/insert/journald":
@@ -436,7 +471,7 @@ class _Handler(BaseHTTPRequestHandler):
             blob = st.spark.createDataFrame(
                 [(body.decode("utf-8", "replace"),)], "value string"
             )
-            self._append(parse_journald_export(st.spark, blob))
+            self._append(parse_journald_export(st.spark, blob), "journald")
             return self._send(200, b"", "text/plain")
         if path == "/insert/opentelemetry/v1/logs":
             # protobuf ONLY, like the reference (opentelemetry.go:27)
@@ -448,7 +483,7 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             from victorialogs_spark.sources.protocols import parse_otlp_protobuf
 
-            self._append(parse_otlp_protobuf(st.spark, [body]))
+            self._append(parse_otlp_protobuf(st.spark, [body]), "opentelemetry")
             return self._send(200, b"", "text/plain")
         return self._send(404, b"unknown /insert path\n", "text/plain")
 
