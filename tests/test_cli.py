@@ -111,3 +111,36 @@ def test_cli_stream_index(spark, table, tmp_path):
     rows = run_cli(["query", '{app="web"} | fields _msg, app',
                     "--table", table, "--stream-index", idx])
     assert rows and all(r["app"] == "web" for r in rows)
+
+
+def test_cli_compact_rebuilds_indexes(spark, tmp_path):
+    """compact --index/--stream-index rebuilds the sidecars over the
+    rewritten files so pruning stays live after the file set changes."""
+    import datetime as dt
+
+    tdir = str(tmp_path / "tbl")
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, i, tzinfo=dt.timezone.utc),
+         f"msg {i}", "web", "s1", "20240101")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "_time timestamp, _msg string, app string, _stream_id string,"
+        " _day string",
+    )
+    df.write.partitionBy("_day").parquet(tdir)
+    bidx = str(tmp_path / "bidx")
+    sidx = str(tmp_path / "sidx")
+    rc = cli.main([
+        "compact", "20240101", "--table", tdir, "--index", bidx,
+        "--stream-index", sidx, "--stream-fields", "app",
+    ])
+    assert rc == 0
+    # sidecars exist and name the POST-compaction files
+    files = set(spark.read.parquet(tdir).inputFiles())
+    bloom_files = {r["file"] for r in spark.read.parquet(bidx).collect()}
+    stream_files = {r["file"] for r in spark.read.parquet(sidx).collect()}
+    assert bloom_files <= files and bloom_files
+    assert stream_files <= files and stream_files
+    assert spark.read.parquet(sidx).where("field = 'app'").count() >= 1

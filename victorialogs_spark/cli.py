@@ -71,11 +71,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--index", default="",
                     help="query/explain: token-bloom sidecar path "
                          "(built by the index command); prunes scan files "
-                         "for word filters")
+                         "for word filters. compact: rebuild this sidecar "
+                         "after the rewrite")
     ap.add_argument("--stream-index", default="",
                     help="query/explain: stream-value sidecar path "
                          "(built by the stream-index command); prunes scan "
-                         "files for {label=...}/_stream_id filters")
+                         "files for {label=...}/_stream_id filters. "
+                         "compact: rebuild after the rewrite "
+                         "(--stream-fields adds label columns)")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--heldout", default="",
@@ -132,6 +135,26 @@ def main(argv: list[str] | None = None) -> int:
                 type_columns=args.type_columns,
             )
             sys.stderr.write(f"compacted _day={args.arg} ({n} files before)\n")
+        # compaction rewrites files, so existing sidecars stop pruning
+        # (their entries name deleted files; unindexed files always
+        # survive — correct but index-less). Passing the sidecar paths
+        # rebuilds them over the fresh layout in the same run.
+        if args.index:
+            from victorialogs_spark.index.bloom import build_token_bloom_index
+
+            build_token_bloom_index(spark, args.table, args.index)
+            sys.stderr.write(f"rebuilt token-bloom sidecar at {args.index}\n")
+        if args.stream_index:
+            from victorialogs_spark.index.streams import build_stream_index
+
+            sf = [s for s in args.stream_fields.split(",") if s]
+            build_stream_index(
+                spark, args.table, args.stream_index,
+                fields=["_stream_id"] + sf,
+            )
+            sys.stderr.write(
+                f"rebuilt stream-value sidecar at {args.stream_index}\n"
+            )
         return 0
     if args.command == "curate":
         from victorialogs_spark.datapipe.pipeline import curate_corpus
