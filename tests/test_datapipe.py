@@ -983,3 +983,34 @@ def test_knn_purity_guards(spark, vecs):
         knn_label_purity(
             labeled.withColumn("sid", F.col("vec_id").cast("string")),
             "sid", "embedding", "label")
+
+
+def test_winnowing_guarantees(spark):
+    """Winnowing invariants (Schleimer et al. 2003): identical docs
+    select identical fingerprint sets; every w-window of gram hashes
+    contains >= 1 selected position (coverage); positions are valid gram
+    indexes; short docs fall back to one whole-text gram; empty docs
+    yield nothing."""
+    from victorialogs_spark.datapipe.text import winnowing_fingerprints
+
+    text = "the quick brown fox jumps over the lazy dog again and again now"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "tiny doc"), (4, "")],
+        "doc_id long, text string",
+    )
+    k, w = 3, 4
+    rows = winnowing_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    assert by_doc[1] == by_doc[2]                  # content-determined
+    assert 4 not in by_doc                          # empty doc: no rows
+    assert by_doc[3] == {(0, next(iter(by_doc[3]))[1])}  # single whole gram
+    n_grams = len(text.split()) - (k - 1)
+    positions = sorted(p for p, _ in by_doc[1])
+    assert all(0 <= p < n_grams for p in positions)
+    # coverage: each window [i, i+w) holds a selected position
+    for i in range(n_grams - w + 1):
+        assert any(i <= p < i + w for p in positions)
+    # density: far fewer fingerprints than grams
+    assert len(positions) < n_grams

@@ -269,3 +269,87 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
+    — the MOSS algorithm): hash every ``k``-token gram, slide a window
+    of ``w`` consecutive gram hashes, and select each window's minimum
+    (rightmost minimum on ties — "robust winnowing"), deduplicated
+    across overlapping windows. The guarantee: any shared substring of
+    at least ``k + w - 1`` tokens yields at least one shared selected
+    fingerprint, while only ~2/(w+1) of all gram hashes are kept.
+
+    Entirely pure-Column (JVM-side, whole-stage codegen; no Python in
+    the hot path): grams via slice/concat_ws over the token array, the
+    64-bit-ish hash is the first 15 hex digits of md5 (exactly
+    reproducible in any engine — conv(hex,16,10)), window minima via
+    array_min over slices, rightmost-tie position via array_position
+    over the reversed window. A narrow map + one explode: no shuffle
+    until whatever the caller aggregates.
+
+    Docs with fewer than ``k`` tokens hash their whole token sequence
+    as one gram; fewer grams than ``w`` form a single window. Empty
+    docs yield no rows. Output: (<id_col>, pos int — 0-based gram
+    index, fp long), distinct per doc.
+    """
+    from victorialogs_spark.datapipe.dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    # staged projections: each array materializes ONCE per row before
+    # the next step references it. Building the selection as one nested
+    # expression would re-evaluate the md5-hash array inside EVERY
+    # window's slice (O(windows x grams) md5 calls — measured ~100x
+    # slower at sf0.01 before this split).
+    staged = df.select(F.col(id_col), toks.alias("__t"))
+    n = F.size(F.col("__t"))
+    grams = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.when(
+            n < k, F.array(F.concat_ws(" ", F.col("__t")))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, k)),
+            )
+        )
+    )
+    staged = staged.select(F.col(id_col), grams.alias("__g"))
+    hashes = F.transform(
+        F.col("__g"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    staged = staged.select(F.col(id_col), hashes.alias("__h"))
+
+    h = F.col("__h")
+    hn = F.size(h)
+    win = F.when(hn <= w, F.lit(1)).otherwise(hn - (w - 1))
+
+    # struct per window: (pos of rightmost min, min hash)
+    def _one(i):
+        cur = F.slice(h, i, F.least(F.lit(w), hn))
+        m = F.array_min(cur)
+        p = i - 1 + F.size(cur) - F.array_position(F.reverse(cur), m)
+        return F.struct(p.cast("int").alias("pos"), m.alias("fp"))
+
+    empty_sel = F.array().cast("array<struct<pos:int,fp:bigint>>")
+    sel = F.when(hn == 0, empty_sel).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), win), lambda i: _one(i))
+        )
+    )
+    return (
+        staged.select(F.col(id_col), F.explode(sel).alias("__s"))
+        .select(
+            F.col(id_col),
+            F.col("__s.pos").alias("pos"),
+            F.col("__s.fp").alias("fp"),
+        )
+    )

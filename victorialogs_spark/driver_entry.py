@@ -1167,6 +1167,42 @@ def _dp_fingerprint(spark, sf_dir):
 
 
 @register(
+    "dp_winnowing",
+    # winnowing fingerprints (Schleimer et al. 2003 / MOSS): k=5-token
+    # gram hashes (first 15 hex digits of md5, exact in both engines),
+    # w=4 windows, rightmost-minimum selection, distinct per doc.
+    # DuckDB replica builds the identical grams/hashes with list
+    # lambdas; hex -> BIGINT via exact shift-sum (POW would go through
+    # doubles and lose bits past 2^53).
+    f"WITH n AS (SELECT doc_id, list_filter(string_split_regex({_NORM},"
+    " ' '), t -> t <> '') AS t FROM documents),"
+    " g AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN []"
+    " WHEN len(t) < 5 THEN [array_to_string(t, ' ')]"
+    " ELSE list_transform(range(1, len(t) - 3),"
+    " i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) END AS gs"
+    " FROM n),"
+    " h AS (SELECT doc_id, list_transform(gs, g -> CAST(list_sum("
+    " list_transform(range(15), j -> CAST(strpos('0123456789abcdef',"
+    " substr(md5(g), 1 + j, 1)) - 1 AS BIGINT) * (CAST(1 AS BIGINT)"
+    " << (4 * (14 - j))))) AS BIGINT)) AS hs FROM g),"
+    " wv AS (SELECT doc_id, hs,"
+    " CASE WHEN len(hs) <= 4 THEN 1 ELSE len(hs) - 3 END AS nw FROM h"
+    " WHERE len(hs) > 0),"
+    " sel AS (SELECT doc_id, i - 1 + len(cur) - list_position(list_reverse(cur), m)"
+    " AS pos, m AS fp FROM ("
+    " SELECT doc_id, i, hs[i : i + least(4, len(hs)) - 1] AS cur,"
+    " list_min(hs[i : i + least(4, len(hs)) - 1]) AS m"
+    " FROM wv, UNNEST(range(1, nw + 1)) AS u(i)))"
+    " SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel",
+)
+def _dp_winnowing(spark, sf_dir):
+    from victorialogs_spark.datapipe.text import winnowing_fingerprints
+
+    docs = _table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4)
+
+
+@register(
     "dp_cosine_threshold",
     # neighbors of vec 0 with cosine >= 0.25 (exact, double precision,
     # rounded 6dp on both sides)
