@@ -2757,7 +2757,7 @@ _DRIVER_VERIFIED_R5 = [
 _RECHECK_AND_NEW_R6 = [
     "dp_repeated_spans",
     "dp_image_ahash", "dp_audio_zcr", "dp_pca_moments", "dp_pca_check",
-    "dp_semdedup",
+    "dp_semdedup", "dp_winnowing",
 ]
 
 
