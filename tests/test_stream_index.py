@@ -157,3 +157,38 @@ def test_stream_index_unindexed_files_survive(spark, tmp_path):
     )
     got = {r["_msg"] for r in run_query(spark, pruned, '{app="web"}').collect()}
     assert "web late row" in got and len(got) == 5
+
+
+def test_pruning_keeps_partition_columns_on_hive_layout(spark, tmp_path):
+    """Day-partitioned tables (the compact_day layout) prune too:
+    basePath keeps _day populated when leaf files are read directly, and
+    pruned results equal the full reader's."""
+    table = str(tmp_path / "hive")
+    index = str(tmp_path / "hidx")
+    rows = []
+    for day, app, sid in [("20240101", "web", "s1"), ("20240102", "db", "s2")]:
+        for j in range(3):
+            rows.append(
+                (dt.datetime(2024, 1, 1, 0, 0, j, tzinfo=UTC),
+                 f"{app} m{j}", app, sid, day)
+            )
+    spark.createDataFrame(
+        rows,
+        "_time timestamp, _msg string, app string, _stream_id string,"
+        " _day string",
+    ).repartition(1).write.partitionBy("_day").parquet(table)
+    build_stream_index(spark, table, index, fields=["app"])
+    full = spark.read.parquet(table)
+    pruned = read_pruned(
+        spark, table, None, '{app="web"}', stream_index_path=index
+    )
+    assert len(pruned.inputFiles()) == 1 and len(full.inputFiles()) == 2
+    got = sorted(
+        tuple(r)
+        for r in run_query(spark, pruned, '{app="web"} | fields _msg, _day').collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in run_query(spark, full, '{app="web"} | fields _msg, _day').collect()
+    )
+    assert got == want and len(got) == 3

@@ -44,6 +44,7 @@ NOTES = {
     "dp_semdedup": "pure-Column sign-bit bucket → join-free local pair gen → 9dp-cosine verify → min-id aggregate + one join back to the id spine",
     "dp_image_ahash": "payload synth + real P6 decode in one narrow Arrow map; zero shuffles",
     "dp_audio_zcr": "real WAV decode + integer features in one narrow Arrow map; zero shuffles",
+    "dp_winnowing": "pure-Column staged projections (tokens -> grams -> md5 hashes -> window minima) + one explode; zero shuffles, zero Python",
 }
 
 

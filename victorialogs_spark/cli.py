@@ -138,23 +138,59 @@ def main(argv: list[str] | None = None) -> int:
         # compaction rewrites files, so existing sidecars stop pruning
         # (their entries name deleted files; unindexed files always
         # survive — correct but index-less). Passing the sidecar paths
-        # rebuilds them over the fresh layout in the same run.
+        # rebuilds them over the fresh layout in the same run. An
+        # existing sidecar's RECORDED field set wins over defaults so a
+        # rebuild never silently changes its semantics; rebuild failures
+        # warn, never fail the already-completed compaction.
         if args.index:
-            from victorialogs_spark.index.bloom import build_token_bloom_index
+            try:
+                from victorialogs_spark.index.bloom import (
+                    build_token_bloom_index,
+                )
 
-            build_token_bloom_index(spark, args.table, args.index)
-            sys.stderr.write(f"rebuilt token-bloom sidecar at {args.index}\n")
+                flds = None
+                try:
+                    prior = spark.read.parquet(args.index)
+                    if "fields" in prior.columns:
+                        rec = prior.select("fields").first()
+                        if rec and rec["fields"]:
+                            flds = rec["fields"].split(",")
+                except Exception:
+                    pass  # no prior sidecar (or pre-fields format)
+                build_token_bloom_index(
+                    spark, args.table, args.index, fields=flds
+                )
+                sys.stderr.write(
+                    f"rebuilt token-bloom sidecar at {args.index}\n"
+                )
+            except Exception as e:
+                sys.stderr.write(f"warning: bloom rebuild failed: {e}\n")
         if args.stream_index:
-            from victorialogs_spark.index.streams import build_stream_index
+            try:
+                from victorialogs_spark.index.streams import (
+                    build_stream_index,
+                )
 
-            sf = [s for s in args.stream_fields.split(",") if s]
-            build_stream_index(
-                spark, args.table, args.stream_index,
-                fields=["_stream_id"] + sf,
-            )
-            sys.stderr.write(
-                f"rebuilt stream-value sidecar at {args.stream_index}\n"
-            )
+                flds = None
+                try:
+                    prior = spark.read.parquet(args.stream_index)
+                    flds = sorted(
+                        r["field"]
+                        for r in prior.select("field").distinct().collect()
+                    ) or None
+                except Exception:
+                    pass  # no prior sidecar
+                if flds is None:
+                    sf = [s for s in args.stream_fields.split(",") if s]
+                    flds = ["_stream_id"] + sf
+                build_stream_index(
+                    spark, args.table, args.stream_index, fields=flds
+                )
+                sys.stderr.write(
+                    f"rebuilt stream-value sidecar at {args.stream_index}\n"
+                )
+            except Exception as e:
+                sys.stderr.write(f"warning: stream rebuild failed: {e}\n")
         return 0
     if args.command == "curate":
         from victorialogs_spark.datapipe.pipeline import curate_corpus

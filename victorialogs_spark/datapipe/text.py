@@ -281,8 +281,10 @@ def winnowing_fingerprints(
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
     — the MOSS algorithm): hash every ``k``-token gram, slide a window
     of ``w`` consecutive gram hashes, and select each window's minimum
-    (rightmost minimum on ties — "robust winnowing"), deduplicated
-    across overlapping windows. The guarantee: any shared substring of
+    — rightmost minimum on ties (the paper's baseline algorithm with a
+    deterministic tie rule; NOT its "robust winnowing" variant, which
+    prefers re-selecting the previous window's fingerprint on ties),
+    deduplicated across overlapping windows. The guarantee: any shared substring of
     at least ``k + w - 1`` tokens yields at least one shared selected
     fingerprint, while only ~2/(w+1) of all gram hashes are kept.
 

@@ -73,9 +73,14 @@ class _State:
             self.counters[k] = self.counters.get(k, 0) + n
 
     def render_metrics(self) -> bytes:
+        def esc(v: str) -> str:
+            # Prometheus exposition label escaping: one raw quote in a
+            # label value would corrupt the whole scrape forever
+            return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
         with self._mlock:
             lines = [
-                f'{name}{{{label}="{value}"}} {n}'
+                f'{name}{{{label}="{esc(value)}"}} {n}'
                 for (name, label, value), n in sorted(self.counters.items())
             ]
         return ("\n".join(lines) + "\n").encode("utf-8")
@@ -145,6 +150,25 @@ def _iter_json_values(df: DataFrame):
     yield b"]}"
 
 
+# the fixed route set whose traffic is counted (reference registers one
+# counter per known route, never per observed path)
+_METERED_PATHS = frozenset(
+    [
+        "/select/logsql/query", "/select/logsql/tail",
+        "/select/logsql/hits", "/select/logsql/stats_query",
+        "/select/logsql/stats_query_range", "/select/logsql/facets",
+        "/select/logsql/field_names", "/select/logsql/field_values",
+        "/select/logsql/streams", "/select/logsql/stream_ids",
+        "/select/logsql/stream_field_names",
+        "/select/logsql/stream_field_values",
+        "/insert/jsonline", "/insert/elasticsearch/_bulk",
+        "/insert/elasticsearch/", "/insert/loki/api/v1/push",
+        "/insert/datadog/api/v2/logs", "/insert/journald",
+        "/insert/opentelemetry/v1/logs",
+    ]
+)
+
+
 class _Handler(BaseHTTPRequestHandler):
     state: _State  # set by serve()
 
@@ -190,9 +214,12 @@ class _Handler(BaseHTTPRequestHandler):
         every parsed row, insertutil/common_params.go:318)."""
         from victorialogs_spark.schema import with_tenant
 
-        if proto:
-            self.state.inc("vl_rows_ingested_total", "type", proto, df.count())
+        n = df.count() if proto else 0
         self.state.append(with_tenant(df, *self._tenant()))
+        if proto:
+            # count AFTER the append succeeds — an append failure must
+            # not leave the metric claiming rows /select can't return
+            self.state.inc("vl_rows_ingested_total", "type", proto, n)
 
     def _send(self, code: int, body: bytes, ctype: str = "application/json"):
         self.send_response(code)
@@ -248,7 +275,11 @@ class _Handler(BaseHTTPRequestHandler):
                     "text/plain; version=0.0.4",
                 )
             if path.startswith("/select/") or path.startswith("/insert/"):
-                self.state.inc("vl_http_requests_total", "path", path)
+                # count only KNOWN routes (like the reference's fixed
+                # counter set): arbitrary scanner paths must not grow
+                # the counters dict without bound
+                if path in _METERED_PATHS:
+                    self.state.inc("vl_http_requests_total", "path", path)
                 if path.startswith("/select/"):
                     return self._select(path, params)
                 return self._insert(path, params)
@@ -256,7 +287,8 @@ class _Handler(BaseHTTPRequestHandler):
         except BrokenPipeError:
             pass
         except Exception as e:  # surface errors as HTTP 400, like vlselect
-            self.state.inc("vl_http_errors_total", "path", path)
+            if path in _METERED_PATHS:
+                self.state.inc("vl_http_errors_total", "path", path)
             try:
                 self._err(e)
             except Exception:

@@ -93,7 +93,12 @@ def build_token_bloom_index(
 
     schema = "file string, n_tokens long, bloom binary"
     index = per_file.groupBy("file").applyInPandas(_build, schema)
-    index.write.mode("overwrite").parquet(index_path)
+    # record WHICH fields were indexed so a rebuild (cli compact
+    # --index) can preserve the sidecar's semantics instead of silently
+    # reverting to the default field set
+    index.withColumn("fields", F.lit(",".join(cols))).write.mode(
+        "overwrite"
+    ).parquet(index_path)
 
 
 def _maybe_contains(bloom: bytes, token: str) -> bool:
@@ -161,12 +166,7 @@ def read_pruned(
     # would scan every row just to enumerate files, costing more than the
     # pruning saves
     all_files = list(full.inputFiles())
-    if any("=" in f.rsplit("/", 2)[-2] for f in all_files if "/" in f):
-        # Hive-partitioned layout: partition values live in directory
-        # names, and re-reading leaf files directly would NULL those
-        # columns. Partition pruning already serves such tables; the
-        # sidecar prunes apply to flat layouts only.
-        return full
+    hive = any("=" in f.rsplit("/", 2)[-2] for f in all_files if "/" in f)
     keep = all_files
     if toks:
         indexed = {
@@ -183,7 +183,14 @@ def read_pruned(
         return full.limit(0)
     if len(keep) == len(all_files):
         return full
-    return spark.read.schema(full.schema).parquet(*keep)
+    reader = spark.read.schema(full.schema)
+    if hive:
+        # basePath keeps partition columns (_day=... directory values)
+        # populated when reading leaf files directly — without it a
+        # day-partitioned table (the compact_day layout) would come back
+        # with NULL partition columns
+        reader = reader.option("basePath", table_path)
+    return reader.parquet(*keep)
 
 
 # ---------------------------------------------------------------------------
