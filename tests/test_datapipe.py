@@ -1014,3 +1014,19 @@ def test_winnowing_guarantees(spark):
         assert any(i <= p < i + w for p in positions)
     # density: far fewer fingerprints than grams
     assert len(positions) < n_grams
+
+
+def test_ngram_counts(spark):
+    from victorialogs_spark.datapipe.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b"), (2, "")],
+        "doc_id long, text string",
+    )
+    counts = {r["ngram"]: r["count"]
+              for r in ngram_counts(df, "text", n=3).collect()}
+    # doc 0 grams: "a b c", "b c a", "c a b", "a b c"; doc 1 too short
+    assert counts == {"a b c": 2, "b c a": 1, "c a b": 1}
+    pruned = {r["ngram"] for r in
+              ngram_counts(df, "text", n=3, min_count=2).collect()}
+    assert pruned == {"a b c"}

@@ -355,3 +355,44 @@ def winnowing_fingerprints(
             F.col("__s.fp").alias("fp"),
         )
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus n-gram count table — the LM-training preprocessing export
+    (KenLM-style counts): every ``n``-token sequence with its corpus
+    frequency, space-joined over whitespace-normalized lowercase tokens.
+    ``min_count`` drops the long tail (the standard pruning knob; at
+    100 TB the tail IS most of the table).
+
+    Plan: pure-Column gram build (slice/concat_ws over the token array)
+    → explode → one partial+final hash aggregate. The single shuffle
+    carries (gram, partial count) pairs after map-side combine, not raw
+    grams. Docs with fewer than ``n`` tokens contribute nothing (an
+    n-gram model has no event for them). Output: (ngram string,
+    count long).
+    """
+    from victorialogs_spark.datapipe.dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    nn = F.size(toks)
+    grams = F.when(nn < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nn - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    out = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("count") >= min_count)
+    return out

@@ -1203,6 +1203,25 @@ def _dp_winnowing(spark, sf_dir):
 
 
 @register(
+    "dp_ngram_counts",
+    # corpus trigram count table (KenLM-style export), min_count=2 —
+    # identical gram construction to dp_ngram_repetition's oracle
+    f"WITH n AS (SELECT list_filter(string_split_regex({_NORM}, ' '),"
+    " t -> t <> '') AS t FROM documents),"
+    " g AS (SELECT UNNEST(list_transform(range(1, len(t) - 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ngram"
+    " FROM n WHERE len(t) >= 3)"
+    " SELECT ngram, COUNT(*) AS count FROM g GROUP BY ngram"
+    " HAVING COUNT(*) >= 2",
+)
+def _dp_ngram_counts(spark, sf_dir):
+    from victorialogs_spark.datapipe.text import ngram_counts
+
+    docs = _table(spark, sf_dir, "documents")
+    return ngram_counts(docs, "text", n=3, min_count=2)
+
+
+@register(
     "dp_cosine_threshold",
     # neighbors of vec 0 with cosine >= 0.25 (exact, double precision,
     # rounded 6dp on both sides)
@@ -2757,7 +2776,7 @@ _DRIVER_VERIFIED_R5 = [
 _RECHECK_AND_NEW_R6 = [
     "dp_repeated_spans",
     "dp_image_ahash", "dp_audio_zcr", "dp_pca_moments", "dp_pca_check",
-    "dp_semdedup", "dp_winnowing",
+    "dp_semdedup", "dp_winnowing", "dp_ngram_counts",
 ]
 
 
