@@ -59,6 +59,8 @@ ENTRIES = [
     "dp_label_centroids",
     "dp_knn_purity",
     "dp_semdedup",
+    "dp_winnowing",
+    "dp_ngram_counts",
 ]
 
 TABLES = (
