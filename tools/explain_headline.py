@@ -45,6 +45,7 @@ NOTES = {
     "dp_image_ahash": "payload synth + real P6 decode in one narrow Arrow map; zero shuffles",
     "dp_audio_zcr": "real WAV decode + integer features in one narrow Arrow map; zero shuffles",
     "dp_winnowing": "pure-Column staged projections (tokens -> grams -> md5 hashes -> window minima) + one explode; zero shuffles, zero Python",
+    "dp_ngram_counts": "staged token projection -> gram transform -> explode -> ONE partial+final hash aggregate; single shuffle carries combined (gram, count)",
 }
 
 

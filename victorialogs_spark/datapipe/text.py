@@ -271,6 +271,19 @@ def tfidf_top_terms(
     )
 
 
+def norm_tokens(text_col: str) -> Column:
+    """Whitespace tokens of the normalized (lowercase, collapsed-\\s)
+    text — THE shared tokenization of every oracle-checked token
+    operator here (winnowing, ngram_counts; mirrors quality.py's and the
+    DuckDB oracles' _NORM split). One definition so a tokenization fix
+    cannot silently diverge between operators."""
+    from victorialogs_spark.datapipe.dedup import normalize_text
+
+    return F.filter(
+        F.split(normalize_text(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -301,11 +314,7 @@ def winnowing_fingerprints(
     docs yield no rows. Output: (<id_col>, pos int — 0-based gram
     index, fp long), distinct per doc.
     """
-    from victorialogs_spark.datapipe.dedup import normalize_text
-
-    toks = F.filter(
-        F.split(normalize_text(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
+    toks = norm_tokens(text_col)
     # staged projections: each array materializes ONCE per row before
     # the next step references it. Building the selection as one nested
     # expression would re-evaluate the md5-hash array inside EVERY
@@ -376,20 +385,21 @@ def ngram_counts(
     n-gram model has no event for them). Output: (ngram string,
     count long).
     """
-    from victorialogs_spark.datapipe.dedup import normalize_text
-
-    toks = F.filter(
-        F.split(normalize_text(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
-    nn = F.size(toks)
+    # staged projection: the token array materializes once per row;
+    # building grams over the raw tokenize expression would re-evaluate
+    # normalize/split/filter inside the transform lambda for EVERY gram
+    # (the O(tokens x grams) trap winnowing_fingerprints documents)
+    staged = df.select(norm_tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    nn = F.size(t)
     grams = F.when(nn < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), nn - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         )
     )
     out = (
-        df.select(F.explode(grams).alias("ngram"))
+        staged.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("count"))
     )
