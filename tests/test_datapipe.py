@@ -1030,3 +1030,46 @@ def test_ngram_counts(spark):
     pruned = {r["ngram"] for r in
               ngram_counts(df, "text", n=3, min_count=2).collect()}
     assert pruned == {"a b c"}
+
+
+def test_winnowing_matches_python_mirror_on_random_docs(spark):
+    """Exact cross-implementation check on random token sequences over a
+    tiny alphabet (forces duplicate grams and hash ties): the Spark
+    Column pipeline must equal a direct Python transliteration of the
+    algorithm, including the rightmost-min tie rule."""
+    import hashlib
+    import random
+
+    k, w = 3, 4
+    rng = random.Random(20260814)
+    docs = []
+    for doc_id in range(40):
+        n = rng.randint(0, 12)
+        docs.append((doc_id, " ".join(rng.choice("abcde") for _ in range(n))))
+
+    def expected(text):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            return set()
+        if len(toks) < k:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        sel = set()
+        nw = 1 if len(hs) <= w else len(hs) - (w - 1)
+        for i in range(nw):
+            cur = hs[i:i + min(w, len(hs))]
+            m = min(cur)
+            pos = i + len(cur) - 1 - cur[::-1].index(m)
+            sel.add((pos, m))
+        return sel
+
+    from victorialogs_spark.datapipe.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, "doc_id", "text", k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == expected(text), (doc_id, text)
