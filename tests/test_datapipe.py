@@ -1073,3 +1073,40 @@ def test_winnowing_matches_python_mirror_on_random_docs(spark):
         got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
     for doc_id, text in docs:
         assert got.get(doc_id, set()) == expected(text), (doc_id, text)
+
+
+def test_audio_zcr_truncated_wav_is_null_not_crash(spark):
+    """A WAV whose data chunk ends mid-sample must yield NULLs, not kill
+    the stage (frombuffer on odd byte counts raises)."""
+    import io
+    import struct
+    import wave
+
+    from victorialogs_spark.datapipe.multimodal import audio_zcr_energy
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<hh", 5, -5))
+    payload = buf.getvalue()[:-1]  # truncate mid-sample
+    df = spark.createDataFrame([(1, payload)], "asset_id long, payload binary")
+    rows = audio_zcr_energy(df).collect()
+    assert rows[0]["n_samples"] is None or rows[0]["n_samples"] in (0, 1)
+
+
+def test_pca_fit_skips_non_finite_vectors(spark):
+    """One vector with a NULL/NaN element must not poison the fit."""
+    import math
+
+    from victorialogs_spark.datapipe.similarity import pca_fit_model
+
+    good = [[float(i == j) for i in range(4)] for j in range(4)] * 5
+    rows = [(i, v) for i, v in enumerate(good)]
+    rows.append((99, [1.0, None, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m = pca_fit_model(df, "embedding", k=2, dim=4)
+    assert m["n"] == 20  # the poisoned vector was excluded
+    assert all(math.isfinite(x) for x in m["mean"])
+    assert all(math.isfinite(x) for x in m["eigenvalues"])

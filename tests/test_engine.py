@@ -807,3 +807,32 @@ def test_value_type_typed_null_and_negative(spark):
     # unmapped typed dtypes fall back to the rendered-value sniff
     dfb = spark.createDataFrame([(True,)], "b boolean")
     assert run_query(spark, dfb, "b:value_type(string)").count() == 1
+
+
+def test_unpack_json_lenient_rows_keep_their_keys(spark):
+    """Key inference must use the SAME parser as extraction: a key
+    carried only by lenient-JSON rows (NaN literal — invalid strict
+    JSON, parsed by from_json) still materializes."""
+    df = make_logs(
+        spark,
+        [{"_msg": '{"lat": NaN, "msg": "x"}'}, {"_msg": '{"msg": "y"}'}],
+    )
+    out = run_query(spark, df, "* | unpack_json from _msg | fields msg, lat")
+    got = {r[0]: r[1] for r in rows_set(out)}
+    assert got["x"] != ""  # the lat key materialized (value rendering aside)
+    assert got["y"] == ""
+
+
+def test_value_type_dict_pyarrow_written_files(spark, tmp_path):
+    """pyarrow lists PLAIN for the dictionary page itself of fully
+    dict-encoded chunks — the probe must still answer True."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from victorialogs_spark.api import run_query
+
+    path = str(tmp_path / "pa.parquet")
+    t = pa.table({"k": pa.array(["a", "b"] * 50)})
+    pq.write_table(t, path)
+    stored = spark.read.parquet(path)
+    assert run_query(spark, stored, "k:value_type(dict)").count() == 100

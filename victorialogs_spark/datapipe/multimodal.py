@@ -585,13 +585,16 @@ def audio_zcr_energy(assets: DataFrame, id_col: str = "asset_id",
             with wave.open(io.BytesIO(b)) as w:
                 nframes, width, nch = w.getnframes(), w.getsampwidth(), w.getnchannels()
                 raw = w.readframes(nframes)
+            # inside the try: a truncated data chunk can end mid-sample,
+            # and frombuffer on a non-multiple byte count raises — that
+            # is an undecodable payload, not a job-killing error
+            if width == 2:
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            elif width == 1:
+                s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+            else:
+                return None
         except Exception:
-            return None
-        if width == 2:
-            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-        elif width == 1:
-            s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
-        else:
             return None
         if nch > 1:
             s = s[: len(s) // nch * nch].reshape(-1, nch)[:, 0]

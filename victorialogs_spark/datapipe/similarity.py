@@ -403,10 +403,19 @@ def pca_fit(
                 if not vs:
                     continue
                 X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+                # drop vectors with NULL/NaN/inf elements: ONE such
+                # vector would turn every moment (and the whole
+                # eigensolve) into NaN. Matches the oracle twins, which
+                # exclude non-finite vectors the same way.
+                finite = np.isfinite(X).all(axis=1)
+                if not finite.all():
+                    X = X[finite]
+                    if not len(X):
+                        continue
                 rows.append(
                     {
                         "d": d_,
-                        "n": len(vs),
+                        "n": len(X),
                         "s": X.sum(axis=0).tolist(),
                         "ss": (X.T @ X).flatten().tolist(),
                     }

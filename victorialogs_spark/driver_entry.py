@@ -1756,7 +1756,9 @@ def _dp_audio_zcr(spark, sf_dir):
     # AVG/VAR_POP over the unnested vectors (6dp; IEEE order differs at
     # ~1e-13 relative, far below the rounding grid)
     "WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
-    " WHERE embedding IS NOT NULL AND len(embedding) = 64)"
+    " WHERE embedding IS NOT NULL AND len(embedding) = 64"
+    " AND len(list_filter(embedding::DOUBLE[],"
+    " x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)"
     " SELECT CAST(i AS INT) AS dim, ROUND(AVG(v[i + 1]), 6) AS mean_6dp,"
     " ROUND(VAR_POP(v[i + 1]), 6) AS var_6dp"
     " FROM e, UNNEST(range(64)) AS u(i) GROUP BY i",
@@ -1783,7 +1785,9 @@ def _dp_pca_moments(spark, sf_dir):
     # eigensolve to SQL-computable moments), and the k=8 component rows
     # must be orthonormal (||C C^T - I||_F = 0 at 9dp)
     "WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
-    " WHERE embedding IS NOT NULL AND len(embedding) = 64),"
+    " WHERE embedding IS NOT NULL AND len(embedding) = 64"
+    " AND len(list_filter(embedding::DOUBLE[],"
+    " x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),"
     " d AS (SELECT i, VAR_POP(v[i + 1]) AS vv"
     " FROM e, UNNEST(range(64)) AS u(i) GROUP BY i)"
     " SELECT CAST(64 AS BIGINT) AS n_dims, ROUND(SUM(vv), 6) AS trace_6dp,"

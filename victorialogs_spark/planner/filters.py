@@ -361,9 +361,12 @@ def _stored_dict_encoded(df: DataFrame, field: str) -> bool | None:
         for rg in range(md.num_row_groups):
             col = md.row_group(rg).column(idx)
             encs = set(col.encodings)
+            # presence of a dictionary encoding is the storage truth.
+            # PLAIN alongside it is NOT evidence of fallback: pyarrow
+            # (and other writers) list PLAIN for the dictionary page
+            # itself of fully dict-encoded chunks, and the footer does
+            # not record a page-level split — documented ambiguity.
             if not encs & {"PLAIN_DICTIONARY", "RLE_DICTIONARY"}:
-                return False
-            if "PLAIN" in encs:  # dict page overflowed mid-chunk
                 return False
             saw_chunk = True
     return True if saw_chunk else None

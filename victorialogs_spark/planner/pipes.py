@@ -674,9 +674,12 @@ def _p_unpack_json(p: A.PUnpackJson, df: DataFrame, ctx) -> DataFrame:
     m = _flat_json_map(src)
     tmp = "__vl_unpack"
     with_map = df.withColumn(tmp, m)
-    # inference parses keys ONLY (json_object_keys) — building the full
-    # value map on the inference pass doubled its cost for nothing
-    keys = p.fields or _infer_keys(df, F.json_object_keys(src), ctx)
+    # inference uses THE SAME parser as extraction (from_json is lenient
+    # — NaN/Infinity literals, etc. — while json_object_keys is strict
+    # JSON and returns NULL for them; mixing parsers silently lost keys
+    # that only lenient-parsable rows carried). map_keys over the map is
+    # ~25% dearer than a keys-only parse; correctness owns that margin.
+    keys = p.fields or _infer_keys(df, F.map_keys(m), ctx)
     cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
     out = with_map
     for k in keys:
@@ -1039,7 +1042,11 @@ def _p_drop_empty_fields(p: A.PDropEmptyFields, df: DataFrame, ctx) -> DataFrame
     persist the filtered frame so the flags aggregation and the
     downstream query share one scan; large or unestimable inputs skip
     the persist — two scans of a 100 TB source beat spilling it to every
-    executor's disks."""
+    executor's disks. The two scans read the source at two instants: a
+    concurrent append/compaction between them can drop a column whose
+    values only arrived in between (batch-over-immutable-snapshot is
+    this engine's general read model; run against a quiesced day like
+    every other multi-pass operator)."""
     str_cols = [c for c, t in df.dtypes if t == "string"]
     if not str_cols:
         return df
