@@ -2775,37 +2775,66 @@ _DRIVER_VERIFIED_R5 = [
     "p_len", "p_json_array_len", "p_sample_all",
 ]
 
-# round-6 front of the window: the ONE red r05 row (oracle type now
-# fixed — must re-check green) and this round's new oracle twins
-_RECHECK_AND_NEW_R6 = [
-    "dp_repeated_spans",
-    "dp_image_ahash", "dp_audio_zcr", "dp_pca_moments", "dp_pca_check",
-    "dp_semdedup", "dp_winnowing", "dp_ngram_counts",
+# exactly the 50-entry window recorded in CORRECTNESS_r06.json (50/50 green)
+_DRIVER_VERIFIED_R6 = [
+    "dp_repeated_spans", "dp_image_ahash", "dp_audio_zcr", "dp_pca_moments",
+    "dp_pca_check", "dp_semdedup", "dp_winnowing", "dp_ngram_counts",
+    "p_collapse_nums", "p_decolorize", "p_drop_empty_fields",
+    "p_stream_context_window", "p_blocks_count", "p_block_stats",
+    "s_stats_by", "s_global", "s_count_empty", "s_sum_len",
+    "s_median_quantile", "s_uniq_values", "s_time_bucket", "s_num_bucket",
+    "s_wildcard_no_match", "s_stats_if", "s_row_max", "s_rate",
+    "s_histogram", "s_values_unrolled", "s_row_any_by", "s_json_values_by",
+    "p_hash_cardinality", "tpch_pricing_summary", "tpch_top_orders",
+    "p_extract_keep_original", "p_uniq_multi", "p_top_rank",
+    "p_fields_missing", "s_count_uniq_limit", "s_row_min",
+    "s_time_bucket_offset", "s_multi_bucket", "p_format_time_conv",
+    "p_unpack_words_limit", "s_ipv4_bucket", "p_sort_partition_rank",
+    "s_uniq_values_limit", "p_top_custom_hits", "p_format_duration_conv",
+    "p_unroll_zip", "ep_hits",
+]
+
+# round-7 additions: brand-new oracle-backed entries registered this round
+# (never in any prior artifact) — they must land inside the 50-entry window.
+_NEW_R7 = [
+    "dp_ann_lsh_quantized_topk", "dp_ann_ivf_quantized_topk",
+    "f_value_type_storage",
 ]
 
 
 def _reorder_registry() -> None:
     """The driver's correctness artifact covers the FIRST 50 registry
-    entries each round. Union across r02+r03+r05 = 100 of the older
-    entries; this round fronts (a) the one red row whose oracle is now
-    fixed + the new twins, then (b) every never-driver-checked entry,
-    oracle-backed ones first (they produce full green rows, not
-    rows-only) — so each round's window extends the artifact union
-    instead of re-checking the same 50."""
+    entries each round. Union across r02+r03+r05+r06 = 149 of 183
+    entries; the 34 never-driver-checked split 22 oracle-backed + 12
+    rows-only. This round's window = the 22 oracle-backed never-checked
+    entries + this round's brand-new oracle entries + the OLDEST
+    r02-checked entries to fill 50 — completing the artifact: every
+    oracle-backed entry driver-green in some round. The 12 rows-only
+    entries (no oracle_sql by design — hash/approx-valued, each with an
+    oracle-exact twin elsewhere) are kept OUT of the window: a driver
+    row for them would read `err: no_oracle`, not green."""
     global QUERIES, ORACLE
-    checked = set(_DRIVER_VERIFIED_R2_R3) | set(_DRIVER_VERIFIED_R5)
-    front = [k for k in _RECHECK_AND_NEW_R6 if k in QUERIES]
-    never = [
-        k for k in QUERIES
-        if k not in checked and k not in front
-    ]
+    checked = (
+        set(_DRIVER_VERIFIED_R2_R3) | set(_DRIVER_VERIFIED_R5)
+        | set(_DRIVER_VERIFIED_R6)
+    )
+    never = [k for k in QUERIES if k not in checked]
     never_with_oracle = [k for k in never if k in ORACLE]
     never_rows_only = [k for k in never if k not in ORACLE]
-    rest = [
+    new_r7 = [k for k in _NEW_R7 if k in QUERIES and k in ORACLE]
+    front = never_with_oracle + [k for k in new_r7 if k not in never]
+    # fill the window with the oldest driver-checked entries (r02 order)
+    fill = [
+        k for k in _DRIVER_VERIFIED_R2_R3
+        if k in QUERIES and k not in front
+    ][: max(0, 50 - len(front))]
+    window = front + fill
+    rest_checked = [
         k for k in QUERIES
-        if k in checked and k not in front
+        if k in checked and k not in window
     ]
-    order = front + never_with_oracle + never_rows_only + rest
+    order = window + rest_checked + never_rows_only
+    order += [k for k in QUERIES if k not in order]
     QUERIES = {k: QUERIES[k] for k in order}
     ORACLE = {k: ORACLE[k] for k in order if k in ORACLE}
 

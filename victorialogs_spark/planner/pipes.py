@@ -669,17 +669,63 @@ def _infer_keys(df: DataFrame, keys_col: Column, ctx) -> list[str]:
     return [r["k"] for r in rows]
 
 
+# Inputs whose Catalyst size estimate is under this persist the parsed-map
+# projection so key inference and extraction share ONE JSON parse (the
+# round-6 exact-inference change made unpack_json parse twice). Larger or
+# unestimable inputs keep the two-scan plan: at 100 TB, re-parsing a pruned
+# single-column scan beats spilling the whole projection to executor disks.
+UNPACK_PERSIST_MAX_BYTES = 2 << 30
+_UNPACK_CACHES: list = []
+
+
 def _p_unpack_json(p: A.PUnpackJson, df: DataFrame, ctx) -> DataFrame:
     src = fcol(df, p.from_field)
     m = _flat_json_map(src)
     tmp = "__vl_unpack"
     with_map = df.withColumn(tmp, m)
-    # inference uses THE SAME parser as extraction (from_json is lenient
-    # — NaN/Infinity literals, etc. — while json_object_keys is strict
-    # JSON and returns NULL for them; mixing parsers silently lost keys
-    # that only lenient-parsable rows carried). map_keys over the map is
-    # ~25% dearer than a keys-only parse; correctness owns that margin.
-    keys = p.fields or _infer_keys(df, F.map_keys(m), ctx)
+    if p.fields:
+        keys = p.fields
+    else:
+        # Key inference must cover the SAME rows as extraction (from_json
+        # is lenient — NaN/Infinity literals, etc. — while
+        # json_object_keys is strict JSON and returns NULL for them;
+        # round 5 mixed parsers and silently lost keys that only
+        # lenient-parsable rows carried).
+        # estimate on a THROWAWAY frame: forcing queryExecution freezes
+        # that JVM Dataset's lazy plan, which would pin the persisted
+        # frame to a pre-cache physical plan (same trap as
+        # _p_drop_empty_fields)
+        est = _estimated_bytes(df.withColumn(tmp, m))
+        if (
+            UNPACK_SAMPLE_ROWS is None
+            and est is not None
+            and est <= UNPACK_PERSIST_MAX_BYTES
+        ):
+            # single-parse path: persist the parsed-map projection; the
+            # inference scan materializes the cache, the extraction
+            # action reads it — one from_json evaluation total. FIFO
+            # retirement bounds the cache across a long-lived session.
+            from pyspark import StorageLevel
+
+            with_map = with_map.persist(StorageLevel.MEMORY_AND_DISK)
+            _UNPACK_CACHES.append(with_map)
+            while len(_UNPACK_CACHES) > 4:
+                _UNPACK_CACHES.pop(0).unpersist()
+            keys = _infer_keys(with_map, F.map_keys(qcol(tmp)), ctx)
+        else:
+            # two-scan path: cheap strict keys-only parse per row,
+            # falling back to the lenient full-map parse ONLY where
+            # strict parsing fails — coalesce short-circuits, so
+            # well-formed rows (the overwhelming majority at scale)
+            # never pay the map build. Exact: the fallback covers
+            # precisely the rows where the two parsers can disagree, and
+            # for strict-valid JSON both return the same top-level key
+            # set. Keys strict finds on rows lenient can't parse only
+            # add columns whose extraction value is '' — the
+            # reference's missing-key result.
+            keys = _infer_keys(
+                df, F.coalesce(F.json_object_keys(src), F.map_keys(m)), ctx
+            )
     cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
     out = with_map
     for k in keys:
