@@ -642,6 +642,67 @@ def test_semantic_dedup_min_id_leader(spark):
     assert rows[4]["kept"] and rows[4]["dup_of"] is None
 
 
+def test_semantic_dedup_auto_bits_scale_with_count(spark):
+    """n_sign_bits=None derives the smallest bits in [4, min(24, dim)]
+    with count <= 64 << bits — the scale dial that keeps expected bucket
+    size flat as the corpus grows (SCALE.md: 6.2x at 100x input vs 68.5x
+    pinned)."""
+    from victorialogs_spark.datapipe import similarity as S
+
+    d = 8
+    df = spark.createDataFrame(
+        [(i, [1.0 * (i % 3), 1.0] + [0.0] * (d - 2)) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    # the auto path runs end-to-end (10 rows -> 4 bits, the floor)
+    out = S.semantic_dedup(df, "vec_id", "embedding", dim=d, threshold=0.99)
+    assert out.count() == 10
+    # the bit rule itself: min bits with n <= 64 << bits, clamped
+    def bits_for(n, dim=64):
+        b = 4
+        while n > (S.SEMDEDUP_TARGET_BUCKET_ROWS << b) and b < min(24, dim):
+            b += 1
+        return b
+    assert bits_for(10) == 4
+    assert bits_for(64 << 4) == 4          # boundary: exactly fits
+    assert bits_for((64 << 4) + 1) == 5    # one past: next bit
+    assert bits_for(64 << 10) == 10
+    assert bits_for(1 << 62) == 24         # hard cap
+    assert bits_for(1 << 62, dim=6) == 6   # dim clamp
+
+
+def test_ann_quantized_siblings_recall_and_exactness(spark):
+    """The LSH/IVF quantized twins return the query itself as its own
+    top neighbor (qcos 1.0) and only ids from the probed buckets/cells;
+    scores agree with the brute-force quantized scan on shared ids."""
+    import math
+
+    from victorialogs_spark.datapipe.similarity import (
+        ann_lsh_quantized_topk,
+        ivf_quantized_topk,
+        quantized_topk,
+    )
+
+    d = 16
+    rows = []
+    for i in range(40):
+        v = [math.sin(i * 37 + j) for j in range(d)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    exact = {r["vec_id"]: r["qcos"]
+             for r in quantized_topk(df, "vec_id", "embedding", q, k=40).collect()}
+    for fn, kw in (
+        (ann_lsh_quantized_topk, {"n_planes": 4, "probes": 4}),
+        (ivf_quantized_topk, {"n_seed_cells": 8, "probes": 3}),
+    ):
+        got = fn(df, "vec_id", "embedding", q, k=5, **kw).collect()
+        assert got, fn.__name__
+        assert got[0]["vec_id"] == 0 and abs(got[0]["qcos"] - 1.0) < 1e-12
+        for r in got:  # scores are the SAME quantized cosine as the scan
+            assert abs(r["qcos"] - exact[r["vec_id"]]) < 1e-12
+
+
 def test_simhash_md5_variant_mirrors_production_semantics(spark, docs):
     """The oracle variant must agree with production simhash on the
     relations that define the semantics: same token multiset → same

@@ -774,6 +774,33 @@ def test_value_type_dict_reads_parquet_footer_truth(spark, tmp_path):
     assert run_query(spark, mem, "k:value_type(dict)").count() == 0
 
 
+def test_value_type_dict_mixed_files_filters_per_file(spark, tmp_path):
+    """A table whose files disagree on encoding (one writer dict-encoded,
+    another fell back to PLAIN): the verdict is PER FILE — rows from the
+    dict-encoded file match, rows from the PLAIN file don't. A sampled
+    table-wide verdict misclassified whichever files the sample missed
+    (round-6 advice)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from victorialogs_spark.api import run_query
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array(["a", "b"] * 50)}), str(d / "dict.parquet")
+    )
+    pq.write_table(
+        pa.table({"k": pa.array(["c", "d"] * 50)}),
+        str(d / "plain.parquet"),
+        use_dictionary=False,
+    )
+    stored = spark.read.parquet(str(d))
+    out = run_query(spark, stored, "k:value_type(dict)").collect()
+    assert len(out) == 100
+    assert {r["k"] for r in out} == {"a", "b"}
+
+
 def test_value_type_typed_after_compact_day(spark, tmp_path):
     """After compact_day(type_columns=True) re-encodes a uniformly
     numeric string column, value_type answers from the Parquet physical

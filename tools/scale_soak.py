@@ -59,6 +59,7 @@ ENTRIES = [
     "dp_label_centroids",
     "dp_knn_purity",
     "dp_semdedup",
+    "dp_semdedup_auto",
     "dp_winnowing",
     "dp_ngram_counts",
 ]

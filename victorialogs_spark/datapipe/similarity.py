@@ -213,6 +213,194 @@ def ann_topk(
     return brute_force_topk(cand, id_col, vec_col, query, k)
 
 
+def int_hyperplanes(
+    dim: int, n_planes: int = 16, seed: int = 42, scale: int = 32768
+) -> list[list[int]]:
+    """:func:`hyperplanes` rounded to integers (explicit half-up), so
+    plane·vector over an int-quantized vector is an exact int64 sum —
+    the sign (the LSH bit) cannot flip with IEEE summation order the
+    way a float dot's can across engines."""
+    return [
+        [int(math.floor(p * scale + 0.5)) for p in row]
+        for row in hyperplanes(dim, n_planes, seed)
+    ]
+
+
+def _qdot_lit(qvec: Column, ints: list[int]) -> Column:
+    """Exact int64 dot of an int-array column with an int literal array."""
+    return F.aggregate(
+        F.zip_with(
+            qvec,
+            F.array(*[F.lit(x) for x in ints]),
+            lambda a, b: a.cast("long") * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _quantize_query(query: list[float]) -> tuple[list[int], float]:
+    """The same half-up int8 quantization as quantize_embeddings, driver
+    side; returns (qq, qnorm). Raises on an all-zero query."""
+    amax = max(abs(x) for x in query) if query else 0.0
+    qq = (
+        [int(math.floor(x / (amax / 127.0) + 0.5)) for x in query]
+        if amax > 0
+        else [0] * len(query)
+    )
+    qnorm = math.sqrt(sum(x * x for x in qq))
+    if qnorm == 0.0:
+        raise ValueError("quantized query vector is all-zero")
+    return qq, qnorm
+
+
+def ann_lsh_quantized_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    probes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """The engine-exact sibling of :func:`ann_topk` (which is rows-only
+    checkable: a float plane·vector near zero can flip its sign bit with
+    summation order, moving a vector across buckets). Here BOTH stages
+    are integer-exact, so an independent engine reproduces the result
+    bit-for-bit: vectors are int8-quantized (quantize_embeddings
+    half-up rule), hyperplanes are integer (int_hyperplanes), each LSH
+    bit is the sign of an exact int64 dot, and the score is the
+    quantized cosine of :func:`quantized_topk` (int64 dot/norms, one
+    IEEE sqrt/divide). Candidates = the query's bucket plus single-bit
+    multi-probe flips, exactly like ann_topk.
+
+    Same 100 TB plan as ann_topk: the bucket is a pure-Column projection
+    (partition/cluster key at scale — the probe prunes the scan), the
+    candidate filter is an isin over ≤ probes+1 longs, and scoring +
+    top-k compiles to TakeOrderedAndProject over the pruned scan.
+
+    Output: (<id_col>, qcos double) rounded by the caller; rows with an
+    all-zero vector are dropped (cosine undefined)."""
+    planes = int_hyperplanes(len(query), n_planes, seed)
+    qq, qnorm = _quantize_query(query)
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(p, qq)) >= 0:
+            qb |= 1 << i
+    q = quantize_embeddings(df, id_col, vec_col).where(F.col("qscale") > 0.0)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bucket = bucket + F.when(
+            _qdot_lit(F.col("qvec"), p) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    cand = q.where(bucket.isin(_probe_buckets(qb, n_planes, probes)))
+    dot = _qdot_lit(F.col("qvec"), qq)
+    dnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            (dot.cast("double") / (dnorm * F.lit(qnorm))).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_quantized_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_seed_cells: int = 32,
+    probes: int = 4,
+) -> DataFrame:
+    """The engine-exact sibling of :func:`ivf_topk`. Lloyd-trained
+    centroids are not cross-engine reproducible (sampling + float mean
+    accumulation), so cells here are anchored to SEED ROWS: the
+    quantized vectors of the ``n_seed_cells`` smallest ids act as the
+    centroids (IVF without the refinement pass — data-dependent cells,
+    zero trained state). Every vector joins the cell of its
+    highest-quantized-cosine seed (smallest seed id on ties); the query
+    probes its ``probes`` nearest cells by the same metric and is
+    scored against candidates with the quantized cosine — every
+    comparison is int64-exact + correctly-rounded IEEE sqrt/divide, so
+    an independent engine derives identical cells, candidates, and
+    scores.
+
+    100 TB plan: seeds are a driver-side list (bounded ≤ n_seed_cells
+    rows via the id filter — NOT a sample-order collect), assignment is
+    one vectorized int64 matmul per Arrow batch against a broadcast
+    (dim × cells) matrix, the cell id is a partition/cluster key at
+    scale, and top-k is TakeOrderedAndProject over the probed cells.
+
+    Output: (<id_col>, qcos double); all-zero vectors dropped."""
+    import numpy as np
+    import pandas as pd
+
+    qq, qnorm = _quantize_query(query)
+    q = quantize_embeddings(df, id_col, vec_col).where(F.col("qscale") > 0.0)
+    seeds = (
+        q.where(F.col(id_col) < n_seed_cells)
+        .select(F.col(id_col).alias("cid"), "qvec")
+        .collect()
+    )
+    seeds = sorted((int(r["cid"]), list(r["qvec"])) for r in seeds)
+    if not seeds:
+        raise ValueError("ivf_quantized_topk: no seed vectors")
+    C = np.asarray([s[1] for s in seeds], dtype=np.int64)  # cells × dim
+    cnorm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+
+    def _assign(series):
+        M, valid = _stack_vectors(series, C.shape[1])
+        Mi = M.astype(np.int64)  # quantized values are exact in [−127,127]
+        dots = Mi @ C.T  # int64-exact
+        rn = np.sqrt((Mi * Mi).sum(axis=1).astype(np.float64))
+        s = dots.astype(np.float64) / np.maximum(
+            np.outer(rn, cnorm), 1e-300
+        )
+        # argmax returns the FIRST max — seeds are sorted by cid, so
+        # ties break to the smallest cell id on every engine
+        return _masked_series(s.argmax(axis=1).astype(np.int32), valid, "Int32")
+
+    _assign.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    assign = F.pandas_udf(_assign, "int")
+
+    qv = np.asarray(qq, dtype=np.int64)
+    qs = (C @ qv).astype(np.float64) / np.maximum(
+        cnorm * math.sqrt(float((qv * qv).sum())), 1e-300
+    )
+    order = sorted(range(len(seeds)), key=lambda i: (-qs[i], i))
+    cells = [i for i in order[: min(probes, len(seeds))]]
+
+    cand = q.withColumn("__cell", assign(F.col("qvec"))).where(
+        F.col("__cell").isin(cells)
+    )
+    dot = _qdot_lit(F.col("qvec"), qq)
+    dnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            (dot.cast("double") / (dnorm * F.lit(qnorm))).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -724,13 +912,16 @@ def knn_label_purity(
     )
 
 
+SEMDEDUP_TARGET_BUCKET_ROWS = 64
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
     threshold: float = 0.85,
-    n_sign_bits: int = 8,
+    n_sign_bits: int | None = None,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023: remove
@@ -747,6 +938,18 @@ def semantic_dedup(
     cells are not cross-engine reproducible). A production run at 100 TB
     would swap buckets for IVF cells (:func:`with_ivf_cell`) — the plan
     shape below is identical.
+
+    ``n_sign_bits=None`` (the default) is scale-adaptive: the smallest
+    bits in [4, min(24, dim)] with ``count <= TARGET << bits`` (TARGET =
+    ``SEMDEDUP_TARGET_BUCKET_ROWS``), from one cheap count job (parquet
+    answers it from footer metadata). Expected mean bucket size is then
+    bounded regardless of corpus size, so per-bucket candidate pairs —
+    the quadratic term — stay flat as the input grows 100x (a fixed
+    bits pin grew them ~100x^2/2^bits, SCALE.md round 6). Every +1 bit
+    halves the expected bucket and trades recall on near-zero
+    coordinates — the same dial SemDeDup turns via its cluster count.
+    The derived bits depend only on the row count, so a given snapshot
+    is deterministic cross-engine.
 
     Plan (100 TB story): bucket id is pure Column bit arithmetic; pair
     generation is join-free (groupBy bucket, local pairs inside the
@@ -769,6 +972,14 @@ def semantic_dedup(
     import pandas as pd
 
     from victorialogs_spark.datapipe.dedup import _bucket_pairs
+
+    if n_sign_bits is None:
+        n = df.count()
+        n_sign_bits = 4
+        while n > (SEMDEDUP_TARGET_BUCKET_ROWS << n_sign_bits) and (
+            n_sign_bits < min(24, dim)
+        ):
+            n_sign_bits += 1
 
     vec = F.col(vec_col)
     norm2 = F.aggregate(

@@ -1353,6 +1353,119 @@ def _dp_ann_bruteforce(spark, sf_dir):
     )
 
 
+# Integer hyperplanes for the engine-exact LSH twin: deterministic
+# constants (seeded Gaussian, half-up-rounded to ints), embedded in the
+# oracle SQL as literals so DuckDB derives the identical buckets.
+def _int_planes_sql() -> str:
+    from victorialogs_spark.datapipe.similarity import int_hyperplanes
+
+    rows = ", ".join(
+        f"({i}, [{', '.join(map(str, row))}])"
+        for i, row in enumerate(int_hyperplanes(64, 6, 42))
+    )
+    return f"(VALUES {rows}) t(i, p)"
+
+
+@register(
+    "dp_ann_lsh_quantized_topk",
+    # Engine-exact LSH top-10 (oracle twin of the rows-only
+    # dp_ann_lsh_topk): int8-quantized vectors (explicit half-up rule),
+    # INTEGER hyperplanes, each bucket bit = sign of an exact int64 dot (a
+    # float dot's sign can flip with IEEE summation order — the reason
+    # the float sibling is rows-only), multi-probe = single-bit flips,
+    # quantized-cosine scoring (int64 dot/norms, one IEEE sqrt/divide).
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+    " dq AS (SELECT vec_id, v,"
+    " list_max(list_transform(v, y -> abs(y))) AS amax FROM d),"
+    " dv AS (SELECT vec_id, list_transform(v,"
+    " x -> CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)) AS qv"
+    " FROM dq WHERE amax > 0),"
+    f" pl AS (SELECT * FROM {_int_planes_sql()}),"
+    " bk AS (SELECT vec_id, qv, CAST(SUM(CASE WHEN"
+    " list_sum(list_transform(range(1, 65), j -> p[j] * qv[j])) >= 0"
+    " THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS bucket"
+    " FROM dv, pl GROUP BY vec_id, qv),"
+    " qb AS (SELECT bucket AS b0 FROM bk WHERE vec_id = 0),"
+    " pr AS (SELECT b0 AS pb FROM qb"
+    " UNION SELECT xor(b0, 1::BIGINT << i) FROM qb, range(6) t(i)),"
+    " qq AS (SELECT qv AS q FROM dv WHERE vec_id = 0),"
+    " sc AS (SELECT bk.vec_id,"
+    " CAST(list_sum(list_transform(range(1, 65), i -> bk.qv[i] * q[i]))"
+    " AS DOUBLE) /"
+    " (sqrt(CAST(list_sum(list_transform(bk.qv, x -> x * x)) AS DOUBLE)) *"
+    " sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)))"
+    " AS qcos FROM bk, qq WHERE bk.bucket IN (SELECT pb FROM pr))"
+    " SELECT vec_id, ROUND(qcos, 6) AS qcos FROM"
+    " (SELECT * FROM sc ORDER BY qcos DESC, vec_id LIMIT 10)",
+)
+
+
+def _dp_ann_lsh_quantized(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.similarity import ann_lsh_quantized_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = ann_lsh_quantized_topk(
+        emb, "vec_id", "embedding", q, k=10, n_planes=6, probes=6
+    )
+    return out.withColumn("qcos", F.round("qcos", 6))
+
+
+@register(
+    "dp_ann_ivf_quantized_topk",
+    # Engine-exact IVF top-10 (oracle twin of the rows-only
+    # dp_ann_ivf_topk): Lloyd centroids are not cross-engine
+    # reproducible, so cells are anchored to SEED ROWS (quantized
+    # vectors of the 32 smallest ids); assignment and probing both use
+    # the quantized cosine (int64-exact dots, correctly-rounded IEEE
+    # sqrt/divide), ties to the smallest seed id.
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+    " dq AS (SELECT vec_id, v,"
+    " list_max(list_transform(v, y -> abs(y))) AS amax FROM d),"
+    " dv AS (SELECT vec_id, list_transform(v,"
+    " x -> CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)) AS qv"
+    " FROM dq WHERE amax > 0),"
+    " cent AS (SELECT vec_id AS cid, qv AS cv,"
+    " CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE) AS cn2"
+    " FROM dv WHERE vec_id < 32),"
+    " asn AS (SELECT dv.vec_id, c.cid,"
+    " CAST(list_sum(list_transform(range(1, 65), i -> dv.qv[i] * c.cv[i]))"
+    " AS DOUBLE) /"
+    " (sqrt(CAST(list_sum(list_transform(dv.qv, x -> x * x)) AS DOUBLE)) *"
+    " sqrt(c.cn2)) AS s FROM dv, cent c),"
+    " cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER()"
+    " OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM asn)"
+    " WHERE rn = 1),"
+    " qcells AS (SELECT cid FROM asn WHERE vec_id = 0"
+    " ORDER BY s DESC, cid LIMIT 4),"
+    " qq AS (SELECT qv AS q FROM dv WHERE vec_id = 0),"
+    " sc AS (SELECT dv.vec_id,"
+    " CAST(list_sum(list_transform(range(1, 65), i -> dv.qv[i] * q[i]))"
+    " AS DOUBLE) /"
+    " (sqrt(CAST(list_sum(list_transform(dv.qv, x -> x * x)) AS DOUBLE)) *"
+    " sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)))"
+    " AS qcos FROM dv JOIN cell USING (vec_id), qq"
+    " WHERE cell.cid IN (SELECT cid FROM qcells))"
+    " SELECT vec_id, ROUND(qcos, 6) AS qcos FROM"
+    " (SELECT * FROM sc ORDER BY qcos DESC, vec_id LIMIT 10)",
+)
+
+
+def _dp_ann_ivf_quantized(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.similarity import ivf_quantized_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivf_quantized_topk(
+        emb, "vec_id", "embedding", q, k=10, n_seed_cells=32, probes=4
+    )
+    return out.withColumn("qcos", F.round("qcos", 6))
+
+
 @register("dp_ann_lsh_topk")  # approximate by construction — rows-only
 def _dp_ann_lsh(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -1843,6 +1956,41 @@ def _dp_semdedup(spark, sf_dir):
     return semantic_dedup(
         emb, "vec_id", "embedding", dim=64, threshold=0.30, n_sign_bits=8
     )
+
+
+@register(
+    "dp_semdedup_auto",
+    # Same semantics as dp_semdedup but with the SCALE dial turned: bits
+    # are not pinned — the oracle re-derives the operator's
+    # scale-adaptive bit count (smallest bits in [4,24] with
+    # count <= 64 << bits, integer-exact mirror of the Python loop in
+    # similarity.semantic_dedup) and buckets with exactly that many
+    # sign bits. Proves auto-bucketing is cross-engine deterministic,
+    # not just documented.
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    " WHERE vec_id IS NOT NULL),"
+    " nb AS (SELECT COALESCE(MIN(bits), 24) AS bits FROM"
+    " (SELECT UNNEST(range(4, 25)) AS bits),"
+    " (SELECT COUNT(*) AS cnt FROM embeddings)"
+    " WHERE cnt <= 64 * (1::BIGINT << bits)),"
+    " c AS (SELECT vec_id, v, CAST(list_sum(list_transform("
+    " range((SELECT bits FROM nb)),"
+    " j -> CASE WHEN v[j + 1] > 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS b"
+    " FROM e WHERE len(v) = 64"
+    " AND len(list_filter(v, x -> x IS NULL)) = 0"
+    " AND list_sum(list_transform(v, x -> x * x)) > 0),"
+    " p AS (SELECT b2.vec_id AS bid, MIN(a.vec_id) AS dup_of"
+    " FROM c a JOIN c b2 ON a.b = b2.b AND a.vec_id < b2.vec_id"
+    " WHERE ROUND(list_cosine_similarity(a.v, b2.v), 9) >= 0.30"
+    " GROUP BY b2.vec_id)"
+    " SELECT e.vec_id, dup_of IS NULL AS kept, dup_of"
+    " FROM e LEFT JOIN p ON p.bid = e.vec_id",
+)
+def _dp_semdedup_auto(spark, sf_dir):
+    from victorialogs_spark.datapipe.similarity import semantic_dedup
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", dim=64, threshold=0.30)
 
 
 @register("dp_image_phash")  # rows-only: 2-D DCT isn't SQL-reproducible
@@ -2720,6 +2868,48 @@ def _dp_curate_packed(spark, sf_dir):
     )
 
 
+@register(
+    "f_value_type_storage",
+    # value_type from STORAGE truth end-to-end: the Spark side builds a
+    # two-writer table (even event_ids parquet-default -> event_type
+    # dict-encoded; odd with dictionary disabled -> PLAIN) and filters
+    # with value_type(dict) + value_type(uint64). The oracle knows the
+    # writers' truth by construction: dict rows are exactly the even
+    # file's non-empty rows, uint64 rows are the non-NULL, non-negative
+    # typed values. A sniff fallback could not produce this result —
+    # it has no dict notion at all.
+    "SELECT event_id, event_type, user_id FROM events"
+    " WHERE event_id % 2 = 0 AND event_type <> ''"
+    " AND user_id IS NOT NULL AND user_id >= 0",
+)
+def _f_value_type_storage(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.api import run_query
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    out_dir = "/tmp/vl_value_type_storage_" + os.path.basename(
+        os.path.normpath(sf_dir)
+    )
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).option("parquet.enable.dictionary", "false").parquet(out_dir)
+    stored = spark.read.parquet(out_dir)
+    return run_query(
+        spark,
+        stored,
+        "event_type:value_type(dict) user_id:value_type(uint64)"
+        " | fields event_id, event_type, user_id",
+    )
+
+
 logsql(
     "tpch_ship_histogram",
     "* | stats by (_time:7d) count() as n, sum(l_quantity) as qty",
@@ -2798,7 +2988,7 @@ _DRIVER_VERIFIED_R6 = [
 # (never in any prior artifact) — they must land inside the 50-entry window.
 _NEW_R7 = [
     "dp_ann_lsh_quantized_topk", "dp_ann_ivf_quantized_topk",
-    "f_value_type_storage",
+    "f_value_type_storage", "dp_semdedup_auto",
 ]
 
 

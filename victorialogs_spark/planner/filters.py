@@ -302,10 +302,12 @@ _DTYPE_VALUE_TYPES = {
 }
 
 
-# footer sample cap for the dict-encoding probe: at 100 TB inputFiles()
-# can list 10^5 paths; the probe is a plan-time diagnostic, so it reads a
-# bounded deterministic sample of footers, never the whole listing
-_DICT_SAMPLE_FILES = 8
+# thread fan-out for the dict-encoding probe's footer reads: at 100 TB
+# inputFiles() can list 10^5 paths; footers are KB-sized metadata reads,
+# IO-bound and GIL-releasing, so a bounded thread pool keeps the
+# plan-time probe tolerable without sampling (sampling misclassified
+# mixed-writer tables — round-6 advice)
+_DICT_PROBE_THREADS = 16
 
 
 def local_input_paths(df: DataFrame) -> list[str]:
@@ -332,44 +334,58 @@ def local_input_paths(df: DataFrame) -> list[str]:
         return []
 
 
-def _stored_dict_encoded(df: DataFrame, field: str) -> bool | None:
-    """Does storage hold ``field`` dictionary-encoded? — the Parquet
+def _dict_encoded_by_file(df: DataFrame, field: str) -> dict[str, bool] | None:
+    """Per-FILE dict-encoding verdicts for ``field`` — the Parquet
     footer truth behind ``value_type(dict)`` (valueTypeDict,
     values_encoder.go:109-127: the reference picks dict encoding when a
     block has few distinct values; parquet-mr makes the same adaptive
-    choice per column chunk). Returns None when the frame has no local
-    parquet files (in-memory) or a footer is unreadable — sniff fallback.
-    True requires every sampled chunk to be purely dictionary-encoded
-    (a PLAIN data-page fallback means storage gave up on the dict)."""
-    paths = local_input_paths(df)
-    if not paths:
+    choice per column chunk — and the reference answers PER BLOCK, so a
+    single table-wide verdict from a sample of footers misclassified
+    rows of mixed-writer tables: a file appended by a PLAIN-falling
+    writer beyond the sample inherited the sampled files' verdict).
+    Every footer is read — footer reads are metadata-only, cheap
+    relative to the scan the filter gates. Keys are the scan URIs
+    (``df.inputFiles()`` form, which matches ``input_file_name()``) so
+    the verdict can be applied as a per-file row filter. A file's
+    verdict is True only when every chunk of the column carries a
+    dictionary encoding (a PLAIN data-page fallback means storage gave
+    up on the dict; PLAIN listed ALONGSIDE a dict encoding is pyarrow
+    describing the dictionary page itself — documented ambiguity).
+    Returns None when the frame has no input files (in-memory) or any
+    footer/column is unreadable — sniff fallback."""
+    import urllib.parse
+
+    try:
+        uris = list(df.inputFiles())
+    except Exception:
+        return None
+    if not uris:
         return None
     try:
         import pyarrow.parquet as pq
     except Exception:
         return None
-    saw_chunk = False
-    for path in sorted(paths)[:_DICT_SAMPLE_FILES]:
-        try:
-            md = pq.read_metadata(path)
-        except Exception:
-            return None
-        try:
-            idx = list(md.schema.names).index(field)
-        except ValueError:
-            return None  # column absent from this file's footer
+    def probe(uri: str) -> bool | None:
+        p = urllib.parse.urlparse(uri)
+        path = urllib.parse.unquote(p.path) if p.scheme == "file" else uri
+        md = pq.read_metadata(path)  # raises -> whole probe falls back
+        idx = list(md.schema.names).index(field)  # ValueError likewise
+        verdict: bool | None = None
         for rg in range(md.num_row_groups):
             col = md.row_group(rg).column(idx)
-            encs = set(col.encodings)
-            # presence of a dictionary encoding is the storage truth.
-            # PLAIN alongside it is NOT evidence of fallback: pyarrow
-            # (and other writers) list PLAIN for the dictionary page
-            # itself of fully dict-encoded chunks, and the footer does
-            # not record a page-level split — documented ambiguity.
-            if not encs & {"PLAIN_DICTIONARY", "RLE_DICTIONARY"}:
-                return False
-            saw_chunk = True
-    return True if saw_chunk else None
+            ok = bool(set(col.encodings) & {"PLAIN_DICTIONARY", "RLE_DICTIONARY"})
+            verdict = ok if verdict is None else (verdict and ok)
+        return verdict  # None: zero-row-group file contributes no rows
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(min(_DICT_PROBE_THREADS, len(uris))) as ex:
+            verdicts = list(ex.map(probe, uris))
+    except Exception:
+        return None
+    out = {u: v for u, v in zip(uris, verdicts) if v is not None}
+    return out or None
 
 
 def _value_type(df: DataFrame, field: str, vt: str) -> Column:
@@ -391,12 +407,19 @@ def _value_type(df: DataFrame, field: str, vt: str) -> Column:
         return ok
     c = fcol(df, field)
     if vt == "dict":
-        stored = _stored_dict_encoded(df, field)
-        if stored is None:
+        by_file = _dict_encoded_by_file(df, field)
+        if by_file is None:
             return F.lit(False)  # no storage to introspect
+        dict_uris = [u for u, ok in by_file.items() if ok]
         # non-empty rows of a dict-encoded column match, like the
-        # reference (empty ≡ field missing from the block)
-        return F.lit(stored) & (c != "")
+        # reference (empty ≡ field missing from the block). Uniform
+        # tables fold to a constant; mixed-encoding tables filter rows
+        # by their source file (per-file truth, not a sampled global).
+        if len(dict_uris) == len(by_file):
+            return c != ""
+        if not dict_uris:
+            return F.lit(False)
+        return F.input_file_name().isin(dict_uris) & (c != "")
     if vt == "string":
         # NOT made exclusive with dict (unlike the reference's type
         # partition): parquet dict-encodes string chunks adaptively with
