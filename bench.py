@@ -128,9 +128,151 @@ def main() -> int:
         )
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # ---- production-layout bench: every headline scan above reads ONE
+    # raw parquet file; at 100 TB the layout IS the query plan, so this
+    # section measures the same query classes over the day-partitioned,
+    # compact_day-clustered, sidecar-indexed copy — proving (in the
+    # measured plans) that _time ranges prune _day partitions
+    # (PartitionFilters) and stream filters prune files via the sidecar.
+    from victorialogs_spark.api import run_query
+    from victorialogs_spark.streaming.ingest import build_log_layout
+
+    layout_dir = os.environ.get(
+        "SPARK_GRAFT_LAYOUT_DIR",
+        "/tmp/vl_layout_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    t0 = time.monotonic()
+    build_log_layout(
+        spark,
+        events_as_logs(spark, sf_dir),
+        layout_dir,
+        stream_fields=["_stream_id", "event_type"],
+        # files-per-day ~ stream count: compaction hash-partitions files
+        # by _stream_id, so each file holds ~one stream and the sidecar
+        # can prune at file granularity (5 event_type streams here)
+        target_files=5,
+    )
+    layout_build_sec = round(time.monotonic() - t0, 4)
+    table_files = len(spark.read.parquet(layout_dir).inputFiles())
+    raw_logs = events_as_logs(spark, sf_dir)
+
+    LAYOUT_QUERIES = {
+        # 2 of 30 days -> PartitionFilters prune 28 day directories
+        "time_2days": "_time:[2024-01-10, 2024-01-12) | stats count() as n",
+        # stream filter + time range: partition prune AND sidecar file
+        # prune compose (1 of 5 event_type streams in the kept days)
+        "stream_2days": '{event_type="click"}'
+        " _time:[2024-01-10, 2024-01-12) | stats count() as n",
+        # sidecar-only prune across every day
+        "stream_scan": '{event_type="click"} | stats count() as n',
+    }
+    def _files_read(df) -> int | None:
+        """Sum the executed plan's scan numFiles metrics — the number of
+        files the query ACTUALLY read. inputFiles() can't tell: it lists
+        the reader's whole FileIndex, before PartitionFilters apply."""
+        try:
+            df._jdf.queryExecution().toRdd().count()
+            total, seen = 0, False
+
+            def walk(node):
+                nonlocal total, seen
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numFiles":
+                        total += kv._2().value()
+                        seen = True
+                name = node.nodeName()
+                ch = node.children()
+                for i in range(ch.size()):
+                    walk(ch.apply(i))
+                if name == "AdaptiveSparkPlan":
+                    walk(node.executedPlan())
+                elif name.endswith("QueryStage"):
+                    walk(node.plan())
+
+            walk(df._jdf.queryExecution().executedPlan())
+            return int(total) if seen else None
+        except Exception:
+            return None
+
+    layout: dict[str, dict] = {}
+    for name, q in LAYOUT_QUERIES.items():
+        entry: dict = {}
+        for kind, runner in (
+            ("layout", lambda: run_query(spark, layout_dir, q)),
+            ("raw", lambda: run_query(spark, raw_logs, q)),
+        ):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.monotonic()
+                df = runner()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.monotonic() - t0)
+            entry[f"{kind}_sec"] = round(best, 4)
+            if kind == "layout":
+                # files surviving the SIDECAR prune (the reader's list)...
+                entry["files_listed"] = len(df.inputFiles())
+                # ...and files actually READ (after PartitionFilters too)
+                entry["files_read"] = _files_read(df)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+                entry["partition_filters"] = bool(pf and pf.group(1).strip())
+        layout[name] = entry
+        print(
+            f"# layout {name}: {entry['layout_sec']:.3f}s, read "
+            f"{entry['files_read']}/{table_files} files "
+            f"(sidecar kept {entry['files_listed']}; "
+            f"raw single-file: {entry['raw_sec']:.3f}s; "
+            f"PartitionFilters={entry['partition_filters']})",
+            file=sys.stderr,
+        )
+
     total = round(sum(times.values()), 4)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # trend guard: compare this run's medians against the LATEST recorded
+    # round artifact (BENCH_r{N}.json) and flag >25% median regressions
+    # loudly — medians, not best-of, so a single co-tenant burst can't
+    # trip it (SCALE.md documents the host's bursty contention; the
+    # dup_clusters "drift" of round 6 was exactly this noise class).
+    import glob
+
+    regressions: dict[str, dict] = {}
+    prior_medians: dict[str, float] = {}
+    prior_file = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if benches:
+        prior_file = benches[-1]
+        try:
+            with open(prior_file) as fh:
+                prior = json.load(fh)
+            # the driver wraps the bench's JSON line under "parsed"
+            if "query_medians" not in prior and isinstance(
+                prior.get("parsed"), dict
+            ):
+                prior = prior["parsed"]
+            prior_medians = prior.get("query_medians") or {}
+        except Exception:
+            prior_medians = {}
+    for name, med in medians.items():
+        pm = prior_medians.get(name)
+        if pm and pm > 0 and med > pm * 1.25:
+            regressions[name] = {
+                "prior_median": pm,
+                "median": med,
+                "ratio": round(med / pm, 3),
+            }
+            print(
+                f"# REGRESSION {name}: median {pm:.3f}s -> {med:.3f}s "
+                f"({med / pm:.2f}x) vs {os.path.basename(prior_file)}",
+                file=sys.stderr,
+            )
     print(
         json.dumps(
             {
@@ -149,6 +291,24 @@ def main() -> int:
                 "runs_per_query": {"dp_*": 4, "default": 3},
                 "stat": "best_of_runs",
                 "query_medians": medians,
+                # queries whose median regressed >25% vs the latest
+                # recorded round artifact (empty = no regressions);
+                # baseline file named so the comparison is auditable
+                "regressions": regressions,
+                "regression_baseline": (
+                    os.path.basename(prior_file) if prior_file else None
+                ),
+                # the same query classes over the production layout
+                # (day-partitioned + compacted + sidecar-indexed) vs the
+                # raw single-file table; files_scanned / partition_filters
+                # prove the pruning in the measured plans. Not part of
+                # "value" (the headline total stays comparable across
+                # rounds).
+                "layout": {
+                    "build_sec": layout_build_sec,
+                    "table_files": table_files,
+                    "queries": layout,
+                },
                 "sf": sf,
             }
         )

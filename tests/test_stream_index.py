@@ -192,3 +192,65 @@ def test_pruning_keeps_partition_columns_on_hive_layout(spark, tmp_path):
         for r in run_query(spark, full, '{app="web"} | fields _msg, _day').collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_build_log_layout_end_to_end(spark, tmp_path):
+    """build_log_layout produces the full production layout in one call:
+    day directories, stream-partitioned compacted files, registered
+    sidecars — and run_query(path) answers match the raw frame while
+    scanning fewer files."""
+    from victorialogs_spark.schema import events_as_logs
+    from victorialogs_spark.streaming.ingest import build_log_layout
+
+    raw = events_as_logs(spark, "/root/testdata/sf0.001")
+    dst = str(tmp_path / "layout")
+    build_log_layout(
+        spark, raw, dst,
+        stream_fields=["_stream_id", "event_type"], target_files=5,
+    )
+    full = spark.read.parquet(dst)
+    assert "_day" in full.columns
+    n_files = len(full.inputFiles())
+    assert n_files > 5  # several files per day survive compaction
+    q = '{event_type="click"} | stats count() as n'
+    pruned = run_query(spark, dst, q)
+    # the sidecar narrows the listing (click lives in a stream subset)
+    assert len(pruned.inputFiles()) < n_files
+    assert pruned.collect() == run_query(spark, raw, q).collect()
+    # time ranges compile to _day partition predicates over the layout
+    q2 = "_time:[2024-01-10, 2024-01-12) | stats count() as n"
+    got = run_query(spark, dst, q2).collect()
+    assert got == run_query(spark, raw, q2).collect()
+
+
+def test_stream_candidate_files_broadcast_path(spark, tmp_path):
+    """A wanted-value set past _MAX_LITERAL_VALUES takes the broadcast-
+    join probe (no 10^4-literal expression tree) and must agree with the
+    literal path's semantics: intersect per field, overflow matches."""
+    from victorialogs_spark.index import streams as S
+
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "idx")
+    rows = [(f"s{i}", f"m{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "_stream_id string, _msg string")
+    df.repartition(3, F.col("_stream_id")).write.parquet(table)
+    build_stream_index(spark, table, index, fields=["_stream_id"])
+    # 100 wanted ids (> _MAX_LITERAL_VALUES), only s0 exists
+    wanted = {f"s{i}" for i in range(100)} | {"s0"}
+    assert len(wanted) > S._MAX_LITERAL_VALUES
+    indexed, cands = stream_candidate_files(
+        spark, index, {"_stream_id": wanted}
+    )
+    small_indexed, small_cands = stream_candidate_files(
+        spark, index, {"_stream_id": {"s0"}}
+    )
+    assert indexed == small_indexed
+    # the broadcast path keeps every file holding any wanted id — which
+    # is a superset of (here: equal to, plus files holding s1..s99 = none
+    # beyond) the single-value probe's files
+    assert small_cands <= cands <= indexed
+    files_with_s0 = {
+        f for f in indexed
+        if spark.read.parquet(f).where(F.col("_stream_id") == "s0").count()
+    }
+    assert files_with_s0 <= cands

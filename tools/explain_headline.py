@@ -125,6 +125,52 @@ def main() -> int:
             f"## {name}\n\n_{note}_\n\n```\n{plan[:4000]}\n```\n\n"
             f"measured:\n\n```\n{measured}\n```\n"
         )
+
+    # ---- production-layout plans: the day-partitioned, compacted,
+    # sidecar-indexed table (the layout the engine is designed around —
+    # at 100 TB the layout IS the query plan). These plans must show
+    # non-empty PartitionFilters on time-filtered queries and a reduced
+    # file listing on stream-filtered ones (the sidecar prunes BEFORE
+    # the scan, so it shows up as the scan's numFiles, not a plan node).
+    from victorialogs_spark.api import run_query
+    from victorialogs_spark.schema import events_as_logs
+    from victorialogs_spark.streaming.ingest import build_log_layout
+
+    layout_dir = "/tmp/vl_explain_layout_sf0.01"
+    build_log_layout(
+        spark,
+        events_as_logs(spark, "/root/testdata/sf0.01"),
+        layout_dir,
+        stream_fields=["_stream_id", "event_type"],
+        target_files=5,
+    )
+    LAYOUT = {
+        "layout_time_2days": (
+            "_time:[2024-01-10, 2024-01-12) | stats count() as n",
+            "whole _day directories pruned: PartitionFilters non-empty,"
+            " scan numFiles << table files",
+        ),
+        "layout_stream_2days": (
+            '{event_type="click"} _time:[2024-01-10, 2024-01-12)'
+            " | stats count() as n",
+            "stream sidecar prunes the file LISTING (1 of 5 streams),"
+            " then PartitionFilters prune days inside it",
+        ),
+    }
+    for name, (q, note) in LAYOUT.items():
+        df = run_query(spark, layout_dir, q)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = re.sub(r"#\d+L?", "", plan)
+        plan = "\n".join(ln.rstrip() for ln in plan.splitlines() if ln.strip())
+        try:
+            measured = "\n".join(_measured(df))
+        except Exception as e:
+            measured = f"(metrics unavailable: {e})"
+        out.append(
+            f"## {name}\n\n_{note}_\n\n```\n{plan[:4000]}\n```\n\n"
+            f"measured:\n\n```\n{measured}\n```\n"
+        )
+
     open("/root/repo/EXPLAIN.md", "w").write("\n".join(out))
     print("wrote EXPLAIN.md")
     return 0

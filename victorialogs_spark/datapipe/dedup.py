@@ -792,21 +792,42 @@ def simhash_md5_bitstring(
     )
 
 
-def _require_non_null_ids(df: DataFrame, id_col: str, op: str) -> None:
-    """Raise when ``id_col`` contains NULLs. Always probes: Spark's
+def _require_non_null_ids(df: DataFrame, id_col: str, op: str) -> DataFrame:
+    """Guard against NULL ids (which would silently collapse NULL-id
+    docs into one group and silently vanish from id semi-joins). Spark's
     schema ``nullable`` flag is advisory (createDataFrame/Arrow and
-    user-supplied read schemas don't validate it), so it cannot be
-    trusted as a fast-path — a wrong skip here reintroduces the silent
-    NULL-id drop this guard exists to catch. The probe pushes IsNull to
-    parquet (null-count row-group pruning) on file-backed frames; on
-    derived plans it costs one upstream pass — the price of not
-    silently corrupting results."""
-    if df.where(F.col(id_col).isNull()).limit(1).count():
-        raise ValueError(
-            f"{op}: {id_col} contains NULLs; the per-document grouping "
-            "and id joins require non-NULL ids — filter or assign ids "
-            "(e.g. monotonically_increasing_id) first"
-        )
+    user-supplied read schemas don't validate it), so it can never
+    stand in for a data check. Returns the frame to build on:
+
+    - file-backed frames probe EAGERLY — IsNull pushdown + null-count
+      row-group stats make it a metadata-cheap job, and the caller gets
+      a clean ValueError at build time;
+    - derived plans fold the check INTO the id column (raise_error on a
+      NULL id), so it rides the first real action instead of re-running
+      the whole upstream plan as a standalone job at plan-build time —
+      an eager probe there made the library silently eager, and a
+      pipeline calling two span ops probed twice (round-6 advice).
+      Same loud failure, zero extra jobs, surfaced at action time."""
+    msg = (
+        f"{op}: {id_col} contains NULLs; the per-document grouping "
+        "and id joins require non-NULL ids — filter or assign ids "
+        "(e.g. monotonically_increasing_id) first"
+    )
+    try:
+        file_backed = bool(df.inputFiles())
+    except Exception:
+        file_backed = False
+    if file_backed:
+        if df.where(F.col(id_col).isNull()).limit(1).count():
+            raise ValueError(msg)
+        return df
+    dtype = df.schema[id_col].dataType
+    return df.withColumn(
+        id_col,
+        F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+            F.raise_error(F.lit(msg)).cast(dtype)
+        ),
+    )
 
 
 def repeated_spans(
@@ -851,7 +872,7 @@ def repeated_spans(
     (the schema's nullable flag is advisory in Spark, so it cannot
     stand in for the probe).
     """
-    _require_non_null_ids(df, id_col, "repeated_spans")
+    df = _require_non_null_ids(df, id_col, "repeated_spans")
     grams = token_window_hashes_arrow(text_col, span_tokens)
     per_doc = df.select(F.col(id_col), F.explode(grams).alias("__g"))
     span_df = per_doc.groupBy("__g").agg(F.count(F.lit(1)).alias("__docs"))
@@ -1006,7 +1027,7 @@ def cut_repeated_spans(
     all NULL-id docs' span sets and break the join-back) — checked via
     :func:`_require_non_null_ids` (eager probe).
     """
-    _require_non_null_ids(df, id_col, "cut_repeated_spans")
+    df = _require_non_null_ids(df, id_col, "cut_repeated_spans")
     spans = df.select(
         F.col(id_col),
         F.posexplode(token_window_hashes_pos_arrow(text_col, span_tokens))

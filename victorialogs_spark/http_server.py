@@ -91,7 +91,14 @@ class _State:
                 raise ValueError("no data ingested yet")
             return self.logs
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame) -> int:
+        """Append a parsed request frame; returns its row count. The
+        incoming frame is localCheckpoint-ed FIRST, so the request body
+        is parsed exactly once: the count reads the materialized blocks
+        (a separate count() on the lazy frame re-ran the whole parse —
+        ingest CPU doubled for every protocol, round-6 advice), and
+        queries over the union stop re-parsing request bodies while
+        they wait for the depth checkpoint."""
         with self.lock:
             if (
                 self.logs is not None
@@ -105,6 +112,8 @@ class _State:
                 from victorialogs_spark.schema import with_tenant
 
                 self.logs = with_tenant(self.logs, 0, 0)
+            df = df.localCheckpoint(eager=True)
+            n = df.count()
             self.logs = (
                 df
                 if self.logs is None
@@ -112,8 +121,11 @@ class _State:
             )
             self._depth += 1
             if self._depth >= self.CHECKPOINT_EVERY:
+                # consolidate the union-of-checkpoints lineage (and free
+                # the per-request blocks it referenced)
                 self.logs = self.logs.localCheckpoint(eager=True)
                 self._depth = 0
+            return n
 
 
 def _lines_df(
@@ -209,16 +221,16 @@ class _Handler(BaseHTTPRequestHandler):
         """Stamp ingested rows with the request's tenant before they join
         the shared frame — physical per-tenant grouping, like the
         reference's per-tenant storage paths. ``proto`` feeds the
-        vl_rows_ingested_total{type=...} counter (the count() costs one
-        parse of the request-sized body — the reference also counts
-        every parsed row, insertutil/common_params.go:318)."""
+        vl_rows_ingested_total{type=...} counter; the count comes back
+        from append()'s already-materialized checkpoint, so the body is
+        parsed once (the reference also counts every parsed row,
+        insertutil/common_params.go:318)."""
         from victorialogs_spark.schema import with_tenant
 
-        n = df.count() if proto else 0
-        self.state.append(with_tenant(df, *self._tenant()))
+        n = self.state.append(with_tenant(df, *self._tenant()))
         if proto:
-            # count AFTER the append succeeds — an append failure must
-            # not leave the metric claiming rows /select can't return
+            # incremented AFTER the append succeeds — an append failure
+            # must not leave the metric claiming rows /select can't return
             self.state.inc("vl_rows_ingested_total", "type", proto, n)
 
     def _send(self, code: int, body: bytes, ctype: str = "application/json"):

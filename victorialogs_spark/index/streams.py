@@ -131,6 +131,11 @@ def stream_constraints_of_query(query: str) -> dict[str, set[str]]:
     return {k: v for k, v in out.items()}
 
 
+# above this many wanted values per field, the probe joins a broadcast
+# values frame instead of inlining literals into the expression tree
+_MAX_LITERAL_VALUES = 64
+
+
 def stream_candidate_files(
     spark: SparkSession, index_path: str, constraints: dict[str, set[str]]
 ) -> tuple[set[str], set[str]]:
@@ -146,7 +151,7 @@ def stream_candidate_files(
     # pre-v2 sidecars recorded NULL labels as absent, not "" — an ""
     # constraint through them would prune files that DO match
     nulls_as_empty = "version" in idx.columns
-    cands = indexed
+    prunable: dict[str, set[str]] = {}
     for field, values in constraints.items():
         if field not in indexed_fields:
             # the sidecar never indexed this field — it is UNPRUNABLE,
@@ -161,25 +166,62 @@ def stream_candidate_files(
         if "" in values and not nulls_as_empty:
             # stale (pre-v2) sidecar can't answer "" soundly — skip
             continue
-        rows = (
-            idx.where(F.col("field") == field)
-            .where(
-                F.col("overflow")
-                | (
-                    F.size(
-                        F.array_intersect(
-                            F.col("values"),
-                            F.array(*[F.lit(v) for v in sorted(values)]),
+        prunable[field] = values
+    if not prunable:
+        return indexed, indexed
+    # ONE probe job for every constrained field (a per-field loop was a
+    # driver round-trip per field). A file qualifies when it matches ALL
+    # prunable fields (overflowed rows always match their field).
+    small = all(len(v) <= _MAX_LITERAL_VALUES for v in prunable.values())
+    if small:
+        # literal-array intersect: tiny value sets inline into the plan
+        cond = F.lit(False)
+        for field, values in prunable.items():
+            cond = cond | (
+                (F.col("field") == field)
+                & (
+                    F.col("overflow")
+                    | (
+                        F.size(
+                            F.array_intersect(
+                                F.col("values"),
+                                F.array(*[F.lit(v) for v in sorted(values)]),
+                            )
                         )
+                        > 0
                     )
-                    > 0
                 )
             )
-            .select("file")
-            .collect()
+        hits = idx.where(cond).select("file", "field")
+    else:
+        # large value sets (a _stream_id:in(...) with 10^4+ ids would
+        # build a 10^4-literal expression tree: slow analysis, codegen
+        # limits) join the exploded sidecar values against a BROADCAST
+        # frame of wanted values instead — round-6 advice
+        wanted = spark.createDataFrame(
+            [(f, v) for f, vs in prunable.items() for v in sorted(vs)],
+            "field string, value string",
         )
-        cands = cands & {r["file"] for r in rows}
-    return indexed, cands
+        ex = idx.where(F.col("field").isin(list(prunable))).select(
+            "file", "field", "overflow", F.explode_outer("values").alias("value")
+        )
+        hits = (
+            ex.where(F.col("overflow"))
+            .select("file", "field")
+            .unionByName(
+                ex.join(F.broadcast(wanted), ["field", "value"]).select(
+                    "file", "field"
+                )
+            )
+        )
+    rows = (
+        hits.groupBy("file")
+        .agg(F.countDistinct("field").alias("__m"))
+        .where(F.col("__m") == len(prunable))
+        .select("file")
+        .collect()
+    )
+    return indexed, indexed & {r["file"] for r in rows}
 
 
 def register_stream_index(table_path: str, index_path: str) -> None:

@@ -223,7 +223,18 @@ def compact_day(
     tmp = str(part) + ".compact"
     sort_cols = [c for c in ("_stream_id", "_time") if c in df.columns]
     if sort_cols:
-        out = df.repartition(target_files).sortWithinPartitions(*sort_cols)
+        # hash-partition on the FIRST cluster key (stream id when
+        # present): each output file holds a SUBSET of streams, not a
+        # round-robin slice of all of them — a round-robin repartition
+        # put every stream in every file, so the per-file stream-value
+        # sidecar (index/streams.py) could never prune a compacted day
+        # (round-7 layout bench caught it: 60/60 files survived a
+        # single-stream filter). One hot stream skewing a file is the
+        # documented trade — the reference's parts have the same shape
+        # (a stream's blocks concentrate in few parts).
+        out = df.repartition(
+            target_files, qcol(sort_cols[0])
+        ).sortWithinPartitions(*sort_cols)
     else:
         out = df.coalesce(target_files)
     writer = out.write.mode("overwrite").option("compression", "zstd")
@@ -261,3 +272,62 @@ def compact_table(
         )
         for day in list_days(table_dir)
     }
+
+
+def build_log_layout(
+    spark: SparkSession,
+    logs: DataFrame,
+    dst: str,
+    stream_fields: list[str] | None = None,
+    ingest_files_per_day: int = 8,
+    target_files: int = 2,
+    type_columns: bool = True,
+) -> tuple[str, str, str]:
+    """One call from a raw log frame to the PRODUCTION layout the engine
+    is designed around — at 100 TB the layout IS the query plan
+    (the reference's whole read path is pruning,
+    storage_search.go:1069-1159):
+
+    1. day-partitioned write (``_day=YYYYMMDD`` directories; several
+       files per day first, like micro-batch appends would leave);
+    2. :func:`compact_table` — few zstd files per day, rows clustered
+       ``(_stream_id, _time)`` so row groups hold one stream's rows in
+       time order, numeric string columns re-encoded typed;
+    3. stream-value sidecar (index/streams.py) over ``stream_fields``
+       and token-bloom sidecar (index/bloom.py) over ``_msg``, both
+       REGISTERED so ``api.run_query(spark, dst, query)`` prunes files
+       automatically.
+
+    After this, a ``_time`` range prunes whole day directories
+    (PartitionFilters in the scan), a ``{label="x"}`` filter prunes
+    files through the sidecar before the scan starts, and word filters
+    prune through the blooms. Returns (table, stream index, bloom
+    index) paths."""
+    from victorialogs_spark.index.bloom import (
+        build_token_bloom_index,
+        register_bloom_index,
+    )
+    from victorialogs_spark.index.streams import (
+        build_stream_index,
+        register_stream_index,
+    )
+
+    df = logs if "_day" in logs.columns else with_day_partition(logs)
+    (
+        df.repartition(ingest_files_per_day)
+        .write.partitionBy("_day")
+        .mode("overwrite")
+        .parquet(dst)
+    )
+    compact_table(
+        spark, dst, target_files=target_files, type_columns=type_columns
+    )
+    sidx = dst.rstrip("/") + "_stream_index"
+    bidx = dst.rstrip("/") + "_bloom_index"
+    build_stream_index(
+        spark, dst, sidx, fields=stream_fields or ["_stream_id"]
+    )
+    build_token_bloom_index(spark, dst, bidx)
+    register_stream_index(dst, sidx)
+    register_bloom_index(dst, bidx)
+    return dst, sidx, bidx
