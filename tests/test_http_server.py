@@ -362,3 +362,62 @@ def test_metrics_endpoint(spark):
         assert 'vl_http_errors_total{path="/select/logsql/query"} 1' in body
     finally:
         srv.stop()
+
+
+def test_json_streaming_million_groups_under_capped_driver_heap():
+    """One order beyond the ~100k test: a stats_query_range over 10^6
+    groups must stream through the HTTP facade under a DRIVER heap too
+    small to hold the materialized response (collect() into one string +
+    row list would need it). Runs in a subprocess so spark.driver.memory
+    binds at JVM launch; the client consumes the body in chunks and
+    counts rows incrementally — nothing holds the whole document."""
+    import subprocess
+    import sys
+
+    script = r"""
+import urllib.request
+from pyspark.sql import SparkSession, functions as F
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.driver.memory", "600m")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.ui.enabled", "false")
+    .appName("heapcap").getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+logs = spark.range(1_000_000).select(
+    F.lit("2024-01-01T00:00:00Z").cast("timestamp").alias("_time"),
+    F.concat(F.lit("m"), F.col("id")).alias("_msg"),
+    F.concat(F.lit("g"), F.col("id")).alias("g"),
+)
+from victorialogs_spark.http_server import serve
+srv = serve(spark, logs)
+try:
+    import urllib.parse
+    q = urllib.parse.quote("* | stats by (g) count() as c")
+    resp = urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/select/logsql/stats_query_range"
+        f"?query={q}&step=1h", timeout=600)
+    rows, tail = 0, b""
+    while True:
+        chunk = resp.read(1 << 20)
+        if not chunk:
+            break
+        buf = tail + chunk
+        rows += buf.count(b'{"name"')
+        tail = buf[-8:]  # a marker split across chunks stays countable
+    assert rows > 900_000, rows
+    print("STREAMED_ROWS", rows)
+finally:
+    srv.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "STREAMED_ROWS" in out.stdout
