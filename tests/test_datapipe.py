@@ -1171,3 +1171,60 @@ def test_pca_fit_skips_non_finite_vectors(spark):
     assert m["n"] == 20  # the poisoned vector was excluded
     assert all(math.isfinite(x) for x in m["mean"])
     assert all(math.isfinite(x) for x in m["eigenvalues"])
+
+
+def test_embedding_near_dup_pairs_exact_semantics(spark):
+    """Sign-bit buckets + 9dp-rounded cosine: same-direction vectors in
+    one bucket pair up (id_a < id_b, rounded score), opposite-direction
+    vectors land in another bucket (no cross pairs), zero-norm and
+    wrong-length vectors never pair."""
+    from victorialogs_spark.datapipe.similarity import (
+        embedding_near_dup_pairs_exact,
+    )
+
+    d = 8
+    a = [1.0, 1.0] + [0.0] * (d - 2)
+    a2 = [1.0, 0.999] + [0.0] * (d - 2)   # cos(a, a2) ~ 1, same bucket
+    b = [-1.0, -1.0] + [0.0] * (d - 2)    # different bucket entirely
+    z = [0.0] * d                          # zero norm: incomparable
+    short = [1.0]                          # wrong length: incomparable
+    df = spark.createDataFrame(
+        [(1, a), (2, a2), (3, b), (4, z), (5, short)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = embedding_near_dup_pairs_exact(
+        df, "vec_id", "embedding", dim=d, threshold=0.9, n_sign_bits=4
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    cos = rows[0]["cos_6dp"]
+    assert cos == round(cos, 6) and cos > 0.99
+
+
+def test_embedding_clusters_exact_matches_pair_graph(spark):
+    """dup_clusters over the exact pair graph: linked vectors share the
+    min-id cluster, unlinked vectors are singletons — the vector-modality
+    dp_dup_clusters composition the registry oracle replays as a
+    recursive CTE."""
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.clusters import dup_clusters
+    from victorialogs_spark.datapipe.similarity import (
+        embedding_near_dup_pairs_exact,
+    )
+
+    d = 8
+    mk = lambda x, y: [x, y] + [0.0] * (d - 2)
+    df = spark.createDataFrame(
+        [(1, mk(1.0, 1.0)), (2, mk(1.0, 0.999)), (3, mk(0.999, 1.0)),
+         (7, mk(-1.0, -1.0)), (9, [0.0] * d)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_near_dup_pairs_exact(
+        df, "vec_id", "embedding", dim=d, threshold=0.9, n_sign_bits=4
+    ).select("id_a", "id_b")
+    out = {r["vec_id"]: r["cluster"] for r in dup_clusters(
+        df.where(F.col("vec_id").isNotNull()), "vec_id", pairs
+    ).collect()}
+    # 1-2 and 1-3 (and 2-3) pair: one cluster labelled by min id 1
+    assert out[1] == out[2] == out[3] == 1
+    assert out[7] == 7 and out[9] == 9  # singletons keep their own id

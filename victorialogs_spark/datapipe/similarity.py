@@ -464,6 +464,93 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.85,
+    n_sign_bits: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Engine-exact sibling of :func:`embedding_near_dup_pairs` (whose
+    numpy random hyperplanes no independent engine reproduces — a float
+    plane·vector near zero can land either side of the bucket boundary).
+    Here buckets are the sign bits of the first ``n_sign_bits`` stored
+    coordinates (the :func:`semantic_dedup` recipe: the sign of a stored
+    float is cross-engine exact, no arithmetic involved) and the pair
+    cosine is ROUNDed to 9dp before the threshold compare, so candidate
+    sets AND verdicts are engine-identical.
+
+    Same join-free plan as the float path (and the same 100 TB story):
+    bucket id is pure Column bit arithmetic, pairs are generated locally
+    inside each groupBy-bucket row, the cosine is one vectorized numpy
+    batch over the exploded pairs; ``max_bucket_size`` drops degenerate
+    buckets (documented recall trade). Each vector lives in exactly one
+    bucket, so no distinct is needed on the output.
+
+    Output: (id_a, id_b, cos_6dp) with id_a < id_b; incomparable vectors
+    (NULL, wrong length, zero norm) never pair."""
+    import numpy as np
+    import pandas as pd
+
+    from victorialogs_spark.datapipe.dedup import _bucket_pairs
+
+    vec = F.col(vec_col)
+    norm2 = F.aggregate(
+        F.transform(vec, lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    comparable = (
+        F.col(id_col).isNotNull()
+        & vec.isNotNull()
+        & (F.size(vec) == dim)
+        & (norm2 > 0)
+    )
+    bucket = F.lit(0)
+    # clamp to dim: element_at past the array end THROWS under ANSI mode
+    for j in range(min(n_sign_bits, dim)):
+        bucket = bucket + F.when(
+            F.element_at(vec, j + 1).cast("double") > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    grouped = (
+        df.where(comparable)
+        .select(
+            bucket.alias("__bucket"),
+            F.struct(F.col(id_col).alias("id"), vec.alias("vec")).alias("doc"),
+        )
+        .groupBy("__bucket")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+    )
+    if max_bucket_size:
+        grouped = grouped.where(F.size("docs") <= max_bucket_size)
+    pairs = grouped.where(F.size("docs") >= 2).select(
+        F.explode(_bucket_pairs(F.col("docs"))).alias("p")
+    )
+
+    def _cos9(va, vb):
+        A, a_ok = _stack_vectors(va, dim)
+        B, b_ok = _stack_vectors(vb, dim)
+        dots = (A * B).sum(axis=1)
+        norms = np.maximum(
+            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1), 1e-300
+        )
+        return _masked_series(np.round(dots / norms, 9), a_ok & b_ok, "Float64")
+
+    _cos9.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    cos_udf = F.pandas_udf(_cos9, "double")
+    return (
+        pairs.select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            cos_udf(F.col("p.a.vec"), F.col("p.b.vec")).alias("__cos9"),
+        )
+        .where(F.col("__cos9") >= threshold)
+        .select("id_a", "id_b", F.round("__cos9", 6).alias("cos_6dp"))
+    )
+
+
 # --------------------------------------------------------------------- IVF
 
 def train_ivf_centroids(

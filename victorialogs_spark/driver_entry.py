@@ -1514,6 +1514,81 @@ def _dp_embedding_clusters(spark, sf_dir):
     return dup_clusters(emb, "vec_id", pairs)
 
 
+# shared CTE chain for the engine-exact embedding near-dup oracles:
+# axis-aligned sign-bit buckets (sign of a stored float — no arithmetic,
+# exact cross-engine; the dp_semdedup recipe) over comparable vectors
+_EMB_EXACT_BUCKETS_SQL = (
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    " WHERE vec_id IS NOT NULL),"
+    " c AS (SELECT vec_id, v, CAST(list_sum(list_transform(range(8),"
+    " j -> CASE WHEN v[j + 1] > 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS b"
+    " FROM e WHERE len(v) = 64"
+    " AND len(list_filter(v, x -> x IS NULL)) = 0"
+    " AND list_sum(list_transform(v, x -> x * x)) > 0)"
+)
+
+
+@register(
+    "dp_embedding_near_dup_exact",
+    # engine-exact twin of dp_embedding_near_dup (whose numpy hyperplane
+    # buckets no SQL engine reproduces): same-bucket pairs, cosine
+    # ROUNDed 9dp before the threshold (verdict-stable) and 6dp in the
+    # output (the dp_cosine_threshold value discipline)
+    f"WITH {_EMB_EXACT_BUCKETS_SQL}"
+    " SELECT a.vec_id AS id_a, b2.vec_id AS id_b,"
+    " ROUND(ROUND(list_cosine_similarity(a.v, b2.v), 9), 6) AS cos_6dp"
+    " FROM c a JOIN c b2 ON a.b = b2.b AND a.vec_id < b2.vec_id"
+    " WHERE ROUND(list_cosine_similarity(a.v, b2.v), 9) >= 0.30",
+)
+def _dp_embedding_near_dup_exact(spark, sf_dir):
+    from victorialogs_spark.datapipe.similarity import (
+        embedding_near_dup_pairs_exact,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    # 0.30 for the same reason as dp_semdedup: the synthetic corpus'
+    # cosine ceiling (~0.51) makes the production 0.85 vacuous here
+    return embedding_near_dup_pairs_exact(
+        emb, "vec_id", "embedding", dim=64, threshold=0.30, n_sign_bits=8
+    )
+
+
+@register(
+    "dp_embedding_clusters_exact",
+    # transitive clusters over the engine-exact pair graph — the vector
+    # modality's dp_dup_clusters: large-star/small-star vs a DuckDB
+    # recursive-CTE closure, min-id cluster labels, singletons kept
+    f"WITH RECURSIVE {_EMB_EXACT_BUCKETS_SQL},"
+    " prs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b"
+    " FROM c a JOIN c b2 ON a.b = b2.b AND a.vec_id < b2.vec_id"
+    " WHERE ROUND(list_cosine_similarity(a.v, b2.v), 9) >= 0.30),"
+    " edges AS (SELECT id_a AS u, id_b AS w FROM prs"
+    " UNION SELECT id_b, id_a FROM prs),"
+    " reach AS (SELECT u, w FROM edges UNION"
+    " SELECT r.u, e2.w FROM reach r JOIN edges e2 ON r.w = e2.u"
+    " WHERE e2.w <> r.u),"
+    " comp AS (SELECT d.vec_id, COALESCE(LEAST(d.vec_id, m.mn), d.vec_id)"
+    " AS cluster FROM e d LEFT JOIN"
+    " (SELECT u, MIN(w) AS mn FROM reach GROUP BY u) m ON m.u = d.vec_id)"
+    " SELECT vec_id, cluster FROM comp",
+)
+def _dp_embedding_clusters_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.clusters import dup_clusters
+    from victorialogs_spark.datapipe.similarity import (
+        embedding_near_dup_pairs_exact,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs_exact(
+        emb, "vec_id", "embedding", dim=64, threshold=0.30, n_sign_bits=8
+    ).select("id_a", "id_b")
+    return dup_clusters(
+        emb.where(F.col("vec_id").isNotNull()), "vec_id", pairs
+    )
+
+
 _B4 = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
 
 
@@ -2989,6 +3064,7 @@ _DRIVER_VERIFIED_R6 = [
 _NEW_R7 = [
     "dp_ann_lsh_quantized_topk", "dp_ann_ivf_quantized_topk",
     "f_value_type_storage", "dp_semdedup_auto",
+    "dp_embedding_near_dup_exact", "dp_embedding_clusters_exact",
 ]
 
 
