@@ -40,6 +40,10 @@ def _get(srv, path):
     return urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}")
 
 
+def test_insert_ready_probe(server):
+    assert _get(server, "/insert/ready").status == 200
+
+
 def test_ingest_then_query_matches_library(server, spark):
     assert _get(server, "/health").read() == b"OK\n"
     r = _post(server, "/insert/jsonline?_stream_fields=app", NDJSON.encode())

@@ -458,6 +458,9 @@ class _Handler(BaseHTTPRequestHandler):
     def _insert(self, path: str, params):
         st = self.state
         body = getattr(self, "_body", b"")
+        if path == "/insert/ready":
+            # readiness probe for agents (app/vlinsert/main.go:66)
+            return self._send(200, b"ok\n", "text/plain")
         if path == "/insert/jsonline":
             lines = body.decode("utf-8", "replace").splitlines()
             sf = self._get(params, "_stream_fields", "")
