@@ -44,6 +44,8 @@ NOTES = {
     "dp_semdedup": "pure-Column sign-bit bucket → join-free local pair gen → 9dp-cosine verify → min-id aggregate + one join back to the id spine",
     "dp_image_ahash": "payload synth + real P6 decode in one narrow Arrow map; zero shuffles",
     "dp_audio_zcr": "real WAV decode + integer features in one narrow Arrow map; zero shuffles",
+    "dp_embedding_near_dup_exact": "pure-Column sign-bit bucket -> join-free local pair gen inside groupBy rows -> ONE vectorized cosine batch (threshold+round inside the UDF; nondeterministic mark stops Catalyst double-extraction); one shuffle, zero joins",
+    "dp_ann_lsh_quantized_topk": "int8 quantize + integer-hyperplane bucket (pure Column) -> probe isin filter -> integer cosine + TakeOrderedAndProject",
     "dp_winnowing": "pure-Column staged projections (tokens -> grams -> md5 hashes -> window minima) + one explode; zero shuffles, zero Python",
     "dp_ngram_counts": "staged token projection -> gram transform -> explode -> ONE partial+final hash aggregate; single shuffle carries combined (gram, count)",
 }

@@ -511,6 +511,14 @@ def embedding_near_dup_pairs_exact(
     quadratic per-bucket pair term — stays flat at any scale; pin it
     only when a fixed snapshot must be reproducible without the count.
 
+    Scoring is ONE vectorized numpy batch per Arrow batch (measured 2x
+    faster at 100x input than a pure-Column fold — the per-element
+    Catalyst lambda loses to the batched matmul). The UDF applies the
+    9dp threshold AND the 6dp output rounding itself, returning NULL
+    below threshold, and is marked nondeterministic so Catalyst cannot
+    push the isNotNull filter beneath the projection and extract the
+    UDF twice (the filter+project double-ArrowEvalPython trap).
+
     Output: (id_a, id_b, cos_6dp) with id_a < id_b; incomparable vectors
     (NULL, wrong length, zero norm) never pair."""
     import numpy as np
@@ -553,25 +561,26 @@ def embedding_near_dup_pairs_exact(
         F.explode(_bucket_pairs(F.col("docs"))).alias("p")
     )
 
-    def _cos9(va, vb):
+    def _cos6(va, vb):
         A, a_ok = _stack_vectors(va, dim)
         B, b_ok = _stack_vectors(vb, dim)
         dots = (A * B).sum(axis=1)
         norms = np.maximum(
             np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1), 1e-300
         )
-        return _masked_series(np.round(dots / norms, 9), a_ok & b_ok, "Float64")
+        c9 = np.round(dots / norms, 9)
+        keep = a_ok & b_ok & (c9 >= threshold)
+        return _masked_series(np.round(c9, 6), keep, "Float64")
 
-    _cos9.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
-    cos_udf = F.pandas_udf(_cos9, "double")
+    _cos6.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    cos_udf = F.pandas_udf(_cos6, "double").asNondeterministic()
     return (
         pairs.select(
             F.col("p.a.id").alias("id_a"),
             F.col("p.b.id").alias("id_b"),
-            cos_udf(F.col("p.a.vec"), F.col("p.b.vec")).alias("__cos9"),
+            cos_udf(F.col("p.a.vec"), F.col("p.b.vec")).alias("cos_6dp"),
         )
-        .where(F.col("__cos9") >= threshold)
-        .select("id_a", "id_b", F.round("__cos9", 6).alias("cos_6dp"))
+        .where(F.col("cos_6dp").isNotNull())
     )
 
 
