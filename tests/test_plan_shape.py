@@ -276,8 +276,15 @@ def test_span_and_tfidf_bounded_shuffles(spark):
     spans = QUERIES["dp_repeated_spans"](spark, "/root/testdata/sf0.001")
     plan = plan_of(spans)
     assert "partial_count" in plan  # map-side combine on the span agg
-    assert plan.count("Exchange") <= 5
+    # the STATIC plan repeats the repartition("__g") subtree in both
+    # branches (6 exchanges); at runtime AQE dedups it — assert the
+    # reuse actually fires so the corpus is exploded+hashed ONCE
+    assert plan.count("Exchange") <= 6
     assert "CartesianProduct" not in plan
+    spans.collect()
+    final = spans._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final
 
     tfidf = QUERIES["dp_tfidf_terms"](spark, "/root/testdata/sf0.001")
     plan = plan_of(tfidf)

@@ -413,7 +413,13 @@ def token_ngram_hashes_arrow(c_name: str, n: int = 3):
         return pd.Series(out)
 
     _gram_hashes.__annotations__ = {"series": pd.Series, "return": pd.Series}
-    return F.pandas_udf(_gram_hashes, "array<long>")(F.col(c_name))
+    # nondeterministic mark (the function IS deterministic): stops
+    # InferFiltersFromGenerate's size()>0 guard from being pushed below
+    # the projection, which re-ran the full-corpus gram UDF a second
+    # time under the exchange (EXPLAIN round-7 audit)
+    return F.pandas_udf(_gram_hashes, "array<long>").asNondeterministic()(
+        F.col(c_name)
+    )
 
 
 def _bucket_pairs(docs_list: Column) -> Column:
@@ -785,7 +791,9 @@ def simhash_md5_bitstring(
         return pd.Series(out, dtype="object")
 
     _bits.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    udf = F.pandas_udf(_bits, "string")
+    # nondeterministic mark: keeps the isNotNull filter above the
+    # projection instead of duplicating the md5 UDF under it
+    udf = F.pandas_udf(_bits, "string").asNondeterministic()
     return (
         df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash_bits"))
         .where(F.col("simhash_bits").isNotNull())
@@ -845,15 +853,16 @@ def repeated_spans(
     sliding windows also appear in at least one OTHER document.
 
     Plan (100 TB story): one narrow Arrow map emits distinct per-doc
-    span HASHES as 8-byte longs (never span strings); one hash shuffle
-    aggregates document-frequency per span; one shuffle join marks each
-    doc's spans with their corpus frequency; one per-doc aggregate
+    span HASHES as 8-byte longs (never span strings); the exploded
+    (id, span) frame is hash-shuffled by span ONCE and that single
+    exchange feeds BOTH the document-frequency aggregate and the join
+    probe (ReuseExchange — the explicit repartition makes the two
+    subtrees identical, so the corpus is scanned and span-hashed once,
+    not twice; measured 1.21 -> 0.82 s at sf0.1); one per-doc aggregate
     finishes. The join is preferred over a count-window (which would
     materialize each span's full partition in one task — a boilerplate
     span shared by millions of docs is exactly the skewed key AQE's
-    skew-join splits but WindowExec cannot). The narrow explode is
-    recomputed for the join branch rather than persisted: two scans of
-    the source beat caching an exploded corpus at scale.
+    skew-join splits but WindowExec cannot).
 
     Docs shorter than ``span_tokens`` contribute their whole token
     sequence as a single span (same rule as token_ngram_hashes_arrow), so
@@ -874,8 +883,16 @@ def repeated_spans(
     """
     df = _require_non_null_ids(df, id_col, "repeated_spans")
     grams = token_window_hashes_arrow(text_col, span_tokens)
-    per_doc = df.select(F.col(id_col), F.explode(grams).alias("__g"))
-    span_df = per_doc.groupBy("__g").agg(F.count(F.lit(1)).alias("__docs"))
+    per_doc = df.select(F.col(id_col), F.explode(grams).alias("__g")).repartition(
+        "__g"
+    )
+    # count(id_col), NOT count(1): ids are non-NULL by contract (probed
+    # above) so the result is identical, but count(1) would let column
+    # pruning drop id_col below this branch's exchange, making the two
+    # exchange subtrees differ and defeating ReuseExchange — with
+    # count(id_col) both branches project (id, __g) and the corpus is
+    # exploded + span-hashed ONCE
+    span_df = per_doc.groupBy("__g").agg(F.count(F.col(id_col)).alias("__docs"))
     return (
         per_doc.join(span_df, "__g")
         .groupBy(id_col)
@@ -985,6 +1002,12 @@ def _token_window_hashes(c_name: str, n: int, positional: bool):
         return pd.Series(out)
 
     _win_hashes.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    # deliberately NOT marked nondeterministic (unlike
+    # token_ngram_hashes_arrow): the span operators consume this from
+    # TWO plan branches sharing one repartition("__g") exchange, and
+    # ReuseExchange compares canonicalized subtrees — nondeterministic
+    # expressions never compare equal, so the mark would break the
+    # reuse that deduplicates the full-corpus hash pass
     return F.pandas_udf(_win_hashes, "array<long>")(F.col(c_name))
 
 
@@ -1015,10 +1038,14 @@ def cut_repeated_spans(
     in the output (token positions, not byte offsets, are the unit).
 
     Plan: one positional Arrow map (same uint64 polynomial matmul as
-    repeated_spans) → per-doc-distinct span doc-frequency (2 shuffles) →
-    join positions to shared spans → per-doc sorted start list (bounded
-    by doc length) → pure-Column rebuild: tokens filtered by an indexed
-    exists over the start list, JVM-side, no second Python pass.
+    repeated_spans) → explode shuffled by span hash ONCE, the single
+    exchange feeding BOTH the distinct-doc-count aggregate (partitioning
+    by __g already clusters (__g, id), so count_distinct adds no
+    exchange) and the join probe (ReuseExchange, same recipe as
+    repeated_spans — the corpus is span-hashed once, not twice) → per-doc
+    sorted start list (bounded by doc length) → pure-Column rebuild:
+    tokens filtered by an indexed exists over the start list, JVM-side,
+    no second Python pass.
 
     Output: all original columns with <text_col> replaced by the cut
     text, plus n_cut_tokens.
@@ -1028,17 +1055,32 @@ def cut_repeated_spans(
     :func:`_require_non_null_ids` (eager probe).
     """
     df = _require_non_null_ids(df, id_col, "cut_repeated_spans")
-    spans = df.select(
-        F.col(id_col),
-        F.posexplode(token_window_hashes_pos_arrow(text_col, span_tokens))
-        .alias("__pos", "__g"),
+    # the explicit isNotNull is semantically free (ids are non-NULL by
+    # the probe above) but makes BOTH branches' subtrees carry the same
+    # filter — the join side otherwise gains an inferred isnotnull(id)
+    # the aggregate side lacks, defeating ReuseExchange
+    spans = (
+        df.where(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(token_window_hashes_pos_arrow(text_col, span_tokens))
+            .alias("__pos", "__g"),
+        )
+        .repartition("__g")
     )
+    # max(__pos) >= 0 is a tautology (positions are non-negative) whose
+    # only job is to keep __pos referenced in this branch: without it
+    # column pruning drops __pos below the exchange, the two exchange
+    # subtrees stop being identical, and ReuseExchange cannot dedup the
+    # full-corpus positional hash pass (repeated_spans' count(id_col)
+    # trick, one step further)
     shared = (
-        spans.select(id_col, "__g")
-        .distinct()
-        .groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__docs"))
-        .where(F.col("__docs") >= 2)
+        spans.groupBy("__g")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__docs"),
+            F.max("__pos").alias("__mp"),
+        )
+        .where((F.col("__docs") >= 2) & (F.col("__mp") >= 0))
         .select("__g")
     )
     starts = (

@@ -152,7 +152,12 @@ def ngram_repetition(
         )
 
     _rep.__annotations__ = {"series": pd.Series, "return": pd.DataFrame}
-    udf = F.pandas_udf(_rep, "keep boolean, top_frac double, dup_frac double")
+    # nondeterministic mark (the function is deterministic): the keep
+    # filter + field projections otherwise each re-extract the UDF
+    # (double ArrowEvalPython over the full corpus, round-7 plan audit)
+    udf = F.pandas_udf(
+        _rep, "keep boolean, top_frac double, dup_frac double"
+    ).asNondeterministic()
     return (
         df.select(F.col(id_col), udf(F.col(text_col)).alias("__r"))
         .where(F.col("__r.keep"))

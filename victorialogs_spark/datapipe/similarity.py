@@ -95,7 +95,10 @@ def _cosine_arrow(query: list[float]):
         return _masked_series((M @ q) / (norms * qn), valid, "Float64")
 
     _cos.__annotations__ = {"series": pd.Series, "return": pd.Series}
-    return F.pandas_udf(_cos, "double")
+    # nondeterministic mark (deterministic in fact): stops Catalyst
+    # pushing threshold/isnotnull filters beneath the scoring projection
+    # and extracting the UDF twice (round-7 plan audit)
+    return F.pandas_udf(_cos, "double").asNondeterministic()
 
 
 def cosine_scores(
@@ -452,7 +455,7 @@ def embedding_near_dup_pairs(
         return _masked_series(dots / norms, va_ok & vb_ok, "Float64")
 
     _cos.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
-    cos_udf = F.pandas_udf(_cos, "double")
+    cos_udf = F.pandas_udf(_cos, "double").asNondeterministic()
     return (
         pairs.select(
             F.col("p.a.id").alias("id_a"),
