@@ -62,6 +62,13 @@ ENTRIES = [
     "dp_semdedup_auto",
     "dp_winnowing",
     "dp_ngram_counts",
+    # dp_embedding_near_dup_exact / dp_embedding_clusters_exact are NOT
+    # soaked via their registry entries: those pin n_sign_bits=8 for
+    # cross-engine snapshot determinism, which is quadratic by design at
+    # 100x (the library default is scale-adaptive bits — hand-soaked at
+    # 10.2x in the dedicated SCALE.md section)
+    "dp_ann_lsh_quantized_topk",
+    "dp_ann_ivf_quantized_topk",
 ]
 
 TABLES = (
