@@ -40,12 +40,12 @@ NOTES = {
     "dp_bigram_logprob": "pure-Column adjacent-pair zip → pair/w1 frequency aggregates joined in the shuffle → per-doc decimal mean; no UDF",
     "dp_mix_sources": "one bounded group-count aggregate → pushable md5-bucket string compare; no shuffle on the kept path",
     "dp_label_centroids": "posexplode → one partial-combined (label, dim) hash aggregate",
-    "dp_knn_purity": "bounded query set broadcast (nested-loop) over the streaming corpus → per-query max_by aggregate",
+    "dp_knn_purity": "bounded query set closed over a mapInPandas matmul scorer -> per-batch partial winners -> tiny max_by merge; no vectors in the shuffle",
     "dp_semdedup": "pure-Column sign-bit bucket → join-free local pair gen → 9dp-cosine verify → min-id aggregate + one join back to the id spine",
     "dp_image_ahash": "payload synth + real P6 decode in one narrow Arrow map; zero shuffles",
     "dp_audio_zcr": "real WAV decode + integer features in one narrow Arrow map; zero shuffles",
     "dp_embedding_near_dup_exact": "pure-Column sign-bit bucket -> join-free local pair gen inside groupBy rows -> ONE vectorized cosine batch (threshold+round inside the UDF; nondeterministic mark stops Catalyst double-extraction); one shuffle, zero joins",
-    "dp_ann_lsh_quantized_topk": "int8 quantize + integer-hyperplane bucket (pure Column) -> probe isin filter -> integer cosine + TakeOrderedAndProject",
+    "dp_ann_lsh_quantized_topk": "ONE numpy batch per Arrow batch quantizes + buckets + scores (exact int64 matmuls) -> probe isin filter -> TakeOrderedAndProject",
     "dp_winnowing": "pure-Column staged projections (tokens -> grams -> md5 hashes -> window minima) + one explode; zero shuffles, zero Python",
     "dp_ngram_counts": "staged token projection -> gram transform -> explode -> ONE partial+final hash aggregate; single shuffle carries combined (gram, count)",
 }
