@@ -2068,6 +2068,35 @@ def _dp_semdedup_auto(spark, sf_dir):
     return semantic_dedup(emb, "vec_id", "embedding", dim=64, threshold=0.30)
 
 
+@register(
+    "dp_frame_sample",
+    # video frame-sampling plan (multimodal.frame_sample_plan): videos =
+    # doc_id % 3 == 2 (assets_from_documents), fake-decode duration =
+    # 1000 + md5(payload) bytes [2:4] big-endian (hex chars 5..8 via the
+    # winnowing shift-sum recipe — POW would round through doubles), one
+    # row per planned 500 ms frame timestamp, >= 1 frame per video.
+    # Spark truncates (duration/500).cast(int); FLOOR matches for the
+    # positive durations (DuckDB's double->INT cast rounds instead)
+    "WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h FROM documents"
+    " WHERE doc_id % 3 = 2),"
+    " d AS (SELECT asset_id, 1000 + CAST(list_sum(list_transform(range(4),"
+    " j -> CAST(strpos('0123456789abcdef', substr(h, 5 + j, 1)) - 1 AS BIGINT)"
+    " * (CAST(1 AS BIGINT) << (4 * (3 - j))))) AS BIGINT) AS dur FROM v),"
+    " n AS (SELECT asset_id, GREATEST(CAST(FLOOR(dur / 500.0) AS INT), 1)"
+    " AS nf FROM d)"
+    " SELECT asset_id, CAST(i * 500 AS INT) AS frame_ts_ms"
+    " FROM n, UNNEST(range(0, nf)) AS u(i)",
+)
+def _dp_frame_sample(spark, sf_dir):
+    from victorialogs_spark.datapipe.multimodal import (
+        assets_from_documents,
+        frame_sample_plan,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return frame_sample_plan(assets_from_documents(docs), every_ms=500)
+
+
 @register("dp_image_phash")  # rows-only: 2-D DCT isn't SQL-reproducible
 def _dp_image_phash(spark, sf_dir):
     """Deterministic P6 payloads rendered from document text (24x24 RGB =
@@ -3065,6 +3094,7 @@ _NEW_R7 = [
     "dp_ann_lsh_quantized_topk", "dp_ann_ivf_quantized_topk",
     "f_value_type_storage", "dp_semdedup_auto",
     "dp_embedding_near_dup_exact", "dp_embedding_clusters_exact",
+    "dp_frame_sample",
 ]
 
 
