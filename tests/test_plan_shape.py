@@ -333,15 +333,23 @@ def test_cut_spans_and_bigram_bounded_plans(spark):
 
 
 def test_embedding_cartography_plans(spark):
-    """knn_label_purity must broadcast the bounded query set (never
-    shuffle the corpus side before the per-query aggregate) and
-    label_centroids must partial-combine on (label, dim)."""
+    """knn_label_purity scores each corpus batch against the collected
+    query set inside mapInPandas (per-batch partial winners — vectors
+    never enter the shuffle; the old broadcast-nested-loop shipped
+    |Q| x N pair rows) and label_centroids must partial-combine on
+    (label, dim)."""
     from victorialogs_spark.driver_entry import QUERIES
 
     plan = plan_of(QUERIES["dp_knn_purity"](spark, "/root/testdata/sf0.001"))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
     assert "partial_max_by" in plan
     assert "CartesianProduct" not in plan
+    # the only join is the tiny qid->qlabel broadcast AFTER the agg;
+    # no vector column appears in any exchange
+    assert "BroadcastHashJoin" in plan
+    assert all(
+        "embedding" not in ln for ln in plan.splitlines() if "Exchange" in ln
+    )
 
     plan = plan_of(
         QUERIES["dp_label_centroids"](spark, "/root/testdata/sf0.001")
