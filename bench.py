@@ -260,17 +260,35 @@ def main() -> int:
             prior_medians = prior.get("query_medians") or {}
         except Exception:
             prior_medians = {}
+    # host-drift normalization: when co-tenant contention inflates the
+    # whole session, EVERY query's ratio shifts together (measured: the
+    # same binary produced 9 simultaneous 1.25-1.43x "regressions" on
+    # untouched queries in one run and none in the next). The median
+    # per-query ratio estimates that common factor; a real regression
+    # is a query whose ratio stands out ABOVE the session's drift, so
+    # flag on drift-normalized ratios and record the factor used.
+    ratios = {
+        n: medians[n] / prior_medians[n]
+        for n in medians
+        if prior_medians.get(n, 0) > 0
+    }
+    drift = 1.0
+    if len(ratios) >= 5:
+        rs = sorted(ratios.values())
+        drift = max(1.0, rs[len(rs) // 2])
     for name, med in medians.items():
         pm = prior_medians.get(name)
-        if pm and pm > 0 and med > pm * 1.25:
+        if pm and pm > 0 and (med / pm) / drift > 1.25:
             regressions[name] = {
                 "prior_median": pm,
                 "median": med,
                 "ratio": round(med / pm, 3),
+                "drift_normalized_ratio": round((med / pm) / drift, 3),
             }
             print(
                 f"# REGRESSION {name}: median {pm:.3f}s -> {med:.3f}s "
-                f"({med / pm:.2f}x) vs {os.path.basename(prior_file)}",
+                f"({med / pm:.2f}x raw, {(med / pm) / drift:.2f}x "
+                f"drift-normalized) vs {os.path.basename(prior_file)}",
                 file=sys.stderr,
             )
     print(
@@ -295,6 +313,10 @@ def main() -> int:
                 # recorded round artifact (empty = no regressions);
                 # baseline file named so the comparison is auditable
                 "regressions": regressions,
+                # session-wide median of per-query ratios vs the prior
+                # round — the co-tenant contention factor the regression
+                # flags were normalized by (1.0 = no drift detected)
+                "host_drift_factor": round(drift, 3),
                 "regression_baseline": (
                     os.path.basename(prior_file) if prior_file else None
                 ),
