@@ -60,6 +60,77 @@ def test_stop_gram_guard_keeps_rare_gram_pairs(spark):
     assert all(a >= 10_000 for a, _ in ids)
 
 
+def _collect_agg_output_rows(df) -> int:
+    """Sum of numOutputRows over the collect_list ObjectHashAggregate
+    nodes of an EXECUTED plan — the quantitative trace of how many gram
+    rows reached the posting-array build (the SCALE.md metrics-reading
+    method, walked through AQE query stages)."""
+    total = 0
+
+    def walk(n):
+        nonlocal total
+        name = n.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(n.executedPlan())
+            return
+        if "QueryStageExec" in name:
+            walk(n.plan())
+            return
+        if name == "ObjectHashAggregateExec":
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    total += kv._2().value()
+        for i in range(n.children().size()):
+            walk(n.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total
+
+
+def test_stop_gram_guard_runs_before_posting_array_build(spark):
+    """The 100 TB failure mode: a stop-gram present in every document
+    must never reach collect_list — the frequency filter has to discard
+    its rows BEFORE the posting array materializes, so the aggregation
+    buffer stays O(rare grams) regardless of how many documents carry
+    the stop-gram. Asserted two ways: plan shape (window-count filter
+    strictly upstream of the ObjectHashAggregate, single gh exchange
+    shared by both) and executed metrics (rows reaching the array build
+    are FLAT when the stop-gram mass grows 50x)."""
+
+    def run(n_boiler):
+        rows = [
+            (i, BOILER + f" req {i}") for i in range(n_boiler)
+        ] + [(10_000_000, A), (10_000_001, B)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=50
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        return out, pairs
+
+    out_small, pairs_small = run(400)
+    out_big, pairs_big = run(20_000)
+    # correctness: the rare near-dup pair survives, no boiler pairs leak
+    assert pairs_small == pairs_big == {(10_000_000, 10_000_001)}
+    # plan shape: the doc-frequency filter sits below the array build
+    plan = (
+        out_big._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    agg_pos = plan.index("ObjectHashAggregate")
+    filt_pos = plan.index("__df")
+    assert filt_pos > agg_pos  # deeper in the tree = executed earlier
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # metrics: gram rows reaching collect_list are flat at 50x the mass
+    small_rows = _collect_agg_output_rows(out_small)
+    big_rows = _collect_agg_output_rows(out_big)
+    assert big_rows == small_rows  # stop-gram mass never reaches the agg
+
+
 def test_dup_clusters_giant_component_bounded(spark):
     # an 800-copy exact-dup star collapses to one cluster without any
     # quadratic pair materialization: star edges from the fingerprint

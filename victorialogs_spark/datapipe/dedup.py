@@ -465,6 +465,16 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` drops grams shared by more than that many documents
     (stop-gram removal) — the mandatory skew guard at 100 TB scale, where a
     stop-gram's posting list would otherwise blow up one aggregation buffer.
+    The guard runs BEFORE the posting array is built: a window count over
+    the same gh partitioning prices each gram's document frequency while
+    rows stream through the window's disk-spillable buffer, and the filter
+    discards stop-gram rows before ``collect_list`` would materialize them
+    into a single in-memory array (a gram in 10^8 docs stays rows-on-disk,
+    never one multi-GB aggregation buffer). A count+semi-join two-pass
+    would be equivalent, but the arrow gram UDF is asNondeterministic
+    (single-eval guard), so the second scan could not reuse the first
+    exchange; the window instead shares ONE shuffle with the groupBy below
+    (same gh hash partitioning — no extra exchange in the plan).
 
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
@@ -485,9 +495,16 @@ def ngram_jaccard_pairs(
         )
         .select(gh.alias("gh"), F.struct(F.col(id_col).alias("id"), F.col("sz")).alias("doc"))
     )
-    postings = grams.groupBy("gh").agg(F.array_sort(F.collect_list("doc")).alias("docs"))
     if max_doc_freq:
-        postings = postings.where(F.size("docs") <= max_doc_freq)
+        from pyspark.sql.window import Window
+
+        win = Window.partitionBy("gh")
+        grams = (
+            grams.withColumn("__df", F.count(F.lit(1)).over(win))
+            .where((F.col("__df") >= 2) & (F.col("__df") <= max_doc_freq))
+            .drop("__df")
+        )
+    postings = grams.groupBy("gh").agg(F.array_sort(F.collect_list("doc")).alias("docs"))
     pairs = postings.where(F.size("docs") >= 2).select(
         F.explode(_bucket_pairs(F.col("docs"))).alias("p")
     )
