@@ -701,6 +701,15 @@ def test_ann_quantized_siblings_recall_and_exactness(spark):
         assert got[0]["vec_id"] == 0 and abs(got[0]["qcos"] - 1.0) < 1e-12
         for r in got:  # scores are the SAME quantized cosine as the scan
             assert abs(r["qcos"] - exact[r["vec_id"]]) < 1e-12
+    # IVF seeds must come from an ORDER BY/LIMIT bounded collect, not an
+    # `id < n` filter: a sparse id space (e.g. monotonically_increasing_id
+    # gaps) has zero ids below n_seed_cells yet must still yield cells
+    sparse = df.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    got = ivf_quantized_topk(
+        sparse, "vec_id", "embedding", q, k=5, n_seed_cells=8, probes=3
+    ).collect()
+    assert got and got[0]["vec_id"] == 1_000_000
+    assert abs(got[0]["qcos"] - 1.0) < 1e-12
 
 
 def test_simhash_md5_variant_mirrors_production_semantics(spark, docs):
@@ -1044,6 +1053,16 @@ def test_knn_purity_guards(spark, vecs):
         knn_label_purity(
             labeled.withColumn("sid", F.col("vec_id").cast("string")),
             "sid", "embedding", "label")
+    # NULL candidate ids are excluded (the old crossJoin dropped them
+    # via NULL != semantics; the mapInPandas scorer must filter them or
+    # the cid array goes object/NaN dtype and a NULL can win as nn_id)
+    nulled = spark.createDataFrame(
+        [(None, [1.0] * 16, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    out2 = knn_label_purity(labeled.unionByName(nulled), "vec_id",
+                            "embedding", "label", n_queries=100).collect()
+    assert all(r["nn_id"] is not None for r in out2)
+    assert {r["vec_id"] for r in out2} == {r["vec_id"] for r in out}
 
 
 def test_winnowing_guarantees(spark):

@@ -799,6 +799,18 @@ def test_value_type_dict_mixed_files_filters_per_file(spark, tmp_path):
     out = run_query(spark, stored, "k:value_type(dict)").collect()
     assert len(out) == 100
     assert {r["k"] for r in out} == {"a", "b"}
+    # per-file attribution needs the filter colocated with the scan:
+    # after a stage-breaking operator input_file_name() returns '', so
+    # the mixed branch declines loudly (warns, matches nothing) instead
+    # of silently failing every row
+    import warnings as _warnings
+
+    shuffled = stored.groupBy("k").count().select("k")
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        n = run_query(spark, shuffled, "k:value_type(dict)").count()
+    assert n == 0
+    assert any("stage-breaking" in str(w.message) for w in rec)
 
 
 def test_value_type_typed_after_compact_day(spark, tmp_path):

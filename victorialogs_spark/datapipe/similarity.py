@@ -358,8 +358,9 @@ def ivf_quantized_topk(
     an independent engine derives identical cells, candidates, and
     scores.
 
-    100 TB plan: seeds are a driver-side list (bounded ≤ n_seed_cells
-    rows via the id filter — NOT a sample-order collect), assignment is
+    100 TB plan: seeds are a driver-side list (an ORDER BY id LIMIT
+    n_seed_cells bounded collect — NOT a sample-order collect, and not
+    an `id < n` filter, which assumes ids dense from 0), assignment is
     one vectorized int64 matmul per Arrow batch against a broadcast
     (dim × cells) matrix, the cell id is a partition/cluster key at
     scale, and top-k is TakeOrderedAndProject over the probed cells.
@@ -370,8 +371,13 @@ def ivf_quantized_topk(
 
     qq, qnorm = _quantize_query(query)
     q = quantize_embeddings(df, id_col, vec_col).where(F.col("qscale") > 0.0)
+    # the n_seed_cells SMALLEST ids via an ORDER BY/LIMIT bounded
+    # collect (the knn_label_purity contract) — an `id < n` filter only
+    # works when ids are dense from 0 and collects few/zero seeds for
+    # e.g. monotonically_increasing_id spaces
     seeds = (
-        q.where(F.col(id_col) < n_seed_cells)
+        q.orderBy(F.col(id_col))
+        .limit(n_seed_cells)
         .select(F.col(id_col).alias("cid"), "qvec")
         .collect()
     )
@@ -1012,6 +1018,12 @@ def knn_label_purity(
     corpus = (
         df.withColumn("__norm", vec_norm(F.col(vec_col)))
         .where(F.col("__norm") > 0.0)
+        # NULL candidate ids must be dropped explicitly: the old
+        # crossJoin's  id != __qid  predicate discarded them via SQL
+        # NULL semantics, but the mapInPandas scorer would see them as
+        # object/NaN dtype in the cid array (lexsort crash or a NULL
+        # winner) — mirror the query-side isNotNull filter
+        .where(F.col(id_col).isNotNull())
     )
     q_rows = (
         corpus.where(F.col(id_col).isNotNull())

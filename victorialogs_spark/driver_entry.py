@@ -1429,7 +1429,7 @@ def _dp_ann_lsh_quantized(spark, sf_dir):
     " FROM dq WHERE amax > 0),"
     " cent AS (SELECT vec_id AS cid, qv AS cv,"
     " CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE) AS cn2"
-    " FROM dv WHERE vec_id < 32),"
+    " FROM (SELECT * FROM dv ORDER BY vec_id LIMIT 32)),"
     " asn AS (SELECT dv.vec_id, c.cid,"
     " CAST(list_sum(list_transform(range(1, 65), i -> dv.qv[i] * c.cv[i]))"
     " AS DOUBLE) /"

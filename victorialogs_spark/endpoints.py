@@ -329,11 +329,20 @@ def query_ndjson(
         start_ns, end_ns, extra_filters, extra_stream_filters, timestamp_ns,
     )
     out = plan_query(spark, df, q)
-    for row in out.toLocalIterator():
-        d = row.asDict()
-        for k, v in list(d.items()):
-            if v is None:
-                d[k] = ""
-            elif not isinstance(v, str):
-                d[k] = str(v)
-        yield json.dumps(d, separators=(",", ":"))
+    try:
+        for row in out.toLocalIterator():
+            d = row.asDict()
+            for k, v in list(d.items()):
+                if v is None:
+                    d[k] = ""
+                elif not isinstance(v, str):
+                    d[k] = str(v)
+            yield json.dumps(d, separators=(",", ":"))
+    finally:
+        # release any unpack_json parsed-map projections this query
+        # persisted — the consuming action is done (or abandoned); a
+        # concurrent query still reading one simply recomputes the
+        # missing blocks (unpersist is correctness-neutral)
+        from victorialogs_spark.planner.pipes import clear_unpack_caches
+
+        clear_unpack_caches()

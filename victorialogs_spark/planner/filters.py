@@ -308,6 +308,37 @@ _DTYPE_VALUE_TYPES = {
 # plan-time probe tolerable without sampling (sampling misclassified
 # mixed-writer tables — round-6 advice)
 _DICT_PROBE_THREADS = 16
+# Footer probes are metadata-only but still one read per file: a 10^5-file
+# listing would pay an unbounded plan-time walk. Past this ceiling the
+# probe declines (None -> the documented lit(False) fallback, with a
+# warning) instead of stalling planning.
+_DICT_PROBE_MAX_FILES = 16_384
+
+
+def _colocated_with_scan(df: DataFrame) -> bool:
+    """True when every operator between this frame and its scan
+    preserves task colocation with the file read — the precondition for
+    ``F.input_file_name()`` to return the real URI. Any stage-breaking
+    or row-regenerating node (aggregate, join, sort, window, exchange,
+    global limit, Python map groups) makes input_file_name() return ''
+    downstream, which would silently fail EVERY row of a mixed-encoding
+    table; detect those from the analyzed plan and let the caller fall
+    back explicitly instead."""
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    bad = (
+        "Aggregate", "Join", "Sort", "Window", "Deduplicate",
+        "Repartition", "RepartitionByExpression", "GlobalLimit",
+        "Distinct", "Expand", "MapInPandas", "FlatMapGroupsInPandas",
+        "FlatMapGroupsInPandasWithState", "CoGroup", "Intersect", "Except",
+    )
+    for line in s.splitlines():
+        head = line.lstrip(" :+-|")
+        if head.startswith(bad):
+            return False
+    return True
 
 
 def local_input_paths(df: DataFrame) -> list[str]:
@@ -360,6 +391,16 @@ def _dict_encoded_by_file(df: DataFrame, field: str) -> dict[str, bool] | None:
     except Exception:
         return None
     if not uris:
+        return None
+    if len(uris) > _DICT_PROBE_MAX_FILES:
+        import warnings
+
+        warnings.warn(
+            f"value_type(dict): {len(uris)} input files exceed the"
+            f" {_DICT_PROBE_MAX_FILES}-file footer-probe ceiling;"
+            " falling back to no-match (storage not introspected)",
+            stacklevel=3,
+        )
         return None
     try:
         import pyarrow.parquet as pq
@@ -418,6 +459,19 @@ def _value_type(df: DataFrame, field: str, vt: str) -> Column:
         if len(dict_uris) == len(by_file):
             return c != ""
         if not dict_uris:
+            return F.lit(False)
+        if not _colocated_with_scan(df):
+            # input_file_name() would return '' here (the filter no
+            # longer evaluates in the scan's stage), silently failing
+            # every row — decline loudly instead
+            import warnings
+
+            warnings.warn(
+                "value_type(dict): mixed-encoding table filtered after a"
+                " stage-breaking operator; per-file attribution is"
+                " unavailable, falling back to no-match",
+                stacklevel=2,
+            )
             return F.lit(False)
         return F.input_file_name().isin(dict_uris) & (c != "")
     if vt == "string":

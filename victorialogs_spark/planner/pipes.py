@@ -678,6 +678,20 @@ UNPACK_PERSIST_MAX_BYTES = 2 << 30
 _UNPACK_CACHES: list = []
 
 
+def clear_unpack_caches() -> None:
+    """Unpersist every cached unpack_json parsed-map projection.
+
+    FIFO displacement alone bounds the cache at 4 entries but keeps up
+    to 4 x UNPACK_PERSIST_MAX_BYTES of executor storage pinned for the
+    PROCESS lifetime in a long-lived multi-tenant session. Callers that
+    know a query's consuming action has completed (the HTTP facade after
+    streaming a response, a batch driver between queries) call this to
+    release the storage immediately; the next unpack_json re-persists
+    from the (cheap, column-pruned) source scan."""
+    while _UNPACK_CACHES:
+        _UNPACK_CACHES.pop().unpersist()
+
+
 def _p_unpack_json(p: A.PUnpackJson, df: DataFrame, ctx) -> DataFrame:
     src = fcol(df, p.from_field)
     m = _flat_json_map(src)
