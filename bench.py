@@ -18,6 +18,63 @@ import sys
 import time
 
 
+# A session-wide median ratio above this is itself suspicious: drift
+# normalization (below) exists to absorb co-tenant contention, but it
+# cannot distinguish host noise from a GENUINE uniform regression (e.g.
+# a session-conf change slowing every query equally). Past this factor
+# the bench refuses to stay silent.
+DRIFT_BACKSTOP = 1.3
+
+
+def compute_regression_flags(
+    medians: dict[str, float], prior_medians: dict[str, float]
+) -> dict:
+    """Round-over-round regression detection on query MEDIANS.
+
+    Host-drift normalization: when co-tenant contention inflates the
+    whole session, EVERY query's ratio shifts together (measured: the
+    same binary produced 9 simultaneous 1.25-1.43x "regressions" on
+    untouched queries in one run and none in the next). The median
+    per-query ratio estimates that common factor; a real localized
+    regression is a query whose ratio stands out ABOVE the session's
+    drift, so flags use drift-normalized ratios, with the factor
+    recorded. BACKSTOP: normalization makes the guard blind to a
+    regression affecting >= half the queries — so when the drift factor
+    itself exceeds DRIFT_BACKSTOP, that is flagged separately with the
+    raw >1.25x queries listed, forcing a human look at whether the
+    "drift" is actually a uniform code regression."""
+    ratios = {
+        n: medians[n] / prior_medians[n]
+        for n in medians
+        if prior_medians.get(n, 0) > 0
+    }
+    drift = 1.0
+    if len(ratios) >= 5:
+        rs = sorted(ratios.values())
+        drift = max(1.0, rs[len(rs) // 2])
+    regressions: dict[str, dict] = {}
+    for name, med in medians.items():
+        pm = prior_medians.get(name)
+        if pm and pm > 0 and (med / pm) / drift > 1.25:
+            regressions[name] = {
+                "prior_median": pm,
+                "median": med,
+                "ratio": round(med / pm, 3),
+                "drift_normalized_ratio": round((med / pm) / drift, 3),
+            }
+    backstop = drift > DRIFT_BACKSTOP
+    return {
+        "regressions": regressions,
+        "host_drift_factor": round(drift, 3),
+        "drift_backstop_exceeded": backstop,
+        "uniform_slowdown_raw": (
+            {n: round(r, 3) for n, r in ratios.items() if r > 1.25}
+            if backstop
+            else {}
+        ),
+    }
+
+
 HEADLINE = [
     # name -> registry entry (victorialogs_spark/driver_entry.py)
     "f_word",                # token filter scan over events
@@ -260,37 +317,26 @@ def main() -> int:
             prior_medians = prior.get("query_medians") or {}
         except Exception:
             prior_medians = {}
-    # host-drift normalization: when co-tenant contention inflates the
-    # whole session, EVERY query's ratio shifts together (measured: the
-    # same binary produced 9 simultaneous 1.25-1.43x "regressions" on
-    # untouched queries in one run and none in the next). The median
-    # per-query ratio estimates that common factor; a real regression
-    # is a query whose ratio stands out ABOVE the session's drift, so
-    # flag on drift-normalized ratios and record the factor used.
-    ratios = {
-        n: medians[n] / prior_medians[n]
-        for n in medians
-        if prior_medians.get(n, 0) > 0
-    }
-    drift = 1.0
-    if len(ratios) >= 5:
-        rs = sorted(ratios.values())
-        drift = max(1.0, rs[len(rs) // 2])
-    for name, med in medians.items():
-        pm = prior_medians.get(name)
-        if pm and pm > 0 and (med / pm) / drift > 1.25:
-            regressions[name] = {
-                "prior_median": pm,
-                "median": med,
-                "ratio": round(med / pm, 3),
-                "drift_normalized_ratio": round((med / pm) / drift, 3),
-            }
-            print(
-                f"# REGRESSION {name}: median {pm:.3f}s -> {med:.3f}s "
-                f"({med / pm:.2f}x raw, {(med / pm) / drift:.2f}x "
-                f"drift-normalized) vs {os.path.basename(prior_file)}",
-                file=sys.stderr,
-            )
+    flags = compute_regression_flags(medians, prior_medians)
+    regressions = flags["regressions"]
+    drift = flags["host_drift_factor"]
+    for name, info in regressions.items():
+        print(
+            f"# REGRESSION {name}: median {info['prior_median']:.3f}s -> "
+            f"{info['median']:.3f}s ({info['ratio']:.2f}x raw, "
+            f"{info['drift_normalized_ratio']:.2f}x drift-normalized) vs "
+            f"{os.path.basename(prior_file) if prior_file else '?'}",
+            file=sys.stderr,
+        )
+    if flags["drift_backstop_exceeded"]:
+        print(
+            f"# DRIFT BACKSTOP: host_drift_factor {drift:.2f} exceeds "
+            f"{DRIFT_BACKSTOP} — a UNIFORM slowdown this large may be a "
+            f"genuine session-wide regression the normalization absorbed; "
+            f"raw >1.25x queries: "
+            f"{sorted(flags['uniform_slowdown_raw'])}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -317,6 +363,12 @@ def main() -> int:
                 # round — the co-tenant contention factor the regression
                 # flags were normalized by (1.0 = no drift detected)
                 "host_drift_factor": round(drift, 3),
+                # backstop: True when the drift factor itself exceeds
+                # DRIFT_BACKSTOP — a uniform slowdown that large needs a
+                # human look even if it's the host; the raw >1.25x
+                # queries are listed so the check is auditable
+                "drift_backstop_exceeded": flags["drift_backstop_exceeded"],
+                "uniform_slowdown_raw": flags["uniform_slowdown_raw"],
                 "regression_baseline": (
                     os.path.basename(prior_file) if prior_file else None
                 ),
