@@ -282,6 +282,15 @@ def test_ingest_jvm_path_parity(spark, tmp_path, monkeypatch):
     a = sorted(tuple(r[c] for c in cols) for r in jvm.collect())
     b = sorted(tuple(r[c] for c in cols) for r in pd_.collect())
     assert a == b and len(a) == 3  # malformed line dropped on both paths
+
+    # schema-supplied path (skips the inference scan) is row-identical
+    # to the inferred path when given the inferred schema
+    inferred = spark.read.json(str(p), primitivesAsString=True,
+                               mode="DROPMALFORMED").schema
+    pre = nd.ingest_ndjson_jvm(spark, str(p), stream_fields=["app"],
+                               schema=inferred)
+    c = sorted(tuple(r[col] for col in cols) for r in pre.collect())
+    assert c == a
     assert "_other" in jvm.columns  # spill map present (empty here)
     assert all(r["_other"] == {} for r in jvm.collect())
 

@@ -103,9 +103,25 @@ def main() -> int:
             # cold-load cost; supplying a schema removes it)
             return ingest_ndjson_jvm(spark, corpus, stream_fields=["event_type"])
 
+        # the steady-state loader shape: schema known from a prior batch
+        # — the (one-time, outside-the-timing) inference below stands in
+        # for that prior knowledge, so this row times parse+flatten only
+        known_schema = spark.read.json(
+            corpus, primitivesAsString=True, mode="DROPMALFORMED"
+        ).schema
+
+        def run_jvm_schema():
+            return ingest_ndjson_jvm(
+                spark, corpus, stream_fields=["event_type"], schema=known_schema
+            )
+
         results = {}
         n_rows = 0
-        for name, fn in (("mapInPandas", run_pandas), ("jvm", run_jvm)):
+        for name, fn in (
+            ("mapInPandas", run_pandas),
+            ("jvm", run_jvm),
+            ("jvm_schema", run_jvm_schema),
+        ):
             best = float("inf")
             for _ in range(2):
                 t0 = time.monotonic()

@@ -162,10 +162,17 @@ def ingest_ndjson_jvm(
     msg_field: str = "_msg",
     stream_fields: list[str] | None = None,
     default_msg_value: str = DEFAULT_MSG,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """JVM-native NDJSON ingest: ``spark.read.json`` (whole-stage codegen
     Jackson parse, no Python workers) + schema-driven flattening — the
     bulk-load fast path, ~5-10× the mapInPandas path's rows/sec.
+
+    ``schema`` (optional) skips the inference scan entirely — the shape a
+    steady-state 100 TB loader runs, where the field layout is known from
+    a prior batch or a sampled prefix. Fields must be string-typed to
+    match ``primitivesAsString`` inference (use a prior run's
+    ``df.schema``); rows carrying fields outside the schema lose them.
 
     Semantics match :func:`ingest_ndjson_distributed` (flatten_json
     dot-joining, missing ≡ empty, malformed lines dropped) with two
@@ -179,7 +186,9 @@ def ingest_ndjson_jvm(
     pass a representative sample's schema or accept the scan — both
     beat per-row Python by an order of magnitude.
     """
-    raw = spark.read.json(path, primitivesAsString=True, mode="DROPMALFORMED")
+    raw = spark.read.json(
+        path, schema=schema, primitivesAsString=True, mode="DROPMALFORMED"
+    )
     out = _flatten_promote_jvm(raw, time_field, msg_field, default_msg_value)
     if stream_fields:
         out = with_stream_id(
