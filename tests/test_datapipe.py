@@ -591,6 +591,84 @@ def test_image_ahash_integer_exact(spark):
     assert bits[3] is None
 
 
+def test_png_decode_spec_vector():
+    """Decoder validated AGAINST THE SPEC, independent of our encoder: a
+    hand-built 2x2 greyscale PNG whose Paeth-filtered scanline bytes
+    were computed by hand from RFC 2083 §6.6 must decode to the raw
+    pixels (a matched encode/decode bug pair would round-trip yet fail
+    this)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from victorialogs_spark.datapipe.multimodal import _decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # raw rows [10,20] / [30,40]; Paeth-filtered by hand:
+    # row0: pred(0,0,0)=0 -> 10; pred(10,0,0)=a=10 -> 10
+    # row1: pred(0,10,0)=b=10 -> 20; pred(30,20,10)=a=30 -> 10
+    idat = zlib.compress(bytes([4, 10, 10]) + bytes([4, 20, 10]))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    px = _decode_png(png)
+    assert (px[:, :, 0] == np.array([[10, 20], [30, 40]])).all()
+    assert (px[:, :, 0] == px[:, :, 1]).all()  # grey replicated
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    """encode_png/_decode_png round-trip across greyscale/RGB/RGBA/
+    grey+alpha, odd dimensions, and every filter type (the 'cycle' mode
+    runs filters 0-4 within one image); unsupported shapes raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from victorialogs_spark.datapipe.multimodal import _decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(24, 24, 3), (24, 24, 4), (24, 24), (7, 5, 3), (1, 1, 3), (6, 9, 2)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        if px.ndim == 2:
+            want = np.repeat(px[:, :, None], 3, axis=2)
+        elif px.shape[2] == 2:
+            want = np.repeat(px[:, :, :1], 3, axis=2)
+        else:
+            want = px[:, :, :3]
+        for ft in [0, 1, 2, 3, 4, "cycle"]:
+            dec = _decode_png(encode_png(px, filter_types=ft))
+            assert (dec == want).all(), (shape, ft)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        _decode_png(b"nope")
+
+
+def test_image_ahash_png_matches_ppm(spark):
+    """The SAME pixels through a PNG payload (real inflate+unfilter,
+    cycling filters) and a PPM payload must yield the SAME ahash — the
+    codec is transparent to the hash."""
+    import numpy as np
+
+    from victorialogs_spark.datapipe.multimodal import encode_png, image_ahash
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    ppm = b"P6\n24 24\n255\n" + px.tobytes()
+    png = encode_png(px, filter_types="cycle")
+    df = spark.createDataFrame(
+        [(1, ppm), (2, png)], "asset_id long, payload binary"
+    )
+    bits = {r["asset_id"]: r["ahash_bits"] for r in image_ahash(df).collect()}
+    assert bits[1] == bits[2] and bits[1] is not None
+
+
 def test_audio_zcr_energy_integer_exact(spark):
     """Zero crossings / total |s| computed by hand for a square wave must
     match the decode path exactly; undecodable payloads yield NULLs."""

@@ -6,15 +6,17 @@ shapes — is real and tested. Decoders, by honesty tier:
 
 - ``decoder="stdlib"`` — REAL decode for formats the container can
   handle without external libs: WAV (stdlib ``wave``: sample rate,
-  duration, per-segment RMS features), uncompressed 24/32-bit BMP and
-  binary PPM/P6 (struct + numpy: dimensions, per-strip mean-intensity
-  features). ``resize_image`` really resizes (numpy nearest-neighbor,
-  re-encoded as PPM).
+  duration, per-segment RMS features), uncompressed 24/32-bit BMP,
+  binary PPM/P6, and 8-bit non-interlaced PNG (``zlib`` inflate +
+  scanline unfilter — greyscale/RGB/RGBA; struct + numpy: dimensions,
+  per-strip mean-intensity features). ``resize_image`` really resizes
+  (numpy nearest-neighbor, re-encoded as PPM).
 - ``decoder="fake"`` — deterministic pseudo-features from the content
   hash, for end-to-end pipeline tests over arbitrary bytes.
 - ``decoder="pil"``/"ffmpeg" — the compressed-format integration point
-  (JPEG/PNG/MP4); those libs are not in this container, so this raises
-  NotImplementedError with the plug-in point documented.
+  (JPEG/MP4 — entropy coding beyond stdlib); those libs are not in this
+  container, so this raises NotImplementedError with the plug-in point
+  documented.
 """
 
 from __future__ import annotations
@@ -161,6 +163,150 @@ def _image_features(px, feat_dim: int) -> dict:
     return {"width": int(w), "height": int(h), "duration_ms": 0, "feature": feat}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> samples per pixel (8-bit only; palette needs PLTE handling)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes, feat_dim: int = 0):
+    """Real PNG decode → HxWx3 uint8, no external libs: PNG's
+    compression IS stdlib ``zlib``; the only format-specific work is
+    chunk walking and scanline unfiltering (filter types 0-4,
+    RFC 2083 §6). Supported: 8-bit non-interlaced greyscale / RGB /
+    grey+alpha / RGBA (alpha dropped, grey replicated to 3 channels).
+    Palette (PLTE), 16-bit, and Adam7 interlace raise — the honest
+    boundary of a ~100-line decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        raise ValueError(f"unsupported PNG colortype {color} (palette?)")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.intp)
+    for r in range(h):
+        row = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.intp)
+        ft = raw[r * (stride + 1)]
+        if ft == 0:  # None
+            cur = row
+        elif ft == 2:  # Up — fully vectorizable
+            cur = (row + prior) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.intp)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0  # left
+                b = prior[x]  # up
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prior[x - ch] if x >= ch else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = cur
+        prior = cur.astype(np.intp)
+    px = out.reshape(h, w, ch)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGB as-is; RGBA drops alpha
+
+
+def encode_png(px, filter_types=None) -> bytes:
+    """Minimal PNG encoder (8-bit, non-interlaced) for tests and
+    deterministic synthetic payloads. ``px`` is HxW (grey), HxWx3 (RGB)
+    or HxWx4 (RGBA) uint8. ``filter_types``: None = all rows filter 0;
+    an int = that filter everywhere; "cycle" = row r uses filter r % 5,
+    exercising every unfilter path in one image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    lines = []
+    flat = px.reshape(h, w * ch).astype(np.intp)
+    prior = np.zeros(w * ch, dtype=np.intp)
+    for r in range(h):
+        ft = (
+            r % 5 if filter_types == "cycle"
+            else (filter_types or 0) if isinstance(filter_types, int) or filter_types is None
+            else 0
+        )
+        cur = flat[r]
+        left = np.concatenate([np.zeros(ch, dtype=np.intp), cur[:-ch]]) if w * ch > ch else np.zeros_like(cur)
+        upleft = np.concatenate([np.zeros(ch, dtype=np.intp), prior[:-ch]]) if w * ch > ch else np.zeros_like(prior)
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prior
+        elif ft == 3:
+            enc = cur - ((left + prior) >> 1)
+        else:  # Paeth
+            p = left + prior - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
+            )
+            enc = cur - pred
+        lines.append(bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prior = cur
+    idat = zlib.compress(b"".join(lines), 9)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def _stdlib_decode(payload: bytes, feat_dim: int) -> dict:
     """Dispatch on magic bytes to the real no-external-libs decoders."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -169,6 +315,8 @@ def _stdlib_decode(payload: bytes, feat_dim: int) -> dict:
         return _image_features(_decode_bmp(payload, feat_dim), feat_dim)
     if payload[:2] == b"P6":
         return _image_features(_decode_ppm(payload, feat_dim), feat_dim)
+    if payload[:8] == _PNG_SIG:
+        return _image_features(_decode_png(payload), feat_dim)
     raise ValueError(f"unrecognized container (magic {payload[:4]!r})")
 
 
@@ -177,16 +325,17 @@ def decode_features(
 ) -> DataFrame:
     """Decode/feature-extract each asset via mapInPandas (Arrow batches).
 
-    decoder="stdlib": REAL decode for WAV/BMP/PPM payloads (no external
-    libs needed); unrecognized payloads yield a NULL feature row (width/
-    height/duration NULL, feature NULL) rather than failing the batch.
+    decoder="stdlib": REAL decode for WAV/BMP/PPM/PNG payloads (no
+    external libs needed); unrecognized payloads yield a NULL feature
+    row (width/height/duration NULL, feature NULL) rather than failing
+    the batch.
     decoder="fake": deterministic stub (see _fake_decode).
     decoder="pil"/"ffmpeg": compressed formats — NOT available in this
     container; raise with the integration point documented.
     """
     if decoder not in ("fake", "stdlib"):
         raise NotImplementedError(
-            f"decoder={decoder!r}: JPEG/PNG/MP4 decode needs PIL/ffmpeg, not "
+            f"decoder={decoder!r}: JPEG/MP4 decode needs PIL/ffmpeg, not "
             "present in this container. Plug the real decode into "
             "_decode_batches below — schema/batching stay identical."
         )
@@ -379,11 +528,13 @@ def _bilinear_32(gray, n: int = 32):
 
 
 def _stdlib_decode_pixels(b: bytes):
-    """BMP/PPM payload → HxWx3 uint8 pixels (raises on anything else)."""
+    """BMP/PPM/PNG payload → HxWx3 uint8 pixels (raises otherwise)."""
     if b[:2] == b"BM":
         return _decode_bmp(b, 0)
     if b[:2] == b"P6":
         return _decode_ppm(b, 0)
+    if b[:8] == _PNG_SIG:
+        return _decode_png(b)
     raise ValueError("not a decodable image")
 
 

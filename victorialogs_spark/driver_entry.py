@@ -1892,6 +1892,61 @@ def _dp_image_ahash(spark, sf_dir):
 
 
 @register(
+    "dp_image_ahash_png",
+    # the dp_image_ahash playbook through the REAL PNG codec: the same
+    # md5 pixel stream (salt :imgpng:) is PNG-encoded Spark-side with
+    # per-row filters cycling 0-4 (every unfilter path exercised), then
+    # decoded by the stdlib zlib-inflate + scanline-unfilter decoder
+    # before hashing. PNG is lossless, so the pixels DuckDB regenerates
+    # arithmetically are bit-identical to what Spark decodes — the
+    # oracle is dp_image_ahash's SQL with the new salt.
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':imgpng:')} AS v"
+    " FROM ids, UNNEST(range(1728)) AS u(i)),"
+    " px AS (SELECT doc_id, i // 3 AS p,"
+    " CAST(SUM(CASE WHEN i % 3 = 0 THEN 299 * v"
+    " WHEN i % 3 = 1 THEN 587 * v ELSE 114 * v END) AS BIGINT) // 1000 AS gray"
+    " FROM b GROUP BY 1, 2),"
+    " cells AS (SELECT doc_id, ((p // 24) * 8 // 24) * 8 + (p % 24) * 8 // 24 AS cell,"
+    " CAST(SUM(gray) AS BIGINT) AS cs, COUNT(*) AS cn FROM px GROUP BY 1, 2),"
+    " tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,"
+    " CAST(SUM(cn) AS BIGINT) AS tn FROM cells GROUP BY 1)"
+    " SELECT c.doc_id, string_agg(CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END,"
+    " '' ORDER BY cell) AS ahash_bits"
+    " FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id",
+)
+def _dp_image_ahash_png(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.multimodal import encode_png, image_ahash
+
+    docs = _spread(spark, sf_dir, "documents").select("doc_id")
+    raw = _md5_stream_payload(":imgpng:", b"", 108)  # 1728 pixel bytes
+
+    def _to_png(series):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series(
+            [
+                encode_png(
+                    np.frombuffer(bytes(b), np.uint8).reshape(24, 24, 3),
+                    filter_types="cycle",
+                )
+                for b in series
+            ]
+        )
+
+    _to_png.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    to_png = F.pandas_udf(_to_png, "binary")
+    assets = docs.select("doc_id", to_png(raw).alias("payload"))
+    return image_ahash(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "ahash_bits"
+    )
+
+
+@register(
     "dp_audio_zcr",
     # integer-exact oracle twin of dp_audio_fingerprint: 864 int16 LE
     # samples from an md5 stream, wrapped in a canonical 44-byte WAV
