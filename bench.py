@@ -285,6 +285,42 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    # ---- layout HEADLINE column: the same headline queries (the
+    # events-based ones — LogsQL text re-run verbatim) over the
+    # partitioned+sidecar layout, measured with the same hot-run
+    # protocol and guarded by the same regression check as the raw
+    # scans. At 100 TB the layout is the ONLY read path; a pruning
+    # regression must trip the same alarm as a raw-scan regression.
+    from victorialogs_spark.driver_entry import LOGSQL_TEXT
+
+    layout_times: dict[str, float] = {}
+    layout_medians: dict[str, float] = {}
+    for name in HEADLINE:
+        q = LOGSQL_TEXT.get(name)
+        if q is None:
+            continue  # non-events entry (tpch_*/dp_*): no log layout
+        samples = []
+        spark.catalog.clearCache()
+        for _ in range(3):
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
+            t0 = time.monotonic()
+            df = run_query(spark, layout_dir, q)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.monotonic() - t0)
+        samples.sort()
+        layout_times[name] = round(samples[0], 4)
+        mid = len(samples) // 2
+        layout_medians[name] = round(
+            samples[mid]
+            if len(samples) % 2
+            else (samples[mid - 1] + samples[mid]) / 2,
+            4,
+        )
+        print(
+            f"# layout-headline {name}: {layout_times[name]:.3f}s",
+            file=sys.stderr,
+        )
+
     total = round(sum(times.values()), 4)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -315,9 +351,22 @@ def main() -> int:
             ):
                 prior = prior["parsed"]
             prior_medians = prior.get("query_medians") or {}
+            prior_layout_medians = prior.get("layout_query_medians") or {}
         except Exception:
             prior_medians = {}
+            prior_layout_medians = {}
+    else:
+        prior_layout_medians = {}
     flags = compute_regression_flags(medians, prior_medians)
+    # same guard over the layout read path (silent the first round a
+    # layout baseline doesn't exist yet)
+    layout_flags = compute_regression_flags(layout_medians, prior_layout_medians)
+    for name, info in layout_flags["regressions"].items():
+        print(
+            f"# LAYOUT REGRESSION {name}: median {info['prior_median']:.3f}s"
+            f" -> {info['median']:.3f}s ({info['ratio']:.2f}x raw)",
+            file=sys.stderr,
+        )
     regressions = flags["regressions"]
     drift = flags["host_drift_factor"]
     for name, info in regressions.items():
@@ -369,6 +418,17 @@ def main() -> int:
                 # queries are listed so the check is auditable
                 "drift_backstop_exceeded": flags["drift_backstop_exceeded"],
                 "uniform_slowdown_raw": flags["uniform_slowdown_raw"],
+                # the SAME headline queries (events-based subset, same
+                # LogsQL text, same hot-run protocol) over the
+                # partitioned+sidecar layout — the actual 100 TB read
+                # path — with the regression guard applied independently
+                "queries_layout": layout_times,
+                "layout_query_medians": layout_medians,
+                "layout_regressions": layout_flags["regressions"],
+                "layout_host_drift_factor": layout_flags["host_drift_factor"],
+                "layout_drift_backstop_exceeded": layout_flags[
+                    "drift_backstop_exceeded"
+                ],
                 "regression_baseline": (
                     os.path.basename(prior_file) if prior_file else None
                 ),

@@ -79,6 +79,12 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _CACHE[key]
 
 
+# LogsQL text of entries registered over the events log view — consumers
+# (bench.py's layout column) re-run the SAME query text against other
+# physical layouts of the same logical table
+LOGSQL_TEXT: dict[str, str] = {}
+
+
 def logsql(name: str, query: str, sql: str | None = None, table: str = "__logs__"):
     """Register a LogsQL query (over the events log view by default)."""
 
@@ -88,6 +94,8 @@ def logsql(name: str, query: str, sql: str | None = None, table: str = "__logs__
 
     fn.__name__ = f"q_{name}"
     QUERIES[name] = fn
+    if table == "__logs__":
+        LOGSQL_TEXT[name] = query
     if sql is not None:
         ORACLE[name] = sql
 
