@@ -495,15 +495,21 @@ def ngram_jaccard_pairs(
         )
         .select(gh.alias("gh"), F.struct(F.col(id_col).alias("id"), F.col("sz")).alias("doc"))
     )
-    if max_doc_freq:
-        from pyspark.sql.window import Window
+    from pyspark.sql.window import Window
 
-        win = Window.partitionBy("gh")
-        grams = (
-            grams.withColumn("__df", F.count(F.lit(1)).over(win))
-            .where((F.col("__df") >= 2) & (F.col("__df") <= max_doc_freq))
-            .drop("__df")
-        )
+    win = Window.partitionBy("gh")
+    df_ok = F.col("__df") >= 2  # singleton grams can't form a pair
+    if max_doc_freq:
+        df_ok = df_ok & (F.col("__df") <= max_doc_freq)
+    # the >= 2 pre-filter runs even unguarded: it is semantically free
+    # (a single-doc gram contributes no pair) and drops the singleton
+    # majority of the gram universe BEFORE the array build — measured
+    # 3.16 -> 2.17 s at sf0.1 and 249 -> 202 s at 100x (SCALE.md)
+    grams = (
+        grams.withColumn("__df", F.count(F.lit(1)).over(win))
+        .where(df_ok)
+        .drop("__df")
+    )
     postings = grams.groupBy("gh").agg(F.array_sort(F.collect_list("doc")).alias("docs"))
     pairs = postings.where(F.size("docs") >= 2).select(
         F.explode(_bucket_pairs(F.col("docs"))).alias("p")
