@@ -669,6 +669,163 @@ def test_image_ahash_png_matches_ppm(spark):
     assert bits[1] == bits[2] and bits[1] is not None
 
 
+def test_jpeg_flat_blocks_integer_exact():
+    """Baseline JPEG decode of flat 8x8 blocks is integer-predictable:
+    dc = floor(8(v-128)/q00 + 0.5) on encode, pixel = floor((dc*q00+4)/8)
+    + 128 on decode (the DC-only fast path) — the determinism anchor
+    the registry oracle twin replicates in SQL."""
+    import math
+
+    import numpy as np
+
+    from victorialogs_spark.datapipe.jpeg import (
+        QUANT_LUM,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    q00 = int(QUANT_LUM[0, 0])
+    assert q00 % 2 == 1  # odd on purpose: no rounding ties on encode
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 256, size=(3, 3), dtype=np.int64)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+
+    def predict(v):
+        dc = math.floor(8 * (v - 128) / q00 + 0.5)
+        return min(255, max(0, math.floor((dc * q00 + 4) / 8) + 128))
+
+    got = dec[::8, ::8, 0].astype(np.int64)
+    assert (got == np.vectorize(predict)(vals)).all()
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()  # grey replicated
+    for by in range(3):
+        for bx in range(3):
+            blk = dec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+            assert (blk == blk[0, 0]).all()  # flat stayed flat
+
+
+def test_jpeg_roundtrip_and_restarts():
+    """General path: smooth gradients round-trip within quantization
+    error; restart markers (DRI/RSTn) decode identically to the
+    unsegmented stream; odd (non-multiple-of-8) dimensions crop right;
+    RGB survives the color transform."""
+    import numpy as np
+
+    from victorialogs_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+    g = np.fromfunction(
+        lambda y, x: 100 + 40 * np.sin(x / 6.0) + 30 * np.cos(y / 5.0), (30, 45)
+    )
+    g = np.clip(g, 0, 255).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(g))
+    assert plain.shape == (30, 45, 3)
+    assert np.abs(plain[:, :, 0].astype(float) - g.astype(float)).mean() < 4.0
+    # restart markers: byte-aligned segments, predictors reset — must
+    # reproduce the exact same pixels as the single-segment stream
+    with_rst = decode_jpeg(encode_jpeg(g, restart_interval=3))
+    assert (with_rst == plain).all()
+
+    c = np.zeros((24, 40, 3), np.uint8)
+    c[:, :20] = [200, 40, 40]
+    c[:, 20:] = [30, 60, 180]
+    d3 = decode_jpeg(encode_jpeg(c))
+    assert np.abs(d3.astype(float) - c.astype(float)).mean() < 8.0
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"nope")
+
+
+def test_jpeg_420_subsampled_hand_vector():
+    """4:2:0 path via a hand-assembled stream (the encoder is 4:4:4
+    only): one MCU = 4 Y blocks + Cb + Cr, all DC-only flat greys, so
+    every output pixel is exactly predictable after upsampling."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from victorialogs_spark.datapipe import jpeg as J
+
+    def chunk(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    q00 = int(J.QUANT_LUM[0, 0])
+    out = bytearray(b"\xff\xd8")
+    zz = bytes(int(J.QUANT_LUM.ravel()[J.ZIGZAG[i]]) for i in range(64))
+    out += chunk(0xFFDB, bytes([0]) + zz)
+    sof = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([3])
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += chunk(0xFFC0, sof)
+    for cls, syms, ln in ((0, J._DC_SYMS, J._DC_LEN), (1, J._AC_SYMS, J._AC_LEN)):
+        counts = [0] * 16
+        counts[ln - 1] = len(syms)
+        out += chunk(0xFFC4, bytes([cls << 4]) + bytes(counts) + bytes(syms))
+    out += chunk(0xFFDA, bytes([3, 1, 0, 2, 0, 3, 0, 0, 63, 0]))
+
+    y_vals = [60, 110, 160, 210]  # one per Y block (2x2 grid)
+    bw = J._BitWriter()
+    pred = 0
+    dcs = []
+    for v in y_vals:
+        dc = math.floor(8 * (v - 128) / q00 + 0.5)
+        dcs.append(dc)
+        diff = dc - pred
+        pred = dc
+        s = J._category(diff)
+        code, ln = J._DC_CODES[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, ln = J._AC_CODES[0x00]
+        bw.write(code, ln)  # EOB
+    for _ in range(2):  # Cb, Cr: dc diff 0 (neutral 128)
+        code, ln = J._DC_CODES[0]
+        bw.write(code, ln)
+        code, ln = J._AC_CODES[0x00]
+        bw.write(code, ln)
+    out += bw.flush() + b"\xff\xd9"
+
+    dec = J.decode_jpeg(bytes(out))
+    assert dec.shape == (16, 16, 3)
+    want = [min(255, max(0, math.floor((dc * q00 + 4) / 8) + 128)) for dc in dcs]
+    got = [int(dec[0, 0, 0]), int(dec[0, 8, 0]), int(dec[8, 0, 0]), int(dec[8, 8, 0])]
+    assert got == want
+    # neutral chroma -> grey output (R == G == B everywhere)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()
+    assert (dec[:, :, 1] == dec[:, :, 2]).all()
+
+
+def test_image_ahash_jpeg_matches_prediction(spark):
+    """image_ahash over a REAL JPEG payload (full marker/Huffman/
+    dequantize decode inside the Arrow map) equals the hash of the
+    integer-predicted flat-block pixels."""
+    import math
+
+    import numpy as np
+
+    from victorialogs_spark.datapipe.jpeg import QUANT_LUM, encode_jpeg
+    from victorialogs_spark.datapipe.multimodal import image_ahash
+
+    q00 = int(QUANT_LUM[0, 0])
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 256, size=(3, 3), dtype=np.int64)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    jpg = encode_jpeg(img)
+    ppm_px = np.empty((24, 24, 3), np.uint8)
+    for by in range(3):
+        for bx in range(3):
+            v = int(vals[by, bx])
+            dc = math.floor(8 * (v - 128) / q00 + 0.5)
+            pv = min(255, max(0, math.floor((dc * q00 + 4) / 8) + 128))
+            ppm_px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pv
+    ppm = b"P6\n24 24\n255\n" + ppm_px.tobytes()
+    df = spark.createDataFrame(
+        [(1, jpg), (2, ppm)], "asset_id long, payload binary"
+    )
+    bits = {r["asset_id"]: r["ahash_bits"] for r in image_ahash(df).collect()}
+    assert bits[1] == bits[2] and bits[1] is not None
+
+
 def test_audio_zcr_energy_integer_exact(spark):
     """Zero crossings / total |s| computed by hand for a square wave must
     match the decode path exactly; undecodable payloads yield NULLs."""

@@ -7,16 +7,18 @@ shapes — is real and tested. Decoders, by honesty tier:
 - ``decoder="stdlib"`` — REAL decode for formats the container can
   handle without external libs: WAV (stdlib ``wave``: sample rate,
   duration, per-segment RMS features), uncompressed 24/32-bit BMP,
-  binary PPM/P6, and 8-bit non-interlaced PNG (``zlib`` inflate +
-  scanline unfilter — greyscale/RGB/RGBA; struct + numpy: dimensions,
-  per-strip mean-intensity features). ``resize_image`` really resizes
-  (numpy nearest-neighbor, re-encoded as PPM).
+  binary PPM/P6, 8-bit non-interlaced PNG (``zlib`` inflate + scanline
+  unfilter — greyscale/RGB/RGBA), and baseline sequential JPEG
+  (jpeg.py: marker walk, stream-defined Huffman tables, dequantize,
+  float IDCT with the exact-integer DC-only fast path, 4:4:4/4:2:0/
+  4:2:2, restart markers). ``resize_image`` really resizes (numpy
+  nearest-neighbor, re-encoded as PPM).
 - ``decoder="fake"`` — deterministic pseudo-features from the content
   hash, for end-to-end pipeline tests over arbitrary bytes.
-- ``decoder="pil"``/"ffmpeg" — the compressed-format integration point
-  (JPEG/MP4 — entropy coding beyond stdlib); those libs are not in this
-  container, so this raises NotImplementedError with the plug-in point
-  documented.
+- ``decoder="pil"``/"ffmpeg" — the remaining integration point
+  (progressive/arithmetic JPEG, MP4/video codecs); those libs are not
+  in this container, so this raises NotImplementedError with the
+  plug-in point documented.
 """
 
 from __future__ import annotations
@@ -317,6 +319,10 @@ def _stdlib_decode(payload: bytes, feat_dim: int) -> dict:
         return _image_features(_decode_ppm(payload, feat_dim), feat_dim)
     if payload[:8] == _PNG_SIG:
         return _image_features(_decode_png(payload), feat_dim)
+    if payload[:2] == b"\xff\xd8":
+        from victorialogs_spark.datapipe.jpeg import decode_jpeg
+
+        return _image_features(decode_jpeg(payload), feat_dim)
     raise ValueError(f"unrecognized container (magic {payload[:4]!r})")
 
 
@@ -325,19 +331,21 @@ def decode_features(
 ) -> DataFrame:
     """Decode/feature-extract each asset via mapInPandas (Arrow batches).
 
-    decoder="stdlib": REAL decode for WAV/BMP/PPM/PNG payloads (no
-    external libs needed); unrecognized payloads yield a NULL feature
-    row (width/height/duration NULL, feature NULL) rather than failing
-    the batch.
+    decoder="stdlib": REAL decode for WAV/BMP/PPM/PNG/baseline-JPEG
+    payloads (no external libs needed); unrecognized payloads yield a
+    NULL feature row (width/height/duration NULL, feature NULL) rather
+    than failing the batch.
     decoder="fake": deterministic stub (see _fake_decode).
-    decoder="pil"/"ffmpeg": compressed formats — NOT available in this
-    container; raise with the integration point documented.
+    decoder="pil"/"ffmpeg": the remaining compressed formats — NOT
+    available in this container; raise with the integration point
+    documented.
     """
     if decoder not in ("fake", "stdlib"):
         raise NotImplementedError(
-            f"decoder={decoder!r}: JPEG/MP4 decode needs PIL/ffmpeg, not "
-            "present in this container. Plug the real decode into "
-            "_decode_batches below — schema/batching stay identical."
+            f"decoder={decoder!r}: progressive JPEG / MP4 decode needs "
+            "PIL/ffmpeg, not present in this container. Plug the real "
+            "decode into _decode_batches below — schema/batching stay "
+            "identical."
         )
 
     def _decode_batches(batches: Iterator) -> Iterator:
@@ -528,13 +536,17 @@ def _bilinear_32(gray, n: int = 32):
 
 
 def _stdlib_decode_pixels(b: bytes):
-    """BMP/PPM/PNG payload → HxWx3 uint8 pixels (raises otherwise)."""
+    """BMP/PPM/PNG/baseline-JPEG payload → HxWx3 uint8 (raises else)."""
     if b[:2] == b"BM":
         return _decode_bmp(b, 0)
     if b[:2] == b"P6":
         return _decode_ppm(b, 0)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from victorialogs_spark.datapipe.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     raise ValueError("not a decodable image")
 
 

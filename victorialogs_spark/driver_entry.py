@@ -1955,6 +1955,65 @@ def _dp_image_ahash_png(spark, sf_dir):
 
 
 @register(
+    "dp_image_ahash_jpeg",
+    # REAL baseline-JPEG decode under the hash: each doc's payload is a
+    # greyscale JPEG of 9 flat 8x8 blocks (greys = 9 md5-stream bytes),
+    # encoded Spark-side by jpeg.encode_jpeg and decoded by the generic
+    # marker/Huffman/dequantize path. Flat blocks take the decoder's
+    # exact-integer DC-only fast path, so the decoded pixel of block
+    # value v is dc = floor(8(v-128)/17 + 0.5) (q00 = 17, odd so encode
+    # never hits a rounding tie) then clamp(floor((dc*17+4)/8) + 128) —
+    # which DuckDB replicates arithmetically below. Lossy codec, exact
+    # oracle: the loss itself is deterministic integer math.
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':imgjpg:')} AS v"
+    " FROM ids, UNNEST(range(9)) AS u(i)),"
+    " e AS (SELECT doc_id, i AS blk, LEAST(GREATEST(CAST(FLOOR(("
+    " CAST(FLOOR(8.0 * (v - 128) / 17.0 + 0.5) AS BIGINT) * 17 + 4) / 8.0)"
+    " AS BIGINT) + 128, 0), 255) AS gray FROM b),"
+    " px AS (SELECT q.doc_id, q.p, e.gray FROM"
+    " (SELECT doc_id, u.i AS p FROM ids, UNNEST(range(576)) AS u(i)) q"
+    " JOIN e ON e.doc_id = q.doc_id"
+    " AND e.blk = ((q.p // 24) // 8) * 3 + ((q.p % 24) // 8)),"
+    " cells AS (SELECT doc_id, ((p // 24) * 8 // 24) * 8 + (p % 24) * 8 // 24 AS cell,"
+    " CAST(SUM(gray) AS BIGINT) AS cs, COUNT(*) AS cn FROM px GROUP BY 1, 2),"
+    " tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,"
+    " CAST(SUM(cn) AS BIGINT) AS tn FROM cells GROUP BY 1)"
+    " SELECT c.doc_id, string_agg(CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END,"
+    " '' ORDER BY cell) AS ahash_bits"
+    " FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id",
+)
+def _dp_image_ahash_jpeg(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.multimodal import image_ahash
+
+    docs = _spread(spark, sf_dir, "documents").select("doc_id")
+    raw = _md5_stream_payload(":imgjpg:", b"", 1)  # 16 bytes; first 9 used
+
+    def _to_jpeg(series):
+        import numpy as np
+        import pandas as pd
+
+        from victorialogs_spark.datapipe.jpeg import encode_jpeg
+
+        out = []
+        for b in series:
+            v = np.frombuffer(bytes(b), np.uint8, 9).astype(np.int64).reshape(3, 3)
+            img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+            out.append(encode_jpeg(img))
+        return pd.Series(out)
+
+    _to_jpeg.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    to_jpeg = F.pandas_udf(_to_jpeg, "binary")
+    assets = docs.select("doc_id", to_jpeg(raw).alias("payload"))
+    return image_ahash(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "ahash_bits"
+    )
+
+
+@register(
     "dp_audio_zcr",
     # integer-exact oracle twin of dp_audio_fingerprint: 864 int16 LE
     # samples from an md5 stream, wrapped in a canonical 44-byte WAV
@@ -3198,6 +3257,7 @@ _STALE_R8_WINDOW = [
 # (never in any prior artifact) — they must land inside the 50-entry window.
 _NEW_R8 = [
     "dp_image_ahash_png",
+    "dp_image_ahash_jpeg",
 ]
 
 
