@@ -826,6 +826,52 @@ def test_image_ahash_jpeg_matches_prediction(spark):
     assert bits[1] == bits[2] and bits[1] is not None
 
 
+def test_mp4_parse_extract_roundtrip():
+    """build_mp4 -> parse_mp4 recovers the exact sample table (times
+    from RLE stts, sizes, absolute offsets, 1-based stss sync flags)
+    and extract_sample returns each coded payload byte-for-byte."""
+    import pytest as _pytest
+
+    from victorialogs_spark.datapipe.mp4 import (
+        build_mp4,
+        extract_sample,
+        parse_mp4,
+    )
+
+    payloads = [bytes([i]) * s for i, s in enumerate([40, 33, 52, 41, 60])]
+    durs = [200, 150, 150, 300, 100]
+    b = build_mp4(payloads, durs, sync_every=3)
+    tr = parse_mp4(b)["tracks"][0]
+    assert tr["handler"] == "vide" and tr["timescale"] == 1000
+    assert [s["time"] for s in tr["samples"]] == [0, 200, 350, 500, 800]
+    assert [s["size"] for s in tr["samples"]] == [40, 33, 52, 41, 60]
+    assert [s["sync"] for s in tr["samples"]] == [True, False, False, True, False]
+    for i, s in enumerate(tr["samples"]):
+        assert extract_sample(b, s) == payloads[i]
+    with _pytest.raises(ValueError, match="not an ISO-BMFF"):
+        parse_mp4(b"\x00" * 16)
+
+
+def test_video_frame_sample_seeks_keyframes(spark):
+    """The sampler emits, per 500 ms target, the LATEST keyframe at or
+    before it (decoder seek semantics); junk payloads yield no rows."""
+    from victorialogs_spark.datapipe.mp4 import build_mp4, video_frame_sample
+
+    payloads = [bytes([i]) * 8 for i in range(5)]
+    durs = [200, 150, 150, 300, 100]  # starts 0,200,350,500,800; total 900
+    b = build_mp4(payloads, durs, sync_every=3)  # keyframes: samples 0, 3
+    df = spark.createDataFrame(
+        [(1, bytearray(b)), (2, bytearray(b"junk"))],
+        "asset_id long, payload binary",
+    )
+    rows = sorted(
+        (r["frame_ts_ms"], r["sample_index"], r["sample_time_ms"], r["sample_size"])
+        for r in video_frame_sample(df, every_ms=500).collect()
+    )
+    # t=0 -> key 0; t=500 -> key 3 (starts exactly at 500)
+    assert rows == [(0, 0, 0, 8), (500, 3, 500, 8)]
+
+
 def test_audio_zcr_energy_integer_exact(spark):
     """Zero crossings / total |s| computed by hand for a square wave must
     match the decode path exactly; undecodable payloads yield NULLs."""

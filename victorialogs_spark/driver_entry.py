@@ -1955,6 +1955,77 @@ def _dp_image_ahash_png(spark, sf_dir):
 
 
 @register(
+    "dp_mp4_frame_extract",
+    # REAL MP4 container parsing under the sampler (datapipe/mp4.py):
+    # each video doc's payload is a genuine ISO-BMFF file (ftyp + mdat +
+    # moov with stts/stss/stsz/stsc/stco) built from md5-stream bytes —
+    # n = 4 + b0 % 5 samples, duration_ms(k) = 100 + b[1+k], size(k) =
+    # 32 + b[16+k], keyframe iff k % 3 == 0. Spark WALKS THE BOXES and
+    # seeks: for each t = j*500 < total, the latest keyframe at or
+    # before t. Pure integer sample-table arithmetic — DuckDB replicates
+    # it from the same md5 bytes without ever touching the container.
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents"
+    " WHERE doc_id % 3 = 2),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':mp4:')} AS v"
+    " FROM ids, UNNEST(range(32)) AS u(i)),"
+    " n0 AS (SELECT doc_id, 4 + (v % 5) AS ns FROM b WHERE i = 0),"
+    " s AS (SELECT b.doc_id, i - 1 AS k, 100 + v AS dur FROM b"
+    " JOIN n0 USING (doc_id) WHERE i BETWEEN 1 AND ns),"
+    " z AS (SELECT b.doc_id, i - 16 AS k, 32 + v AS size FROM b"
+    " JOIN n0 USING (doc_id) WHERE i BETWEEN 16 AND 15 + ns),"
+    " t AS (SELECT doc_id, k, dur, COALESCE(SUM(dur) OVER ("
+    " PARTITION BY doc_id ORDER BY k"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st FROM s),"
+    " tot AS (SELECT doc_id, SUM(dur) AS total FROM s GROUP BY doc_id),"
+    " frames AS (SELECT doc_id, CAST(u.i * 500 AS BIGINT) AS ts FROM tot,"
+    " UNNEST(range(0, CAST(CEIL(total / 500.0) AS BIGINT))) AS u(i)),"
+    " key AS (SELECT doc_id, k, st FROM t WHERE k % 3 = 0),"
+    " sel AS (SELECT f.doc_id, f.ts, MAX(key.k) AS k FROM frames f"
+    " JOIN key ON key.doc_id = f.doc_id AND key.st <= f.ts GROUP BY 1, 2)"
+    " SELECT CAST(sel.doc_id AS BIGINT) AS asset_id, sel.ts AS frame_ts_ms,"
+    " CAST(sel.k AS BIGINT) AS sample_index,"
+    " CAST(t.st AS BIGINT) AS sample_time_ms,"
+    " CAST(z.size AS BIGINT) AS sample_size"
+    " FROM sel JOIN t ON t.doc_id = sel.doc_id AND t.k = sel.k"
+    " JOIN z ON z.doc_id = sel.doc_id AND z.k = sel.k",
+)
+def _dp_mp4_frame_extract(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.mp4 import video_frame_sample
+
+    docs = (
+        _spread(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 2)
+    )
+    raw = _md5_stream_payload(":mp4:", b"", 2)  # 32 deterministic bytes
+
+    def _to_mp4(series):
+        import pandas as pd
+
+        from victorialogs_spark.datapipe.mp4 import build_mp4
+
+        out = []
+        for buf in series:
+            raw_b = bytes(buf)
+            n = 4 + raw_b[0] % 5
+            durs = [100 + raw_b[1 + k] for k in range(n)]
+            sizes = [32 + raw_b[16 + k] for k in range(n)]
+            payloads = [bytes([k % 256]) * sizes[k] for k in range(n)]
+            out.append(build_mp4(payloads, durs, sync_every=3))
+        return pd.Series(out)
+
+    _to_mp4.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    to_mp4 = F.pandas_udf(_to_mp4, "binary")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), to_mp4(raw).alias("payload")
+    )
+    return video_frame_sample(assets, every_ms=500)
+
+
+@register(
     "dp_image_ahash_jpeg",
     # REAL baseline-JPEG decode under the hash: each doc's payload is a
     # greyscale JPEG of 9 flat 8x8 blocks (greys = 9 md5-stream bytes),
@@ -3258,6 +3329,7 @@ _STALE_R8_WINDOW = [
 _NEW_R8 = [
     "dp_image_ahash_png",
     "dp_image_ahash_jpeg",
+    "dp_mp4_frame_extract",
 ]
 
 
