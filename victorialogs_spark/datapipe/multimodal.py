@@ -222,14 +222,21 @@ def _decode_png(payload: bytes, feat_dim: int = 0):
             cur = row
         elif ft == 2:  # Up — fully vectorizable
             cur = (row + prior) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+        elif ft == 1:
+            # Sub is a per-channel-lane prefix sum mod 256: uint8
+            # accumulate wraps exactly, so a megapixel row costs one
+            # numpy pass instead of a Python loop over every byte
+            lanes = row.astype(np.uint8).reshape(-1, ch)
+            cur = np.add.accumulate(lanes, axis=0, dtype=np.uint8)
+            cur = cur.reshape(-1).astype(np.intp)
+        elif ft in (3, 4):  # Average / Paeth: inherently sequential in x
+            # (each byte's predictor needs the DECODED left neighbor —
+            # no closed-form scan; rows are the parallel unit at scale)
             cur = np.zeros(stride, dtype=np.intp)
             for x in range(stride):
                 a = cur[x - ch] if x >= ch else 0  # left
                 b = prior[x]  # up
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + b) >> 1
                 else:
                     c = prior[x - ch] if x >= ch else 0  # upper-left
