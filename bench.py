@@ -447,6 +447,39 @@ def main() -> int:
             }
         )
     )
+    # ---- FINAL compact machine-readable line. The round driver captures
+    # only the LAST ~2000 chars of combined output and parses the last
+    # JSON line it finds; round 8's verbose line above outgrew that
+    # window and the artifact recorded `parsed: null` with a tail that
+    # began mid-dict. This line carries everything the next round's
+    # regression guard and the judge need (totals, per-query best-of +
+    # medians, guard flags) and trims optional sections if it would
+    # overflow the capture window. It must be printed LAST.
+    sys.stderr.flush()
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "stat": "best_of_runs",
+        "action": "noop_write",
+        "queries": {n: round(v, 3) for n, v in times.items()},
+        "query_medians": {n: round(v, 3) for n, v in medians.items()},
+        "layout_query_medians": {
+            n: round(v, 3) for n, v in layout_medians.items()
+        },
+        # names only — full detail lives in the verbose line above
+        "regressions": sorted(regressions),
+        "layout_regressions": sorted(layout_flags["regressions"]),
+        "host_drift_factor": round(drift, 3),
+        "drift_backstop_exceeded": flags["drift_backstop_exceeded"],
+    }
+    # stay well under the driver's 2000-char tail capture
+    for drop in ("layout_query_medians", "queries"):
+        if len(json.dumps(compact)) > 1900:
+            compact.pop(drop, None)
+    print(json.dumps(compact))
+    sys.stdout.flush()
     return 0
 
 

@@ -3301,12 +3301,31 @@ _DRIVER_VERIFIED_R7 = [
     "f_len_range",
 ]
 
+# exactly the 50-entry window recorded in CORRECTNESS_r08.json (50/50 green)
+_DRIVER_VERIFIED_R8 = [
+    "dp_image_ahash_png", "dp_image_ahash_jpeg", "dp_mp4_frame_extract",
+    "f_eq_field", "f_le_field", "f_time_range", "f_time_duration_offset",
+    "f_day_range", "f_week_range", "f_day_range_offset", "f_time_gt_offset",
+    "f_stream", "f_bool", "p_fields_delete", "p_copy", "p_rename",
+    "p_rename_overwrite", "p_filter", "p_limit", "p_offset",
+    "p_sort_desc_rank", "p_sort_partition_topk", "p_first", "p_last",
+    "p_math", "p_math_funcs", "p_extract", "p_extract_regexp", "p_replace",
+    "p_replace_regexp", "p_format", "p_format_converters", "dp_span_dedup",
+    "dp_cut_spans", "dp_tfidf_terms", "dp_dsir_weights",
+    "dp_ann_quantized_topk", "dp_perplexity_buckets", "dp_bigram_logprob",
+    "dp_mix_sources", "dp_label_centroids", "dp_knn_purity",
+    "dp_curate_packed", "dp_stream_stats", "dp_simhash_md5",
+    "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
+    "dp_repetition", "dp_ngram_repetition",
+]
+
 # The 50 STALEST oracle-backed entries by last-green driver round, computed
 # from the union of CORRECTNESS_r01..r07.json (artifact complete as of r07:
 # every oracle-backed entry is green in some round, no latest check is red).
 # 29 entries whose last green row is r03 (in r03 artifact order) followed by
 # the 21 oldest r05 entries — the filters/pipes code behind the r03 batch has
 # changed the most since it was last driver-checked, so it goes first.
+# Superseded by _STALE_R9_WINDOW; kept for the historical record.
 _STALE_R8_WINDOW = [
     "f_eq_field", "f_le_field", "f_time_range", "f_time_duration_offset",
     "f_day_range", "f_week_range", "f_day_range_offset", "f_time_gt_offset",
@@ -3324,12 +3343,44 @@ _STALE_R8_WINDOW = [
     "dp_dup_clusters", "dp_cluster_dedup",
 ]
 
-# round-8 additions: brand-new oracle-backed entries registered this round
-# (never in any prior artifact) — they must land inside the 50-entry window.
+# round-8 additions: brand-new oracle-backed entries registered that round —
+# all three landed green in CORRECTNESS_r08.json (now in _DRIVER_VERIFIED_R8).
 _NEW_R8 = [
     "dp_image_ahash_png",
     "dp_image_ahash_jpeg",
     "dp_mp4_frame_extract",
+]
+
+# The 50 STALEST oracle-backed entries by last-green driver round after r08
+# (per the round-8 review's union re-derivation): the 28 whose last green is
+# the r05 artifact, followed by the 22 oldest r06 entries. The r03-last batch
+# was fully re-checked green in r08, so the freshness frontier moved to r05.
+_STALE_R9_WINDOW = [
+    # last green = r05
+    "dp_cluster_dedup", "dp_curate", "dp_decontaminate_ngrams",
+    "dp_dup_clusters", "dp_gopher_quality", "dp_minhash_md5",
+    "dp_stream_neardup", "f_in_subquery_or", "p_facets", "p_field_names",
+    "p_field_values", "p_format_numeric_converters", "p_join",
+    "p_json_array_len", "p_len", "p_math_abs", "p_pack_json",
+    "p_pack_logfmt", "p_sample_all", "p_top", "p_union", "p_uniq",
+    "p_uniq_hits", "p_unpack_json", "p_unpack_logfmt", "p_unpack_syslog",
+    "p_unpack_words", "p_unroll",
+    # oldest r06 entries (r06 artifact order)
+    "dp_audio_zcr", "dp_image_ahash", "dp_ngram_counts", "dp_pca_check",
+    "dp_pca_moments", "dp_repeated_spans", "dp_semdedup", "dp_winnowing",
+    "ep_hits", "p_block_stats", "p_blocks_count", "p_collapse_nums",
+    "p_decolorize", "p_drop_empty_fields", "p_extract_keep_original",
+    "p_fields_missing", "p_format_duration_conv", "p_format_time_conv",
+    "p_hash_cardinality", "p_sort_partition_rank", "p_stream_context_window",
+    "p_top_custom_hits",
+]
+
+# round-9 additions: brand-new oracle-backed entries registered this round
+# (never in any prior artifact) — they must land inside the 50-entry window.
+_NEW_R9 = [
+    "dp_mp4_frame_ahash",
+    "dp_image_ahash_jpeg_progressive",
+    "dp_image_ahash_png16",
 ]
 
 
@@ -3348,15 +3399,16 @@ def _reorder_registry() -> None:
     checked = (
         set(_DRIVER_VERIFIED_R2_R3) | set(_DRIVER_VERIFIED_R5)
         | set(_DRIVER_VERIFIED_R6) | set(_DRIVER_VERIFIED_R7)
+        | set(_DRIVER_VERIFIED_R8)
     )
     never = [k for k in QUERIES if k not in checked]
     never_with_oracle = [k for k in never if k in ORACLE]
     never_rows_only = [k for k in never if k not in ORACLE]
-    new_r8 = [k for k in _NEW_R8 if k in QUERIES and k in ORACLE]
-    front = new_r8 + [k for k in never_with_oracle if k not in new_r8]
+    new_r9 = [k for k in _NEW_R9 if k in QUERIES and k in ORACLE]
+    front = new_r9 + [k for k in never_with_oracle if k not in new_r9]
     # fill the window with the stalest previously-green entries
     fill = [
-        k for k in _STALE_R8_WINDOW
+        k for k in _STALE_R9_WINDOW
         if k in QUERIES and k in ORACLE and k not in front
     ][: max(0, 50 - len(front))]
     window = front + fill
