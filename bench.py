@@ -25,6 +25,68 @@ import time
 # the bench refuses to stay silent.
 DRIFT_BACKSTOP = 1.3
 
+# Committed per-round medians history. Round 9 proved the prior-lookup
+# cannot depend on the driver's BENCH_r{N}.json artifacts: the driver
+# captures only the last ~2000 chars of output, r8's verbose JSON line
+# outgrew that window, the artifact recorded `parsed: null`, and the r9
+# guard ran with an EMPTY prior — silently missing 8-17x median swings
+# (host contention, adjudicated by A/B, but the guard couldn't say so).
+# The bench now appends each round's medians here itself and reads
+# priors from the newest line, independent of any capture window.
+HISTORY_FILE = "BENCH_HISTORY.jsonl"
+
+
+def load_history_priors(here: str, sf) -> tuple[dict, dict, str | None]:
+    """Return (prior_medians, prior_layout_medians, baseline_label) from
+    the newest BENCH_HISTORY.jsonl line whose sf matches this run's (a
+    sf0.01 iteration run must never become the baseline for the driver's
+    sf0.1 run). Missing/empty history -> empty priors, label None: the
+    guard then reports host_drift_factor null, NOT a fabricated 1.0."""
+    path = os.path.join(here, HISTORY_FILE)
+    try:
+        with open(path) as fh:
+            lines = [json.loads(ln) for ln in fh if ln.strip()]
+    except (OSError, ValueError):
+        return {}, {}, None
+    for rec in reversed(lines):
+        if rec.get("sf") == sf and rec.get("query_medians"):
+            label = f"{HISTORY_FILE}:r{rec.get('round', '?')}"
+            return (
+                rec["query_medians"],
+                rec.get("layout_query_medians") or {},
+                label,
+            )
+    return {}, {}, None
+
+
+def append_history(
+    here: str, round_no, sf, medians: dict, layout_medians: dict
+) -> None:
+    """Append (or replace, when re-run within the same round) this run's
+    medians. Rewrite-in-place on same (round, sf) so local re-runs while
+    iterating don't stack duplicate baselines."""
+    path = os.path.join(here, HISTORY_FILE)
+    rec = {
+        "round": round_no,
+        "sf": sf,
+        "query_medians": medians,
+        "layout_query_medians": layout_medians,
+    }
+    lines: list[dict] = []
+    try:
+        with open(path) as fh:
+            lines = [json.loads(ln) for ln in fh if ln.strip()]
+    except (OSError, ValueError):
+        lines = []
+    lines = [
+        r for r in lines
+        if not (r.get("round") == round_no and r.get("sf") == sf)
+    ]
+    lines.append(rec)
+    with open(path, "w") as fh:
+        for r in lines:
+            fh.write(json.dumps(r, sort_keys=True) + "\n")
+
 
 def compute_regression_flags(
     medians: dict[str, float], prior_medians: dict[str, float]
@@ -48,6 +110,16 @@ def compute_regression_flags(
         for n in medians
         if prior_medians.get(n, 0) > 0
     }
+    # no prior at all -> the guard DID NOT RUN; say null, never a
+    # fabricated 1.0 (r9's artifact recorded 1.0 with an empty prior,
+    # which read as "checked, clean" when nothing was checked)
+    if not ratios:
+        return {
+            "regressions": {},
+            "host_drift_factor": None,
+            "drift_backstop_exceeded": False,
+            "uniform_slowdown_raw": {},
+        }
     drift = 1.0
     if len(ratios) >= 5:
         rs = sorted(ratios.values())
@@ -325,39 +397,55 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    # trend guard: compare this run's medians against the LATEST recorded
-    # round artifact (BENCH_r{N}.json) and flag >25% median regressions
-    # loudly — medians, not best-of, so a single co-tenant burst can't
-    # trip it (SCALE.md documents the host's bursty contention; the
-    # dup_clusters "drift" of round 6 was exactly this noise class).
+    # trend guard: compare this run's medians against the newest line of
+    # the COMMITTED history (BENCH_HISTORY.jsonl) and flag >25% median
+    # regressions loudly — medians, not best-of, so a single co-tenant
+    # burst can't trip it (SCALE.md documents the host's bursty
+    # contention). History first, driver artifact only as fallback: the
+    # artifact's tail capture truncated r8's line, which blinded r9's
+    # guard entirely (VERDICT r9 "What's wrong" #2).
     import glob
 
-    regressions: dict[str, dict] = {}
-    prior_medians: dict[str, float] = {}
-    prior_file = None
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    prior_medians, prior_layout_medians, baseline_label = (
+        load_history_priors(here, sf)
     )
-    if benches:
-        prior_file = benches[-1]
-        try:
-            with open(prior_file) as fh:
-                prior = json.load(fh)
-            # the driver wraps the bench's JSON line under "parsed"
-            if "query_medians" not in prior and isinstance(
-                prior.get("parsed"), dict
-            ):
-                prior = prior["parsed"]
-            prior_medians = prior.get("query_medians") or {}
-            prior_layout_medians = prior.get("layout_query_medians") or {}
-        except Exception:
-            prior_medians = {}
-            prior_layout_medians = {}
-    else:
-        prior_layout_medians = {}
+    if not prior_medians:
+        benches = sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        )
+        if benches:
+            try:
+                with open(benches[-1]) as fh:
+                    prior = json.load(fh)
+                # the driver wraps the bench's JSON line under "parsed"
+                if "query_medians" not in prior and isinstance(
+                    prior.get("parsed"), dict
+                ):
+                    prior = prior["parsed"]
+                if prior.get("sf") == sf:
+                    prior_medians = prior.get("query_medians") or {}
+                    prior_layout_medians = (
+                        prior.get("layout_query_medians") or {}
+                    )
+                    baseline_label = os.path.basename(benches[-1])
+            except Exception:
+                pass
+    regressions: dict[str, dict] = {}
     flags = compute_regression_flags(medians, prior_medians)
+
+    # persist this run's medians for the NEXT round's guard (committed
+    # with the round snapshot); round = newest driver artifact + 1
+    bench_arts = [
+        int(re.search(r"BENCH_r(\d+)", p).group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
+    this_round = (max(bench_arts) + 1) if bench_arts else None
+    try:
+        append_history(here, this_round, sf, medians, layout_medians)
+    except OSError as exc:
+        print(f"# history append failed: {exc}", file=sys.stderr)
     # same guard over the layout read path (silent the first round a
     # layout baseline doesn't exist yet)
     layout_flags = compute_regression_flags(layout_medians, prior_layout_medians)
@@ -374,7 +462,13 @@ def main() -> int:
             f"# REGRESSION {name}: median {info['prior_median']:.3f}s -> "
             f"{info['median']:.3f}s ({info['ratio']:.2f}x raw, "
             f"{info['drift_normalized_ratio']:.2f}x drift-normalized) vs "
-            f"{os.path.basename(prior_file) if prior_file else '?'}",
+            f"{baseline_label or '?'}",
+            file=sys.stderr,
+        )
+    if drift is None:
+        print(
+            "# NO PRIOR BASELINE: regression guard did not run "
+            "(host_drift_factor=null)",
             file=sys.stderr,
         )
     if flags["drift_backstop_exceeded"]:
@@ -410,8 +504,9 @@ def main() -> int:
                 "regressions": regressions,
                 # session-wide median of per-query ratios vs the prior
                 # round — the co-tenant contention factor the regression
-                # flags were normalized by (1.0 = no drift detected)
-                "host_drift_factor": round(drift, 3),
+                # flags were normalized by (1.0 = no drift detected,
+                # null = NO PRIOR EXISTED, the guard did not run)
+                "host_drift_factor": drift,
                 # backstop: True when the drift factor itself exceeds
                 # DRIFT_BACKSTOP — a uniform slowdown that large needs a
                 # human look even if it's the host; the raw >1.25x
@@ -429,9 +524,7 @@ def main() -> int:
                 "layout_drift_backstop_exceeded": layout_flags[
                     "drift_backstop_exceeded"
                 ],
-                "regression_baseline": (
-                    os.path.basename(prior_file) if prior_file else None
-                ),
+                "regression_baseline": baseline_label,
                 # the same query classes over the production layout
                 # (day-partitioned + compacted + sidecar-indexed) vs the
                 # raw single-file table; files_scanned / partition_filters
@@ -471,13 +564,21 @@ def main() -> int:
         # names only — full detail lives in the verbose line above
         "regressions": sorted(regressions),
         "layout_regressions": sorted(layout_flags["regressions"]),
-        "host_drift_factor": round(drift, 3),
+        "host_drift_factor": drift,
         "drift_backstop_exceeded": flags["drift_backstop_exceeded"],
+        "baseline": baseline_label,
     }
-    # stay well under the driver's 2000-char tail capture
-    for drop in ("layout_query_medians", "queries"):
+    # stay well under the driver's 2000-char tail capture; final tiers
+    # guarantee it ALWAYS fits (the full medians/regression detail is
+    # safe regardless — it lives in BENCH_HISTORY.jsonl + the verbose
+    # line): drop optional sections, then collapse unbounded lists to
+    # counts, then drop per-query numbers entirely
+    for drop in ("layout_query_medians", "queries", "query_medians"):
         if len(json.dumps(compact)) > 1900:
             compact.pop(drop, None)
+    if len(json.dumps(compact)) > 1900:
+        compact["regressions"] = len(regressions)
+        compact["layout_regressions"] = len(layout_flags["regressions"])
     print(json.dumps(compact))
     sys.stdout.flush()
     return 0

@@ -55,8 +55,47 @@ def test_uniform_genuine_regression_trips_backstop():
     assert set(flags["uniform_slowdown_raw"]) == set(PRIOR)
 
 
-def test_first_round_without_prior_is_silent():
+def test_missing_prior_reports_null_drift_not_fabricated_one():
+    # r9's artifact recorded host_drift_factor 1.0 with an EMPTY prior,
+    # which read as "checked, clean" when nothing was checked — a missing
+    # prior must say null so the blind spot is visible in the artifact
     flags = compute_regression_flags(dict(PRIOR), {})
     assert flags["regressions"] == {}
-    assert flags["host_drift_factor"] == 1.0
+    assert flags["host_drift_factor"] is None
     assert not flags["drift_backstop_exceeded"]
+
+
+def test_history_roundtrip(tmp_path):
+    from bench import append_history, load_history_priors
+
+    here = str(tmp_path)
+    # missing file -> empty priors, no label
+    med, lay, label = load_history_priors(here, 0.1)
+    assert (med, lay, label) == ({}, {}, None)
+    append_history(here, 9, 0.1, {"q1": 1.0}, {"q1": 2.0})
+    append_history(here, 10, 0.1, {"q1": 1.1}, {"q1": 2.1})
+    med, lay, label = load_history_priors(here, 0.1)
+    assert med == {"q1": 1.1} and lay == {"q1": 2.1}
+    assert label == "BENCH_HISTORY.jsonl:r10"
+    # sf mismatch (local sf0.01 run) must not see the sf0.1 baseline
+    assert load_history_priors(here, 0.01) == ({}, {}, None)
+    # same-round re-run replaces, never stacks duplicates
+    append_history(here, 10, 0.1, {"q1": 1.2}, {})
+    med, _, _ = load_history_priors(here, 0.1)
+    assert med == {"q1": 1.2}
+    hist = (tmp_path / "BENCH_HISTORY.jsonl").read_text().strip().split("\n")
+    assert len(hist) == 2
+
+
+def test_committed_history_seeds_round10_guard():
+    # the committed seed must exist, carry sane (r8-level) priors for the
+    # three r9-contaminated queries, and be the newest sf0.1 line
+    from bench import load_history_priors
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    med, lay, label = load_history_priors(here, 0.1)
+    assert label == "BENCH_HISTORY.jsonl:r9"
+    assert med["f_word"] < 1.0          # r9 artifact said 3.354 (contaminated)
+    assert med["f_time_range"] < 1.0    # r9 artifact said 1.416
+    assert med["s_stats_by"] < 1.0      # r9 artifact said 4.352
+    assert lay  # layout baseline present too
