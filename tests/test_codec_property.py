@@ -1,15 +1,27 @@
 """Property tests for the stdlib media codecs (no Spark): arbitrary
 pixel content must round-trip PNG exactly (lossless, every filter
-type), decode JPEG within quantization error (lossy but bounded), and
-arbitrary sample tables must round-trip the MP4 container exactly."""
+type, 8- and 16-bit, non-interlaced and Adam7), decode JPEG within
+quantization error (lossy but bounded), decode PROGRESSIVE JPEG to the
+bit-identical pixels of the baseline path (same quantized
+coefficients, different scan order), and arbitrary sample tables must
+round-trip the MP4 container exactly — including MJPEG frame decode
+through the container."""
 
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from victorialogs_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+from victorialogs_spark.datapipe.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 from victorialogs_spark.datapipe.mp4 import build_mp4, extract_sample, parse_mp4
-from victorialogs_spark.datapipe.multimodal import _decode_png, encode_png
+from victorialogs_spark.datapipe.multimodal import (
+    _decode_png,
+    ahash_bits_from_pixels,
+    encode_png,
+)
 
 
 @settings(max_examples=25, deadline=None)
@@ -32,6 +44,62 @@ def test_png_roundtrip_property(h, w, ch, ft, seed):
     else:
         want = px[:, :, :3]
     assert dec.dtype == np.uint8 and (dec == want).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    ft=st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+    depth=st.sampled_from([8, 16]),
+    interlace=st.sampled_from([0, 1]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_16bit_adam7_roundtrip_property(h, w, ch, ft, depth, interlace, seed):
+    """16-bit samples recover their high byte (>>8 conversion); Adam7
+    pass reassembly is pixel-exact for every geometry, filter type, and
+    channel count — including degenerate sizes where passes are empty."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    if depth == 8:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        hi = px
+    else:
+        px = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        hi = (px >> 8).astype(np.uint8)
+    dec = _decode_png(
+        encode_png(px, filter_types=ft, bit_depth=depth, interlace=interlace)
+    )
+    if ch == 1:
+        want = np.repeat(hi[:, :, None], 3, axis=2)
+    elif ch == 2:
+        want = np.repeat(hi[:, :, :1], 3, axis=2)
+    else:
+        want = hi[:, :, :3]
+    assert dec.dtype == np.uint8 and (dec == want).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    grey=st.booleans(),
+    rst=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**31),
+)
+def test_progressive_jpeg_equals_baseline_property(h, w, grey, rst, seed):
+    """Progressive (SOF2) coding is a REORDERING of the same quantized
+    coefficients — once every scan is applied (spectral bands + all
+    successive-approximation refinements) the decode must be
+    bit-identical to the baseline path, for ARBITRARY pixel content
+    (not just smooth), any geometry, and with restart markers."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if grey else (h, w, 3)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, restart_interval=rst))
+    prog = decode_jpeg(encode_jpeg_progressive(px, restart_interval=rst))
+    assert prog.dtype == np.uint8 and (prog == base).all()
 
 
 @settings(max_examples=10, deadline=None)
@@ -91,3 +159,38 @@ def test_mp4_sample_table_roundtrip_property(ns, sync_every, timescale, seed):
         assert extract_sample(b, s) == payloads[i]
         t += durs[i]
     assert tr["duration"] == t
+    assert tr["codec"] == "raw "  # default stsd fourcc
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ns=st.integers(1, 8),
+    sync_every=st.integers(1, 4),
+    progressive_odd=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_mjpeg_in_mp4_frames_decode_property(ns, sync_every, progressive_odd, seed):
+    """MJPEG tracks (stsd fourcc mjpa) carry standalone JPEGs as
+    samples: extracting any sample and decoding it must reproduce the
+    source frame's flat-block pixels exactly (DC-only integer fast
+    path), whether each frame was baseline- or progressive-encoded."""
+    rng = np.random.default_rng(seed)
+    frames, pixels = [], []
+    for k in range(ns):
+        v = rng.integers(0, 256, size=(3, 3), dtype=np.uint8)
+        img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+        enc = encode_jpeg_progressive if (progressive_odd and k % 2) else encode_jpeg
+        frames.append(enc(img))
+        pixels.append(img)
+    durs = [int(d) for d in rng.integers(50, 500, size=ns)]
+    b = build_mp4(frames, durs, sync_every=sync_every, codec=b"mjpa")
+    tr = parse_mp4(b)["tracks"][0]
+    assert tr["codec"] == "mjpa"
+    for k, s in enumerate(tr["samples"]):
+        dec = decode_jpeg(extract_sample(b, s))
+        # flat blocks: decode = clamp(floor((floor(8(v-128)/17+.5)*17+4)/8)+128)
+        v = pixels[k].astype(np.int64)
+        dc = np.floor(8.0 * (v - 128) / 17.0 + 0.5).astype(np.int64)
+        want = np.clip((dc * 17 + 4) // 8 + 128, 0, 255).astype(np.uint8)
+        assert (dec == np.repeat(want[:, :, None], 3, axis=2)).all()
+        assert ahash_bits_from_pixels(dec) is not None

@@ -89,15 +89,18 @@ def _collect_agg_output_rows(df) -> int:
     return total
 
 
-def test_stop_gram_guard_runs_before_posting_array_build(spark):
+@pytest.mark.parametrize("guard", ["broadcast", "window"])
+def test_stop_gram_guard_runs_before_posting_array_build(spark, guard):
     """The 100 TB failure mode: a stop-gram present in every document
     must never reach collect_list — the frequency filter has to discard
     its rows BEFORE the posting array materializes, so the aggregation
     buffer stays O(rare grams) regardless of how many documents carry
-    the stop-gram. Asserted two ways: plan shape (window-count filter
-    strictly upstream of the ObjectHashAggregate, single gh exchange
-    shared by both) and executed metrics (rows reaching the array build
-    are FLAT when the stop-gram mass grows 50x)."""
+    the stop-gram. Asserted two ways for BOTH guard strategies: plan
+    shape (broadcast: a left_anti BroadcastHashJoin upstream of the
+    window + array build, dropping stop-gram rows before ANY shuffle;
+    window: the count filter strictly upstream of ObjectHashAggregate
+    on a single shared gh exchange) and executed metrics (rows reaching
+    the array build are FLAT when the stop-gram mass grows 50x)."""
 
     def run(n_boiler):
         rows = [
@@ -105,14 +108,16 @@ def test_stop_gram_guard_runs_before_posting_array_build(spark):
         ] + [(10_000_000, A), (10_000_001, B)]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         out = ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=50
+            docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=50,
+            guard=guard,
         )
         pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
         return out, pairs
 
     out_small, pairs_small = run(400)
     out_big, pairs_big = run(20_000)
-    # correctness: the rare near-dup pair survives, no boiler pairs leak
+    # correctness: the rare near-dup pair survives, no boiler pairs
+    # leak, and BOTH strategies produce identical results
     assert pairs_small == pairs_big == {(10_000_000, 10_000_001)}
     # plan shape: the doc-frequency filter sits below the array build
     plan = (
@@ -124,7 +129,17 @@ def test_stop_gram_guard_runs_before_posting_array_build(spark):
     agg_pos = plan.index("ObjectHashAggregate")
     filt_pos = plan.index("__df")
     assert filt_pos > agg_pos  # deeper in the tree = executed earlier
-    assert plan.count("Exchange hashpartitioning") <= 2
+    if guard == "window":
+        # single-phase: window shares the posting build's gh exchange
+        assert plan.count("Exchange hashpartitioning") <= 2
+    else:
+        # two-phase: the stop-gram blocklist applies MAP-SIDE via a
+        # broadcast anti-join below the gh exchange (+1 exchange for
+        # the count aggregation itself)
+        anti_pos = plan.index("BroadcastHashJoin")
+        assert "LeftAnti" in plan
+        assert anti_pos > agg_pos  # anti-join upstream of the array build
+        assert plan.count("Exchange hashpartitioning") <= 3
     # metrics: gram rows reaching collect_list are flat at 50x the mass
     small_rows = _collect_agg_output_rows(out_small)
     big_rows = _collect_agg_output_rows(out_big)

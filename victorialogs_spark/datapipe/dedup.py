@@ -450,31 +450,53 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
     engine: str = "arrow",
+    guard: str = "broadcast",
 ) -> DataFrame:
     """EXACT token-n-gram Jaccard similarity pairs via the inverted-index
     plan: explode distinct grams, group docs per gram, emit pairs locally
     within each gram's posting list, count shared grams per pair,
     jaccard = shared / (|A| + |B| - shared).
 
-    Exactly two shuffles and zero joins: (1) groupBy gram-hash collects the
-    per-gram posting list (with each doc's gram-set size carried inline, so
-    no sizes join later); (2) groupBy pair counts shared grams. Grams are
-    shuffled as xxhash64 longs, not strings (a 64-bit collision merging two
-    distinct grams is ~2^-64 per pair — negligible for dedup).
+    Grams are shuffled as xxhash64 longs, not strings (a 64-bit collision
+    merging two distinct grams is ~2^-64 per pair — negligible for dedup).
 
     ``max_doc_freq`` drops grams shared by more than that many documents
-    (stop-gram removal) — the mandatory skew guard at 100 TB scale, where a
-    stop-gram's posting list would otherwise blow up one aggregation buffer.
-    The guard runs BEFORE the posting array is built: a window count over
-    the same gh partitioning prices each gram's document frequency while
-    rows stream through the window's disk-spillable buffer, and the filter
-    discards stop-gram rows before ``collect_list`` would materialize them
-    into a single in-memory array (a gram in 10^8 docs stays rows-on-disk,
-    never one multi-GB aggregation buffer). A count+semi-join two-pass
-    would be equivalent, but the arrow gram UDF is asNondeterministic
-    (single-eval guard), so the second scan could not reuse the first
-    exchange; the window instead shares ONE shuffle with the groupBy below
-    (same gh hash partitioning — no extra exchange in the plan).
+    (stop-gram removal) — the mandatory skew guard at 100 TB scale, where
+    a stop-gram's posting list would otherwise blow up one aggregation
+    buffer. Two guard strategies (``guard=``), A/B-measured on an
+    adversarial corpus — one gram planted in every doc at 100x scale
+    (SCALE.md "stop-gram guard"):
+
+    - ``"broadcast"`` (default): two-phase. A partial-aggregated
+      ``groupBy(gh).count()`` prices gram document frequencies — the hot
+      gram map-side-combines to ~one row per input partition, so the
+      count exchange never concentrates it — and the few grams with
+      df > max_doc_freq broadcast back as a blocklist that a left_anti
+      join applies MAP-SIDE, so stop-gram rows are dropped before they
+      are ever shuffled. Costs a second pass of the gram UDF (the two
+      consumers of the exploded grams can't share one scan — the arrow
+      UDF is asNondeterministic as a single-eval guard, and caching the
+      exploded grams at 100 TB would cost more than re-hashing); buys a
+      plan whose max task duration is FLAT in the hot gram's frequency.
+      Downstream of the blocklist every surviving gram has df <=
+      max_doc_freq, so the singleton pre-filter (next bullet) is
+      skew-safe and still runs — best of both.
+    - ``"window"``: single-phase. A count over Window.partitionBy(gh)
+      shares the posting build's exchange (one UDF pass, one shuffle of
+      the gram rows) and filters BEFORE collect_list — the df >= 2
+      pre-filter drops the singleton majority of the gram universe
+      before the array build (measured 3.16 -> 2.17 s at sf0.1), and a
+      stop-gram stays rows-on-disk in the window's spillable sort buffer
+      instead of one multi-GB aggregation array. But that sort
+      serializes the hot gram in ONE task: max task duration grows
+      linearly with the hot gram's frequency — the measured straggler at
+      adversarial skew (SCALE.md).
+
+    With ``max_doc_freq=None`` both strategies are the same single-pass
+    plan (window df >= 2 pre-filter only): frequency pricing isn't paid
+    for, and the window carries no adversarial risk the pair-explosion
+    (O(df^2) per hot gram) wouldn't already have made fatal — unguarded
+    callers assert benign gram frequencies by omitting the cap.
 
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
@@ -497,14 +519,27 @@ def ngram_jaccard_pairs(
     )
     from pyspark.sql.window import Window
 
+    if max_doc_freq and guard == "broadcast":
+        # phase 1: partial-agg count (hot grams combine map-side), few
+        # stop-grams broadcast back, anti-join drops their rows BEFORE
+        # any shuffle — max task duration flat in hot-gram frequency
+        stop = (
+            grams.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("gh")
+        )
+        grams = grams.join(F.broadcast(stop), "gh", "left_anti")
     win = Window.partitionBy("gh")
     df_ok = F.col("__df") >= 2  # singleton grams can't form a pair
-    if max_doc_freq:
+    if max_doc_freq and guard == "window":
         df_ok = df_ok & (F.col("__df") <= max_doc_freq)
     # the >= 2 pre-filter runs even unguarded: it is semantically free
     # (a single-doc gram contributes no pair) and drops the singleton
     # majority of the gram universe BEFORE the array build — measured
-    # 3.16 -> 2.17 s at sf0.1 and 249 -> 202 s at 100x (SCALE.md)
+    # 3.16 -> 2.17 s at sf0.1 and 249 -> 202 s at 100x (SCALE.md); in
+    # broadcast-guard mode it runs AFTER the blocklist, where every
+    # surviving gram's df <= max_doc_freq bounds the window sort
     grams = (
         grams.withColumn("__df", F.count(F.lit(1)).over(win))
         .where(df_ok)

@@ -1,16 +1,18 @@
 """MP4 (ISO BMFF, ISO 14496-12) container parsing — no external libs.
 
-Video *decode* needs codecs (ffmpeg — absent from this container, the
-documented raise in multimodal.py), but everything a frame-sampling
-pipeline shuffles on lives in the CONTAINER, which is pure struct
-walking: the box tree and the sample tables (stts decoding times, stss
-sync samples, stsz sizes, stsc/stco chunk layout). This module makes
-the video story real up to the codec boundary:
+Everything a frame-sampling pipeline shuffles on lives in the
+CONTAINER, which is pure struct walking: the box tree and the sample
+tables (stts decoding times, stss sync samples, stsz sizes, stsc/stco
+chunk layout). This module makes the video story real through the
+container AND — for MJPEG tracks, whose samples are standalone JPEGs —
+through the frame decode itself (datapipe/jpeg.py); other codecs
+(H.264 etc.) remain the documented ffmpeg integration point:
 
-- :func:`parse_mp4` — box walk → per-track timescale/duration + sample
-  table: start time, size, byte offset, and sync flag per sample.
-- :func:`extract_sample` — the byte range of one coded frame (an opaque
-  codec payload; decoding it is the ffmpeg integration point).
+- :func:`parse_mp4` — box walk → per-track codec fourcc,
+  timescale/duration + sample table: start time, size, byte offset,
+  and sync flag per sample.
+- :func:`extract_sample` — the byte range of one coded frame (a
+  standalone JPEG for MJPEG tracks; an opaque codec payload otherwise).
 - :func:`build_mp4` — minimal single-video-track writer (ftyp + mdat +
   moov) used by tests and deterministic synthetic registry payloads.
 - :func:`video_frame_sample` (Spark) — the REAL version of the former
@@ -84,6 +86,7 @@ def parse_mp4(payload: bytes) -> dict:
 
 def _parse_trak(data: bytes, start: int, end: int) -> dict:
     handler = b""
+    codec = ""
     ts, dur = None, None
     stts: list[tuple[int, int]] = []
     stss: list[int] | None = None
@@ -110,10 +113,15 @@ def _parse_trak(data: bytes, start: int, end: int) -> dict:
                         walk_stbl(s4, e4)
 
     def walk_stbl(s, e):
-        nonlocal stss
+        nonlocal stss, codec
         for t4, s4, _e4 in _walk(data, s, e):
             _, p = _fullbox(data, s4)
-            if t4 == b"stts":
+            if t4 == b"stsd":
+                # first sample entry's format fourcc = the track codec
+                (n_ent,) = struct.unpack_from(">I", data, p)
+                if n_ent >= 1:
+                    codec = data[p + 8 : p + 12].decode("ascii", "replace")
+            elif t4 == b"stts":
                 (n,) = struct.unpack_from(">I", data, p)
                 for i in range(n):
                     stts.append(struct.unpack_from(">II", data, p + 4 + 8 * i))
@@ -193,6 +201,7 @@ def _parse_trak(data: bytes, start: int, end: int) -> dict:
         t += d
     return {
         "handler": handler.decode("ascii", "replace"),
+        "codec": codec,
         "timescale": ts or 0,
         "duration": dur or t,
         "samples": samples,
@@ -210,10 +219,13 @@ def build_mp4(
     durations: list[int],
     sync_every: int = 3,
     timescale: int = 1000,
+    codec: bytes = b"raw ",
 ) -> bytes:
     """Minimal single-video-track MP4: ftyp + mdat + moov. Sample k is a
     sync sample (keyframe) iff k % sync_every == 0. Offsets in stco are
-    absolute file offsets into mdat, all samples in one chunk."""
+    absolute file offsets into mdat, all samples in one chunk. ``codec``
+    is the stsd sample-entry format fourcc (``b"mjpa"`` marks an
+    MJPEG track whose samples are standalone JPEG images)."""
     assert len(sample_payloads) == len(durations) and sample_payloads
     mdat_payload = b"".join(sample_payloads)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
@@ -248,7 +260,7 @@ def build_mp4(
     stsc = _full(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, len(sample_payloads), 1))
     stco = _full(b"stco", struct.pack(">I", 1) + struct.pack(">I", data_start))
     # minimal stsd with a generic visual entry (no real codec config)
-    entry = struct.pack(">I", 16 + 70) + b"raw " + b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70
+    entry = struct.pack(">I", 16 + 70) + codec[:4] + b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70
     stsd = _full(b"stsd", struct.pack(">I", 1) + entry)
     stbl = _box(b"stbl", stsd + stts + stss + stsz + stsc + stco)
     vmhd = _full(b"vmhd", b"\x00" * 8, flags=1)
@@ -283,11 +295,18 @@ def _full(btype: bytes, payload: bytes, version: int = 0, flags: int = 0) -> byt
     return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
 
 
+# stsd format fourccs whose samples are standalone JPEG images (motion
+# JPEG variants) — the one codec family decodable with the in-repo
+# jpeg.py; everything else is the documented ffmpeg integration point
+_MJPEG_CODECS = {"mjpa", "mjpb", "jpeg", "mjpg", "MJPG", "AVDJ"}
+
+
 def video_frame_sample(
     assets: DataFrame,
     every_ms: int = 500,
     id_col: str = "asset_id",
     payload_col: str = "payload",
+    decode: bool = False,
 ) -> DataFrame:
     """Seek-accurate frame sampling over REAL MP4 containers: for each
     target timestamp t = j*every_ms (j = 0 .. while t < duration), emit
@@ -297,23 +316,38 @@ def video_frame_sample(
     shape a 100 TB video pipeline groups and joins on. Undecodable
     payloads yield no rows (honest skip, like the other decoders).
 
+    ``decode=True`` additionally DECODES each selected keyframe to
+    pixels and emits its integer-exact aHash — real end-to-end for
+    MJPEG tracks (stsd fourcc in ``_MJPEG_CODECS``: each sample is a
+    standalone JPEG, decoded by datapipe/jpeg.py); any other codec
+    raises ``NotImplementedError`` — the honest ffmpeg boundary, now
+    pushed past the container INTO the sample payload
+    (driver_entry.py dp_mp4_frame_ahash).
+
     Output: (<id_col>, frame_ts_ms int, sample_index int,
-    sample_time_ms long, sample_size long)."""
+    sample_time_ms long, sample_size long[, ahash_bits string])."""
 
     def _batches(batches):
         import pandas as pd
 
         for pdf in batches:
             ids, f_ts, s_idx, s_time, s_size = [], [], [], [], []
+            hashes = []
             for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload)
                 try:
-                    meta = parse_mp4(bytes(payload))
+                    meta = parse_mp4(buf)
                 except Exception:
                     continue
                 vts = [t for t in meta["tracks"] if t["handler"] == "vide"]
                 if not vts:
                     continue
                 tr = vts[0]
+                if decode and tr["codec"] not in _MJPEG_CODECS:
+                    raise NotImplementedError(
+                        f"video codec {tr['codec']!r}: only MJPEG tracks "
+                        "(standalone-JPEG samples) decode without ffmpeg"
+                    )
                 tsc = tr["timescale"] or 1000
                 samples = tr["samples"]
                 if not samples:
@@ -334,21 +368,37 @@ def video_frame_sample(
                     s_idx.append(sel["index"])
                     s_time.append(sel["time"] * 1000 // tsc)
                     s_size.append(sel["size"])
+                    if decode:
+                        from victorialogs_spark.datapipe.jpeg import (
+                            decode_jpeg,
+                        )
+                        from victorialogs_spark.datapipe.multimodal import (
+                            ahash_bits_from_pixels,
+                        )
+
+                        try:
+                            px = decode_jpeg(extract_sample(buf, sel))
+                            hashes.append(ahash_bits_from_pixels(px))
+                        except ValueError:
+                            hashes.append(None)  # corrupt frame payload
                     t += every_ms
-            yield pd.DataFrame(
-                {
-                    "__id": pd.Series(ids, dtype="object"),
-                    "frame_ts_ms": pd.Series(f_ts, dtype="int64"),
-                    "sample_index": pd.Series(s_idx, dtype="int64"),
-                    "sample_time_ms": pd.Series(s_time, dtype="int64"),
-                    "sample_size": pd.Series(s_size, dtype="int64"),
-                }
-            )
+            cols = {
+                "__id": pd.Series(ids, dtype="object"),
+                "frame_ts_ms": pd.Series(f_ts, dtype="int64"),
+                "sample_index": pd.Series(s_idx, dtype="int64"),
+                "sample_time_ms": pd.Series(s_time, dtype="int64"),
+                "sample_size": pd.Series(s_size, dtype="int64"),
+            }
+            if decode:
+                cols["ahash_bits"] = pd.Series(hashes, dtype="object")
+            yield pd.DataFrame(cols)
 
     id_type = dict(assets.dtypes)[id_col]
-    out = assets.select(id_col, payload_col).mapInPandas(
-        _batches,
+    schema = (
         f"__id {id_type}, frame_ts_ms long, sample_index long,"
-        " sample_time_ms long, sample_size long",
+        " sample_time_ms long, sample_size long"
     )
+    if decode:
+        schema += ", ahash_bits string"
+    out = assets.select(id_col, payload_col).mapInPandas(_batches, schema)
     return out.withColumnRenamed("__id", id_col)

@@ -7,17 +7,20 @@ shapes — is real and tested. Decoders, by honesty tier:
 - ``decoder="stdlib"`` — REAL decode for formats the container can
   handle without external libs: WAV (stdlib ``wave``: sample rate,
   duration, per-segment RMS features), uncompressed 24/32-bit BMP,
-  binary PPM/P6, 8-bit non-interlaced PNG (``zlib`` inflate + scanline
-  unfilter — greyscale/RGB/RGBA), and baseline sequential JPEG
-  (jpeg.py: marker walk, stream-defined Huffman tables, dequantize,
-  float IDCT with the exact-integer DC-only fast path, 4:4:4/4:2:0/
-  4:2:2, restart markers). ``resize_image`` really resizes (numpy
-  nearest-neighbor, re-encoded as PPM).
+  binary PPM/P6, PNG at 8- and 16-bit depth, non-interlaced and Adam7
+  (``zlib`` inflate + scanline unfilter + pass reassembly —
+  greyscale/RGB/RGBA), and sequential AND progressive JPEG (jpeg.py:
+  marker walk, stream-defined Huffman tables, multi-scan coefficient
+  accumulation, dequantize, float IDCT with the exact-integer DC-only
+  fast path, 4:4:4/4:2:0/4:2:2, restart markers). MJPEG-in-MP4 frames
+  decode end-to-end via mp4.video_frame_sample(decode=True).
+  ``resize_image`` really resizes (numpy nearest-neighbor, re-encoded
+  as PPM).
 - ``decoder="fake"`` — deterministic pseudo-features from the content
   hash, for end-to-end pipeline tests over arbitrary bytes.
 - ``decoder="pil"``/"ffmpeg" — the remaining integration point
-  (progressive/arithmetic JPEG, MP4/video codecs); those libs are not
-  in this container, so this raises NotImplementedError with the
+  (arithmetic-coded JPEG, palette PNG, real video codecs: H.264 etc.);
+  those libs are not in this container, so this raises NotImplementedError with the
   plug-in point documented.
 """
 
@@ -170,14 +173,73 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (RFC 2083 §2.6)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, off: int, n_rows: int, stride: int,
+                  bpp: int):
+    """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``off`` in the inflated stream (filter types 0-4, RFC 2083 §6; the
+    left predecessor is ``bpp`` BYTES back — filters are byte-wise at
+    every bit depth). Returns ((n_rows, stride) uint8, new offset).
+    Each interlace pass calls this independently: filtering restarts
+    per pass (the prior row of a pass's first scanline is zero)."""
+    import numpy as np
+
+    if len(raw) < off + n_rows * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.intp)
+    for r in range(n_rows):
+        base = off + r * (stride + 1)
+        row = np.frombuffer(raw, np.uint8, stride, base + 1).astype(np.intp)
+        ft = raw[base]
+        if ft == 0:  # None
+            cur = row
+        elif ft == 2:  # Up — fully vectorizable
+            cur = (row + prior) & 0xFF
+        elif ft == 1:
+            # Sub is a per-byte-lane prefix sum mod 256: uint8
+            # accumulate wraps exactly, so a megapixel row costs one
+            # numpy pass instead of a Python loop over every byte
+            lanes = row.astype(np.uint8).reshape(-1, bpp)
+            cur = np.add.accumulate(lanes, axis=0, dtype=np.uint8)
+            cur = cur.reshape(-1).astype(np.intp)
+        elif ft in (3, 4):  # Average / Paeth: inherently sequential in x
+            # (each byte's predictor needs the DECODED left neighbor —
+            # no closed-form scan; rows are the parallel unit at scale)
+            cur = np.zeros(stride, dtype=np.intp)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = prior[x]  # up
+                if ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = cur
+        prior = cur.astype(np.intp)
+    return out, off + n_rows * (stride + 1)
+
+
 def _decode_png(payload: bytes, feat_dim: int = 0):
     """Real PNG decode → HxWx3 uint8, no external libs: PNG's
     compression IS stdlib ``zlib``; the only format-specific work is
-    chunk walking and scanline unfiltering (filter types 0-4,
-    RFC 2083 §6). Supported: 8-bit non-interlaced greyscale / RGB /
-    grey+alpha / RGBA (alpha dropped, grey replicated to 3 channels).
-    Palette (PLTE), 16-bit, and Adam7 interlace raise — the honest
-    boundary of a ~100-line decoder."""
+    chunk walking, scanline unfiltering (filter types 0-4, RFC 2083
+    §6), and Adam7 pass reassembly. Supported: 8- and 16-bit,
+    non-interlaced and Adam7-interlaced, greyscale / RGB / grey+alpha /
+    RGBA (alpha dropped, grey replicated to 3 channels; 16-bit scales
+    to 8 by taking the high byte, the standard >>8 conversion).
+    Palette (PLTE) and sub-byte depths raise — the honest boundary."""
     import struct
     import zlib
 
@@ -200,55 +262,31 @@ def _decode_png(payload: bytes, feat_dim: int = 0):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth}, interlace={interlace})"
         )
     ch = _PNG_CHANNELS.get(color)
     if ch is None:
         raise ValueError(f"unsupported PNG colortype {color} (palette?)")
+    nb = depth // 8
+    bpp = ch * nb
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        raise ValueError("PNG scanline data truncated")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.intp)
-    for r in range(h):
-        row = np.frombuffer(
-            raw, np.uint8, stride, r * (stride + 1) + 1
-        ).astype(np.intp)
-        ft = raw[r * (stride + 1)]
-        if ft == 0:  # None
-            cur = row
-        elif ft == 2:  # Up — fully vectorizable
-            cur = (row + prior) & 0xFF
-        elif ft == 1:
-            # Sub is a per-channel-lane prefix sum mod 256: uint8
-            # accumulate wraps exactly, so a megapixel row costs one
-            # numpy pass instead of a Python loop over every byte
-            lanes = row.astype(np.uint8).reshape(-1, ch)
-            cur = np.add.accumulate(lanes, axis=0, dtype=np.uint8)
-            cur = cur.reshape(-1).astype(np.intp)
-        elif ft in (3, 4):  # Average / Paeth: inherently sequential in x
-            # (each byte's predictor needs the DECODED left neighbor —
-            # no closed-form scan; rows are the parallel unit at scale)
-            cur = np.zeros(stride, dtype=np.intp)
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0  # left
-                b = prior[x]  # up
-                if ft == 3:
-                    pred = (a + b) >> 1
-                else:
-                    c = prior[x - ch] if x >= ch else 0  # upper-left
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[x] = (row[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out[r] = cur
-        prior = cur.astype(np.intp)
-    px = out.reshape(h, w, ch)
+    # assemble into (h, w, ch, nb) bytes; big-endian => byte 0 is high
+    img = np.zeros((h, w, ch, nb), dtype=np.uint8)
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, h, w * bpp, bpp)
+        img[:] = rows.reshape(h, w, ch, nb)
+    else:
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines
+            rows, off = _png_unfilter(raw, off, ph, pw * bpp, bpp)
+            img[y0::dy, x0::dx] = rows.reshape(ph, pw, ch, nb)
+    px = img[:, :, :, 0]  # 8-bit as-is; 16-bit high byte (>>8)
     if color == 0:
         return np.repeat(px, 3, axis=2)
     if color == 4:
@@ -256,40 +294,32 @@ def _decode_png(payload: bytes, feat_dim: int = 0):
     return px[:, :, :3]  # RGB as-is; RGBA drops alpha
 
 
-def encode_png(px, filter_types=None) -> bytes:
-    """Minimal PNG encoder (8-bit, non-interlaced) for tests and
-    deterministic synthetic payloads. ``px`` is HxW (grey), HxWx3 (RGB)
-    or HxWx4 (RGBA) uint8. ``filter_types``: None = all rows filter 0;
-    an int = that filter everywhere; "cycle" = row r uses filter r % 5,
-    exercising every unfilter path in one image."""
-    import struct
-    import zlib
-
+def _png_filter_rows(byterows, bpp: int, filter_types, row0: int) -> list[bytes]:
+    """Filter a block of byte scanlines (one image, or one Adam7 pass —
+    filtering restarts per pass). ``byterows`` is (n, stride) int;
+    ``row0`` offsets the "cycle" selector so interlaced passes keep
+    cycling globally."""
     import numpy as np
 
-    px = np.asarray(px, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, ch = px.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
-        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
-
+    n, stride = byterows.shape
     lines = []
-    flat = px.reshape(h, w * ch).astype(np.intp)
-    prior = np.zeros(w * ch, dtype=np.intp)
-    for r in range(h):
+    prior = np.zeros(stride, dtype=np.intp)
+    for r in range(n):
         ft = (
-            r % 5 if filter_types == "cycle"
-            else (filter_types or 0) if isinstance(filter_types, int) or filter_types is None
+            (row0 + r) % 5 if filter_types == "cycle"
+            else (filter_types or 0)
+            if isinstance(filter_types, int) or filter_types is None
             else 0
         )
-        cur = flat[r]
-        left = np.concatenate([np.zeros(ch, dtype=np.intp), cur[:-ch]]) if w * ch > ch else np.zeros_like(cur)
-        upleft = np.concatenate([np.zeros(ch, dtype=np.intp), prior[:-ch]]) if w * ch > ch else np.zeros_like(prior)
+        cur = byterows[r]
+        left = (
+            np.concatenate([np.zeros(bpp, dtype=np.intp), cur[:-bpp]])
+            if stride > bpp else np.zeros_like(cur)
+        )
+        upleft = (
+            np.concatenate([np.zeros(bpp, dtype=np.intp), prior[:-bpp]])
+            if stride > bpp else np.zeros_like(prior)
+        )
         if ft == 0:
             enc = cur
         elif ft == 1:
@@ -307,6 +337,55 @@ def encode_png(px, filter_types=None) -> bytes:
             enc = cur - pred
         lines.append(bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes())
         prior = cur
+    return lines
+
+
+def encode_png(px, filter_types=None, bit_depth: int = 8,
+               interlace: int = 0) -> bytes:
+    """Minimal PNG encoder for tests and deterministic synthetic
+    payloads. ``px`` is HxW (grey), HxWx3 (RGB) or HxWx4 (RGBA) —
+    uint8 for ``bit_depth=8``, uint16 for ``bit_depth=16`` (stored
+    big-endian per spec). ``interlace=1`` writes Adam7 passes.
+    ``filter_types``: None = all rows filter 0; an int = that filter
+    everywhere; "cycle" = scanline i uses filter i % 5, exercising
+    every unfilter path in one image (cycling continues across
+    interlace passes)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    px = np.asarray(px, dtype=dt)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    nb = bit_depth // 8
+    bpp = ch * nb
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color, 0, 0, interlace)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    # byte view (h, w, ch, nb), big-endian sample order
+    b = px.astype(">u2" if nb == 2 else np.uint8).view(np.uint8)
+    b = b.reshape(h, w, ch, nb)
+    lines: list[bytes] = []
+    if interlace == 0:
+        rows = b.reshape(h, w * bpp).astype(np.intp)
+        lines = _png_filter_rows(rows, bpp, filter_types, 0)
+    else:
+        row0 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sub = b[y0::dy, x0::dx]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph <= 0 or pw <= 0:
+                continue
+            rows = sub.reshape(ph, pw * bpp).astype(np.intp)
+            lines += _png_filter_rows(rows, bpp, filter_types, row0)
+            row0 += ph
     idat = zlib.compress(b"".join(lines), 9)
     return (
         _PNG_SIG
@@ -338,10 +417,11 @@ def decode_features(
 ) -> DataFrame:
     """Decode/feature-extract each asset via mapInPandas (Arrow batches).
 
-    decoder="stdlib": REAL decode for WAV/BMP/PPM/PNG/baseline-JPEG
-    payloads (no external libs needed); unrecognized payloads yield a
-    NULL feature row (width/height/duration NULL, feature NULL) rather
-    than failing the batch.
+    decoder="stdlib": REAL decode for WAV/BMP/PPM/PNG (8/16-bit,
+    Adam7)/JPEG (baseline + progressive) payloads (no external libs
+    needed); unrecognized payloads yield a NULL feature row
+    (width/height/duration NULL, feature NULL) rather than failing the
+    batch.
     decoder="fake": deterministic stub (see _fake_decode).
     decoder="pil"/"ffmpeg": the remaining compressed formats — NOT
     available in this container; raise with the integration point
@@ -349,10 +429,10 @@ def decode_features(
     """
     if decoder not in ("fake", "stdlib"):
         raise NotImplementedError(
-            f"decoder={decoder!r}: progressive JPEG / MP4 decode needs "
-            "PIL/ffmpeg, not present in this container. Plug the real "
-            "decode into _decode_batches below — schema/batching stay "
-            "identical."
+            f"decoder={decoder!r}: non-MJPEG video codecs / arithmetic "
+            "JPEG / palette PNG need PIL/ffmpeg, not present in this "
+            "container. Plug the real decode into _decode_batches below "
+            "— schema/batching stay identical."
         )
 
     def _decode_batches(batches: Iterator) -> Iterator:
@@ -543,7 +623,8 @@ def _bilinear_32(gray, n: int = 32):
 
 
 def _stdlib_decode_pixels(b: bytes):
-    """BMP/PPM/PNG/baseline-JPEG payload → HxWx3 uint8 (raises else)."""
+    """BMP/PPM/PNG/JPEG (baseline + progressive) payload → HxWx3 uint8
+    (raises else)."""
     if b[:2] == b"BM":
         return _decode_bmp(b, 0)
     if b[:2] == b"P6":
@@ -668,6 +749,30 @@ def audio_fingerprint(assets: DataFrame, id_col: str = "asset_id",
     return out.withColumnRenamed("__id", id_col)
 
 
+def ahash_bits_from_pixels(px) -> str | None:
+    """The integer-exact aHash core over decoded HxWx3 uint8 pixels —
+    shared by :func:`image_ahash` and the MJPEG frame path
+    (mp4.video_frame_sample(decode=True)). See :func:`image_ahash` for
+    the exact arithmetic contract."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    if h < 8 or w < 8:
+        return None
+    p64 = px.astype(np.int64)
+    gray = (299 * p64[:, :, 0] + 587 * p64[:, :, 1] + 114 * p64[:, :, 2]) // 1000
+    rows = np.arange(h) * 8 // h
+    cols = np.arange(w) * 8 // w
+    cell = rows[:, None] * 8 + cols[None, :]
+    sums = np.bincount(
+        cell.ravel(), weights=gray.ravel(), minlength=64
+    ).astype(np.int64)
+    ns = np.bincount(cell.ravel(), minlength=64).astype(np.int64)
+    total_sum, total_n = int(sums.sum()), int(ns.sum())
+    bits = sums * total_n > total_sum * ns
+    return "".join("1" if bit else "0" for bit in bits)
+
+
 def image_ahash(assets: DataFrame, id_col: str = "asset_id",
                 payload_col: str = "payload") -> DataFrame:
     """Average-hash (aHash) of BMP/PPM payloads — the integer-exact
@@ -686,27 +791,13 @@ def image_ahash(assets: DataFrame, id_col: str = "asset_id",
     inside one narrow Arrow map. Output: (<id_col>, ahash_bits string of
     64 chars, row-major cell order); undecodable payloads yield NULL.
     """
-    import numpy as np
-
     def _ahash_one(payload) -> str | None:
         b = bytes(payload) if payload is not None else b""
         try:
             px = _stdlib_decode_pixels(b)
         except Exception:
             return None
-        h, w = px.shape[0], px.shape[1]
-        if h < 8 or w < 8:
-            return None
-        p64 = px.astype(np.int64)
-        gray = (299 * p64[:, :, 0] + 587 * p64[:, :, 1] + 114 * p64[:, :, 2]) // 1000
-        rows = np.arange(h) * 8 // h
-        cols = np.arange(w) * 8 // w
-        cell = rows[:, None] * 8 + cols[None, :]
-        sums = np.bincount(cell.ravel(), weights=gray.ravel(), minlength=64).astype(np.int64)
-        ns = np.bincount(cell.ravel(), minlength=64).astype(np.int64)
-        total_sum, total_n = int(sums.sum()), int(ns.sum())
-        bits = sums * total_n > total_sum * ns
-        return "".join("1" if bit else "0" for bit in bits)
+        return ahash_bits_from_pixels(px)
 
     def _batches(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -2085,6 +2085,232 @@ def _dp_image_ahash_jpeg(spark, sf_dir):
 
 
 @register(
+    "dp_image_ahash_jpeg_progressive",
+    # REAL PROGRESSIVE (SOF2) JPEG decode under the hash — the scan
+    # playbook of dp_image_ahash_jpeg through the multi-scan path:
+    # jpeg.encode_jpeg_progressive emits spectral-selection bands at
+    # successive-approximation precision (DC at Al=1 then bit-refined;
+    # AC bands 1-5 / 6-63 at Al=2 refined twice), and the decoder
+    # accumulates coefficients scan by scan (T.81 Annex G: EOB runs,
+    # correction bits). Because progressive coding is a reordering of
+    # the SAME quantized coefficients, the fully-refined result equals
+    # the baseline decode exactly — so the oracle is the baseline
+    # entry's arithmetic with a new salt (q00 = 17, flat-block DC fast
+    # path; see dp_image_ahash_jpeg).
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':imgjpgp:')} AS v"
+    " FROM ids, UNNEST(range(9)) AS u(i)),"
+    " e AS (SELECT doc_id, i AS blk, LEAST(GREATEST(CAST(FLOOR(("
+    " CAST(FLOOR(8.0 * (v - 128) / 17.0 + 0.5) AS BIGINT) * 17 + 4) / 8.0)"
+    " AS BIGINT) + 128, 0), 255) AS gray FROM b),"
+    " px AS (SELECT q.doc_id, q.p, e.gray FROM"
+    " (SELECT doc_id, u.i AS p FROM ids, UNNEST(range(576)) AS u(i)) q"
+    " JOIN e ON e.doc_id = q.doc_id"
+    " AND e.blk = ((q.p // 24) // 8) * 3 + ((q.p % 24) // 8)),"
+    " cells AS (SELECT doc_id, ((p // 24) * 8 // 24) * 8 + (p % 24) * 8 // 24 AS cell,"
+    " CAST(SUM(gray) AS BIGINT) AS cs, COUNT(*) AS cn FROM px GROUP BY 1, 2),"
+    " tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,"
+    " CAST(SUM(cn) AS BIGINT) AS tn FROM cells GROUP BY 1)"
+    " SELECT c.doc_id, string_agg(CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END,"
+    " '' ORDER BY cell) AS ahash_bits"
+    " FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id",
+)
+def _dp_image_ahash_jpeg_progressive(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.multimodal import image_ahash
+
+    docs = _spread(spark, sf_dir, "documents").select("doc_id")
+    raw = _md5_stream_payload(":imgjpgp:", b"", 1)  # 16 bytes; first 9 used
+
+    def _to_jpeg(series):
+        import numpy as np
+        import pandas as pd
+
+        from victorialogs_spark.datapipe.jpeg import encode_jpeg_progressive
+
+        out = []
+        for b in series:
+            v = np.frombuffer(bytes(b), np.uint8, 9).astype(np.int64).reshape(3, 3)
+            img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+            out.append(encode_jpeg_progressive(img))
+        return pd.Series(out)
+
+    _to_jpeg.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    to_jpeg = F.pandas_udf(_to_jpeg, "binary")
+    assets = docs.select("doc_id", to_jpeg(raw).alias("payload"))
+    return image_ahash(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "ahash_bits"
+    )
+
+
+@register(
+    "dp_image_ahash_png16",
+    # 16-BIT + ADAM7-INTERLACED PNG under the hash: each 16-bit sample
+    # is (b<<8)|b from the md5 stream, so the decoder's high-byte
+    # (>>8) conversion recovers b exactly and the oracle stays the
+    # dp_image_ahash arithmetic with a new salt. Spark-side the image
+    # is encoded with interlace=1 (7 Adam7 passes, per-pass filter
+    # restart) and filters cycling 0-4 ACROSS passes, then decoded by
+    # the stdlib inflate + pass-reassembly path — every unfilter branch
+    # and every pass geometry exercised in one image.
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':imgpng16:')} AS v"
+    " FROM ids, UNNEST(range(1728)) AS u(i)),"
+    " px AS (SELECT doc_id, i // 3 AS p,"
+    " CAST(SUM(CASE WHEN i % 3 = 0 THEN 299 * v"
+    " WHEN i % 3 = 1 THEN 587 * v ELSE 114 * v END) AS BIGINT) // 1000 AS gray"
+    " FROM b GROUP BY 1, 2),"
+    " cells AS (SELECT doc_id, ((p // 24) * 8 // 24) * 8 + (p % 24) * 8 // 24 AS cell,"
+    " CAST(SUM(gray) AS BIGINT) AS cs, COUNT(*) AS cn FROM px GROUP BY 1, 2),"
+    " tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,"
+    " CAST(SUM(cn) AS BIGINT) AS tn FROM cells GROUP BY 1)"
+    " SELECT c.doc_id, string_agg(CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END,"
+    " '' ORDER BY cell) AS ahash_bits"
+    " FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id",
+)
+def _dp_image_ahash_png16(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.multimodal import encode_png, image_ahash
+
+    docs = _spread(spark, sf_dir, "documents").select("doc_id")
+    raw = _md5_stream_payload(":imgpng16:", b"", 108)  # 1728 sample bytes
+
+    def _to_png16(series):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for b in series:
+            b8 = np.frombuffer(bytes(b), np.uint8).reshape(24, 24, 3)
+            px16 = (b8.astype(np.uint16) << 8) | b8  # high byte == b
+            out.append(
+                encode_png(px16, filter_types="cycle", bit_depth=16,
+                           interlace=1)
+            )
+        return pd.Series(out)
+
+    _to_png16.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    to_png16 = F.pandas_udf(_to_png16, "binary")
+    assets = docs.select("doc_id", to_png16(raw).alias("payload"))
+    return image_ahash(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "ahash_bits"
+    )
+
+
+@register(
+    "dp_mp4_frame_ahash",
+    # REAL VIDEO FRAME DECODE: MJPEG-in-MP4 end to end with zero new
+    # dependencies — each doc's payload is a genuine ISO-BMFF file
+    # (codec fourcc mjpa) whose n = 4 + b0 % 5 samples are standalone
+    # flat-block JPEGs (frame k's 9 block greys = md5 bytes 16+9k ..
+    # 16+9k+8; even frames baseline-encoded, odd frames PROGRESSIVE, so
+    # the seek path exercises both decoders). Spark walks the boxes,
+    # seeks the latest keyframe (k % 3 = 0) at or before each t =
+    # j*500ms, EXTRACTS the coded sample, DECODES it via jpeg.py, and
+    # hashes the pixels. DuckDB replicates every step arithmetically:
+    # sample-table seek from the duration bytes, flat-block JPEG decode
+    # as clamp(floor((floor(8(v-128)/17+0.5)*17+4)/8)+128), aHash in
+    # exact integers. (sample_size is intentionally not emitted: the
+    # JPEG byte length is entropy-coding detail, not sample-table math.)
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents"
+    " WHERE doc_id % 3 = 1),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':mjpg:')} AS v"
+    " FROM ids, UNNEST(range(96)) AS u(i)),"
+    " n0 AS (SELECT doc_id, 4 + (v % 5) AS ns FROM b WHERE i = 0),"
+    " s AS (SELECT b.doc_id, i - 1 AS k, 100 + v AS dur FROM b"
+    " JOIN n0 USING (doc_id) WHERE i BETWEEN 1 AND ns),"
+    " t AS (SELECT doc_id, k, dur, COALESCE(SUM(dur) OVER ("
+    " PARTITION BY doc_id ORDER BY k"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st FROM s),"
+    " tot AS (SELECT doc_id, SUM(dur) AS total FROM s GROUP BY doc_id),"
+    " frames AS (SELECT doc_id, CAST(u.i * 500 AS BIGINT) AS ts FROM tot,"
+    " UNNEST(range(0, CAST(CEIL(total / 500.0) AS BIGINT))) AS u(i)),"
+    " key AS (SELECT doc_id, k, st FROM t WHERE k % 3 = 0),"
+    " selk AS (SELECT f.doc_id, f.ts, MAX(key.k) AS k FROM frames f"
+    " JOIN key ON key.doc_id = f.doc_id AND key.st <= f.ts GROUP BY 1, 2),"
+    " e AS (SELECT b.doc_id, CAST((i - 16) // 9 AS BIGINT) AS k,"
+    " (i - 16) % 9 AS blk, LEAST(GREATEST(CAST(FLOOR(("
+    " CAST(FLOOR(8.0 * (v - 128) / 17.0 + 0.5) AS BIGINT) * 17 + 4) / 8.0)"
+    " AS BIGINT) + 128, 0), 255) AS gray FROM b JOIN n0 USING (doc_id)"
+    " WHERE i >= 16 AND i < 16 + 9 * ns AND ((i - 16) // 9) % 3 = 0),"
+    " px AS (SELECT e.doc_id, e.k, u.i AS p, e.gray FROM e,"
+    " UNNEST(range(576)) AS u(i)"
+    " WHERE e.blk = ((u.i // 24) // 8) * 3 + ((u.i % 24) // 8)),"
+    " cells AS (SELECT doc_id, k,"
+    " ((p // 24) * 8 // 24) * 8 + (p % 24) * 8 // 24 AS cell,"
+    " CAST(SUM(gray) AS BIGINT) AS cs, COUNT(*) AS cn FROM px"
+    " GROUP BY 1, 2, 3),"
+    " tots AS (SELECT doc_id, k, CAST(SUM(cs) AS BIGINT) AS tsum,"
+    " CAST(SUM(cn) AS BIGINT) AS tn FROM cells GROUP BY 1, 2),"
+    " hashes AS (SELECT c.doc_id, c.k, string_agg("
+    " CASE WHEN cs * tn > tsum * cn THEN '1' ELSE '0' END,"
+    " '' ORDER BY cell) AS ahash_bits FROM cells c"
+    " JOIN tots USING (doc_id, k) GROUP BY c.doc_id, c.k)"
+    " SELECT CAST(selk.doc_id AS BIGINT) AS asset_id,"
+    " selk.ts AS frame_ts_ms, CAST(selk.k AS BIGINT) AS sample_index,"
+    " CAST(t.st AS BIGINT) AS sample_time_ms, h.ahash_bits AS ahash_bits"
+    " FROM selk JOIN t ON t.doc_id = selk.doc_id AND t.k = selk.k"
+    " JOIN hashes h ON h.doc_id = selk.doc_id AND h.k = selk.k",
+)
+def _dp_mp4_frame_ahash(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.mp4 import video_frame_sample
+
+    docs = (
+        _spread(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 1)
+    )
+    raw = _md5_stream_payload(":mjpg:", b"", 6)  # 96 deterministic bytes
+
+    def _to_mjpeg_mp4(series):
+        import numpy as np
+        import pandas as pd
+
+        from victorialogs_spark.datapipe.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+        from victorialogs_spark.datapipe.mp4 import build_mp4
+
+        out = []
+        for buf in series:
+            raw_b = bytes(buf)
+            n = 4 + raw_b[0] % 5
+            durs = [100 + raw_b[1 + k] for k in range(n)]
+            payloads = []
+            for k in range(n):
+                v = np.frombuffer(
+                    raw_b, np.uint8, 9, 16 + 9 * k
+                ).astype(np.int64).reshape(3, 3)
+                img = np.repeat(
+                    np.repeat(v, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                enc = encode_jpeg_progressive if k % 2 else encode_jpeg
+                payloads.append(enc(img))
+            out.append(
+                build_mp4(payloads, durs, sync_every=3, codec=b"mjpa")
+            )
+        return pd.Series(out)
+
+    _to_mjpeg_mp4.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    to_mp4 = F.pandas_udf(_to_mjpeg_mp4, "binary")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), to_mp4(raw).alias("payload")
+    )
+    return video_frame_sample(assets, every_ms=500, decode=True).select(
+        "asset_id", "frame_ts_ms", "sample_index", "sample_time_ms",
+        "ahash_bits",
+    )
+
+
+@register(
     "dp_audio_zcr",
     # integer-exact oracle twin of dp_audio_fingerprint: 864 int16 LE
     # samples from an md5 stream, wrapped in a canonical 44-byte WAV
@@ -3351,10 +3577,12 @@ _NEW_R8 = [
     "dp_mp4_frame_extract",
 ]
 
-# The 50 STALEST oracle-backed entries by last-green driver round after r08
-# (per the round-8 review's union re-derivation): the 28 whose last green is
-# the r05 artifact, followed by the 22 oldest r06 entries. The r03-last batch
-# was fully re-checked green in r08, so the freshness frontier moved to r05.
+# The 50 STALEST oracle-backed entries by last-green driver round after r08:
+# the 28 whose last green is the r05 artifact, followed by 22 r06-last
+# entries selected ALPHABETICALLY (not r06 artifact order as the r9 review
+# noted — the selection skipped the s_* stats family, which therefore stayed
+# un-rechecked until the r10 window fronts it; see _STALE_R10_WINDOW).
+# Superseded by _STALE_R10_WINDOW; kept for the historical record.
 _STALE_R9_WINDOW = [
     # last green = r05
     "dp_cluster_dedup", "dp_curate", "dp_decontaminate_ngrams",
@@ -3375,9 +3603,66 @@ _STALE_R9_WINDOW = [
     "p_top_custom_hits",
 ]
 
-# round-9 additions: brand-new oracle-backed entries registered this round
-# (never in any prior artifact) — they must land inside the 50-entry window.
+# Names RESERVED in round 9 for the then-unbuilt codec features (MJPEG
+# frame decode, progressive JPEG, 16-bit/interlaced PNG); none were
+# registered that round — the `in QUERIES and in ORACLE` guard dropped
+# them from the window. Registered for real in round 10 (see _NEW_R10).
 _NEW_R9 = [
+    "dp_mp4_frame_ahash",
+    "dp_image_ahash_jpeg_progressive",
+    "dp_image_ahash_png16",
+]
+
+# exactly the 50-entry window recorded in CORRECTNESS_r09.json (50/50 green)
+_DRIVER_VERIFIED_R9 = [
+    "dp_cluster_dedup", "dp_curate", "dp_decontaminate_ngrams",
+    "dp_dup_clusters", "dp_gopher_quality", "dp_minhash_md5",
+    "dp_stream_neardup", "f_in_subquery_or", "p_facets", "p_field_names",
+    "p_field_values", "p_format_numeric_converters", "p_join",
+    "p_json_array_len", "p_len", "p_math_abs", "p_pack_json", "p_pack_logfmt",
+    "p_sample_all", "p_top", "p_union", "p_uniq", "p_uniq_hits",
+    "p_unpack_json", "p_unpack_logfmt", "p_unpack_syslog", "p_unpack_words",
+    "p_unroll", "dp_audio_zcr", "dp_image_ahash", "dp_ngram_counts",
+    "dp_pca_check", "dp_pca_moments", "dp_repeated_spans", "dp_semdedup",
+    "dp_winnowing", "ep_hits", "p_block_stats", "p_blocks_count",
+    "p_collapse_nums", "p_decolorize", "p_drop_empty_fields",
+    "p_extract_keep_original", "p_fields_missing", "p_format_duration_conv",
+    "p_format_time_conv", "p_hash_cardinality", "p_sort_partition_rank",
+    "p_stream_context_window", "p_top_custom_hits",
+]
+
+# The 50 STALEST oracle-backed entries by last-green driver round after r09
+# (per the round-9 review's union re-derivation): the 28 whose last green is
+# the r06 artifact (the entire oracle-backed stats-pipe family, un-rechecked
+# since r6, fronted first), followed by the 22 oldest r07 entries in r07
+# artifact order.
+_STALE_R10_WINDOW = [
+    # last green = r06 (stats family + TPC-H headliners)
+    "p_top_rank", "p_uniq_multi", "p_unpack_words_limit", "p_unroll_zip",
+    "s_count_empty", "s_count_uniq_limit", "s_global", "s_histogram",
+    "s_ipv4_bucket", "s_json_values_by", "s_median_quantile",
+    "s_multi_bucket", "s_num_bucket", "s_rate", "s_row_any_by", "s_row_max",
+    "s_row_min", "s_stats_by", "s_stats_if", "s_sum_len", "s_time_bucket",
+    "s_time_bucket_offset", "s_uniq_values", "s_uniq_values_limit",
+    "s_values_unrolled", "s_wildcard_no_match", "tpch_pricing_summary",
+    "tpch_top_orders",
+    # oldest r07 entries (r07 artifact order)
+    "ep_stats_query", "ep_stats_query_range", "ep_streams",
+    "ep_stream_field_values", "dp_exact_dedup", "dp_ngram_jaccard",
+    "dp_text_stats", "dp_quality", "dp_lang_id", "dp_fingerprint",
+    "dp_cosine_threshold", "dp_ann_bruteforce_topk",
+    "dp_ann_lsh_quantized_topk", "dp_ann_ivf_quantized_topk",
+    "dp_embedding_near_dup_exact", "dp_embedding_clusters_exact",
+    "dp_chunk_documents", "dp_hash_sample", "dp_train_val_test_split",
+    "dp_dedup_keep_best", "dp_stratified_sample", "dp_semdedup_auto",
+]
+
+# round-10 additions: brand-new oracle-backed entries registered this round
+# (never in any prior artifact) — they land at the FRONT of the window,
+# displacing stale entries from the back. _require_registered() (called
+# after registration, module bottom) makes a forgotten registration loud
+# instead of silently filtering out.
+_NEW_R10 = [
     "dp_mp4_frame_ahash",
     "dp_image_ahash_jpeg_progressive",
     "dp_image_ahash_png16",
@@ -3390,25 +3675,38 @@ def _reorder_registry() -> None:
     COMPLETE: every oracle-backed entry has a green driver row in some
     round and no entry's latest check is red. The window's value is now
     FRESHNESS: front this round's brand-new oracle entries, then the
-    STALEST previously-green entries (last green r03, then oldest r05 —
+    STALEST previously-green entries (for r10: the 28 whose last green
+    is r06 — the whole stats family — then the 22 oldest r07 entries;
     the code behind them has drifted the most since their check). The
     rows-only entries (no oracle_sql by design — hash/approx-valued,
     each with an oracle-exact twin elsewhere) stay OUT of the window: a
     driver row for them would read `err: no_oracle`, not green."""
     global QUERIES, ORACLE
+    missing = [
+        k for k in _NEW_R10 if k not in QUERIES or k not in ORACLE
+    ]
+    if missing:
+        # a _NEW_R10 name that never got registered (or lost its oracle)
+        # must fail loudly, not silently fall out of the window — the r9
+        # reserved names did exactly that and the round shipped a false
+        # "registered this round" comment
+        raise RuntimeError(
+            f"_NEW_R10 entries not registered with an oracle: {missing}"
+        )
     checked = (
         set(_DRIVER_VERIFIED_R2_R3) | set(_DRIVER_VERIFIED_R5)
         | set(_DRIVER_VERIFIED_R6) | set(_DRIVER_VERIFIED_R7)
-        | set(_DRIVER_VERIFIED_R8)
+        | set(_DRIVER_VERIFIED_R8) | set(_DRIVER_VERIFIED_R9)
     )
     never = [k for k in QUERIES if k not in checked]
     never_with_oracle = [k for k in never if k in ORACLE]
     never_rows_only = [k for k in never if k not in ORACLE]
-    new_r9 = [k for k in _NEW_R9 if k in QUERIES and k in ORACLE]
-    front = new_r9 + [k for k in never_with_oracle if k not in new_r9]
+    front = list(_NEW_R10) + [
+        k for k in never_with_oracle if k not in _NEW_R10
+    ]
     # fill the window with the stalest previously-green entries
     fill = [
-        k for k in _STALE_R9_WINDOW
+        k for k in _STALE_R10_WINDOW
         if k in QUERIES and k in ORACLE and k not in front
     ][: max(0, 50 - len(front))]
     window = front + fill
