@@ -36,35 +36,41 @@ DRIFT_BACKSTOP = 1.3
 HISTORY_FILE = "BENCH_HISTORY.jsonl"
 
 
-def load_history_priors(here: str, sf) -> tuple[dict, dict, str | None]:
-    """Return (prior_medians, prior_layout_medians, baseline_label) from
-    the newest BENCH_HISTORY.jsonl line whose sf matches this run's (a
-    sf0.01 iteration run must never become the baseline for the driver's
-    sf0.1 run). Missing/empty history -> empty priors, label None: the
-    guard then reports host_drift_factor null, NOT a fabricated 1.0."""
+def load_history_priors(here: str, sf) -> tuple[dict, str | None]:
+    """Return (record, baseline_label) for the newest BENCH_HISTORY.jsonl
+    line whose sf matches this run's (a sf0.01 iteration run must never
+    become the baseline for the driver's sf0.1 run). The record carries
+    query_medians / layout_query_medians and, from r11 on, query_bests /
+    layout_query_bests (used to pre-triage median-only flags as
+    noise-shaped). Missing/empty history -> ({}, None): the guard then
+    reports host_drift_factor null, NOT a fabricated 1.0."""
     path = os.path.join(here, HISTORY_FILE)
     try:
         with open(path) as fh:
             lines = [json.loads(ln) for ln in fh if ln.strip()]
     except (OSError, ValueError):
-        return {}, {}, None
+        return {}, None
     for rec in reversed(lines):
         if rec.get("sf") == sf and rec.get("query_medians"):
             label = f"{HISTORY_FILE}:r{rec.get('round', '?')}"
-            return (
-                rec["query_medians"],
-                rec.get("layout_query_medians") or {},
-                label,
-            )
-    return {}, {}, None
+            return rec, label
+    return {}, None
 
 
 def append_history(
-    here: str, round_no, sf, medians: dict, layout_medians: dict
+    here: str,
+    round_no,
+    sf,
+    medians: dict,
+    layout_medians: dict,
+    bests: dict | None = None,
+    layout_bests: dict | None = None,
 ) -> None:
     """Append (or replace, when re-run within the same round) this run's
-    medians. Rewrite-in-place on same (round, sf) so local re-runs while
-    iterating don't stack duplicate baselines."""
+    medians (+ best-of times, used by the next round's guard to label
+    median-only regressions as noise-shaped). Rewrite-in-place on same
+    (round, sf) so local re-runs while iterating don't stack duplicate
+    baselines."""
     path = os.path.join(here, HISTORY_FILE)
     rec = {
         "round": round_no,
@@ -72,6 +78,10 @@ def append_history(
         "query_medians": medians,
         "layout_query_medians": layout_medians,
     }
+    if bests:
+        rec["query_bests"] = bests
+    if layout_bests:
+        rec["layout_query_bests"] = layout_bests
     lines: list[dict] = []
     try:
         with open(path) as fh:
@@ -89,9 +99,20 @@ def append_history(
 
 
 def compute_regression_flags(
-    medians: dict[str, float], prior_medians: dict[str, float]
+    medians: dict[str, float],
+    prior_medians: dict[str, float],
+    bests: dict[str, float] | None = None,
+    prior_bests: dict[str, float] | None = None,
 ) -> dict:
     """Round-over-round regression detection on query MEDIANS.
+
+    When best-of times are available for both rounds, each flag is
+    annotated with `best_ratio`; a flag whose median regressed >1.25x
+    while best-of stayed <= 1.1x is labeled `noise_shaped: true` — the
+    signature of co-tenant bursts hitting SOME hot runs (median moves,
+    best doesn't), pre-triaging the flag without hiding it. Rounds 8-10
+    adjudicated exactly this shape by manual same-host A/B three times;
+    this bakes that adjudication into the artifact.
 
     Host-drift normalization: when co-tenant contention inflates the
     whole session, EVERY query's ratio shifts together (measured: the
@@ -128,12 +149,20 @@ def compute_regression_flags(
     for name, med in medians.items():
         pm = prior_medians.get(name)
         if pm and pm > 0 and (med / pm) / drift > 1.25:
-            regressions[name] = {
+            flag = {
                 "prior_median": pm,
                 "median": med,
                 "ratio": round(med / pm, 3),
                 "drift_normalized_ratio": round((med / pm) / drift, 3),
             }
+            b = (bests or {}).get(name)
+            pb = (prior_bests or {}).get(name)
+            if b and pb and pb > 0:
+                flag["best_ratio"] = round(b / pb, 3)
+                flag["noise_shaped"] = flag["best_ratio"] <= 1.1
+            else:
+                flag["best_ratio"] = None
+            regressions[name] = flag
     backstop = drift > DRIFT_BACKSTOP
     return {
         "regressions": regressions,
@@ -407,9 +436,11 @@ def main() -> int:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior_medians, prior_layout_medians, baseline_label = (
-        load_history_priors(here, sf)
-    )
+    prior_rec, baseline_label = load_history_priors(here, sf)
+    prior_medians = prior_rec.get("query_medians") or {}
+    prior_layout_medians = prior_rec.get("layout_query_medians") or {}
+    prior_bests = prior_rec.get("query_bests") or {}
+    prior_layout_bests = prior_rec.get("layout_query_bests") or {}
     if not prior_medians:
         benches = sorted(
             glob.glob(os.path.join(here, "BENCH_r*.json")),
@@ -429,11 +460,13 @@ def main() -> int:
                     prior_layout_medians = (
                         prior.get("layout_query_medians") or {}
                     )
+                    # driver artifacts record best-of under "queries"
+                    prior_bests = prior.get("queries") or {}
                     baseline_label = os.path.basename(benches[-1])
             except Exception:
                 pass
     regressions: dict[str, dict] = {}
-    flags = compute_regression_flags(medians, prior_medians)
+    flags = compute_regression_flags(medians, prior_medians, times, prior_bests)
 
     # persist this run's medians for the NEXT round's guard (committed
     # with the round snapshot); round = newest driver artifact + 1
@@ -443,12 +476,16 @@ def main() -> int:
     ]
     this_round = (max(bench_arts) + 1) if bench_arts else None
     try:
-        append_history(here, this_round, sf, medians, layout_medians)
+        append_history(
+            here, this_round, sf, medians, layout_medians, times, layout_times
+        )
     except OSError as exc:
         print(f"# history append failed: {exc}", file=sys.stderr)
     # same guard over the layout read path (silent the first round a
     # layout baseline doesn't exist yet)
-    layout_flags = compute_regression_flags(layout_medians, prior_layout_medians)
+    layout_flags = compute_regression_flags(
+        layout_medians, prior_layout_medians, layout_times, prior_layout_bests
+    )
     for name, info in layout_flags["regressions"].items():
         print(
             f"# LAYOUT REGRESSION {name}: median {info['prior_median']:.3f}s"
@@ -458,11 +495,17 @@ def main() -> int:
     regressions = flags["regressions"]
     drift = flags["host_drift_factor"]
     for name, info in regressions.items():
+        shape = ""
+        if info.get("best_ratio") is not None:
+            shape = (
+                f", best-of {info['best_ratio']:.2f}x"
+                + (" [noise-shaped]" if info.get("noise_shaped") else "")
+            )
         print(
             f"# REGRESSION {name}: median {info['prior_median']:.3f}s -> "
             f"{info['median']:.3f}s ({info['ratio']:.2f}x raw, "
-            f"{info['drift_normalized_ratio']:.2f}x drift-normalized) vs "
-            f"{baseline_label or '?'}",
+            f"{info['drift_normalized_ratio']:.2f}x drift-normalized"
+            f"{shape}) vs {baseline_label or '?'}",
             file=sys.stderr,
         )
     if drift is None:

@@ -69,33 +69,97 @@ def test_history_roundtrip(tmp_path):
     from bench import append_history, load_history_priors
 
     here = str(tmp_path)
-    # missing file -> empty priors, no label
-    med, lay, label = load_history_priors(here, 0.1)
-    assert (med, lay, label) == ({}, {}, None)
+    # missing file -> empty record, no label
+    rec, label = load_history_priors(here, 0.1)
+    assert (rec, label) == ({}, None)
     append_history(here, 9, 0.1, {"q1": 1.0}, {"q1": 2.0})
-    append_history(here, 10, 0.1, {"q1": 1.1}, {"q1": 2.1})
-    med, lay, label = load_history_priors(here, 0.1)
-    assert med == {"q1": 1.1} and lay == {"q1": 2.1}
+    append_history(here, 10, 0.1, {"q1": 1.1}, {"q1": 2.1}, {"q1": 0.9})
+    rec, label = load_history_priors(here, 0.1)
+    assert rec["query_medians"] == {"q1": 1.1}
+    assert rec["layout_query_medians"] == {"q1": 2.1}
+    assert rec["query_bests"] == {"q1": 0.9}
     assert label == "BENCH_HISTORY.jsonl:r10"
     # sf mismatch (local sf0.01 run) must not see the sf0.1 baseline
-    assert load_history_priors(here, 0.01) == ({}, {}, None)
+    assert load_history_priors(here, 0.01) == ({}, None)
     # same-round re-run replaces, never stacks duplicates
     append_history(here, 10, 0.1, {"q1": 1.2}, {})
-    med, _, _ = load_history_priors(here, 0.1)
-    assert med == {"q1": 1.2}
+    rec, _ = load_history_priors(here, 0.1)
+    assert rec["query_medians"] == {"q1": 1.2}
     hist = (tmp_path / "BENCH_HISTORY.jsonl").read_text().strip().split("\n")
     assert len(hist) == 2
 
 
-def test_committed_history_seeds_round10_guard():
-    # the committed seed must exist, carry sane (r8-level) priors for the
-    # three r9-contaminated queries, and be the newest sf0.1 line
-    from bench import load_history_priors
+def test_best_ratio_pre_triages_noise_shaped_flag():
+    # median regressed 1.6x but best-of is flat: the co-tenant-burst
+    # signature r8-r10 adjudicated by manual A/B three times — the flag
+    # stays (never hidden) but arrives pre-triaged as noise_shaped
+    medians = dict(PRIOR)
+    medians["q3"] = 1.6
+    bests = {n: 0.8 for n in PRIOR}
+    prior_bests = {n: 0.8 for n in PRIOR}
+    flags = compute_regression_flags(medians, PRIOR, bests, prior_bests)
+    assert list(flags["regressions"]) == ["q3"]
+    f = flags["regressions"]["q3"]
+    assert f["best_ratio"] == 1.0
+    assert f["noise_shaped"] is True
+
+
+def test_best_ratio_confirms_genuine_regression():
+    # median AND best-of both regressed: not noise-shaped
+    medians = dict(PRIOR)
+    medians["q3"] = 1.6
+    bests = {n: 0.8 for n in PRIOR}
+    bests["q3"] = 1.3
+    prior_bests = {n: 0.8 for n in PRIOR}
+    flags = compute_regression_flags(medians, PRIOR, bests, prior_bests)
+    f = flags["regressions"]["q3"]
+    assert f["best_ratio"] == round(1.3 / 0.8, 3)
+    assert f["noise_shaped"] is False
+
+
+def test_best_ratio_null_when_prior_bests_missing():
+    # pre-r11 history lines carry no query_bests: the flag must say
+    # best_ratio null (not adjudicated), never a fabricated verdict
+    medians = dict(PRIOR)
+    medians["q3"] = 1.6
+    flags = compute_regression_flags(medians, PRIOR, {"q3": 1.5}, {})
+    f = flags["regressions"]["q3"]
+    assert f["best_ratio"] is None
+    assert "noise_shaped" not in f
+
+
+def test_committed_history_carries_r9_seed():
+    # the committed r9 seed must EXIST with sane (r8-level) priors for the
+    # three r9-contaminated queries.  bench.py appends each round's medians
+    # to the same committed file, so we locate the r9 record by its `round`
+    # field rather than asserting it is the newest line (asserting newest
+    # would self-break at the very next round-snapshot commit).
+    import json
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    med, lay, label = load_history_priors(here, 0.1)
-    assert label == "BENCH_HISTORY.jsonl:r9"
+    r9 = None
+    with open(os.path.join(here, "BENCH_HISTORY.jsonl")) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if rec.get("round") == 9 and rec.get("sf") == 0.1:
+                r9 = rec
+    assert r9 is not None
+    med = r9["query_medians"]
     assert med["f_word"] < 1.0          # r9 artifact said 3.354 (contaminated)
     assert med["f_time_range"] < 1.0    # r9 artifact said 1.416
     assert med["s_stats_by"] < 1.0      # r9 artifact said 4.352
-    assert lay  # layout baseline present too
+    assert r9.get("layout_query_medians")  # layout baseline present too
+
+
+def test_committed_history_newest_line_is_usable_prior():
+    # whatever round is newest, load_history_priors must return non-empty
+    # medians with a well-formed label — the guard must never go blind on
+    # the committed tree
+    import re
+
+    from bench import load_history_priors
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rec, label = load_history_priors(here, 0.1)
+    assert rec.get("query_medians"), "committed history yielded empty priors"
+    assert label and re.fullmatch(r"BENCH_HISTORY\.jsonl:r\d+", label)

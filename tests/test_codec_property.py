@@ -21,6 +21,7 @@ from victorialogs_spark.datapipe.multimodal import (
     _decode_png,
     ahash_bits_from_pixels,
     encode_png,
+    encode_png_palette,
 )
 
 
@@ -78,6 +79,61 @@ def test_png_16bit_adam7_roundtrip_property(h, w, ch, ft, depth, interlace, seed
     else:
         want = hi[:, :, :3]
     assert dec.dtype == np.uint8 and (dec == want).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    ft=st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+    interlace=st.sampled_from([0, 1]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_palette_equals_direct_rgb_property(h, w, depth, ft, interlace, seed):
+    """A palette PNG must decode to EXACTLY the pixels of a direct-RGB
+    PNG of the same expanded image (palette[idx]) — the two encodings
+    are alternative containers for identical content, so the decoders
+    must agree byte-for-byte at every bit depth, filter type, and
+    interlace geometry (sub-byte rows exercise pad-bit dropping at
+    every Adam7 pass width)."""
+    rng = np.random.default_rng(seed)
+    ncol = 1 << depth
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+    via_palette = _decode_png(
+        encode_png_palette(idx, pal, bit_depth=depth, filter_types=ft,
+                           interlace=interlace)
+    )
+    via_rgb = _decode_png(encode_png(pal[idx], filter_types=ft))
+    assert via_palette.dtype == np.uint8
+    assert (via_palette == via_rgb).all()
+    assert (via_palette == pal[idx]).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    depth=st.sampled_from([1, 2, 4]),
+    ft=st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+    interlace=st.sampled_from([0, 1]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_subbyte_grey_max_value_expansion_property(
+    h, w, depth, ft, interlace, seed
+):
+    """Sub-byte greyscale decodes via the standard max-value expansion
+    (0..2^d-1 -> 0..255: x * 255/(2^d - 1), an integer for d in 1/2/4),
+    replicated to 3 channels."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+    dec = _decode_png(
+        encode_png_palette(g, None, bit_depth=depth, filter_types=ft,
+                           interlace=interlace)
+    )
+    want = (g * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    assert (dec == np.repeat(want[:, :, None], 3, axis=2)).all()
 
 
 @settings(max_examples=25, deadline=None)

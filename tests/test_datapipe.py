@@ -872,6 +872,32 @@ def test_video_frame_sample_seeks_keyframes(spark):
     assert rows == [(0, 0, 0, 8), (500, 3, 500, 8)]
 
 
+def test_video_frame_sample_decode_skips_non_mjpeg(spark):
+    """decode=True over a MIXED batch — one MJPEG asset, one raw-codec
+    asset, one with a corrupt (truncated) JPEG frame: the non-MJPEG and
+    corrupt frames emit NULL ahash_bits instead of raising mid-batch
+    (a raise would kill the stage and discard the MJPEG asset's rows)."""
+    from victorialogs_spark.datapipe.jpeg import encode_jpeg
+    from victorialogs_spark.datapipe.mp4 import build_mp4, video_frame_sample
+
+    import numpy as np
+
+    px = np.full((8, 8, 3), 128, dtype=np.uint8)
+    jpg = encode_jpeg(px)
+    good = build_mp4([jpg], [600], sync_every=1, codec=b"mjpa")
+    raw = build_mp4([b"\x00" * 16], [600], sync_every=1)  # codec b"raw "
+    corrupt = build_mp4([jpg[:12]], [600], sync_every=1, codec=b"mjpa")
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(raw)), (3, bytearray(corrupt))],
+        "asset_id long, payload binary",
+    )
+    rows = {r["asset_id"]: r["ahash_bits"]
+            for r in video_frame_sample(df, every_ms=500, decode=True).collect()}
+    assert rows[1] is not None  # MJPEG frame decoded
+    assert rows[2] is None      # non-MJPEG codec: honest NULL, no raise
+    assert rows[3] is None      # corrupt frame payload: NULL, no raise
+
+
 def test_audio_zcr_energy_integer_exact(spark):
     """Zero crossings / total |s| computed by hand for a square wave must
     match the decode path exactly; undecodable payloads yield NULLs."""

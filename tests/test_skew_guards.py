@@ -48,6 +48,17 @@ def test_exact_dedup_owns_the_identical_mass(spark):
     assert by_n[0] == 800  # min-id representative of the boilerplate
 
 
+def test_stop_gram_guard_rejects_unknown_strategy(spark):
+    # a typo like "Broadcast" must fail loudly — silently applying
+    # NEITHER strategy would drop the stop-gram cap and return pairs the
+    # caller asked to exclude
+    docs = _corpus(spark, n_boiler=10)
+    with pytest.raises(ValueError, match="guard must be"):
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", max_doc_freq=50, guard="Broadcast"
+        )
+
+
 def test_stop_gram_guard_keeps_rare_gram_pairs(spark):
     docs = _corpus(spark, n_boiler=300)
     pairs = ngram_jaccard_pairs(

@@ -500,6 +500,13 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
+    if guard not in ("broadcast", "window"):
+        # an unrecognized value (e.g. "Broadcast") would otherwise apply
+        # NEITHER strategy — the stop-gram cap silently dropped, results
+        # including pairs the caller asked to exclude
+        raise ValueError(
+            f"guard must be 'broadcast' or 'window', got {guard!r}"
+        )
     if engine == "arrow":
         # grams arrive pre-hashed to longs from the pandas UDF — nothing to
         # re-hash JVM-side, and the explode ships 8-byte ints, not strings

@@ -319,10 +319,12 @@ def video_frame_sample(
     ``decode=True`` additionally DECODES each selected keyframe to
     pixels and emits its integer-exact aHash — real end-to-end for
     MJPEG tracks (stsd fourcc in ``_MJPEG_CODECS``: each sample is a
-    standalone JPEG, decoded by datapipe/jpeg.py); any other codec
-    raises ``NotImplementedError`` — the honest ffmpeg boundary, now
-    pushed past the container INTO the sample payload
-    (driver_entry.py dp_mp4_frame_ahash).
+    standalone JPEG, decoded by datapipe/jpeg.py); frames of any other
+    codec emit NULL ``ahash_bits`` (the honest ffmpeg boundary, now
+    pushed past the container INTO the sample payload) — a raise here
+    would kill the whole Spark stage and discard rows already built for
+    OTHER assets in the batch, violating this docstring's skip
+    contract (driver_entry.py dp_mp4_frame_ahash).
 
     Output: (<id_col>, frame_ts_ms int, sample_index int,
     sample_time_ms long, sample_size long[, ahash_bits string])."""
@@ -343,11 +345,7 @@ def video_frame_sample(
                 if not vts:
                     continue
                 tr = vts[0]
-                if decode and tr["codec"] not in _MJPEG_CODECS:
-                    raise NotImplementedError(
-                        f"video codec {tr['codec']!r}: only MJPEG tracks "
-                        "(standalone-JPEG samples) decode without ffmpeg"
-                    )
+                decodable = tr["codec"] in _MJPEG_CODECS
                 tsc = tr["timescale"] or 1000
                 samples = tr["samples"]
                 if not samples:
@@ -368,7 +366,9 @@ def video_frame_sample(
                     s_idx.append(sel["index"])
                     s_time.append(sel["time"] * 1000 // tsc)
                     s_size.append(sel["size"])
-                    if decode:
+                    if decode and not decodable:
+                        hashes.append(None)  # non-MJPEG codec: no decoder
+                    elif decode:
                         from victorialogs_spark.datapipe.jpeg import (
                             decode_jpeg,
                         )
@@ -376,10 +376,13 @@ def video_frame_sample(
                             ahash_bits_from_pixels,
                         )
 
+                        # truncated/corrupt sample bytes can surface as
+                        # IndexError or struct.error from the bit reader,
+                        # not just ValueError
                         try:
                             px = decode_jpeg(extract_sample(buf, sel))
                             hashes.append(ahash_bits_from_pixels(px))
-                        except ValueError:
+                        except (ValueError, IndexError, struct.error):
                             hashes.append(None)  # corrupt frame payload
                     t += every_ms
             cols = {

@@ -19,7 +19,7 @@ shapes — is real and tested. Decoders, by honesty tier:
 - ``decoder="fake"`` — deterministic pseudo-features from the content
   hash, for end-to-end pipeline tests over arbitrary bytes.
 - ``decoder="pil"``/"ffmpeg" — the remaining integration point
-  (arithmetic-coded JPEG, palette PNG, real video codecs: H.264 etc.);
+  (arithmetic-coded JPEG, real video codecs: H.264 etc.);
   those libs are not in this container, so this raises NotImplementedError with the
   plug-in point documented.
 """
@@ -169,7 +169,8 @@ def _image_features(px, feat_dim: int) -> dict:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# colortype -> samples per pixel (8-bit only; palette needs PLTE handling)
+# colortype -> whole-byte samples per pixel (palette/sub-byte shapes are
+# decoded by _decode_png_indexed instead)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -231,15 +232,73 @@ def _png_unfilter(raw: bytes, off: int, n_rows: int, stride: int,
     return out, off + n_rows * (stride + 1)
 
 
+def _decode_png_indexed(raw: bytes, w: int, h: int, depth: int,
+                        color: int, interlace: int, plte: bytes | None):
+    """Decode the single-sample PNG shapes the main path can't express
+    as whole bytes per channel: palette (colortype 3, depths 1/2/4/8 —
+    index lookup into the PLTE chunk) and sub-byte greyscale (colortype
+    0, depths 1/2/4). One sample per pixel in both cases; samples pack
+    leftmost-pixel-in-high-bits within each byte (RFC 2083 §2.3), and
+    scanline filters stay BYTE-wise at every depth (§6: bpp rounds up
+    to one byte), so the existing unfilter runs unchanged with bpp=1.
+    Returns HxWx3 uint8."""
+    import numpy as np
+
+    if color not in (0, 3):
+        raise ValueError(
+            f"unsupported PNG (colortype={color}, depth={depth})"
+        )
+    if color == 3 and depth == 16:
+        raise ValueError("illegal PNG: 16-bit palette")
+    spb = 8 // depth  # samples per byte
+    shifts = (np.arange(spb - 1, -1, -1, dtype=np.uint8) * depth)
+    mask = (1 << depth) - 1
+
+    def unpack(rows, pw):
+        # (n, stride) bytes -> (n, pw) samples, dropping pad bits
+        vals = (rows[:, :, None] >> shifts) & mask
+        return vals.reshape(rows.shape[0], -1)[:, :pw]
+
+    idx = np.zeros((h, w), dtype=np.uint8)
+    if interlace == 0:
+        stride = (w * depth + 7) // 8
+        rows, _ = _png_unfilter(raw, 0, h, stride, 1)
+        idx[:] = unpack(rows, w)
+    else:
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines
+            rows, off = _png_unfilter(raw, off, ph, (pw * depth + 7) // 8, 1)
+            idx[y0::dy, x0::dx] = unpack(rows, pw)
+    if color == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]
+    # sub-byte greyscale: max-value expansion to 8-bit (255/(2^d - 1) is
+    # an integer for d in 1/2/4: 255, 85, 17), replicated to 3 channels
+    g = (idx * (255 // mask)).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
 def _decode_png(payload: bytes, feat_dim: int = 0):
     """Real PNG decode → HxWx3 uint8, no external libs: PNG's
     compression IS stdlib ``zlib``; the only format-specific work is
     chunk walking, scanline unfiltering (filter types 0-4, RFC 2083
-    §6), and Adam7 pass reassembly. Supported: 8- and 16-bit,
-    non-interlaced and Adam7-interlaced, greyscale / RGB / grey+alpha /
-    RGBA (alpha dropped, grey replicated to 3 channels; 16-bit scales
-    to 8 by taking the high byte, the standard >>8 conversion).
-    Palette (PLTE) and sub-byte depths raise — the honest boundary."""
+    §6), and Adam7 pass reassembly. Supported: every legal bit depth —
+    1/2/4-bit greyscale and palette, 8-bit all color types, 16-bit
+    greyscale/RGB/grey+alpha/RGBA — non-interlaced and
+    Adam7-interlaced. Palette (colortype 3) indexes resolve through
+    the PLTE chunk to RGB; sub-byte greyscale scales to 8-bit by the
+    standard max-value expansion (0..(2^d - 1) -> 0..255); 16-bit
+    scales to 8 by taking the high byte (>>8); alpha is dropped, grey
+    replicated to 3 channels (tRNS transparency is likewise dropped —
+    this decoder feeds pixel-statistics features, not compositing)."""
     import struct
     import zlib
 
@@ -247,7 +306,7 @@ def _decode_png(payload: bytes, feat_dim: int = 0):
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, idat, ihdr = 8, [], None
+    pos, idat, ihdr, plte = 8, [], None, None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -255,6 +314,8 @@ def _decode_png(payload: bytes, feat_dim: int = 0):
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -262,13 +323,23 @@ def _decode_png(payload: bytes, feat_dim: int = 0):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or comp != 0
+        or filt != 0
+        or interlace not in (0, 1)
+    ):
         raise ValueError(
             f"unsupported PNG (depth={depth}, interlace={interlace})"
         )
+    if color == 3 or depth < 8:
+        return _decode_png_indexed(
+            zlib.decompress(b"".join(idat)),
+            w, h, depth, color, interlace, plte,
+        )
     ch = _PNG_CHANNELS.get(color)
     if ch is None:
-        raise ValueError(f"unsupported PNG colortype {color} (palette?)")
+        raise ValueError(f"unsupported PNG colortype {color}")
     nb = depth // 8
     bpp = ch * nb
     raw = zlib.decompress(b"".join(idat))
@@ -393,6 +464,62 @@ def encode_png(px, filter_types=None, bit_depth: int = 8,
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def encode_png_palette(indices, palette, bit_depth: int = 8,
+                       filter_types=None, interlace: int = 0) -> bytes:
+    """Minimal palette-PNG (colortype 3) encoder for tests and
+    deterministic synthetic payloads. ``indices`` is HxW palette
+    indexes, ``palette`` an (n, 3) RGB array / list of triples;
+    ``bit_depth`` in 1/2/4/8 packs indexes leftmost-pixel-in-high-bits
+    (RFC 2083 §2.3). Also encodes sub-byte GREYSCALE (colortype 0)
+    when ``palette is None``. ``filter_types``/``interlace`` as in
+    :func:`encode_png` (filters are byte-wise at every depth)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    assert bit_depth in (1, 2, 4, 8)
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    color = 0 if palette is None else 3
+    spb = 8 // bit_depth
+    shifts = np.arange(spb - 1, -1, -1, dtype=np.uint8) * bit_depth
+
+    def pack(sub):
+        # (ph, pw) samples -> (ph, ceil(pw*depth/8)) bytes, zero-padded
+        ph, pw = sub.shape
+        padded = np.zeros((ph, (pw + spb - 1) // spb * spb), dtype=np.uint8)
+        padded[:, :pw] = sub
+        lanes = padded.reshape(ph, -1, spb)
+        return (lanes << shifts).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color, 0, 0, interlace)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    lines: list[bytes] = []
+    if interlace == 0:
+        lines = _png_filter_rows(pack(idx).astype(np.intp), 1, filter_types, 0)
+    else:
+        row0 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.shape[0] <= 0 or sub.shape[1] <= 0:
+                continue
+            lines += _png_filter_rows(
+                pack(sub).astype(np.intp), 1, filter_types, row0
+            )
+            row0 += sub.shape[0]
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+        out += chunk(b"PLTE", pal.tobytes())
+    out += chunk(b"IDAT", zlib.compress(b"".join(lines), 9))
+    return out + chunk(b"IEND", b"")
 
 
 def _stdlib_decode(payload: bytes, feat_dim: int) -> dict:

@@ -2202,6 +2202,72 @@ def _dp_image_ahash_png16(spark, sf_dir):
 
 
 @register(
+    "dp_image_ahash_png_palette",
+    # PALETTE (PLTE) PNG under the hash — the common web-corpus shape
+    # (icons, screenshots, charts): each doc's payload is a colortype-3
+    # PNG at bit depth 4 (sub-byte indexes, leftmost pixel in the high
+    # bits per RFC 2083 §2.3), Adam7-interlaced with filters cycling
+    # 0-4 across passes — inflate, per-pass byte-wise unfilter, 4-bit
+    # unpack, PLTE lookup, and pass reassembly all exercised in one
+    # image. Bytes 0-47 of the md5 stream are the 16-color RGB palette,
+    # bytes 48-623 the 576 per-pixel indexes (v % 16), so DuckDB
+    # recomputes the expected pixels from first principles (palette
+    # gray = (299R+587G+114B)//1000 joined by index) while Spark
+    # decodes the REAL bitstream.
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':imgpal:')} AS v"
+    " FROM ids, UNNEST(range(624)) AS u(i)),"
+    " pal AS (SELECT doc_id, i // 3 AS ci,"
+    " CAST(SUM(CASE WHEN i % 3 = 0 THEN 299 * v"
+    " WHEN i % 3 = 1 THEN 587 * v ELSE 114 * v END) AS BIGINT) // 1000 AS gray"
+    " FROM b WHERE i < 48 GROUP BY 1, 2),"
+    " px AS (SELECT b.doc_id, i - 48 AS p, pal.gray FROM b"
+    " JOIN pal ON pal.doc_id = b.doc_id AND pal.ci = b.v % 16"
+    " WHERE i >= 48),"
+    " cells AS (SELECT doc_id, ((p // 24) * 8 // 24) * 8 + (p % 24) * 8 // 24 AS cell,"
+    " CAST(SUM(gray) AS BIGINT) AS cs, COUNT(*) AS cn FROM px GROUP BY 1, 2),"
+    " tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,"
+    " CAST(SUM(cn) AS BIGINT) AS tn FROM cells GROUP BY 1)"
+    " SELECT c.doc_id, string_agg(CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END,"
+    " '' ORDER BY cell) AS ahash_bits"
+    " FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id",
+)
+def _dp_image_ahash_png_palette(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.multimodal import (
+        encode_png_palette,
+        image_ahash,
+    )
+
+    docs = _spread(spark, sf_dir, "documents").select("doc_id")
+    raw = _md5_stream_payload(":imgpal:", b"", 39)  # 48 palette + 576 index
+
+    def _to_png_pal(series):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for b in series:
+            s = np.frombuffer(bytes(b), np.uint8, 624)
+            pal = s[:48].reshape(16, 3)
+            idx = (s[48:] % 16).astype(np.uint8).reshape(24, 24)
+            out.append(
+                encode_png_palette(idx, pal, bit_depth=4,
+                                   filter_types="cycle", interlace=1)
+            )
+        return pd.Series(out)
+
+    _to_png_pal.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    to_png_pal = F.pandas_udf(_to_png_pal, "binary")
+    assets = docs.select("doc_id", to_png_pal(raw).alias("payload"))
+    return image_ahash(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "ahash_bits"
+    )
+
+
+@register(
     "dp_mp4_frame_ahash",
     # REAL VIDEO FRAME DECODE: MJPEG-in-MP4 end to end with zero new
     # dependencies — each doc's payload is a genuine ISO-BMFF file
@@ -3657,15 +3723,62 @@ _STALE_R10_WINDOW = [
     "dp_dedup_keep_best", "dp_stratified_sample", "dp_semdedup_auto",
 ]
 
-# round-10 additions: brand-new oracle-backed entries registered this round
-# (never in any prior artifact) — they land at the FRONT of the window,
-# displacing stale entries from the back. _require_registered() (called
-# after registration, module bottom) makes a forgotten registration loud
-# instead of silently filtering out.
+# round-10 additions; all three landed green in CORRECTNESS_r10.json
+# (now in _DRIVER_VERIFIED_R10). Kept for the historical record.
 _NEW_R10 = [
     "dp_mp4_frame_ahash",
     "dp_image_ahash_jpeg_progressive",
     "dp_image_ahash_png16",
+]
+
+# exactly the 50-entry window recorded in CORRECTNESS_r10.json (50/50 green)
+_DRIVER_VERIFIED_R10 = [
+    "dp_ann_bruteforce_topk", "dp_ann_ivf_quantized_topk",
+    "dp_ann_lsh_quantized_topk", "dp_chunk_documents", "dp_cosine_threshold",
+    "dp_embedding_clusters_exact", "dp_embedding_near_dup_exact",
+    "dp_exact_dedup", "dp_fingerprint", "dp_hash_sample",
+    "dp_image_ahash_jpeg_progressive", "dp_image_ahash_png16", "dp_lang_id",
+    "dp_mp4_frame_ahash", "dp_ngram_jaccard", "dp_quality", "dp_text_stats",
+    "dp_train_val_test_split", "ep_stats_query", "ep_stats_query_range",
+    "ep_stream_field_values", "ep_streams", "p_top_rank", "p_uniq_multi",
+    "p_unpack_words_limit", "p_unroll_zip", "s_count_empty",
+    "s_count_uniq_limit", "s_global", "s_histogram", "s_ipv4_bucket",
+    "s_json_values_by", "s_median_quantile", "s_multi_bucket", "s_num_bucket",
+    "s_rate", "s_row_any_by", "s_row_max", "s_row_min", "s_stats_by",
+    "s_stats_if", "s_sum_len", "s_time_bucket", "s_time_bucket_offset",
+    "s_uniq_values", "s_uniq_values_limit", "s_values_unrolled",
+    "s_wildcard_no_match", "tpch_pricing_summary", "tpch_top_orders",
+]
+
+# The 50 STALEST oracle-backed entries by last-green driver round after r10
+# (per the round-10 review's union re-derivation): the 31 whose last green
+# is the r07 artifact (the filter family + the dp entries the r10 window
+# displaced), followed by the 19 oldest r08 entries in r08 artifact order.
+_STALE_R11_WINDOW = [
+    # last green = r07
+    "f_word", "f_phrase", "f_prefix", "f_any_case", "f_exact",
+    "f_exact_prefix", "f_in", "f_in_subquery", "f_field_group",
+    "f_contains_all", "f_contains_any", "f_seq", "f_regexp", "f_range_gt",
+    "f_range_bracket", "f_range_halfopen", "f_ipv4_range", "f_string_range",
+    "f_string_cmp", "f_len_range", "f_value_type_storage",
+    "p_rename_wildcard", "dp_dedup_keep_best", "dp_stratified_sample",
+    "dp_semdedup_auto", "dp_frame_sample", "dp_redact_pii",
+    "dp_decontaminate", "dp_stream_exact_dedup", "dp_multimodal_features",
+    "tpch_ship_histogram",
+    # oldest r08 entries (r08 artifact order)
+    "f_eq_field", "f_le_field", "f_time_range", "f_time_duration_offset",
+    "f_day_range", "f_week_range", "f_day_range_offset", "f_time_gt_offset",
+    "f_stream", "f_bool", "p_fields_delete", "p_copy", "p_rename",
+    "p_rename_overwrite", "p_filter", "p_limit", "p_offset",
+    "p_sort_desc_rank", "p_sort_partition_topk",
+]
+
+# round-11 additions: brand-new oracle-backed entries registered this round
+# (never in any prior artifact) — they land at the FRONT of the window,
+# displacing stale entries from the back. _reorder_registry() makes a
+# forgotten registration loud instead of silently filtering out.
+_NEW_R11 = [
+    "dp_image_ahash_png_palette",
 ]
 
 
@@ -3675,38 +3788,40 @@ def _reorder_registry() -> None:
     COMPLETE: every oracle-backed entry has a green driver row in some
     round and no entry's latest check is red. The window's value is now
     FRESHNESS: front this round's brand-new oracle entries, then the
-    STALEST previously-green entries (for r10: the 28 whose last green
-    is r06 — the whole stats family — then the 22 oldest r07 entries;
-    the code behind them has drifted the most since their check). The
-    rows-only entries (no oracle_sql by design — hash/approx-valued,
-    each with an oracle-exact twin elsewhere) stay OUT of the window: a
-    driver row for them would read `err: no_oracle`, not green."""
+    STALEST previously-green entries (for r11: the 31 whose last green
+    is r07 — the filter family plus the dp entries the r10 window
+    displaced — then the 19 oldest r08 entries; the code behind them
+    has drifted the most since their check). The rows-only entries (no
+    oracle_sql by design — hash/approx-valued, each with an
+    oracle-exact twin elsewhere) stay OUT of the window: a driver row
+    for them would read `err: no_oracle`, not green."""
     global QUERIES, ORACLE
     missing = [
-        k for k in _NEW_R10 if k not in QUERIES or k not in ORACLE
+        k for k in _NEW_R11 if k not in QUERIES or k not in ORACLE
     ]
     if missing:
-        # a _NEW_R10 name that never got registered (or lost its oracle)
+        # a _NEW_R11 name that never got registered (or lost its oracle)
         # must fail loudly, not silently fall out of the window — the r9
         # reserved names did exactly that and the round shipped a false
         # "registered this round" comment
         raise RuntimeError(
-            f"_NEW_R10 entries not registered with an oracle: {missing}"
+            f"_NEW_R11 entries not registered with an oracle: {missing}"
         )
     checked = (
         set(_DRIVER_VERIFIED_R2_R3) | set(_DRIVER_VERIFIED_R5)
         | set(_DRIVER_VERIFIED_R6) | set(_DRIVER_VERIFIED_R7)
         | set(_DRIVER_VERIFIED_R8) | set(_DRIVER_VERIFIED_R9)
+        | set(_DRIVER_VERIFIED_R10)
     )
     never = [k for k in QUERIES if k not in checked]
     never_with_oracle = [k for k in never if k in ORACLE]
     never_rows_only = [k for k in never if k not in ORACLE]
-    front = list(_NEW_R10) + [
-        k for k in never_with_oracle if k not in _NEW_R10
+    front = list(_NEW_R11) + [
+        k for k in never_with_oracle if k not in _NEW_R11
     ]
     # fill the window with the stalest previously-green entries
     fill = [
-        k for k in _STALE_R10_WINDOW
+        k for k in _STALE_R11_WINDOW
         if k in QUERIES and k in ORACLE and k not in front
     ][: max(0, 50 - len(front))]
     window = front + fill
