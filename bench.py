@@ -176,6 +176,38 @@ def compute_regression_flags(
     }
 
 
+def files_read(df) -> int | None:
+    """Sum the executed plan's scan numFiles metrics — the number of
+    files the query ACTUALLY read. inputFiles() can't tell: it lists
+    the reader's whole FileIndex, before PartitionFilters apply.
+    Executes the plan (toRdd().count()) to populate the metrics."""
+    try:
+        df._jdf.queryExecution().toRdd().count()
+        total, seen = 0, False
+
+        def walk(node):
+            nonlocal total, seen
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numFiles":
+                    total += kv._2().value()
+                    seen = True
+            name = node.nodeName()
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+            if name == "AdaptiveSparkPlan":
+                walk(node.executedPlan())
+            elif name.endswith("QueryStage"):
+                walk(node.plan())
+
+        walk(df._jdf.queryExecution().executedPlan())
+        return int(total) if seen else None
+    except Exception:
+        return None
+
+
 HEADLINE = [
     # name -> registry entry (victorialogs_spark/driver_entry.py)
     "f_word",                # token filter scan over events
@@ -324,36 +356,6 @@ def main() -> int:
         # sidecar-only prune across every day
         "stream_scan": '{event_type="click"} | stats count() as n',
     }
-    def _files_read(df) -> int | None:
-        """Sum the executed plan's scan numFiles metrics — the number of
-        files the query ACTUALLY read. inputFiles() can't tell: it lists
-        the reader's whole FileIndex, before PartitionFilters apply."""
-        try:
-            df._jdf.queryExecution().toRdd().count()
-            total, seen = 0, False
-
-            def walk(node):
-                nonlocal total, seen
-                it = node.metrics().iterator()
-                while it.hasNext():
-                    kv = it.next()
-                    if kv._1() == "numFiles":
-                        total += kv._2().value()
-                        seen = True
-                name = node.nodeName()
-                ch = node.children()
-                for i in range(ch.size()):
-                    walk(ch.apply(i))
-                if name == "AdaptiveSparkPlan":
-                    walk(node.executedPlan())
-                elif name.endswith("QueryStage"):
-                    walk(node.plan())
-
-            walk(df._jdf.queryExecution().executedPlan())
-            return int(total) if seen else None
-        except Exception:
-            return None
-
     layout: dict[str, dict] = {}
     for name, q in LAYOUT_QUERIES.items():
         entry: dict = {}
@@ -372,7 +374,7 @@ def main() -> int:
                 # files surviving the SIDECAR prune (the reader's list)...
                 entry["files_listed"] = len(df.inputFiles())
                 # ...and files actually READ (after PartitionFilters too)
-                entry["files_read"] = _files_read(df)
+                entry["files_read"] = files_read(df)
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
                 entry["partition_filters"] = bool(pf and pf.group(1).strip())

@@ -1,0 +1,277 @@
+"""Mixed read+ingest concurrency wave (SCALE.md section): queries run
+against the HTTP facade WHILE /insert/jsonline streams new rows into the
+same table — the real deployment shape, where one Spark session
+multiplexes both directions.
+
+What it measures, per direction, after a warm-up wave:
+- reads: per-request wall (p50/p95/max) for a 3-query LogsQL mix over
+  the preloaded sf0.1 events + the rows ingested so far;
+- writes: per-request wall for 1,000-row NDJSON /insert/jsonline posts,
+  plus sustained rows/s over the wave.
+
+Correctness under concurrency (the drift checks):
+- a filtered count over the PRELOADED rows (`event_type:error`) must
+  return the identical value in every mid-wave read — ingested rows
+  carry different fields, so any drift means ingest corrupted the
+  shared frame;
+- the ingested-row count (`{app="waveapp"}`) must be monotonically
+  non-decreasing mid-wave and equal the number of posted lines at the
+  end — every acked write becomes visible, none double;
+- one oracle-backed registry entry (s_stats_by) is re-run MID-WAVE on
+  the same Spark session against DuckDB at sf0.01 — concurrent facade
+  load must not change query results.
+
+Usage: python tools/mixed_wave.py [--seconds N] [--readers N] [--writers N]
+Updates ONLY the "mixed read+ingest wave" section of SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+import urllib.parse
+import urllib.request
+
+
+def arg(flag: str, default: int) -> int:
+    return int(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+
+
+SECONDS = arg("--seconds", 60)
+READERS = arg("--readers", 4)
+WRITERS = arg("--writers", 2)
+BATCH_ROWS = 1000
+
+READ_MIX = [
+    "event_type:error | stats count() as n",
+    "* | stats by (event_type) count() as hits",
+    '{app="waveapp"} | stats count() as n',
+]
+
+
+def pct(xs: list[float], p: float) -> float:
+    if not xs:
+        return float("nan")
+    s = sorted(xs)
+    return s[min(len(s) - 1, int(p * len(s)))]
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from check_oracle import TABLES, norm_rows
+    from victorialogs_spark.http_server import serve
+    from victorialogs_spark.schema import events_as_logs
+    from victorialogs_spark.session import get_spark
+
+    spark = get_spark("mixed-wave")
+    spark.sparkContext.setLogLevel("ERROR")
+    logs = events_as_logs(spark, "/root/testdata/sf0.1")
+    srv = serve(spark, logs)
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def read(q: str) -> bytes:
+        u = f"{base}/select/logsql/query?" + urllib.parse.urlencode({"query": q})
+        return urllib.request.urlopen(u, timeout=120).read()
+
+    def write(lines: str) -> None:
+        req = urllib.request.Request(
+            f"{base}/insert/jsonline?_stream_fields=app",
+            data=lines.encode(),
+            headers={"Content-Type": "text/plain"},
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=120).read()
+
+    batch = "\n".join(
+        json.dumps(
+            {
+                "_time": f"2024-02-01T00:00:{i % 60:02d}Z",
+                "_msg": f"wave row {i}",
+                "app": "waveapp",
+                "level": "info",
+                "value": i,
+            }
+        )
+        for i in range(BATCH_ROWS)
+    )
+    # warm-up: ingest FIRST (the `{app=...}` read needs the column to
+    # exist in the unioned frame), then one read of each mix entry
+    write(batch)
+    posted = [BATCH_ROWS]  # warm-up rows count toward the final total
+    for q in READ_MIX:
+        read(q)
+    # the preloaded-rows invariant: ingested rows carry no event_type,
+    # so this filtered count must stay EXACTLY this for the whole wave
+    baseline_error = read(READ_MIX[0]).strip()
+
+    stop = threading.Event()
+    read_lat: list[float] = []
+    write_lat: list[float] = []
+    drift: list[str] = []
+    ingested_seen: list[int] = []
+    lock = threading.Lock()
+
+    def reader(i: int) -> None:
+        k = i
+        while not stop.is_set():
+            q = READ_MIX[k % len(READ_MIX)]
+            k += 1
+            t0 = time.monotonic()
+            try:
+                body = read(q)
+            except Exception as e:  # noqa: BLE001 — record, don't kill the wave
+                with lock:
+                    drift.append(f"read error: {e}")
+                continue
+            dt = time.monotonic() - t0
+            with lock:
+                read_lat.append(dt)
+                if q == READ_MIX[0] and body.strip() != baseline_error:
+                    drift.append(
+                        f"preloaded count drifted: {body[:80]!r}"
+                    )
+                if q == READ_MIX[2]:
+                    n = json.loads(body)["n"]
+                    n = int(n)
+                    if ingested_seen and n < ingested_seen[-1]:
+                        drift.append(
+                            f"ingested count went backwards: "
+                            f"{ingested_seen[-1]} -> {n}"
+                        )
+                    ingested_seen.append(n)
+
+    def writer() -> None:
+        while not stop.is_set():
+            t0 = time.monotonic()
+            try:
+                write(batch)
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    drift.append(f"write error: {e}")
+                continue
+            dt = time.monotonic() - t0
+            with lock:
+                write_lat.append(dt)
+                posted[0] += BATCH_ROWS
+
+    threads = [
+        threading.Thread(target=reader, args=(i,), daemon=True)
+        for i in range(READERS)
+    ] + [threading.Thread(target=writer, daemon=True) for _ in range(WRITERS)]
+    t_wave = time.monotonic()
+    for t in threads:
+        t.start()
+
+    # ---- mid-wave oracle re-run on the SAME session (sf0.01, DuckDB)
+    time.sleep(min(10, SECONDS / 3))
+    oracle_name = "s_stats_by"
+    df = entrymod.queries()[oracle_name](spark, "/root/testdata/sf0.01")
+    s_cols, s_rows = df.columns, [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    cur = con.execute(entrymod.oracle_sql()[oracle_name])
+    d_cols = [d[0] for d in cur.description]
+    d_rows = cur.fetchall()
+    oracle_ok = (
+        sorted(s_cols) == sorted(d_cols)
+        and norm_rows(s_cols, s_rows) == norm_rows(d_cols, d_rows)
+    )
+    if not oracle_ok:
+        drift.append(f"mid-wave oracle mismatch on {oracle_name}")
+    print(f"# mid-wave oracle {oracle_name}: {'ok' if oracle_ok else 'FAIL'}",
+          file=sys.stderr)
+
+    while time.monotonic() - t_wave < SECONDS:
+        time.sleep(0.5)
+    stop.set()
+    for t in threads:
+        t.join(timeout=180)
+    wave_wall = time.monotonic() - t_wave
+
+    # ---- end-state visibility: every acked batch readable, none double
+    final = int(json.loads(read(READ_MIX[2]))["n"])
+    if final != posted[0]:
+        drift.append(f"final ingested count {final} != posted {posted[0]}")
+    srv.stop()
+
+    rows_per_sec = posted[0] / wave_wall
+    summary = {
+        "seconds": round(wave_wall, 1),
+        "readers": READERS,
+        "writers": WRITERS,
+        "reads": len(read_lat),
+        "writes": len(write_lat),
+        "read_p50": round(pct(read_lat, 0.5), 3),
+        "read_p95": round(pct(read_lat, 0.95), 3),
+        "read_max": round(max(read_lat), 3) if read_lat else None,
+        "write_p50": round(pct(write_lat, 0.5), 3),
+        "write_p95": round(pct(write_lat, 0.95), 3),
+        "write_max": round(max(write_lat), 3) if write_lat else None,
+        "ingest_rows_per_sec": round(rows_per_sec),
+        "rows_posted": posted[0],
+        "rows_visible": final,
+        "mid_wave_oracle": oracle_name if oracle_ok else "FAIL",
+        "drift": drift,
+    }
+    print(json.dumps(summary))
+
+    marker = "## mixed read+ingest wave"
+    lines = [
+        f"{marker} (round 11)",
+        "",
+        f"{READERS} reader threads (3-query LogsQL mix over preloaded"
+        f" sf0.1 events + ingested rows) and {WRITERS} writer threads"
+        f" ({BATCH_ROWS}-row NDJSON `/insert/jsonline` posts) against ONE"
+        f" facade/session for {round(wave_wall)} s after warm-up"
+        " (tools/mixed_wave.py):",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| read p50 / p95 / max | {summary['read_p50']:.2f} s /"
+        f" {summary['read_p95']:.2f} s / {summary['read_max']:.2f} s"
+        f" ({summary['reads']} requests) |",
+        f"| write p50 / p95 / max | {summary['write_p50']:.2f} s /"
+        f" {summary['write_p95']:.2f} s / {summary['write_max']:.2f} s"
+        f" ({summary['writes']} posts) |",
+        f"| sustained ingest | {summary['ingest_rows_per_sec']:,} rows/s"
+        f" ({summary['rows_posted']:,} rows posted, all visible) |",
+        f"| preloaded-count drift mid-wave | "
+        f"{'NONE' if not any('drifted' in d for d in drift) else 'DRIFTED'} |",
+        f"| ingested-count monotonicity | "
+        f"{'held' if not any('backwards' in d for d in drift) else 'VIOLATED'}"
+        f" ({len(ingested_seen)} mid-wave reads) |",
+        f"| mid-wave oracle re-run ({oracle_name} vs DuckDB, same session)"
+        f" | {'exact match' if oracle_ok else 'MISMATCH'} |",
+        "",
+    ]
+    if drift:
+        lines.insert(-1, f"Drift events: {drift}")
+        lines.insert(-1, "")
+
+    scale_path = os.path.join(repo, "SCALE.md")
+    text = open(scale_path).read()
+    if marker in text:
+        head, _, rest = text.partition(marker)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1 :] if nxt >= 0 else ""
+        text = head + "\n".join(lines) + "\n" + tail
+    else:
+        text = text.rstrip() + "\n\n" + "\n".join(lines) + "\n"
+    open(scale_path, "w").write(text)
+    print(f"# SCALE.md '{marker}' section updated", file=sys.stderr)
+    return 1 if drift else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -329,6 +329,14 @@ def main(argv: list[str] | None = None) -> int:
                  for k, v in row.asDict().items()}
             sys.stdout.write(json.dumps(d, separators=(",", ":")) + "\n")
             sys.stdout.flush()
+    # release any unpack_json parsed-map projections the command
+    # persisted (the HTTP facade does the same after each response):
+    # the CLI process usually exits right after, but `serve` above and
+    # REPL embedders keep the session alive, and pinned executor
+    # storage should not outlive the consuming action
+    from victorialogs_spark.planner.pipes import clear_unpack_caches
+
+    clear_unpack_caches()
     return 0
 
 
