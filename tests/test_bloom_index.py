@@ -133,3 +133,39 @@ def test_bloom_unindexed_files_always_scanned(spark, tmp_path):
     got = {r["_msg"] for r in run_query(spark, pruned, "beta").collect()}
     assert "delta fresh beta data" in got  # unindexed file was not pruned
     assert len(got) == 3
+
+
+def test_bloom_local_probe_matches_spark_probe(spark, tmp_path, monkeypatch):
+    """The driver-side fast path (index/local.py) must return EXACTLY
+    the distributed bloom probe's candidates for single-token,
+    conjunctive, and no-match probes."""
+    from victorialogs_spark.index import local as L
+
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "idx")
+    _write_table(spark, table)
+    build_token_bloom_index(spark, table, index)
+
+    for toks in (["beta"], ["alpha", "gamma"], ["zzz_not_there"], ["alpha"]):
+        local = sorted(candidate_files(spark, index, toks))
+        monkeypatch.setattr(L, "LOCAL_INDEX_MAX_BYTES", 0)
+        dist = sorted(candidate_files(spark, index, toks))
+        monkeypatch.undo()
+        assert local == dist, toks
+
+
+def test_local_index_reader_gates_and_falls_back(tmp_path):
+    """read_local_index: None for missing paths, oversized sidecars, and
+    non-parquet directories — the Spark probe is the fallback, never an
+    exception."""
+    from victorialogs_spark.index.local import read_local_index
+
+    assert read_local_index(str(tmp_path / "nope")) is None
+    assert read_local_index("hdfs://nn/idx") is None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert read_local_index(str(empty)) is None
+    junk = tmp_path / "junk"
+    junk.mkdir()
+    (junk / "part-0.parquet").write_bytes(b"not parquet at all")
+    assert read_local_index(str(junk)) is None

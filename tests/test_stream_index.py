@@ -223,12 +223,17 @@ def test_build_log_layout_end_to_end(spark, tmp_path):
     assert got == run_query(spark, raw, q2).collect()
 
 
-def test_stream_candidate_files_broadcast_path(spark, tmp_path):
+def test_stream_candidate_files_broadcast_path(spark, tmp_path, monkeypatch):
     """A wanted-value set past _MAX_LITERAL_VALUES takes the broadcast-
     join probe (no 10^4-literal expression tree) and must agree with the
-    literal path's semantics: intersect per field, overflow matches."""
+    literal path's semantics: intersect per field, overflow matches.
+    (The driver-side fast path is disabled so this covers the
+    DISTRIBUTED probe — a tmp-dir sidecar would otherwise take the
+    local path and never build the broadcast plan.)"""
+    from victorialogs_spark.index import local as L
     from victorialogs_spark.index import streams as S
 
+    monkeypatch.setattr(L, "LOCAL_INDEX_MAX_BYTES", 0)
     table = str(tmp_path / "t")
     index = str(tmp_path / "idx")
     rows = [(f"s{i}", f"m{i}") for i in range(6)]
@@ -254,3 +259,34 @@ def test_stream_candidate_files_broadcast_path(spark, tmp_path):
         if spark.read.parquet(f).where(F.col("_stream_id") == "s0").count()
     }
     assert files_with_s0 <= cands
+
+
+def test_local_probe_matches_spark_probe(spark, tmp_path, monkeypatch):
+    """The driver-side fast path (index/local.py) must return EXACTLY
+    the distributed probe's result for every constraint shape: plain
+    match, multi-value, unindexed field (unprunable), contradictory
+    empty set, and a no-match value. Run both ways over the same
+    sidecar and compare."""
+    from victorialogs_spark.index import local as L
+
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "idx")
+    _write_table(spark, table)
+    build_stream_index(spark, table, index, fields=["app", "_stream_id"])
+
+    shapes = [
+        {"app": {"web"}},
+        {"app": {"web", "db"}},
+        {"app": {"web"}, "_stream_id": {"s1"}},
+        {"app": {"web"}, "_stream_id": {"s2"}},  # cross-field AND: no file
+        {"nosuch": {"x"}},                       # unindexed: unprunable
+        {"app": set()},                          # contradiction: empty
+        {"app": {"zzz"}},                        # no match
+        {"app": {""}},                           # v2 empty-value probe
+    ]
+    for c in shapes:
+        local = stream_candidate_files(spark, index, c)
+        monkeypatch.setattr(L, "LOCAL_INDEX_MAX_BYTES", 0)
+        dist = stream_candidate_files(spark, index, c)
+        monkeypatch.undo()
+        assert local == dist, c

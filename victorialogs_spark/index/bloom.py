@@ -115,11 +115,23 @@ def candidate_files(
     spark: SparkSession, index_path: str, tokens: list[str]
 ) -> list[str]:
     """Files that may contain ALL of ``tokens`` (bloom AND-semantics, the
-    same conjunctive pruning the reference applies per block). The probe
-    runs distributed over the sidecar — only matching file NAMES reach the
-    driver, never the bloom bitsets (at 100 TB the sidecar holds one row
-    per file; bitsets can be MBs each)."""
+    same conjunctive pruning the reference applies per block). Small
+    local sidecars probe driver-side (index/local.py); otherwise the
+    probe runs distributed over the sidecar — only matching file NAMES
+    reach the driver, never the bloom bitsets (at 100 TB the sidecar
+    holds one row per file; bitsets can be MBs each)."""
     toks = list(tokens)
+
+    from victorialogs_spark.index.local import read_local_index
+
+    local = read_local_index(index_path)
+    if local is not None:
+        return [
+            r["file"]
+            for r in local
+            if r["bloom"] is not None
+            and all(_maybe_contains(bytes(r["bloom"]), t) for t in toks)
+        ]
 
     def _probe(b) -> bool:
         return b is not None and all(
@@ -169,10 +181,16 @@ def read_pruned(
     hive = any("=" in f.rsplit("/", 2)[-2] for f in all_files if "/" in f)
     keep = all_files
     if toks:
-        indexed = {
-            r["file"]
-            for r in spark.read.parquet(index_path).select("file").collect()
-        }
+        from victorialogs_spark.index.local import read_local_index
+
+        local = read_local_index(index_path)
+        if local is not None:
+            indexed = {r["file"] for r in local}
+        else:
+            indexed = {
+                r["file"]
+                for r in spark.read.parquet(index_path).select("file").collect()
+            }
         cands = set(candidate_files(spark, index_path, toks))
         keep = [f for f in keep if f not in indexed or f in cands]
     if stream_index_path is not None:

@@ -1,0 +1,58 @@
+"""Driver-side sidecar fast path.
+
+Both sidecar probes (stream-value sets, token blooms) are metadata
+lookups whose result is a file list — but running them as Spark jobs
+costs two scheduler round-trips (~0.3-0.5 s fixed) per pruned query,
+which the 100x layout-crossover measurement showed can exceed the whole
+scan time saved at small-to-medium table sizes. A sidecar holds one row
+per (file[, field]) and is typically KBs; reading it on the DRIVER with
+pyarrow and evaluating the probe in plain Python costs ~ms and zero
+executor time.
+
+Size gate: the fast path only engages when the sidecar's on-disk bytes
+are under ``LOCAL_INDEX_MAX_BYTES`` — at 100 TB a sidecar over 10^6
+files can reach GBs, where the distributed probe (only file NAMES reach
+the driver) is the right plan. Any failure (remote filesystem, schema
+surprise) falls back to the Spark path: the fast path is an
+optimization, never a correctness dependency.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+# sidecars under this total size are read driver-side (a 32 MB arrow
+# table materializes in ~10 ms locally; the Spark probe's two scheduler
+# round-trips cost 30-50x that)
+LOCAL_INDEX_MAX_BYTES = 32 << 20
+
+
+def read_local_index(index_path: str):
+    """Return the sidecar as a list of row dicts when it is a local
+    directory (or file) of parquet under the size gate; None otherwise
+    (caller runs the distributed probe). Never raises."""
+    try:
+        p = index_path
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        if os.path.isdir(p):
+            parts = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        elif os.path.isfile(p):
+            parts = [p]
+        else:
+            return None  # not a local path (hdfs/s3/...) — Spark probe
+        if not parts:
+            return None
+        if sum(os.path.getsize(f) for f in parts) > LOCAL_INDEX_MAX_BYTES:
+            return None
+        import pyarrow.parquet as pq
+
+        rows: list[dict] = []
+        for f in parts:
+            rows.extend(pq.read_table(f).to_pylist())
+        return rows
+    except Exception:
+        return None

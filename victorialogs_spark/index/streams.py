@@ -141,8 +141,15 @@ def stream_candidate_files(
 ) -> tuple[set[str], set[str]]:
     """(indexed_files, candidate_files): files whose recorded value set
     intersects EVERY constrained field's wanted values. Overflowed rows
-    always qualify for their field. The probe runs distributed over the
-    sidecar; only file names reach the driver."""
+    always qualify for their field. Small local sidecars are evaluated
+    driver-side (index/local.py — same semantics, no Spark jobs); the
+    probe runs distributed otherwise, with only file names reaching the
+    driver."""
+    from victorialogs_spark.index.local import read_local_index
+
+    local = read_local_index(index_path)
+    if local is not None:
+        return _local_stream_candidates(local, constraints)
     idx = spark.read.parquet(index_path)
     # one driver job yields both the indexed-file and indexed-field sets
     pairs = idx.select("file", "field").distinct().collect()
@@ -222,6 +229,40 @@ def stream_candidate_files(
         .collect()
     )
     return indexed, indexed & {r["file"] for r in rows}
+
+
+def _local_stream_candidates(
+    rows: list[dict], constraints: dict[str, set[str]]
+) -> tuple[set[str], set[str]]:
+    """Driver-side twin of the distributed probe — evaluates the SAME
+    semantics (unindexed field unprunable, contradictory conjuncts empty,
+    pre-v2 "" skip, overflow always matches, AND across fields) over the
+    sidecar rows in plain Python. Pinned equal to the Spark path by
+    tests/test_stream_index.py::test_local_probe_matches_spark_probe."""
+    indexed = {r["file"] for r in rows}
+    indexed_fields = {r["field"] for r in rows}
+    nulls_as_empty = any("version" in r for r in rows[:1])
+    prunable: dict[str, set[str]] = {}
+    for field, values in constraints.items():
+        if field not in indexed_fields:
+            continue
+        if not values:
+            return indexed, set()
+        if "" in values and not nulls_as_empty:
+            continue
+        prunable[field] = values
+    if not prunable:
+        return indexed, indexed
+    matched: dict[str, set[str]] = {}
+    for r in rows:
+        field = r["field"]
+        want = prunable.get(field)
+        if want is None:
+            continue
+        if r["overflow"] or want.intersection(r["values"] or ()):
+            matched.setdefault(r["file"], set()).add(field)
+    cands = {f for f, flds in matched.items() if len(flds) == len(prunable)}
+    return indexed, cands
 
 
 def register_stream_index(table_path: str, index_path: str) -> None:
