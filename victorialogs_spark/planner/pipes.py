@@ -674,7 +674,17 @@ def _infer_keys(df: DataFrame, keys_col: Column, ctx) -> list[str]:
 # round-6 exact-inference change made unpack_json parse twice). Larger or
 # unestimable inputs keep the two-scan plan: at 100 TB, re-parsing a pruned
 # single-column scan beats spilling the whole projection to executor disks.
-UNPACK_PERSIST_MAX_BYTES = 2 << 30
+#
+# Gate calibration (round 11, measured with clearCache between runs —
+# i.e. per-SINGLE-execution cost, no cross-run cache reuse): at 123 MB
+# source the persist path LOSES (8.8-10.3 s vs 7.0 s two-scan steady
+# state, plus a ~30 s first-run materialization of a ~12 GB parsed-map
+# cache); at 2 MB the two are within noise per execution and persist
+# wins once the same query repeats (cache reuse across plan-identical
+# runs — the dashboard pattern). The original 2 GiB gate would admit a
+# ~100 GB cache; 64 MiB keeps the repeat-query win for small inputs and
+# bounds the worst-case FIFO storage (~4 x ~10x expansion) to ~2.5 GB.
+UNPACK_PERSIST_MAX_BYTES = 64 << 20
 _UNPACK_CACHES: list = []
 
 
