@@ -1,0 +1,54 @@
+"""The driver's correctness artifact covers the FIRST 50 registry
+entries each round; _reorder_registry() fronts this round's brand-new
+oracle entries and fills with the stalest previously-green names. These
+tests pin the round-11 window so an accidental registry reshuffle (a
+new entry registered without an oracle, a stale name dropped) is caught
+at pytest time instead of as a silently thinner CORRECTNESS artifact.
+No Spark session needed — the registry builds at import."""
+
+from victorialogs_spark import driver_entry as D
+
+
+def test_window_is_new_entries_then_stalest_fill():
+    keys = list(D.QUERIES)
+    window = keys[:50]
+    # new r11 entries land first, in order
+    assert window[: len(D._NEW_R11)] == list(D._NEW_R11)
+    # the fill is drawn from the stale list in ITS order
+    fill = window[len(D._NEW_R11):]
+    stale_ordered = [
+        k for k in D._STALE_R11_WINDOW
+        if k in D.QUERIES and k in D.ORACLE and k not in D._NEW_R11
+    ]
+    assert fill == stale_ordered[: len(fill)]
+
+
+def test_window_entries_all_oracle_backed():
+    # a rows-only entry in the window would record `err: no_oracle`
+    # instead of a green row — the window must stay fully checkable
+    for name in list(D.QUERIES)[:50]:
+        assert name in D.ORACLE, f"{name} in the driver window has no oracle"
+
+
+def test_new_entries_are_actually_new():
+    # _NEW_R11 means "never in any prior artifact": appearing in a prior
+    # verified set would waste a freshness slot on an already-green name
+    prior = (
+        set(D._DRIVER_VERIFIED_R2_R3) | set(D._DRIVER_VERIFIED_R5)
+        | set(D._DRIVER_VERIFIED_R6) | set(D._DRIVER_VERIFIED_R7)
+        | set(D._DRIVER_VERIFIED_R8) | set(D._DRIVER_VERIFIED_R9)
+        | set(D._DRIVER_VERIFIED_R10)
+    )
+    assert not prior.intersection(D._NEW_R11)
+
+
+def test_verified_sets_match_committed_artifacts():
+    # the newest verified set must be EXACTLY the names in the committed
+    # CORRECTNESS artifact it claims to mirror
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "CORRECTNESS_r10.json")) as fh:
+        art = json.load(fh)
+    assert sorted(art) == sorted(D._DRIVER_VERIFIED_R10)
