@@ -3773,13 +3773,60 @@ _STALE_R11_WINDOW = [
     "p_sort_desc_rank", "p_sort_partition_topk",
 ]
 
-# round-11 additions: brand-new oracle-backed entries registered this round
-# (never in any prior artifact) — they land at the FRONT of the window,
-# displacing stale entries from the back. _reorder_registry() makes a
-# forgotten registration loud instead of silently filtering out.
+# round-11 additions; landed green in CORRECTNESS_r11.json (now in
+# _DRIVER_VERIFIED_R11). Kept for the historical record.
 _NEW_R11 = [
     "dp_image_ahash_png_palette",
 ]
+
+# exactly the 50-entry window recorded in CORRECTNESS_r11.json (50/50 green)
+_DRIVER_VERIFIED_R11 = [
+    "dp_image_ahash_png_palette", "f_word", "f_phrase", "f_prefix",
+    "f_any_case", "f_exact", "f_exact_prefix", "f_in", "f_in_subquery",
+    "f_field_group", "f_contains_all", "f_contains_any", "f_seq", "f_regexp",
+    "f_range_gt", "f_range_bracket", "f_range_halfopen", "f_ipv4_range",
+    "f_string_range", "f_string_cmp", "f_len_range", "f_value_type_storage",
+    "p_rename_wildcard", "dp_dedup_keep_best", "dp_stratified_sample",
+    "dp_semdedup_auto", "dp_frame_sample", "dp_redact_pii", "dp_decontaminate",
+    "dp_stream_exact_dedup", "dp_multimodal_features", "tpch_ship_histogram",
+    "f_eq_field", "f_le_field", "f_time_range", "f_time_duration_offset",
+    "f_day_range", "f_week_range", "f_day_range_offset", "f_time_gt_offset",
+    "f_stream", "f_bool", "p_fields_delete", "p_copy", "p_rename",
+    "p_rename_overwrite", "p_filter", "p_limit", "p_offset", "p_sort_desc_rank",
+]
+
+# The 50 STALEST oracle-backed entries by last-green driver round after r11,
+# derived programmatically from the union of CORRECTNESS_r01..r11.json
+# sorted by (last-green round, position in that round's artifact): the 32
+# whose last green is the r08 artifact — including the three codec entries
+# at r08 positions 0-2 (dp_image_ahash_png/jpeg, dp_mp4_frame_extract) that
+# the r11 review's hand-derived list omitted — followed by the 18 oldest
+# r09 entries in r09 artifact order.
+_STALE_R12_WINDOW = [
+    # last green = r08 (r08 artifact order)
+    "dp_image_ahash_png", "dp_image_ahash_jpeg", "dp_mp4_frame_extract",
+    "p_sort_partition_topk", "p_first", "p_last", "p_math", "p_math_funcs",
+    "p_extract", "p_extract_regexp", "p_replace", "p_replace_regexp",
+    "p_format", "p_format_converters", "dp_span_dedup", "dp_cut_spans",
+    "dp_tfidf_terms", "dp_dsir_weights", "dp_ann_quantized_topk",
+    "dp_perplexity_buckets", "dp_bigram_logprob", "dp_mix_sources",
+    "dp_label_centroids", "dp_knn_purity", "dp_curate_packed",
+    "dp_stream_stats", "dp_simhash_md5", "dp_unigram_logprob",
+    "dp_shuffle_shards", "dp_pack_sequences", "dp_repetition",
+    "dp_ngram_repetition",
+    # oldest r09 entries (r09 artifact order)
+    "dp_cluster_dedup", "dp_curate",
+    "dp_decontaminate_ngrams", "dp_dup_clusters", "dp_gopher_quality",
+    "dp_minhash_md5", "dp_stream_neardup", "f_in_subquery_or", "p_facets",
+    "p_field_names", "p_field_values", "p_format_numeric_converters", "p_join",
+    "p_json_array_len", "p_len", "p_math_abs", "p_pack_json", "p_pack_logfmt",
+]
+
+# round-12 additions: brand-new oracle-backed entries registered this round
+# (never in any prior artifact) — they land at the FRONT of the window,
+# displacing stale entries from the back. _reorder_registry() makes a
+# forgotten registration loud instead of silently filtering out.
+_NEW_R12: list[str] = []
 
 
 def _reorder_registry() -> None:
@@ -3788,40 +3835,40 @@ def _reorder_registry() -> None:
     COMPLETE: every oracle-backed entry has a green driver row in some
     round and no entry's latest check is red. The window's value is now
     FRESHNESS: front this round's brand-new oracle entries, then the
-    STALEST previously-green entries (for r11: the 31 whose last green
-    is r07 — the filter family plus the dp entries the r10 window
-    displaced — then the 19 oldest r08 entries; the code behind them
-    has drifted the most since their check). The rows-only entries (no
-    oracle_sql by design — hash/approx-valued, each with an
-    oracle-exact twin elsewhere) stay OUT of the window: a driver row
-    for them would read `err: no_oracle`, not green."""
+    STALEST previously-green entries (for r12: the 32 whose last green
+    is r08 — the codec trio plus the pipe/dp family the r11 window's
+    hand-derived list missed — then the 18 oldest r09 entries; the
+    code behind them has drifted the most since their check). The
+    rows-only entries (no oracle_sql by design — hash/approx-valued,
+    each with an oracle-exact twin elsewhere) stay OUT of the window:
+    a driver row for them would read `err: no_oracle`, not green."""
     global QUERIES, ORACLE
     missing = [
-        k for k in _NEW_R11 if k not in QUERIES or k not in ORACLE
+        k for k in _NEW_R12 if k not in QUERIES or k not in ORACLE
     ]
     if missing:
-        # a _NEW_R11 name that never got registered (or lost its oracle)
+        # a _NEW_R12 name that never got registered (or lost its oracle)
         # must fail loudly, not silently fall out of the window — the r9
         # reserved names did exactly that and the round shipped a false
         # "registered this round" comment
         raise RuntimeError(
-            f"_NEW_R11 entries not registered with an oracle: {missing}"
+            f"_NEW_R12 entries not registered with an oracle: {missing}"
         )
     checked = (
         set(_DRIVER_VERIFIED_R2_R3) | set(_DRIVER_VERIFIED_R5)
         | set(_DRIVER_VERIFIED_R6) | set(_DRIVER_VERIFIED_R7)
         | set(_DRIVER_VERIFIED_R8) | set(_DRIVER_VERIFIED_R9)
-        | set(_DRIVER_VERIFIED_R10)
+        | set(_DRIVER_VERIFIED_R10) | set(_DRIVER_VERIFIED_R11)
     )
     never = [k for k in QUERIES if k not in checked]
     never_with_oracle = [k for k in never if k in ORACLE]
     never_rows_only = [k for k in never if k not in ORACLE]
-    front = list(_NEW_R11) + [
-        k for k in never_with_oracle if k not in _NEW_R11
+    front = list(_NEW_R12) + [
+        k for k in never_with_oracle if k not in _NEW_R12
     ]
     # fill the window with the stalest previously-green entries
     fill = [
-        k for k in _STALE_R11_WINDOW
+        k for k in _STALE_R12_WINDOW
         if k in QUERIES and k in ORACLE and k not in front
     ][: max(0, 50 - len(front))]
     window = front + fill
