@@ -13,7 +13,15 @@ specification, sharing no code with jpeg.py / multimodal.py —
   not any baked-in constant;
 - the PNG carries a zlib stream built from a hand-written STORED
   deflate block (no zlib.compress) with hand-computed Adler-32, and
-  scanlines filtered by hand (Sub and Up deltas computed on paper).
+  scanlines filtered by hand (Sub and Up deltas computed on paper);
+- the PROGRESSIVE JPEG is three hand-packed scans (DC-first with a
+  point transform, an AC-first EOB-run scan, a DC refinement) so the
+  multi-scan coefficient accumulation is pinned by the spec, not by
+  the in-repo progressive encoder;
+- the GIFs carry LZW code streams packed by hand (variable width,
+  LSB-first — every code and its bit offset derived in comments),
+  covering the width transition, the KwKwK case, the 4-pass
+  interlace, 89a extension skipping, and local color tables.
 
 Expected pixels are computed arithmetically in comments, not by running
 any in-repo code.
@@ -23,6 +31,7 @@ import struct
 
 import numpy as np
 
+from victorialogs_spark.datapipe.gif import decode_gif
 from victorialogs_spark.datapipe.jpeg import decode_jpeg
 from victorialogs_spark.datapipe.multimodal import _decode_png
 
@@ -136,4 +145,156 @@ def test_decode_handwritten_png_stored_deflate():
         dtype=np.uint8,
     ).reshape(2, 4, 3)
     assert px.shape == (2, 4, 3)
+    assert (px == want).all()
+
+def test_decode_handwritten_progressive_jpeg():
+    """16x8 greyscale, SOF2, three hand-packed scans (T.81 Annex G).
+
+    Same custom quant (all 3s) as the baseline fixture; final DCs are
+    3 and 1 post-quant, assembled ACROSS scans:
+
+    Scan 1 — DC first, Al=1 (successive approximation: coded values
+      are dc>>1, shifted back left on decode). dc>>1: block 1 -> 1,
+      block 2 -> 0. Diffs: +1, then 0-1 = -1. Custom DC table (counts
+      one 1-bit, one 2-bit code; symbols [1, 0]): category 1 -> "0",
+      category 0 -> "10". Bits: b1 "0"+"1" (cat 1, +1), b2 "0"+"0"
+      (cat 1, -1 codes as v+2^cat-1 = 0). "0100" + 1-padding = 0x4F.
+    Scan 2 — AC first, Ss=1 Se=63 Ah=0 Al=0. All ACs zero: one EOB
+      run covering both blocks. Custom AC table: single symbol 0x10
+      (EOBn, n=1) -> code "0"; eobrun = (1<<1) + extra bit "0" = 2.
+      "00" + 1-padding = 0x3F.
+    Scan 3 — DC refinement, Ah=1 Al=0: one RAW bit per block (no
+      Huffman), appended at Al: both low bits are 1. "11" + 1-padding
+      = 0xFF, which must be byte-stuffed to FF 00 in entropy data.
+
+    Final: dc1 = (1<<1)|1 = 3, dc2 = (0<<1)|1 = 1; dequantized 9 and
+    3; flat DC-only blocks: floor((9+4)/8)+128 = 129 and
+    floor((3+4)/8)+128 = 128 — identical to the baseline fixture's
+    expectation, reached through the progressive path.
+    """
+    jpg = bytearray(b"\xff\xd8")
+    jpg += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + b"\x03" * 64
+    # SOF2 (progressive): precision 8, h 8, w 16, 1 component
+    jpg += b"\xff\xc2" + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 16, 1, 1, 0x11, 0]
+    )
+    dht = b"\x00" + bytes([1, 1] + [0] * 14) + bytes([1, 0])
+    dht += b"\x10" + bytes([1] + [0] * 15) + bytes([0x10])
+    jpg += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    jpg += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0, 0, 0, 0x01])
+    jpg += b"\x4f"
+    jpg += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0, 1, 63, 0x00])
+    jpg += b"\x3f"
+    jpg += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0, 0, 0, 0x10])
+    jpg += b"\xff\x00"  # 0xFF entropy byte, stuffed
+    jpg += b"\xff\xd9"
+
+    px = decode_jpeg(bytes(jpg))
+    assert px.shape == (8, 16, 3)
+    assert (px[:, :8] == 129).all()
+    assert (px[:, 8:] == 128).all()
+
+
+def test_decode_handwritten_gif_sequential():
+    """3x2 GIF87a, 4-color global table, LZW packed by hand.
+
+    Indexes: row0 = 0 1 2, row1 = 2 1 0. min_code_size 2 => clear=4,
+    EOI=5, first width 3. Encoding trace (code@width, dictionary adds):
+      clear 4@3
+      0@3 (emit [0], add [0,1]=6)
+      1@3 (emit [1], add [1,2]=7)
+      2@3 (emit [2], add [2,2]=8 -> next=9 = (1<<3)+1 -> width 4)
+      2@4 (emit [2], add [2,1]=9)
+      1@4 (emit [1], add [1,0]=10)
+      0@4 (emit [0])
+      EOI 5@4
+    LSB-first packing: 4 + (0<<3) + (1<<6) + (2<<9) + (2<<12) +
+    (1<<16) + (0<<20) + (5<<24) = 0x05012444 -> bytes 44 24 01 05.
+    """
+    gif = bytearray(b"GIF87a")
+    gif += struct.pack("<HHBBB", 3, 2, 0x81, 0, 0)  # GCT, 4 entries
+    gif += bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 2, 0x00)
+    gif += b"\x02"  # min code size
+    gif += b"\x04" + bytes([0x44, 0x24, 0x01, 0x05]) + b"\x00"
+    gif += b"\x3b"
+
+    px = decode_gif(bytes(gif))
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[0, 0, 255], [0, 255, 0], [255, 0, 0]]],
+        dtype=np.uint8,
+    )
+    assert px.shape == (2, 3, 3)
+    assert (px == want).all()
+
+
+def test_decode_handwritten_gif_kwkwk():
+    """3x5 GIF87a of a single index — forces the KwKwK code-not-yet-
+    in-table case on EVERY non-root code.
+
+    Fifteen 1s, min_code_size 2. Greedy LZW emits runs of growing
+    length 1,2,3,4,5:
+      clear 4@3
+      1@3 (emit [1],    add [1,1]=6)
+      6@3 (emit [1,1],  add [1,1,1]=7)      <- decoder table has no 6 yet
+      7@3 (emit [1]*3,  add [1]*4=8 -> width 4)
+      8@4 (emit [1]*4,  add [1]*5=9)
+      9@4 (emit [1]*5)
+      EOI 5@4
+    Packing: 4 + (1<<3) + (6<<6) + (7<<9) + (8<<12) + (9<<16) +
+    (5<<20) = 0x598F8C -> bytes 8C 8F 59.
+    """
+    gif = bytearray(b"GIF87a")
+    gif += struct.pack("<HHBBB", 3, 5, 0x81, 0, 0)
+    gif += bytes([1, 2, 3, 40, 50, 60, 7, 8, 9, 0, 0, 0])
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 5, 0x00)
+    gif += b"\x02"
+    gif += b"\x03" + bytes([0x8C, 0x8F, 0x59]) + b"\x00"
+    gif += b"\x3b"
+
+    px = decode_gif(bytes(gif))
+    assert px.shape == (5, 3, 3)
+    assert (px == np.array([40, 50, 60], np.uint8)).all()
+
+
+def test_decode_handwritten_gif_interlaced_local_table():
+    """1x5 GIF89a: interlaced, LOCAL color table, extensions to skip.
+
+    Display-order column indexes (top to bottom): 0 1 2 3 0. The 4-pass
+    interlace stores rows in order 0,4,2,1,3 (every 8th from 0, every
+    8th from 4, every 4th from 2, every 2nd from 1), so the stored
+    index stream is 0 0 2 1 3:
+      clear 4@3
+      0@3 (emit [0], add [0,0]=6)
+      0@3 (emit [0], add [0,2]=7)
+      2@3 (emit [2], add [2,1]=8 -> width 4)
+      1@4 (emit [1], add [1,3]=9)
+      3@4 (emit [3])
+      EOI 5@4
+    Packing: 4 + (0<<3) + (0<<6) + (2<<9) + (1<<12) + (3<<16) +
+    (5<<20) = 0x531404 -> bytes 04 14 53.
+
+    The screen descriptor carries NO global table; the image descriptor
+    sets interlace (0x40) + local table (0x80, size field 1). A Graphic
+    Control Extension and a Comment precede the image and must be
+    skipped by their sub-block structure.
+    """
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 1, 5, 0x00, 0, 0)  # no global table
+    gif += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: len 4 + terminator
+    gif += b"\x21\xfe\x05hello\x00"  # comment extension
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 5, 0x40 | 0x80 | 0x01)
+    gif += bytes([10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42])
+    gif += b"\x02"
+    gif += b"\x03" + bytes([0x04, 0x14, 0x53]) + b"\x00"
+    gif += b"\x3b"
+
+    px = decode_gif(bytes(gif))
+    want = np.array(
+        [[[10, 11, 12]], [[20, 21, 22]], [[30, 31, 32]],
+         [[40, 41, 42]], [[10, 11, 12]]],
+        dtype=np.uint8,
+    )
+    assert px.shape == (5, 1, 3)
     assert (px == want).all()

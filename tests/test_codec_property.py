@@ -250,3 +250,51 @@ def test_mjpeg_in_mp4_frames_decode_property(ns, sync_every, progressive_odd, se
         want = np.clip((dc * 17 + 4) // 8 + 128, 0, 255).astype(np.uint8)
         assert (dec == np.repeat(want[:, :, None], 3, axis=2)).all()
         assert ahash_bits_from_pixels(dec) is not None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ncol=st.sampled_from([2, 3, 4, 5, 16, 37, 256]),
+    interlace=st.booleans(),
+    local=st.booleans(),
+    v89=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_roundtrip_property(h, w, ncol, interlace, local, v89, seed):
+    """GIF is lossless: decode(encode(idx, pal)) == pal[idx] across
+    palette sizes (code sizes 2-8), interlaced storage, global/local
+    color table placement, and 87a/89a (89a adds extension blocks the
+    decoder must skip)."""
+    from victorialogs_spark.datapipe.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+    g = encode_gif(
+        idx, pal, interlace=interlace, local_palette=local,
+        version=b"GIF89a" if v89 else b"GIF87a",
+    )
+    assert g[:6] == (b"GIF89a" if v89 else b"GIF87a")
+    assert np.array_equal(decode_gif(g), pal[idx])
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 2**31), runs=st.booleans())
+def test_gif_lzw_12bit_cap_property(seed, runs):
+    """Streams long/diverse enough to fill the 4096-entry dictionary
+    force the 12-bit width cap and the encoder's clear-code reset; the
+    decoder must resynchronize exactly."""
+    from victorialogs_spark.datapipe.gif import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(seed)
+    if runs:
+        # long runs grow entries fast (hits the cap with fewer codes)
+        parts = [bytes([rng.integers(0, 256)]) * int(rng.integers(1, 60))
+                 for _ in range(600)]
+        data = b"".join(parts)
+    else:
+        data = bytes(rng.integers(0, 256, size=20000, dtype=np.uint8))
+    enc = _lzw_encode(data, 8)
+    assert _lzw_decode(enc, 8, len(data)) == data

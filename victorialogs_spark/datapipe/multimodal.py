@@ -12,8 +12,10 @@ shapes — is real and tested. Decoders, by honesty tier:
   greyscale/RGB/RGBA), and sequential AND progressive JPEG (jpeg.py:
   marker walk, stream-defined Huffman tables, multi-scan coefficient
   accumulation, dequantize, float IDCT with the exact-integer DC-only
-  fast path, 4:4:4/4:2:0/4:2:2, restart markers). MJPEG-in-MP4 frames
-  decode end-to-end via mp4.video_frame_sample(decode=True).
+  fast path, 4:4:4/4:2:0/4:2:2, restart markers), and GIF87a/89a
+  (gif.py: pure-Python LZW, global/local color tables, 4-pass
+  interlace, extension skipping). MJPEG-in-MP4 frames decode
+  end-to-end via mp4.video_frame_sample(decode=True).
   ``resize_image`` really resizes (numpy nearest-neighbor, re-encoded
   as PPM).
 - ``decoder="fake"`` — deterministic pseudo-features from the content
@@ -536,6 +538,10 @@ def _stdlib_decode(payload: bytes, feat_dim: int) -> dict:
         from victorialogs_spark.datapipe.jpeg import decode_jpeg
 
         return _image_features(decode_jpeg(payload), feat_dim)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from victorialogs_spark.datapipe.gif import decode_gif
+
+        return _image_features(decode_gif(payload), feat_dim)
     raise ValueError(f"unrecognized container (magic {payload[:4]!r})")
 
 
@@ -544,11 +550,11 @@ def decode_features(
 ) -> DataFrame:
     """Decode/feature-extract each asset via mapInPandas (Arrow batches).
 
-    decoder="stdlib": REAL decode for WAV/BMP/PPM/PNG (8/16-bit,
-    Adam7)/JPEG (baseline + progressive) payloads (no external libs
-    needed); unrecognized payloads yield a NULL feature row
-    (width/height/duration NULL, feature NULL) rather than failing the
-    batch.
+    decoder="stdlib": REAL decode for WAV/BMP/PPM/PNG (all legal
+    depths, palette, Adam7)/JPEG (baseline + progressive)/GIF (87a,
+    89a, interlace) payloads (no external libs needed); unrecognized
+    payloads yield a NULL feature row (width/height/duration NULL,
+    feature NULL) rather than failing the batch.
     decoder="fake": deterministic stub (see _fake_decode).
     decoder="pil"/"ffmpeg": the remaining compressed formats — NOT
     available in this container; raise with the integration point
@@ -557,9 +563,9 @@ def decode_features(
     if decoder not in ("fake", "stdlib"):
         raise NotImplementedError(
             f"decoder={decoder!r}: non-MJPEG video codecs / arithmetic "
-            "JPEG / palette PNG need PIL/ffmpeg, not present in this "
-            "container. Plug the real decode into _decode_batches below "
-            "— schema/batching stay identical."
+            "JPEG need PIL/ffmpeg, not present in this container. Plug "
+            "the real decode into _decode_batches below — "
+            "schema/batching stay identical."
         )
 
     def _decode_batches(batches: Iterator) -> Iterator:
@@ -750,8 +756,8 @@ def _bilinear_32(gray, n: int = 32):
 
 
 def _stdlib_decode_pixels(b: bytes):
-    """BMP/PPM/PNG/JPEG (baseline + progressive) payload → HxWx3 uint8
-    (raises else)."""
+    """BMP/PPM/PNG/JPEG (baseline + progressive)/GIF payload →
+    HxWx3 uint8 (raises else)."""
     if b[:2] == b"BM":
         return _decode_bmp(b, 0)
     if b[:2] == b"P6":
@@ -762,6 +768,10 @@ def _stdlib_decode_pixels(b: bytes):
         from victorialogs_spark.datapipe.jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from victorialogs_spark.datapipe.gif import decode_gif
+
+        return decode_gif(b)
     raise ValueError("not a decodable image")
 
 

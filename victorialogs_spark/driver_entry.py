@@ -2268,6 +2268,69 @@ def _dp_image_ahash_png_palette(spark, sf_dir):
 
 
 @register(
+    "dp_image_ahash_gif",
+    # GIF under the hash — the dp_image_ahash_png_palette playbook
+    # through the REAL GIF codec (gif.py: pure-Python variable-width
+    # LZW, the only compression GIF has): bytes 0-47 of the md5 stream
+    # are the 16-color palette, bytes 48-623 the 576 indexes (v % 16),
+    # exactly the palette-PNG fixture shape, so DuckDB recomputes the
+    # expected pixels arithmetically while Spark decodes a genuine
+    # GIF89a bitstream — interlaced (4-pass row reorder), with Graphic
+    # Control + Comment extension blocks to skip, and the color table
+    # GLOBAL or LOCAL by the parity of the first index byte so both
+    # placements decode in every run.
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':imggif:')} AS v"
+    " FROM ids, UNNEST(range(624)) AS u(i)),"
+    " pal AS (SELECT doc_id, i // 3 AS ci,"
+    " CAST(SUM(CASE WHEN i % 3 = 0 THEN 299 * v"
+    " WHEN i % 3 = 1 THEN 587 * v ELSE 114 * v END) AS BIGINT) // 1000 AS gray"
+    " FROM b WHERE i < 48 GROUP BY 1, 2),"
+    " px AS (SELECT b.doc_id, i - 48 AS p, pal.gray FROM b"
+    " JOIN pal ON pal.doc_id = b.doc_id AND pal.ci = b.v % 16"
+    " WHERE i >= 48),"
+    " cells AS (SELECT doc_id, ((p // 24) * 8 // 24) * 8 + (p % 24) * 8 // 24 AS cell,"
+    " CAST(SUM(gray) AS BIGINT) AS cs, COUNT(*) AS cn FROM px GROUP BY 1, 2),"
+    " tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,"
+    " CAST(SUM(cn) AS BIGINT) AS tn FROM cells GROUP BY 1)"
+    " SELECT c.doc_id, string_agg(CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END,"
+    " '' ORDER BY cell) AS ahash_bits"
+    " FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id",
+)
+def _dp_image_ahash_gif(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.gif import encode_gif
+    from victorialogs_spark.datapipe.multimodal import image_ahash
+
+    docs = _spread(spark, sf_dir, "documents").select("doc_id")
+    raw = _md5_stream_payload(":imggif:", b"", 39)  # 48 palette + 576 index
+
+    def _to_gif(series):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for b in series:
+            s = np.frombuffer(bytes(b), np.uint8, 624)
+            pal = s[:48].reshape(16, 3)
+            idx = (s[48:] % 16).astype(np.uint8).reshape(24, 24)
+            out.append(
+                encode_gif(idx, pal, interlace=True,
+                           local_palette=bool(s[48] % 2))
+            )
+        return pd.Series(out)
+
+    _to_gif.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    to_gif = F.pandas_udf(_to_gif, "binary")
+    assets = docs.select("doc_id", to_gif(raw).alias("payload"))
+    return image_ahash(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "ahash_bits"
+    )
+
+
+@register(
     "dp_mp4_frame_ahash",
     # REAL VIDEO FRAME DECODE: MJPEG-in-MP4 end to end with zero new
     # dependencies — each doc's payload is a genuine ISO-BMFF file
@@ -3826,7 +3889,9 @@ _STALE_R12_WINDOW = [
 # (never in any prior artifact) — they land at the FRONT of the window,
 # displacing stale entries from the back. _reorder_registry() makes a
 # forgotten registration loud instead of silently filtering out.
-_NEW_R12: list[str] = []
+_NEW_R12 = [
+    "dp_image_ahash_gif",
+]
 
 
 def _reorder_registry() -> None:
