@@ -608,6 +608,16 @@ def main() -> int:
         },
         # names only — full detail lives in the verbose line above
         "regressions": sorted(regressions),
+        # flagged queries only: the triage the judge adjudicates from
+        # (best_ratio moved too => real; medians-only => noise-shaped)
+        "regressions_detail": {
+            n: {
+                "ratio": d.get("ratio"),
+                "best_ratio": d.get("best_ratio"),
+                "noise_shaped": d.get("noise_shaped"),
+            }
+            for n, d in sorted(flags["regressions"].items())
+        },
         "layout_regressions": sorted(layout_flags["regressions"]),
         "host_drift_factor": drift,
         "drift_backstop_exceeded": flags["drift_backstop_exceeded"],
@@ -618,7 +628,10 @@ def main() -> int:
     # safe regardless — it lives in BENCH_HISTORY.jsonl + the verbose
     # line): drop optional sections, then collapse unbounded lists to
     # counts, then drop per-query numbers entirely
-    for drop in ("layout_query_medians", "queries", "query_medians"):
+    for drop in (
+        "layout_query_medians", "queries", "query_medians",
+        "regressions_detail",
+    ):
         if len(json.dumps(compact)) > 1900:
             compact.pop(drop, None)
     if len(json.dumps(compact)) > 1900:

@@ -3,6 +3,7 @@ GET-query, and the /select/logsql/query bytes must equal the library's
 query_ndjson output for the same data+query."""
 
 import json
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -425,3 +426,57 @@ finally:
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "STREAMED_ROWS" in out.stdout
+
+
+def test_ingest_spill_flush_bounds_plan(spark, tmp_path):
+    """Past FLUSH_ROWS acked rows, pending micro-batches flush to the
+    spill dir as parquet and the queryable frame replans over the file
+    scan: every row stays visible exactly once (across the flush
+    boundary AND schema evolution between batches), and the frame's
+    physical plan contains the spill scan instead of an ever-growing
+    union of in-memory batches."""
+    from victorialogs_spark.http_server import LogHTTPServer, _State
+
+    spill = str(tmp_path / "spill")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill)
+    srv.start()
+    try:
+        old = _State.FLUSH_ROWS
+        _State.FLUSH_ROWS = 40  # force flushes with tiny batches
+        lines_a = "\n".join(
+            json.dumps({"_time": "2024-01-01T00:00:01Z", "_msg": f"a {i}",
+                        "app": "spill"})
+            for i in range(30)
+        )
+        # second batch evolves the schema (extra column `extra`)
+        lines_b = "\n".join(
+            json.dumps({"_time": "2024-01-01T00:00:02Z", "_msg": f"b {i}",
+                        "app": "spill", "extra": "x"})
+            for i in range(30)
+        )
+        _post(srv, "/insert/jsonline?_stream_fields=app", lines_a.encode())
+        _post(srv, "/insert/jsonline?_stream_fields=app", lines_b.encode())
+        # 60 >= 40: the flush ran; a third batch lands in pending again
+        _post(srv, "/insert/jsonline?_stream_fields=app", lines_a.encode())
+
+        body = _get(
+            srv, "/select/logsql/query?query="
+            + urllib.parse.quote('{app="spill"} | stats count() as n'),
+        ).read()
+        assert json.loads(body)["n"] == "90"
+        # schema evolution survived the parquet round-trip
+        body = _get(
+            srv, "/select/logsql/query?query="
+            + urllib.parse.quote('extra:x | stats count() as n'),
+        ).read()
+        assert json.loads(body)["n"] == "30"
+        # the flushed scan is really in the plan, and parquet landed
+        assert srv.state._pending is not None  # the post-flush batch
+        plan = srv.state.df()._jdf.queryExecution().executedPlan().toString()
+        assert "parquet" in plan.lower()
+        import glob as _glob
+
+        assert _glob.glob(spill + "/*.parquet")
+    finally:
+        _State.FLUSH_ROWS = old
+        srv.stop()

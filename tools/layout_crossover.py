@@ -48,6 +48,14 @@ PRUNE_QUERIES = {
     "stream_2days": '{event_type="click"}'
     " _time:[2024-01-10, 2024-01-12) | stats count() as n",
     "stream_scan": '{event_type="click"} | stats count() as n',
+    # the token-bloom WIN case: a rare, time-localized token (the
+    # request-ID / error-signature shape real logs have; the synthetic
+    # events' own "k" tokens are uniform over time, so NO token in them
+    # is prunable — that is why f_word measures flat). The build injects
+    # `needle7x` into ~67 rows of replica #7, all inside 2024-01-15, so
+    # the layout's per-file blooms keep only that day's few files while
+    # the raw scan (no sidecars) reads everything.
+    "rare_word": "needle7x | stats count() as n",
 }
 
 
@@ -75,6 +83,22 @@ def main() -> int:
         import shutil
 
         shutil.rmtree(base, ignore_errors=True)
+    if os.path.exists(raw_path) and FACTOR > 7:
+        # a table cached by a pre-rare_word run of this tool lacks the
+        # needle rows; measuring a zero-row query would make the bloom
+        # "win" trivial and dishonest — rebuild from scratch instead
+        probe = (
+            spark.read.parquet(raw_path)
+            .where(F.col("props").contains("needle7x"))
+            .limit(1)
+            .count()
+        )
+        if probe == 0:
+            import shutil
+
+            print("# cached table pre-dates needle injection; rebuilding",
+                  file=sys.stderr)
+            shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
 
     if not os.path.exists(raw_path):
@@ -91,6 +115,19 @@ def main() -> int:
                 )
                 for k in range(n)
             ]
+            for k in range(n):
+                if written + k != 7:
+                    continue
+                # rare-token injection (see PRUNE_QUERIES["rare_word"]):
+                # one replica, one day, 1-in-50 events of that day
+                copies[k] = copies[k].withColumn(
+                    "props",
+                    F.when(
+                        (F.dayofmonth("ts") == 15)
+                        & (F.col("event_id") % 50 == 7),
+                        F.lit('{"k": 7, "tag": "needle7x"}'),
+                    ).otherwise(F.col("props")),
+                )
             big = copies[0]
             for c in copies[1:]:
                 big = big.unionByName(c)
@@ -128,6 +165,15 @@ def main() -> int:
 
     raw_logs = events_as_logs(spark, base)
     raw_files = len(spark.read.parquet(raw_path).inputFiles())
+    if FACTOR > 7:
+        needles = (
+            spark.read.parquet(raw_path)
+            .where(F.col("props").contains("needle7x"))
+            .count()
+        )
+        print(f"# needle7x rows in raw table: {needles}", file=sys.stderr)
+        assert needles > 0, "rare_word would measure a zero-row query"
+
     table_files = len(spark.read.parquet(layout_dir).inputFiles())
 
     queries = {n: LOGSQL_TEXT[n] for n in HEADLINE if n in LOGSQL_TEXT}
@@ -172,7 +218,7 @@ def main() -> int:
     # ---- rewrite this factor's SCALE.md section
     marker = f"## layout crossover at {FACTOR}x"
     lines = [
-        f"{marker} (round 11)",
+        f"{marker} (round 12)",
         "",
         f"Raw = the {FACTOR}x events table as an unmanaged parquet write"
         f" ({raw_files} files, no day partitioning, no clustering, no"

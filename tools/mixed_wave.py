@@ -147,14 +147,22 @@ def main() -> int:
                         )
                     ingested_seen.append(n)
 
+    indeterminate = [0]  # batches whose HTTP response was lost client-side
+
     def writer() -> None:
         while not stop.is_set():
             t0 = time.monotonic()
             try:
                 write(batch)
             except Exception as e:  # noqa: BLE001
+                # a client-side timeout does NOT mean the server dropped
+                # the batch — it may have ingested it after the response
+                # deadline. Count it indeterminate so the end-state check
+                # compares against a [posted, posted + indeterminate]
+                # range instead of reporting a false drift event.
                 with lock:
-                    drift.append(f"write error: {e}")
+                    indeterminate[0] += 1
+                    drift.append(f"write error (indeterminate): {e}")
                 continue
             dt = time.monotonic() - t0
             with lock:
@@ -199,10 +207,14 @@ def main() -> int:
         t.join(timeout=180)
     wave_wall = time.monotonic() - t_wave
 
-    # ---- end-state visibility: every acked batch readable, none double
+    # ---- end-state visibility: every ACKED batch readable, none double;
+    # timed-out batches may or may not have landed (hence the range)
     final = int(json.loads(read(READ_MIX[2]))["n"])
-    if final != posted[0]:
-        drift.append(f"final ingested count {final} != posted {posted[0]}")
+    hi = posted[0] + indeterminate[0] * BATCH_ROWS
+    if not posted[0] <= final <= hi:
+        drift.append(
+            f"final ingested count {final} outside [{posted[0]}, {hi}]"
+        )
     srv.stop()
 
     rows_per_sec = posted[0] / wave_wall
@@ -220,21 +232,26 @@ def main() -> int:
         "write_max": round(max(write_lat), 3) if write_lat else None,
         "ingest_rows_per_sec": round(rows_per_sec),
         "rows_posted": posted[0],
+        "rows_indeterminate": indeterminate[0] * BATCH_ROWS,
         "rows_visible": final,
         "mid_wave_oracle": oracle_name if oracle_ok else "FAIL",
         "drift": drift,
     }
     print(json.dumps(summary))
 
+    from victorialogs_spark.http_server import _State
+
     marker = "## mixed read+ingest wave"
     lines = [
-        f"{marker} (round 11)",
+        f"{marker} (round 12)",
         "",
         f"{READERS} reader threads (3-query LogsQL mix over preloaded"
         f" sf0.1 events + ingested rows) and {WRITERS} writer threads"
         f" ({BATCH_ROWS}-row NDJSON `/insert/jsonline` posts) against ONE"
         f" facade/session for {round(wave_wall)} s after warm-up"
-        " (tools/mixed_wave.py):",
+        f" (tools/mixed_wave.py; acked batches flush to a parquet spill"
+        f" dir every {_State.FLUSH_ROWS:,} rows and reads replan over"
+        " the file scan):",
         "",
         "| metric | value |",
         "|---|---|",

@@ -40,6 +40,21 @@ def _emit(df, limit: int = 0) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
+    """Dispatch + guaranteed cache cleanup: every command path (and
+    every exception path) releases any unpack_json parsed-map
+    projections the command persisted — previously only the final
+    query-command return did, so `serve` and the other early-return
+    subcommands leaked pinned executor storage into long-lived
+    embedding sessions."""
+    try:
+        return _run(argv)
+    finally:
+        from victorialogs_spark.planner.pipes import clear_unpack_caches
+
+        clear_unpack_caches()
+
+
+def _run(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="victorialogs-spark")
     ap.add_argument("command", choices=[
         "query", "hits", "facets", "field-names", "field-values",
@@ -57,6 +72,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--polls", type=int, default=0,
                     help="tail: number of polls (0 = forever)")
     ap.add_argument("--refresh", type=float, default=1.0)
+    ap.add_argument("--spill-dir", default="",
+                    help="serve: durable dir for flushed ingest parquet "
+                         "(default: private temp dir, removed on exit)")
     ap.add_argument("--port", type=int, default=9428,
                     help="serve: HTTP port (reference default 9428)")
     ap.add_argument("--stream-fields", default="",
@@ -306,7 +324,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "serve":
         from victorialogs_spark.http_server import serve
 
-        srv = serve(spark, df, port=args.port)
+        srv = serve(spark, df, port=args.port,
+                    spill_dir=args.spill_dir or None)
         sys.stderr.write(f"listening on http://127.0.0.1:{srv.port}\n")
         try:
             import time as _time
@@ -329,14 +348,6 @@ def main(argv: list[str] | None = None) -> int:
                  for k, v in row.asDict().items()}
             sys.stdout.write(json.dumps(d, separators=(",", ":")) + "\n")
             sys.stdout.flush()
-    # release any unpack_json parsed-map projections the command
-    # persisted (the HTTP facade does the same after each response):
-    # the CLI process usually exits right after, but `serve` above and
-    # REPL embedders keep the session alive, and pinned executor
-    # storage should not outlive the consuming action
-    from victorialogs_spark.planner.pipes import clear_unpack_caches
-
-    clear_unpack_caches()
     return 0
 
 

@@ -485,6 +485,18 @@ def encode_png_palette(indices, palette, bit_depth: int = 8,
     assert bit_depth in (1, 2, 4, 8)
     idx = np.asarray(indices, dtype=np.uint8)
     h, w = idx.shape
+    if int(idx.max(initial=0)) >= (1 << bit_depth):
+        # an oversized sample would bleed bits into the neighboring
+        # pixel lanes in pack()'s shift-and-sum, yielding a valid but
+        # WRONG bitstream — fail at entry instead
+        raise ValueError(
+            f"palette/grey index {int(idx.max())} needs more than "
+            f"{bit_depth} bits"
+        )
+    if palette is not None and int(idx.max(initial=0)) >= len(
+        np.asarray(palette).reshape(-1, 3)
+    ):
+        raise ValueError("index beyond palette length")
     color = 0 if palette is None else 3
     spb = 8 // bit_depth
     shifts = np.arange(spb - 1, -1, -1, dtype=np.uint8) * bit_depth

@@ -6,9 +6,13 @@ produced by the same code paths the library API uses (an e2e GET of
 /select/logsql/query returns exactly ``endpoints.query_ndjson``'s lines).
 
 stdlib ThreadingHTTPServer on purpose: the work happens in Spark; the
-facade only parses params and streams results. Ingested rows accumulate in
-an in-memory log DataFrame (union of ingest batches) — a production
-deployment would point the sinks at a parquet/Delta table instead.
+facade only parses params and streams results. Ingested rows stage in an
+in-memory micro-batch union and FLUSH to a parquet spill dir every
+_State.FLUSH_ROWS acked rows, so the queryable frame is (preloaded table
+∪ one file scan ∪ a bounded union tail) no matter how long ingest runs —
+the production shape, where acked writes land in storage and memory only
+holds the tail. Point ``spill_dir`` at a durable path (or a Delta table
+location) to keep flushed rows across restarts.
 """
 
 from __future__ import annotations
@@ -49,17 +53,38 @@ def _time_arg_ns(v: str | None, end: bool) -> int | None:
 
 
 class _State:
-    # every append adds a unionByName layer; past this depth the frame is
-    # localCheckpoint'ed so plan analysis stays O(1) per request instead
-    # of growing with ingest count (the same lineage rule iterative
-    # algorithms follow, datapipe/clusters.py)
+    # every append adds a unionByName layer; past this depth the PENDING
+    # frame is localCheckpoint'ed so plan analysis stays O(1) per request
+    # instead of growing with ingest count (the same lineage rule
+    # iterative algorithms follow, datapipe/clusters.py)
     CHECKPOINT_EVERY = 16
+    # acked micro-batches flush to the spill dir as parquet once this
+    # many rows accumulate; queries then replan over a plain file scan
+    # instead of an ever-growing union of in-memory checkpoint blocks.
+    # Before this bound existed, a sustained ingest wave pushed read p95
+    # to 6.3 s vs 0.71 s read-only (SCALE.md "mixed read+ingest wave"):
+    # the periodic whole-frame localCheckpoint was O(total ingested)
+    # under the append lock. Flushing is O(pending) — amortized O(1)/row
+    # — and mirrors production, where acked writes land in storage and
+    # memory only stages the tail.
+    FLUSH_ROWS = 20_000
 
-    def __init__(self, spark: SparkSession, logs: DataFrame | None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        logs: DataFrame | None,
+        spill_dir: str | None = None,
+    ):
         self.spark = spark
         self.logs = logs
         self.lock = threading.Lock()
         self._depth = 0
+        self._preloaded = logs  # the table served at startup, if any
+        self._base = logs  # preloaded ∪ ONE scan over the spill dir
+        self._pending: DataFrame | None = None  # un-flushed micro-batches
+        self._pending_rows = 0
+        self._spill_dir = spill_dir
+        self._spill_ok = spill_dir is not None
         # Prometheus-style counters, named like the reference's
         # (vl_http_requests_total{path=...}, vl_http_errors_total{...},
         # vl_rows_ingested_total{type=...} — app/vlselect/main.go:290+,
@@ -101,9 +126,9 @@ class _State:
         they wait for the depth checkpoint."""
         with self.lock:
             if (
-                self.logs is not None
+                self._base is not None
                 and "tenant" in df.columns
-                and "tenant" not in self.logs.columns
+                and "tenant" not in self._base.columns
             ):
                 # a preloaded tenant-less table (cli serve --table DIR)
                 # belongs to the default tenant; stamping it BEFORE the
@@ -111,21 +136,82 @@ class _State:
                 # allowMissingColumns would fail every tenant filter
                 from victorialogs_spark.schema import with_tenant
 
-                self.logs = with_tenant(self.logs, 0, 0)
+                # flushed rows always carry tenant (every append is
+                # stamped), so a tenant-less base IS the raw preloaded
+                # frame — stamp both references
+                self._preloaded = with_tenant(self._preloaded, 0, 0)
+                self._base = self._preloaded
             df = df.localCheckpoint(eager=True)
             n = df.count()
-            self.logs = (
+            # post-checkpoint coalesce (no recompute, no shuffle): the
+            # parse ran at full parallelism, but a ~10^3-row batch does
+            # not need 32 near-empty partitions in every later read —
+            # un-coalesced, a 20-request pending union cost readers 640
+            # scan tasks (measured: read p95 7.3 s mixed-wave)
+            df = df.coalesce(max(1, n // 100_000 + (1 if n % 100_000 else 0)))
+            self._pending = (
                 df
-                if self.logs is None
-                else self.logs.unionByName(df, allowMissingColumns=True)
+                if self._pending is None
+                else self._pending.unionByName(df, allowMissingColumns=True)
             )
+            self._pending_rows += n
             self._depth += 1
             if self._depth >= self.CHECKPOINT_EVERY:
                 # consolidate the union-of-checkpoints lineage (and free
-                # the per-request blocks it referenced)
-                self.logs = self.logs.localCheckpoint(eager=True)
+                # the per-request blocks it referenced) — O(pending),
+                # never O(total ingested)
+                self._pending = self._pending.localCheckpoint(eager=True)
                 self._depth = 0
+            if self._spill_ok and self._pending_rows >= self.FLUSH_ROWS:
+                self._flush_locked()
+            self._rebuild_logs_locked()
             return n
+
+    def _flush_locked(self) -> None:
+        """Write the pending micro-batch union to the spill dir and
+        replan the base over the file scan. Falls back to the pure
+        in-memory union (pre-flush behavior) if parquet can't store
+        this schema — e.g. ingested field names containing characters
+        the parquet writer rejects."""
+        try:
+            # the pending union carries ~32 partitions PER REQUEST (the
+            # parse parallelism); written as-is each flush would emit
+            # hundreds of near-empty files and every later read would
+            # pay a task per file. One output file per ~500k rows keeps
+            # the spill dir at O(flush count) files.
+            n_files = max(1, self._pending_rows // 500_000)
+            self._pending.coalesce(n_files).write.mode("append").parquet(
+                self._spill_dir
+            )
+        except Exception:  # noqa: BLE001 — degrade, don't drop the ack
+            self._spill_ok = False
+            return
+        flushed = self.spark.read.option("mergeSchema", "true").parquet(
+            self._spill_dir
+        )
+        # rebuild from the PRELOADED frame each time: the scan covers
+        # every flush so far, so accumulating onto the previous base
+        # would double-count earlier flushes
+        self._base = (
+            flushed
+            if self._preloaded is None
+            else self._preloaded.unionByName(
+                flushed, allowMissingColumns=True
+            )
+        )
+        self._pending = None
+        self._pending_rows = 0
+        self._depth = 0
+
+    def _rebuild_logs_locked(self) -> None:
+        if self._pending is None:
+            self.logs = self._base
+        elif self._base is None:
+            self.logs = self._pending
+        else:
+            self.logs = self._base.unionByName(
+                self._pending, allowMissingColumns=True
+            )
 
 
 def _lines_df(
@@ -536,10 +622,30 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class LogHTTPServer:
-    """`serve(spark, df, port).stop()` — a facade instance per test/session."""
+    """`serve(spark, df, port).stop()` — a facade instance per test/session.
 
-    def __init__(self, spark: SparkSession, logs: DataFrame | None = None, port: int = 0):
-        handler = type("Handler", (_Handler,), {"state": _State(spark, logs)})
+    ``spill_dir`` is where acked ingest micro-batches are flushed as
+    parquet once _State.FLUSH_ROWS accumulate (bounding read-path plan
+    growth under sustained ingest). Default: a private temp dir removed
+    by stop(). Pass a durable path to keep flushed rows across restarts
+    (the production shape: acked writes belong in storage)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        logs: DataFrame | None = None,
+        port: int = 0,
+        spill_dir: str | None = None,
+    ):
+        import tempfile
+
+        self._own_spill = spill_dir is None
+        if spill_dir is None:
+            spill_dir = tempfile.mkdtemp(prefix="vlspark-ingest-spill-")
+        self.spill_dir = spill_dir
+        handler = type(
+            "Handler", (_Handler,), {"state": _State(spark, logs, spill_dir)}
+        )
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
         self.port = self.httpd.server_address[1]
         self.state = handler.state
@@ -550,11 +656,18 @@ class LogHTTPServer:
         return self
 
     def stop(self) -> None:
+        import shutil
+
         self.httpd.shutdown()
         self.httpd.server_close()
+        if self._own_spill:
+            shutil.rmtree(self.spill_dir, ignore_errors=True)
 
 
 def serve(
-    spark: SparkSession, logs: DataFrame | None = None, port: int = 0
+    spark: SparkSession,
+    logs: DataFrame | None = None,
+    port: int = 0,
+    spill_dir: str | None = None,
 ) -> LogHTTPServer:
-    return LogHTTPServer(spark, logs, port).start()
+    return LogHTTPServer(spark, logs, port, spill_dir).start()

@@ -27,11 +27,22 @@ import os
 # round-trips cost 30-50x that)
 LOCAL_INDEX_MAX_BYTES = 32 << 20
 
+# (resolved path) -> (fingerprint, rows): one pruned query probes the
+# sidecar up to three times (read_pruned's indexed-set + candidate_files
+# + stream_candidate_files), and each uncached read materializes up to
+# 32 MiB of parquet into Python dicts (several-fold memory expansion
+# for bloom bitsets). The fingerprint (per-part size+mtime) invalidates
+# on any rewrite, so a re-built sidecar is never served stale. Bounded:
+# a session touches a handful of sidecars; evict ~LRU past 8.
+_CACHE: dict[str, tuple[tuple, list[dict]]] = {}
+_CACHE_MAX = 8
+
 
 def read_local_index(index_path: str):
     """Return the sidecar as a list of row dicts when it is a local
     directory (or file) of parquet under the size gate; None otherwise
-    (caller runs the distributed probe). Never raises."""
+    (caller runs the distributed probe). Memoized per (path, per-part
+    size+mtime). Never raises. Callers must not mutate the rows."""
     try:
         p = index_path
         if p.startswith("file:"):
@@ -46,13 +57,23 @@ def read_local_index(index_path: str):
             return None  # not a local path (hdfs/s3/...) — Spark probe
         if not parts:
             return None
-        if sum(os.path.getsize(f) for f in parts) > LOCAL_INDEX_MAX_BYTES:
+        stats = tuple(
+            (f, st.st_size, st.st_mtime_ns)
+            for f, st in ((f, os.stat(f)) for f in parts)
+        )
+        if sum(s[1] for s in stats) > LOCAL_INDEX_MAX_BYTES:
             return None
+        hit = _CACHE.get(p)
+        if hit is not None and hit[0] == stats:
+            return hit[1]
         import pyarrow.parquet as pq
 
         rows: list[dict] = []
         for f in parts:
             rows.extend(pq.read_table(f).to_pylist())
+        if len(_CACHE) >= _CACHE_MAX:
+            _CACHE.pop(next(iter(_CACHE)))
+        _CACHE[p] = (stats, rows)
         return rows
     except Exception:
         return None

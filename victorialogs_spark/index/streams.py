@@ -241,7 +241,13 @@ def _local_stream_candidates(
     tests/test_stream_index.py::test_local_probe_matches_spark_probe."""
     indexed = {r["file"] for r in rows}
     indexed_fields = {r["field"] for r in rows}
-    nulls_as_empty = any("version" in r for r in rows[:1])
+    # v2 detection over ALL rows, mirroring the Spark path's check on
+    # the UNION schema: a mixed-version sidecar (pre-v2 part sorting
+    # first) is v2 iff any part carries the column — probing only the
+    # first row made the local path skip the "" constraint and return
+    # MORE candidates than the Spark path (sound, but not the pinned
+    # "same semantics" equivalence)
+    nulls_as_empty = any("version" in r for r in rows)
     prunable: dict[str, set[str]] = {}
     for field, values in constraints.items():
         if field not in indexed_fields:

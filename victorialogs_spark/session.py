@@ -35,6 +35,14 @@ def get_spark(app_name: str = "victorialogs-spark", master: str | None = None) -
         .config("spark.sql.session.timeZone", "UTC")
         # local mode = driver only; it holds shuffle + broadcast state
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # FAIR task scheduling: the facade multiplexes reads against
+        # ingest flushes on one context; under FIFO a short read job can
+        # queue behind a whole flush. Measured ~neutral on the mixed
+        # wave at local[32] (p95 2.13 s vs 2.25 s — the residual there
+        # is CPU contention, not queuing), but on a busy cluster FIFO
+        # head-of-line blocking is unbounded while FAIR's is one task
+        # wave; no-op for single-query workloads.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
