@@ -16,7 +16,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "victorialogs-spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "victorialogs-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -45,4 +49,8 @@ def get_spark(app_name: str = "victorialogs-spark", master: str | None = None) -
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
+    # session-creation-only knobs (event logging for measurement tools,
+    # scheduler overrides) that can't be set after getOrCreate
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
