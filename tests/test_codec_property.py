@@ -298,3 +298,140 @@ def test_gif_lzw_12bit_cap_property(seed, runs):
         data = bytes(rng.integers(0, 256, size=20000, dtype=np.uint8))
     enc = _lzw_encode(data, 8)
     assert _lzw_decode(enc, 8, len(data)) == data
+
+
+def test_gif_animation_disposal_semantics():
+    """Deterministic GIF89a compositing pin: sub-rectangle frames with
+    disposal 1 (leave: patches accumulate), 3 (restore-to-previous),
+    2 (restore-to-background), and transparency (index pixels leave
+    the canvas unchanged). Expected canvases written out by hand."""
+    from victorialogs_spark.datapipe.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+        np.uint8,
+    )
+    base = np.full((6, 6), 1, np.uint8)
+    patch2 = np.full((2, 2), 2, np.uint8)
+    patch3 = np.full((2, 2), 3, np.uint8)
+    g = encode_gif_animation(
+        [
+            {"indices": base, "delay_cs": 10, "disposal": 1},
+            {"indices": patch2, "left": 2, "top": 2, "delay_cs": 20,
+             "disposal": 1},
+            {"indices": patch3, "left": 2, "top": 2, "delay_cs": 30,
+             "disposal": 3},
+            {"indices": patch3, "left": 0, "top": 0, "delay_cs": 5,
+             "disposal": 2},
+        ],
+        pal,
+        background=4,
+    )
+    frames = decode_gif_frames(g)
+    assert [f[0] for f in frames] == [10, 20, 30, 5]
+    f0, f1, f2, f3 = [f[1] for f in frames]
+    assert (f0 == pal[1]).all()
+    # frame 1: base everywhere, center 2x2 shows color 2
+    want1 = np.tile(pal[1], (6, 6, 1)).astype(np.uint8)
+    want1[2:4, 2:4] = pal[2]
+    assert np.array_equal(f1, want1)
+    # frame 1's disposal was "leave", so patch 3 overwrites patch 2
+    want2 = want1.copy()
+    want2[2:4, 2:4] = pal[3]
+    assert np.array_equal(f2, want2)
+    # frame 2's disposal 3 restored its region to patch-2 state, then
+    # frame 3 lands at the origin
+    want3 = want1.copy()
+    want3[0:2, 0:2] = pal[3]
+    assert np.array_equal(f3, want3)
+
+
+def test_gif_animation_transparency():
+    from victorialogs_spark.datapipe.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0]], np.uint8)
+    base = np.full((4, 4), 1, np.uint8)
+    tp = np.array([[2, 0], [0, 2]], np.uint8)  # 0 = transparent
+    g = encode_gif_animation(
+        [
+            {"indices": base, "delay_cs": 10, "disposal": 1},
+            {"indices": tp, "left": 1, "top": 1, "delay_cs": 10,
+             "disposal": 1, "transparent": 0},
+        ],
+        pal,
+    )
+    _, fb = [f[1] for f in decode_gif_frames(g)]
+    want = np.tile(pal[1], (4, 4, 1)).astype(np.uint8)
+    want[1, 1] = pal[2]
+    want[2, 2] = pal[2]
+    assert np.array_equal(fb, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_frames=st.integers(2, 5),
+    disposal=st.sampled_from([0, 1, 2, 3]),
+    transparent=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_animation_roundtrip_property(n_frames, disposal, transparent,
+                                          seed):
+    """decode_gif_frames must equal an independent straight-line
+    compositor (written here from the GIF89a disposal rules) for random
+    sub-rectangle animations across disposal methods and transparency."""
+    from victorialogs_spark.datapipe.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    sw = sh = 10
+    bg = 5
+    frames = [{
+        "indices": rng.integers(0, 8, size=(sh, sw), dtype=np.uint8),
+        "delay_cs": int(rng.integers(1, 30)), "disposal": 1,
+    }]
+    for _ in range(n_frames - 1):
+        h, w = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        frames.append({
+            "indices": rng.integers(0, 8, size=(h, w), dtype=np.uint8),
+            "left": int(rng.integers(0, sw - w + 1)),
+            "top": int(rng.integers(0, sh - h + 1)),
+            "delay_cs": int(rng.integers(1, 30)),
+            "disposal": disposal,
+            "transparent": 0 if transparent else None,
+        })
+    g = encode_gif_animation(frames, pal, screen=(sw, sh), background=bg)
+    got = decode_gif_frames(g)
+
+    # independent compositor
+    canvas = np.tile(pal[bg], (sh, sw, 1)).astype(np.uint8)
+    want = []
+    for fr in frames:
+        idx = fr["indices"]
+        h, w = idx.shape
+        le, to = fr.get("left", 0), fr.get("top", 0)
+        before = canvas[to : to + h, le : le + w].copy()
+        region = pal[idx]
+        if fr.get("transparent") is not None:
+            region = np.where(
+                (idx == fr["transparent"])[:, :, None], before, region
+            )
+        canvas[to : to + h, le : le + w] = region
+        want.append((fr["delay_cs"], canvas.copy()))
+        d = fr.get("disposal", 0)
+        if d == 2:
+            canvas[to : to + h, le : le + w] = pal[bg]
+        elif d == 3:
+            canvas[to : to + h, le : le + w] = before
+    assert len(got) == len(want)
+    for (gd, gpx), (wd, wpx) in zip(got, want):
+        assert gd == wd
+        assert np.array_equal(gpx, wpx)

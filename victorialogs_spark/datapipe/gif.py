@@ -15,11 +15,13 @@ decoder, not a stub, validated against an in-repo encoder plus
 hand-assembled interop fixtures (tests/test_codec_interop.py) whose
 LZW codes are packed by hand in comments.
 
-Scope: still images (the first image descriptor). Animation frames
-after the first would need Graphic Control disposal compositing;
-callers sampling animated GIFs get frame 0, which is what corpus
-feature extraction wants. Decoder handles 87a and 89a, global and
-local color tables, interlaced and sequential, all code sizes 2-8,
+Scope: stills AND animations. decode_gif() returns the first frame
+(what corpus feature extraction wants); decode_gif_frames() composites
+the full animation (sub-rectangle frames, Graphic Control delays,
+disposal methods 0-3, transparency), and gif_frame_sample() is the
+Spark operator sampling displayed frames at a time step — the GIF
+analog of mp4.video_frame_sample. Decoder handles 87a and 89a, global
+and local color tables, interlaced and sequential, all code sizes 2-8,
 deferred clear codes, and early stream termination via EOI.
 """
 
@@ -158,22 +160,26 @@ def _deinterlace(rows, h: int):
     return display
 
 
-def decode_gif(payload: bytes):
-    """Decode the first image of a GIF87a/89a file → HxWx3 uint8.
+def decode_gif_frames(payload: bytes, max_frames: int | None = None):
+    """Decode a GIF87a/89a file into its COMPOSITED animation frames:
+    a list of ``(delay_cs, HxWx3 uint8)`` in display order.
 
-    Walks: header, logical screen descriptor (+ global color table),
-    89a extension blocks (skipped by their sub-block structure), the
-    first image descriptor (+ local color table, which overrides the
-    global one per spec), then LZW-decompresses the index stream and
-    resolves indexes through the active color table, de-interlacing
-    if the descriptor says so."""
+    Full GIF89a animation semantics: each image descriptor may cover a
+    sub-rectangle of the logical screen; its preceding Graphic Control
+    Extension carries the frame delay (centiseconds), the transparent
+    color index (those pixels leave the canvas unchanged), and the
+    disposal method applied AFTER the frame displays — 0/1 leave the
+    canvas, 2 restores the frame's region to the background color,
+    3 restores the canvas to its pre-frame state. Frames snapshot the
+    canvas, so each returned array is what a viewer shows at that
+    point. Local color tables override the global one per image."""
     import numpy as np
 
     if payload[:6] not in _GIF_SIGS:
         raise ValueError("not a GIF")
     if len(payload) < 13:
         raise ValueError("GIF truncated before screen descriptor")
-    _, _, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -182,21 +188,40 @@ def decode_gif(payload: bytes):
         pos += 3 * n
         if len(gct) < 3 * n:
             raise ValueError("GIF global color table truncated")
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF has an empty logical screen")
+    bg_rgb = (0, 0, 0)
+    if gct is not None and 3 * bg + 3 <= len(gct):
+        bg_rgb = tuple(gct[3 * bg : 3 * bg + 3])
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[tuple[int, "np.ndarray"]] = []
+    # pending GCE state (applies to the NEXT image only, per spec)
+    delay_cs, disposal, t_idx = 0, 0, None
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            raise ValueError("GIF has no image data")
+            break
         if block == 0x21:  # extension: label byte + sub-blocks
+            label = payload[pos]
             pos += 1
+            subs = []
             while pos < len(payload) and payload[pos] != 0:
-                pos += 1 + payload[pos]
+                ln = payload[pos]
+                subs.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
             pos += 1  # block terminator
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                gce = subs[0]
+                disposal = (gce[0] >> 2) & 0x07
+                delay_cs = gce[1] | (gce[2] << 8)
+                t_idx = gce[3] if gce[0] & 0x01 else None
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         # image descriptor
-        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         table = gct
         if ipacked & 0x80:
@@ -216,6 +241,7 @@ def decode_gif(payload: bytes):
             ln = payload[pos]
             chunks.append(payload[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
+        pos += 1  # block terminator
         data = b"".join(chunks)
         idx = np.frombuffer(
             _lzw_decode(data, min_code_size, w * h), np.uint8
@@ -225,8 +251,88 @@ def decode_gif(payload: bytes):
         pal = np.frombuffer(table, np.uint8).reshape(-1, 3)
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("GIF index beyond color table")
-        return pal[idx]
-    raise ValueError("GIF truncated before image data")
+        if top + h > sh or left + w > sw:
+            raise ValueError("GIF frame exceeds the logical screen")
+        before = canvas[top : top + h, left : left + w].copy()
+        region = pal[idx]
+        if t_idx is not None:
+            keep = idx == t_idx  # transparent pixels show what's below
+            region = np.where(keep[:, :, None], before, region)
+        canvas[top : top + h, left : left + w] = region
+        frames.append((delay_cs, canvas.copy()))
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3:
+            canvas[top : top + h, left : left + w] = before
+        delay_cs, disposal, t_idx = 0, 0, None
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames
+
+
+def decode_gif(payload: bytes):
+    """Decode the FIRST frame of a GIF87a/89a file → HxWx3 uint8 (the
+    right frame for corpus feature extraction; see decode_gif_frames
+    for the full animation)."""
+    return decode_gif_frames(payload, max_frames=1)[0][1]
+
+
+def encode_gif_animation(
+    frames,
+    palette,
+    screen: tuple[int, int] | None = None,
+    background: int = 0,
+) -> bytes:
+    """Encode an animated GIF89a for testing the compositing decoder.
+
+    ``frames`` is a list of dicts: ``{"indices": HxW uint8, "left": int,
+    "top": int, "delay_cs": int, "disposal": 0|1|2|3,
+    "transparent": int | None}`` — sub-rectangle frames, per-frame
+    Graphic Control Extensions, one global color table. ``screen`` is
+    the logical screen (defaults to frame 0's extent); ``background``
+    the background color index (what disposal 2 restores)."""
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    bits = max(2, int(len(pal) - 1).bit_length())
+    n = 1 << bits
+    padded = np.zeros((n, 3), np.uint8)
+    padded[: len(pal)] = pal
+    size_field = bits - 1
+    f0 = np.asarray(frames[0]["indices"], dtype=np.uint8)
+    sw, sh = screen or (
+        frames[0].get("left", 0) + f0.shape[1],
+        frames[0].get("top", 0) + f0.shape[0],
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | size_field, background, 0)
+    out += padded.tobytes()
+    min_code_size = max(2, bits)
+    for fr in frames:
+        idx = np.asarray(fr["indices"], dtype=np.uint8)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("index beyond palette")
+        h, w = idx.shape
+        left, top = fr.get("left", 0), fr.get("top", 0)
+        t = fr.get("transparent")
+        gce_packed = ((fr.get("disposal", 0) & 0x07) << 2) | (
+            0x01 if t is not None else 0x00
+        )
+        delay = fr.get("delay_cs", 0)
+        out += bytes([0x21, 0xF9, 0x04, gce_packed, delay & 0xFF,
+                      (delay >> 8) & 0xFF, t or 0, 0x00])
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0x00)
+        out.append(min_code_size)
+        data = _lzw_encode(idx.tobytes(), min_code_size)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def encode_gif(
@@ -293,3 +399,76 @@ def encode_gif(
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def gif_frame_sample(
+    assets,
+    every_ms: int = 250,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+):
+    """Time-based frame sampling over REAL animated GIFs: for each
+    target timestamp t = j*every_ms (j = 0 .. while t < animation
+    duration), emit the frame DISPLAYED at t (the latest frame whose
+    start time is <= t) with its integer-exact aHash — the GIF analog
+    of mp4.video_frame_sample(decode=True), over the compositing
+    decoder (sub-rectangle frames, disposal, transparency). Zero-delay
+    frames are treated as 10 cs, the de-facto viewer convention. One
+    narrow Arrow map, no shuffle; undecodable payloads yield no rows
+    (honest skip, consistent with the other media decoders).
+
+    Output: (<id_col>, frame_ts_ms int, frame_index int,
+    frame_time_ms long, ahash_bits string)."""
+    from pyspark.sql import types as T
+
+    def _batches(batches):
+        import pandas as pd
+
+        from victorialogs_spark.datapipe.multimodal import (
+            ahash_bits_from_pixels,
+        )
+
+        for pdf in batches:
+            ids, f_ts, f_idx, f_time, hashes = [], [], [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames = decode_gif_frames(bytes(payload))
+                except Exception:
+                    continue
+                starts, t0 = [], 0
+                for delay_cs, _px in frames:
+                    starts.append(t0)
+                    t0 += max(delay_cs, 1) * 10  # zero-delay -> 10 ms tick
+                total_ms = t0
+                t = 0
+                while t < max(total_ms, 1):
+                    k = 0
+                    for i, s in enumerate(starts):
+                        if s <= t:
+                            k = i
+                    ids.append(aid)
+                    f_ts.append(t)
+                    f_idx.append(k)
+                    f_time.append(starts[k])
+                    hashes.append(ahash_bits_from_pixels(frames[k][1]))
+                    t += every_ms
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_ts_ms": pd.Series(f_ts, dtype="int32"),
+                    "frame_index": pd.Series(f_idx, dtype="int32"),
+                    "frame_time_ms": pd.Series(f_time, dtype="int64"),
+                    "ahash_bits": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_ts_ms", T.IntegerType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame_time_ms", T.LongType()),
+            T.StructField("ahash_bits", T.StringType()),
+        ]
+    )
+    return assets.select(id_col, payload_col).mapInPandas(_batches, schema)
