@@ -48,6 +48,8 @@ NOTES = {
     "dp_ann_lsh_quantized_topk": "ONE numpy batch per Arrow batch quantizes + buckets + scores (exact int64 matmuls) -> probe isin filter -> TakeOrderedAndProject",
     "dp_winnowing": "pure-Column staged projections (tokens -> grams -> md5 hashes -> window minima) + one explode; zero shuffles, zero Python",
     "dp_ngram_counts": "staged token projection -> gram transform -> explode -> ONE partial+final hash aggregate; single shuffle carries combined (gram, count)",
+    "dp_image_ahash_gif": "payload synth + real GIF (LZW+interlace+palette) decode in one narrow Arrow map; zero shuffles",
+    "dp_gif_frame_ahash": "animation synth + compositing decode + time-step frame sampling in one narrow Arrow map; zero shuffles",
 }
 
 
