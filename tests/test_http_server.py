@@ -480,3 +480,36 @@ def test_ingest_spill_flush_bounds_plan(spark, tmp_path):
     finally:
         _State.FLUSH_ROWS = old
         srv.stop()
+
+
+def test_ingest_spill_survives_restart(spark, tmp_path):
+    """A durable spill dir's rows must be queryable from request ONE of
+    the next server run — they were acked before the restart."""
+    from victorialogs_spark.http_server import LogHTTPServer, _State
+
+    spill = str(tmp_path / "durable")
+    old = _State.FLUSH_ROWS
+    _State.FLUSH_ROWS = 10
+    lines = "\n".join(
+        json.dumps({"_time": "2024-01-01T00:00:01Z", "_msg": f"r {i}",
+                    "app": "durable"})
+        for i in range(12)
+    )
+    try:
+        srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+        try:
+            _post(srv, "/insert/jsonline?_stream_fields=app", lines.encode())
+        finally:
+            srv.stop()
+        # second server run, same spill dir, NO new ingest
+        srv2 = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+        try:
+            body = _get(
+                srv2, "/select/logsql/query?query="
+                + urllib.parse.quote('{app="durable"} | stats count() as n'),
+            ).read()
+            assert json.loads(body)["n"] == "12"
+        finally:
+            srv2.stop()
+    finally:
+        _State.FLUSH_ROWS = old

@@ -121,11 +121,10 @@ def main() -> int:
         peak = jvm_peak_rss_gb()
         rows.append({
             "name": name, "wall_sec": round(wall, 1),
-            "jvm_peak_rss_gb": round(peak, 1) if peak else None,
+            "jvm_peak_rss_gb": round(peak, 1) if peak is not None else None,
         })
-        print(f"# {name}: {wall:.1f}s, JVM peak RSS"
-              f" {peak:.1f} GiB" if peak else f"# {name}: {wall:.1f}s",
-              file=sys.stderr)
+        suffix = f", JVM peak RSS {peak:.1f} GiB" if peak is not None else ""
+        print(f"# {name}: {wall:.1f}s{suffix}", file=sys.stderr)
     sp = spill_stats()
     spark.stop()
     summary = {"factor": FACTOR, "entries": rows, **sp}
@@ -145,8 +144,10 @@ def main() -> int:
         "|---|---|---|",
     ]
     for r in rows:
+        rss = r["jvm_peak_rss_gb"]
         lines.append(
-            f"| {r['name']} | {r['wall_sec']} | {r['jvm_peak_rss_gb']} |"
+            f"| {r['name']} | {r['wall_sec']} |"
+            f" {'n/a' if rss is None else rss} |"
         )
     lines += [
         "",

@@ -178,6 +178,13 @@ def main() -> int:
 
     queries = {n: LOGSQL_TEXT[n] for n in HEADLINE if n in LOGSQL_TEXT}
     queries.update(PRUNE_QUERIES)
+    if FACTOR <= 7:
+        # replica #7 (the needle carrier) doesn't exist below factor 8 —
+        # measuring rare_word against a needle-less table would record a
+        # zero-row query as a fabricated bloom win
+        queries.pop("rare_word", None)
+        print("# factor <= 7: rare_word skipped (no needle replica)",
+              file=sys.stderr)
     if ONLY:
         queries = {n: q for n, q in queries.items() if n in ONLY}
 

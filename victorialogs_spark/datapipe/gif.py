@@ -438,7 +438,8 @@ def gif_frame_sample(
                 starts, t0 = [], 0
                 for delay_cs, _px in frames:
                     starts.append(t0)
-                    t0 += max(delay_cs, 1) * 10  # zero-delay -> 10 ms tick
+                    # zero-delay -> 10 cs (100 ms), the viewer convention
+                    t0 += (delay_cs if delay_cs > 0 else 10) * 10
                 total_ms = t0
                 t = 0
                 while t < max(total_ms, 1):

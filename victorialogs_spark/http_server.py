@@ -18,6 +18,7 @@ location) to keep flushed rows across restarts.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -85,6 +86,24 @@ class _State:
         self._pending_rows = 0
         self._spill_dir = spill_dir
         self._spill_ok = spill_dir is not None
+        # a DURABLE spill dir may already hold rows flushed by a prior
+        # server run — they were acked, so they must be queryable from
+        # request one, not only after the next flush re-reads the dir
+        if spill_dir is not None:
+            import glob as _glob
+
+            if _glob.glob(os.path.join(spill_dir, "*.parquet")):
+                prior = spark.read.option("mergeSchema", "true").parquet(
+                    spill_dir
+                )
+                self._base = (
+                    prior
+                    if self._base is None
+                    else self._base.unionByName(
+                        prior, allowMissingColumns=True
+                    )
+                )
+                self.logs = self._base
         # Prometheus-style counters, named like the reference's
         # (vl_http_requests_total{path=...}, vl_http_errors_total{...},
         # vl_rows_ingested_total{type=...} — app/vlselect/main.go:290+,
@@ -362,6 +381,17 @@ class _Handler(BaseHTTPRequestHandler):
     def _route(self):
         path = urllib.parse.urlparse(self.path).path
         self._streaming = False  # reset per request (keep-alive reuse)
+        # route reads and ingest into separate FAIR scheduler pools:
+        # spark.scheduler.mode=FAIR alone is a no-op (every job lands in
+        # the single default pool, whose internal order is FIFO) — fair
+        # sharing happens ACROSS pools, so a read job submitted while an
+        # ingest flush occupies the task slots gets its share instead of
+        # queuing behind the whole flush. Local properties are
+        # per-thread, which is exactly the ThreadingHTTPServer model.
+        pool = "facade-reads" if path.startswith("/select/") else "facade-ingest"
+        self.state.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", pool
+        )
         try:
             params = self._params()
             if path == "/health":

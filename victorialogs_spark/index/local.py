@@ -33,9 +33,15 @@ LOCAL_INDEX_MAX_BYTES = 32 << 20
 # 32 MiB of parquet into Python dicts (several-fold memory expansion
 # for bloom bitsets). The fingerprint (per-part size+mtime) invalidates
 # on any rewrite, so a re-built sidecar is never served stale. Bounded:
-# a session touches a handful of sidecars; evict ~LRU past 8.
+# a session touches a handful of sidecars; evict FIFO past 8. Locked:
+# HTTP facade handler threads probe concurrently, and an unguarded
+# pop-on-full race would raise (the blanket except would then silently
+# downgrade the probe to a full Spark job).
+import threading
+
 _CACHE: dict[str, tuple[tuple, list[dict]]] = {}
 _CACHE_MAX = 8
+_CACHE_LOCK = threading.Lock()
 
 
 def read_local_index(index_path: str):
@@ -63,17 +69,19 @@ def read_local_index(index_path: str):
         )
         if sum(s[1] for s in stats) > LOCAL_INDEX_MAX_BYTES:
             return None
-        hit = _CACHE.get(p)
-        if hit is not None and hit[0] == stats:
-            return hit[1]
+        with _CACHE_LOCK:
+            hit = _CACHE.get(p)
+            if hit is not None and hit[0] == stats:
+                return hit[1]
         import pyarrow.parquet as pq
 
         rows: list[dict] = []
         for f in parts:
             rows.extend(pq.read_table(f).to_pylist())
-        if len(_CACHE) >= _CACHE_MAX:
-            _CACHE.pop(next(iter(_CACHE)))
-        _CACHE[p] = (stats, rows)
+        with _CACHE_LOCK:
+            while len(_CACHE) >= _CACHE_MAX:
+                _CACHE.pop(next(iter(_CACHE)))
+            _CACHE[p] = (stats, rows)
         return rows
     except Exception:
         return None

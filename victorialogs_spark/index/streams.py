@@ -150,14 +150,26 @@ def stream_candidate_files(
     local = read_local_index(index_path)
     if local is not None:
         return _local_stream_candidates(local, constraints)
-    idx = spark.read.parquet(index_path)
-    # one driver job yields both the indexed-file and indexed-field sets
-    pairs = idx.select("file", "field").distinct().collect()
+    # mergeSchema: a mixed-version sidecar (pre-v2 parts appended before
+    # the upgrade) must expose the version column as NULL for pre-v2
+    # rows; the default single-footer schema would make its presence
+    # depend on WHICH part Spark sampled
+    idx = spark.read.option("mergeSchema", "true").parquet(index_path)
+    has_version = "version" in idx.columns
+    cols = ["file", "field"] + (["version"] if has_version else [])
+    # one driver job yields the indexed-file/field sets AND the version
+    # verdict
+    pairs = idx.select(*cols).distinct().collect()
     indexed = {r["file"] for r in pairs}
     indexed_fields = {r["field"] for r in pairs}
     # pre-v2 sidecars recorded NULL labels as absent, not "" — an ""
-    # constraint through them would prune files that DO match
-    nulls_as_empty = "version" in idx.columns
+    # constraint through them would prune files that DO match. Sound
+    # only when EVERY row is v2: any pre-v2 row (version NULL under the
+    # merged schema) means some file's empty-value evidence is missing,
+    # so "" pruning must be skipped for the whole sidecar.
+    nulls_as_empty = has_version and all(
+        r["version"] is not None for r in pairs
+    )
     prunable: dict[str, set[str]] = {}
     for field, values in constraints.items():
         if field not in indexed_fields:
@@ -241,13 +253,16 @@ def _local_stream_candidates(
     tests/test_stream_index.py::test_local_probe_matches_spark_probe."""
     indexed = {r["file"] for r in rows}
     indexed_fields = {r["field"] for r in rows}
-    # v2 detection over ALL rows, mirroring the Spark path's check on
-    # the UNION schema: a mixed-version sidecar (pre-v2 part sorting
-    # first) is v2 iff any part carries the column — probing only the
-    # first row made the local path skip the "" constraint and return
-    # MORE candidates than the Spark path (sound, but not the pinned
-    # "same semantics" equivalence)
-    nulls_as_empty = any("version" in r for r in rows)
+    # v2 detection over ALL rows, mirroring the Spark path's
+    # mergeSchema check: "" pruning is sound only when EVERY row came
+    # from a v2 part (pyarrow rows from pre-v2 parts simply lack the
+    # key). A mixed sidecar has files whose empty-value evidence is
+    # missing, so any pre-v2 row disables "" pruning for the whole
+    # sidecar — an any()/first-row probe would over-prune files that
+    # DO match (wrong results), the original rows[:1] bug's mirror.
+    nulls_as_empty = bool(rows) and all(
+        r.get("version") is not None for r in rows
+    )
     prunable: dict[str, set[str]] = {}
     for field, values in constraints.items():
         if field not in indexed_fields:

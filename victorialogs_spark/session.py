@@ -40,12 +40,15 @@ def get_spark(
         # local mode = driver only; it holds shuffle + broadcast state
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         # FAIR task scheduling: the facade multiplexes reads against
-        # ingest flushes on one context; under FIFO a short read job can
-        # queue behind a whole flush. Measured ~neutral on the mixed
-        # wave at local[32] (p95 2.13 s vs 2.25 s — the residual there
-        # is CPU contention, not queuing), but on a busy cluster FIFO
-        # head-of-line blocking is unbounded while FAIR's is one task
-        # wave; no-op for single-query workloads.
+        # ingest flushes on one context and assigns them to separate
+        # pools per request thread (http_server._route sets
+        # spark.scheduler.pool — FAIR mode alone would be a no-op, since
+        # jobs in the single default pool still run FIFO; fair sharing
+        # happens across pools). Measured ~neutral on the mixed wave at
+        # local[32] (the residual there is CPU contention, not queuing),
+        # but on a busy cluster FIFO head-of-line blocking behind a
+        # flush is unbounded while cross-pool sharing bounds it at one
+        # task wave; no-op for single-query workloads.
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
