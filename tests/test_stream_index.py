@@ -290,3 +290,55 @@ def test_local_probe_matches_spark_probe(spark, tmp_path, monkeypatch):
         dist = stream_candidate_files(spark, index, c)
         monkeypatch.undo()
         assert local == dist, c
+
+
+def test_mixed_version_sidecar_disables_empty_pruning(spark, tmp_path,
+                                                      monkeypatch):
+    """A sidecar holding BOTH pre-v2 and v2 parts cannot answer an ""
+    constraint soundly: pre-v2 parts recorded NULL labels as absent, so
+    some file's empty-value evidence is missing. Both probe paths must
+    therefore treat "" as unprunable (returning all indexed files) —
+    and must still agree with each other. A first-row/any() version
+    probe gets this wrong in one direction or the other: over-pruning
+    files that match (wrong results) or diverging between paths."""
+    from victorialogs_spark.index import local as L
+
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "idx")
+    _write_table(spark, table)
+    build_stream_index(spark, table, index, fields=["app"])
+
+    # rewrite ONE sidecar part as pre-v2 (drop the version column),
+    # leaving the others v2 — the mixed-upgrade shape
+    import glob
+    import os
+
+    part = sorted(glob.glob(os.path.join(index, "*.parquet")))[0]
+    one = spark.read.parquet(part).drop("version")
+    tmp_part = str(tmp_path / "pre_v2_part")
+    one.coalesce(1).write.mode("overwrite").parquet(tmp_part)
+    os.remove(part)
+    src = glob.glob(os.path.join(tmp_part, "*.parquet"))[0]
+    os.rename(src, part)
+    # drop Hadoop's hidden .crc siblings: they checksum the ORIGINAL
+    # bytes and would fail the swapped-in part
+    for crc in glob.glob(os.path.join(index, ".*.crc")):
+        os.remove(crc)
+
+    constraint = {"app": {""}}
+    local = stream_candidate_files(spark, index, constraint)
+    monkeypatch.setattr(L, "LOCAL_INDEX_MAX_BYTES", 0)
+    dist = stream_candidate_files(spark, index, constraint)
+    monkeypatch.undo()
+    assert local == dist
+    indexed, cands = local
+    # "" unprunable on a mixed sidecar: every indexed file stays
+    assert cands == indexed and len(indexed) == 3
+
+    # non-empty values still prune normally on the mixed sidecar
+    local2 = stream_candidate_files(spark, index, {"app": {"web"}})
+    monkeypatch.setattr(L, "LOCAL_INDEX_MAX_BYTES", 0)
+    dist2 = stream_candidate_files(spark, index, {"app": {"web"}})
+    monkeypatch.undo()
+    assert local2 == dist2
+    assert len(local2[1]) == 1
