@@ -513,3 +513,43 @@ def test_ingest_spill_survives_restart(spark, tmp_path):
             srv2.stop()
     finally:
         _State.FLUSH_ROWS = old
+
+
+def test_spill_restart_with_preloaded_table(spark, tmp_path):
+    """Restart with BOTH a durable spill dir and a tenant-less preloaded
+    table: the preloaded rows must stay visible (stamped with the
+    default tenant) alongside the restored spill rows."""
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.http_server import LogHTTPServer, _State
+
+    spill = str(tmp_path / "durable2")
+    pre = spark.createDataFrame(
+        [("2024-01-01T00:00:05Z", "preloaded row", "pre")],
+        "_time string, _msg string, app string",
+    ).withColumn("_time", F.to_timestamp("_time"))
+    old = _State.FLUSH_ROWS
+    _State.FLUSH_ROWS = 5
+    lines = "\n".join(
+        json.dumps({"_time": "2024-01-01T00:00:01Z", "_msg": f"s {i}",
+                    "app": "spilled"})
+        for i in range(6)
+    )
+    try:
+        srv = LogHTTPServer(spark, pre, 0, spill_dir=spill).start()
+        try:
+            _post(srv, "/insert/jsonline?_stream_fields=app", lines.encode())
+        finally:
+            srv.stop()
+        srv2 = LogHTTPServer(spark, pre, 0, spill_dir=spill).start()
+        try:
+            for q, n in (('{app="spilled"}', "6"), ("preloaded", "1")):
+                body = _get(
+                    srv2, "/select/logsql/query?query="
+                    + urllib.parse.quote(f"{q} | stats count() as n"),
+                ).read()
+                assert json.loads(body)["n"] == n, q
+        finally:
+            srv2.stop()
+    finally:
+        _State.FLUSH_ROWS = old

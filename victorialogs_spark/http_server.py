@@ -96,10 +96,22 @@ class _State:
                 prior = spark.read.option("mergeSchema", "true").parquet(
                     spill_dir
                 )
+                if (
+                    self._preloaded is not None
+                    and "tenant" in prior.columns
+                    and "tenant" not in self._preloaded.columns
+                ):
+                    # flushed rows always carry tenant; a tenant-less
+                    # preloaded table belongs to the default tenant —
+                    # unioning it unstamped would give its rows a NULL
+                    # tenant and hide them from every scoped query
+                    from victorialogs_spark.schema import with_tenant
+
+                    self._preloaded = with_tenant(self._preloaded, 0, 0)
                 self._base = (
                     prior
-                    if self._base is None
-                    else self._base.unionByName(
+                    if self._preloaded is None
+                    else self._preloaded.unionByName(
                         prior, allowMissingColumns=True
                     )
                 )
