@@ -21,7 +21,10 @@ specification, sharing no code with jpeg.py / multimodal.py —
 - the GIFs carry LZW code streams packed by hand (variable width,
   LSB-first — every code and its bit offset derived in comments),
   covering the width transition, the KwKwK case, the 4-pass
-  interlace, 89a extension skipping, and local color tables.
+  interlace, 89a extension skipping, and local color tables;
+- the TIFFs carry a hand-run PackBits strip (big-endian IFD) and a
+  hand-traced TIFF-variant LZW stream (MSB-first 9-bit codes derived
+  in comments) under the horizontal predictor (little-endian IFD).
 
 Expected pixels are computed arithmetically in comments, not by running
 any in-repo code.
@@ -34,6 +37,7 @@ import numpy as np
 from victorialogs_spark.datapipe.gif import decode_gif
 from victorialogs_spark.datapipe.jpeg import decode_jpeg
 from victorialogs_spark.datapipe.multimodal import _decode_png
+from victorialogs_spark.datapipe.tiff import decode_tiff
 
 
 def test_decode_handwritten_jpeg_custom_tables():
@@ -297,4 +301,107 @@ def test_decode_handwritten_gif_interlaced_local_table():
         dtype=np.uint8,
     )
     assert px.shape == (5, 1, 3)
+    assert (px == want).all()
+
+
+def test_decode_handwritten_tiff_packbits_bigendian():
+    """4x3 grayscale TIFF, MM (big-endian), PackBits, two hand runs.
+
+    Pixel rows (grey): AA AA AA AA / 10 20 30 40 / 55 55 66 77 (hex).
+    PackBits (TIFF 6.0 §9): a header byte n in 129..255 repeats the
+    next byte 257-n times; n in 0..127 copies n+1 literals. One strip
+    (RowsPerStrip=3), encoded by hand as
+      FD AA            -> 257-0xFD = 4 copies of AA      (row 0)
+      07 10 20 30 40   -> 8 literals                     (rows 1-2)
+         55 55 66 77
+    = 11 strip bytes at file offset 8 (one pad byte keeps the IFD on a
+    word boundary at offset 20, spec §2). IFD values are left-justified
+    in their 4-byte slots regardless of byte order (spec §2 "Value
+    offset... left-justified")."""
+    t = bytearray(b"MM\x00*")
+    t += struct.pack(">I", 20)  # IFD offset
+    t += bytes([0xFD, 0xAA, 0x07, 0x10, 0x20, 0x30, 0x40,
+                0x55, 0x55, 0x66, 0x77])
+    t += b"\x00"  # pad to word boundary
+
+    def ent(tag, ftype, count, vbytes):
+        return struct.pack(">HHI", tag, ftype, count) + vbytes
+
+    short = lambda v: struct.pack(">H", v) + b"\x00\x00"
+    long_ = lambda v: struct.pack(">I", v)
+    entries = (
+        ent(256, 3, 1, short(4))        # ImageWidth
+        + ent(257, 3, 1, short(3))      # ImageLength
+        + ent(258, 3, 1, short(8))      # BitsPerSample
+        + ent(259, 3, 1, short(32773))  # Compression = PackBits
+        + ent(262, 3, 1, short(1))      # Photometric = BlackIsZero
+        + ent(273, 4, 1, long_(8))      # StripOffsets
+        + ent(277, 3, 1, short(1))      # SamplesPerPixel
+        + ent(278, 3, 1, short(3))      # RowsPerStrip
+        + ent(279, 4, 1, long_(11))     # StripByteCounts
+    )
+    t += struct.pack(">H", 9) + entries + struct.pack(">I", 0)
+
+    px = decode_tiff(bytes(t))
+    grey = np.array([[0xAA, 0xAA, 0xAA, 0xAA],
+                     [0x10, 0x20, 0x30, 0x40],
+                     [0x55, 0x55, 0x66, 0x77]], dtype=np.uint8)
+    assert px.shape == (3, 4, 3)
+    assert (px == grey[:, :, None]).all()
+
+
+def test_decode_handwritten_tiff_lzw_predictor():
+    """2x2 RGB TIFF, II (little-endian), LZW + horizontal predictor.
+
+    Display pixels: row0 = (100,150,200) (110,160,210),
+    row1 = (50,60,70) (40,50,60). Predictor 2 stores per-row per-sample
+    deltas mod 256 (spec §14), so the bytes under LZW are
+      100 150 200  10  10  10     (110-100, 160-150, 210-200)
+       50  60  70 246 246 246     (40-50 = -10 = 246 mod 256)
+    TIFF LZW (spec §13): MSB-first 9-bit codes, Clear=256, EOI=257.
+    Greedy encoding trace (all codes stay 9-bit):
+      256 Clear
+      100 (add [100,150]=258)   150 (add [150,200]=259)
+      200 (add [200,10]=260)     10 (add [10,10]=261)
+      261 = [10,10]             (add [10,10,50]=262)
+       50 (add [50,60]=263)      60 (add [60,70]=264)
+       70 (add [70,246]=265)    246 (add [246,246]=266)
+      266 = [246,246]
+      257 EOI
+    12 codes x 9 bits = 108 bits, MSB-first, zero-padded to 14 bytes:
+      100000000 001100100 010010110 011001000 000001010 100000101
+      000110010 000111100 001000110 011110110 100001010 100000001
+    -> 80 19 12 CC 80 54 14 64 3C 23 3D A1 50 10."""
+    lzw = bytes([0x80, 0x19, 0x12, 0xCC, 0x80, 0x54, 0x14,
+                 0x64, 0x3C, 0x23, 0x3D, 0xA1, 0x50, 0x10])
+    t = bytearray(b"II*\x00")
+    t += struct.pack("<I", 22)  # IFD offset: 8 + 14 strip bytes
+    t += lzw
+
+    def ent(tag, ftype, count, vbytes):
+        return struct.pack("<HHI", tag, ftype, count) + vbytes
+
+    short = lambda v: struct.pack("<H", v) + b"\x00\x00"
+    long_ = lambda v: struct.pack("<I", v)
+    # 10 entries -> IFD spans 22 .. 22+2+120+4 = 148; the out-of-line
+    # BitsPerSample triple (6 bytes > the 4-byte slot) lives at 148
+    entries = (
+        ent(256, 3, 1, short(2))        # ImageWidth
+        + ent(257, 3, 1, short(2))      # ImageLength
+        + ent(258, 3, 3, long_(148))    # BitsPerSample -> offset 148
+        + ent(259, 3, 1, short(5))      # Compression = LZW
+        + ent(262, 3, 1, short(2))      # Photometric = RGB
+        + ent(273, 4, 1, long_(8))      # StripOffsets
+        + ent(277, 3, 1, short(3))      # SamplesPerPixel
+        + ent(278, 3, 1, short(2))      # RowsPerStrip
+        + ent(279, 4, 1, long_(14))     # StripByteCounts
+        + ent(317, 3, 1, short(2))      # Predictor = horizontal
+    )
+    t += struct.pack("<H", 10) + entries + struct.pack("<I", 0)
+    t += struct.pack("<3H", 8, 8, 8)  # BitsPerSample values
+
+    px = decode_tiff(bytes(t))
+    want = np.array([[[100, 150, 200], [110, 160, 210]],
+                     [[50, 60, 70], [40, 50, 60]]], dtype=np.uint8)
+    assert px.shape == (2, 2, 3)
     assert (px == want).all()

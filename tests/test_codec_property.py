@@ -435,3 +435,78 @@ def test_gif_animation_roundtrip_property(n_frames, disposal, transparent,
     for (gd, gpx), (wd, wpx) in zip(got, want):
         assert gd == wd
         assert np.array_equal(gpx, wpx)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    rgb=st.booleans(),
+    bo=st.sampled_from(["II", "MM"]),
+    comp=st.sampled_from([1, 5, 32773]),
+    pred=st.sampled_from([1, 2]),
+    rps=st.sampled_from([0, 1, 3, 8]),  # 0 -> single strip
+    seed=st.integers(0, 2**31),
+)
+def test_tiff_roundtrip_property(h, w, rgb, bo, comp, pred, rps, seed):
+    """Baseline TIFF is lossless: decode(encode(px)) == px across both
+    byte orders, grayscale/RGB, none/LZW/PackBits compression, the
+    horizontal predictor, and single-/multi-strip layouts (including a
+    final short strip when RowsPerStrip does not divide the height)."""
+    from victorialogs_spark.datapipe.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    t = encode_tiff(px, compression=comp, byte_order=bo, predictor=pred,
+                    rows_per_strip=rps or None)
+    got = decode_tiff(t)
+    want = px if rgb else np.repeat(px[:, :, None], 3, axis=2)
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 2**31), runs=st.booleans())
+def test_tiff_lzw_early_change_and_reset_property(seed, runs):
+    """Streams long/diverse enough to cross every width transition
+    (510/1022/2046 — the EARLY-change points) and the 4094-entry clear
+    reset; the decoder must resynchronize exactly. Mirrors the GIF
+    12-bit-cap property for the TIFF LZW variant."""
+    from victorialogs_spark.datapipe.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    rng = np.random.default_rng(seed)
+    if runs:
+        parts = [bytes([rng.integers(0, 256)]) * int(rng.integers(1, 60))
+                 for _ in range(600)]
+        data = b"".join(parts)
+    else:
+        data = bytes(rng.integers(0, 256, size=20000, dtype=np.uint8))
+    enc = _lzw_encode_tiff(data)
+    assert _lzw_decode_tiff(enc, len(data)) == data
+
+
+def test_tiff_whitelszero_and_errors():
+    """Photometric 0 inverts; unsupported shapes fail with codec-level
+    messages, not downstream reshape/IndexError noise."""
+    import pytest
+
+    from victorialogs_spark.datapipe.tiff import decode_tiff, encode_tiff
+
+    g = np.arange(63, dtype=np.uint8).reshape(9, 7)
+    t = encode_tiff(g, photometric=0)
+    assert np.array_equal(decode_tiff(t), np.repeat((255 - g)[:, :, None], 3, axis=2))
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"ZZZZ" + bytes(16))
+    # corrupt the strip-data region so LZW hits garbage codes
+    bad = bytearray(encode_tiff(g, compression=5))
+    bad[10:14] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="TIFF LZW"):
+        decode_tiff(bytes(bad))
+    # truncated PackBits strip
+    pb = encode_tiff(g, compression=32773)
+    with pytest.raises(ValueError, match="TIFF"):
+        decode_tiff(pb[: len(pb) // 2])

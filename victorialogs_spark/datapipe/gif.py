@@ -72,6 +72,11 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
             prev = None
             continue
         if code == eoi:
+            if len(out) < n_pixels:
+                # the docstring promises exactly n_pixels; a short
+                # buffer would otherwise surface as an opaque numpy
+                # reshape error in decode_gif_frames
+                raise ValueError("GIF LZW stream ended early")
             break
         if prev is None:
             # first code after (implicit) clear must be a root
@@ -234,7 +239,10 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
             raise ValueError("GIF image has no color table")
         min_code_size = payload[pos]
         pos += 1
-        if not 2 <= min_code_size <= 11:
+        if not 2 <= min_code_size <= 8:
+            # spec caps the field at 8 (256-entry color table); 9-11
+            # would make _lzw_decode's bytes((i,)) root table blow up
+            # with an unrelated range error instead of this message
             raise ValueError(f"bad GIF LZW code size {min_code_size}")
         chunks = []
         while pos < len(payload) and payload[pos] != 0:

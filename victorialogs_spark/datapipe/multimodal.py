@@ -12,9 +12,11 @@ shapes — is real and tested. Decoders, by honesty tier:
   greyscale/RGB/RGBA), and sequential AND progressive JPEG (jpeg.py:
   marker walk, stream-defined Huffman tables, multi-scan coefficient
   accumulation, dequantize, float IDCT with the exact-integer DC-only
-  fast path, 4:4:4/4:2:0/4:2:2, restart markers), and GIF87a/89a
+  fast path, 4:4:4/4:2:0/4:2:2, restart markers), GIF87a/89a
   (gif.py: pure-Python LZW, global/local color tables, 4-pass
-  interlace, extension skipping). MJPEG-in-MP4 frames decode
+  interlace, extension skipping), and baseline TIFF (tiff.py: IFD
+  walking, both byte orders, strips, none/LZW/PackBits compression,
+  horizontal predictor, grayscale + RGB). MJPEG-in-MP4 frames decode
   end-to-end via mp4.video_frame_sample(decode=True).
   ``resize_image`` really resizes (numpy nearest-neighbor, re-encoded
   as PPM).
@@ -554,6 +556,10 @@ def _stdlib_decode(payload: bytes, feat_dim: int) -> dict:
         from victorialogs_spark.datapipe.gif import decode_gif
 
         return _image_features(decode_gif(payload), feat_dim)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from victorialogs_spark.datapipe.tiff import decode_tiff
+
+        return _image_features(decode_tiff(payload), feat_dim)
     raise ValueError(f"unrecognized container (magic {payload[:4]!r})")
 
 
@@ -784,6 +790,10 @@ def _stdlib_decode_pixels(b: bytes):
         from victorialogs_spark.datapipe.gif import decode_gif
 
         return decode_gif(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from victorialogs_spark.datapipe.tiff import decode_tiff
+
+        return decode_tiff(b)
     raise ValueError("not a decodable image")
 
 

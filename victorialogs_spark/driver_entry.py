@@ -2441,6 +2441,66 @@ def _dp_gif_frame_ahash(spark, sf_dir):
 
 
 @register(
+    "dp_image_ahash_tiff",
+    # TIFF under the hash — the dp_image_ahash playbook through the
+    # REAL baseline-TIFF codec (tiff.py: IFD walking, strips, the
+    # TIFF-variant LZW — MSB-first, early change — plus the horizontal
+    # predictor): the 1728 md5 stream bytes are the 24x24 RGB pixels,
+    # Spark-side encoded with LZW + predictor 2 in THREE strips
+    # (RowsPerStrip=8, so multi-strip reassembly is exercised) and the
+    # byte order II or MM by the parity of the first pixel byte, so
+    # both endiannesses decode in every run. DuckDB recomputes the
+    # expected aHash arithmetically from the same md5 bytes; only
+    # Spark runs the bitstream.
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':imgtiff:')} AS v"
+    " FROM ids, UNNEST(range(1728)) AS u(i)),"
+    " px AS (SELECT doc_id, i // 3 AS p,"
+    " CAST(SUM(CASE WHEN i % 3 = 0 THEN 299 * v"
+    " WHEN i % 3 = 1 THEN 587 * v ELSE 114 * v END) AS BIGINT) // 1000 AS gray"
+    " FROM b GROUP BY 1, 2),"
+    " cells AS (SELECT doc_id, ((p // 24) * 8 // 24) * 8 + (p % 24) * 8 // 24 AS cell,"
+    " CAST(SUM(gray) AS BIGINT) AS cs, COUNT(*) AS cn FROM px GROUP BY 1, 2),"
+    " tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,"
+    " CAST(SUM(cn) AS BIGINT) AS tn FROM cells GROUP BY 1)"
+    " SELECT c.doc_id, string_agg(CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END,"
+    " '' ORDER BY cell) AS ahash_bits"
+    " FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id",
+)
+def _dp_image_ahash_tiff(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.multimodal import image_ahash
+    from victorialogs_spark.datapipe.tiff import encode_tiff
+
+    docs = _spread(spark, sf_dir, "documents").select("doc_id")
+    raw = _md5_stream_payload(":imgtiff:", b"", 108)  # 1728 pixel bytes
+
+    def _to_tiff(series):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for b in series:
+            px = np.frombuffer(bytes(b), np.uint8, 1728).reshape(24, 24, 3)
+            out.append(
+                encode_tiff(
+                    px, compression=5, predictor=2, rows_per_strip=8,
+                    byte_order="II" if px[0, 0, 0] % 2 == 0 else "MM",
+                )
+            )
+        return pd.Series(out)
+
+    _to_tiff.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    to_tiff = F.pandas_udf(_to_tiff, "binary")
+    assets = docs.select("doc_id", to_tiff(raw).alias("payload"))
+    return image_ahash(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "ahash_bits"
+    )
+
+
+@register(
     "dp_mp4_frame_ahash",
     # REAL VIDEO FRAME DECODE: MJPEG-in-MP4 end to end with zero new
     # dependencies — each doc's payload is a genuine ISO-BMFF file
@@ -3995,13 +4055,62 @@ _STALE_R12_WINDOW = [
     "p_json_array_len", "p_len", "p_math_abs", "p_pack_json", "p_pack_logfmt",
 ]
 
-# round-12 additions: brand-new oracle-backed entries registered this round
-# (never in any prior artifact) — they land at the FRONT of the window,
-# displacing stale entries from the back. _reorder_registry() makes a
-# forgotten registration loud instead of silently filtering out.
+# round-12 additions; landed green in CORRECTNESS_r12.json (now in
+# _DRIVER_VERIFIED_R12). Kept for the historical record.
 _NEW_R12 = [
     "dp_image_ahash_gif",
     "dp_gif_frame_ahash",
+]
+
+# exactly the 50-entry window recorded in CORRECTNESS_r12.json (50/50 green)
+_DRIVER_VERIFIED_R12 = [
+    "dp_image_ahash_gif", "dp_gif_frame_ahash", "dp_image_ahash_png",
+    "dp_image_ahash_jpeg", "dp_mp4_frame_extract", "p_sort_partition_topk",
+    "p_first", "p_last", "p_math", "p_math_funcs", "p_extract",
+    "p_extract_regexp", "p_replace", "p_replace_regexp", "p_format",
+    "p_format_converters", "dp_span_dedup", "dp_cut_spans", "dp_tfidf_terms",
+    "dp_dsir_weights", "dp_ann_quantized_topk", "dp_perplexity_buckets",
+    "dp_bigram_logprob", "dp_mix_sources", "dp_label_centroids",
+    "dp_knn_purity", "dp_curate_packed", "dp_stream_stats", "dp_simhash_md5",
+    "dp_unigram_logprob", "dp_shuffle_shards", "dp_pack_sequences",
+    "dp_repetition", "dp_ngram_repetition", "dp_cluster_dedup", "dp_curate",
+    "dp_decontaminate_ngrams", "dp_dup_clusters", "dp_gopher_quality",
+    "dp_minhash_md5", "dp_stream_neardup", "f_in_subquery_or", "p_facets",
+    "p_field_names", "p_field_values", "p_format_numeric_converters",
+    "p_join", "p_json_array_len", "p_len", "p_math_abs",
+]
+
+# The 50 STALEST oracle-backed entries by last-green driver round after r12,
+# derived programmatically from the union of CORRECTNESS_r01..r12.json
+# sorted by (last-green round, position in that round's artifact): the 34
+# whose last green is the r09 artifact (r09 positions 16-49 — the earlier
+# r09 positions were re-checked by the r12 window), followed by the 16
+# oldest r10 entries in r10 artifact order.
+_STALE_R13_WINDOW = [
+    # last green = r09 (r09 artifact order, positions 16-49)
+    "p_pack_json", "p_pack_logfmt", "p_sample_all", "p_top", "p_union",
+    "p_uniq", "p_uniq_hits", "p_unpack_json", "p_unpack_logfmt",
+    "p_unpack_syslog", "p_unpack_words", "p_unroll", "dp_audio_zcr",
+    "dp_image_ahash", "dp_ngram_counts", "dp_pca_check", "dp_pca_moments",
+    "dp_repeated_spans", "dp_semdedup", "dp_winnowing", "ep_hits",
+    "p_block_stats", "p_blocks_count", "p_collapse_nums", "p_decolorize",
+    "p_drop_empty_fields", "p_extract_keep_original", "p_fields_missing",
+    "p_format_duration_conv", "p_format_time_conv", "p_hash_cardinality",
+    "p_sort_partition_rank", "p_stream_context_window", "p_top_custom_hits",
+    # oldest r10 entries (r10 artifact order, positions 0-15)
+    "dp_mp4_frame_ahash", "dp_image_ahash_jpeg_progressive",
+    "dp_image_ahash_png16", "p_top_rank", "p_uniq_multi",
+    "p_unpack_words_limit", "p_unroll_zip", "s_count_empty",
+    "s_count_uniq_limit", "s_global", "s_histogram", "s_ipv4_bucket",
+    "s_json_values_by", "s_median_quantile", "s_multi_bucket", "s_num_bucket",
+]
+
+# round-13 additions: brand-new oracle-backed entries registered this round
+# (never in any prior artifact) — they land at the FRONT of the window,
+# displacing stale entries from the back. _reorder_registry() makes a
+# forgotten registration loud instead of silently filtering out.
+_NEW_R13 = [
+    "dp_image_ahash_tiff",
 ]
 
 
@@ -4011,40 +4120,41 @@ def _reorder_registry() -> None:
     COMPLETE: every oracle-backed entry has a green driver row in some
     round and no entry's latest check is red. The window's value is now
     FRESHNESS: front this round's brand-new oracle entries, then the
-    STALEST previously-green entries (for r12: the 32 whose last green
-    is r08 — the codec trio plus the pipe/dp family the r11 window's
-    hand-derived list missed — then the 18 oldest r09 entries; the
-    code behind them has drifted the most since their check). The
+    STALEST previously-green entries (for r13: the 34 whose last green
+    is r09 — positions 16-49 of that artifact — then the 16 oldest r10
+    entries; the code behind them has drifted the most since their
+    check). The
     rows-only entries (no oracle_sql by design — hash/approx-valued,
     each with an oracle-exact twin elsewhere) stay OUT of the window:
     a driver row for them would read `err: no_oracle`, not green."""
     global QUERIES, ORACLE
     missing = [
-        k for k in _NEW_R12 if k not in QUERIES or k not in ORACLE
+        k for k in _NEW_R13 if k not in QUERIES or k not in ORACLE
     ]
     if missing:
-        # a _NEW_R12 name that never got registered (or lost its oracle)
+        # a _NEW_R13 name that never got registered (or lost its oracle)
         # must fail loudly, not silently fall out of the window — the r9
         # reserved names did exactly that and the round shipped a false
         # "registered this round" comment
         raise RuntimeError(
-            f"_NEW_R12 entries not registered with an oracle: {missing}"
+            f"_NEW_R13 entries not registered with an oracle: {missing}"
         )
     checked = (
         set(_DRIVER_VERIFIED_R2_R3) | set(_DRIVER_VERIFIED_R5)
         | set(_DRIVER_VERIFIED_R6) | set(_DRIVER_VERIFIED_R7)
         | set(_DRIVER_VERIFIED_R8) | set(_DRIVER_VERIFIED_R9)
         | set(_DRIVER_VERIFIED_R10) | set(_DRIVER_VERIFIED_R11)
+        | set(_DRIVER_VERIFIED_R12)
     )
     never = [k for k in QUERIES if k not in checked]
     never_with_oracle = [k for k in never if k in ORACLE]
     never_rows_only = [k for k in never if k not in ORACLE]
-    front = list(_NEW_R12) + [
-        k for k in never_with_oracle if k not in _NEW_R12
+    front = list(_NEW_R13) + [
+        k for k in never_with_oracle if k not in _NEW_R13
     ]
     # fill the window with the stalest previously-green entries
     fill = [
-        k for k in _STALE_R12_WINDOW
+        k for k in _STALE_R13_WINDOW
         if k in QUERIES and k in ORACLE and k not in front
     ][: max(0, 50 - len(front))]
     window = front + fill

@@ -161,17 +161,22 @@ class _State:
                 and "tenant" in df.columns
                 and "tenant" not in self._base.columns
             ):
-                # a preloaded tenant-less table (cli serve --table DIR)
-                # belongs to the default tenant; stamping it BEFORE the
-                # union keeps it visible — a NULL tenant from
-                # allowMissingColumns would fail every tenant filter
+                # a tenant-less base (cli serve --table DIR, or a spill
+                # dir restored from a run that append()-ed tenant-less
+                # rows directly) belongs to the default tenant; stamping
+                # it BEFORE the union keeps it visible — a NULL tenant
+                # from allowMissingColumns would fail every tenant
+                # filter. Stamp _base itself: it may be a restored spill
+                # scan (or preloaded ∪ scan), not the raw preloaded
+                # frame, and _preloaded may be None
                 from victorialogs_spark.schema import with_tenant
 
-                # flushed rows always carry tenant (every append is
-                # stamped), so a tenant-less base IS the raw preloaded
-                # frame — stamp both references
-                self._preloaded = with_tenant(self._preloaded, 0, 0)
-                self._base = self._preloaded
+                self._base = with_tenant(self._base, 0, 0)
+                if (
+                    self._preloaded is not None
+                    and "tenant" not in self._preloaded.columns
+                ):
+                    self._preloaded = with_tenant(self._preloaded, 0, 0)
             df = df.localCheckpoint(eager=True)
             n = df.count()
             # post-checkpoint coalesce (no recompute, no shuffle): the

@@ -72,7 +72,12 @@ def read_local_index(index_path: str):
         with _CACHE_LOCK:
             hit = _CACHE.get(p)
             if hit is not None and hit[0] == stats:
-                return hit[1]
+                # shallow copy: a caller appending/removing rows must
+                # not poison the cache for every later probe (the inner
+                # dicts stay shared — consumers are read-only per the
+                # contract above, and copying them would cost real
+                # memory for bloom bitsets)
+                return list(hit[1])
         import pyarrow.parquet as pq
 
         rows: list[dict] = []
@@ -82,6 +87,6 @@ def read_local_index(index_path: str):
             while len(_CACHE) >= _CACHE_MAX:
                 _CACHE.pop(next(iter(_CACHE)))
             _CACHE[p] = (stats, rows)
-        return rows
+        return list(rows)
     except Exception:
         return None
