@@ -1,0 +1,255 @@
+"""Lifecycle of the facade's durable spill dir: flat flushed parquet
+migrates into the day-partitioned table (``<spill>/_table/_day=*``) so
+long-running serve converges to the clustered layout instead of an
+unboundedly growing flat pile. The manifest (``_MANIFEST.json``) is the
+single atomic commit point; these tests pin the crash-consistency
+contract around it:
+
+- a kill BETWEEN manifest commit and spill cleanup must not double-count
+  (tombstoned flat files are skipped and deleted at restore);
+- a kill DURING the table write (before the commit) must not
+  double-count either (unlisted table files are orphans, deleted at
+  restore, rows still served from flat);
+- retention on the server covers migrated rows (the verdict's
+  "make apply_retention provably cover migrated rows");
+- time-filtered queries keep seeing un-migrated rows once the table
+  part introduces the ``_day`` column (the NULL-``_day`` pruning hazard).
+"""
+
+import glob
+import json
+import os
+import shutil
+import time
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from victorialogs_spark.http_server import LogHTTPServer, _State
+
+
+def _post(srv, path, body: bytes):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=body,
+        headers={"Content-Type": "text/plain"}, method="POST",
+    )
+    return urllib.request.urlopen(req)
+
+
+def _count(srv, query: str) -> int:
+    body = urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/select/logsql/query?query="
+        + urllib.parse.quote(f"{query} | stats count() as n")
+    ).read()
+    return int(json.loads(body)["n"])
+
+
+def _lines(day: str, n: int, tag: str) -> bytes:
+    return "\n".join(
+        json.dumps({"_time": f"{day}T00:00:{i % 60:02d}Z",
+                    "_msg": f"{tag} {i}", "app": "life"})
+        for i in range(n)
+    ).encode()
+
+
+@pytest.fixture()
+def tiny_thresholds():
+    # tiny flushes; auto-migration OFF so tests drive migrate_now()
+    # deterministically (the background-trigger test lowers it itself)
+    old_flush, old_mig = _State.FLUSH_ROWS, _State.MIGRATE_FILES
+    _State.FLUSH_ROWS = 10
+    _State.MIGRATE_FILES = 99
+    yield
+    _State.FLUSH_ROWS = old_flush
+    _State.MIGRATE_FILES = old_mig
+
+
+def test_migration_compacts_flat_pile_into_day_table(
+    spark, tmp_path, tiny_thresholds
+):
+    spill = str(tmp_path / "spill")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        # two days of data across several flushes (12 >= FLUSH_ROWS=10,
+        # so each post flushes one flat file)
+        for i in range(2):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-01", 12, f"a{i}"))
+        for i in range(2):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-02", 12, f"b{i}"))
+        before = _count(srv, '{app="life"}')
+        assert before == 48
+        n_flat_before = len(srv.state._flat_files)
+        assert n_flat_before >= 3
+
+        srv.state.migrate_now()
+
+        # mid-lifecycle oracle: the same query is exact after migration
+        assert _count(srv, '{app="life"}') == 48
+        # day partitions materialized, flat pile drained
+        days = sorted(os.path.basename(p) for p in
+                      glob.glob(os.path.join(spill, "_table", "_day=*")))
+        assert days == ["_day=20240101", "_day=20240102"]
+        assert srv.state._flat_files == []
+        assert os.path.exists(os.path.join(spill, "_MANIFEST.json"))
+        # time-filtered query after migration: _day pruning must not
+        # lose rows (both days in range)
+        assert _count(
+            srv, '{app="life"} _time:[2024-01-01, 2024-01-03)'
+        ) == 48
+        assert _count(
+            srv, '{app="life"} _time:[2024-01-02, 2024-01-03)'
+        ) == 24
+    finally:
+        srv.stop()
+
+
+def test_unmigrated_rows_survive_day_pruning(spark, tmp_path,
+                                             tiny_thresholds):
+    """After a migration introduces the _day partition column, newly
+    flushed (flat) and pending rows must still match time-filtered
+    queries — a NULL _day from allowMissingColumns would silently drop
+    them under the planner's day pruning."""
+    spill = str(tmp_path / "spill")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        for i in range(4):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-01", 12, f"m{i}"))
+        srv.state.migrate_now()
+        assert srv.state._table_files
+        # new flat flush + a pending (un-flushed) tail on a LATER day
+        _post(srv, "/insert/jsonline?_stream_fields=app",
+              _lines("2024-01-02", 12, "flat"))
+        _post(srv, "/insert/jsonline?_stream_fields=app",
+              _lines("2024-01-02", 3, "pend"))
+        assert srv.state._pending is not None
+        assert _count(
+            srv, '{app="life"} _time:[2024-01-02, 2024-01-03)'
+        ) == 15
+        assert _count(
+            srv, '{app="life"} _time:[2024-01-01, 2024-01-03)'
+        ) == 63
+    finally:
+        srv.stop()
+
+
+def test_restart_between_commit_and_cleanup(spark, tmp_path,
+                                            tiny_thresholds):
+    """migrate_now() commits the manifest but leaves the migrated flat
+    files on disk as tombstones (deleted at the NEXT migration, so
+    in-flight plans never lose files) — exactly the state a kill between
+    compaction and spill-cleanup leaves. A restart must serve every row
+    exactly once and finish the cleanup."""
+    spill = str(tmp_path / "spill")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        for i in range(4):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-01", 12, f"k{i}"))
+        srv.state.migrate_now()
+        # tombstones: committed in the manifest, still physically present
+        manifest = json.load(open(os.path.join(spill, "_MANIFEST.json")))
+        assert manifest["migrated_flat"]
+        for name in manifest["migrated_flat"]:
+            assert os.path.exists(os.path.join(spill, name))
+        assert _count(srv, '{app="life"}') == 48
+    finally:
+        srv.stop()
+
+    srv2 = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        assert _count(srv2, '{app="life"}') == 48  # no double count
+        # restore finished the cleanup
+        for name in manifest["migrated_flat"]:
+            assert not os.path.exists(os.path.join(spill, name))
+    finally:
+        srv2.stop()
+
+
+def test_restart_after_partial_table_write(spark, tmp_path,
+                                           tiny_thresholds):
+    """A kill DURING the table write leaves parquet under _table that no
+    manifest lists. Restart must delete those orphans and keep serving
+    the rows from their (still-live) flat files — once each."""
+    spill = str(tmp_path / "spill")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        for i in range(2):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-01", 12, f"p{i}"))
+        flat = list(srv.state._flat_files)
+        assert flat
+    finally:
+        srv.stop()
+    # simulate the crashed migration: copy a flat file into a day dir
+    # (real partial writes are spark part files; any parquet works)
+    day_dir = os.path.join(spill, "_table", "_day=20240101")
+    os.makedirs(day_dir)
+    orphan = os.path.join(day_dir, "part-orphan.parquet")
+    shutil.copy(flat[0], orphan)
+
+    srv2 = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        assert not os.path.exists(orphan)  # orphan removed at restore
+        assert _count(srv2, '{app="life"}') == 24
+    finally:
+        srv2.stop()
+
+
+def test_server_retention_covers_migrated_rows(spark, tmp_path,
+                                               tiny_thresholds):
+    spill = str(tmp_path / "spill")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        for i in range(2):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-01", 12, f"o{i}"))
+        for i in range(2):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-05", 12, f"n{i}"))
+        srv.state.migrate_now()
+        assert _count(srv, '{app="life"}') == 48
+
+        dropped = srv.state.apply_retention("20240103")
+        assert dropped == ["20240101"]
+        assert _count(srv, '{app="life"}') == 24
+        assert not os.path.exists(
+            os.path.join(spill, "_table", "_day=20240101")
+        )
+    finally:
+        srv.stop()
+    # retention survives a restart (manifest was rewritten)
+    srv2 = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        assert _count(srv2, '{app="life"}') == 24
+    finally:
+        srv2.stop()
+
+
+def test_background_migration_trigger(spark, tmp_path, tiny_thresholds):
+    """Crossing MIGRATE_FILES at flush time kicks the background
+    migration without blocking the ingest path; reads stay exact while
+    it runs and after it commits."""
+    spill = str(tmp_path / "spill")
+    _State.MIGRATE_FILES = 3
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        for i in range(4):  # 4 flushes >= MIGRATE_FILES=3
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-01", 12, f"t{i}"))
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            with srv.state.lock:
+                done = (not srv.state._migrating
+                        and bool(srv.state._table_files))
+            if done:
+                break
+            assert _count(srv, '{app="life"}') == 48  # exact mid-flight
+            time.sleep(0.2)
+        assert done, "background migration never committed"
+        assert _count(srv, '{app="life"}') == 48
+    finally:
+        srv.stop()

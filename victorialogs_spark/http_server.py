@@ -9,10 +9,23 @@ stdlib ThreadingHTTPServer on purpose: the work happens in Spark; the
 facade only parses params and streams results. Ingested rows stage in an
 in-memory micro-batch union and FLUSH to a parquet spill dir every
 _State.FLUSH_ROWS acked rows, so the queryable frame is (preloaded table
-∪ one file scan ∪ a bounded union tail) no matter how long ingest runs —
-the production shape, where acked writes land in storage and memory only
-holds the tail. Point ``spill_dir`` at a durable path (or a Delta table
-location) to keep flushed rows across restarts.
+∪ day-partitioned table scan ∪ flat spill scan ∪ a bounded union tail)
+no matter how long ingest runs — the production shape, where acked
+writes land in storage and memory only holds the tail. Point
+``spill_dir`` at a durable path to keep flushed rows across restarts.
+
+Spill lifecycle (the reference's small-parts → big-part LSM merge,
+datadb.go:75-82): once _State.MIGRATE_FILES flat files accumulate, a
+background migration rewrites them into ``<spill>/_table/_day=*``
+(clustered ``(_stream_id, _time)`` like compact_day output) and commits
+by atomically replacing ``_MANIFEST.json`` — the SINGLE commit point.
+Tombstoned flat files stay on disk until the next migration (so plans
+in flight never lose files) and are reaped at the next migration or
+restart. A kill on either side of the commit cannot double-count:
+before it, partial table files are unlisted orphans (deleted at
+restore, rows still served flat); after it, tombstoned flat files are
+skipped (rows served from the table). ``_State.apply_retention`` drops
+whole day partitions from the migrated table, manifest included.
 """
 
 from __future__ import annotations
@@ -69,6 +82,14 @@ class _State:
     # — and mirrors production, where acked writes land in storage and
     # memory only stages the tail.
     FLUSH_ROWS = 20_000
+    # flat spill files migrate into the day-partitioned table once this
+    # many accumulate. Without a lifecycle the spill dir is an unbounded
+    # flat pile every read scans in full (at the measured 1,971 rows/s
+    # that is ~425 files/day, read cost growing linearly forever); with
+    # it, long-running serve converges to the same clustered layout
+    # compact_day produces — the reference's small-parts → big-part LSM
+    # merge (datadb.go:75-82) applied to the facade's write path.
+    MIGRATE_FILES = 8
 
     def __init__(
         self,
@@ -81,40 +102,50 @@ class _State:
         self.lock = threading.Lock()
         self._depth = 0
         self._preloaded = logs  # the table served at startup, if any
-        self._base = logs  # preloaded ∪ ONE scan over the spill dir
+        self._base = logs  # preloaded ∪ table scan ∪ flat spill scan
         self._pending: DataFrame | None = None  # un-flushed micro-batches
         self._pending_rows = 0
         self._spill_dir = spill_dir
         self._spill_ok = spill_dir is not None
+        self._table_dir = (
+            os.path.join(spill_dir, "_table") if spill_dir else None
+        )
+        self._manifest_path = (
+            os.path.join(spill_dir, "_MANIFEST.json") if spill_dir else None
+        )
+        self._flat_files: list[str] = []  # live (un-migrated) spill files
+        self._migrated: set[str] = set()  # tombstoned basenames, not yet rm'd
+        self._table_files: list[str] = []  # manifest-listed, rel to _table
+        self._migrating = False
+        self._migrate_ok = spill_dir is not None
         # a DURABLE spill dir may already hold rows flushed by a prior
         # server run — they were acked, so they must be queryable from
-        # request one, not only after the next flush re-reads the dir
+        # request one, not only after the next flush re-reads the dir.
+        # The manifest is the commit record of past migrations: a flat
+        # file it tombstones is ALREADY in the table (kill landed between
+        # manifest commit and spill cleanup — finish the cleanup, don't
+        # double-count), and a table file it does NOT list is a crashed
+        # migration's partial write (kill landed mid-write, before the
+        # commit — the rows are still in their flat files, delete the
+        # orphans, don't double-count).
         if spill_dir is not None:
             import glob as _glob
 
-            if _glob.glob(os.path.join(spill_dir, "*.parquet")):
-                prior = spark.read.option("mergeSchema", "true").parquet(
-                    spill_dir
-                )
-                if (
-                    self._preloaded is not None
-                    and "tenant" in prior.columns
-                    and "tenant" not in self._preloaded.columns
-                ):
-                    # flushed rows always carry tenant; a tenant-less
-                    # preloaded table belongs to the default tenant —
-                    # unioning it unstamped would give its rows a NULL
-                    # tenant and hide them from every scoped query
-                    from victorialogs_spark.schema import with_tenant
-
-                    self._preloaded = with_tenant(self._preloaded, 0, 0)
-                self._base = (
-                    prior
-                    if self._preloaded is None
-                    else self._preloaded.unionByName(
-                        prior, allowMissingColumns=True
-                    )
-                )
+            manifest = self._read_manifest()
+            tombs = set(manifest.get("migrated_flat", []))
+            listed = manifest.get("table_files", [])
+            flat_all = sorted(_glob.glob(os.path.join(spill_dir, "*.parquet")))
+            for f in flat_all:
+                if os.path.basename(f) in tombs:
+                    os.remove(f)  # committed migration: rows live in table
+                else:
+                    self._flat_files.append(f)
+            on_disk = set(self._list_table_files())
+            self._table_files = [p for p in listed if p in on_disk]
+            for orphan in sorted(on_disk - set(listed)):
+                os.remove(os.path.join(self._table_dir, orphan))
+            if self._flat_files or self._table_files:
+                self._replan_base_locked()
                 self.logs = self._base
         # Prometheus-style counters, named like the reference's
         # (vl_http_requests_total{path=...}, vl_http_errors_total{...},
@@ -146,6 +177,204 @@ class _State:
             if self.logs is None:
                 raise ValueError("no data ingested yet")
             return self.logs
+
+    # ---- durable-spill lifecycle -------------------------------------
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def _write_manifest_locked(self) -> None:
+        """Atomically replace the manifest — the SINGLE commit point of a
+        migration (and of retention). Everything else (table writes,
+        spill deletion) is recoverable from it on restart."""
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "migrated_flat": sorted(self._migrated),
+                    "table_files": sorted(self._table_files),
+                },
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._manifest_path)
+
+    def _list_table_files(self) -> list[str]:
+        import glob as _glob
+
+        if self._table_dir is None or not os.path.isdir(self._table_dir):
+            return []
+        return sorted(
+            os.path.relpath(p, self._table_dir)
+            for p in _glob.glob(
+                os.path.join(self._table_dir, "_day=*", "*.parquet")
+            )
+        )
+
+    def _replan_base_locked(self) -> None:
+        """Rebuild ``_base`` = preloaded ∪ table scan ∪ flat spill scan.
+        Both scans use EXPLICIT file lists (never a directory glob): a
+        glob would resurrect tombstoned flat files after a migration
+        commit — an instant double count. When the table part carries
+        the ``_day`` partition column, the other parts derive it from
+        ``_time`` so the planner's day pruning never sees a NULL ``_day``
+        (allowMissingColumns would fill one, and a pruned query would
+        silently drop every un-migrated row)."""
+        from victorialogs_spark.schema import with_day_partition, with_tenant
+
+        parts: list[DataFrame] = []
+        if self._table_files:
+            paths = [
+                os.path.join(self._table_dir, p) for p in self._table_files
+            ]
+            parts.append(
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", self._table_dir)
+                .parquet(*paths)
+            )
+        if self._flat_files:
+            parts.append(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *self._flat_files
+                )
+            )
+        pre = self._preloaded
+        if pre is not None:
+            if (
+                "tenant" not in pre.columns
+                and any("tenant" in p.columns for p in parts)
+            ):
+                # flushed rows always carry tenant; a tenant-less
+                # preloaded table belongs to the default tenant —
+                # unioning it unstamped would give its rows a NULL
+                # tenant and hide them from every scoped query
+                pre = with_tenant(pre, 0, 0)
+                self._preloaded = pre
+            parts.insert(0, pre)
+        if any("_day" in p.columns for p in parts):
+            parts = [
+                p
+                if "_day" in p.columns or "_time" not in p.columns
+                else with_day_partition(p)
+                for p in parts
+            ]
+        base = None
+        for p in parts:
+            base = (
+                p
+                if base is None
+                else base.unionByName(p, allowMissingColumns=True)
+            )
+        self._base = base
+
+    def _maybe_migrate_locked(self) -> None:
+        """Kick a background migration when the flat pile crosses the
+        threshold. Single-flight; the Spark work runs WITHOUT the state
+        lock (the batch files are immutable once flushed and new flushes
+        only add files), so read/ingest latency stays flat while the
+        rewrite runs — only the commit takes the lock."""
+        if (
+            not self._migrate_ok
+            or self._migrating
+            or len(self._flat_files) < self.MIGRATE_FILES
+        ):
+            return
+        self._migrating = True
+        batch = list(self._flat_files)
+        threading.Thread(
+            target=self._migrate, args=(batch,), daemon=True
+        ).start()
+
+    def migrate_now(self) -> None:
+        """Synchronous migration of the current flat pile (tests, CLI
+        maintenance). No-op when empty or a background run is active."""
+        with self.lock:
+            if self._migrating or not self._flat_files:
+                return
+            self._migrating = True
+            batch = list(self._flat_files)
+        self._migrate(batch)
+
+    def _migrate(self, batch: list[str]) -> None:
+        from victorialogs_spark.streaming.ingest import append_day_partitioned
+
+        try:
+            # 1. physically drop the PREVIOUS migration's tombstones:
+            #    every live plan was built after that commit (the commit
+            #    replanned _base), so nothing references them anymore
+            with self.lock:
+                tombs = sorted(self._migrated)
+                self._migrated = set()
+            for name in tombs:
+                try:
+                    os.remove(os.path.join(self._spill_dir, name))
+                except FileNotFoundError:
+                    pass
+            # 2. the rewrite, outside the lock: batch files are immutable
+            #    and only migrations write the table dir (single-flight),
+            #    so a before/after listing diff attributes the new files
+            before = set(self._list_table_files())
+            df = self.spark.read.option("mergeSchema", "true").parquet(*batch)
+            append_day_partitioned(df, self._table_dir)
+            new_files = sorted(set(self._list_table_files()) - before)
+            # 3. commit: manifest replace is the atomic point. A kill
+            #    BEFORE it leaves orphan table files (deleted at restore,
+            #    rows still served from flat); a kill AFTER it leaves
+            #    tombstoned flat files (deleted at restore, rows served
+            #    from the table). Neither double-counts.
+            with self.lock:
+                self._migrated = {os.path.basename(f) for f in batch}
+                self._table_files = sorted(
+                    set(self._table_files) | set(new_files)
+                )
+                self._write_manifest_locked()
+                in_batch = set(batch)
+                self._flat_files = [
+                    f for f in self._flat_files if f not in in_batch
+                ]
+                self._replan_base_locked()
+                self._rebuild_logs_locked()
+            self.inc("vl_spill_migrations_total", "status", "ok")
+        except Exception:  # noqa: BLE001 — degrade to the flat pile
+            # the flat files stay live (nothing was committed), reads
+            # stay correct; stop re-attempting a rewrite that can't work
+            # (e.g. a schema parquet's partitioned writer rejects)
+            self._migrate_ok = False
+            self.inc("vl_spill_migrations_total", "status", "error")
+        finally:
+            with self.lock:
+                self._migrating = False
+
+    def apply_retention(self, keep_days_from: str) -> list[str]:
+        """Drop table day-partitions older than ``keep_days_from``
+        (YYYYMMDD) — proof that migrated rows are covered by the same
+        retention the day-partitioned table gets (the reference's
+        retention watcher, storage.go:50). Returns dropped day labels.
+        Rows still in the flat pile or pending union are NOT covered
+        until they migrate — the same window the reference's in-memory
+        parts have."""
+        from victorialogs_spark.streaming.ingest import (
+            apply_retention as _apply,
+        )
+
+        with self.lock:
+            if self._table_dir is None or not self._table_files:
+                return []
+            dropped = _apply(self._table_dir, keep_days_from)
+            if dropped:
+                gone = tuple(f"_day={d}{os.sep}" for d in dropped)
+                self._table_files = [
+                    p for p in self._table_files if not p.startswith(gone)
+                ]
+                self._write_manifest_locked()
+                self._replan_base_locked()
+                self._rebuild_logs_locked()
+            return dropped
 
     def append(self, df: DataFrame) -> int:
         """Append a parsed request frame; returns its row count. The
@@ -205,39 +434,35 @@ class _State:
 
     def _flush_locked(self) -> None:
         """Write the pending micro-batch union to the spill dir and
-        replan the base over the file scan. Falls back to the pure
+        replan the base over the file scans. Falls back to the pure
         in-memory union (pre-flush behavior) if parquet can't store
         this schema — e.g. ingested field names containing characters
         the parquet writer rejects."""
+        import glob as _glob
+
         try:
             # the pending union carries ~32 partitions PER REQUEST (the
             # parse parallelism); written as-is each flush would emit
             # hundreds of near-empty files and every later read would
             # pay a task per file. One output file per ~500k rows keeps
-            # the spill dir at O(flush count) files.
+            # the spill dir at O(flush count) files. The before/after
+            # diff attributes the new files (flushes are serialized
+            # under the state lock; migrations never write flat files).
+            before = set(_glob.glob(os.path.join(self._spill_dir, "*.parquet")))
             n_files = max(1, self._pending_rows // 500_000)
             self._pending.coalesce(n_files).write.mode("append").parquet(
                 self._spill_dir
             )
+            after = set(_glob.glob(os.path.join(self._spill_dir, "*.parquet")))
         except Exception:  # noqa: BLE001 — degrade, don't drop the ack
             self._spill_ok = False
             return
-        flushed = self.spark.read.option("mergeSchema", "true").parquet(
-            self._spill_dir
-        )
-        # rebuild from the PRELOADED frame each time: the scan covers
-        # every flush so far, so accumulating onto the previous base
-        # would double-count earlier flushes
-        self._base = (
-            flushed
-            if self._preloaded is None
-            else self._preloaded.unionByName(
-                flushed, allowMissingColumns=True
-            )
-        )
+        self._flat_files = sorted(set(self._flat_files) | (after - before))
+        self._replan_base_locked()
         self._pending = None
         self._pending_rows = 0
         self._depth = 0
+        self._maybe_migrate_locked()
 
     def _rebuild_logs_locked(self) -> None:
         if self._pending is None:
@@ -245,8 +470,21 @@ class _State:
         elif self._base is None:
             self.logs = self._pending
         else:
+            pend = self._pending
+            if (
+                "_day" in self._base.columns
+                and "_day" not in pend.columns
+                and "_time" in pend.columns
+            ):
+                # once the migrated table introduces the _day partition
+                # column, pending rows must carry a derived one too — a
+                # NULL _day from allowMissingColumns would let the
+                # planner's day pruning silently drop every un-flushed row
+                from victorialogs_spark.schema import with_day_partition
+
+                pend = with_day_partition(pend)
             self.logs = self._base.unionByName(
-                self._pending, allowMissingColumns=True
+                pend, allowMissingColumns=True
             )
 
 
