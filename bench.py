@@ -236,7 +236,27 @@ HEADLINE = [
 
 
 def main() -> int:
+    here_early = os.path.dirname(os.path.abspath(__file__))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--sf" in sys.argv:
+        # --sf 0.001/0.01/0.1 -> the driver's testdata; --sf 1 -> the
+        # derived 10x bench replica (<repo>/.bench_sf1, built by
+        # tools/make_sf1.py on demand). The guard's priors are keyed by
+        # sf (load_history_priors matches rec["sf"]), so each scale
+        # point carries its own history line.
+        sf_arg = sys.argv[sys.argv.index("--sf") + 1]
+        if sf_arg in ("1", "1.0"):
+            sf_dir = os.path.join(here_early, ".bench_sf1")
+            if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+                import subprocess
+
+                subprocess.run(
+                    [sys.executable,
+                     os.path.join(here_early, "tools", "make_sf1.py")],
+                    check=True,
+                )
+        else:
+            sf_dir = f"/root/testdata/sf{sf_arg}"
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from victorialogs_spark.driver_entry import QUERIES

@@ -22,7 +22,20 @@ Correctness under concurrency (the drift checks):
   load must not change query results.
 
 Usage: python tools/mixed_wave.py [--seconds N] [--readers N] [--writers N]
-Updates ONLY the "mixed read+ingest wave" section of SCALE.md.
+                                  [--preingest N] [--tag NAME]
+
+--writers 0 is the like-for-like read-only CONTROL (same reader thread
+count, same spill-dir layout — use --preingest to build it first): the
+r12 review flagged that comparing the mixed read p95 against a control
+measured at a DIFFERENT thread count left "contention, not queuing" an
+assertion. --preingest N posts N warm-up batches before the wave so the
+control reads over the same (table ∪ flat ∪ pending) layout a sustained
+ingest leaves behind — past MIGRATE_FILES flushes it exercises the spill
+→ day-table migration too.
+
+Each run saves its summary JSON under tools/mixed_wave_runs/<tag>.json
+and the "mixed read+ingest wave" section of SCALE.md is rebuilt from ALL
+saved runs, so control and mixed rows sit in one table.
 """
 
 from __future__ import annotations
@@ -40,9 +53,15 @@ def arg(flag: str, default: int) -> int:
     return int(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
 
 
+def strarg(flag: str, default: str) -> str:
+    return sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else default
+
+
 SECONDS = arg("--seconds", 60)
 READERS = arg("--readers", 4)
 WRITERS = arg("--writers", 2)
+PREINGEST = arg("--preingest", 0)
+TAG = strarg("--tag", f"r{READERS}w{WRITERS}")
 BATCH_ROWS = 1000
 
 READ_MIX = [
@@ -101,12 +120,33 @@ def main() -> int:
         )
         for i in range(BATCH_ROWS)
     )
+    def spill_layout() -> dict:
+        """Flat/table file counts and bytes under the server's spill dir
+        — the plateau evidence: under sustained ingest with migrations
+        running, flat files must hover around MIGRATE_FILES (+ one
+        tombstone batch), not grow with wave length."""
+        import glob as _glob
+
+        d = srv.spill_dir
+        flat = _glob.glob(os.path.join(d, "*.parquet"))
+        tab = _glob.glob(os.path.join(d, "_table", "_day=*", "*.parquet"))
+        return {
+            "flat_files": len(flat),
+            "flat_mb": round(sum(os.path.getsize(f) for f in flat) / 1e6, 1),
+            "table_files": len(tab),
+            "table_mb": round(sum(os.path.getsize(f) for f in tab) / 1e6, 1),
+        }
+
     # warm-up: ingest FIRST (the `{app=...}` read needs the column to
     # exist in the unioned frame), then one read of each mix entry
     write(batch)
     posted = [BATCH_ROWS]  # warm-up rows count toward the final total
+    for _ in range(PREINGEST):
+        write(batch)
+        posted[0] += BATCH_ROWS
     for q in READ_MIX:
         read(q)
+    layout_start = spill_layout()
     # the preloaded-rows invariant: ingested rows carry no event_type,
     # so this filtered count must stay EXACTLY this for the whole wave
     baseline_error = read(READ_MIX[0]).strip()
@@ -215,13 +255,22 @@ def main() -> int:
         drift.append(
             f"final ingested count {final} outside [{posted[0]}, {hi}]"
         )
+    # sample the layout BEFORE stop(): a tool-owned temp spill dir is
+    # removed by stop(), which zeroed this in the first control run
+    layout_end = spill_layout()
+    with srv.state._mlock:
+        migrations_ok = srv.state.counters.get(
+            ("vl_spill_migrations_total", "status", "ok"), 0
+        )
     srv.stop()
 
     rows_per_sec = posted[0] / wave_wall
     summary = {
+        "tag": TAG,
         "seconds": round(wave_wall, 1),
         "readers": READERS,
         "writers": WRITERS,
+        "preingest_rows": PREINGEST * BATCH_ROWS,
         "reads": len(read_lat),
         "writes": len(write_lat),
         "read_p50": round(pct(read_lat, 0.5), 3),
@@ -235,46 +284,71 @@ def main() -> int:
         "rows_indeterminate": indeterminate[0] * BATCH_ROWS,
         "rows_visible": final,
         "mid_wave_oracle": oracle_name if oracle_ok else "FAIL",
+        "spill_layout_start": layout_start,
+        "spill_layout_end": layout_end,
+        "spill_migrations": migrations_ok,
         "drift": drift,
     }
     print(json.dumps(summary))
 
     from victorialogs_spark.http_server import _State
 
+    runs_dir = os.path.join(repo, "tools", "mixed_wave_runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    with open(os.path.join(runs_dir, f"{TAG}.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+
+    runs = []
+    for name in sorted(os.listdir(runs_dir)):
+        if name.endswith(".json"):
+            with open(os.path.join(runs_dir, name)) as fh:
+                runs.append(json.load(fh))
+    runs.sort(key=lambda r: (r["writers"], r["readers"]))
+
     marker = "## mixed read+ingest wave"
     lines = [
-        f"{marker} (round 12)",
+        f"{marker} (round 13)",
         "",
-        f"{READERS} reader threads (3-query LogsQL mix over preloaded"
-        f" sf0.1 events + ingested rows) and {WRITERS} writer threads"
-        f" ({BATCH_ROWS}-row NDJSON `/insert/jsonline` posts) against ONE"
-        f" facade/session for {round(wave_wall)} s after warm-up"
-        f" (tools/mixed_wave.py; acked batches flush to a parquet spill"
-        f" dir every {_State.FLUSH_ROWS:,} rows and reads replan over"
-        " the file scan):",
+        f"Reader threads run a 3-query LogsQL mix over preloaded sf0.1"
+        f" events + ingested rows; writer threads post {BATCH_ROWS}-row"
+        f" NDJSON `/insert/jsonline` batches — ONE facade/session"
+        f" (tools/mixed_wave.py). Acked batches flush to the parquet"
+        f" spill dir every {_State.FLUSH_ROWS:,} rows; past"
+        f" {_State.MIGRATE_FILES} flat files a background migration"
+        " compacts them into the day-partitioned `_table` and reads"
+        " replan over (table ∪ flat ∪ pending). The writers=0 row is the"
+        " LIKE-FOR-LIKE control (same reader count, spill layout"
+        " pre-built by --preingest) the r12 review asked for.",
         "",
-        "| metric | value |",
-        "|---|---|",
-        f"| read p50 / p95 / max | {summary['read_p50']:.2f} s /"
-        f" {summary['read_p95']:.2f} s / {summary['read_max']:.2f} s"
-        f" ({summary['reads']} requests) |",
-        f"| write p50 / p95 / max | {summary['write_p50']:.2f} s /"
-        f" {summary['write_p95']:.2f} s / {summary['write_max']:.2f} s"
-        f" ({summary['writes']} posts) |",
-        f"| sustained ingest | {summary['ingest_rows_per_sec']:,} rows/s"
-        f" ({summary['rows_posted']:,} rows posted, all visible) |",
-        f"| preloaded-count drift mid-wave | "
-        f"{'NONE' if not any('drifted' in d for d in drift) else 'DRIFTED'} |",
-        f"| ingested-count monotonicity | "
-        f"{'held' if not any('backwards' in d for d in drift) else 'VIOLATED'}"
-        f" ({len(ingested_seen)} mid-wave reads) |",
-        f"| mid-wave oracle re-run ({oracle_name} vs DuckDB, same session)"
-        f" | {'exact match' if oracle_ok else 'MISMATCH'} |",
-        "",
+        "| run | read p50/p95/max (n) | write p50/p95 | ingest rows/s |"
+        " flat files start→end | table files start→end | migrations |"
+        " oracle | drift |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
-    if drift:
-        lines.insert(-1, f"Drift events: {drift}")
-        lines.insert(-1, "")
+    for r in runs:
+        ls, le = r.get("spill_layout_start", {}), r.get("spill_layout_end", {})
+        wr = (
+            f"{r['write_p50']:.2f}/{r['write_p95']:.2f} s"
+            if r.get("writes")
+            else "—"
+        )
+        ing = (
+            f"{r['ingest_rows_per_sec']:,}" if r["writers"] else "—"
+        )
+        lines.append(
+            f"| {r['readers']}r/{r['writers']}w {r['seconds']:.0f}s"
+            f" | {r['read_p50']:.2f}/{r['read_p95']:.2f}/{r['read_max']:.2f} s"
+            f" ({r['reads']})"
+            f" | {wr} | {ing}"
+            f" | {ls.get('flat_files', '?')}→{le.get('flat_files', '?')}"
+            f" ({ls.get('flat_mb', '?')}→{le.get('flat_mb', '?')} MB)"
+            f" | {ls.get('table_files', '?')}→{le.get('table_files', '?')}"
+            f" ({ls.get('table_mb', '?')}→{le.get('table_mb', '?')} MB)"
+            f" | {r.get('spill_migrations', 0)}"
+            f" | {r['mid_wave_oracle']}"
+            f" | {'NONE' if not r['drift'] else r['drift']} |"
+        )
+    lines.append("")
 
     scale_path = os.path.join(repo, "SCALE.md")
     text = open(scale_path).read()
