@@ -470,6 +470,8 @@ def test_ingest_spill_flush_bounds_plan(spark, tmp_path):
             + urllib.parse.quote('extra:x | stats count() as n'),
         ).read()
         assert json.loads(body)["n"] == "30"
+        # flushes are detached to a background writer now; settle it
+        assert srv.state.wait_idle()
         # the flushed scan is really in the plan, and parquet landed
         assert srv.state._pending is not None  # the post-flush batch
         plan = srv.state.df()._jdf.queryExecution().executedPlan().toString()

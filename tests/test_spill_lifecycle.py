@@ -53,6 +53,14 @@ def _lines(day: str, n: int, tag: str) -> bytes:
     ).encode()
 
 
+def _drain(srv):
+    """Background flushes are async now: wait for in-flight work, force
+    a final flush of any pending tail, wait again."""
+    assert srv.state.wait_idle()
+    srv.state.flush_now()
+    assert srv.state.wait_idle()
+
+
 @pytest.fixture()
 def tiny_thresholds():
     # tiny flushes; auto-migration OFF so tests drive migrate_now()
@@ -79,6 +87,7 @@ def test_migration_compacts_flat_pile_into_day_table(
         for i in range(2):
             _post(srv, "/insert/jsonline?_stream_fields=app",
                   _lines("2024-01-02", 12, f"b{i}"))
+        _drain(srv)
         before = _count(srv, '{app="life"}')
         assert before == 48
         n_flat_before = len(srv.state._flat_files)
@@ -118,11 +127,13 @@ def test_unmigrated_rows_survive_day_pruning(spark, tmp_path,
         for i in range(4):
             _post(srv, "/insert/jsonline?_stream_fields=app",
                   _lines("2024-01-01", 12, f"m{i}"))
+        _drain(srv)
         srv.state.migrate_now()
         assert srv.state._table_files
         # new flat flush + a pending (un-flushed) tail on a LATER day
         _post(srv, "/insert/jsonline?_stream_fields=app",
               _lines("2024-01-02", 12, "flat"))
+        assert srv.state.wait_idle()
         _post(srv, "/insert/jsonline?_stream_fields=app",
               _lines("2024-01-02", 3, "pend"))
         assert srv.state._pending is not None
@@ -149,6 +160,7 @@ def test_restart_between_commit_and_cleanup(spark, tmp_path,
         for i in range(4):
             _post(srv, "/insert/jsonline?_stream_fields=app",
                   _lines("2024-01-01", 12, f"k{i}"))
+        _drain(srv)
         srv.state.migrate_now()
         # tombstones: committed in the manifest, still physically present
         manifest = json.load(open(os.path.join(spill, "_MANIFEST.json")))
@@ -180,6 +192,7 @@ def test_restart_after_partial_table_write(spark, tmp_path,
         for i in range(2):
             _post(srv, "/insert/jsonline?_stream_fields=app",
                   _lines("2024-01-01", 12, f"p{i}"))
+        _drain(srv)
         flat = list(srv.state._flat_files)
         assert flat
     finally:
@@ -210,6 +223,7 @@ def test_server_retention_covers_migrated_rows(spark, tmp_path,
         for i in range(2):
             _post(srv, "/insert/jsonline?_stream_fields=app",
                   _lines("2024-01-05", 12, f"n{i}"))
+        _drain(srv)
         srv.state.migrate_now()
         assert _count(srv, '{app="life"}') == 48
 
@@ -253,3 +267,55 @@ def test_background_migration_trigger(spark, tmp_path, tiny_thresholds):
         assert _count(srv, '{app="life"}') == 48
     finally:
         srv.stop()
+
+
+def test_restart_after_torn_flush(spark, tmp_path, tiny_thresholds):
+    """A kill between Spark's multi-file parquet commit and the flush's
+    manifest append leaves flat parquet no manifest lists — those rows
+    were never committed (their flush never acked into the plan), so a
+    restart must delete them instead of half-serving a torn flush."""
+    spill = str(tmp_path / "spill")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        for i in range(2):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-01", 12, f"z{i}"))
+        _drain(srv)
+        flat = list(srv.state._flat_files)
+        assert flat
+    finally:
+        srv.stop()
+    # simulate the torn flush: a part file that landed but whose flush
+    # never reached the manifest commit
+    torn = os.path.join(spill, "part-torn-from-killed-flush.parquet")
+    shutil.copy(flat[0], torn)
+
+    srv2 = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        assert not os.path.exists(torn)  # deleted at restore
+        assert _count(srv2, '{app="life"}') == 24  # no half-flush rows
+    finally:
+        srv2.stop()
+
+
+def test_legacy_spill_dir_without_manifest(spark, tmp_path,
+                                           tiny_thresholds):
+    """A pre-lifecycle spill dir (flat parquet, no _MANIFEST.json) must
+    restore every flat file — the flat_files key is absent, which means
+    legacy, not torn."""
+    spill = str(tmp_path / "spill")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        for i in range(2):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-01", 12, f"l{i}"))
+        _drain(srv)
+    finally:
+        srv.stop()
+    os.remove(os.path.join(spill, "_MANIFEST.json"))  # pre-r13 layout
+
+    srv2 = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        assert _count(srv2, '{app="life"}') == 24
+    finally:
+        srv2.stop()

@@ -116,28 +116,40 @@ class _State:
         self._flat_files: list[str] = []  # live (un-migrated) spill files
         self._migrated: set[str] = set()  # tombstoned basenames, not yet rm'd
         self._table_files: list[str] = []  # manifest-listed, rel to _table
+        self._flushing: DataFrame | None = None  # detached, being written
+        self._flushing_rows = 0
         self._migrating = False
         self._migrate_ok = spill_dir is not None
         # a DURABLE spill dir may already hold rows flushed by a prior
         # server run — they were acked, so they must be queryable from
         # request one, not only after the next flush re-reads the dir.
-        # The manifest is the commit record of past migrations: a flat
-        # file it tombstones is ALREADY in the table (kill landed between
-        # manifest commit and spill cleanup — finish the cleanup, don't
-        # double-count), and a table file it does NOT list is a crashed
-        # migration's partial write (kill landed mid-write, before the
-        # commit — the rows are still in their flat files, delete the
-        # orphans, don't double-count).
+        # The manifest is the commit record of past flushes, migrations
+        # and retention: a flat file it tombstones is ALREADY in the
+        # table (kill landed between manifest commit and spill cleanup —
+        # finish the cleanup, don't double-count); a table file it does
+        # NOT list is a crashed migration's partial write (kill landed
+        # mid-write, before the commit — the rows are still in their
+        # flat files, delete the orphans, don't double-count); and a
+        # flat file it does not list under "flat_files" is a TORN FLUSH
+        # (kill landed between Spark's multi-file parquet commit and the
+        # manifest append — those rows were never acked, delete the
+        # partial files so a fraction of a flush can't half-appear). A
+        # manifest without the "flat_files" key is pre-lifecycle legacy:
+        # every non-tombstoned flat file is live.
         if spill_dir is not None:
             import glob as _glob
 
             manifest = self._read_manifest()
             tombs = set(manifest.get("migrated_flat", []))
             listed = manifest.get("table_files", [])
+            flat_listed = manifest.get("flat_files")
             flat_all = sorted(_glob.glob(os.path.join(spill_dir, "*.parquet")))
             for f in flat_all:
-                if os.path.basename(f) in tombs:
+                name = os.path.basename(f)
+                if name in tombs:
                     os.remove(f)  # committed migration: rows live in table
+                elif flat_listed is not None and name not in flat_listed:
+                    os.remove(f)  # torn flush: never committed, never acked
                 else:
                     self._flat_files.append(f)
             on_disk = set(self._list_table_files())
@@ -189,14 +201,20 @@ class _State:
 
     def _write_manifest_locked(self) -> None:
         """Atomically replace the manifest — the SINGLE commit point of a
-        migration (and of retention). Everything else (table writes,
-        spill deletion) is recoverable from it on restart."""
+        flush, a migration, and retention. Everything else (parquet
+        writes, spill deletion) is recoverable from it on restart:
+        "flat_files" makes a torn multi-file flush impossible to
+        half-serve (files Spark's committer moved before the kill are
+        unlisted and deleted at restore)."""
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
                 {
                     "migrated_flat": sorted(self._migrated),
                     "table_files": sorted(self._table_files),
+                    "flat_files": sorted(
+                        os.path.basename(f) for f in self._flat_files
+                    ),
                 },
                 fh,
             )
@@ -332,11 +350,11 @@ class _State:
                 self._table_files = sorted(
                     set(self._table_files) | set(new_files)
                 )
-                self._write_manifest_locked()
                 in_batch = set(batch)
                 self._flat_files = [
                     f for f in self._flat_files if f not in in_batch
                 ]
+                self._write_manifest_locked()
                 self._replan_base_locked()
                 self._rebuild_logs_locked()
             self.inc("vl_spill_migrations_total", "status", "ok")
@@ -383,7 +401,22 @@ class _State:
         (a separate count() on the lazy frame re-ran the whole parse —
         ingest CPU doubled for every protocol, round-6 advice), and
         queries over the union stop re-parsing request bodies while
-        they wait for the depth checkpoint."""
+        they wait for the depth checkpoint.
+
+        The Spark work (parse, checkpoint, count) runs OUTSIDE the state
+        lock — it touches only this request's frame. The round-12 wave
+        held the lock through all of it, so every reader's df() queued
+        behind ~1 s of ingest work per post: the like-for-like r13
+        control measured read p95 0.40 s vs 2.21 s mixed (5.6x) before
+        this change. Only the union/bookkeeping takes the lock."""
+        df = df.localCheckpoint(eager=True)
+        n = df.count()
+        # post-checkpoint coalesce (no recompute, no shuffle): the
+        # parse ran at full parallelism, but a ~10^3-row batch does
+        # not need 32 near-empty partitions in every later read —
+        # un-coalesced, a 20-request pending union cost readers 640
+        # scan tasks (measured: read p95 7.3 s mixed-wave)
+        df = df.coalesce(max(1, n // 100_000 + (1 if n % 100_000 else 0)))
         with self.lock:
             if (
                 self._base is not None
@@ -406,14 +439,6 @@ class _State:
                     and "tenant" not in self._preloaded.columns
                 ):
                     self._preloaded = with_tenant(self._preloaded, 0, 0)
-            df = df.localCheckpoint(eager=True)
-            n = df.count()
-            # post-checkpoint coalesce (no recompute, no shuffle): the
-            # parse ran at full parallelism, but a ~10^3-row batch does
-            # not need 32 near-empty partitions in every later read —
-            # un-coalesced, a 20-request pending union cost readers 640
-            # scan tasks (measured: read p95 7.3 s mixed-wave)
-            df = df.coalesce(max(1, n // 100_000 + (1 if n % 100_000 else 0)))
             self._pending = (
                 df
                 if self._pending is None
@@ -421,23 +446,81 @@ class _State:
             )
             self._pending_rows += n
             self._depth += 1
-            if self._depth >= self.CHECKPOINT_EVERY:
+            if (
+                self._depth >= self.CHECKPOINT_EVERY
+                and not (
+                    self._spill_ok
+                    and self._pending_rows >= self.FLUSH_ROWS
+                )
+            ):
                 # consolidate the union-of-checkpoints lineage (and free
                 # the per-request blocks it referenced) — O(pending),
-                # never O(total ingested)
+                # never O(total ingested). Skipped when a flush is about
+                # to detach this very union: the flush write subsumes it
                 self._pending = self._pending.localCheckpoint(eager=True)
                 self._depth = 0
             if self._spill_ok and self._pending_rows >= self.FLUSH_ROWS:
-                self._flush_locked()
+                self._start_flush_locked()
             self._rebuild_logs_locked()
             return n
 
-    def _flush_locked(self) -> None:
-        """Write the pending micro-batch union to the spill dir and
-        replan the base over the file scans. Falls back to the pure
-        in-memory union (pre-flush behavior) if parquet can't store
-        this schema — e.g. ingested field names containing characters
-        the parquet writer rejects."""
+    def _start_flush_locked(self) -> None:
+        """Detach the pending union into the single-flight ``_flushing``
+        slot and hand it to a background flusher: the parquet write (the
+        next-biggest lock-held job after the parse moved out) runs with
+        NO lock held — the detached frame is checkpointed and immutable,
+        and readers keep seeing its rows via the ``_flushing`` leg of
+        _rebuild_logs_locked until the commit swaps them into the flat
+        file scan atomically."""
+        if self._flushing is not None:  # a flush is already in flight;
+            return  # re-checked on every append, so the next one catches up
+        self._flushing = self._pending
+        self._flushing_rows = self._pending_rows
+        self._pending = None
+        self._pending_rows = 0
+        self._depth = 0
+        threading.Thread(
+            target=self._flush_bg,
+            args=(self._flushing, self._flushing_rows),
+            daemon=True,
+        ).start()
+
+    def wait_idle(self, timeout: float = 60.0) -> bool:
+        """Block until no background flush or migration is in flight
+        (tests, orderly shutdown). Returns False on timeout."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while _time.monotonic() < deadline:
+            with self.lock:
+                if self._flushing is None and not self._migrating:
+                    return True
+            _time.sleep(0.05)
+        return False
+
+    def flush_now(self) -> None:
+        """Synchronous flush of the current pending union (tests, CLI
+        maintenance). No-op when empty, degraded, or already in flight."""
+        with self.lock:
+            if (
+                self._flushing is not None
+                or self._pending is None
+                or not self._spill_ok
+            ):
+                return
+            self._flushing = self._pending
+            self._flushing_rows = self._pending_rows
+            self._pending = None
+            self._pending_rows = 0
+            self._depth = 0
+            frame, rows = self._flushing, self._flushing_rows
+        self._flush_bg(frame, rows)
+
+    def _flush_bg(self, frame: DataFrame, rows: int) -> None:
+        """Write one detached pending union to the spill dir and commit.
+        Falls back to the pure in-memory union (pre-flush behavior) if
+        parquet can't store this schema — e.g. ingested field names
+        containing characters the parquet writer rejects."""
         import glob as _glob
 
         try:
@@ -446,46 +529,61 @@ class _State:
             # hundreds of near-empty files and every later read would
             # pay a task per file. One output file per ~500k rows keeps
             # the spill dir at O(flush count) files. The before/after
-            # diff attributes the new files (flushes are serialized
-            # under the state lock; migrations never write flat files).
+            # diff attributes the new files (the _flushing slot makes
+            # flushes single-flight; migrations never write flat files).
             before = set(_glob.glob(os.path.join(self._spill_dir, "*.parquet")))
-            n_files = max(1, self._pending_rows // 500_000)
-            self._pending.coalesce(n_files).write.mode("append").parquet(
+            n_files = max(1, rows // 500_000)
+            frame.coalesce(n_files).write.mode("append").parquet(
                 self._spill_dir
             )
             after = set(_glob.glob(os.path.join(self._spill_dir, "*.parquet")))
-        except Exception:  # noqa: BLE001 — degrade, don't drop the ack
-            self._spill_ok = False
+        except Exception:  # noqa: BLE001 — degrade, don't drop the rows
+            with self.lock:
+                self._spill_ok = False
+                # re-attach: the rows stay queryable from memory
+                self._pending = (
+                    frame
+                    if self._pending is None
+                    else frame.unionByName(
+                        self._pending, allowMissingColumns=True
+                    )
+                )
+                self._pending_rows += rows
+                self._flushing = None
+                self._rebuild_logs_locked()
             return
-        self._flat_files = sorted(set(self._flat_files) | (after - before))
-        self._replan_base_locked()
-        self._pending = None
-        self._pending_rows = 0
-        self._depth = 0
-        self._maybe_migrate_locked()
+        with self.lock:
+            self._flat_files = sorted(set(self._flat_files) | (after - before))
+            # manifest commit: without it a restart would treat these
+            # files as a torn flush and delete them
+            self._write_manifest_locked()
+            self._replan_base_locked()
+            self._flushing = None
+            self._rebuild_logs_locked()
+            self._maybe_migrate_locked()
 
     def _rebuild_logs_locked(self) -> None:
-        if self._pending is None:
-            self.logs = self._base
-        elif self._base is None:
-            self.logs = self._pending
-        else:
-            pend = self._pending
+        from victorialogs_spark.schema import with_day_partition
+
+        out = self._base
+        for part in (self._flushing, self._pending):
+            if part is None:
+                continue
+            if out is None:
+                out = part
+                continue
             if (
-                "_day" in self._base.columns
-                and "_day" not in pend.columns
-                and "_time" in pend.columns
+                "_day" in out.columns
+                and "_day" not in part.columns
+                and "_time" in part.columns
             ):
                 # once the migrated table introduces the _day partition
-                # column, pending rows must carry a derived one too — a
+                # column, in-memory rows must carry a derived one too — a
                 # NULL _day from allowMissingColumns would let the
                 # planner's day pruning silently drop every un-flushed row
-                from victorialogs_spark.schema import with_day_partition
-
-                pend = with_day_partition(pend)
-            self.logs = self._base.unionByName(
-                pend, allowMissingColumns=True
-            )
+                part = with_day_partition(part)
+            out = out.unionByName(part, allowMissingColumns=True)
+        self.logs = out
 
 
 def _lines_df(
@@ -945,6 +1043,9 @@ class LogHTTPServer:
 
         self.httpd.shutdown()
         self.httpd.server_close()
+        # orderly shutdown: let an in-flight background flush/migration
+        # commit (a kill skips this — the manifest protocol covers it)
+        self.state.wait_idle(timeout=60)
         if self._own_spill:
             shutil.rmtree(self.spill_dir, ignore_errors=True)
 
