@@ -61,6 +61,11 @@ SECONDS = arg("--seconds", 60)
 READERS = arg("--readers", 4)
 WRITERS = arg("--writers", 2)
 PREINGEST = arg("--preingest", 0)
+# --loadonly: writer threads run the SAME Spark work a real post does
+# (ingest_ndjson parse + localCheckpoint + count) but never touch the
+# server state — isolates pure executor-core contention from facade
+# queuing (lock waits, flush, plan growth) in the read-latency gap
+LOADONLY = "--loadonly" in sys.argv
 TAG = strarg("--tag", f"r{READERS}w{WRITERS}")
 BATCH_ROWS = 1000
 
@@ -170,7 +175,8 @@ def main() -> int:
                 with lock:
                     drift.append(f"read error: {e}")
                 continue
-            dt = time.monotonic() - t0
+            t1 = time.monotonic()
+            dt = t1 - t0
             with lock:
                 read_lat.append(dt)
                 if q == READ_MIX[0] and body.strip() != baseline_error:
@@ -178,16 +184,38 @@ def main() -> int:
                         f"preloaded count drifted: {body[:80]!r}"
                     )
                 if q == READ_MIX[2]:
-                    n = json.loads(body)["n"]
-                    n = int(n)
-                    if ingested_seen and n < ingested_seen[-1]:
+                    n = int(json.loads(body)["n"])
+                    # monotonicity holds only between NON-OVERLAPPING
+                    # reads: if J completed before K started, K must see
+                    # >= J's count. Two overlapping reads may record in
+                    # either order (with fast concurrent reads this
+                    # false-flagged 3 times in the first r13 wave — the
+                    # server state itself is monotone under its lock).
+                    prior_max = max(
+                        (m for (c, m) in ingested_seen if c < t0),
+                        default=0,
+                    )
+                    if n < prior_max:
                         drift.append(
                             f"ingested count went backwards: "
-                            f"{ingested_seen[-1]} -> {n}"
+                            f"{prior_max} -> {n}"
                         )
-                    ingested_seen.append(n)
+                    ingested_seen.append((t1, n))
 
     indeterminate = [0]  # batches whose HTTP response was lost client-side
+
+    def load_only_writer() -> None:
+        from victorialogs_spark.schema import ingest_ndjson
+
+        lines = batch.splitlines()
+        while not stop.is_set():
+            t0 = time.monotonic()
+            df = ingest_ndjson(spark, lines, stream_fields=["app"])
+            df = df.localCheckpoint(eager=True)
+            df.count()
+            with lock:
+                write_lat.append(time.monotonic() - t0)
+            df.unpersist()
 
     def writer() -> None:
         while not stop.is_set():
@@ -209,10 +237,11 @@ def main() -> int:
                 write_lat.append(dt)
                 posted[0] += BATCH_ROWS
 
+    wfn = load_only_writer if LOADONLY else writer
     threads = [
         threading.Thread(target=reader, args=(i,), daemon=True)
         for i in range(READERS)
-    ] + [threading.Thread(target=writer, daemon=True) for _ in range(WRITERS)]
+    ] + [threading.Thread(target=wfn, daemon=True) for _ in range(WRITERS)]
     t_wave = time.monotonic()
     for t in threads:
         t.start()
@@ -270,6 +299,7 @@ def main() -> int:
         "seconds": round(wave_wall, 1),
         "readers": READERS,
         "writers": WRITERS,
+        "load_only": LOADONLY,
         "preingest_rows": PREINGEST * BATCH_ROWS,
         "reads": len(read_lat),
         "writes": len(write_lat),
@@ -320,7 +350,7 @@ def main() -> int:
         " LIKE-FOR-LIKE control (same reader count, spill layout"
         " pre-built by --preingest) the r12 review asked for.",
         "",
-        "| run | read p50/p95/max (n) | write p50/p95 | ingest rows/s |"
+        "| run (tag) | read p50/p95/max (n) | write p50/p95 | ingest rows/s |"
         " flat files start→end | table files start→end | migrations |"
         " oracle | drift |",
         "|---|---|---|---|---|---|---|---|---|",
@@ -336,7 +366,7 @@ def main() -> int:
             f"{r['ingest_rows_per_sec']:,}" if r["writers"] else "—"
         )
         lines.append(
-            f"| {r['readers']}r/{r['writers']}w {r['seconds']:.0f}s"
+            f"| {r.get('tag', '?')} {r['seconds']:.0f}s"
             f" | {r['read_p50']:.2f}/{r['read_p95']:.2f}/{r['read_max']:.2f} s"
             f" ({r['reads']})"
             f" | {wr} | {ing}"

@@ -446,21 +446,26 @@ class _State:
             )
             self._pending_rows += n
             self._depth += 1
-            if (
-                self._depth >= self.CHECKPOINT_EVERY
-                and not (
-                    self._spill_ok
-                    and self._pending_rows >= self.FLUSH_ROWS
-                )
-            ):
-                # consolidate the union-of-checkpoints lineage (and free
-                # the per-request blocks it referenced) — O(pending),
-                # never O(total ingested). Skipped when a flush is about
-                # to detach this very union: the flush write subsumes it
+            if self._spill_ok:
+                # with a spill dir, lineage consolidation IS the flush:
+                # detaching the union to the background writer bounds
+                # plan depth without ever running an O(pending) Spark
+                # job under the lock (the in-lock depth checkpoint was
+                # the biggest remaining lock-holder after the parse
+                # moved out — it fired every 16 posts, ahead of the
+                # 20k-row flush). Early flushes write smaller flat
+                # files; the migration compacts them later anyway.
+                if (
+                    self._pending_rows >= self.FLUSH_ROWS
+                    or self._depth >= self.CHECKPOINT_EVERY
+                ):
+                    self._start_flush_locked()
+            elif self._depth >= self.CHECKPOINT_EVERY:
+                # no spill dir: consolidate the union-of-checkpoints
+                # lineage in place (and free the per-request blocks it
+                # referenced) — O(pending), never O(total ingested)
                 self._pending = self._pending.localCheckpoint(eager=True)
                 self._depth = 0
-            if self._spill_ok and self._pending_rows >= self.FLUSH_ROWS:
-                self._start_flush_locked()
             self._rebuild_logs_locked()
             return n
 
@@ -561,6 +566,15 @@ class _State:
             self._flushing = None
             self._rebuild_logs_locked()
             self._maybe_migrate_locked()
+            if self._spill_ok and (
+                self._pending_rows >= self.FLUSH_ROWS
+                or self._depth >= self.CHECKPOINT_EVERY
+            ):
+                # appends that crossed a threshold while this flush was
+                # in flight were skipped (single-flight); chain the next
+                # flush so an idle tail above the threshold never lingers
+                # in memory waiting for another request
+                self._start_flush_locked()
 
     def _rebuild_logs_locked(self) -> None:
         from victorialogs_spark.schema import with_day_partition
