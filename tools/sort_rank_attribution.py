@@ -66,13 +66,16 @@ def run_mode(mode: str, runs: int) -> dict:
     extra = {}
     evlog_dir = None
     if mode == "isolated_aqe_on":
+        import shutil
+
         evlog_dir = "/tmp/sortrank-evlog"
+        shutil.rmtree(evlog_dir, ignore_errors=True)
         os.makedirs(evlog_dir, exist_ok=True)
-        for f in os.listdir(evlog_dir):
-            os.remove(os.path.join(evlog_dir, f))
         extra = {
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{evlog_dir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         }
     if mode == "isolated_aqe_off":
         extra = {"spark.sql.adaptive.enabled": "false"}
@@ -123,13 +126,17 @@ def run_mode(mode: str, runs: int) -> dict:
         # submit->complete walls, plus the gaps (driver planning)
         spark.stop()
         events = []
-        for f in os.listdir(evlog_dir):
-            with open(os.path.join(evlog_dir, f)) as fh:
-                for line in fh:
-                    try:
-                        events.append(json.loads(line))
-                    except json.JSONDecodeError:
-                        pass
+        # Spark 4 writes a rolling event-log v2 DIRECTORY per app
+        for root, _dirs, files in os.walk(evlog_dir):
+            for f in files:
+                if "appstatus" in f:
+                    continue
+                with open(os.path.join(root, f), errors="ignore") as fh:
+                    for line in fh:
+                        try:
+                            events.append(json.loads(line))
+                        except json.JSONDecodeError:
+                            pass
         jobs = [e for e in events if e.get("Event") == "SparkListenerJobStart"]
         ends = {
             e["Job ID"]: e
