@@ -875,3 +875,75 @@ def test_value_type_dict_pyarrow_written_files(spark, tmp_path):
     pq.write_table(t, path)
     stored = spark.read.parquet(path)
     assert run_query(spark, stored, "k:value_type(dict)").count() == 100
+
+
+def test_unpack_fields_pushdown_equivalence(spark):
+    """The planner's projection pushdown into unpack key inference
+    (planner._pushdown_unpack_keys) must be invisible: the rewritten
+    single-parse plan and the inference plan agree on every edge —
+    including the one that BLOCKS the rewrite (a kept existing column
+    whose name IS a key in some row's payload)."""
+    logs = make_logs(
+        spark,
+        [
+            {"_msg": '{"k": "1", "x": "a"}', "app": "u"},
+            {"_msg": '{"k": "2"}', "app": "u"},
+            {"_msg": "", "app": "u"},
+        ],
+    )
+    # clean probe: no payload contains '"app"' -> rewrite applies, the
+    # unpack extracts only k; app passes through untouched, x is never
+    # materialized
+    out = run_query(spark, logs, "* | unpack_json from _msg | fields app, k")
+    assert rows_set(out) == {("u", "1"), ("u", "2"), ("u", "")}
+
+    # dirty probe: one payload carries key "app" -> the rewrite must
+    # NOT fire; inference semantics overwrite app from the payload
+    # (missing key -> '') exactly as the reference does
+    dirty = make_logs(
+        spark,
+        [
+            {"_msg": '{"k": "1", "app": "json"}', "app": "col"},
+            {"_msg": '{"k": "2"}', "app": "col"},
+        ],
+    )
+    out = run_query(spark, dirty, "* | unpack_json from _msg | fields app, k")
+    assert rows_set(out) == {("json", "1"), ("", "2")}
+
+    # no-op skip: every kept name is an existing column provably absent
+    # from the payloads -> the whole unpack pipe is skipped
+    out = run_query(spark, logs, "* | unpack_json from _msg | fields app")
+    assert rows_set(out) == {("u",)}
+
+    # skip_empty_results keeps original values without needing a probe
+    out = run_query(
+        spark, dirty,
+        "* | unpack_json from _msg skip_empty_results | fields app, k",
+    )
+    assert rows_set(out) == {("json", "1"), ("col", "2")}
+
+    # wildcard in the keep list -> no rewrite, full inference (x appears)
+    out = run_query(spark, logs, "* | unpack_json from _msg | fields k, x*")
+    assert rows_set(out) == {("1", "a"), ("2", ""), ("", "")}
+
+
+def test_unpack_logfmt_fields_pushdown_equivalence(spark):
+    logs = make_logs(
+        spark,
+        [
+            {"_msg": "a=1 b=2", "app": "u"},
+            {"_msg": "a=3", "app": "u"},
+        ],
+    )
+    out = run_query(spark, logs, "* | unpack_logfmt from _msg | fields app, a")
+    assert rows_set(out) == {("u", "1"), ("u", "3")}
+    # dirty: 'app=' appears in a payload -> inference path, app overwritten
+    dirty = make_logs(
+        spark,
+        [
+            {"_msg": "a=1 app=lf", "app": "col"},
+            {"_msg": "a=3", "app": "col"},
+        ],
+    )
+    out = run_query(spark, dirty, "* | unpack_logfmt from _msg | fields app, a")
+    assert rows_set(out) == {("lf", "1"), ("", "3")}

@@ -190,9 +190,79 @@ def plan_query(
     # pipes and query output never see them
     if "__time_nanos" in out.columns:
         out = out.drop("__time_nanos")
-    for p in q.pipes:
+    for i, p in enumerate(q.pipes):
+        nxt = q.pipes[i + 1] if i + 1 < len(q.pipes) else None
+        p = _pushdown_unpack_keys(p, nxt, out)
+        if p is None:
+            continue  # provable no-op under the following projection
         out = apply_pipe(p, out, ctx)
     return out
+
+
+def _pushdown_unpack_keys(p, nxt, df: DataFrame):
+    """Projection pushdown INTO key inference: ``unpack_json`` (or
+    ``unpack_logfmt``) with no field list scans the data once just to
+    learn the key universe, then extracts every key — only for an
+    immediately following ``fields`` keep-pipe to drop all but a few.
+    When the kept list is wildcard-free, restrict the unpack to exactly
+    the keys those names demand: no inference scan, no persist, one
+    parse (at sf1 this was the slowest headline query, and most of its
+    wall was inferring keys nobody kept).
+
+    Exactness, per prefix-compatible kept name:
+    - name ABSENT from the frame: inference either creates it (key in
+      data: identical per-row values) or leaves it missing (the fields
+      pipe renders '' — identical to explicit extraction's '' for a key
+      no row has). Always safe.
+    - name that IS an existing column: explicit extraction would
+      overwrite rows whose payload lacks the key with '' while
+      inference might never touch the column. Safe under
+      skip_empty_results (empty extraction keeps the original), and
+      otherwise PROVEN safe by a cheap substring scan: if the quoted
+      key ('"name"' for JSON, 'name=' for logfmt) appears in NO source
+      value, the key cannot be in the key universe and inference would
+      never have assigned the column. Substring hit ⇒ no rewrite (the
+      full inference path stays exact); the pre-check costs one simple
+      string scan vs the JSON-parse scan it replaces.
+
+    Returns the (possibly rewritten) pipe, or None when NO kept name
+    can come from the unpack — the pipe is then a provable no-op under
+    the projection and is skipped entirely.
+    """
+    import dataclasses
+
+    if not isinstance(p, (A.PUnpackJson, A.PUnpackLogfmt)):
+        return p
+    if p.fields or not isinstance(nxt, A.PFields):
+        return p
+    if any("*" in f for f in nxt.fields):
+        return p
+    pref = p.result_prefix
+    keys: list[str] = []
+    probe: list[str] = []  # existing columns needing the absence proof
+    for f in nxt.fields:
+        if not f.startswith(pref) or len(f) <= len(pref):
+            continue
+        k = f[len(pref):]
+        if f in df.columns and not p.skip_empty_results:
+            probe.append(k)
+        else:
+            keys.append(k)
+    if probe:
+        is_json = isinstance(p, A.PUnpackJson)
+        src = fcol(df, p.from_field)
+        needles = [f'"{k}"' if is_json else f"{k}=" for k in probe]
+        any_hit = F.lit(False)
+        for n in needles:
+            any_hit = any_hit | F.coalesce(
+                F.contains(src, F.lit(n)), F.lit(False)
+            )
+        hit = df.agg(F.max(any_hit)).first()[0]
+        if hit:
+            return p  # key might be real — keep the exact inference path
+    if not keys:
+        return None
+    return dataclasses.replace(p, fields=keys)
 
 
 def _day_prune(df: DataFrame, tr: tuple[int, int]) -> DataFrame:
