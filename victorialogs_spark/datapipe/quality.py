@@ -263,14 +263,27 @@ def unigram_logprob(
     of ln(freq(t) / N). Low scores flag gibberish / rare-token soup;
     suspiciously high scores flag boilerplate.
 
-    Plan: one explode → token-frequency aggregate (hash shuffle on
-    token), one join back (token-partitioned, AQE-skew-safe — stop-word
-    tokens are the hot keys), one per-doc aggregate. No driver state, no
-    UDF; the frequency table lives in the shuffle, never on one node.
+    Plan: one explode → per-(doc, token) count aggregate (partial agg
+    combines occurrences map-side, so the shuffle carries counts, not
+    raw tokens — at corpus scale this is the difference between
+    shuffling every token occurrence and shuffling the much smaller
+    doc×distinct-token relation), then the token-frequency aggregate
+    and the join back both run over that pre-aggregated frame
+    (token-partitioned, AQE-skew-safe — stop-word tokens are the hot
+    keys), one per-doc aggregate. No driver state, no UDF; the
+    frequency table lives in the shuffle, never on one node.
+    Measured (matched isolated sessions): sf1 best-of 5.95 s → 3.48 s
+    (median 8.9 → 3.7) vs a ~12% fixed-overhead cost at sf0.1
+    (1.34 → 1.50) — the natural-text dup factor (stop words) that pays
+    for the extra aggregate is scale-independent, so the win grows with
+    the corpus. Contrast bigram_logprob below, where dup factor ~1
+    makes the same rewrite a loss.
 
     Determinism for cross-engine checking: per-token ln values round to
-    9 decimals and sum as decimal(38,9) — addition becomes exact and
-    order-independent, so any engine computing the same lns gets the
+    9 decimals and sum as decimals — a count × decimal(12,9) product is
+    exact (decimal(23,9), no precision-loss rescale) and equals adding
+    the rounded ln once per occurrence, so addition stays exact and
+    order-independent and any engine computing the same lns gets the
     bit-identical mean, which then rounds to ``round_digits``.
 
     Output: (<id_col>, n_tokens long, logprob double) — docs with no
@@ -287,20 +300,28 @@ def unigram_logprob(
         )
         .where(F.col("__tok") != "")
     )
-    # freq feeds TWO plan branches (the join back and the corpus total);
-    # without a cache each branch re-scans and re-explodes the whole
-    # corpus — the same multi-branch rule curate_corpus documents
-    freq = bounded_cache(
-        toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    # doc×token counts feed TWO plan branches (the corpus frequency agg
+    # and the join back); without a cache each branch re-scans and
+    # re-explodes the whole corpus — the same multi-branch rule
+    # curate_corpus documents
+    dt = bounded_cache(
+        toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
     )
+    freq = dt.groupBy("__tok").agg(F.sum("__c").alias("__tf"))
     total = freq.agg(F.sum("__tf").alias("__n"))
+    # ln(tf) rounded to 9dp as decimal(12,9) (ln of any corpus count
+    # fits 3 integral digits); × count decimal(10,0) -> decimal(23,9),
+    # exact — identical to summing the rounded ln per occurrence
+    ln9 = F.round(F.log(F.col("__tf").cast("double")), 9).cast(
+        "decimal(12,9)"
+    )
     per_doc = (
-        toks.join(freq, "__tok")
+        dt.join(freq, "__tok")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__c").alias("n_tokens"),
             F.sum(
-                F.round(F.log(F.col("__tf").cast("double")), 9)
+                (F.col("__c").cast("decimal(10,0)") * ln9)
                 .cast("decimal(38,9)")
             ).alias("__sum_ln_tf"),
         )
@@ -410,7 +431,11 @@ def bigram_logprob(
     # final per-doc join streams `pairs` a second time — one more
     # narrow-map pass, the same recompute-don't-persist tradeoff
     # repeated_spans documents). V is the corpus vocabulary (separate
-    # cheap aggregate).
+    # cheap aggregate). NOTE: unigram_logprob's doc-level pre-aggregate
+    # was MEASURED here and rejected — bigrams rarely repeat within a
+    # doc (dup factor ~1), so a (doc, w1, w2) groupBy adds a wide extra
+    # shuffle with no reduction (sf1 A/B, cold-session best-of:
+    # 9.2 s as written vs 10.4 s pre-aggregated).
     from pyspark import StorageLevel
 
     pair_freq = bounded_cache(

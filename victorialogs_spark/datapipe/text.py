@@ -245,7 +245,19 @@ def tfidf_top_terms(
             "term"
         ),
     ).where(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds TWO plan branches (the document-frequency aggregate and
+    # the join back); uncached, each branch re-scans and re-explodes the
+    # whole corpus — the same multi-branch rule unigram_logprob and
+    # curate_corpus document. MEMORY_AND_DISK: the doc×distinct-term
+    # relation spills rather than evicting under pressure.
+    from pyspark import StorageLevel
+
+    from victorialogs_spark.datapipe.cacheutil import bounded_cache
+
+    tf = bounded_cache(
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     w = Window.partitionBy(id_col).orderBy(
