@@ -377,3 +377,37 @@ def test_drop_empty_fields_no_persist_above_threshold(spark, events):
         assert out_small.count() == n_large
     finally:
         pipes_mod.DROP_EMPTY_PERSIST_MAX_BYTES = old
+
+
+def test_unpack_fields_pushdown_single_parse_plan(spark, events):
+    """unpack_json followed by a wildcard-free fields keep-pipe plans as
+    a SINGLE parquet scan with no InMemoryTableScan: the planner's
+    key-projection pushdown (planner._pushdown_unpack_keys) replaces the
+    infer-then-extract shape (persisted map + key aggregate, or two
+    parse scans) with one parse — the difference between one pass and
+    two over a 100 TB source."""
+    out = run_query(
+        spark, events, "* | unpack_json from props | fields event_id, k"
+    )
+    plan = plan_of(out)
+    assert plan.count("FileScan") == 1
+    assert "InMemoryTableScan" not in plan
+    # the extraction is a pure projection: no aggregate anywhere
+    assert "Aggregate" not in plan
+
+
+def test_unigram_logprob_preaggregated_shuffles(spark):
+    """dp_unigram_logprob's frequency join must consume the (doc, token)
+    pre-aggregate, not raw token occurrences: the first exchange after
+    the explode hashes on (doc_id, __tok) — partial aggregation combines
+    occurrences map-side, so the shuffle payload is counts (the sf1 A/B
+    measured 5.95 -> 3.48 s; at corpus scale the raw-occurrence shuffle
+    is the bottleneck)."""
+    from victorialogs_spark.datapipe.quality import unigram_logprob
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = unigram_logprob(docs, "doc_id", "text")
+    plan = plan_of(out)
+    # the doc×token pre-aggregate exists and is partial-agg shaped
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert plan.count("Exchange hashpartitioning(doc_id") >= 1

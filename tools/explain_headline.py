@@ -13,7 +13,7 @@ NOTES = {
     "s_time_bucket": "bucket expr computed pre-shuffle; two-phase aggregate",
     "s_histogram": "two-level aggregate: (keys,bucket) counts then O(buckets) pack",
     "p_top": "aggregate + TakeOrderedAndProject (top-k heaps, no full sort)",
-    "p_unpack_json": "from_json map + EXACT distinct-key promotion (keys-only json_object_keys inference pass)",
+    "p_unpack_json": "fields-projection pushed into the unpack: single from_json parse of exactly the kept keys, no inference scan (substring pre-probe proves existing kept names are not payload keys)",
     "p_join": "subquery aggregated then BroadcastHashJoin (no shuffle of the big side)",
     "p_sort_desc_rank": "TakeOrderedAndProject first, rank over the k-row result",
     "tpch_pricing_summary": "wide decimal aggregate, partial+final",
@@ -30,9 +30,9 @@ NOTES = {
     "dp_dup_clusters": "pair gen (2 shuffles) → union-find ≤2M edges / star rounds above → singleton backfill join",
     "dp_shuffle_shards": "md5-shard hash exchange + per-shard window — no global sort",
     "dp_pack_sequences": "per-shard window cumsum cut at the budget — no global sort, no UDF",
-    "dp_unigram_logprob": "token-freq aggregate + token-partitioned join back + per-doc mean — 3 shuffles, no UDF, no driver state",
+    "dp_unigram_logprob": "(doc,token) partial-agg FIRST so shuffles/joins carry counts not occurrences; token-freq from the pre-agg; join back + exact-decimal per-doc mean — no UDF, no driver state",
     "dp_repeated_spans": "rolling-hash window map (one uint64 matmul/batch) → span-freq aggregate → AQE-skew-safe join back → per-doc rollup",
-    "dp_tfidf_terms": "(doc,term) partial-agg + term df aggregate + term join; top-k window bounded per doc",
+    "dp_tfidf_terms": "(doc,term) partial-agg cached once for both branches (df aggregate + join back); top-k window bounded per doc",
     "dp_dsir_weights": "two token-freq aggregates + full-outer ratio table built in the shuffle + per-doc decimal mean",
     "dp_ann_quantized_topk": "pure-Column int8 quantize + integer dot/norm scan + TakeOrderedAndProject",
     "dp_cut_spans": "positional rolling-hash map → span doc-freq (2 shuffles) → per-doc start list → pure-Column indexed token filter rebuild",
@@ -50,6 +50,7 @@ NOTES = {
     "dp_ngram_counts": "staged token projection -> gram transform -> explode -> ONE partial+final hash aggregate; single shuffle carries combined (gram, count)",
     "dp_image_ahash_gif": "payload synth + real GIF (LZW+interlace+palette) decode in one narrow Arrow map; zero shuffles",
     "dp_gif_frame_ahash": "animation synth + compositing decode + time-step frame sampling in one narrow Arrow map; zero shuffles",
+    "dp_image_ahash_tiff": "payload synth + real baseline-TIFF (IFD walk, strips, TIFF-LZW msb/early-change, predictor, both byte orders) decode in one narrow Arrow map; zero shuffles",
 }
 
 
