@@ -22,9 +22,11 @@ specification, sharing no code with jpeg.py / multimodal.py —
   LSB-first — every code and its bit offset derived in comments),
   covering the width transition, the KwKwK case, the 4-pass
   interlace, 89a extension skipping, and local color tables;
-- the TIFFs carry a hand-run PackBits strip (big-endian IFD) and a
+- the TIFFs carry a hand-run PackBits strip (big-endian IFD), a
   hand-traced TIFF-variant LZW stream (MSB-first 9-bit codes derived
-  in comments) under the horizontal predictor (little-endian IFD).
+  in comments) under the horizontal predictor (little-endian IFD),
+  and a hand-packed 4-bit grayscale strip (MSB-first sub-byte
+  samples with per-row pad bits).
 
 Expected pixels are computed arithmetically in comments, not by running
 any in-repo code.
@@ -405,3 +407,43 @@ def test_decode_handwritten_tiff_lzw_predictor():
                      [[50, 60, 70], [40, 50, 60]]], dtype=np.uint8)
     assert px.shape == (2, 2, 3)
     assert (px == want).all()
+
+
+def test_decode_handwritten_tiff_4bit_gray():
+    """3x3 4-bit grayscale TIFF, II (little-endian), uncompressed —
+    the sub-byte scanned-archive shape, packed by hand.
+
+    Samples (0..15): row0 = 1 2 3, row1 = 15 0 7, row2 = 4 10 5.
+    Spec §3: samples pack MSB-first within each byte and every row
+    begins on a byte boundary, so stride = ceil(3*4/8) = 2 bytes with
+    4 pad bits per row:
+      row0: 0x12 0x30   row1: 0xF0 0x70   row2: 0x4A 0x50
+    Decode scales x17 (max sample 15 -> 255): 17 34 51 / 255 0 119 /
+    68 170 85, broadcast to RGB."""
+    t = bytearray(b"II*\x00")
+    t += struct.pack("<I", 14)  # IFD offset: 8 + 6 strip bytes
+    t += bytes([0x12, 0x30, 0xF0, 0x70, 0x4A, 0x50])
+
+    def ent(tag, ftype, count, vbytes):
+        return struct.pack("<HHI", tag, ftype, count) + vbytes
+
+    short = lambda v: struct.pack("<H", v) + b"\x00\x00"
+    long_ = lambda v: struct.pack("<I", v)
+    entries = (
+        ent(256, 3, 1, short(3))      # ImageWidth
+        + ent(257, 3, 1, short(3))    # ImageLength
+        + ent(258, 3, 1, short(4))    # BitsPerSample = 4
+        + ent(259, 3, 1, short(1))    # Compression = none
+        + ent(262, 3, 1, short(1))    # Photometric = BlackIsZero
+        + ent(273, 4, 1, long_(8))    # StripOffsets
+        + ent(277, 3, 1, short(1))    # SamplesPerPixel
+        + ent(278, 3, 1, short(3))    # RowsPerStrip
+        + ent(279, 4, 1, long_(6))    # StripByteCounts
+    )
+    t += struct.pack("<H", 9) + entries + struct.pack("<I", 0)
+
+    px = decode_tiff(bytes(t))
+    grey = np.array([[17, 34, 51], [255, 0, 119], [68, 170, 85]],
+                    dtype=np.uint8)
+    assert px.shape == (3, 3, 3)
+    assert (px == grey[:, :, None]).all()

@@ -510,3 +510,38 @@ def test_tiff_whitelszero_and_errors():
     pb = encode_tiff(g, compression=32773)
     with pytest.raises(ValueError, match="TIFF"):
         decode_tiff(pb[: len(pb) // 2])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    depth=st.sampled_from([1, 4, 16]),
+    rgb=st.booleans(),
+    bo=st.sampled_from(["II", "MM"]),
+    comp=st.sampled_from([1, 5, 32773]),
+    seed=st.integers(0, 2**31),
+)
+def test_tiff_depth_roundtrip_property(h, w, depth, rgb, bo, comp, seed):
+    """Non-8-bit TIFF depths: 16-bit samples recover via the high-byte
+    rule in either byte order; 1/4-bit grayscale (MSB-first sub-byte
+    packing, per-row byte padding — including widths that make the pad
+    nonzero) scales exactly to the 8-bit range (x255 / x17)."""
+    from victorialogs_spark.datapipe.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    if depth in (1, 4):
+        if rgb:
+            rgb = False  # sub-byte RGB does not exist in baseline TIFF
+        hi = 2 if depth == 1 else 16
+        px = rng.integers(0, hi, size=(h, w), dtype=np.uint8)
+        want = np.repeat(
+            (px * (255 if depth == 1 else 17))[:, :, None], 3, axis=2
+        )
+    else:
+        shape = (h, w, 3) if rgb else (h, w)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        want = px if rgb else np.repeat(px[:, :, None], 3, axis=2)
+    t = encode_tiff(px, compression=comp, byte_order=bo, bit_depth=depth,
+                    rows_per_strip=max(1, h // 2))
+    assert np.array_equal(decode_tiff(t), want)

@@ -292,7 +292,12 @@ def decode_tiff(payload: bytes):
     bits = tags.get(_T_BITS, (8,) * spp)
     if spp not in (1, 3):
         raise ValueError(f"unsupported TIFF SamplesPerPixel {spp}")
-    if any(b != 8 for b in bits) or len(bits) != spp:
+    if len(bits) != spp or len(set(bits)) != 1:
+        raise ValueError(f"unsupported TIFF BitsPerSample {bits}")
+    depth = int(bits[0])
+    if depth not in (1, 4, 8, 16) or (depth in (1, 4) and spp != 1):
+        # 1/4-bit are the bilevel/grayscale scanned-archive shapes
+        # (sub-byte RGB does not exist in baseline TIFF)
         raise ValueError(f"unsupported TIFF BitsPerSample {bits}")
     if planar != 1:
         raise ValueError("unsupported TIFF planar configuration 2")
@@ -305,6 +310,11 @@ def decode_tiff(payload: bytes):
         raise ValueError(f"unsupported TIFF photometric {photo}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if predictor == 2 and depth != 8:
+        # spec allows it, but differencing sub-byte/16-bit samples is
+        # vanishingly rare in the wild; fail loud rather than decode
+        # wrong (plug-in point: difference in sample space post-unpack)
+        raise ValueError("TIFF predictor 2 supported for 8-bit samples only")
     rps = one(_T_ROWS_PER_STRIP, h)
     offsets = tags.get(_T_STRIP_OFFSETS)
     counts = tags.get(_T_STRIP_COUNTS)
@@ -313,7 +323,9 @@ def decode_tiff(payload: bytes):
     n_strips = (h + rps - 1) // rps
     if len(offsets) != n_strips:
         raise ValueError("TIFF strip count disagrees with RowsPerStrip")
-    stride = w * spp
+    # rows pack to a byte boundary per ROW (spec §3 "the data within a
+    # row is packed; rows begin on byte boundaries")
+    stride = (w * spp * depth + 7) // 8
     rows = bytearray()
     for s in range(n_strips):
         strip_rows = min(rps, h - s * rps)
@@ -330,7 +342,31 @@ def decode_tiff(payload: bytes):
         else:
             raw = _packbits_decode(data, want)
         rows += raw
-    px = np.frombuffer(bytes(rows), np.uint8).reshape(h, w, spp)
+    buf = np.frombuffer(bytes(rows), np.uint8)
+    if depth == 8:
+        px = buf.reshape(h, w, spp)
+    elif depth == 16:
+        # high byte, honoring the file's byte order (the PNG16 rule:
+        # a uint8 pipeline keeps the most significant 8 bits)
+        pairs = buf.reshape(h, w * spp, 2)
+        px = pairs[:, :, 0 if e == ">" else 1].reshape(h, w, spp)
+    else:
+        # sub-byte: unpack bits per row, MSB-first within each byte
+        # (FillOrder=1 default), drop the row-padding bits, scale to the
+        # 8-bit range (x17 for 4-bit, x255 for 1-bit — exact: the max
+        # sample maps to 255)
+        rowbits = np.unpackbits(buf.reshape(h, stride), axis=1)
+        if depth == 1:
+            samples = rowbits[:, :w]
+            px = (samples * np.uint8(255)).astype(np.uint8)
+        else:
+            nib = rowbits.reshape(h, stride * 2, 4)
+            samples = (
+                nib[:, :, 0] * 8 + nib[:, :, 1] * 4
+                + nib[:, :, 2] * 2 + nib[:, :, 3]
+            )[:, :w]
+            px = (samples * np.uint8(17)).astype(np.uint8)
+        px = px.reshape(h, w, 1)
     if predictor == 2:
         # horizontal differencing is applied per row per sample plane;
         # undo with a cumulative sum along the row (mod 256)
@@ -344,11 +380,15 @@ def decode_tiff(payload: bytes):
 
 def encode_tiff(px, compression: int = 1, byte_order: str = "II",
                 rows_per_strip: int | None = None,
-                predictor: int = 1, photometric: int | None = None) -> bytes:
+                predictor: int = 1, photometric: int | None = None,
+                bit_depth: int = 8) -> bytes:
     """Minimal baseline-TIFF encoder for tests and deterministic
     synthetic fixtures (the in-repo validation half; the independent
     half is the hand-packed fixtures in tests/test_codec_interop.py).
-    ``px`` is HxW (grayscale) or HxWx3 uint8."""
+    ``px`` is HxW (grayscale) or HxWx3 uint8. ``bit_depth``: 8 (default),
+    16 (each 8-bit sample widens to (v<<8)|v so the decoder's high-byte
+    rule recovers v exactly), or 1/4 (grayscale only; samples must
+    already be in range — 0/1 or 0..15)."""
     import numpy as np
 
     px = np.asarray(px, dtype=np.uint8)
@@ -363,6 +403,10 @@ def encode_tiff(px, compression: int = 1, byte_order: str = "II",
         raise ValueError("compression must be 1, 5 or 32773")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
+    if bit_depth not in (1, 4, 8, 16) or (bit_depth in (1, 4) and spp != 1):
+        raise ValueError(f"unsupported bit_depth {bit_depth}")
+    if predictor == 2 and bit_depth != 8:
+        raise ValueError("predictor 2 only with 8-bit samples")
     if predictor == 2:
         # horizontal differencing per row per sample plane (mod 256)
         d = px.astype(np.int16)
@@ -372,9 +416,33 @@ def encode_tiff(px, compression: int = 1, byte_order: str = "II",
         photometric = 2 if spp == 3 else 1
     e = "<" if byte_order == "II" else ">"
     rps = rows_per_strip or h
+
+    def pack_rows(block) -> bytes:
+        if bit_depth == 8:
+            return block.tobytes()
+        if bit_depth == 16:
+            wide = block.astype(np.uint16)
+            wide = (wide << 8) | wide
+            return wide.astype(e + "u2").tobytes()
+        # sub-byte: per-row MSB-first bit packing with byte padding
+        bh = block.shape[0]
+        flat = block.reshape(bh, w)
+        if bit_depth == 1:
+            bits = flat.astype(np.uint8).reshape(bh, w, 1)
+        else:
+            bits = np.stack(
+                [(flat >> 3) & 1, (flat >> 2) & 1,
+                 (flat >> 1) & 1, flat & 1], axis=2,
+            ).astype(np.uint8)
+        rowbits = bits.reshape(bh, w * bit_depth)
+        pad = (-rowbits.shape[1]) % 8
+        if pad:
+            rowbits = np.pad(rowbits, ((0, 0), (0, pad)))
+        return np.packbits(rowbits, axis=1).tobytes()
+
     strips = []
     for top in range(0, h, rps):
-        raw = px[top : top + rps].tobytes()
+        raw = pack_rows(px[top : top + rps])
         if compression == 5:
             strips.append(_lzw_encode_tiff(raw))
         elif compression == 32773:
@@ -413,7 +481,7 @@ def encode_tiff(px, compression: int = 1, byte_order: str = "II",
 
     add(_T_WIDTH, 4, (w,))
     add(_T_LENGTH, 4, (h,))
-    add(_T_BITS, 3, (8,) * spp)
+    add(_T_BITS, 3, (bit_depth,) * spp)
     add(_T_COMPRESSION, 3, (compression,))
     add(_T_PHOTOMETRIC, 3, (photometric,))
     add(_T_STRIP_OFFSETS, 4, tuple(strip_offsets))

@@ -2501,6 +2501,60 @@ def _dp_image_ahash_tiff(spark, sf_dir):
 
 
 @register(
+    "dp_image_ahash_tiff_gray",
+    # SUB-BYTE GRAYSCALE TIFF under the hash — the scanned-archive
+    # shape (4-bit samples, MSB-first within each byte, rows padded to
+    # byte boundaries, PackBits, big-endian IFD): each md5 byte v maps
+    # to sample v % 16 which the decoder scales x17 to 8-bit; grayscale
+    # broadcasts to RGB so gray == the scaled sample exactly
+    # ((299+587+114)g/1000 = g). DuckDB recomputes the expected aHash
+    # arithmetically; only Spark runs the bitstream.
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':imgtif4:')} AS v"
+    " FROM ids, UNNEST(range(576)) AS u(i)),"
+    " px AS (SELECT doc_id, i AS p, (v % 16) * 17 AS gray FROM b),"
+    " cells AS (SELECT doc_id, ((p // 24) * 8 // 24) * 8 + (p % 24) * 8 // 24 AS cell,"
+    " CAST(SUM(gray) AS BIGINT) AS cs, COUNT(*) AS cn FROM px GROUP BY 1, 2),"
+    " tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,"
+    " CAST(SUM(cn) AS BIGINT) AS tn FROM cells GROUP BY 1)"
+    " SELECT c.doc_id, string_agg(CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END,"
+    " '' ORDER BY cell) AS ahash_bits"
+    " FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id",
+)
+def _dp_image_ahash_tiff_gray(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.multimodal import image_ahash
+    from victorialogs_spark.datapipe.tiff import encode_tiff
+
+    docs = _spread(spark, sf_dir, "documents").select("doc_id")
+    raw = _md5_stream_payload(":imgtif4:", b"", 36)  # 576 sample bytes
+
+    def _to_tiff4(series):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for b in series:
+            g = (
+                np.frombuffer(bytes(b), np.uint8, 576) % 16
+            ).astype(np.uint8).reshape(24, 24)
+            out.append(
+                encode_tiff(g, compression=32773, byte_order="MM",
+                            bit_depth=4, rows_per_strip=8)
+            )
+        return pd.Series(out)
+
+    _to_tiff4.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    to_tiff4 = F.pandas_udf(_to_tiff4, "binary")
+    assets = docs.select("doc_id", to_tiff4(raw).alias("payload"))
+    return image_ahash(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "ahash_bits"
+    )
+
+
+@register(
     "dp_mp4_frame_ahash",
     # REAL VIDEO FRAME DECODE: MJPEG-in-MP4 end to end with zero new
     # dependencies — each doc's payload is a genuine ISO-BMFF file
@@ -4111,6 +4165,7 @@ _STALE_R13_WINDOW = [
 # forgotten registration loud instead of silently filtering out.
 _NEW_R13 = [
     "dp_image_ahash_tiff",
+    "dp_image_ahash_tiff_gray",
 ]
 
 
