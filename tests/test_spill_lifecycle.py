@@ -319,3 +319,48 @@ def test_legacy_spill_dir_without_manifest(spark, tmp_path,
         assert _count(srv2, '{app="life"}') == 24
     finally:
         srv2.stop()
+
+
+def test_automatic_retention_on_migration_and_restore(
+    spark, tmp_path, tiny_thresholds
+):
+    """With retention_days set, expired day partitions drop at the
+    migration commit (one manifest write covers migration + retention)
+    and again at restore — the reference's -retentionPeriod watcher
+    folded into the lifecycle's existing commit points."""
+    import datetime as dt
+
+    spill = str(tmp_path / "spill")
+    old_day = (
+        dt.datetime.now(dt.timezone.utc) - dt.timedelta(days=30)
+    ).strftime("%Y-%m-%d")
+    new_day = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
+    srv = LogHTTPServer(
+        spark, None, 0, spill_dir=spill, retention_days=7
+    ).start()
+    try:
+        for i in range(2):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines(old_day, 12, f"x{i}"))
+        for i in range(2):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines(new_day, 12, f"y{i}"))
+        _drain(srv)
+        assert _count(srv, '{app="life"}') == 48  # flat: not yet covered
+        srv.state.migrate_now()
+        # migration commit applied retention: the 30-day-old partition
+        # never becomes servable from the table
+        assert _count(srv, '{app="life"}') == 24
+        assert not glob.glob(
+            os.path.join(spill, "_table", f"_day={old_day.replace('-', '')}")
+        )
+    finally:
+        srv.stop()
+    # restore with retention still set: counts hold, no resurrection
+    srv2 = LogHTTPServer(
+        spark, None, 0, spill_dir=spill, retention_days=7
+    ).start()
+    try:
+        assert _count(srv2, '{app="life"}') == 24
+    finally:
+        srv2.stop()

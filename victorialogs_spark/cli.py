@@ -75,6 +75,10 @@ def _run(argv: list[str] | None = None) -> int:
     ap.add_argument("--spill-dir", default="",
                     help="serve: durable dir for flushed ingest parquet "
                          "(default: private temp dir, removed on exit)")
+    ap.add_argument("--retention-days", type=int, default=0,
+                    help="serve: drop migrated day partitions older than"
+                         " N days (0 = keep forever) — the reference's"
+                         " -retentionPeriod watcher")
     ap.add_argument("--port", type=int, default=9428,
                     help="serve: HTTP port (reference default 9428)")
     ap.add_argument("--stream-fields", default="",
@@ -325,7 +329,8 @@ def _run(argv: list[str] | None = None) -> int:
         from victorialogs_spark.http_server import serve
 
         srv = serve(spark, df, port=args.port,
-                    spill_dir=args.spill_dir or None)
+                    spill_dir=args.spill_dir or None,
+                    retention_days=args.retention_days or None)
         sys.stderr.write(f"listening on http://127.0.0.1:{srv.port}\n")
         try:
             import time as _time

@@ -96,10 +96,12 @@ class _State:
         spark: SparkSession,
         logs: DataFrame | None,
         spill_dir: str | None = None,
+        retention_days: int | None = None,
     ):
         self.spark = spark
         self.logs = logs
         self.lock = threading.Lock()
+        self.retention_days = retention_days
         self._depth = 0
         self._preloaded = logs  # the table served at startup, if any
         self._base = logs  # preloaded ∪ table scan ∪ flat spill scan
@@ -157,6 +159,13 @@ class _State:
             for orphan in sorted(on_disk - set(listed)):
                 os.remove(os.path.join(self._table_dir, orphan))
             if self._flat_files or self._table_files:
+                if retention_days is not None and self._table_files:
+                    # a prior run's old days must drop at startup, not
+                    # only after the next migration commits
+                    if self._apply_retention_locked(
+                        self._retention_keep_from()
+                    ):
+                        self._write_manifest_locked()
                 self._replan_base_locked()
                 self.logs = self._base
         # Prometheus-style counters, named like the reference's
@@ -354,6 +363,10 @@ class _State:
                 self._flat_files = [
                     f for f in self._flat_files if f not in in_batch
                 ]
+                if self.retention_days is not None:
+                    # fold the retention watcher into the migration
+                    # commit: one manifest write covers both
+                    self._apply_retention_locked(self._retention_keep_from())
                 self._write_manifest_locked()
                 self._replan_base_locked()
                 self._rebuild_logs_locked()
@@ -368,6 +381,36 @@ class _State:
             with self.lock:
                 self._migrating = False
 
+    def _retention_keep_from(self) -> str:
+        import datetime as _dt
+
+        cutoff = _dt.datetime.now(_dt.timezone.utc) - _dt.timedelta(
+            days=self.retention_days
+        )
+        return cutoff.strftime("%Y%m%d")
+
+    def _apply_retention_locked(self, keep_days_from: str) -> list[str]:
+        """Drop day partitions older than ``keep_days_from`` and their
+        manifest rows; the CALLER commits the manifest and replans (so a
+        migration commit folds retention into its single manifest
+        write). Queries planned before the drop may fail on the deleted
+        files — the reference's retention has the same semantics (data
+        vanishes under running queries), and it beats serving expired
+        rows."""
+        from victorialogs_spark.streaming.ingest import (
+            apply_retention as _apply,
+        )
+
+        if self._table_dir is None or not self._table_files:
+            return []
+        dropped = _apply(self._table_dir, keep_days_from)
+        if dropped:
+            gone = tuple(f"_day={d}{os.sep}" for d in dropped)
+            self._table_files = [
+                p for p in self._table_files if not p.startswith(gone)
+            ]
+        return dropped
+
     def apply_retention(self, keep_days_from: str) -> list[str]:
         """Drop table day-partitions older than ``keep_days_from``
         (YYYYMMDD) — proof that migrated rows are covered by the same
@@ -375,20 +418,11 @@ class _State:
         retention watcher, storage.go:50). Returns dropped day labels.
         Rows still in the flat pile or pending union are NOT covered
         until they migrate — the same window the reference's in-memory
-        parts have."""
-        from victorialogs_spark.streaming.ingest import (
-            apply_retention as _apply,
-        )
-
+        parts have. With ``retention_days`` set, this also runs
+        automatically at restore and after every migration commit."""
         with self.lock:
-            if self._table_dir is None or not self._table_files:
-                return []
-            dropped = _apply(self._table_dir, keep_days_from)
+            dropped = self._apply_retention_locked(keep_days_from)
             if dropped:
-                gone = tuple(f"_day={d}{os.sep}" for d in dropped)
-                self._table_files = [
-                    p for p in self._table_files if not p.startswith(gone)
-                ]
                 self._write_manifest_locked()
                 self._replan_base_locked()
                 self._rebuild_logs_locked()
@@ -1033,6 +1067,7 @@ class LogHTTPServer:
         logs: DataFrame | None = None,
         port: int = 0,
         spill_dir: str | None = None,
+        retention_days: int | None = None,
     ):
         import tempfile
 
@@ -1041,7 +1076,9 @@ class LogHTTPServer:
             spill_dir = tempfile.mkdtemp(prefix="vlspark-ingest-spill-")
         self.spill_dir = spill_dir
         handler = type(
-            "Handler", (_Handler,), {"state": _State(spark, logs, spill_dir)}
+            "Handler", (_Handler,),
+            {"state": _State(spark, logs, spill_dir,
+                             retention_days=retention_days)},
         )
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
         self.port = self.httpd.server_address[1]
@@ -1069,5 +1106,8 @@ def serve(
     logs: DataFrame | None = None,
     port: int = 0,
     spill_dir: str | None = None,
+    retention_days: int | None = None,
 ) -> LogHTTPServer:
-    return LogHTTPServer(spark, logs, port, spill_dir).start()
+    return LogHTTPServer(
+        spark, logs, port, spill_dir, retention_days=retention_days
+    ).start()
