@@ -42,14 +42,23 @@ def bpe_ish_token_count(c: Column) -> Column:
 
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document stats: chars, whitespace tokens, BPE-ish tokens,
-    unique-token ratio, mean word length."""
+    unique-token ratio, mean word length. The token array is STAGED in a
+    first projection (the repetition_stats rule: Catalyst does not
+    collapse duplicated split+filter trees under HOF lambdas, and the
+    array feeds five signal expressions)."""
     t = F.col(text_col)
-    toks = tokens(t)
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        tokens(t).alias("__vl_toks"),
+    )
+    toks = F.col("__vl_toks")
+    return staged.select(
+        F.col(id_col),
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        "n_bpe_tokens",
         (F.size(F.array_distinct(toks)) / F.size(toks)).cast("double").alias("uniq_ratio"),
         (
             F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
