@@ -291,20 +291,43 @@ def _p_stats(p: A.PStats, df: DataFrame, ctx) -> DataFrame:
 def _histogram_agg(df: DataFrame, sf, by: list[A.ByField], cond: Column | None) -> DataFrame:
     """histogram(f) via two-phase aggregation: per-(group, vmrange-bucket)
     counts, then a per-group JSON array of {vmrange, hits} (bucket count is
-    O(18/decade), tiny)."""
-    from victorialogs_spark.planner.stats import _vmrange_bucket
+    O(18/decade), tiny).
+
+    The level-1 group key is the INTEGER bucket index, not the label:
+    pow/format_string then run on O(buckets) aggregated rows instead of
+    every input row (the label is a pure function of the index, so the
+    grouping is identical — sf1 A/B measured the per-row '%.3e'
+    formatting as the dominant scan cost). v == 0 uses a sentinel index
+    no real value can reach (|idx| <= ~5600 for any double); negative
+    and NULL inputs both yield a NULL index, exactly the rows whose
+    label was NULL before (dropped by the entry filter)."""
+    from victorialogs_spark.planner.stats import _BUCKETS_PER_DECADE
 
     v = num(df, sf.fields[0])
     if cond is not None:
         v = F.when(cond, v)
-    b = _vmrange_bucket(v)
-    lvl1 = df.groupBy(*_by_exprs(df, by), b.alias("__b")).agg(
+    zero_sent = -(10**9)
+    idx = F.when(v.isNull(), F.lit(None)).when(
+        v == 0, F.lit(zero_sent)
+    ).otherwise(F.ceil(F.log10(v) * _BUCKETS_PER_DECADE))
+    lvl1 = df.groupBy(*_by_exprs(df, by), idx.alias("__bi")).agg(
         F.count(F.lit(1)).alias("__h")
     )
-    keys = [c for c in lvl1.columns if c not in ("__b", "__h")]
+    keys = [c for c in lvl1.columns if c not in ("__bi", "__h")]
+    bi = qcol("__bi")
+    fmt = "%.3e"
+    label = F.when(bi == zero_sent, F.lit("0...0")).otherwise(
+        F.concat(
+            F.format_string(
+                fmt, F.pow(F.lit(10.0), (bi - 1) / _BUCKETS_PER_DECADE)
+            ),
+            F.lit("..."),
+            F.format_string(fmt, F.pow(F.lit(10.0), bi / _BUCKETS_PER_DECADE)),
+        )
+    )
     entry = F.when(
-        qcol("__b").isNotNull(),
-        F.struct(qcol("__b").alias("vmrange"), qcol("__h").alias("hits")),
+        bi.isNotNull(),
+        F.struct(label.alias("vmrange"), qcol("__h").alias("hits")),
     )
     arr = F.to_json(F.array_sort(F.collect_list(entry))).alias(sf.result)
     if keys:
