@@ -46,7 +46,7 @@ NOTES = {
     "dp_audio_zcr": "real WAV decode + integer features in one narrow Arrow map; zero shuffles",
     "dp_embedding_near_dup_exact": "pure-Column sign-bit bucket -> join-free local pair gen inside groupBy rows -> ONE vectorized cosine batch (threshold+round inside the UDF; nondeterministic mark stops Catalyst double-extraction); one shuffle, zero joins",
     "dp_ann_lsh_quantized_topk": "ONE numpy batch per Arrow batch quantizes + buckets + scores (exact int64 matmuls) -> probe isin filter -> TakeOrderedAndProject",
-    "dp_winnowing": "pure-Column staged projections (tokens -> grams -> md5 hashes -> window minima) + one explode; zero shuffles, zero Python",
+    "dp_winnowing": "JVM tokens -> one Arrow map (grams + md5 + sliding-window minima, numpy): HOF lambdas are interpreted, not codegen'd — the Column chain measured 2x slower at sf1; zero shuffles",
     "dp_ngram_counts": "staged token projection -> gram transform -> explode -> ONE partial+final hash aggregate; single shuffle carries combined (gram, count)",
     "dp_image_ahash_gif": "payload synth + real GIF (LZW+interlace+palette) decode in one narrow Arrow map; zero shuffles",
     "dp_gif_frame_ahash": "animation synth + compositing decode + time-step frame sampling in one narrow Arrow map; zero shuffles",
