@@ -11,7 +11,7 @@ NOTES = {
     "f_time_range": "time predicate pushed into the Parquet scan",
     "s_stats_by": "partial (map-side) + final hash aggregate",
     "s_time_bucket": "bucket expr computed pre-shuffle; two-phase aggregate",
-    "s_histogram": "two-level aggregate: (keys,bucket) counts then O(buckets) pack",
+    "s_histogram": "two-level aggregate on the INTEGER bucket index (labels formatted on O(buckets) aggregated rows, not per input row) then O(buckets) pack",
     "p_top": "aggregate + TakeOrderedAndProject (top-k heaps, no full sort)",
     "p_unpack_json": "fields-projection pushed into the unpack: single from_json parse of exactly the kept keys, no inference scan (substring pre-probe proves existing kept names are not payload keys)",
     "p_join": "subquery aggregated then BroadcastHashJoin (no shuffle of the big side)",
@@ -24,7 +24,7 @@ NOTES = {
     "dp_ngram_jaccard": "inverted-index: gram-hash groupBy → local pairs → pair groupBy; two shuffles, zero joins",
     "dp_cosine_threshold": "numpy-per-Arrow-batch matvec scan, no shuffle",
     "dp_ann_bruteforce_topk": "vectorized cosine + TakeOrderedAndProject top-k",
-    "dp_repetition": "per-doc array HOFs: narrow map, zero shuffles",
+    "dp_repetition": "split arrays staged once (HOF lambdas are interpreted and not CSE'd), then per-doc array HOFs: narrow maps, zero shuffles",
     "dp_ngram_repetition": "per-doc Arrow map (gram Counter), zero shuffles",
     "dp_gopher_quality": "full Gopher rule set as one narrow projection",
     "dp_dup_clusters": "pair gen (2 shuffles) → union-find ≤2M edges / star rounds above → singleton backfill join",
