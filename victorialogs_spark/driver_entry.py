@@ -1077,7 +1077,7 @@ def _dp_minhash_md5(spark, sf_dir):
     from victorialogs_spark.datapipe.dedup import minhash_near_dups_md5
 
     return minhash_near_dups_md5(
-        _table(spark, sf_dir, "documents"), "doc_id", "text",
+        _spread(spark, sf_dir, "documents"), "doc_id", "text",
         num_hashes=8, bands=4, threshold=0.5, n=3,
     )
 
@@ -1100,7 +1100,7 @@ def _dp_minhash_lsh(spark, sf_dir):
 def _dp_simhash(spark, sf_dir):
     from victorialogs_spark.datapipe.dedup import simhash
 
-    return simhash(_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return simhash(_spread(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @register(
@@ -1171,7 +1171,11 @@ def _dp_lang_id(spark, sf_dir):
 def _dp_fingerprint(spark, sf_dir):
     from victorialogs_spark.datapipe.text import doc_fingerprints
 
-    return doc_fingerprints(_table(spark, sf_dir, "documents"), "doc_id", "text")
+    # _spread, not _table: the rolling-md5 window loop is a CPU-bound
+    # Python stage, and a single small input file would otherwise give
+    # it ONE partition (measured 15 s single-task at sf1; at corpus
+    # scale many files provide the parallelism naturally)
+    return doc_fingerprints(_spread(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @register(
@@ -1206,7 +1210,9 @@ def _dp_fingerprint(spark, sf_dir):
 def _dp_winnowing(spark, sf_dir):
     from victorialogs_spark.datapipe.text import winnowing_fingerprints
 
-    docs = _table(spark, sf_dir, "documents")
+    # _spread: CPU-bound Arrow stage (grams + md5 + window minima) —
+    # same single-input-split hazard as dp_fingerprint
+    docs = _spread(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4)
 
 
@@ -3554,7 +3560,7 @@ def _dp_repetition(spark, sf_dir):
 def _dp_ngram_repetition(spark, sf_dir):
     from victorialogs_spark.datapipe.quality import ngram_repetition
 
-    return ngram_repetition(_table(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    return ngram_repetition(_spread(spark, sf_dir, "documents"), "doc_id", "text", n=3)
 
 
 @register(
