@@ -47,7 +47,7 @@ NOTES = {
     "dp_embedding_near_dup_exact": "pure-Column sign-bit bucket -> join-free local pair gen inside groupBy rows -> ONE vectorized cosine batch (threshold+round inside the UDF; nondeterministic mark stops Catalyst double-extraction); one shuffle, zero joins",
     "dp_ann_lsh_quantized_topk": "ONE numpy batch per Arrow batch quantizes + buckets + scores (exact int64 matmuls) -> probe isin filter -> TakeOrderedAndProject",
     "dp_winnowing": "JVM tokens -> one Arrow map (grams + md5 + sliding-window minima, numpy): HOF lambdas are interpreted, not codegen'd — the Column chain measured 2x slower at sf1; zero shuffles",
-    "dp_ngram_counts": "staged token projection -> gram transform -> explode -> ONE partial+final hash aggregate; single shuffle carries combined (gram, count)",
+    "dp_ngram_counts": "JVM tokens -> one Arrow map (gram build + Counter pre-agg per batch) -> final gram-sum; the shuffle carries batch-combined (gram, count), never raw grams (interpreted-HOF gram build replaced, winnowing rule)",
     "dp_image_ahash_gif": "payload synth + real GIF (LZW+interlace+palette) decode in one narrow Arrow map; zero shuffles",
     "dp_gif_frame_ahash": "animation synth + compositing decode + time-step frame sampling in one narrow Arrow map; zero shuffles",
     "dp_image_ahash_tiff": "payload synth + real baseline-TIFF (IFD walk, strips, TIFF-LZW msb/early-change, predictor, both byte orders) decode in one narrow Arrow map; zero shuffles",

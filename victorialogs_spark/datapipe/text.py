@@ -412,30 +412,44 @@ def ngram_counts(
     ``min_count`` drops the long tail (the standard pruning knob; at
     100 TB the tail IS most of the table).
 
-    Plan: pure-Column gram build (slice/concat_ws over the token array)
-    → explode → one partial+final hash aggregate. The single shuffle
-    carries (gram, partial count) pairs after map-side combine, not raw
-    grams. Docs with fewer than ``n`` tokens contribute nothing (an
-    n-gram model has no event for them). Output: (ngram string,
-    count long).
+    Plan: tokens stay JVM-side (the shared norm_tokens definition); one
+    Arrow map builds grams AND partial-aggregates them per batch with a
+    Counter, so the single shuffle carries (gram, partial count) pairs
+    combined at Python-batch granularity, and the final groupBy sums.
+    This replaced the pure-Column transform/concat_ws gram build +
+    explode: Catalyst evaluates HOF lambdas interpreted (the winnowing
+    rule) and the per-gram expression walk dominated the query. Docs
+    with fewer than ``n`` tokens contribute nothing (an n-gram model
+    has no event for them). Output: (ngram string, count long).
     """
-    # staged projection: the token array materializes once per row;
-    # building grams over the raw tokenize expression would re-evaluate
-    # normalize/split/filter inside the transform lambda for EVERY gram
-    # (the O(tokens x grams) trap winnowing_fingerprints documents)
+    from typing import Iterator
+
     staged = df.select(norm_tokens(text_col).alias("__t"))
-    t = F.col("__t")
-    nn = F.size(t)
-    grams = F.when(nn < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), nn - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        )
-    )
+
+    def _batches(batches: Iterator) -> Iterator:
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for toks in pdf["__t"]:
+                toks = list(toks)
+                if len(toks) < n:
+                    continue
+                c.update(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+            yield pd.DataFrame(
+                {"ngram": list(c.keys()),
+                 "__c": pd.array(list(c.values()), dtype="int64")}
+            )
+
     out = (
-        staged.select(F.explode(grams).alias("ngram"))
+        staged.mapInPandas(_batches, "ngram string, __c long")
         .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("count"))
+        .agg(F.sum("__c").alias("count"))
     )
     if min_count > 1:
         out = out.where(F.col("count") >= min_count)

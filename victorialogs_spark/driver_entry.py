@@ -1231,7 +1231,9 @@ def _dp_winnowing(spark, sf_dir):
 def _dp_ngram_counts(spark, sf_dir):
     from victorialogs_spark.datapipe.text import ngram_counts
 
-    docs = _table(spark, sf_dir, "documents")
+    # _spread: the gram build + Counter pre-agg is a CPU-bound Arrow
+    # stage (the single-input-split hazard, SCALE.md r13)
+    docs = _spread(spark, sf_dir, "documents")
     return ngram_counts(docs, "text", n=3, min_count=2)
 
 
