@@ -199,7 +199,13 @@ def dsir_logweights(
 
     src_toks = _toks(source, with_id=True)
     # frequency tables feed two branches each (totals + the ratio join):
-    # cache so the corpus is exploded once per side, not twice
+    # cache so the corpus is exploded once per side, not twice.
+    # NOTE: unigram_logprob's (doc, token) pre-aggregate was MEASURED
+    # here and rejected (matched sessions, sf1 best-of 3.66 s as
+    # written vs 4.57 s pre-aggregated): dsir caches the compact token
+    # frequency table and streams raw tokens through one join, so
+    # swapping that for a cached doc×token relation trades a cheap
+    # narrow re-explode for a bigger cache + wider shuffle rows
     from victorialogs_spark.datapipe.cacheutil import bounded_cache
 
     sf = bounded_cache(
