@@ -364,3 +364,55 @@ def test_automatic_retention_on_migration_and_restore(
         assert _count(srv2, '{app="life"}') == 24
     finally:
         srv2.stop()
+
+
+def test_day_compaction_bounds_table_file_count(spark, tmp_path,
+                                                tiny_thresholds):
+    """Tier-2 of the lifecycle: once a day partition accumulates
+    COMPACT_FILES live files, the migration pass rewrites it into a
+    clustered file set — the table-file count must PLATEAU instead of
+    growing by a few files per migration forever. Old files tombstone
+    (reaped at the next migration / restore), counts stay exact after
+    every cycle, and a restart serves the compacted layout with the
+    on-disk file set converged to the manifest."""
+    old_cf = _State.COMPACT_FILES
+    _State.COMPACT_FILES = 3
+    spill = str(tmp_path / "spill")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    total = 0
+    compacted = 0
+    try:
+        for i in range(6):  # each cycle: flush one file, migrate it
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-01", 12, f"c{i}"))
+            total += 12
+            _drain(srv)
+            srv.state.migrate_now()
+            assert _count(srv, '{app="life"}') == total  # exact mid-cycle
+            with srv.state.lock:
+                live = list(srv.state._table_files)
+                tombs = set(srv.state._table_tombs)
+            # the gate bounds the live set: never COMPACT_FILES or more
+            # right after a migration pass
+            assert len(live) < _State.COMPACT_FILES, live
+            if tombs:
+                compacted += 1
+                # tombstoned files still on disk for plans in flight
+                for rel in tombs:
+                    assert os.path.exists(os.path.join(spill, "_table", rel))
+        assert compacted >= 1  # the gate actually fired
+    finally:
+        _State.COMPACT_FILES = old_cf
+        srv.stop()
+
+    # restart: manifest lists exactly the live set; tombstones and
+    # orphans are reaped; counts hold over the compacted layout
+    srv2 = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        assert _count(srv2, '{app="life"}') == total
+        with srv2.state.lock:
+            live = set(srv2.state._table_files)
+        on_disk = set(srv2.state._list_table_files())
+        assert on_disk == live
+    finally:
+        srv2.stop()

@@ -90,6 +90,14 @@ class _State:
     # compact_day produces — the reference's small-parts → big-part LSM
     # merge (datadb.go:75-82) applied to the facade's write path.
     MIGRATE_FILES = 8
+    # tier-2 of the LSM: once a single day partition accumulates this
+    # many live table files (each migration appends a few), the
+    # migration pass rewrites that day into clustered files — without
+    # it the table-file count grows linearly with migrations forever
+    # (the 10-minute soak reached 72 files / 9 migrations) and every
+    # read pays a task per file, the same unbounded-pile failure the
+    # flat tier had
+    COMPACT_FILES = 16
 
     def __init__(
         self,
@@ -117,6 +125,7 @@ class _State:
         )
         self._flat_files: list[str] = []  # live (un-migrated) spill files
         self._migrated: set[str] = set()  # tombstoned basenames, not yet rm'd
+        self._table_tombs: set[str] = set()  # compacted-away, not yet rm'd
         self._table_files: list[str] = []  # manifest-listed, rel to _table
         self._flushing: DataFrame | None = None  # detached, being written
         self._flushing_rows = 0
@@ -331,15 +340,23 @@ class _State:
         from victorialogs_spark.streaming.ingest import append_day_partitioned
 
         try:
-            # 1. physically drop the PREVIOUS migration's tombstones:
-            #    every live plan was built after that commit (the commit
-            #    replanned _base), so nothing references them anymore
+            # 1. physically drop the PREVIOUS migration's tombstones
+            #    (flat AND compacted-away table files): every live plan
+            #    was built after that commit (the commit replanned
+            #    _base), so nothing references them anymore
             with self.lock:
                 tombs = sorted(self._migrated)
                 self._migrated = set()
+                ttombs = sorted(self._table_tombs)
+                self._table_tombs = set()
             for name in tombs:
                 try:
                     os.remove(os.path.join(self._spill_dir, name))
+                except FileNotFoundError:
+                    pass
+            for rel in ttombs:
+                try:
+                    os.remove(os.path.join(self._table_dir, rel))
                 except FileNotFoundError:
                     pass
             # 2. the rewrite, outside the lock: batch files are immutable
@@ -371,6 +388,14 @@ class _State:
                 self._replan_base_locked()
                 self._rebuild_logs_locked()
             self.inc("vl_spill_migrations_total", "status", "ok")
+            # 4. tier-2: rewrite any day whose live file count crossed
+            #    the gate into clustered files (compact_day's layout:
+            #    stream-hashed, (_stream_id, _time)-sorted, bloom on
+            #    _stream_id). Same crash protocol as every other step —
+            #    new files are orphans until the manifest commit, old
+            #    files stay on disk until the NEXT migration so live
+            #    plans never lose them.
+            self._compact_full_days()
         except Exception:  # noqa: BLE001 — degrade to the flat pile
             # the flat files stay live (nothing was committed), reads
             # stay correct; stop re-attempting a rewrite that can't work
@@ -380,6 +405,71 @@ class _State:
         finally:
             with self.lock:
                 self._migrating = False
+
+    def _compact_full_days(self) -> None:
+        """Rewrite each day partition with >= COMPACT_FILES live files
+        into a clustered file set (one output file per ~128 MB of
+        input). Runs inside the migration thread (single-flight with the
+        tier-1 writes, so listing diffs stay attributable); the Spark
+        work holds no lock. Old files are NOT deleted at commit — they
+        tombstone into _table_tombs and are reaped at the next
+        migration (or, after a kill, at restore where the manifest
+        marks them orphans) so plans in flight never lose files."""
+        from pyspark.sql import functions as F
+
+        with self.lock:
+            days: dict[str, list[str]] = {}
+            for p in self._table_files:
+                days.setdefault(p.split(os.sep, 1)[0], []).append(p)
+            todo = [
+                (d, sorted(fs))
+                for d, fs in sorted(days.items())
+                if len(fs) >= self.COMPACT_FILES
+            ]
+        for day, files in todo:
+            paths = [os.path.join(self._table_dir, p) for p in files]
+            day_dir = os.path.join(self._table_dir, day)
+            in_bytes = sum(os.path.getsize(p) for p in paths)
+            n_out = max(1, in_bytes // (128 << 20))
+            before = set(self._list_table_files())
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*paths)
+            )
+            sort_cols = [
+                c for c in ("_stream_id", "_time") if c in df.columns
+            ]
+            if sort_cols:
+                # hash-partition on the first cluster key so each output
+                # file holds a SUBSET of streams (the compact_day rule:
+                # round-robin would put every stream in every file and
+                # kill sidecar pruning)
+                out = df.repartition(n_out, F.col(sort_cols[0]))
+                out = out.sortWithinPartitions(*sort_cols)
+            else:
+                out = df.coalesce(n_out)
+            writer = out.write.mode("append").option("compression", "zstd")
+            if "_stream_id" in df.columns:
+                writer = writer.option(
+                    "parquet.bloom.filter.enabled#_stream_id", "true"
+                )
+            writer.parquet(day_dir)
+            new_files = sorted(set(self._list_table_files()) - before)
+            with self.lock:
+                if not set(files) <= set(self._table_files):
+                    # retention (or a manual apply) dropped this day
+                    # while we rewrote it: abandon — the new files stay
+                    # unlisted and the next restore/migration reaps them
+                    self._table_tombs.update(new_files)
+                    continue
+                self._table_files = sorted(
+                    (set(self._table_files) - set(files)) | set(new_files)
+                )
+                self._table_tombs.update(files)
+                self._write_manifest_locked()
+                self._replan_base_locked()
+                self._rebuild_logs_locked()
+            self.inc("vl_spill_compactions_total", "status", "ok")
 
     def _retention_keep_from(self) -> str:
         import datetime as _dt
