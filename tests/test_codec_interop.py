@@ -447,3 +447,46 @@ def test_decode_handwritten_tiff_4bit_gray():
                     dtype=np.uint8)
     assert px.shape == (3, 3, 3)
     assert (px == grey[:, :, None]).all()
+
+
+def test_tiff_lzw_early_change_boundary():
+    """Pin the TIFF LZW early-change rule across the 9->10 and 10->11
+    bit boundaries against an INDEPENDENT packer. The in-repo encoder
+    never exercises a wrong rule against the decoder (matched pair), so
+    this packer emits ROOT CODES ONLY — a valid if unoptimized LZW
+    stream (TIFF 6.0 s13 puts no lower bound on match length) — and
+    widens exactly when the decoder's table size reaches 2^width - 1
+    (511/1023), i.e. libtiff's rule. A decoder 'fixed' to widen at
+    510/1022 (the off-by-one the old docstring implied) desynchronizes
+    the bit stream at code 254 and fails loudly here."""
+    from victorialogs_spark.datapipe.tiff import _lzw_decode_tiff
+
+    rng = np.random.RandomState(14)
+    raw = bytes(rng.randint(0, 256, 900, dtype=np.uint8).tolist())
+
+    codes = [(256, 9)]  # leading Clear at 9 bits
+    table_len, width = 258, 9
+    for i, b in enumerate(raw):
+        codes.append((b, width))
+        if i > 0:  # decoder appends one entry per code after the first
+            table_len += 1
+            if table_len == (1 << width) - 1:
+                width += 1
+    codes.append((257, width))  # EOI
+
+    # crossings actually happen inside this stream
+    widths = {w for _, w in codes}
+    assert widths == {9, 10, 11}
+
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in codes:
+        acc = (acc << w) | code
+        nbits += w
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+
+    assert _lzw_decode_tiff(bytes(out), len(raw)) == raw

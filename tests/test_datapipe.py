@@ -1403,6 +1403,26 @@ def test_winnowing_guarantees(spark):
     assert len(positions) < n_grams
 
 
+def test_null_text_yields_no_rows_not_crash(spark):
+    """NULL text reaches the Arrow maps as a None token array; both
+    token operators must treat it as the empty doc their contracts
+    promise instead of raising TypeError inside the batch fn."""
+    from victorialogs_spark.datapipe.text import (
+        ngram_counts,
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"), (2, None)],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    assert fps and all(r["doc_id"] == 1 for r in fps)
+    counts = {r["ngram"]: r["count"]
+              for r in ngram_counts(df, "text", n=3).collect()}
+    assert counts["the quick brown"] == 1
+
+
 def test_ngram_counts(spark):
     from victorialogs_spark.datapipe.text import ngram_counts
 

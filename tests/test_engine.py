@@ -910,6 +910,21 @@ def test_unpack_fields_pushdown_equivalence(spark):
     out = run_query(spark, dirty, "* | unpack_json from _msg | fields app, k")
     assert rows_set(out) == {("json", "1"), ("", "2")}
 
+    # escape-written dirty probe: key "app" serialized as "app" —
+    # a literal substring probe would miss it and mis-fire the rewrite;
+    # the escape-aware regex must hit and keep inference semantics
+    escaped = make_logs(
+        spark,
+        [
+            {"_msg": '{"k": "1", "a\\u0070p": "json"}', "app": "col"},
+            {"_msg": '{"k": "2"}', "app": "col"},
+        ],
+    )
+    out = run_query(
+        spark, escaped, "* | unpack_json from _msg | fields app, k"
+    )
+    assert rows_set(out) == {("json", "1"), ("", "2")}
+
     # no-op skip: every kept name is an existing column provably absent
     # from the payloads -> the whole unpack pipe is skipped
     out = run_query(spark, logs, "* | unpack_json from _msg | fields app")

@@ -416,3 +416,119 @@ def test_day_compaction_bounds_table_file_count(spark, tmp_path,
         assert on_disk == live
     finally:
         srv2.stop()
+
+
+def test_transient_migration_failure_retries(spark, tmp_path,
+                                             tiny_thresholds,
+                                             monkeypatch):
+    """One failed migration must NOT disable the lifecycle for the
+    process (the unbounded-flat-pile regression): the gate retries
+    until MIGRATE_MAX_FAILS consecutive failures, and a success resets
+    the counter."""
+    from victorialogs_spark.streaming import ingest as ingest_mod
+
+    spill = str(tmp_path / "spill")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        _post(srv, "/insert/jsonline?_stream_fields=app",
+              _lines("2024-01-01", 12, "t0"))
+        _drain(srv)
+
+        real = ingest_mod.append_day_partitioned
+
+        def boom(*a, **k):
+            raise RuntimeError("transient blip")
+
+        monkeypatch.setattr(ingest_mod, "append_day_partitioned", boom)
+        srv.state.migrate_now()
+        assert srv.state._migrate_fails == 1
+        assert srv.state._migrate_ok  # still enabled
+        assert _count(srv, '{app="life"}') == 12  # flat stays live
+
+        # blip clears -> the retry succeeds and resets the counter
+        monkeypatch.setattr(ingest_mod, "append_day_partitioned", real)
+        srv.state.migrate_now()
+        assert srv.state._migrate_fails == 0
+        assert _count(srv, '{app="life"}') == 12
+        with srv.state.lock:
+            assert not srv.state._flat_files
+
+        # persistent failure: after MIGRATE_MAX_FAILS consecutive
+        # failures the BACKGROUND gate goes dark (manual migrate_now
+        # still allowed), instead of re-running a doomed rewrite
+        monkeypatch.setattr(ingest_mod, "append_day_partitioned", boom)
+        for i in range(_State.MIGRATE_MAX_FAILS):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-02", 12, f"p{i}"))
+            _drain(srv)
+            srv.state.migrate_now()
+        assert srv.state._migrate_fails == _State.MIGRATE_MAX_FAILS
+        old_mig = _State.MIGRATE_FILES
+        _State.MIGRATE_FILES = 1
+        try:
+            with srv.state.lock:
+                srv.state._maybe_migrate_locked()
+                assert not srv.state._migrating  # gate is dark
+        finally:
+            _State.MIGRATE_FILES = old_mig
+        # reads stay correct throughout (rows served from flat)
+        assert _count(srv, '{app="life"}') == 12 + 12 * _State.MIGRATE_MAX_FAILS
+    finally:
+        srv.stop()
+
+
+def test_retention_defers_days_under_compaction(spark, tmp_path,
+                                                tiny_thresholds):
+    """apply_retention() racing a compaction must not physically delete
+    the day files the rewrite is reading: the day drops LOGICALLY (out
+    of _table_files, out of query results, into _table_tombs) and the
+    bytes are reaped at the next migration instead."""
+    import datetime as dt
+
+    spill = str(tmp_path / "spill")
+    old_day = (
+        dt.datetime.now(dt.timezone.utc) - dt.timedelta(days=30)
+    ).strftime("%Y-%m-%d")
+    new_day = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
+    old_label = old_day.replace("-", "")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        _post(srv, "/insert/jsonline?_stream_fields=app",
+              _lines(old_day, 12, "old"))
+        _post(srv, "/insert/jsonline?_stream_fields=app",
+              _lines(new_day, 12, "new"))
+        _drain(srv)
+        srv.state.migrate_now()
+        assert _count(srv, '{app="life"}') == 24
+
+        with srv.state.lock:
+            day_files = [p for p in srv.state._table_files
+                         if p.startswith(f"_day={old_label}")]
+        assert day_files
+        # simulate the in-flight compaction window
+        with srv.state.lock:
+            srv.state._compacting_days = {f"_day={old_label}"}
+        keep_from = (
+            dt.datetime.now(dt.timezone.utc) - dt.timedelta(days=7)
+        ).strftime("%Y%m%d")
+        dropped = srv.state.apply_retention(keep_from)
+        assert old_label in dropped
+        # logical drop: results exclude the day immediately...
+        assert _count(srv, '{app="life"}') == 12
+        # ...but the bytes the compaction is reading are still on disk
+        for rel in day_files:
+            assert os.path.exists(os.path.join(spill, "_table", rel))
+        with srv.state.lock:
+            assert set(day_files) <= srv.state._table_tombs
+            srv.state._compacting_days = set()
+
+        # the next migration reaps the deferred bytes
+        _post(srv, "/insert/jsonline?_stream_fields=app",
+              _lines(new_day, 12, "new2"))
+        _drain(srv)
+        srv.state.migrate_now()
+        for rel in day_files:
+            assert not os.path.exists(os.path.join(spill, "_table", rel))
+        assert _count(srv, '{app="life"}') == 24
+    finally:
+        srv.stop()

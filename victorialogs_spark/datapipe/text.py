@@ -353,7 +353,9 @@ def winnowing_fingerprints(
         for pdf in batches:
             ids, poss, fps = [], [], []
             for doc, toks in zip(pdf[id_col], pdf["__t"]):
-                toks = list(toks)
+                # NULL text survives norm_tokens as a NULL array (None
+                # here); treat it as the empty doc the contract promises
+                toks = list(toks) if toks is not None else []
                 if not toks:
                     continue
                 if len(toks) < k:
@@ -434,9 +436,11 @@ def ngram_counts(
         for pdf in batches:
             c: Counter = Counter()
             for toks in pdf["__t"]:
-                toks = list(toks)
-                if len(toks) < n:
+                # NULL text → NULL token array (None); no grams, like
+                # any other shorter-than-n doc
+                if toks is None or len(toks) < n:
                     continue
+                toks = list(toks)
                 c.update(
                     " ".join(toks[i : i + n])
                     for i in range(len(toks) - n + 1)

@@ -9,7 +9,10 @@ lives in gif.py (`gif._lzw_decode`): same dictionary algorithm, but
 codes are packed MSB-first, the root table is fixed at 256 entries
 (Clear=256, EOI=257), every strip must BEGIN with a Clear code, and
 code width grows one code EARLY (the spec's "early change": at table
-size 2^width - 1, i.e. 510/1022/2046, not 511/1023/2047).
+size 2^width - 1, i.e. 511/1023/2047 — one sooner than GIF's
+2^width, matching libtiff/tifffile;
+tests/test_codec_interop.py::test_tiff_lzw_early_change_boundary
+pins the 9→10 and 10→11 crossings against an independent packer).
 
 Parity note: the reference engine treats media payloads as opaque
 bytes; this module exists for the data-pipeline side (corpus curation
@@ -112,8 +115,8 @@ def _lzw_decode_tiff(data: bytes, n_bytes: int) -> bytes:
             raise ValueError("TIFF LZW: code beyond table")
         out += entry
         prev = entry
-        # EARLY change: widen when the next code to assign would be
-        # 2^width - 1 (510/1022/2046), one earlier than the GIF rule
+        # EARLY change: widen when the table size reaches
+        # 2^width - 1 (511/1023/2047), one earlier than the GIF rule
         if len(table) == (1 << width) - 1 and width < 12:
             width += 1
     return bytes(out[:n_bytes])

@@ -4167,14 +4167,64 @@ _STALE_R13_WINDOW = [
     "s_json_values_by", "s_median_quantile", "s_multi_bucket", "s_num_bucket",
 ]
 
-# round-13 additions: brand-new oracle-backed entries registered this round
-# (never in any prior artifact) — they land at the FRONT of the window,
-# displacing stale entries from the back. _reorder_registry() makes a
-# forgotten registration loud instead of silently filtering out.
+# round-13 additions; both landed green in CORRECTNESS_r13.json (now in
+# _DRIVER_VERIFIED_R13). Kept for the historical record.
 _NEW_R13 = [
     "dp_image_ahash_tiff",
     "dp_image_ahash_tiff_gray",
 ]
+
+# exactly the 50-entry window recorded in CORRECTNESS_r13.json (50/50 green)
+_DRIVER_VERIFIED_R13 = [
+    "dp_image_ahash_tiff", "dp_image_ahash_tiff_gray", "p_pack_json",
+    "p_pack_logfmt", "p_sample_all", "p_top", "p_union", "p_uniq",
+    "p_uniq_hits", "p_unpack_json", "p_unpack_logfmt", "p_unpack_syslog",
+    "p_unpack_words", "p_unroll", "dp_audio_zcr", "dp_image_ahash",
+    "dp_ngram_counts", "dp_pca_check", "dp_pca_moments",
+    "dp_repeated_spans", "dp_semdedup", "dp_winnowing", "ep_hits",
+    "p_block_stats", "p_blocks_count", "p_collapse_nums", "p_decolorize",
+    "p_drop_empty_fields", "p_extract_keep_original", "p_fields_missing",
+    "p_format_duration_conv", "p_format_time_conv", "p_hash_cardinality",
+    "p_sort_partition_rank", "p_stream_context_window", "p_top_custom_hits",
+    "dp_mp4_frame_ahash", "dp_image_ahash_jpeg_progressive",
+    "dp_image_ahash_png16", "p_top_rank", "p_uniq_multi",
+    "p_unpack_words_limit", "p_unroll_zip", "s_count_empty",
+    "s_count_uniq_limit", "s_global", "s_histogram", "s_ipv4_bucket",
+    "s_json_values_by", "s_median_quantile",
+]
+
+# The 52 STALEST oracle-backed entries by last-green driver round after r13,
+# derived programmatically from the union of CORRECTNESS_r01..r13.json
+# sorted by (last-green round, position in that round's artifact): the 36
+# whose last green is the r10 artifact (r10 positions 14-49 — positions
+# 0-13 were re-checked by the r13 window fill), followed by the 16 oldest
+# r11 entries in r11 artifact order (two spare so a short _NEW_R14 still
+# fills the window; _reorder_registry truncates to 50 - len(front)).
+_STALE_R14_WINDOW = [
+    # last green = r10 (r10 artifact order, positions 14-49)
+    "s_multi_bucket", "s_num_bucket", "s_rate", "s_row_any_by", "s_row_max",
+    "s_row_min", "s_stats_by", "s_stats_if", "s_sum_len", "s_time_bucket",
+    "s_time_bucket_offset", "s_uniq_values", "s_uniq_values_limit",
+    "s_values_unrolled", "s_wildcard_no_match", "tpch_pricing_summary",
+    "tpch_top_orders", "ep_stats_query", "ep_stats_query_range",
+    "ep_streams", "ep_stream_field_values", "dp_exact_dedup",
+    "dp_ngram_jaccard", "dp_text_stats", "dp_quality", "dp_lang_id",
+    "dp_fingerprint", "dp_cosine_threshold", "dp_ann_bruteforce_topk",
+    "dp_ann_lsh_quantized_topk", "dp_ann_ivf_quantized_topk",
+    "dp_embedding_near_dup_exact", "dp_embedding_clusters_exact",
+    "dp_chunk_documents", "dp_hash_sample", "dp_train_val_test_split",
+    # oldest r11 entries (r11 artifact order, positions 0-15)
+    "dp_image_ahash_png_palette", "f_word", "f_phrase", "f_prefix",
+    "f_any_case", "f_exact", "f_exact_prefix", "f_in", "f_in_subquery",
+    "f_field_group", "f_contains_all", "f_contains_any", "f_seq",
+    "f_regexp", "f_range_gt", "f_range_bracket",
+]
+
+# round-14 additions: brand-new oracle-backed entries registered this round
+# (never in any prior artifact) — they land at the FRONT of the window,
+# displacing stale entries from the back. _reorder_registry() makes a
+# forgotten registration loud instead of silently filtering out.
+_NEW_R14: list[str] = []
 
 
 def _reorder_registry() -> None:
@@ -4183,8 +4233,8 @@ def _reorder_registry() -> None:
     COMPLETE: every oracle-backed entry has a green driver row in some
     round and no entry's latest check is red. The window's value is now
     FRESHNESS: front this round's brand-new oracle entries, then the
-    STALEST previously-green entries (for r13: the 34 whose last green
-    is r09 — positions 16-49 of that artifact — then the 16 oldest r10
+    STALEST previously-green entries (for r14: the 36 whose last green
+    is r10 — positions 14-49 of that artifact — then the oldest r11
     entries; the code behind them has drifted the most since their
     check). The
     rows-only entries (no oracle_sql by design — hash/approx-valued,
@@ -4192,32 +4242,32 @@ def _reorder_registry() -> None:
     a driver row for them would read `err: no_oracle`, not green."""
     global QUERIES, ORACLE
     missing = [
-        k for k in _NEW_R13 if k not in QUERIES or k not in ORACLE
+        k for k in _NEW_R14 if k not in QUERIES or k not in ORACLE
     ]
     if missing:
-        # a _NEW_R13 name that never got registered (or lost its oracle)
+        # a _NEW_R14 name that never got registered (or lost its oracle)
         # must fail loudly, not silently fall out of the window — the r9
         # reserved names did exactly that and the round shipped a false
         # "registered this round" comment
         raise RuntimeError(
-            f"_NEW_R13 entries not registered with an oracle: {missing}"
+            f"_NEW_R14 entries not registered with an oracle: {missing}"
         )
     checked = (
         set(_DRIVER_VERIFIED_R2_R3) | set(_DRIVER_VERIFIED_R5)
         | set(_DRIVER_VERIFIED_R6) | set(_DRIVER_VERIFIED_R7)
         | set(_DRIVER_VERIFIED_R8) | set(_DRIVER_VERIFIED_R9)
         | set(_DRIVER_VERIFIED_R10) | set(_DRIVER_VERIFIED_R11)
-        | set(_DRIVER_VERIFIED_R12)
+        | set(_DRIVER_VERIFIED_R12) | set(_DRIVER_VERIFIED_R13)
     )
     never = [k for k in QUERIES if k not in checked]
     never_with_oracle = [k for k in never if k in ORACLE]
     never_rows_only = [k for k in never if k not in ORACLE]
-    front = list(_NEW_R13) + [
-        k for k in never_with_oracle if k not in _NEW_R13
+    front = list(_NEW_R14) + [
+        k for k in never_with_oracle if k not in _NEW_R14
     ]
     # fill the window with the stalest previously-green entries
     fill = [
-        k for k in _STALE_R13_WINDOW
+        k for k in _STALE_R14_WINDOW
         if k in QUERIES and k in ORACLE and k not in front
     ][: max(0, 50 - len(front))]
     window = front + fill

@@ -98,6 +98,12 @@ class _State:
     # read pays a task per file, the same unbounded-pile failure the
     # flat tier had
     COMPACT_FILES = 16
+    # consecutive migration failures before the lifecycle gives up for
+    # the process lifetime: transient failures retry (at the next flush
+    # that re-trips the MIGRATE_FILES gate), persistent ones — a parquet
+    # schema the partitioned writer rejects — stop after this many
+    # attempts instead of re-running a doomed rewrite per flush
+    MIGRATE_MAX_FAILS = 3
 
     def __init__(
         self,
@@ -131,6 +137,16 @@ class _State:
         self._flushing_rows = 0
         self._migrating = False
         self._migrate_ok = spill_dir is not None
+        # consecutive _migrate failures; the gate only goes permanently
+        # dark at MIGRATE_MAX_FAILS so one transient blip (executor
+        # hiccup, disk pressure, a racing manual apply_retention) can't
+        # silently revert serve to the unbounded flat-pile behavior —
+        # but a schema-shaped failure that recurs stops burning rewrites
+        self._migrate_fails = 0
+        # days a compaction rewrite is reading OUTSIDE the lock;
+        # retention defers their physical deletion (logical drop +
+        # tombstones) so the in-flight read never loses files
+        self._compacting_days: set[str] = set()
         # a DURABLE spill dir may already hold rows flushed by a prior
         # server run — they were acked, so they must be queryable from
         # request one, not only after the next flush re-reads the dir.
@@ -316,6 +332,7 @@ class _State:
         rewrite runs — only the commit takes the lock."""
         if (
             not self._migrate_ok
+            or self._migrate_fails >= self.MIGRATE_MAX_FAILS
             or self._migrating
             or len(self._flat_files) < self.MIGRATE_FILES
         ):
@@ -396,11 +413,14 @@ class _State:
             #    files stay on disk until the NEXT migration so live
             #    plans never lose them.
             self._compact_full_days()
+            self._migrate_fails = 0
         except Exception:  # noqa: BLE001 — degrade to the flat pile
             # the flat files stay live (nothing was committed), reads
-            # stay correct; stop re-attempting a rewrite that can't work
-            # (e.g. a schema parquet's partitioned writer rejects)
-            self._migrate_ok = False
+            # stay correct. Transient failures retry at the next flush;
+            # only MIGRATE_MAX_FAILS consecutive failures (a rewrite
+            # that can't work, e.g. a schema the partitioned writer
+            # rejects) stop the lifecycle for the process
+            self._migrate_fails += 1
             self.inc("vl_spill_migrations_total", "status", "error")
         finally:
             with self.lock:
@@ -415,8 +435,6 @@ class _State:
         tombstone into _table_tombs and are reaped at the next
         migration (or, after a kill, at restore where the manifest
         marks them orphans) so plans in flight never lose files."""
-        from pyspark.sql import functions as F
-
         with self.lock:
             days: dict[str, list[str]] = {}
             for p in self._table_files:
@@ -426,6 +444,20 @@ class _State:
                 for d, fs in sorted(days.items())
                 if len(fs) >= self.COMPACT_FILES
             ]
+            # while the rewrite reads these days outside the lock, a
+            # racing apply_retention() must not physically delete their
+            # files — it defers to a logical drop (the in-memory check
+            # below then abandons the day's commit)
+            self._compacting_days = {d for d, _ in todo}
+        try:
+            self._compact_days(todo)
+        finally:
+            with self.lock:
+                self._compacting_days = set()
+
+    def _compact_days(self, todo: list[tuple[str, list[str]]]) -> None:
+        from pyspark.sql import functions as F
+
         for day, files in todo:
             paths = [os.path.join(self._table_dir, p) for p in files]
             day_dir = os.path.join(self._table_dir, day)
@@ -493,7 +525,23 @@ class _State:
 
         if self._table_dir is None or not self._table_files:
             return []
-        dropped = _apply(self._table_dir, keep_days_from)
+        dropped = _apply(
+            self._table_dir, keep_days_from, skip=self._compacting_days
+        )
+        # a day an in-flight compaction is reading outside the lock is
+        # dropped LOGICALLY only: its files tombstone for the next
+        # migration's reap (the compaction's commit check sees the day
+        # missing from _table_files and abandons), and the emptied
+        # day dir falls to the next physical retention pass
+        for day in sorted(self._compacting_days):
+            if day.split("=", 1)[-1] < keep_days_from:
+                pre = f"{day}{os.sep}"
+                deferred = [
+                    p for p in self._table_files if p.startswith(pre)
+                ]
+                if deferred:
+                    self._table_tombs.update(deferred)
+                    dropped.append(day.split("=", 1)[-1])
         if dropped:
             gone = tuple(f"_day={d}{os.sep}" for d in dropped)
             self._table_files = [

@@ -199,6 +199,42 @@ def plan_query(
     return out
 
 
+def _json_key_probe_regex(key: str) -> str:
+    """Regex matching EVERY JSON serialization of ``"key"`` — each
+    character may be written literally, as its short escape (\\n, \\",
+    …), or as a \\uXXXX escape in any hex case (surrogate pairs for
+    astral chars). Over-approximates (a VALUE containing the pattern
+    also hits), which is the safe direction: the probe's job is to
+    PROVE absence, so a false hit only keeps the exact inference path.
+    A plain substring probe missed keys written with escapes
+    (e.g. '"na\\u006de"') and silently skipped the overwrite."""
+    import re as _re
+
+    short = {'"': '\\"', "\\": "\\\\", "/": "\\/", "\b": "\\b",
+             "\f": "\\f", "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+
+    def _u(cp: int) -> str:
+        # \uXXXX with per-digit hex-case insensitivity
+        return r"\\u" + "".join(
+            f"[{d}{d.upper()}]" if d.isalpha() else d for d in "%04x" % cp
+        )
+
+    parts = ['"']
+    for ch in key:
+        alts = [_re.escape(ch)]
+        if ch in short:
+            alts.append(_re.escape(short[ch]))
+        o = ord(ch)
+        if o > 0xFFFF:
+            v = o - 0x10000
+            alts.append(_u(0xD800 + (v >> 10)) + _u(0xDC00 + (v & 0x3FF)))
+        else:
+            alts.append(_u(o))
+        parts.append("(?:" + "|".join(alts) + ")")
+    parts.append('"')
+    return "".join(parts)
+
+
 def _pushdown_unpack_keys(p, nxt, df: DataFrame):
     """Projection pushdown INTO key inference: ``unpack_json`` (or
     ``unpack_logfmt``) with no field list scans the data once just to
@@ -218,12 +254,19 @@ def _pushdown_unpack_keys(p, nxt, df: DataFrame):
       overwrite rows whose payload lacks the key with '' while
       inference might never touch the column. Safe under
       skip_empty_results (empty extraction keeps the original), and
-      otherwise PROVEN safe by a cheap substring scan: if the quoted
-      key ('"name"' for JSON, 'name=' for logfmt) appears in NO source
-      value, the key cannot be in the key universe and inference would
-      never have assigned the column. Substring hit ⇒ no rewrite (the
-      full inference path stays exact); the pre-check costs one simple
-      string scan vs the JSON-parse scan it replaces.
+      otherwise PROVEN safe by a cheap string scan: if the quoted key
+      appears in NO source value, the key cannot be in the key universe
+      and inference would never have assigned the column. For logfmt
+      the probe is a literal 'name=' contains (logfmt keys are never
+      escaped); for JSON it is an escape-aware regex
+      (_json_key_probe_regex) so keys serialized with \\uXXXX or short
+      escapes cannot defeat the absence proof. Probe hit ⇒ no rewrite
+      (the full inference path stays exact). COST NOTE: the probe is an
+      eager plan-time scan; on a MISS it replaces the strictly more
+      expensive parse-based inference scan, but on a HIT it is pure
+      overhead on top of the unchanged inference path — acceptable
+      because a hit needs the kept name to collide with an existing
+      column AND appear in payload text, which is the rare shape.
 
     Returns the (possibly rewritten) pipe, or None when NO kept name
     can come from the unpack — the pipe is then a provable no-op under
@@ -251,12 +294,13 @@ def _pushdown_unpack_keys(p, nxt, df: DataFrame):
     if probe:
         is_json = isinstance(p, A.PUnpackJson)
         src = fcol(df, p.from_field)
-        needles = [f'"{k}"' if is_json else f"{k}=" for k in probe]
         any_hit = F.lit(False)
-        for n in needles:
-            any_hit = any_hit | F.coalesce(
-                F.contains(src, F.lit(n)), F.lit(False)
-            )
+        for k in probe:
+            if is_json:
+                tst = src.rlike(_json_key_probe_regex(k))
+            else:
+                tst = F.contains(src, F.lit(f"{k}="))
+            any_hit = any_hit | F.coalesce(tst, F.lit(False))
         hit = df.agg(F.max(any_hit)).first()[0]
         if hit:
             return p  # key might be real — keep the exact inference path
