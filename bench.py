@@ -25,6 +25,37 @@ import time
 # the bench refuses to stay silent.
 DRIFT_BACKSTOP = 1.3
 
+# Per-query adjudication table — the guard's memory of flags that were
+# investigated with fresh-process stage attribution and adjudicated as
+# measurement-state artifacts, NOT regressions (the anchor names the
+# SCALE.md section holding the evidence). Without this, a query whose
+# cold-session and warm-protocol floors differ re-flags every time the
+# PRIOR round's context flips (p_sort_desc_rank flagged in r11, r12 and
+# r13 for exactly this). A median-only flag is suppressed into the
+# artifact's `adjudicated_flags` (still visible, no longer a regression)
+# only when the CURRENT run sits inside the adjudicated envelope:
+# median within `median_band` AND best-of at-or-under `best_max` — a
+# genuine slowdown pushes either bound and still flags.
+ADJUDICATIONS = {
+    "p_sort_desc_rank": {
+        "sf": 0.1,
+        "anchor": "SCALE.md 'p_sort_desc_rank median jitter adjudicated'"
+                  " (r13): warm-protocol median 0.31-0.45, cold-session"
+                  " ~0.52; steady-state execution ~100 ms, rest is"
+                  " driver planning + JIT",
+        "median_band": (0.25, 0.60),
+        "best_max": 0.50,  # cold isolated best 0.442
+    },
+    "dp_exact_dedup": {
+        "sf": 0.1,
+        "anchor": "SCALE.md 'dp_exact_dedup reproducible 2x adjudicated'"
+                  " (r12): bench-context best 0.209/median 0.236, cold"
+                  " isolated median up to 0.346 — cold-JIT + drift",
+        "median_band": (0.12, 0.40),
+        "best_max": 0.35,
+    },
+}
+
 # Committed per-round medians history. Round 9 proved the prior-lookup
 # cannot depend on the driver's BENCH_r{N}.json artifacts: the driver
 # captures only the last ~2000 chars of output, r8's verbose JSON line
@@ -51,7 +82,14 @@ def load_history_priors(here: str, sf) -> tuple[dict, str | None]:
     except (OSError, ValueError):
         return {}, None
     for rec in reversed(lines):
-        if rec.get("sf") == sf and rec.get("query_medians"):
+        # lines without a protocol predate the field and were all
+        # written by this file's full fresh-process run — treat as such
+        proto = rec.get("protocol", "bench-full-fresh-process")
+        if (
+            rec.get("sf") == sf
+            and rec.get("query_medians")
+            and proto == "bench-full-fresh-process"
+        ):
             label = f"{HISTORY_FILE}:r{rec.get('round', '?')}"
             return rec, label
     return {}, None
@@ -77,6 +115,12 @@ def append_history(
         "sf": sf,
         "query_medians": medians,
         "layout_query_medians": layout_medians,
+        # HOW this line was measured, so a future A/B harness appending
+        # warm-validation numbers can't silently become the fresh-process
+        # baseline (cold vs warm floors differ by ~1.6x on tiny queries —
+        # the p_sort_desc_rank adjudication); load_history_priors only
+        # compares like-for-like
+        "protocol": "bench-full-fresh-process",
     }
     if bests:
         rec["query_bests"] = bests
@@ -103,6 +147,8 @@ def compute_regression_flags(
     prior_medians: dict[str, float],
     bests: dict[str, float] | None = None,
     prior_bests: dict[str, float] | None = None,
+    sf: float | None = None,
+    adjudications: dict | None = None,
 ) -> dict:
     """Round-over-round regression detection on query MEDIANS.
 
@@ -137,6 +183,7 @@ def compute_regression_flags(
     if not ratios:
         return {
             "regressions": {},
+            "adjudicated": {},
             "host_drift_factor": None,
             "drift_backstop_exceeded": False,
             "uniform_slowdown_raw": {},
@@ -146,6 +193,7 @@ def compute_regression_flags(
         rs = sorted(ratios.values())
         drift = max(1.0, rs[len(rs) // 2])
     regressions: dict[str, dict] = {}
+    adjudicated: dict[str, dict] = {}
     for name, med in medians.items():
         pm = prior_medians.get(name)
         if pm and pm > 0 and (med / pm) / drift > 1.25:
@@ -162,10 +210,26 @@ def compute_regression_flags(
                 flag["noise_shaped"] = flag["best_ratio"] <= 1.1
             else:
                 flag["best_ratio"] = None
+            adj = (adjudications or {}).get(name)
+            if (
+                adj is not None
+                and adj.get("sf") == sf
+                and adj["median_band"][0] <= med <= adj["median_band"][1]
+                and (bests or {}).get(name) is not None
+                and (bests or {})[name] <= adj["best_max"]
+            ):
+                # inside the adjudicated measurement envelope: the flag
+                # is the KNOWN cold/warm-floor shape, recorded separately
+                # (auditable, not a regression). Outside either bound it
+                # falls through and flags normally.
+                flag["adjudication"] = adj["anchor"]
+                adjudicated[name] = flag
+                continue
             regressions[name] = flag
     backstop = drift > DRIFT_BACKSTOP
     return {
         "regressions": regressions,
+        "adjudicated": adjudicated,
         "host_drift_factor": round(drift, 3),
         "drift_backstop_exceeded": backstop,
         "uniform_slowdown_raw": (
@@ -488,7 +552,10 @@ def main() -> int:
             except Exception:
                 pass
     regressions: dict[str, dict] = {}
-    flags = compute_regression_flags(medians, prior_medians, times, prior_bests)
+    flags = compute_regression_flags(
+        medians, prior_medians, times, prior_bests,
+        sf=sf, adjudications=ADJUDICATIONS,
+    )
 
     # persist this run's medians for the NEXT round's guard (committed
     # with the round snapshot); round = newest driver artifact + 1
@@ -516,6 +583,13 @@ def main() -> int:
         )
     regressions = flags["regressions"]
     drift = flags["host_drift_factor"]
+    for name, info in flags["adjudicated"].items():
+        print(
+            f"# ADJUDICATED {name}: median {info['prior_median']:.3f}s -> "
+            f"{info['median']:.3f}s ({info['ratio']:.2f}x) inside the "
+            f"adjudicated envelope — {info['adjudication']}",
+            file=sys.stderr,
+        )
     for name, info in regressions.items():
         shape = ""
         if info.get("best_ratio") is not None:
@@ -578,6 +652,9 @@ def main() -> int:
                 # queries are listed so the check is auditable
                 "drift_backstop_exceeded": flags["drift_backstop_exceeded"],
                 "uniform_slowdown_raw": flags["uniform_slowdown_raw"],
+                # flags inside a SCALE.md-adjudicated measurement
+                # envelope — visible for audit, not regressions
+                "adjudicated_flags": flags["adjudicated"],
                 # the SAME headline queries (events-based subset, same
                 # LogsQL text, same hot-run protocol) over the
                 # partitioned+sidecar layout — the actual 100 TB read
@@ -639,6 +716,7 @@ def main() -> int:
             for n, d in sorted(flags["regressions"].items())
         },
         "layout_regressions": sorted(layout_flags["regressions"]),
+        "adjudicated_flags": sorted(flags["adjudicated"]),
         "host_drift_factor": drift,
         "drift_backstop_exceeded": flags["drift_backstop_exceeded"],
         "baseline": baseline_label,

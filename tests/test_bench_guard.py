@@ -163,3 +163,102 @@ def test_committed_history_newest_line_is_usable_prior():
     rec, label = load_history_priors(here, 0.1)
     assert rec.get("query_medians"), "committed history yielded empty priors"
     assert label and re.fullmatch(r"BENCH_HISTORY\.jsonl:r\d+", label)
+
+
+def test_adjudicated_flag_suppressed_inside_envelope():
+    # the p_sort_desc_rank shape: prior round measured the warm-protocol
+    # floor (~0.33), this round the cold one (~0.52) — a 1.57x median
+    # ratio with best-of inside the adjudicated envelope must move to
+    # adjudicated_flags, not regressions
+    from bench import ADJUDICATIONS
+
+    prior = dict(PRIOR)
+    prior["p_sort_desc_rank"] = 0.33
+    medians = dict(PRIOR)
+    medians["p_sort_desc_rank"] = 0.52
+    bests = {n: 0.8 for n in PRIOR}
+    bests["p_sort_desc_rank"] = 0.44
+    prior_bests = {n: 0.8 for n in PRIOR}
+    prior_bests["p_sort_desc_rank"] = 0.31
+    flags = compute_regression_flags(
+        medians, prior, bests, prior_bests,
+        sf=0.1, adjudications=ADJUDICATIONS,
+    )
+    assert flags["regressions"] == {}
+    assert list(flags["adjudicated"]) == ["p_sort_desc_rank"]
+    assert "SCALE.md" in flags["adjudicated"]["p_sort_desc_rank"][
+        "adjudication"
+    ]
+
+
+def test_adjudication_does_not_cover_other_sf():
+    # the envelope is a sf0.1 measurement; a sf1 flag must NOT be eaten
+    from bench import ADJUDICATIONS
+
+    prior = dict(PRIOR)
+    prior["p_sort_desc_rank"] = 0.33
+    medians = dict(PRIOR)
+    medians["p_sort_desc_rank"] = 0.52
+    bests = {n: 0.8 for n in PRIOR}
+    bests["p_sort_desc_rank"] = 0.44
+    prior_bests = dict(bests)
+    prior_bests["p_sort_desc_rank"] = 0.31
+    flags = compute_regression_flags(
+        medians, prior, bests, prior_bests,
+        sf=1.0, adjudications=ADJUDICATIONS,
+    )
+    assert list(flags["regressions"]) == ["p_sort_desc_rank"]
+    assert flags["adjudicated"] == {}
+
+
+def test_genuine_slowdown_outside_envelope_still_flags():
+    # a deliberate 1.3x slowdown pushing the query OUT of its adjudicated
+    # band (median above the band max, best above best_max) must flag as
+    # a normal regression — the adjudication is an envelope, not a mute
+    from bench import ADJUDICATIONS
+
+    band_hi = ADJUDICATIONS["p_sort_desc_rank"]["median_band"][1]
+    best_max = ADJUDICATIONS["p_sort_desc_rank"]["best_max"]
+    prior = dict(PRIOR)
+    prior["p_sort_desc_rank"] = 0.52
+    medians = dict(PRIOR)
+    medians["p_sort_desc_rank"] = round(band_hi * 1.3, 3)
+    bests = {n: 0.8 for n in PRIOR}
+    bests["p_sort_desc_rank"] = round(best_max * 1.3, 3)
+    prior_bests = {n: 0.8 for n in PRIOR}
+    prior_bests["p_sort_desc_rank"] = 0.44
+    flags = compute_regression_flags(
+        medians, prior, bests, prior_bests,
+        sf=0.1, adjudications=ADJUDICATIONS,
+    )
+    assert list(flags["regressions"]) == ["p_sort_desc_rank"]
+    assert flags["adjudicated"] == {}
+    # and a non-adjudicated query slowed 1.3x still flags regardless
+    medians2 = dict(PRIOR)
+    medians2["q5"] = 1.31
+    flags2 = compute_regression_flags(
+        medians2, PRIOR, sf=0.1, adjudications=ADJUDICATIONS,
+    )
+    assert list(flags2["regressions"]) == ["q5"]
+
+
+def test_history_protocol_like_for_like(tmp_path):
+    # a warm-validation line (different protocol) must never become the
+    # fresh-process baseline; legacy lines without the field count as
+    # fresh-process (they were all written by bench.py's full run)
+    import json
+
+    from bench import append_history, load_history_priors
+
+    here = str(tmp_path)
+    append_history(here, 11, 0.1, {"q1": 1.0}, {})
+    path = tmp_path / "BENCH_HISTORY.jsonl"
+    lines = [json.loads(ln) for ln in path.read_text().splitlines()]
+    assert lines[-1]["protocol"] == "bench-full-fresh-process"
+    # splice in a newer warm-validation record by hand
+    lines.append({"round": 12, "sf": 0.1, "query_medians": {"q1": 0.3},
+                  "protocol": "warm-validation"})
+    path.write_text("\n".join(json.dumps(r) for r in lines) + "\n")
+    rec, label = load_history_priors(here, 0.1)
+    assert rec["query_medians"] == {"q1": 1.0}
+    assert label == "BENCH_HISTORY.jsonl:r11"
