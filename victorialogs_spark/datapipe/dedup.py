@@ -135,6 +135,7 @@ def minhash_signatures_arrow(
     num_hashes: int = 64,
     shingle_k: int = 3,
     shingle: str = "token",
+    bands: int | None = None,
 ) -> DataFrame:
     """MinHash sketch via a vectorized Arrow pandas UDF: the whole batch's
     grams are hashed in ONE C call (``pd.util.hash_array``, SipHash with a
@@ -142,7 +143,18 @@ def minhash_signatures_arrow(
     is a segmented ``np.minimum.reduceat`` over multiply-shift re-hashes.
     Zero per-gram Python: one narrow map, no shuffle, no hashlib.
 
-    Output: (<id_col>, sig array<long>[num_hashes]).
+    Output: (<id_col>, sig array<long>[num_hashes]) — plus, when ``bands``
+    is given, bk array<long>[bands]: one 64-bit bucket per signature band,
+    a vectorized polynomial mix of the band's slots (two docs share a
+    bucket iff their band slices are equal, up to a ~2^-64/pair collision
+    — the same guarantee as hashing the slice's string form, minus the
+    per-doc ``bands*rows`` long→string conversions the JVM expression
+    would pay; measured 1.76 → 1.42 s median on the end-to-end sf1
+    minhash query, SCALE.md r14). The multi-field output rides in ONE
+    struct from ONE Python pass; the UDF is asNondeterministic because
+    extracting two fields from it would otherwise let CollapseProject
+    clone the whole sketch into each extraction — the measured 2x
+    pathology, SCALE.md r14.
     """
     import numpy as np
     import pandas as pd
@@ -151,6 +163,9 @@ def minhash_signatures_arrow(
     # (fully vectorized C arithmetic — no Python bigints)
     rng = np.random.RandomState(42)
     A = (rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    if bands is not None:
+        rows_per_band = check_banding(num_hashes, bands)
+    _POLY = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
 
     def _grams(text: str) -> set:
         toks = (text or "").lower().split()
@@ -165,10 +180,8 @@ def minhash_signatures_arrow(
             return {s}
         return {s[i : i + k] for i in range(len(s) - k + 1)}
 
-    def _sig(series):
+    def _sketch(series):
         texts = series.tolist()
-        if not texts:
-            return pd.Series([], dtype=object)
         flat: list = []
         starts = np.empty(len(texts), dtype=np.int64)
         for i, text in enumerate(texts):
@@ -177,17 +190,45 @@ def minhash_signatures_arrow(
         # reduceat correctness REQUIRES >=1 gram per row (an empty segment
         # silently takes the next row's value; a trailing one raises) —
         # _grams guarantees it, this guards the invariant against edits
-        if len(flat) <= int(starts[-1]):
+        if texts and len(flat) <= int(starts[-1]):
             raise AssertionError("minhash: _grams returned 0 grams for a row")
         hs = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
         sig = np.empty((len(texts), num_hashes), dtype=np.uint64)
         for j in range(num_hashes):
             sig[:, j] = np.minimum.reduceat(A[j] * hs, starts)
-        return pd.Series(sig.view(np.int64).tolist())
+        return sig
 
-    _sig.__annotations__ = {"series": pd.Series, "return": pd.Series}
-    udf = F.pandas_udf(_sig, "array<long>")
-    return df.select(F.col(id_col), udf(F.col(text_col)).alias("sig"))
+    if bands is None:
+
+        def _sig(series):
+            if not len(series):
+                return pd.Series([], dtype=object)
+            return pd.Series(_sketch(series).view(np.int64).tolist())
+
+        _sig.__annotations__ = {"series": pd.Series, "return": pd.Series}
+        udf = F.pandas_udf(_sig, "array<long>")
+        return df.select(F.col(id_col), udf(F.col(text_col)).alias("sig"))
+
+    def _sig_bk(series):
+        if not len(series):
+            return pd.DataFrame({"sig": [], "bk": []})
+        sig = _sketch(series)
+        bk = np.zeros((sig.shape[0], bands), dtype=np.uint64)
+        for b in range(bands):
+            acc = np.zeros(sig.shape[0], dtype=np.uint64)
+            for j in range(rows_per_band):
+                acc = acc * _POLY + sig[:, b * rows_per_band + j]
+            bk[:, b] = acc
+        return pd.DataFrame(
+            {"sig": sig.view(np.int64).tolist(), "bk": bk.view(np.int64).tolist()}
+        )
+
+    _sig_bk.__annotations__ = {"series": pd.Series, "return": pd.DataFrame}
+    udf = F.pandas_udf(_sig_bk, "sig array<long>, bk array<long>").asNondeterministic()
+    out = df.select(F.col(id_col), udf(F.col(text_col)).alias("__s"))
+    return out.select(
+        F.col(id_col), F.col("__s.sig").alias("sig"), F.col("__s.bk").alias("bk")
+    )
 
 
 def minhash_signatures(
@@ -324,18 +365,30 @@ def minhash_near_dups(
     Output: (id_a, id_b, est_jaccard) with est_jaccard >= threshold.
     """
     if engine == "arrow":
+        # band buckets come out of the sketch UDF itself (numpy polynomial
+        # mix — same pair set as hashing the band slice, no per-doc
+        # long→string chain; measured 1.76 → 1.42 s median at sf1)
         sigs = minhash_signatures_arrow(
-            df, id_col, text_col, num_hashes, shingle=shingle
+            df, id_col, text_col, num_hashes, shingle=shingle, bands=bands
+        )
+        buckets = sigs.select(
+            F.col(id_col),
+            F.col("sig"),
+            F.posexplode("bk").alias("band", "bucket"),
+        ).select(
+            "band",
+            "bucket",
+            F.struct(F.col(id_col).alias("id"), F.col("sig")).alias("doc"),
         )
     else:
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle=shingle)
-    buckets = sigs.select(
-        F.col(id_col), F.col("sig"), F.explode(_band_buckets(bands, num_hashes)).alias("be")
-    ).select(
-        F.col("be.band").alias("band"),
-        F.col("be.bucket").alias("bucket"),
-        F.struct(F.col(id_col).alias("id"), F.col("sig")).alias("doc"),
-    )
+        buckets = sigs.select(
+            F.col(id_col), F.col("sig"), F.explode(_band_buckets(bands, num_hashes)).alias("be")
+        ).select(
+            F.col("be.band").alias("band"),
+            F.col("be.bucket").alias("bucket"),
+            F.struct(F.col(id_col).alias("id"), F.col("sig")).alias("doc"),
+        )
     grouped = buckets.groupBy("band", "bucket").agg(
         F.array_sort(F.collect_list("doc")).alias("docs")
     )

@@ -23,14 +23,17 @@ PackBits runs and LZW codes are packed by hand in comments.
 
 Scope (baseline TIFF 6.0, the overwhelmingly common archival shape):
 - both byte orders ("II" little-endian, "MM" big-endian),
-- BitsPerSample 8, SamplesPerPixel 1 (grayscale, PhotometricInterpretation
-  0 WhiteIsZero — inverted — or 1 BlackIsZero) and 3 (RGB, photometric 2),
+- SamplesPerPixel 1 (grayscale, PhotometricInterpretation 0 WhiteIsZero
+  — inverted — or 1 BlackIsZero) at BitsPerSample 1/4/8/16 (the bilevel
+  and deep scanned-archive shapes), SamplesPerPixel 3 (RGB,
+  photometric 2) at BitsPerSample 8/16,
 - Compression 1 (none), 5 (LZW), 32773 (PackBits),
-- Predictor 1 (none) and 2 (horizontal differencing, the usual LZW pairing),
+- Predictor 1 (none) and 2 (horizontal differencing, the usual LZW
+  pairing; 8-bit samples only — see the loud guard in _decode_ifd),
 - multi-strip files (RowsPerStrip < ImageLength).
 Out of scope (documented, loud ValueError): tiles, JPEG-in-TIFF,
-CCITT fax codings, planar configuration 2, palette TIFF, sub-byte or
-16-bit samples. Those are rare in crawled corpora and each is a
+CCITT fax codings, planar configuration 2, palette TIFF (photometric
+3), sub-byte RGB. Those are rare in crawled corpora and each is a
 self-contained extension of this module's strip loop.
 """
 
