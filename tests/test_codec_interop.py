@@ -490,3 +490,249 @@ def test_tiff_lzw_early_change_boundary():
         out.append((acc << (8 - nbits)) & 0xFF)
 
     assert _lzw_decode_tiff(bytes(out), len(raw)) == raw
+
+
+# ---------------------------------------------------------------------------
+# WebP-VP8L fixtures: bitstreams packed by hand with an independent
+# little bit-packer (LSB-first fields, MSB-first prefix codes), NOT
+# webp.py's writer — pinning header layout, simple-code parsing (1-bit
+# and 8-bit first symbols, canonical 2-symbol order), zero-bit
+# single-symbol codes, the code-length-code bootstrap with 18-runs,
+# LZ77 2D distance codes 1 (above) and 2 (left), the color cache, and
+# the subtract-green transform header + inverse.
+
+
+class _VP8LBits:
+    """Independent LSB-first bit packer for hand-assembled fixtures."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.n = 0
+
+    def f(self, value, width):  # fixed-width field, LSB-first
+        for i in range(width):
+            if self.n % 8 == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 1 << (self.n % 8)
+            self.n += 1
+
+    def c(self, code, length):  # prefix code, MSB-first
+        for i in range(length - 1, -1, -1):
+            self.f((code >> i) & 1, 1)
+
+    def riff(self):
+        body = b"\x2f" + bytes(self.out)
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_decode_handwritten_vp8l_simple_codes():
+    """2x2 literal VP8L image, all five prefix codes in the simple form.
+
+    Pixels (R,G,B): row0 = (10,20,30) (10,200,30); row1 = (40,20,77)
+    (40,200,77). Greens are written in DESCENDING order (s0=200, s1=20)
+    to pin the canonical rule: code 0 still belongs to the SMALLER
+    symbol (20), whatever the written order — a decoder that assigns
+    code 0 to the first-written symbol swaps every green."""
+    from victorialogs_spark.datapipe.webp import decode_vp8l
+
+    b = _VP8LBits()
+    b.f(1, 14)   # width-1
+    b.f(1, 14)   # height-1
+    b.f(0, 1)    # alpha hint
+    b.f(0, 3)    # version
+    b.f(0, 1)    # no transforms
+    b.f(0, 1)    # no color cache
+    b.f(0, 1)    # no meta-prefix image
+    # GREEN: simple, 2 symbols, 8-bit first, s0=200, s1=20
+    b.f(1, 1); b.f(1, 1); b.f(1, 1); b.f(200, 8); b.f(20, 8)
+    # RED: simple, 2 symbols, 8-bit first, s0=10, s1=40 -> 10:0, 40:1
+    b.f(1, 1); b.f(1, 1); b.f(1, 1); b.f(10, 8); b.f(40, 8)
+    # BLUE: simple, 2 symbols, s0=30, s1=77 -> 30:0, 77:1
+    b.f(1, 1); b.f(1, 1); b.f(1, 1); b.f(30, 8); b.f(77, 8)
+    # ALPHA: simple, 1 symbol (255) -> zero-bit code
+    b.f(1, 1); b.f(0, 1); b.f(1, 1); b.f(255, 8)
+    # DISTANCE (unused but mandatory): simple, 1 symbol (0), 1-bit form
+    b.f(1, 1); b.f(0, 1); b.f(0, 1); b.f(0, 1)
+    # pixels: per literal g, r, b codes (alpha costs no bits)
+    b.c(0, 1); b.c(0, 1); b.c(0, 1)  # (10,20,30)
+    b.c(1, 1); b.c(0, 1); b.c(0, 1)  # (10,200,30)
+    b.c(0, 1); b.c(1, 1); b.c(1, 1)  # (40,20,77)
+    b.c(1, 1); b.c(1, 1); b.c(1, 1)  # (40,200,77)
+    px = decode_vp8l(b.riff())
+    want = np.array(
+        [[[10, 20, 30], [10, 200, 30]], [[40, 20, 77], [40, 200, 77]]],
+        dtype=np.uint8,
+    )
+    assert px.shape == (2, 2, 3)
+    assert (px == want).all()
+
+
+def test_decode_handwritten_vp8l_backref_cache():
+    """3x2 VP8L with a normal green code, LZ77 back-references through
+    the 2D distance map, and a 1-bit color cache.
+
+    A = (40,200,77) -> cache slot 0; B = (1,2,3) -> slot 1
+    (key = (0x1e35a7bd * 0xff28c84d) >> 31 = 0; 0xff010203 -> 1).
+    Program: p0 = literal A; p1 = literal B;
+    p2 = backref len 1, distance code 2 = (dx 1, dy 0) = left -> B;
+    p3 = backref len 2, distance code 1 = (dx 0, dy 1) = above,
+         dist = xsize = 3 -> copies p0, p1 -> A, B;
+    p5 = cache hit, slot 1 -> B.
+    Expected rows: [A, B, B], [A, B, B].
+
+    Green alphabet = 256 + 24 + 2 = 282; used symbols
+    {2: B.g, 200: A.g, 256: len-1, 257: len-2, 281: cache slot 1}.
+    Lengths: sym 2 -> 1 bit; the other four -> 3 bits
+    (Kraft 1/2 + 4/8 = 1). Canonical: 2:'0'; ascending 3-bit codes
+    200:'100', 256:'101', 257:'110', 281:'111'.
+    Code-length code: symbols {0,1,3,18} all 2 bits ->
+    0:'00', 1:'01', 3:'10', 18:'11'. Slot ops for lengths[0..281]:
+    0,0, 1@2, 0,0, 18-run 138 (extra 127), 18-run 46+11=57 zeros
+    (extra 46), 3@200, 18-run 55 (extra 44), 3@256, 3@257,
+    18-run 23 (extra 12), 3@281 = 282 slots in 13 ops."""
+    from victorialogs_spark.datapipe.webp import decode_vp8l
+
+    b = _VP8LBits()
+    b.f(2, 14)   # width-1
+    b.f(1, 14)   # height-1
+    b.f(0, 1); b.f(0, 3)
+    b.f(0, 1)    # no transforms
+    b.f(1, 1); b.f(1, 4)   # color cache, 1 bit (2 slots)
+    b.f(0, 1)    # no meta-prefix image
+    # GREEN: normal form
+    b.f(0, 1)            # not simple
+    b.f(2, 4)            # num_code_lengths = 6: order 17,18,0,1,2,3
+    b.f(0, 3)            # cl length of 17
+    b.f(2, 3)            # 18
+    b.f(2, 3)            # 0
+    b.f(2, 3)            # 1
+    b.f(0, 3)            # 2
+    b.f(2, 3)            # 3
+    b.f(0, 1)            # no max_symbol cap (read to alphabet end)
+    b.c(0b00, 2); b.c(0b00, 2)        # slots 0,1 = 0
+    b.c(0b01, 2)                      # slot 2: length 1
+    b.c(0b00, 2); b.c(0b00, 2)        # slots 3,4 = 0
+    b.c(0b11, 2); b.f(127, 7)         # 18-run: 11+127 = 138 zeros (5..142)
+    b.c(0b11, 2); b.f(46, 7)          # 18-run: 11+46 = 57 zeros (143..199)
+    b.c(0b10, 2)                      # slot 200: length 3
+    b.c(0b11, 2); b.f(44, 7)          # 18-run: 55 zeros (201..255)
+    b.c(0b10, 2)                      # slot 256: length 3
+    b.c(0b10, 2)                      # slot 257: length 3
+    b.c(0b11, 2); b.f(12, 7)          # 18-run: 23 zeros (258..280)
+    b.c(0b10, 2)                      # slot 281: length 3
+    # RED: simple, s0=1 (1-bit form), s1=40 -> 1:'0', 40:'1'
+    b.f(1, 1); b.f(1, 1); b.f(0, 1); b.f(1, 1); b.f(40, 8)
+    # BLUE: simple, s0=3, s1=77 -> 3:'0', 77:'1'
+    b.f(1, 1); b.f(1, 1); b.f(1, 1); b.f(3, 8); b.f(77, 8)
+    # ALPHA: simple single 255 -> zero-bit
+    b.f(1, 1); b.f(0, 1); b.f(1, 1); b.f(255, 8)
+    # DISTANCE: simple, s0=0, s1=1 -> 0:'0', 1:'1'
+    b.f(1, 1); b.f(1, 1); b.f(0, 1); b.f(0, 1); b.f(1, 8)
+    # data:
+    b.c(0b100, 3)             # green 200 -> literal A
+    b.c(1, 1)                 # red 40
+    b.c(1, 1)                 # blue 77 (alpha 0 bits) -> cache slot 0
+    b.c(0, 1)                 # green 2 -> literal B
+    b.c(0, 1)                 # red 1
+    b.c(0, 1)                 # blue 3 -> cache slot 1
+    b.c(0b101, 3)             # green 256: length code 0 -> length 1
+    b.c(1, 1)                 # distance symbol 1 -> value 2 -> left
+    b.c(0b110, 3)             # green 257: length code 1 -> length 2
+    b.c(0, 1)                 # distance symbol 0 -> value 1 -> above
+    b.c(0b111, 3)             # green 281: cache slot 1 -> B
+    px = decode_vp8l(b.riff())
+    A, B = [40, 200, 77], [1, 2, 3]
+    want = np.array([[A, B, B], [A, B, B]], dtype=np.uint8)
+    assert px.shape == (2, 3, 3)
+    assert (px == want).all()
+
+
+def test_decode_handwritten_vp8l_subtract_green():
+    """2x1 VP8L with the subtract-green transform: header type bits and
+    the inverse (r += g, b += g mod 256), wrap-around included.
+
+    Display pixels: (10,3,200), (0,255,8). Coded residuals:
+    (7,3,197), (1,255,9) — e.g. 0-255 = 1 mod 256."""
+    from victorialogs_spark.datapipe.webp import decode_vp8l
+
+    b = _VP8LBits()
+    b.f(1, 14)   # width-1 = 1 (2 wide)
+    b.f(0, 14)   # height-1 = 0
+    b.f(0, 1); b.f(0, 3)
+    b.f(1, 1); b.f(2, 2)   # transform present: type 2 = subtract green
+    b.f(0, 1)              # no more transforms
+    b.f(0, 1)              # no color cache
+    b.f(0, 1)              # no meta
+    # GREEN: simple 2 symbols {3, 255} -> 3:'0', 255:'1'
+    b.f(1, 1); b.f(1, 1); b.f(1, 1); b.f(3, 8); b.f(255, 8)
+    # RED (residuals): {7, 1} written descending -> canonical 1:'0', 7:'1'
+    b.f(1, 1); b.f(1, 1); b.f(1, 1); b.f(7, 8); b.f(1, 8)
+    # BLUE (residuals): {197, 9} -> 9:'0', 197:'1'
+    b.f(1, 1); b.f(1, 1); b.f(1, 1); b.f(197, 8); b.f(9, 8)
+    # ALPHA: single 255
+    b.f(1, 1); b.f(0, 1); b.f(1, 1); b.f(255, 8)
+    # DISTANCE: single 0
+    b.f(1, 1); b.f(0, 1); b.f(0, 1); b.f(0, 1)
+    # residual pixels: (7,3,197) then (1,255,9)
+    b.c(0, 1)  # green 3
+    b.c(1, 1)  # red 7
+    b.c(1, 1)  # blue 197
+    b.c(1, 1)  # green 255
+    b.c(0, 1)  # red 1
+    b.c(0, 1)  # blue 9
+    px = decode_vp8l(b.riff())
+    want = np.array([[[10, 3, 200], [0, 255, 8]]], dtype=np.uint8)
+    assert px.shape == (1, 2, 3)
+    assert (px == want).all()
+
+
+def test_decode_handwritten_vp8l_meta_prefix_groups():
+    """8x1 VP8L with TWO meta-prefix groups selected by a recursively
+    coded 2x1 entropy image (meta_bits=2: pixels 0-3 are block 0,
+    4-7 block 1; group index = (red << 8) | green of the entropy-image
+    pixel). Every main-image prefix code is a single-symbol (zero-bit)
+    code, so the data section costs NO bits and the decoded pixels
+    depend entirely on group selection: block 0 -> (20,10,30),
+    block 1 -> (60,50,70). A decoder that botches the entropy-image
+    recursion, the (r<<8)|g index, or the (y>>bits)*ew + (x>>bits)
+    lookup paints the wrong half."""
+    from victorialogs_spark.datapipe.webp import decode_vp8l
+
+    b = _VP8LBits()
+    b.f(7, 14)   # width-1 = 7
+    b.f(0, 14)   # height-1 = 0
+    b.f(0, 1); b.f(0, 3)
+    b.f(0, 1)    # no transforms
+    b.f(0, 1)    # no color cache
+    b.f(1, 1)    # meta-prefix image present
+    b.f(0, 3)    # meta_bits - 2 = 0 -> blocks of 4 -> entropy image 2x1
+    # --- entropy sub-image (2x1, level > 0: no transforms, no meta) ---
+    b.f(0, 1)    # sub-image: no color cache
+    # sub GREEN: simple 2 symbols, 1-bit first: s0=0, s1=1 -> 0:'0', 1:'1'
+    b.f(1, 1); b.f(1, 1); b.f(0, 1); b.f(0, 1); b.f(1, 8)
+    # sub RED: single 0 (group indices < 256 need red = 0)
+    b.f(1, 1); b.f(0, 1); b.f(0, 1); b.f(0, 1)
+    # sub BLUE: single 0
+    b.f(1, 1); b.f(0, 1); b.f(0, 1); b.f(0, 1)
+    # sub ALPHA: single 0
+    b.f(1, 1); b.f(0, 1); b.f(0, 1); b.f(0, 1)
+    # sub DISTANCE: single 0
+    b.f(1, 1); b.f(0, 1); b.f(0, 1); b.f(0, 1)
+    # sub pixels: green 0 (group 0), green 1 (group 1)
+    b.c(0, 1); b.c(1, 1)
+    # --- two groups x five codes, all single-symbol (zero data bits) ---
+    for g, r, bl in ((10, 20, 30), (50, 60, 70)):
+        b.f(1, 1); b.f(0, 1); b.f(1, 1); b.f(g, 8)    # green
+        b.f(1, 1); b.f(0, 1); b.f(1, 1); b.f(r, 8)    # red
+        b.f(1, 1); b.f(0, 1); b.f(1, 1); b.f(bl, 8)   # blue
+        b.f(1, 1); b.f(0, 1); b.f(1, 1); b.f(255, 8)  # alpha
+        b.f(1, 1); b.f(0, 1); b.f(0, 1); b.f(0, 1)    # distance
+    # data: 8 pixels, all codes zero-bit
+    px = decode_vp8l(b.riff())
+    want = np.array([[[20, 10, 30]] * 4 + [[60, 50, 70]] * 4], np.uint8)
+    assert px.shape == (1, 8, 3)
+    assert (px == want).all()

@@ -545,3 +545,77 @@ def test_tiff_depth_roundtrip_property(h, w, depth, rgb, bo, comp, seed):
     t = encode_tiff(px, compression=comp, byte_order=bo, bit_depth=depth,
                     rows_per_strip=max(1, h // 2))
     assert np.array_equal(decode_tiff(t), want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 33),
+    w=st.integers(1, 33),
+    transform=st.sampled_from(
+        ["none", "sg", "pred", "sg+pred", "palette"]
+    ),
+    mode=st.integers(0, 13),
+    ncol=st.sampled_from([2, 3, 4, 11, 16, 40, 256]),
+    seed=st.integers(0, 2**31),
+)
+def test_vp8l_roundtrip_property(h, w, transform, mode, ncol, seed):
+    """VP8L is lossless: decode(encode(px)) == px across all 14
+    predictor modes, subtract-green, their combination, and the
+    color-indexing transform at every pixel-bundling width (8/4/2
+    indices per byte and the unbundled >16-color case)."""
+    from victorialogs_spark.datapipe.webp import decode_vp8l, encode_vp8l
+
+    rng = np.random.default_rng(seed)
+    if transform == "palette":
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, ncol, size=(h, w))]
+        data = encode_vp8l(px, palette=True)
+    else:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        data = encode_vp8l(
+            px,
+            subtract_green=transform in ("sg", "sg+pred"),
+            predictor=mode if transform in ("pred", "sg+pred") else None,
+        )
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+    assert np.array_equal(decode_vp8l(data), px)
+
+
+def test_vp8l_container_and_boundaries():
+    """Container walking and the honest boundary: a VP8X extended
+    container still finds the VP8L chunk behind metadata chunks; a
+    lossy 'VP8 ' payload raises NotImplementedError naming the
+    boundary; non-WebP RIFF raises ValueError."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from victorialogs_spark.datapipe.webp import decode_vp8l, encode_vp8l
+
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    plain = encode_vp8l(px)
+    vp8l_chunk = plain[12:]  # the VP8L chunk (tag + size + body [+pad])
+    # rebuild as VP8X: a 10-byte VP8X header chunk, an EXIF chunk the
+    # walker must skip (odd size -> exercises 2-byte chunk alignment),
+    # then the original VP8L chunk
+    vp8x = b"VP8X" + _s.pack("<I", 10) + bytes(10)
+    exif = b"EXIF" + _s.pack("<I", 3) + b"abc" + b"\x00"
+    payload = vp8x + exif + vp8l_chunk
+    ext = b"RIFF" + _s.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+    assert np.array_equal(decode_vp8l(ext), px)
+
+    lossy = b"RIFF" + _s.pack("<I", 16) + b"WEBP" + b"VP8 " + _s.pack("<I", 4) + bytes(4)
+    with _pytest.raises(NotImplementedError, match="lossy"):
+        decode_vp8l(lossy)
+    with _pytest.raises(ValueError):
+        decode_vp8l(b"RIFF\x04\x00\x00\x00WAVEdata")
+
+
+def test_vp8l_multimodal_dispatch():
+    """The stdlib magic-byte dispatch routes RIFF/WEBP payloads to the
+    VP8L decoder (and keeps RIFF/WAVE on the WAV path)."""
+    from victorialogs_spark.datapipe.multimodal import _stdlib_decode_pixels
+    from victorialogs_spark.datapipe.webp import encode_vp8l
+
+    px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    assert np.array_equal(_stdlib_decode_pixels(encode_vp8l(px)), px)

@@ -14,18 +14,22 @@ shapes — is real and tested. Decoders, by honesty tier:
   accumulation, dequantize, float IDCT with the exact-integer DC-only
   fast path, 4:4:4/4:2:0/4:2:2, restart markers), GIF87a/89a
   (gif.py: pure-Python LZW, global/local color tables, 4-pass
-  interlace, extension skipping), and baseline TIFF (tiff.py: IFD
+  interlace, extension skipping), baseline TIFF (tiff.py: IFD
   walking, both byte orders, strips, none/LZW/PackBits compression,
-  horizontal predictor, grayscale + RGB). MJPEG-in-MP4 frames decode
-  end-to-end via mp4.video_frame_sample(decode=True).
+  horizontal predictor, grayscale + RGB), and lossless WebP (webp.py:
+  the full VP8L surface — canonical prefix codes, LZ77 + color cache,
+  meta-prefix groups, all four transforms incl. palette bundling).
+  MJPEG-in-MP4 frames decode end-to-end via
+  mp4.video_frame_sample(decode=True).
   ``resize_image`` really resizes (numpy nearest-neighbor, re-encoded
   as PPM).
 - ``decoder="fake"`` — deterministic pseudo-features from the content
   hash, for end-to-end pipeline tests over arbitrary bytes.
 - ``decoder="pil"``/"ffmpeg" — the remaining integration point
-  (arithmetic-coded JPEG, real video codecs: H.264 etc.);
-  those libs are not in this container, so this raises NotImplementedError with the
-  plug-in point documented.
+  (arithmetic-coded JPEG, LOSSY WebP — the "VP8 " intra-frame mode —
+  and real video codecs: H.264 etc.); those libs are not in this
+  container, so this raises NotImplementedError with the plug-in
+  point documented.
 """
 
 from __future__ import annotations
@@ -560,6 +564,10 @@ def _stdlib_decode(payload: bytes, feat_dim: int) -> dict:
         from victorialogs_spark.datapipe.tiff import decode_tiff
 
         return _image_features(decode_tiff(payload), feat_dim)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from victorialogs_spark.datapipe.webp import decode_vp8l
+
+        return _image_features(decode_vp8l(payload), feat_dim)
     raise ValueError(f"unrecognized container (magic {payload[:4]!r})")
 
 
@@ -794,6 +802,10 @@ def _stdlib_decode_pixels(b: bytes):
         from victorialogs_spark.datapipe.tiff import decode_tiff
 
         return decode_tiff(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from victorialogs_spark.datapipe.webp import decode_vp8l
+
+        return decode_vp8l(b)
     raise ValueError("not a decodable image")
 
 

@@ -2563,6 +2563,66 @@ def _dp_image_ahash_tiff_gray(spark, sf_dir):
 
 
 @register(
+    "dp_image_ahash_webp",
+    # LOSSLESS WEBP under the hash — the dp_image_ahash playbook
+    # through the REAL VP8L codec (webp.py: RIFF walk, LSB-first
+    # bitstream, canonical prefix codes via the code-length-code
+    # bootstrap, and the transform machinery): the 1728 md5 stream
+    # bytes are the 24x24 RGB pixels, Spark-side encoded with the
+    # subtract-green transform plus the spatial-predictor transform
+    # whose mode is the first pixel byte % 14 — across 500 docs every
+    # predictor mode decodes in every run, through real recursively
+    # coded mode sub-images. DuckDB recomputes the expected aHash
+    # arithmetically from the same md5 bytes; only Spark runs the
+    # bitstream.
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':imgwebp:')} AS v"
+    " FROM ids, UNNEST(range(1728)) AS u(i)),"
+    " px AS (SELECT doc_id, i // 3 AS p,"
+    " CAST(SUM(CASE WHEN i % 3 = 0 THEN 299 * v"
+    " WHEN i % 3 = 1 THEN 587 * v ELSE 114 * v END) AS BIGINT) // 1000 AS gray"
+    " FROM b GROUP BY 1, 2),"
+    " cells AS (SELECT doc_id, ((p // 24) * 8 // 24) * 8 + (p % 24) * 8 // 24 AS cell,"
+    " CAST(SUM(gray) AS BIGINT) AS cs, COUNT(*) AS cn FROM px GROUP BY 1, 2),"
+    " tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,"
+    " CAST(SUM(cn) AS BIGINT) AS tn FROM cells GROUP BY 1)"
+    " SELECT c.doc_id, string_agg(CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END,"
+    " '' ORDER BY cell) AS ahash_bits"
+    " FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id",
+)
+def _dp_image_ahash_webp(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.multimodal import image_ahash
+    from victorialogs_spark.datapipe.webp import encode_vp8l
+
+    docs = _spread(spark, sf_dir, "documents").select("doc_id")
+    raw = _md5_stream_payload(":imgwebp:", b"", 108)  # 1728 pixel bytes
+
+    def _to_webp(series):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for b in series:
+            px = np.frombuffer(bytes(b), np.uint8, 1728).reshape(24, 24, 3)
+            out.append(
+                encode_vp8l(
+                    px, subtract_green=True, predictor=int(px[0, 0, 0]) % 14
+                )
+            )
+        return pd.Series(out)
+
+    _to_webp.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    to_webp = F.pandas_udf(_to_webp, "binary")
+    assets = docs.select("doc_id", to_webp(raw).alias("payload"))
+    return image_ahash(assets, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "ahash_bits"
+    )
+
+
+@register(
     "dp_mp4_frame_ahash",
     # REAL VIDEO FRAME DECODE: MJPEG-in-MP4 end to end with zero new
     # dependencies — each doc's payload is a genuine ISO-BMFF file
@@ -4224,7 +4284,7 @@ _STALE_R14_WINDOW = [
 # (never in any prior artifact) — they land at the FRONT of the window,
 # displacing stale entries from the back. _reorder_registry() makes a
 # forgotten registration loud instead of silently filtering out.
-_NEW_R14: list[str] = []
+_NEW_R14: list[str] = ["dp_image_ahash_webp"]
 
 
 def _reorder_registry() -> None:
