@@ -411,3 +411,19 @@ def test_unigram_logprob_preaggregated_shuffles(spark):
     # the doc×token pre-aggregate exists and is partial-agg shaped
     assert "partial_count" in plan or "partial" in plan.lower()
     assert plan.count("Exchange hashpartitioning(doc_id") >= 1
+
+
+def test_minhash_sketch_evaluates_once(spark):
+    """The r14 minhash sketch UDF returns a struct (sig + band buckets)
+    whose two field extractions MUST resolve to ONE Python eval node —
+    without the asNondeterministic guard CollapseProject clones the
+    whole sketch per extraction (measured 2x pathology, SCALE.md r14).
+    Also pins that the JVM band-bucket expression chain is gone from
+    the arrow path (no xxhash64-of-concat per band)."""
+    from victorialogs_spark.driver_entry import QUERIES
+
+    df = QUERIES["dp_minhash_lsh"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    evals = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert evals == 1, f"sketch UDF evaluated {evals} times:\n{plan[:2000]}"
+    assert "concat_ws" not in plan, "JVM band-bucket chain resurfaced"

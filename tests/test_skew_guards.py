@@ -206,3 +206,42 @@ def test_minhash_md5_near_dups_find_close_pair(spark):
     ids = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 2) in ids
     assert not any(3 in p for p in ids)
+
+
+def test_minhash_near_dups_bucket_guard(spark):
+    """The verified-pairs variant gets the same mega-cluster guard as
+    lsh_candidate_pairs: a near-identical template cluster (every member
+    collides in EVERY band) is skipped at max_bucket_size while the
+    legitimate near-dup pair elsewhere still verifies — and the guard
+    default (None) leaves semantics untouched."""
+    from victorialogs_spark.datapipe.dedup import minhash_near_dups
+
+    # near-copies, not byte-identical: template + unique trailing token
+    rows = [(i, f"{BOILER} uniq{i}") for i in range(300)]
+    rows += [(10_000, A), (10_001, B)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # cap 50: the 300-member template spreads over per-band buckets of
+    # ~98-234 docs (the unique trailing token deviates a band with prob
+    # ~1-(6/7)^4), so every cluster bucket is above the cap
+    guarded = minhash_near_dups(
+        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5,
+        max_bucket_size=50,
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in guarded}
+    assert (10_000, 10_001) in ids
+    # no pair from the 300-doc template cluster survives the guard
+    assert all(a >= 10_000 for a, _ in ids), sorted(ids)[:5]
+
+    # unguarded on a SMALL cluster: the cluster pairs are all there
+    small = spark.createDataFrame(rows[:20] + rows[-2:],
+                                  "doc_id long, text string")
+    unguarded = minhash_near_dups(
+        small, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5,
+    ).collect()
+    cluster_pairs = {(r["id_a"], r["id_b"]) for r in unguarded
+                     if r["id_a"] < 10_000 and r["id_b"] < 10_000}
+    # LSH recall < 1 by design (a pair needs one FULLY matching band;
+    # the unique trailing token deviates each band with prob
+    # ~1-(6/7)^4) — the point is the mass is present unguarded
+    assert len(cluster_pairs) >= 100

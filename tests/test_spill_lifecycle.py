@@ -532,3 +532,115 @@ def test_retention_defers_days_under_compaction(spark, tmp_path,
         assert _count(srv, '{app="life"}') == 24
     finally:
         srv.stop()
+
+
+def test_manual_retention_during_migration_no_resurrection(
+    spark, tmp_path, tiny_thresholds, monkeypatch
+):
+    """A manual apply_retention() landing INSIDE a migration's race
+    window (after the Spark rewrite, before the manifest commit) must
+    not resurrect the expired day's previously-committed table files,
+    must leave live-day rows exact, and must not corrupt lifecycle
+    state (the racing drop of the just-written expired files is
+    semantically the same drop the retention_days fold would apply at
+    that very commit — expired rows may vanish, never double-count)."""
+    import datetime as dt
+
+    from victorialogs_spark.streaming import ingest as ingest_mod
+
+    spill = str(tmp_path / "spill")
+    old_day = (
+        dt.datetime.now(dt.timezone.utc) - dt.timedelta(days=30)
+    ).strftime("%Y-%m-%d")
+    new_day = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
+    old_label = old_day.replace("-", "")
+    keep_from = (
+        dt.datetime.now(dt.timezone.utc) - dt.timedelta(days=7)
+    ).strftime("%Y%m%d")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        # round 1: commit expired-day AND live-day rows into the table
+        _post(srv, "/insert/jsonline?_stream_fields=app",
+              _lines(old_day, 12, "old1"))
+        _post(srv, "/insert/jsonline?_stream_fields=app",
+              _lines(new_day, 12, "new1"))
+        _drain(srv)
+        srv.state.migrate_now()
+        with srv.state.lock:
+            committed = [p for p in srv.state._table_files
+                         if p.startswith(f"_day={old_label}")]
+        assert committed
+
+        # round 2: more expired-day rows in the flat pile; retention
+        # fires inside the migration's write->commit window
+        _post(srv, "/insert/jsonline?_stream_fields=app",
+              _lines(old_day, 12, "old2"))
+        _drain(srv)
+        real = ingest_mod.append_day_partitioned
+
+        def write_then_retention(df, table_dir):
+            real(df, table_dir)
+            dropped = srv.state.apply_retention(keep_from)
+            assert old_label in dropped
+
+        monkeypatch.setattr(
+            ingest_mod, "append_day_partitioned", write_then_retention
+        )
+        srv.state.migrate_now()
+        monkeypatch.setattr(ingest_mod, "append_day_partitioned", real)
+
+        with srv.state.lock:
+            live = list(srv.state._table_files)
+            flat = list(srv.state._flat_files)
+        # no resurrection: the round-1 files retention dropped must not
+        # rejoin the manifest at the racing migration's commit
+        assert not (set(committed) & set(live)), (committed, live)
+        # the racing retention deleted the expired day's just-written
+        # files before the commit's listing: expired rows are gone from
+        # both tiers (the flat batch tombstoned at the commit), live-day
+        # rows are exact, nothing double-counts
+        assert flat == []
+        assert _count(srv, '{app="life"}') == 12
+        assert _count(srv, f'{{app="life"}} _time:[{old_day}, {new_day})') == 0
+        with srv.state.lock:
+            assert not [p for p in srv.state._table_files
+                        if p.startswith(f"_day={old_label}")]
+    finally:
+        srv.stop()
+    # restart: the racing commit's manifest restores cleanly, counts hold
+    srv2 = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    try:
+        assert _count(srv2, '{app="life"}') == 12
+    finally:
+        srv2.stop()
+
+
+def test_empty_store_serves_empty_results(spark, tmp_path,
+                                          tiny_thresholds):
+    """A server whose LAST day expired under retention (and a fresh
+    server before any ingest) serves empty results, not HTTP 400 — the
+    r14 multi-day retention soak read-errored in exactly this window.
+    The planner treats filters on absent columns as missing-field
+    semantics, so stream filters on never-seen labels count 0."""
+    import datetime as dt
+
+    spill = str(tmp_path / "spill")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill,
+                        retention_days=1).start()
+    try:
+        # fresh server: reads answer 0 before any ingest
+        assert _count(srv, '{app="life"}') == 0
+        old_day = (
+            dt.datetime.now(dt.timezone.utc) - dt.timedelta(days=30)
+        ).strftime("%Y-%m-%d")
+        _post(srv, "/insert/jsonline?_stream_fields=app",
+              _lines(old_day, 12, "x"))
+        _drain(srv)
+        assert _count(srv, '{app="life"}') == 12  # flat tier serves
+        # migration commit folds retention: the only day expires and the
+        # store is empty again — reads must go back to 0, not 400
+        srv.state.migrate_now()
+        assert _count(srv, '{app="life"}') == 0
+        assert _count(srv, '_time:[2020-01-01, 2030-01-01)') == 0
+    finally:
+        srv.stop()

@@ -20,7 +20,7 @@ NOTES = {
     "tpch_top_orders": "two-phase agg then top-k",
     "tpch_ship_histogram": "epoch-bucket rollup, partial+final",
     "dp_exact_dedup": "single hash-shuffle groupBy on the md5 fingerprint",
-    "dp_minhash_lsh": "Arrow sketch map → (band,bucket) groupBy → local pair gen; two shuffles, no joins",
+    "dp_minhash_lsh": "Arrow sketch map (band buckets computed IN the UDF, r14) → (band,bucket) groupBy → local pair gen; two shuffles, no joins",
     "dp_ngram_jaccard": "inverted-index: gram-hash groupBy → local pairs → pair groupBy; two shuffles, zero joins",
     "dp_cosine_threshold": "numpy-per-Arrow-batch matvec scan, no shuffle",
     "dp_ann_bruteforce_topk": "vectorized cosine + TakeOrderedAndProject top-k",

@@ -346,6 +346,7 @@ def minhash_near_dups(
     threshold: float = 0.7,
     shingle: str = "token",
     engine: str = "arrow",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: banded candidate generation, then
     verification by estimated Jaccard (matching signature fraction).
@@ -392,6 +393,16 @@ def minhash_near_dups(
     grouped = buckets.groupBy("band", "bucket").agg(
         F.array_sort(F.collect_list("doc")).alias("docs")
     )
+    if max_bucket_size:
+        # mega-cluster skew guard (same contract as lsh_candidate_pairs):
+        # a template duplicated across k docs collides in EVERY band, and
+        # the in-bucket pair generation is O(k^2) structs in ONE task --
+        # the wall-time blowup is quadratic in the cluster size (r14 skew
+        # probe measurement, SCALE.md). Skipping degenerate buckets is a
+        # DOCUMENTED recall cut: a cluster that saturates a bucket is
+        # exact-dedup's job (exact_dedup / dp_minhash_md5 first), not
+        # LSH's.
+        grouped = grouped.where(F.size("docs") <= max_bucket_size)
     pairs = grouped.where(F.size("docs") >= 2).select(
         F.explode(_bucket_pairs(F.col("docs"))).alias("p")
     )

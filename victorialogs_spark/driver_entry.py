@@ -1088,8 +1088,9 @@ def _dp_minhash_lsh(spark, sf_dir):
 
     # _spread: the corpus arrives as one small file but the shingle
     # hashing is CPU-bound — spread it across cores before the heavy map.
-    # 4 bands × 16 rows: a band only collides at sim ≳ 0.84 — the right
-    # operating point for near-dup detection on a highly self-similar corpus
+    # 4 bands × 8 rows (num_hashes=32): P(some band collides) = 0.5 at
+    # sim ≈ 0.8 — the right operating point for near-dup detection on a
+    # highly self-similar corpus
     docs = _spread(spark, sf_dir, "documents")
     return minhash_near_dups(
         docs, "doc_id", "text", num_hashes=32, bands=4, threshold=0.7,

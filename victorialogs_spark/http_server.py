@@ -114,6 +114,7 @@ class _State:
     ):
         self.spark = spark
         self.logs = logs
+        self._empty: DataFrame | None = None  # lazy empty-store frame
         self.lock = threading.Lock()
         self.retention_days = retention_days
         self._depth = 0
@@ -221,7 +222,18 @@ class _State:
     def df(self) -> DataFrame:
         with self.lock:
             if self.logs is None:
-                raise ValueError("no data ingested yet")
+                # empty store, not an error: a server whose LAST day just
+                # expired under retention (the r14 multi-day soak hit
+                # this — every read 400'd between the drop and the next
+                # ingest) and a fresh server both serve the reference's
+                # empty-result semantics. The planner handles filters on
+                # absent columns (missing field ≡ empty value), so the
+                # canonical two-column empty frame answers any query.
+                if self._empty is None:
+                    self._empty = self.spark.createDataFrame(
+                        [], "_time timestamp, _msg string"
+                    )
+                return self._empty
             return self.logs
 
     # ---- durable-spill lifecycle -------------------------------------
