@@ -619,3 +619,81 @@ def test_vp8l_multimodal_dispatch():
 
     px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
     assert np.array_equal(_stdlib_decode_pixels(encode_vp8l(px)), px)
+
+
+def test_webp_animation_compositing():
+    """ANMF compositing semantics: sub-rectangle frames overwrite their
+    region (blend bit set by the encoder default), later patches stack,
+    and dispose-to-background restores the frame rect to the ANIM
+    background color AFTER the frame displays."""
+    from victorialogs_spark.datapipe.webp import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    patch = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    tail = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    data = encode_webp_anim(
+        [
+            {"px": base, "duration_ms": 100},
+            {"px": patch, "x": 4, "y": 2, "duration_ms": 50, "dispose": 1},
+            {"px": tail, "x": 0, "y": 0, "duration_ms": 70},
+        ],
+        (12, 10),
+        bg=(9, 8, 7, 255),
+    )
+    frames = decode_webp_frames(data)
+    assert [d for d, _ in frames] == [100, 50, 70]
+    f0, f1, f2 = [px for _, px in frames]
+    assert np.array_equal(f0, base)
+    exp1 = base.copy()
+    exp1[2:6, 4:8] = patch
+    assert np.array_equal(f1, exp1)
+    # frame 1 disposed to background: its rect is bg under frame 2
+    exp2 = base.copy()
+    exp2[2:6, 4:8] = [9, 8, 7]
+    exp2[0:2, 0:2] = tail
+    assert np.array_equal(f2, exp2)
+    # max_frames cap
+    assert len(decode_webp_frames(data, max_frames=2)) == 2
+    # a still image decodes as one zero-duration frame
+    from victorialogs_spark.datapipe.webp import encode_vp8l
+
+    sf = decode_webp_frames(encode_vp8l(base))
+    assert len(sf) == 1 and sf[0][0] == 0 and np.array_equal(sf[0][1], base)
+
+
+def test_webp_frame_sample_spark(spark):
+    """webp_frame_sample end to end on Spark: sampled indices follow the
+    duration timeline, hashes are 64-bit strings, undecodable payloads
+    yield no rows."""
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.webp import (
+        encode_webp_anim,
+        webp_frame_sample,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    patch = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    anim = encode_webp_anim(
+        [
+            {"px": base, "duration_ms": 300},
+            {"px": patch, "x": 4, "y": 4, "duration_ms": 200},
+        ],
+        (16, 16),
+    )
+    assets = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(b"not webp"))],
+        "asset_id long, payload binary",
+    )
+    rows = webp_frame_sample(assets, every_ms=250).orderBy(
+        "asset_id", "frame_ts_ms"
+    ).collect()
+    assert [r.asset_id for r in rows] == [1, 1]  # bad payload skipped
+    assert [r.frame_ts_ms for r in rows] == [0, 250]
+    assert [r.frame_index for r in rows] == [0, 0]  # frame 1 starts at 300
+    assert all(len(r.ahash_bits) == 64 for r in rows)

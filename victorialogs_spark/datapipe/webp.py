@@ -26,7 +26,7 @@ Parity note: the reference engine treats media payloads as opaque
 bytes; this module exists for the data-pipeline side (corpus curation
 over crawled images).
 
-Scope (the full VP8L still-image surface):
+Scope (the full lossless WebP surface):
 - RIFF walk: bare "VP8L" files and extended "VP8X" containers
   (metadata chunks skipped); "VP8 " lossy raises loud.
 - simple (1-2 symbol) AND normal prefix codes, max_symbol shortcut,
@@ -34,9 +34,12 @@ Scope (the full VP8L still-image surface):
 - color cache (1-11 bits), meta-prefix entropy image, LZ77 with the
   2D distance map;
 - all four transforms, each at most once, inverted in reverse read
-  order, including palette pixel-bundling at 1/2/4 bits per index.
+  order, including palette pixel-bundling at 1/2/4 bits per index;
+- ANIMATIONS with lossless frames (decode_webp_frames /
+  webp_frame_sample: ANIM/ANMF walk, sub-rectangle compositing, blend
+  and dispose-to-background semantics — the GIF-animation analog).
 Out of scope (loud ValueError / NotImplementedError): lossy "VP8 "
-payloads, animations (ANMF frames), fragmented/invalid streams.
+payloads (still or as animation frames), fragmented/invalid streams.
 
 The encoder is fixture-grade by design (the md5-playbook needs a
 deterministic in-repo producer, not a compressor): literal-only
@@ -602,16 +605,10 @@ def _find_vp8l_chunk(payload: bytes) -> bytes:
     raise ValueError("WebP container has no VP8L chunk")
 
 
-def decode_vp8l(payload: bytes):
-    """Decode a lossless WebP payload to an (H, W, 3) uint8 RGB array.
-
-    Accepts a full RIFF container (bare VP8L chunk or VP8X extended
-    layout). Alpha is decoded (it participates in transforms) but the
-    repo's image contract is RGB; it is dropped at the end.
-    """
+def _decode_vp8l_body(body: bytes):
+    """VP8L chunk body → (w, h, numpy (h, w) uint32 ARGB)."""
     import numpy as np
 
-    body = _find_vp8l_chunk(payload)
     if not body or body[0] != 0x2F:
         raise ValueError("bad VP8L signature byte")
     br = _BitReader(body[1:])
@@ -622,12 +619,28 @@ def decode_vp8l(payload: bytes):
     if version != 0:
         raise ValueError(f"unsupported VP8L version {version}")
     px = _decode_image_stream(br, w, h, level0=True)
-    arr = np.asarray(px, dtype=np.uint32).reshape(h, w)
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    out[:, :, 0] = (arr >> 16) & 0xFF
-    out[:, :, 1] = (arr >> 8) & 0xFF
-    out[:, :, 2] = arr & 0xFF
+    return w, h, np.asarray(px, dtype=np.uint32).reshape(h, w)
+
+
+def _argb_to_rgb(arr):
+    import numpy as np
+
+    out = np.empty((*arr.shape, 3), dtype=np.uint8)
+    out[..., 0] = (arr >> 16) & 0xFF
+    out[..., 1] = (arr >> 8) & 0xFF
+    out[..., 2] = arr & 0xFF
     return out
+
+
+def decode_vp8l(payload: bytes):
+    """Decode a lossless WebP payload to an (H, W, 3) uint8 RGB array.
+
+    Accepts a full RIFF container (bare VP8L chunk or VP8X extended
+    layout). Alpha is decoded (it participates in transforms) but the
+    repo's image contract is RGB; it is dropped at the end.
+    """
+    _, _, arr = _decode_vp8l_body(_find_vp8l_chunk(payload))
+    return _argb_to_rgb(arr)
 
 
 # ---------------------------------------------------------------------------
@@ -876,3 +889,245 @@ def encode_vp8l(
     if len(body) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ---------------------------------------------------------------------------
+# animation (the extended file format: VP8X + ANIM + ANMF frames)
+
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def decode_webp_frames(payload: bytes, max_frames: int | None = None):
+    """Decode an animated (or still) WebP into COMPOSITED frames: a list
+    of ``(duration_ms, HxWx3 uint8)`` in display order — the WebP analog
+    of gif.decode_gif_frames.
+
+    Animation semantics (extended-format spec): each ANMF frame covers a
+    sub-rectangle at even offsets (stored /2); its flags carry the
+    blending method (bit 1: 0 = alpha-blend onto the canvas, 1 =
+    overwrite) and the disposal method applied AFTER display (bit 0:
+    1 = restore the frame rectangle to the ANIM background color).
+    The canvas initializes to the background color; frames snapshot the
+    canvas, so each returned array is what a viewer shows. Alpha
+    blending uses the spec's non-premultiplied formula in integer
+    arithmetic (exactly overwrite at source alpha 255 — the only case
+    the in-repo encoder produces; fractional alpha is decoded but its
+    rounding is a renderer-variant corner documented here).
+
+    Frames must be lossless (VP8L); a lossy "VP8 " frame raises
+    NotImplementedError — the same honest boundary as still images.
+    A non-animated payload returns its single frame with duration 0.
+    """
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    pos = 12
+    canvas = None
+    bg_argb = 0
+    frames: list = []
+    saw_anim = False
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"VP8X":
+            flags = body[0]
+            cw = _u24(body, 4) + 1
+            ch = _u24(body, 7) + 1
+            if flags & 0x02:  # animation flag
+                saw_anim = True
+                canvas = np.zeros((ch, cw), dtype=np.uint32)
+        elif tag == b"ANIM":
+            # background color stored [B, G, R, A]
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            bg_argb = (a_ << 24) | (r_ << 16) | (g_ << 8) | b_
+            if canvas is not None:
+                canvas[:, :] = bg_argb
+        elif tag == b"ANMF":
+            if canvas is None:
+                raise ValueError("ANMF frame before VP8X animation header")
+            x = 2 * _u24(body, 0)
+            y = 2 * _u24(body, 3)
+            fw = _u24(body, 6) + 1
+            fh = _u24(body, 9) + 1
+            dur = _u24(body, 12)
+            flags = body[15]
+            # frame data = sub-chunks; find the VP8L (skip ALPH etc.)
+            fpos = 16
+            sub = None
+            while fpos + 8 <= len(body):
+                stag = body[fpos : fpos + 4]
+                (ssize,) = struct.unpack_from("<I", body, fpos + 4)
+                if stag == b"VP8L":
+                    sub = body[fpos + 8 : fpos + 8 + ssize]
+                    break
+                if stag == b"VP8 ":
+                    raise NotImplementedError(
+                        "lossy WebP animation frame (VP8 intra coding) is "
+                        "out of scope — documented boundary with H.264"
+                    )
+                fpos += 8 + ssize + (ssize & 1)
+            if sub is None:
+                raise ValueError("ANMF frame has no VP8L payload")
+            sw, sh, src = _decode_vp8l_body(sub)
+            if (sw, sh) != (fw, fh):
+                raise ValueError("ANMF frame size disagrees with its VP8L")
+            ch, cw = canvas.shape
+            if x + fw > cw or y + fh > ch:
+                raise ValueError("ANMF frame rectangle outside the canvas")
+            region = canvas[y : y + fh, x : x + fw]
+            if flags & 0x02:  # no-blend: overwrite
+                region[:, :] = src
+            else:  # alpha blend (integer, non-premultiplied)
+                sa = (src >> 24) & 0xFF
+                opaque = sa == 255
+                region[opaque] = src[opaque]
+                part = ~opaque & (sa > 0)
+                if part.any():
+                    da = (region >> 24) & 0xFF
+                    oa = sa + da * (255 - sa) // 255
+                    out = np.zeros_like(region)
+                    for shift in (16, 8, 0):
+                        sc = (src >> shift) & 0xFF
+                        dc = (region >> shift) & 0xFF
+                        num = sc * sa + dc * da * (255 - sa) // 255
+                        c = np.where(oa > 0, num // np.maximum(oa, 1), 0)
+                        out |= (c & 0xFF) << shift
+                    out |= (oa & 0xFF) << 24
+                    region[part] = out[part]
+            frames.append((dur, _argb_to_rgb(canvas)))
+            if flags & 0x01:  # dispose to background
+                region[:, :] = bg_argb
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+        pos += 8 + size + (size & 1)
+    if saw_anim:
+        if not frames:
+            raise ValueError("animated WebP with no ANMF frames")
+        return frames
+    # still image: one frame, duration 0
+    return [(0, decode_vp8l(payload))]
+
+
+def encode_webp_anim(
+    frames,
+    canvas_wh: tuple[int, int],
+    bg=(255, 255, 255, 255),
+) -> bytes:
+    """Fixture-grade animated WebP: VP8X + ANIM + one ANMF per frame.
+
+    ``frames``: list of dicts — ``px`` (HxWx3 uint8), optional ``x``/``y``
+    (even canvas offsets), ``duration_ms``, ``dispose`` (0 = leave,
+    1 = restore to background), ``blend`` (False = overwrite, the
+    default — matching opaque VP8L sub-frames). ``bg`` = (r, g, b, a).
+    """
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    cw, ch = canvas_wh
+    parts = []
+    for f in frames:
+        px = f["px"]
+        x = f.get("x", 0)
+        y = f.get("y", 0)
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even (stored /2)")
+        vp8l = encode_vp8l(px)[12:]  # the VP8L chunk from the still encoder
+        head = bytes([
+            (x // 2) & 0xFF, ((x // 2) >> 8) & 0xFF, ((x // 2) >> 16) & 0xFF,
+            (y // 2) & 0xFF, ((y // 2) >> 8) & 0xFF, ((y // 2) >> 16) & 0xFF,
+            (px.shape[1] - 1) & 0xFF, ((px.shape[1] - 1) >> 8) & 0xFF,
+            ((px.shape[1] - 1) >> 16) & 0xFF,
+            (px.shape[0] - 1) & 0xFF, ((px.shape[0] - 1) >> 8) & 0xFF,
+            ((px.shape[0] - 1) >> 16) & 0xFF,
+            f.get("duration_ms", 100) & 0xFF,
+            (f.get("duration_ms", 100) >> 8) & 0xFF,
+            (f.get("duration_ms", 100) >> 16) & 0xFF,
+            (0x02 if not f.get("blend", False) else 0x00)
+            | (0x01 if f.get("dispose", 0) else 0x00),
+        ])
+        parts.append(chunk(b"ANMF", head + vp8l))
+    r, g, b_, a = bg
+    anim = chunk(b"ANIM", bytes([b_, g, r, a]) + struct.pack("<H", 0))
+    vp8x_body = bytes([0x02, 0, 0, 0]) + bytes([
+        (cw - 1) & 0xFF, ((cw - 1) >> 8) & 0xFF, ((cw - 1) >> 16) & 0xFF,
+        (ch - 1) & 0xFF, ((ch - 1) >> 8) & 0xFF, ((ch - 1) >> 16) & 0xFF,
+    ])
+    body = chunk(b"VP8X", vp8x_body) + anim + b"".join(parts)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def webp_frame_sample(
+    assets,
+    every_ms: int = 250,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+):
+    """Time-based frame sampling over animated WebP: for each target
+    timestamp t = j*every_ms (while t < animation duration), emit the
+    frame DISPLAYED at t with its integer-exact aHash — the WebP analog
+    of gif.gif_frame_sample over the compositing decoder. Zero-duration
+    frames count as 100 ms (the viewer convention shared with GIF's
+    zero-delay rule). One narrow Arrow map, no shuffle; undecodable
+    payloads yield no rows (honest skip, consistent with the other
+    media decoders).
+
+    Output: (<id_col>, frame_ts_ms int, frame_index int,
+    frame_time_ms long, ahash_bits string)."""
+    from pyspark.sql import types as T
+
+    def _batches(batches):
+        import pandas as pd
+
+        from victorialogs_spark.datapipe.multimodal import (
+            ahash_bits_from_pixels,
+        )
+
+        for pdf in batches:
+            ids, f_ts, f_idx, f_time, hashes = [], [], [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames = decode_webp_frames(bytes(payload))
+                except Exception:
+                    continue
+                starts, t0 = [], 0
+                for dur, _px in frames:
+                    starts.append(t0)
+                    t0 += dur if dur > 0 else 100
+                total_ms = t0
+                t = 0
+                while t < max(total_ms, 1):
+                    k = 0
+                    for i, s in enumerate(starts):
+                        if s <= t:
+                            k = i
+                    ids.append(aid)
+                    f_ts.append(t)
+                    f_idx.append(k)
+                    f_time.append(starts[k])
+                    hashes.append(ahash_bits_from_pixels(frames[k][1]))
+                    t += every_ms
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_ts_ms": pd.Series(f_ts, dtype="int32"),
+                    "frame_index": pd.Series(f_idx, dtype="int32"),
+                    "frame_time_ms": pd.Series(f_time, dtype="int64"),
+                    "ahash_bits": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_ts_ms", T.IntegerType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame_time_ms", T.LongType()),
+            T.StructField("ahash_bits", T.StringType()),
+        ]
+    )
+    return assets.mapInPandas(_batches, schema)

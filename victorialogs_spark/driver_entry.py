@@ -2624,6 +2624,110 @@ def _dp_image_ahash_webp(spark, sf_dir):
 
 
 @register(
+    "dp_webp_frame_ahash",
+    # ANIMATED WEBP frame sampling end to end (the GIF-animation
+    # playbook through webp.py's compositing decoder): each doc's
+    # payload is a real extended-format WebP animation — frame 0 a
+    # full 24x24 VP8L canvas, frames 1..n-1 8x8 VP8L sub-rectangle
+    # patches at (8,8) with dispose "leave" and blend "overwrite", so
+    # every sampled frame k >= 1 is the base canvas with patch k
+    # composited into the center. Spark walks VP8X/ANIM/ANMF, decodes
+    # every VP8L frame bitstream, composites, samples the DISPLAYED
+    # frame at t = j*250ms, and hashes the composite. DuckDB
+    # replicates it arithmetically: md5 layout b[0]=frame-count
+    # selector, b[1..n]=durations ((10 + v%20)*10 ms), b[6..1733]=
+    # base 24x24 RGB, b[1734+..]=8x8 RGB patches; frame choice = max k
+    # with cumulative start <= t; composite gray = patch gray in the
+    # center cells else base gray; aHash in exact integers.
+    "WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),"
+    f" b AS (SELECT doc_id, i, {_md5_byte(':webpfr:')} AS v"
+    " FROM ids, UNNEST(range(2502)) AS u(i)),"
+    " nf AS (SELECT doc_id, 2 + (v % 4) AS n FROM b WHERE i = 0),"
+    " del AS (SELECT b.doc_id, i - 1 AS k, (10 + (v % 20)) * 10 AS ms"
+    " FROM b JOIN nf USING (doc_id) WHERE i >= 1 AND i <= nf.n),"
+    " st AS (SELECT doc_id, k, ms, CAST(COALESCE(SUM(ms) OVER ("
+    " PARTITION BY doc_id ORDER BY k"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+    " AS fstart FROM del),"
+    " tot AS (SELECT doc_id, CAST(SUM(ms) AS BIGINT) AS total"
+    " FROM del GROUP BY 1),"
+    " ts AS (SELECT doc_id, UNNEST(range(0, total, 250)) AS t FROM tot),"
+    " sel AS (SELECT ts.doc_id, ts.t, MAX(st.k) AS k FROM ts"
+    " JOIN st ON st.doc_id = ts.doc_id AND st.fstart <= ts.t GROUP BY 1, 2),"
+    " selst AS (SELECT sel.doc_id, sel.t, sel.k, st.fstart FROM sel"
+    " JOIN st ON st.doc_id = sel.doc_id AND st.k = sel.k),"
+    " basepx AS (SELECT doc_id, (i - 6) // 3 AS p,"
+    " CAST(SUM(CASE WHEN (i - 6) % 3 = 0 THEN 299 * v"
+    " WHEN (i - 6) % 3 = 1 THEN 587 * v ELSE 114 * v END) AS BIGINT) // 1000"
+    " AS gray FROM b WHERE i BETWEEN 6 AND 1733 GROUP BY 1, 2),"
+    " patchpx AS (SELECT doc_id, 1 + (i - 1734) // 192 AS k,"
+    " ((i - 1734) % 192) // 3 AS q,"
+    " CAST(SUM(CASE WHEN (i - 1734) % 3 = 0 THEN 299 * v"
+    " WHEN (i - 1734) % 3 = 1 THEN 587 * v ELSE 114 * v END) AS BIGINT)"
+    " // 1000 AS gray FROM b WHERE i >= 1734 GROUP BY 1, 2, 3),"
+    " comp AS (SELECT s.doc_id, s.t, s.k, s.fstart, bp.p,"
+    " CASE WHEN s.k >= 1 AND (bp.p // 24) BETWEEN 8 AND 15"
+    " AND (bp.p % 24) BETWEEN 8 AND 15 THEN pp.gray ELSE bp.gray END AS gray"
+    " FROM selst s JOIN basepx bp ON bp.doc_id = s.doc_id"
+    " LEFT JOIN patchpx pp ON pp.doc_id = s.doc_id AND pp.k = s.k"
+    " AND pp.q = ((bp.p // 24) - 8) * 8 + ((bp.p % 24) - 8)),"
+    " cells AS (SELECT doc_id, t, k, fstart,"
+    " ((p // 24) * 8 // 24) * 8 + (p % 24) * 8 // 24 AS cell,"
+    " CAST(SUM(gray) AS BIGINT) AS cs, COUNT(*) AS cn FROM comp"
+    " GROUP BY 1, 2, 3, 4, 5),"
+    " tots AS (SELECT doc_id, t, CAST(SUM(cs) AS BIGINT) AS tsum,"
+    " CAST(SUM(cn) AS BIGINT) AS tn FROM cells GROUP BY 1, 2)"
+    " SELECT c.doc_id, c.t AS frame_ts_ms, c.k AS frame_index,"
+    " c.fstart AS frame_time_ms,"
+    " string_agg(CASE WHEN cs * tn > tsum * cn THEN '1' ELSE '0' END,"
+    " '' ORDER BY cell) AS ahash_bits"
+    " FROM cells c JOIN tots USING (doc_id, t) GROUP BY 1, 2, 3, 4",
+)
+def _dp_webp_frame_ahash(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.webp import (
+        encode_webp_anim,
+        webp_frame_sample,
+    )
+
+    docs = _spread(spark, sf_dir, "documents").select("doc_id")
+    raw = _md5_stream_payload(":webpfr:", b"", 157)  # 2502 bytes used
+
+    def _to_webp_anim(series):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for buf in series:
+            s = np.frombuffer(bytes(buf), np.uint8, 2502)
+            n = 2 + s[0] % 4
+            durs = [(10 + int(s[1 + k]) % 20) * 10 for k in range(n)]
+            base = s[6:1734].reshape(24, 24, 3)
+            frames = [{"px": base, "duration_ms": durs[0]}]
+            for k in range(1, n):
+                patch = s[1734 + 192 * (k - 1) : 1734 + 192 * k].reshape(
+                    8, 8, 3
+                )
+                frames.append(
+                    {"px": patch, "x": 8, "y": 8, "duration_ms": durs[k]}
+                )
+            out.append(encode_webp_anim(frames, (24, 24)))
+        return pd.Series(out)
+
+    _to_webp_anim.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    to_anim = F.pandas_udf(_to_webp_anim, "binary")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), to_anim(raw).alias("payload")
+    )
+    return webp_frame_sample(assets, every_ms=250, id_col="asset_id").select(
+        F.col("asset_id").cast("string").alias("doc_id"),
+        "frame_ts_ms", "frame_index", "frame_time_ms", "ahash_bits",
+    )
+
+
+@register(
     "dp_mp4_frame_ahash",
     # REAL VIDEO FRAME DECODE: MJPEG-in-MP4 end to end with zero new
     # dependencies — each doc's payload is a genuine ISO-BMFF file
@@ -4285,7 +4389,7 @@ _STALE_R14_WINDOW = [
 # (never in any prior artifact) — they land at the FRONT of the window,
 # displacing stale entries from the back. _reorder_registry() makes a
 # forgotten registration loud instead of silently filtering out.
-_NEW_R14: list[str] = ["dp_image_ahash_webp"]
+_NEW_R14: list[str] = ["dp_image_ahash_webp", "dp_webp_frame_ahash"]
 
 
 def _reorder_registry() -> None:
