@@ -565,9 +565,11 @@ def _stdlib_decode(payload: bytes, feat_dim: int) -> dict:
 
         return _image_features(decode_tiff(payload), feat_dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        from victorialogs_spark.datapipe.webp import decode_vp8l
+        # decode_webp: first displayed frame of stills AND animations
+        # (GIF parity — decode_gif also composites frame 0)
+        from victorialogs_spark.datapipe.webp import decode_webp
 
-        return _image_features(decode_vp8l(payload), feat_dim)
+        return _image_features(decode_webp(payload), feat_dim)
     raise ValueError(f"unrecognized container (magic {payload[:4]!r})")
 
 
@@ -803,9 +805,9 @@ def _stdlib_decode_pixels(b: bytes):
 
         return decode_tiff(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
-        from victorialogs_spark.datapipe.webp import decode_vp8l
+        from victorialogs_spark.datapipe.webp import decode_webp
 
-        return decode_vp8l(b)
+        return decode_webp(b)
     raise ValueError("not a decodable image")
 
 

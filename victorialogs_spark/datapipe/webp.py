@@ -1012,6 +1012,14 @@ def decode_webp_frames(payload: bytes, max_frames: int | None = None):
     return [(0, decode_vp8l(payload))]
 
 
+def decode_webp(payload: bytes):
+    """The FIRST displayed frame of any lossless WebP — still or
+    animated — as (H, W, 3) uint8 (GIF-parity still API: the right
+    frame for corpus feature extraction; see decode_webp_frames for
+    the full animation)."""
+    return decode_webp_frames(payload, max_frames=1)[0][1]
+
+
 def encode_webp_anim(
     frames,
     canvas_wh: tuple[int, int],
