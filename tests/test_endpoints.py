@@ -127,3 +127,22 @@ def test_apply_common_args_time_range(spark):
 
     q = apply_common_args(parse_query("*"), start_ns=10**18, end_ns=2 * 10**18)
     assert q.time_range == (10**18, 2 * 10**18)
+
+
+def test_stream_endpoints_without_stream_column(spark):
+    """Frames without stream metadata (an expired-out store, a preloaded
+    table ingested without _stream_fields) answer the stream-metadata
+    endpoints with the reference's EMPTY result, not UNRESOLVED_COLUMN
+    (found by the r14 retention soak's empty-store audit)."""
+    from victorialogs_spark.endpoints import (
+        stream_field_names,
+        stream_field_values,
+        stream_ids,
+        streams,
+    )
+
+    df = spark.createDataFrame([], "_time timestamp, _msg string")
+    assert streams(spark, df, "*").collect() == []
+    assert stream_ids(spark, df, "*").collect() == []
+    assert stream_field_names(spark, df, "*").collect() == []
+    assert stream_field_values(spark, df, "app", "*").collect() == []

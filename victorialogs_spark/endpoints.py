@@ -208,12 +208,24 @@ def _filtered(spark: SparkSession, df: DataFrame, query: str) -> DataFrame:
     return plan_query(spark, df, q)
 
 
+def _with_stream_col(df: DataFrame, name: str) -> DataFrame:
+    """A frame without stream metadata (an empty store after retention
+    expired the last day, or a preloaded table ingested without
+    ``_stream_fields``) has NO streams: substitute an empty frame that
+    CARRIES the column so the stream-metadata endpoints answer the
+    reference's empty result instead of UNRESOLVED_COLUMN (the r14
+    retention soak hit the expired-store case)."""
+    if name in df.columns:
+        return df
+    return df.where(F.lit(False)).withColumn(name, F.lit(""))
+
+
 def streams(
     spark: SparkSession, df: DataFrame, query: str = "*", limit: int = 0
 ) -> DataFrame:
     """Distinct `_stream` values + hit counts (storage_search.go:426)."""
     out = (
-        _filtered(spark, df, query)
+        _with_stream_col(_filtered(spark, df, query), "_stream")
         .groupBy("_stream")
         .agg(F.count(F.lit(1)).alias("hits"))
         .orderBy(F.desc("hits"), F.asc("_stream"))
@@ -225,7 +237,7 @@ def stream_ids(
     spark: SparkSession, df: DataFrame, query: str = "*", limit: int = 0
 ) -> DataFrame:
     out = (
-        _filtered(spark, df, query)
+        _with_stream_col(_filtered(spark, df, query), "_stream_id")
         .groupBy("_stream_id")
         .agg(F.count(F.lit(1)).alias("hits"))
         .orderBy(F.desc("hits"), F.asc("_stream_id"))
@@ -240,7 +252,7 @@ def stream_field_names(
     spark: SparkSession, df: DataFrame, query: str = "*"
 ) -> DataFrame:
     """Label names used in `_stream` + row hits (storage_search.go:450)."""
-    out = _filtered(spark, df, query)
+    out = _with_stream_col(_filtered(spark, df, query), "_stream")
     names = F.explode(F.regexp_extract_all(F.col("_stream"), F.lit(_LABEL_RE), 1))
     return (
         out.select(names.alias("name"))
@@ -259,7 +271,7 @@ def stream_field_values(
     metacharacters would break or subvert the match."""
     import re as _re
 
-    out = _filtered(spark, df, query)
+    out = _with_stream_col(_filtered(spark, df, query), "_stream")
     val = F.regexp_extract(
         F.col("_stream"),
         f'(?:[{{,]){_re.escape(label)}="((?:[^"\\\\]|\\\\.)*)"',
