@@ -644,3 +644,63 @@ def test_empty_store_serves_empty_results(spark, tmp_path,
         assert _count(srv, '_time:[2020-01-01, 2030-01-01)') == 0
     finally:
         srv.stop()
+
+
+def test_compaction_failure_does_not_disable_migration(
+    spark, tmp_path, tiny_thresholds, monkeypatch
+):
+    """Tier-2 failures are gated PER DAY, never against the tier-1
+    counter: a day whose clustered rewrite always fails must (a) leave
+    every migration committing normally — no unbounded flat pile —
+    (b) keep serving its un-compacted files exactly, and (c) stop
+    burning rewrite attempts after COMPACT_MAX_FAILS while OTHER days
+    still compact."""
+    old_cf = _State.COMPACT_FILES
+    _State.COMPACT_FILES = 2
+    spill = str(tmp_path / "spill")
+    srv = LogHTTPServer(spark, None, 0, spill_dir=spill).start()
+    attempts = {"n": 0}
+    real = _State._compact_one_day
+
+    def boom(self, day, files):
+        if day == "_day=20240101":
+            attempts["n"] += 1
+            raise RuntimeError("synthetic rewrite failure")
+        return real(self, day, files)
+
+    monkeypatch.setattr(_State, "_compact_one_day", boom)
+    total = 0
+    try:
+        for i in range(6):  # each cycle: flush one file, migrate
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-01", 12, f"f{i}"))
+            total += 12
+            _drain(srv)
+            srv.state.migrate_now()
+            # tier-1 keeps committing: the flat pile never accumulates
+            assert srv.state._flat_files == []
+            assert srv.state._migrate_fails == 0
+            assert srv.state._migrate_ok
+            # rows stay exact from the un-compacted files
+            assert _count(srv, '{app="life"}') == total
+        # the failing day was attempted exactly COMPACT_MAX_FAILS times
+        assert attempts["n"] == _State.COMPACT_MAX_FAILS
+        with srv.state.lock:
+            fails = dict(srv.state._compact_fails)
+        assert fails["_day=20240101"] == _State.COMPACT_MAX_FAILS
+        # a healthy OTHER day still compacts (tombstones appear for it)
+        for i in range(2):
+            _post(srv, "/insert/jsonline?_stream_fields=app",
+                  _lines("2024-01-02", 12, f"g{i}"))
+            total += 12
+            _drain(srv)
+            srv.state.migrate_now()
+        srv.state.migrate_now()
+        assert _count(srv, '{app="life"}') == total
+        with srv.state.lock:
+            day2 = [p for p in srv.state._table_files
+                    if p.startswith("_day=20240102")]
+        assert day2  # committed and served
+    finally:
+        _State.COMPACT_FILES = old_cf
+        srv.stop()

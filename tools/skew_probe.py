@@ -7,7 +7,7 @@ ONE task — the collect_list array and the pair explode grow
 quadratically while every other task stays flat.
 
 This probe measures minhash_near_dups and repeated_spans on synthetic
-corpora with a template cluster at 0 / 1.7 / 6.7% of 30k docs, with
+corpora with a template cluster at 0 / 1.7 / 6.7 / 16.7% of 30k docs, with
 and without the max_bucket_size guard. repeated_spans is expected to
 stay near-flat (its plan note: the span join was chosen over a count
 window precisely so AQE's skew-join handles the hot span key);

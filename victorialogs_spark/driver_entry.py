@@ -4307,12 +4307,10 @@ _DRIVER_VERIFIED_R12 = [
     "p_join", "p_json_array_len", "p_len", "p_math_abs",
 ]
 
-# The 50 STALEST oracle-backed entries by last-green driver round after r12,
-# derived programmatically from the union of CORRECTNESS_r01..r12.json
-# sorted by (last-green round, position in that round's artifact): the 34
-# whose last green is the r09 artifact (r09 positions 16-49 — the earlier
-# r09 positions were re-checked by the r12 window), followed by the 16
-# oldest r10 entries in r10 artifact order.
+# Historical record: the r13 window's stale-fill list. Every name below
+# landed green in CORRECTNESS_r13.json; the LIVE window source is
+# _STALE_R14_WINDOW + _NEW_R14 (nothing reads this list anymore — kept,
+# like _NEW_R13, as the audit trail of what each round's window covered).
 _STALE_R13_WINDOW = [
     # last green = r09 (r09 artifact order, positions 16-49)
     "p_pack_json", "p_pack_logfmt", "p_sample_all", "p_top", "p_union",

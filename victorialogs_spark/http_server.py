@@ -104,6 +104,11 @@ class _State:
     # schema the partitioned writer rejects — stop after this many
     # attempts instead of re-running a doomed rewrite per flush
     MIGRATE_MAX_FAILS = 3
+    # consecutive PER-DAY compaction failures before that day is skipped
+    # (it keeps serving from its un-compacted files); tier-2 failures
+    # are deliberately gated separately from MIGRATE_MAX_FAILS — one
+    # unrewritable day must never disable healthy tier-1 migrations
+    COMPACT_MAX_FAILS = 3
 
     def __init__(
         self,
@@ -148,6 +153,9 @@ class _State:
         # retention defers their physical deletion (logical drop +
         # tombstones) so the in-flight read never loses files
         self._compacting_days: set[str] = set()
+        # consecutive rewrite failures per day (tier-2 gate; a success
+        # resets its day, COMPACT_MAX_FAILS skips it)
+        self._compact_fails: dict[str, int] = {}
         # a DURABLE spill dir may already hold rows flushed by a prior
         # server run — they were acked, so they must be queryable from
         # request one, not only after the next flush re-reads the dir.
@@ -417,15 +425,25 @@ class _State:
                 self._replan_base_locked()
                 self._rebuild_logs_locked()
             self.inc("vl_spill_migrations_total", "status", "ok")
+            self._migrate_fails = 0
             # 4. tier-2: rewrite any day whose live file count crossed
             #    the gate into clustered files (compact_day's layout:
             #    stream-hashed, (_stream_id, _time)-sorted, bloom on
             #    _stream_id). Same crash protocol as every other step —
             #    new files are orphans until the manifest commit, old
             #    files stay on disk until the NEXT migration so live
-            #    plans never lose them.
-            self._compact_full_days()
-            self._migrate_fails = 0
+            #    plans never lose them. Failures here are gated PER DAY
+            #    (_compact_fails, inside _compact_days) and must never
+            #    reach the tier-1 counter: the migration above already
+            #    COMMITTED, so counting a compaction failure against
+            #    _migrate_fails would let one unrewritable day disable
+            #    healthy migrations for the process lifetime — the
+            #    unbounded-flat-pile regression the counter exists to
+            #    prevent (r14 review finding).
+            try:
+                self._compact_full_days()
+            except Exception:  # noqa: BLE001 — per-day gating inside
+                self.inc("vl_spill_compactions_total", "status", "error")
         except Exception:  # noqa: BLE001 — degrade to the flat pile
             # the flat files stay live (nothing was committed), reads
             # stay correct. Transient failures retry at the next flush;
@@ -455,6 +473,12 @@ class _State:
                 (d, sorted(fs))
                 for d, fs in sorted(days.items())
                 if len(fs) >= self.COMPACT_FILES
+                # a day whose rewrite keeps failing (e.g. a merged
+                # schema the clustered writer rejects) is skipped after
+                # COMPACT_MAX_FAILS consecutive failures instead of
+                # re-failing every migration; it keeps serving from its
+                # un-compacted files — correct, just not clustered
+                and self._compact_fails.get(d, 0) < self.COMPACT_MAX_FAILS
             ]
             # while the rewrite reads these days outside the lock, a
             # racing apply_retention() must not physically delete their
@@ -468,52 +492,67 @@ class _State:
                 self._compacting_days = set()
 
     def _compact_days(self, todo: list[tuple[str, list[str]]]) -> None:
+        for day, files in todo:
+            try:
+                self._compact_one_day(day, files)
+            except Exception:  # noqa: BLE001 — isolate per day
+                # one day's failed rewrite must not abort the other
+                # days' compactions nor (via _migrate's handler) the
+                # tier-1 migration counter; gate this day after
+                # COMPACT_MAX_FAILS consecutive failures
+                with self.lock:
+                    self._compact_fails[day] = (
+                        self._compact_fails.get(day, 0) + 1
+                    )
+                self.inc("vl_spill_compactions_total", "status", "error")
+
+    def _compact_one_day(self, day: str, files: list[str]) -> None:
         from pyspark.sql import functions as F
 
-        for day, files in todo:
-            paths = [os.path.join(self._table_dir, p) for p in files]
-            day_dir = os.path.join(self._table_dir, day)
-            in_bytes = sum(os.path.getsize(p) for p in paths)
-            n_out = max(1, in_bytes // (128 << 20))
-            before = set(self._list_table_files())
-            df = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*paths)
+        paths = [os.path.join(self._table_dir, p) for p in files]
+        day_dir = os.path.join(self._table_dir, day)
+        in_bytes = sum(os.path.getsize(p) for p in paths)
+        n_out = max(1, in_bytes // (128 << 20))
+        before = set(self._list_table_files())
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+        )
+        sort_cols = [
+            c for c in ("_stream_id", "_time") if c in df.columns
+        ]
+        if sort_cols:
+            # hash-partition on the first cluster key so each output
+            # file holds a SUBSET of streams (the compact_day rule:
+            # round-robin would put every stream in every file and
+            # kill sidecar pruning)
+            out = df.repartition(n_out, F.col(sort_cols[0]))
+            out = out.sortWithinPartitions(*sort_cols)
+        else:
+            out = df.coalesce(n_out)
+        writer = out.write.mode("append").option("compression", "zstd")
+        if "_stream_id" in df.columns:
+            writer = writer.option(
+                "parquet.bloom.filter.enabled#_stream_id", "true"
             )
-            sort_cols = [
-                c for c in ("_stream_id", "_time") if c in df.columns
-            ]
-            if sort_cols:
-                # hash-partition on the first cluster key so each output
-                # file holds a SUBSET of streams (the compact_day rule:
-                # round-robin would put every stream in every file and
-                # kill sidecar pruning)
-                out = df.repartition(n_out, F.col(sort_cols[0]))
-                out = out.sortWithinPartitions(*sort_cols)
-            else:
-                out = df.coalesce(n_out)
-            writer = out.write.mode("append").option("compression", "zstd")
-            if "_stream_id" in df.columns:
-                writer = writer.option(
-                    "parquet.bloom.filter.enabled#_stream_id", "true"
-                )
-            writer.parquet(day_dir)
-            new_files = sorted(set(self._list_table_files()) - before)
-            with self.lock:
-                if not set(files) <= set(self._table_files):
-                    # retention (or a manual apply) dropped this day
-                    # while we rewrote it: abandon — the new files stay
-                    # unlisted and the next restore/migration reaps them
-                    self._table_tombs.update(new_files)
-                    continue
-                self._table_files = sorted(
-                    (set(self._table_files) - set(files)) | set(new_files)
-                )
-                self._table_tombs.update(files)
-                self._write_manifest_locked()
-                self._replan_base_locked()
-                self._rebuild_logs_locked()
-            self.inc("vl_spill_compactions_total", "status", "ok")
+        writer.parquet(day_dir)
+        new_files = sorted(set(self._list_table_files()) - before)
+        with self.lock:
+            self._compact_fails.pop(day, None)  # success resets the gate
+            if not set(files) <= set(self._table_files):
+                # retention (or a manual apply) dropped this day
+                # while we rewrote it: abandon — the new files stay
+                # unlisted and the next restore/migration reaps them
+                self._table_tombs.update(new_files)
+                return
+            self._table_files = sorted(
+                (set(self._table_files) - set(files)) | set(new_files)
+            )
+            self._table_tombs.update(files)
+            self._write_manifest_locked()
+            self._replan_base_locked()
+            self._rebuild_logs_locked()
+        self.inc("vl_spill_compactions_total", "status", "ok")
 
     def _retention_keep_from(self) -> str:
         import datetime as _dt
