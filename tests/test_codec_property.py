@@ -724,15 +724,18 @@ def test_vp8l_truncation_raises_never_hangs(seed, cut):
     )
     import struct as _struct
 
+    import pytest as _pytest
+
     for payload, dec in ((still, decode_vp8l), (anim, decode_webp_frames)):
         n = max(1, int(len(payload) * cut))
-        try:
+        # every STRICT prefix must raise: the RIFF gate validates the
+        # declared container/chunk sizes against the buffer, so a cut
+        # at a chunk boundary can no longer decode as a silently
+        # shorter animation (r14 review finding)
+        with _pytest.raises(
+            (ValueError, NotImplementedError, IndexError, _struct.error)
+        ):
             dec(payload[:n])
-        except (ValueError, NotImplementedError, IndexError, _struct.error):
-            pass  # loud failure is the contract
-        # a successful decode is fine only when nothing was cut
-        # (RIFF sizes can exceed the truncation point without the
-        # decoder touching the missing tail) — garbage-free either way
 
 
 def test_vp8l_bitflip_corruption_is_loud_or_decodes(seed=7):

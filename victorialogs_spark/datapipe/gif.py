@@ -421,63 +421,17 @@ def gif_frame_sample(
     start time is <= t) with its integer-exact aHash — the GIF analog
     of mp4.video_frame_sample(decode=True), over the compositing
     decoder (sub-rectangle frames, disposal, transparency). Zero-delay
-    frames are treated as 10 cs, the de-facto viewer convention. One
-    narrow Arrow map, no shuffle; undecodable payloads yield no rows
-    (honest skip, consistent with the other media decoders).
+    frames are treated as 10 cs, the de-facto viewer convention.
+    Sampling, timeline and schema live in
+    multimodal.animation_frame_sample (one copy for both codecs).
 
     Output: (<id_col>, frame_ts_ms int, frame_index int,
     frame_time_ms long, ahash_bits string)."""
-    from pyspark.sql import types as T
-
-    def _batches(batches):
-        import pandas as pd
-
-        from victorialogs_spark.datapipe.multimodal import (
-            ahash_bits_from_pixels,
-        )
-
-        for pdf in batches:
-            ids, f_ts, f_idx, f_time, hashes = [], [], [], [], []
-            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
-                try:
-                    frames = decode_gif_frames(bytes(payload))
-                except Exception:
-                    continue
-                starts, t0 = [], 0
-                for delay_cs, _px in frames:
-                    starts.append(t0)
-                    # zero-delay -> 10 cs (100 ms), the viewer convention
-                    t0 += (delay_cs if delay_cs > 0 else 10) * 10
-                total_ms = t0
-                t = 0
-                while t < max(total_ms, 1):
-                    k = 0
-                    for i, s in enumerate(starts):
-                        if s <= t:
-                            k = i
-                    ids.append(aid)
-                    f_ts.append(t)
-                    f_idx.append(k)
-                    f_time.append(starts[k])
-                    hashes.append(ahash_bits_from_pixels(frames[k][1]))
-                    t += every_ms
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "frame_ts_ms": pd.Series(f_ts, dtype="int32"),
-                    "frame_index": pd.Series(f_idx, dtype="int32"),
-                    "frame_time_ms": pd.Series(f_time, dtype="int64"),
-                    "ahash_bits": pd.Series(hashes, dtype="object"),
-                }
-            )
-
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("frame_ts_ms", T.IntegerType()),
-            T.StructField("frame_index", T.IntegerType()),
-            T.StructField("frame_time_ms", T.LongType()),
-            T.StructField("ahash_bits", T.StringType()),
-        ]
+    from victorialogs_spark.datapipe.multimodal import (
+        animation_frame_sample,
     )
-    return assets.select(id_col, payload_col).mapInPandas(_batches, schema)
+
+    return animation_frame_sample(
+        assets, decode_gif_frames, lambda cs: cs * 10, every_ms, id_col,
+        payload_col,
+    )

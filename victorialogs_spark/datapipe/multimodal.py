@@ -1064,3 +1064,84 @@ def audio_zcr_energy(assets: DataFrame, id_col: str = "asset_id",
         f"__id {id_type}, n_samples long, zero_crossings long, total_abs long",
     )
     return out.withColumnRenamed("__id", id_col)
+
+
+def animation_frame_sample(
+    assets: DataFrame,
+    decode_frames,
+    duration_to_ms,
+    every_ms: int = 250,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Shared engine for time-based animation frame sampling
+    (gif.gif_frame_sample / webp.webp_frame_sample — one copy of the
+    timeline/sampling/schema logic instead of per-codec drift): for
+    each target timestamp t = j*every_ms (while t < animation
+    duration), emit the frame DISPLAYED at t (the latest frame whose
+    start time is <= t) with its integer-exact aHash.
+
+    ``decode_frames(payload) -> [(duration, HxWx3), ...]`` is the
+    codec's compositing decoder; ``duration_to_ms`` converts its native
+    duration unit (GIF centiseconds x10, WebP already ms). A converted
+    duration <= 0 counts as 100 ms — the de-facto viewer convention
+    both formats share. Each distinct frame is hashed ONCE regardless
+    of how many sample timestamps land on it. One narrow Arrow map
+    (projected to the two consumed columns), no shuffle; undecodable
+    payloads yield no rows (honest skip, consistent with the other
+    media decoders).
+
+    Output: (<id_col>, frame_ts_ms int, frame_index int,
+    frame_time_ms long, ahash_bits string)."""
+
+    def _batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, f_ts, f_idx, f_time, hashes = [], [], [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames = decode_frames(bytes(payload))
+                except Exception:  # noqa: BLE001 — honest skip
+                    continue
+                starts, t0 = [], 0
+                for dur, _px in frames:
+                    starts.append(t0)
+                    ms = duration_to_ms(dur)
+                    t0 += ms if ms > 0 else 100
+                total_ms = t0
+                frame_hash: list[str | None] = [None] * len(frames)
+                t = 0
+                while t < max(total_ms, 1):
+                    k = 0
+                    for i, s in enumerate(starts):
+                        if s <= t:
+                            k = i
+                    if frame_hash[k] is None:
+                        frame_hash[k] = ahash_bits_from_pixels(frames[k][1])
+                    ids.append(aid)
+                    f_ts.append(t)
+                    f_idx.append(k)
+                    f_time.append(starts[k])
+                    hashes.append(frame_hash[k])
+                    t += every_ms
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_ts_ms": pd.Series(f_ts, dtype="int32"),
+                    "frame_index": pd.Series(f_idx, dtype="int32"),
+                    "frame_time_ms": pd.Series(f_time, dtype="int64"),
+                    "ahash_bits": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_ts_ms", T.IntegerType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame_time_ms", T.LongType()),
+            T.StructField("ahash_bits", T.StringType()),
+        ]
+    )
+    return assets.select(id_col, payload_col).mapInPandas(_batches, schema)

@@ -583,9 +583,27 @@ def _decode_image_stream(br: _BitReader, w: int, h: int, level0: bool):
 # container + public API
 
 
-def _find_vp8l_chunk(payload: bytes) -> bytes:
+def _check_riff(payload: bytes) -> None:
+    """Loud truncation gate: the RIFF header's declared size and every
+    chunk's declared size must fit the buffer. Without this, a payload
+    cut at a chunk boundary silently decodes as a SHORTER animation
+    (the chunk walk just stops) — the module's documented boundary is
+    a loud failure for fragmented/invalid streams."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) container")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if 8 + riff_size > len(payload):
+        raise ValueError("WebP container truncated (RIFF size exceeds buffer)")
+    pos = 12
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            raise ValueError("WebP chunk truncated (declared size exceeds buffer)")
+        pos += 8 + size + (size & 1)
+
+
+def _find_vp8l_chunk(payload: bytes) -> bytes:
+    _check_riff(payload)
     pos = 12
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
@@ -922,8 +940,7 @@ def decode_webp_frames(payload: bytes, max_frames: int | None = None):
     """
     import numpy as np
 
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise ValueError("not a WebP (RIFF/WEBP) container")
+    _check_riff(payload)
     pos = 12
     canvas = None
     bg_argb = 0
@@ -1078,64 +1095,19 @@ def webp_frame_sample(
     """Time-based frame sampling over animated WebP: for each target
     timestamp t = j*every_ms (while t < animation duration), emit the
     frame DISPLAYED at t with its integer-exact aHash — the WebP analog
-    of gif.gif_frame_sample over the compositing decoder. Zero-duration
-    frames count as 100 ms (the viewer convention shared with GIF's
-    zero-delay rule). One narrow Arrow map, no shuffle; undecodable
-    payloads yield no rows (honest skip, consistent with the other
-    media decoders).
+    of gif.gif_frame_sample over the compositing decoder. Durations are
+    native milliseconds; zero-duration frames count as 100 ms (the
+    viewer convention shared with GIF's zero-delay rule). Sampling,
+    timeline and schema live in multimodal.animation_frame_sample (one
+    copy for both codecs).
 
     Output: (<id_col>, frame_ts_ms int, frame_index int,
     frame_time_ms long, ahash_bits string)."""
-    from pyspark.sql import types as T
-
-    def _batches(batches):
-        import pandas as pd
-
-        from victorialogs_spark.datapipe.multimodal import (
-            ahash_bits_from_pixels,
-        )
-
-        for pdf in batches:
-            ids, f_ts, f_idx, f_time, hashes = [], [], [], [], []
-            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
-                try:
-                    frames = decode_webp_frames(bytes(payload))
-                except Exception:
-                    continue
-                starts, t0 = [], 0
-                for dur, _px in frames:
-                    starts.append(t0)
-                    t0 += dur if dur > 0 else 100
-                total_ms = t0
-                t = 0
-                while t < max(total_ms, 1):
-                    k = 0
-                    for i, s in enumerate(starts):
-                        if s <= t:
-                            k = i
-                    ids.append(aid)
-                    f_ts.append(t)
-                    f_idx.append(k)
-                    f_time.append(starts[k])
-                    hashes.append(ahash_bits_from_pixels(frames[k][1]))
-                    t += every_ms
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "frame_ts_ms": pd.Series(f_ts, dtype="int32"),
-                    "frame_index": pd.Series(f_idx, dtype="int32"),
-                    "frame_time_ms": pd.Series(f_time, dtype="int64"),
-                    "ahash_bits": pd.Series(hashes, dtype="object"),
-                }
-            )
-
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("frame_ts_ms", T.IntegerType()),
-            T.StructField("frame_index", T.IntegerType()),
-            T.StructField("frame_time_ms", T.LongType()),
-            T.StructField("ahash_bits", T.StringType()),
-        ]
+    from victorialogs_spark.datapipe.multimodal import (
+        animation_frame_sample,
     )
-    return assets.mapInPandas(_batches, schema)
+
+    return animation_frame_sample(
+        assets, decode_webp_frames, lambda d: d, every_ms, id_col,
+        payload_col,
+    )

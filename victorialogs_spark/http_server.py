@@ -469,6 +469,12 @@ class _State:
             days: dict[str, list[str]] = {}
             for p in self._table_files:
                 days.setdefault(p.split(os.sep, 1)[0], []).append(p)
+            # forget failure counters for days no longer in the table
+            # (retention dropped them): bounds the dict in a long-lived
+            # server and un-gates a later re-created day partition
+            self._compact_fails = {
+                d: n for d, n in self._compact_fails.items() if d in days
+            }
             todo = [
                 (d, sorted(fs))
                 for d, fs in sorted(days.items())
