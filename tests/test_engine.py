@@ -962,3 +962,64 @@ def test_unpack_logfmt_fields_pushdown_equivalence(spark):
     )
     out = run_query(spark, dirty, "* | unpack_logfmt from _msg | fields app, a")
     assert rows_set(out) == {("lf", "1"), ("", "3")}
+
+
+def test_compact_day_preserves_concurrent_appends(spark, tmp_path):
+    """compact_day snapshots its input file set and swaps without ever
+    removing the live day dir: a micro-batch file appended between the
+    snapshot and the swap survives untouched (the previous rmtree of
+    the whole dir silently destroyed it — r14 review finding), the
+    snapshot files are gone, and a leftover scratch dir never surfaces
+    from list_days."""
+    import pathlib
+
+    from victorialogs_spark.streaming import ingest as ing
+
+    tdir = str(tmp_path / "tbl")
+    day = "20240101"
+    part = pathlib.Path(tdir) / f"_day={day}"
+    for i in range(3):
+        spark.createDataFrame(
+            [(f"m{i}{j}",) for j in range(4)], "_msg string"
+        ).coalesce(1).write.mode("append").parquet(str(part))
+    snapshot = sorted(part.glob("*.parquet"))
+
+    # simulate a concurrent append landing inside compact_day's window:
+    # append now and pin compact_day's snapshot to the pre-append file
+    # set below — compact_day reads/deletes EXPLICIT snapshot paths, so
+    # a present-but-unsnapshotted file behaves exactly like a
+    # mid-window arrival
+    spark.createDataFrame([("late",)], "_msg string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(part))
+    late = set(part.glob("*.parquet")) - set(snapshot)
+    assert late
+
+    import victorialogs_spark.streaming.ingest as ingest_mod
+
+    orig_glob = pathlib.Path.glob
+
+    def snap_glob(self, pattern):
+        # force compact_day's snapshot to the pre-append file set so the
+        # late file models a true mid-compaction arrival
+        if self == part and pattern == "*.parquet":
+            return iter(list(snapshot))
+        return orig_glob(self, pattern)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(pathlib.Path, "glob", snap_glob):
+        ing.compact_day(spark, tdir, day, target_files=1)
+
+    remaining = set(part.glob("*.parquet"))
+    assert late <= remaining  # concurrent append survived
+    assert not (set(snapshot) & remaining)  # snapshot files swapped out
+    assert not (pathlib.Path(tdir) / f"_day={day}.compact").exists()
+    # rows: 12 snapshot rows compacted + the late row, exactly once
+    vals = sorted(
+        r["_msg"] for r in spark.read.parquet(str(part)).collect()
+    )
+    assert len(vals) == 13 and "late" in vals
+    # a parked scratch dir never surfaces as a day
+    (pathlib.Path(tdir) / "_day=20240102.compact").mkdir()
+    assert ing.list_days(tdir) == [day]

@@ -437,3 +437,81 @@ def test_stream_stats_windowed(spark, tmp_path):
         stream_stats(stream, "* | stats count_uniq(app) as u")
     with _pytest.raises(ValueError, match="stats by"):
         stream_stats(stream, "* | sort by (_time)")
+
+
+def test_jvm_promote_excludes_engine_owned_names(spark):
+    """The JVM flatten-promote path must mirror the pandas path's
+    engine-owned-name handling: a literal '_day' data field spills to
+    _other instead of hijacking the partition column (wrong partitions
+    AND wrong lexicographic retention), and a literal '_msg' under a
+    custom msg_field is overwritten by the alias rather than producing
+    a duplicate column (r14 review findings)."""
+    import json
+
+    from victorialogs_spark.sources.ndjson import ingest_ndjson_jvm
+
+    lines = [
+        json.dumps({"_time": "2024-01-02T00:00:00Z", "_msg": "hello",
+                    "_day": "garbage", "app": "x"}),
+        json.dumps({"_time": "2024-01-02T00:00:01Z", "message": "real",
+                    "_msg": "literal", "app": "y"}),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "in.ndjson")
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines))
+        df = ingest_ndjson_jvm(spark, p)
+        assert "_day" not in df.columns  # not promoted
+        rows = {r["_msg"]: r.asDict() for r in df.collect()}
+        assert rows["hello"]["_other"].get("_day") == "garbage"  # spilled
+
+        df2 = ingest_ndjson_jvm(spark, p, msg_field="message")
+        assert df2.columns.count("_msg") == 1  # no duplicate column
+        msgs = {r["_msg"] for r in df2.collect()}
+        assert "real" in msgs  # the alias wins (pandas-path parity)
+
+
+def test_live_tailer_source_without_time(spark, tmp_path):
+    """A source frame without a '_time' column primes and polls instead
+    of crashing on UNRESOLVED_COLUMN — the guard branches existed but
+    the priming aggregation and the disjoint-window re-plan ran before
+    them (r14 review finding)."""
+    src_dir = str(tmp_path / "nt")
+    spark.createDataFrame(
+        [("a",), ("b",)], "_msg string"
+    ).write.mode("overwrite").parquet(src_dir)
+    tailer = LiveTailer(
+        spark, lambda: spark.read.parquet(src_dir), "*", refresh_interval=0
+    )
+    assert tailer.poll_once() == []  # primes at 0, no crash
+    # a later poll still answers (every poll re-plans: no time axis)
+    rows = tailer.poll_once()
+    assert {r["_msg"] for r in rows} == {"a", "b"}
+
+
+def test_live_tailer_boundary_row_not_dropped(spark, tmp_path):
+    """Row timestamps are compared to the Spark-exact unix_micros
+    watermarks via exact integer arithmetic, not a float or local-tz
+    .timestamp() conversion: a row exactly one µs after the watermark
+    must be delivered (r14 review finding — the float path truncated
+    boundary µs; a local-tz interpretation shifts whole hours)."""
+    src_dir = str(tmp_path / "bd")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "_time timestamp, _msg string"
+        ).write.mode("append").parquet(src_dir)
+
+    t0 = dt.datetime(2026, 3, 8, 2, 30, 0, 500000, tzinfo=UTC)  # DST-ish hour
+    write([(t0, "old")])
+    tailer = LiveTailer(
+        spark, lambda: spark.read.parquet(src_dir), "*", refresh_interval=0
+    )
+    assert tailer.poll_once() == []
+    # exactly 1 µs past the primed watermark
+    write([(t0 + dt.timedelta(microseconds=1), "fresh")])
+    fresh = tailer.poll_once()
+    assert [r["_msg"] for r in fresh] == ["fresh"]

@@ -207,3 +207,51 @@ def test_curate_ngram_decontamination_mode(spark):
         curate_corpus(
             docs, "doc_id", "text", heldout=heldout, decontaminate_mode="bogus"
         ).collect()
+
+
+def test_stream_neardup_representative_stays_stable(spark, tmp_path):
+    """Three batches: 7, then near-dup 2 (smaller id, flagged dup_of=7),
+    then 7 re-crawled. The stored representative must stay 7: flagging
+    the re-arrival of the ORIGINAL as a dup of its own duplicate would
+    leave the whole cluster flagged with no surviving representative
+    (r14 review finding)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.streaming.neardup import stream_minhash_neardup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [7], "text": [GOOD_A]}).to_parquet(src / "a.parquet")
+    pd.DataFrame({"doc_id": [2], "text": [GOOD_A_DUP]}).to_parquet(src / "b.parquet")
+    pd.DataFrame({"doc_id": [7], "text": [GOOD_A]}).to_parquet(src / "c.parquet")
+    _pin_file_order(src / "a.parquet", src / "b.parquet")
+    import os
+    import time as _t
+
+    now = _t.time()
+    os.utime(src / "c.parquet", (now + 2, now + 2))
+    q = (
+        stream_minhash_neardup(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            num_hashes=8, bands=4, n=3,
+        )
+        .writeStream.format("memory")
+        .queryName("sndup_stable")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = (
+        spark.table("sndup_stable")
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .collect()
+    )
+    # only 2 is flagged (dup of the stable representative 7); the
+    # re-arrival of 7 itself is never emitted as a duplicate
+    assert {r["doc_id"]: r["dup_of"] for r in out} == {2: 7}

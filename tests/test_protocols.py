@@ -213,3 +213,56 @@ def test_syslog_sd_message_with_brackets(spark):
     r = df.collect()[0].asDict()
     assert r["_msg"] == "took [5] ms"
     assert r["hostname"] == "host"
+
+
+def test_datadog_epoch_ms_timestamp(spark):
+    """Datadog's documented 'timestamp' attribute is epoch MILLISECONDS;
+    it must parse to the right instant, not 1000x into the future
+    (r14 review finding)."""
+    import json
+
+    from victorialogs_spark.sources.protocols import parse_datadog_logs
+
+    line = json.dumps([{"message": "m", "timestamp": 1715000000000}])
+    df = parse_datadog_logs(
+        spark, spark.createDataFrame([(line,)], "value string")
+    )
+    row = df.collect()[0]
+    assert row["_time"].year == 2024  # 2024-05-06, not year ~56k
+
+
+def test_rfc3164_non_month_falls_back_to_raw(spark):
+    """A capitalized 3-letter token that is not an English month
+    (localized syslog) takes the designed raw-_msg fallback instead of
+    a KeyError that silently drops the line (r14 review finding)."""
+    from victorialogs_spark.sources.protocols import parse_syslog_lines
+
+    lines = spark.createDataFrame(
+        [("Okt 12 10:30:00 host app: localized",),
+         ("Jan 12 10:30:00 host app[7]: real",)],
+        "value string",
+    )
+    rows = {r["_msg"] for r in parse_syslog_lines(spark, lines).collect()}
+    assert "Okt 12 10:30:00 host app: localized" in rows  # raw, not lost
+    assert "real" in rows
+
+
+def test_es_bulk_single_key_document_not_dropped(spark):
+    """A single-key DOCUMENT whose key is named like a bulk action
+    ({"delete": "user pressed delete"}) is a real log row; only
+    object-valued action metadata is skipped (r14 review finding)."""
+    import json
+
+    from victorialogs_spark.sources.protocols import parse_elasticsearch_bulk
+
+    lines = spark.createDataFrame(
+        [(json.dumps({"index": {"_id": "1"}}),),      # action: skipped
+         (json.dumps({"message": "doc one"}),),
+         (json.dumps({"delete": "user pressed delete"}),)],  # document!
+        "value string",
+    )
+    msgs = sorted(
+        (r.asDict().get("_msg") or r.asDict().get("delete") or "")
+        for r in parse_elasticsearch_bulk(spark, lines).collect()
+    )
+    assert len(msgs) == 2

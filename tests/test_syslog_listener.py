@@ -63,3 +63,29 @@ def test_drain_dataframe_parses(spark):
         assert srv.collector.drain_dataframe(spark) is None  # drained empty
     finally:
         srv.stop()
+
+
+def test_tcp_newline_framing_respects_max_len():
+    """MAX_MSG_LEN bounds BOTH RFC6587 framing modes: a newline-less
+    client must not grow the line buffer without bound (r14 review
+    finding) — the reader drops the connection at the cap, and frames
+    parsed before the oversize one survive."""
+    import io
+
+    from victorialogs_spark.sources.syslog_listener import (
+        MAX_MSG_LEN,
+        SyslogCollector,
+        _read_frames,
+    )
+
+    good = b"<13>Jan  1 00:00:00 h app: ok\n"
+    evil = b"A" * (MAX_MSG_LEN + 100)  # no newline, ever
+    collector = SyslogCollector()
+    _read_frames(io.BytesIO(good + evil), collector)
+    lines = collector.drain()
+    assert lines == [good[:-1].decode()]
+
+    # the digits loop is capped too (digit stream with no space)
+    collector2 = SyslogCollector()
+    _read_frames(io.BytesIO(b"9" * 1000), collector2)
+    assert collector2.drain() == []

@@ -248,17 +248,25 @@ def _flatten_promote_jvm(
     by_name = dict(flat)
     t_raw = by_name.get(time_field, F.lit(""))
     msg = by_name.get(msg_field, F.lit(""))
-    user_cols = [
-        (k, v)
-        for k, v in flat
-        if k not in (time_field, msg_field, "_other")  # engine-owned names
-    ]
+    # engine-owned names are never promoted as user columns, matching
+    # the pandas path (promote_columns strips "_time"/"_day"/"_other";
+    # the msg-field alias overwrites a literal "_msg"). Promoting a
+    # literal "_day" was the sharpest hazard: append_day_partitioned
+    # would skip deriving the partition column and place rows under
+    # data-controlled day labels, which retention then compares
+    # lexicographically — wrong partitions AND wrong expiry (r14
+    # review finding).
+    engine_owned = {time_field, msg_field, "_other", "_time", "_day", "_msg"}
+    user_cols = [(k, v) for k, v in flat if k not in engine_owned]
     promoted = user_cols[:MAX_PROMOTED_COLS]
     overflow = user_cols[MAX_PROMOTED_COLS:]
-    # a user field literally named _other can't be promoted (the name is
-    # engine-owned) but must not vanish either — it lives in the spill
-    # map under its own name, same as the mapInPandas path
-    overflow += [(k, v) for k, v in flat if k == "_other"]
+    # engine-named user fields can't be promoted but must not vanish
+    # either — they live in the spill map under their own names, same
+    # as the mapInPandas path. Exceptions mirroring pandas: the active
+    # time source is consumed as _time_raw, and a literal "_msg" under
+    # a custom msg_field is overwritten by the alias (dropped).
+    spill_names = {"_other", "_time", "_day"} - {time_field, msg_field}
+    overflow += [(k, v) for k, v in flat if k in spill_names]
     cols = [t_raw.alias("_time_raw")]
     cols.append(
         F.when(

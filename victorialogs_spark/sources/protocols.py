@@ -95,7 +95,16 @@ def parse_elasticsearch_bulk(
         if not line:
             return []
         obj = json.loads(line)
-        if len(obj) == 1 and next(iter(obj)) in _ES_ACTIONS:
+        if (
+            len(obj) == 1
+            and next(iter(obj)) in _ES_ACTIONS
+            # bulk action metadata is always an OBJECT value
+            # ({"index": {"_id": ...}}); a single-key DOCUMENT whose key
+            # happens to be named index/create/delete/update (e.g.
+            # {"delete": "user pressed delete"}) is a real log row, not
+            # metadata (r14 review finding)
+            and isinstance(next(iter(obj.values())), dict)
+        ):
             return []  # action/metadata line
         flat = flatten_json(obj)
         if "@timestamp" in flat:
@@ -323,6 +332,13 @@ def parse_syslog_lines(
                 return [{"_msg": line}]
             pri, ts, host, app, pid, msg = m.groups()
             parts = ts.split()
+            if parts[0] not in months:
+                # a capitalized 3-letter token that is not an English
+                # month (localized syslog, arbitrary text) must take the
+                # designed unparseable-line fallback — ingest raw — not
+                # KeyError into the batch parser's silent line drop
+                # (r14 review finding)
+                return [{"_msg": line}]
             iso = f"{year:04d}-{months[parts[0]]:02d}-{int(parts[1]):02d}T{parts[2]}Z"
             flat = {
                 "_time": iso,
@@ -418,7 +434,14 @@ def parse_datadog_logs(
                             tk, tv = tag.split(":", 1)
                             flat[tk] = tv
                 elif k == "timestamp":
-                    flat["_time"] = str(v)
+                    # Datadog's documented format is epoch MILLISECONDS;
+                    # passing the raw integer through would later parse
+                    # as seconds (1000x off, year ~56k — r14 review
+                    # finding). Strings (RFC3339) pass through.
+                    if isinstance(v, (int, float)) or str(v).isdigit():
+                        flat["_time"] = unix_frac_seconds(int(v), 10**3)
+                    else:
+                        flat["_time"] = str(v)
                 else:
                     flat[str(k)] = str(v)
             out.append(flat)

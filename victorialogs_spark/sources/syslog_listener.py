@@ -82,6 +82,8 @@ def _read_frames(rfile, collector: SyslogCollector) -> None:
                 if b == b" ":
                     break
                 digits += b
+                if len(digits) > 20:  # no real length needs more digits
+                    return
             try:
                 n = int(digits)
             except ValueError:
@@ -99,6 +101,13 @@ def _read_frames(rfile, collector: SyslogCollector) -> None:
                 if not b or b == b"\n":
                     break
                 buf += b
+                if len(buf) > MAX_MSG_LEN:
+                    # the cap must bound BOTH framing modes (the
+                    # reference enforces MaxLineSizeBytes on the line
+                    # reader too): a newline-less client otherwise grows
+                    # this buffer without bound (r14 review finding).
+                    # Drop the connection like the oversize octet path.
+                    return
             collector.add(bytes(buf).decode("utf-8", "replace"))
 
 

@@ -14,6 +14,7 @@ Design:
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -104,7 +105,10 @@ def list_days(table_dir: str) -> list[str]:
     return sorted(
         p.name.split("=", 1)[1]
         for p in root.glob("_day=*")
-        if p.is_dir()
+        # a leftover compaction scratch dir ("_day=X.compact" from a
+        # killed compact_day) must not surface as a bogus day
+        # (r14 review finding)
+        if p.is_dir() and not p.name.endswith(".compact")
     )
 
 
@@ -200,12 +204,18 @@ def compact_day(
     re-run it after appending string-typed micro-batches into a typed
     day. ``value_types`` supplies a precomputed detection result."""
     part = Path(table_dir) / f"_day={day}"
-    files = [p for p in part.glob("*.parquet")]
+    # SNAPSHOT the input file set and read exactly these files: reading
+    # the directory would lazily re-list it at write time, and the swap
+    # below deletes exactly this snapshot — so a micro-batch file a
+    # concurrent appender adds mid-compaction is neither silently
+    # destroyed nor double-rewritten (r14 review finding; the previous
+    # rmtree of the whole day dir lost concurrent appends outright)
+    files = sorted(part.glob("*.parquet"))
     if not files:
         return 0
     if len(files) <= target_files and not type_columns:
         return len(files)
-    df = spark.read.parquet(str(part))
+    df = spark.read.parquet(*[str(p) for p in files])
     if type_columns:
         # the reference's per-block value-type specialization at merge
         # time: uniformly-numeric string columns re-encode typed, so
@@ -248,8 +258,22 @@ def compact_day(
             "parquet.bloom.filter.enabled#_stream_id", "true"
         )
     writer.parquet(tmp)
-    shutil.rmtree(part)
-    Path(tmp).rename(part)
+    # swap without ever removing the live day dir: move the compacted
+    # files IN under unique names, then delete exactly the snapshot.
+    # Concurrent appends (files not in the snapshot) survive untouched,
+    # and there is no window where the day is missing. A kill between
+    # the move-in and the snapshot delete leaves duplicate rows until
+    # the operator re-runs with the leftover originals — a far smaller
+    # hazard than the previous rmtree+rename, which parked the whole
+    # day at "_day=X.compact" and destroyed mid-compaction appends.
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex[:12]
+    for i, f in enumerate(sorted(Path(tmp).glob("*.parquet"))):
+        os.replace(f, part / f"compact-{token}-{i:05d}.parquet")
+    for p in files:
+        p.unlink(missing_ok=True)
+    shutil.rmtree(tmp)
     return len(files)
 
 

@@ -75,13 +75,18 @@ def stream_minhash_neardup(
         rows = pd.concat(list(pdfs), ignore_index=True)
         batch_min = int(rows["doc_id"].min())
         prev = state.get[0] if state.exists else None
-        overall = batch_min if prev is None else min(prev, batch_min)
-        state.update((overall,))
+        # the stored representative is STABLE: first-seen bucket min,
+        # never lowered afterwards. Updating it to a later, smaller id
+        # (which was just EMITTED as a duplicate) would make a
+        # re-arrival of the original flag as a dup of that duplicate —
+        # both flagged, and a dedup consumer drops the whole cluster
+        # with no surviving representative (r14 review finding).
+        state.update((batch_min if prev is None else prev,))
         if prev is None:
             # first batch for this bucket: the min-id row is the
             # representative, every other row is its duplicate
-            dups = rows[rows["doc_id"] != overall]
-            dup_of = overall
+            dups = rows[rows["doc_id"] != batch_min]
+            dup_of = batch_min
         else:
             # bucket already seen: every row EXCEPT a re-arrival of the
             # stored representative itself collides with it (flagging

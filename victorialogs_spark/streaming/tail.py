@@ -82,13 +82,19 @@ class LiveTailer:
         watermark (minus overlap), return fresh rows sorted by _time."""
         src = self.source_fn()
         priming = self._floor_us is None
+        has_src_time = "_time" in src.columns
         if priming:
             # first poll starts at the current max time (tail semantics);
             # rows already inside the overlap window are marked seen (never
-            # yielded) so boundary rows can't re-deliver on the next poll
-            row = src.agg(F.max(F.unix_micros(F.col("_time")))).first()
-            self._floor_us = row[0] if row and row[0] is not None else 0
-        has_src_time = "_time" in src.columns
+            # yielded) so boundary rows can't re-deliver on the next poll.
+            # A source without _time (the case the has_src_time branches
+            # below exist for) primes at 0 — referencing the column here
+            # crashed before those guards could apply (r14 review finding)
+            if has_src_time:
+                row = src.agg(F.max(F.unix_micros(F.col("_time")))).first()
+                self._floor_us = row[0] if row and row[0] is not None else 0
+            else:
+                self._floor_us = 0
         if has_src_time:
             cur_max_row = src.agg(F.max(F.unix_micros(F.col("_time")))).first()
             cur_max = cur_max_row[0] if cur_max_row and cur_max_row[0] is not None else self._floor_us
@@ -105,17 +111,38 @@ class LiveTailer:
             # result row whose source window is strictly newer than the
             # floor (exact for append-in-order sources; late arrivals
             # inside the overlap are the same trade the reference makes)
-            windowed = src.where(F.unix_micros(F.col("_time")) > self._floor_us)
+            if has_src_time:
+                windowed = src.where(
+                    F.unix_micros(F.col("_time")) > self._floor_us
+                )
+            else:
+                windowed = src  # no time axis at all: every poll re-plans
             out = plan_query(self.spark, windowed, self.q)
             rows = out.collect()
             self._floor_us = max(self._floor_us, cur_max)
             return [] if priming else rows
         rows = out.collect()
         fresh = []
+        import datetime as _dt
+
+        _epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+        def _us(ts):
+            # exact integer µs, UTC-pinned. The old float path
+            # (naive .timestamp() * 1e6) interpreted the session-UTC
+            # naive datetime in the DRIVER's local timezone (an hour of
+            # rows dropped across a DST fold) and went through a double
+            # whose 0.25 µs spacing at current epochs truncates boundary
+            # rows below the exact unix_micros watermarks they are
+            # compared against (r14 review finding)
+            return (ts.replace(tzinfo=_dt.timezone.utc) - _epoch) // _dt.timedelta(
+                microseconds=1
+            )
+
         for r in rows:
             d = r.asDict()
             t_us = (
-                int(d["_time"].timestamp() * 1e6)
+                _us(d["_time"])
                 if has_time and d.get("_time") is not None
                 else 0
             )
