@@ -169,3 +169,49 @@ def test_local_index_reader_gates_and_falls_back(tmp_path):
     junk.mkdir()
     (junk / "part-0.parquet").write_bytes(b"not parquet at all")
     assert read_local_index(str(junk)) is None
+
+
+def test_probe_skips_sidecar_not_indexing_msg(spark, tmp_path):
+    """A sidecar built over a NON-_msg field must not prune on _msg
+    tokens: files whose label bloom lacks the token still contain _msg
+    matches (r14 review finding — unsound pruning silently dropped
+    rows). A sidecar that DOES index the queried field still prunes."""
+    from victorialogs_spark.index.bloom import (
+        build_token_bloom_index,
+        read_pruned,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    rows1 = [("error in request", "web")] * 3
+    rows2 = [("all fine here", "db")] * 3
+    spark.createDataFrame(rows1, "_msg string, app string").coalesce(1).write.mode(
+        "append"
+    ).parquet(tdir)
+    spark.createDataFrame(rows2, "_msg string, app string").coalesce(1).write.mode(
+        "append"
+    ).parquet(tdir)
+
+    # sidecar over app ONLY: an _msg token query must NOT prune
+    app_idx = str(tmp_path / "idx_app")
+    build_token_bloom_index(spark, tdir, app_idx, fields=["app"])
+    df = read_pruned(spark, tdir, app_idx, "error")
+    assert df.where(df._msg.contains("error")).count() == 3  # nothing lost
+
+    # ...but an app-field phrase query prunes through the app sidecar
+    pruned = read_pruned(spark, tdir, app_idx, 'app:web')
+    assert set(pruned.inputFiles()) < set(
+        spark.read.parquet(tdir).inputFiles()
+    )
+    assert pruned.count() == 3
+
+
+def test_norm_path_file_uri(tmp_path):
+    """register/lookup keys must agree between file: URIs and plain
+    paths (abspath of a raw URI produced a cwd-dependent mangled key —
+    r14 review finding)."""
+    from victorialogs_spark.index.bloom import _norm_path
+
+    assert _norm_path("file:///tmp/logs") == "/tmp/logs"
+    assert _norm_path("file:/tmp/logs") == "/tmp/logs"
+    assert _norm_path("/tmp/logs/") == "/tmp/logs"
+    assert _norm_path("s3://bucket/x/") == "s3://bucket/x"

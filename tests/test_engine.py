@@ -1023,3 +1023,33 @@ def test_compact_day_preserves_concurrent_appends(spark, tmp_path):
     # a parked scratch dir never surfaces as a day
     (pathlib.Path(tdir) / "_day=20240102.compact").mkdir()
     assert ing.list_days(tdir) == [day]
+
+
+def test_duration_string_exact_past_double_range(spark):
+    """Durations above 2^53 ns (~104 days) must not gain a week: the
+    weeks count used double division while the day/hour/minute pieces
+    used exact long modulo, so n = 157w - 1ns printed '157w6d23h59m...'
+    (a week too long — r14 review finding)."""
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.functions.natural import duration_string
+
+    W = 604800 * 10**9
+    rows = [(157 * W - 1,), (157 * W,), (157 * W + 1,)]
+    out = [
+        r["s"]
+        for r in spark.createDataFrame(rows, "n long")
+        .select(duration_string(F.col("n")).alias("s"))
+        .collect()
+    ]
+    assert out == ["156w6d23h59m59.999999999s", "157w", "157w1ns"]
+
+
+def test_qcol_backtick_field(spark):
+    """A field name containing a backtick resolves to ITSELF (backticks
+    double inside quoted identifiers; deleting them read a different
+    column — r14 review finding)."""
+    from victorialogs_spark.functions.natural import qcol
+
+    df = spark.createDataFrame([(1, 2)], "`a``b` int, ab int")
+    assert df.select(qcol("a`b")).collect()[0][0] == 1

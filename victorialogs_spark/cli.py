@@ -26,13 +26,10 @@ import sys
 def _emit(df, limit: int = 0) -> None:
     it = df.toLocalIterator()
     n = 0
+    from victorialogs_spark.endpoints import row_to_wire_dict
+
     for row in it:
-        d = row.asDict()
-        for k, v in list(d.items()):
-            if v is None:
-                d[k] = ""
-            elif not isinstance(v, str):
-                d[k] = str(v)
+        d = row_to_wire_dict(row)
         sys.stdout.write(json.dumps(d, separators=(",", ":")) + "\n")
         n += 1
         if limit and n >= limit:
@@ -193,18 +190,21 @@ def _run(argv: list[str] | None = None) -> int:
                     build_stream_index,
                 )
 
-                flds = None
+                prior_fields: list[str] = []
                 try:
                     prior = spark.read.parquet(args.stream_index)
-                    flds = sorted(
+                    prior_fields = sorted(
                         r["field"]
                         for r in prior.select("field").distinct().collect()
-                    ) or None
+                    )
                 except Exception:
                     pass  # no prior sidecar
-                if flds is None:
-                    sf = [s for s in args.stream_fields.split(",") if s]
-                    flds = ["_stream_id"] + sf
+                # prior fields UNION the requested ones: the help text
+                # promises --stream-fields ADDS label columns, so an
+                # existing sidecar must not silently discard them
+                # (r14 review finding)
+                sf = [s for s in args.stream_fields.split(",") if s]
+                flds = sorted(set(prior_fields) | set(sf) | {"_stream_id"})
                 build_stream_index(
                     spark, args.table, args.stream_index, fields=flds
                 )
@@ -348,9 +348,10 @@ def _run(argv: list[str] | None = None) -> int:
             args.arg,
             refresh_interval=args.refresh,
         )
+        from victorialogs_spark.endpoints import row_to_wire_dict
+
         for row in tailer.tail(max_polls=args.polls or None):
-            d = {k: (str(v) if not isinstance(v, str) else v)
-                 for k, v in row.asDict().items()}
+            d = row_to_wire_dict(row)
             sys.stdout.write(json.dumps(d, separators=(",", ":")) + "\n")
             sys.stdout.flush()
     return 0

@@ -208,6 +208,22 @@ def _filtered(spark: SparkSession, df: DataFrame, query: str) -> DataFrame:
     return plan_query(spark, df, q)
 
 
+def row_to_wire_dict(row) -> dict:
+    """Row -> the NDJSON wire dict every response surface shares (the
+    CLI emitter, the HTTP query stream, both tail loops): None renders
+    as '' — the engine-wide missing-equals-empty rule — and every other
+    non-string stringifies. Before consolidation the two tail loops
+    rendered None as the literal string 'None' while the query surfaces
+    rendered '' (r14 review finding)."""
+    d = row.asDict()
+    for k, v in list(d.items()):
+        if v is None:
+            d[k] = ""
+        elif not isinstance(v, str):
+            d[k] = str(v)
+    return d
+
+
 def _with_stream_col(df: DataFrame, name: str) -> DataFrame:
     """A frame without stream metadata (an empty store after retention
     expired the last day, or a preloaded table ingested without

@@ -18,13 +18,22 @@ from pyspark.sql import functions as F
 from victorialogs_spark.functions.casts import _try_cast
 from pyspark.sql import types as T
 
-TOKEN_CHARS = "0-9A-Za-z_"
-NON_TOKEN = f"[^{TOKEN_CHARS}]"
+# single source of truth for the token charset lives in functions/
+# text.py (the phrase matcher); bloom pruning and these helpers must
+# tokenize identically or pruning silently loses matches
+from victorialogs_spark.functions.text import (  # noqa: F401 (re-export)
+    NON_TOKEN_RE as NON_TOKEN,
+)
+
+TOKEN_CHARS = "0-9A-Za-z_"  # kept for f-string composition below
 
 
 def qcol(name: str) -> Column:
-    """Column reference that tolerates dots/special chars in field names."""
-    return F.col("`" + name.replace("`", "") + "`")
+    """Column reference that tolerates dots/special chars in field names.
+    A backtick inside a quoted identifier is escaped by DOUBLING (the
+    Spark rule); deleting it resolved a different column name
+    (r14 review finding)."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def let(c: Column, body) -> Column:
@@ -174,7 +183,12 @@ def _duration_string_of(n: Column) -> Column:
     W, D, H, M, S, MS = (
         _NS["w"], _NS["d"], _NS["h"], _NS["m"], _NS["s"], _NS["ms"],
     )
-    weeks = (a / F.lit(W)).cast("long")
+    # exact: a may exceed 2^53 ns (~104 days), where double division
+    # mis-rounds near whole-week multiples while the remainder chain
+    # below stays exact-long — printing one extra week (r14 review
+    # finding). (a - a%W) is an exact multiple of W; its double quotient
+    # is within ~1e-9 of the true integer, which round() pins exactly.
+    weeks = F.round((a - a % F.lit(W)) / F.lit(W)).cast("long")
     days = ((a % F.lit(W)) / F.lit(D)).cast("long")
     hours = ((a % F.lit(D)) / F.lit(H)).cast("long")
     minutes = ((a % F.lit(H)) / F.lit(M)).cast("long")

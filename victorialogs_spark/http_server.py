@@ -851,12 +851,7 @@ def _iter_json_values(df: DataFrame):
     yield b'{"values":['
     first = True
     for r in df.toLocalIterator(prefetchPartitions=True):
-        d = r.asDict()
-        for k, v in list(d.items()):
-            if v is None:
-                d[k] = ""
-            elif not isinstance(v, str):
-                d[k] = str(v)
+        d = ep.row_to_wire_dict(r)
         blob = json.dumps(d, separators=(",", ":")).encode("utf-8")
         yield blob if first else b"," + blob
         first = False
@@ -1115,10 +1110,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self._streaming = True
             for row in tailer.tail(max_polls=polls):
-                d = {
-                    k: (str(v) if not isinstance(v, str) else v)
-                    for k, v in row.asDict().items()
-                }
+                d = ep.row_to_wire_dict(row)
                 self.wfile.write(
                     json.dumps(d, separators=(",", ":")).encode("utf-8") + b"\n"
                 )

@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 BITS_PER_TOKEN = 16  # same density as the reference
 NUM_HASHES = 6
 
-_TOKEN_RE = r"[0-9A-Za-z_]+"
+# the bloom tokenizer MUST match the phrase-filter tokenizer exactly —
+# a charset divergence makes pruning skip files containing real matches
+# with no test signal; derive from the single source of truth
+from victorialogs_spark.functions.text import TOKEN_RE as _TOKEN_CLASS
+
+_TOKEN_RE = _TOKEN_CLASS + "+"
 
 
 def _bloom_positions(token: str, nbits: int) -> list[int]:
@@ -143,6 +148,28 @@ def candidate_files(
     return [r["file"] for r in idx.where(probe(F.col("bloom"))).select("file").collect()]
 
 
+def _indexed_fields(spark: SparkSession, index_path: str) -> set[str]:
+    """The field set a sidecar was built over, from its recorded
+    "fields" column; sidecars predating that column were always built
+    with the default ["_msg"]."""
+    from victorialogs_spark.index.local import read_local_index
+
+    local = read_local_index(index_path)
+    if local is not None:
+        out: set[str] = set()
+        for r in local:
+            out.update((r.get("fields") or "_msg").split(","))
+        return out or {"_msg"}
+    try:
+        idx = spark.read.parquet(index_path)
+        if "fields" not in idx.columns:
+            return {"_msg"}
+        row = idx.select("fields").first()
+        return set((row[0] or "_msg").split(",")) if row else {"_msg"}
+    except Exception:  # noqa: BLE001 — unreadable sidecar: no pruning
+        return set()
+
+
 def words_of_query(query: str, field: str = "_msg") -> list[str]:
     """Extract the top-level conjunct word/phrase tokens on ``field`` from a
     LogsQL query — the prunable part of the filter."""
@@ -170,7 +197,17 @@ def read_pruned(
     constraints (stream-value sidecar, ``stream_index_path`` —
     index/streams.py). Unknown (unindexed) files are always included.
     Returns the full table reader when nothing is prunable."""
-    toks = words_of_query(query) if index_path else []
+    toks: list[str] = []
+    if index_path:
+        # the probe is only sound for tokens of fields the sidecar
+        # actually indexed: a sidecar built over a label column must not
+        # prune on _msg tokens (files whose label bloom lacks the token
+        # would be dropped even though their _msg matches — r14 review
+        # finding). Probe the union of each INDEXED field's conjunct
+        # tokens (bloom bitsets cover all indexed fields' tokens, so
+        # AND-semantics stay sound across fields).
+        for f in sorted(_indexed_fields(spark, index_path)):
+            toks.extend(words_of_query(query, field=f))
     full = spark.read.parquet(table_path)
     if not toks and stream_index_path is None:
         return full
@@ -225,10 +262,17 @@ def _norm_path(p: str) -> str:
     import os
     import urllib.parse
 
-    # abspath only for scheme-less local paths: it would mangle
-    # s3://bucket/x into <cwd>/s3:/bucket/x and make registered indexes
-    # unfindable (or cwd-dependent)
-    if urllib.parse.urlparse(p).scheme in ("", "file"):
+    # strip a file: scheme FIRST (abspath("file:///x") would produce a
+    # cwd-dependent "<cwd>/file:/x" key that never matches a later plain
+    # path lookup — r14 review finding; same idiom as
+    # index/local.read_local_index), then abspath only scheme-less
+    # local paths: abspath would mangle s3://bucket/x into
+    # <cwd>/s3:/bucket/x and make registered indexes unfindable
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    if urllib.parse.urlparse(p).scheme == "":
         return os.path.abspath(p).rstrip("/")
     return p.rstrip("/")
 
