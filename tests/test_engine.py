@@ -1053,3 +1053,69 @@ def test_qcol_backtick_field(spark):
 
     df = spark.createDataFrame([(1, 2)], "`a``b` int, ab int")
     assert df.select(qcol("a`b")).collect()[0][0] == 1
+
+
+def test_rate_uses_api_time_window(spark):
+    """rate() divides by the SELECTED range including the API-level
+    start/end window (the reference folds start/end into the query
+    before wiring rate; ignoring it divided by 1s — r14 review
+    finding)."""
+    import datetime as dt
+
+    from victorialogs_spark.api import run_query
+
+    UTC = dt.timezone.utc
+    rows = [(dt.datetime(2024, 1, 1, 0, 0, s, tzinfo=UTC), "e") for s in range(10)]
+    df = spark.createDataFrame(rows, "_time timestamp, _msg string")
+    t0 = int(dt.datetime(2024, 1, 1, tzinfo=UTC).timestamp() * 1e9)
+    out = run_query(
+        spark, df, "* | stats rate() as r",
+        start_ns=t0, end_ns=t0 + 100 * 10**9 - 1,
+    ).collect()
+    assert abs(float(out[0]["r"]) - 0.1) < 1e-9  # 10 rows / 100 s
+
+
+def test_uniq_top_by_star(spark):
+    """`uniq by (*)` / `top by (*)` expand the wildcard over all fields
+    (pipe_uniq_test.go:31) instead of grouping on a constant (r14
+    review finding); prefix wildcards expand too."""
+    from victorialogs_spark.api import run_query
+
+    df = spark.createDataFrame(
+        [("a", "1"), ("a", "1"), ("b", "2")], "app string, v string"
+    )
+    assert run_query(spark, df, "* | uniq by (*)").count() == 2
+    top = run_query(spark, df, "* | top 3 by (*)").collect()
+    assert {(r["app"], r["v"], int(r["hits"])) for r in top} == {
+        ("a", "1", 2), ("b", "2", 1)
+    }
+    assert run_query(spark, df, "* | uniq by (a*)").count() == 2
+
+
+def test_sub_microsecond_time_bucket(spark):
+    """Sub-µs stats time buckets clamp to 1µs (exact at Spark's µs
+    timestamp granularity) instead of dividing by zero (r14 review
+    finding)."""
+    import datetime as dt
+
+    from victorialogs_spark.api import run_query
+
+    UTC = dt.timezone.utc
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, tzinfo=UTC), "x")],
+        "_time timestamp, _msg string",
+    )
+    out = run_query(spark, df, "* | stats by (_time:100ns) count() as n").collect()
+    assert out[0]["n"] == "1" or out[0]["n"] == 1
+
+
+def test_named_group_regex_filters(spark):
+    """Python-style (?P<name>...) regexes execute on the Java engine in
+    BOTH the ~ filter and stream =~ matchers (the extract pipe already
+    converted; the filter paths crashed executors — r14 review
+    finding)."""
+    from victorialogs_spark.api import run_query
+
+    df = spark.createDataFrame([("err up", "web")], "_msg string, app string")
+    assert run_query(spark, df, '_msg:~"(?P<x>err)" | stats count() as n').collect()[0][0] in (1, "1")
+    assert run_query(spark, df, '{app=~"(?P<a>w.b)"} | stats count() as n').collect()[0][0] in (1, "1")

@@ -496,3 +496,32 @@ def _dummy_df():
         columns = ["a", "b"]
         dtypes = [("a", "string"), ("b", "string")]
     return _D()
+
+
+def test_time_comparison_reference_semantics():
+    """_time comparison operators pin parser.go's exact bounds (r14
+    review findings): durations carry AGE semantics under >/<
+    (parseFilterTimeGt/Lt: '>1h' = OLDER than 1h), timestamp '>' and
+    the exclusive '(' advance from the period's START (+1ns), and ')'
+    backs off from the period's start (-1ns)."""
+    from victorialogs_spark.logsql.parser import parse_query
+
+    NOW = 1_700_000_000_000_000_000
+    H = 3600 * 10**9
+    JAN1 = 1704067200 * 10**9
+    JAN2 = JAN1 + 86400 * 10**9
+    cases = {
+        "_time:>1h": (-(2**62), NOW - H - 1),
+        "_time:>=1h": (-(2**62), NOW - H),
+        "_time:<1h": (NOW - H + 1, NOW),
+        "_time:<=1h": (NOW - H, NOW),
+        "_time:(2024-01-01, 2024-01-02)": (JAN1 + 1, JAN2 - 1),
+        "_time:[2024-01-01, 2024-01-02)": (JAN1, JAN2 - 1),
+        "_time:>2024-01-01": (JAN1 + 1, 2**62),
+        "_time:>=2024-01-01": (JAN1, 2**62),
+        "_time:<2024-01-01": (-(2**62), JAN1 - 1),
+        "_time:1h": (NOW - H, NOW),
+    }
+    for q, want in cases.items():
+        f = parse_query(q, NOW).filter
+        assert (f.lo_ns, f.hi_ns) == want, (q, f.lo_ns, f.hi_ns, want)

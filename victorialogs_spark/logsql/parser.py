@@ -728,8 +728,20 @@ class Parser:
             if self.tok().is_kw("=") and not self.tok().space_before:
                 self.advance()
                 allow_eq = True
-            lo, hi = self._parse_time_point()
-            start = lo if allow_eq else hi + 1
+            kind, lo, hi = self._time_cmp_parts()
+            if kind == "dur":
+                # reference parseFilterTimeGt duration form
+                # (parser.go:2727-2743): '>DUR' selects logs OLDER than
+                # the duration — (-inf, now-d] with d++ for strict '>'.
+                # Treating the duration as the time-point now-d and
+                # applying the timestamp rule selected the COMPLEMENTARY
+                # window (r14 review finding).
+                end = self.now_ns - lo - (0 if allow_eq else 1)
+                return self._with_time_offset(A.FTime(-(2**62), end))
+            # timestamp form: start = the period's START instant (+1ns
+            # for strict '>', parser.go:2715-2717) — NOT the period end,
+            # which skipped the whole period for partial stamps
+            start = lo if allow_eq else lo + 1
             return self._with_time_offset(A.FTime(start, 2**62))
         if t.is_kw("<"):
             self.advance()
@@ -737,7 +749,13 @@ class Parser:
             if self.tok().is_kw("=") and not self.tok().space_before:
                 self.advance()
                 allow_eq = True
-            lo, hi = self._parse_time_point()
+            kind, lo, hi = self._time_cmp_parts()
+            if kind == "dur":
+                # reference parseFilterTimeLt duration form: '<DUR'
+                # selects logs NEWER than the duration — [now-d, now]
+                # with d-- for strict '<' (r14 review finding)
+                start = self.now_ns - lo + (0 if allow_eq else 1)
+                return self._with_time_offset(A.FTime(start, self.now_ns))
             end = hi if allow_eq else lo - 1
             return self._with_time_offset(A.FTime(-(2**62), end))
         if t.is_kw("[") or t.is_kw("("):
@@ -754,7 +772,12 @@ class Parser:
             else:
                 raise self.err("time range: expected ] or )")
             self.advance()
-            start = lo_lo if inc_lo else lo_hi + 1
+            # reference parseFilterTime (parser.go:2671-2686):
+            # '(' = the period's START +1ns (startTime++), NOT its end
+            # +1ns — using the end made '(day, next-day)' an EMPTY range
+            # (r14 review finding); ')' = the period's start -1ns and
+            # ']' = its matching end, both as before
+            start = lo_lo if inc_lo else lo_lo + 1
             end = hi_hi if inc_hi else hi_lo - 1
             return self._with_time_offset(A.FTime(start, end))
         # duration (last N), 'now'/'now±dur', or a timestamp point
@@ -810,22 +833,34 @@ class Parser:
         return "".join(parts)
 
     def _parse_time_point(self) -> tuple[int, int]:
+        kind, lo, hi = self._time_cmp_parts()
+        if kind == "dur":
+            ts = self.now_ns - lo
+            return ts, ts
+        return lo, hi
+
+    def _time_cmp_parts(self) -> tuple[str, int, int]:
+        """Parse a _time operand: ("dur", |d|, |d|) for a bare duration
+        (the comparison operators give durations AGE semantics, opposite
+        to time points — parser.go parseFilterTimeGt/Lt) or
+        ("point", lo, hi) for timestamps / now-arithmetic / unix
+        seconds, where (lo, hi) is the instant's period."""
         txt = self._compound_time_token()
         np = self._now_arith(txt)
         if np is not None:
-            return np, np
+            return "point", np, np
         dur = parse_duration_ns(txt)
         if dur is not None and not re.match(r"^\d{4}", txt):
-            ts = self.now_ns - dur
-            return ts, ts
+            d = abs(dur)
+            return "dur", d, d
         rng = parse_time_point(txt)
         if rng is None:
             v = parse_number(txt)
             if v is not None:  # unix seconds
                 ns = int(v * NS)
-                return ns, ns
+                return "point", ns, ns
             raise self.err(f"cannot parse time point {txt!r}")
-        return rng
+        return "point", rng[0], rng[1]
 
     def _parse_day_range(self) -> A.Filter:
         t = self.tok()
@@ -1730,7 +1765,7 @@ class Parser:
             limit = self._int("field_values limit")
         return A.PFieldValues(name, limit)
 
-    def _single_field_as(self, default_suffix: str):
+    def _single_field_as(self):
         has_paren = self.tok().is_kw("(")
         if has_paren:
             self.advance()
@@ -1743,15 +1778,15 @@ class Parser:
         return name, result
 
     def _parse_p_len(self) -> A.Pipe:
-        name, result = self._single_field_as("len")
+        name, result = self._single_field_as()
         return A.PLen(name, result)
 
     def _parse_p_json_array_len(self) -> A.Pipe:
-        name, result = self._single_field_as("json_array_len")
+        name, result = self._single_field_as()
         return A.PJsonArrayLen(name, result)
 
     def _parse_p_hash(self) -> A.Pipe:
-        name, result = self._single_field_as("hash")
+        name, result = self._single_field_as()
         return A.PHash(name, result)
 
     def _parse_p_sample(self) -> A.Pipe:

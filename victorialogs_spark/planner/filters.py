@@ -20,6 +20,17 @@ from victorialogs_spark.functions.text import (
 from victorialogs_spark.logsql import ast as A
 
 
+def _java_pattern(pattern: str) -> str:
+    """User-supplied regex → the Java regex rlike executes. The one
+    systematic Python/RE2-vs-Java syntax difference user queries hit is
+    named groups: (?P<name>...) must become (?<name>...) (the extract
+    pipe already converts; the filter paths executed the raw pattern and
+    crashed executors at runtime — r14 review finding). Remaining
+    engine differences (possessive quantifiers, \\p classes) are the
+    documented regexp divergence."""
+    return pattern.replace("(?P<", "(?<")
+
+
 def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
     """Compile a filter tree into a boolean Column over `df`."""
     if isinstance(f, A.FNoop):
@@ -98,7 +109,7 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
             return F.lit(True)
         if f.pattern == ".+":
             return fcol(df, f.field) != ""
-        return fcol(df, f.field).rlike(f.pattern)
+        return fcol(df, f.field).rlike(_java_pattern(f.pattern))
     if isinstance(f, A.FRange):
         if dict(df.dtypes).get(f.field) in _INTEGRAL_TYPES:
             return _int_range(df, f)
@@ -265,9 +276,9 @@ def _stream_filter(df: DataFrame, f: A.FStream) -> Column:
             elif m.op == "!=":
                 cur = cur & (c != m.value)
             elif m.op == "=~":
-                cur = cur & c.rlike("^(?:" + m.value + ")$")
+                cur = cur & c.rlike("^(?:" + _java_pattern(m.value) + ")$")
             elif m.op == "!~":
-                cur = cur & ~c.rlike("^(?:" + m.value + ")$")
+                cur = cur & ~c.rlike("^(?:" + _java_pattern(m.value) + ")$")
         out = out | cur
     return out
 

@@ -210,7 +210,10 @@ def _p_first(p: A.PFirst, df: DataFrame, ctx) -> DataFrame:
 # ---------------------------------------------------------------- stats
 
 def _time_bucket(bf: A.ByField) -> Column:
-    step_us = int(bf.bucket_size * 1_000_000)
+    # sub-µs bucket sizes clamp to 1µs: Spark timestamps are µs-granular
+    # so the clamp is semantically exact, while int() truncation to 0
+    # divided by zero at execution (r14 review finding)
+    step_us = max(1, int(bf.bucket_size * 1_000_000))
     off_us = int(bf.bucket_offset * 1_000_000)
     t = F.unix_micros(qcol("_time")) - off_us
     start = (F.floor(t / step_us) * step_us) + off_us
@@ -486,6 +489,34 @@ def _assign_extracted(
     if cond is not None:
         out = F.when(cond, out).otherwise(existing)
     return df.withColumn(name, out)
+
+
+def _assign_extracted_batch(
+    df: DataFrame,
+    names_vals: list,
+    keep_original: bool,
+    skip_empty: bool,
+    cond: Column | None,
+) -> DataFrame:
+    """Batched _assign_extracted for the unpack pipes: ONE withColumns
+    call instead of a per-key withColumn loop — each withColumn builds
+    a new Dataset and re-analyzes the whole plan, O(n^2) driver time at
+    the MAX_UNPACK_COLS=2000 cap (r14 review finding). Unpack names are
+    distinct and every expression references only the parsed-map column
+    and its OWN name's pre-existing column, so the batch is semantics-
+    identical to the sequential loop."""
+    updates = {}
+    for name, val in names_vals:
+        existing = fcol(df, name)
+        out = val
+        if keep_original:
+            out = F.when(existing != "", existing).otherwise(out)
+        if skip_empty:
+            out = F.when(out == "", existing).otherwise(out)
+        if cond is not None:
+            out = F.when(cond, out).otherwise(existing)
+        updates[name] = out
+    return df.withColumns(updates) if updates else df
 
 
 _FORMAT_FIELD_RE = re.compile(r"<([^<>]*)>")
@@ -774,11 +805,12 @@ def _p_unpack_json(p: A.PUnpackJson, df: DataFrame, ctx) -> DataFrame:
                 df, F.coalesce(F.json_object_keys(src), F.map_keys(m)), ctx
             )
     cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
-    out = with_map
-    for k in keys:
-        name = p.result_prefix + k
-        val = F.coalesce(qcol(tmp)[k], F.lit(""))
-        out = _assign_extracted(out, name, val, p.keep_original_fields, p.skip_empty_results, cond)
+    out = _assign_extracted_batch(
+        with_map,
+        [(p.result_prefix + k, F.coalesce(qcol(tmp)[k], F.lit("")))
+         for k in keys],
+        p.keep_original_fields, p.skip_empty_results, cond,
+    )
     return out.drop(tmp)
 
 
@@ -804,11 +836,12 @@ def _p_unpack_logfmt(p: A.PUnpackLogfmt, df: DataFrame, ctx) -> DataFrame:
     # unquote+map build
     keys = p.fields or _infer_keys(df, keys_arr, ctx)
     cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
-    out = with_map
-    for k in keys:
-        name = p.result_prefix + k
-        val = F.coalesce(qcol(tmp)[k], F.lit(""))
-        out = _assign_extracted(out, name, val, p.keep_original_fields, p.skip_empty_results, cond)
+    out = _assign_extracted_batch(
+        with_map,
+        [(p.result_prefix + k, F.coalesce(qcol(tmp)[k], F.lit("")))
+         for k in keys],
+        p.keep_original_fields, p.skip_empty_results, cond,
+    )
     return out.drop(tmp)
 
 
@@ -962,7 +995,11 @@ def _p_union(p: A.PUnion, df: DataFrame, ctx) -> DataFrame:
 # ---------------------------------------------------------------- uniq / top / facets
 
 def _p_uniq(p: A.PUniq, df: DataFrame, ctx) -> DataFrame:
-    by = p.by or list(df.columns)
+    # wildcards expand like fields/delete/stats: `uniq by (*)` means
+    # distinct over ALL fields (pipe_uniq_test.go:31); un-expanded, '*'
+    # is not a column and fcol collapsed every row onto the constant ''
+    # (r14 review finding). Same for prefix wildcards and `top`.
+    by = _expand_wildcards(df, p.by) if p.by else list(df.columns)
     keys = [fcol(df, f).alias(f) for f in by]
     if p.hits_field:
         out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(p.hits_field))
@@ -985,7 +1022,7 @@ def _p_uniq(p: A.PUniq, df: DataFrame, ctx) -> DataFrame:
 
 
 def _p_top(p: A.PTop, df: DataFrame, ctx) -> DataFrame:
-    by = p.by or list(df.columns)
+    by = _expand_wildcards(df, p.by) if p.by else list(df.columns)
     keys = [fcol(df, f).alias(f) for f in by]
     grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(p.hits_field))
     order = [F.desc(p.hits_field)] + [qcol(f).asc() for f in by]

@@ -45,7 +45,16 @@ class PlanContext:
         self.source_df = source_df
         self.query = query
         self.global_time_ns = global_time_ns
+        # rate()/rate_sum() divide by the SELECTED time range: the
+        # intersection of the query text's _time filter and the
+        # API-level start/end window (the reference folds start/end into
+        # the query via AddTimeFilter BEFORE initStatsRateFuncs,
+        # parser.go:465,1219-1225 — ignoring the API window inflated
+        # rates by the full-range factor; r14 review finding)
         tr = query.time_range
+        if global_time_ns is not None:
+            g = (int(global_time_ns[0]), int(global_time_ns[1]))
+            tr = g if tr is None else (max(tr[0], g[0]), min(tr[1], g[1]))
         self.range_seconds: float | None = None
         if tr is not None and tr[0] > -(2**61) and tr[1] < 2**61:
             self.range_seconds = (tr[1] - tr[0] + 1) / NS

@@ -266,15 +266,3 @@ def compile_stats_func(
 _BUCKETS_PER_DECADE = 18.0
 
 
-def _vmrange_bucket(v: Column) -> Column:
-    """Log-scale bucket label 'lo...hi' for a positive value (matches
-    VictoriaMetrics histogram.GetVMRange semantics: 18 buckets/decade)."""
-    idx = F.ceil(F.log10(v) * _BUCKETS_PER_DECADE)
-    lo = F.pow(F.lit(10.0), (idx - 1) / _BUCKETS_PER_DECADE)
-    hi = F.pow(F.lit(10.0), idx / _BUCKETS_PER_DECADE)
-    fmt = "%.3e"
-    return F.when(
-        v.isNull(), F.lit(None)
-    ).when(v == 0, F.lit("0...0")).otherwise(
-        F.concat(F.format_string(fmt, lo), F.lit("..."), F.format_string(fmt, hi))
-    )
