@@ -199,3 +199,52 @@ def test_bigram_logprob_detects_word_salad(spark):
     assert out[0]["bigram_logprob"] == out[1]["bigram_logprob"]
     assert 3 not in out  # <2 tokens: no bigrams, absent
     assert out[0]["n_bigrams"] == len(prose.split()) - 1
+
+
+def test_r14_datapipe_review_fixes(spark):
+    """Batch regression for the sixth review pass (r14):
+    empty docs yield NULL text_stats ratios instead of ANSI
+    DIVIDE_BY_ZERO; multi-blank-line paragraph delimiters split;
+    phone redaction does not bite into longer digit runs;
+    NULL-key rows survive hash sampling; dedup_by_clusters keeps the
+    min PRESENT member when the graph's min id was filtered out."""
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.datapipe.clusters import dedup_by_clusters
+    from victorialogs_spark.datapipe.quality import repetition_stats
+    from victorialogs_spark.datapipe.sampling import hash_sample
+    from victorialogs_spark.datapipe.text import redact_pii, text_stats
+
+    # 1. empty doc: NULL ratios, no crash
+    docs = spark.createDataFrame(
+        [(1, "hello world hello"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_stats(docs, "doc_id", "text").collect()}
+    assert rows[2].uniq_ratio is None and rows[3].mean_word_len is None
+    assert abs(rows[1].uniq_ratio - 2 / 3) < 1e-9
+
+    # 2. two space-bearing blank lines still delimit paragraphs
+    rep = repetition_stats(
+        spark.createDataFrame([(1, "x\n \n \nx")], "doc_id long, text string"),
+        "doc_id", "text",
+    ).collect()[0]
+    assert abs(rep.dup_para_frac - 0.5) < 1e-9
+
+    # 3. phone redaction leaves longer digit runs intact
+    out = spark.createDataFrame(
+        [("order 20260816123456 call 555-123-4567",)], "t string"
+    ).select(redact_pii(F.col("t"), ["phone"]).alias("r")).collect()[0].r
+    assert out == "order 20260816123456 call <PHONE>"
+
+    # 4. NULL keys survive a 100% hash sample
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    assert hash_sample(df, "k", 1.0).count() == 3
+
+    # 5. cluster representative = min id PRESENT in df
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    df2 = spark.createDataFrame([(2,), (3,), (9,)], "doc_id long")
+    kept = {r.doc_id for r in dedup_by_clusters(df2, "doc_id", pairs).collect()}
+    assert kept == {2, 9}  # 2 survives as the present representative

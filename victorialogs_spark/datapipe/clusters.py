@@ -218,6 +218,7 @@ def dup_clusters(
     to the corpus (dup rate ≪ 100%), so the backfill join is an AQE
     broadcast at typical dup rates and a plain shuffle join worst-case.
     """
+    _require_integral_ids(df, (id_col,))  # same silent-dissolve trap as pairs
     cc = connected_components(pairs, a_col, b_col)
     out = df.select(F.col(id_col)).join(
         cc.select(
@@ -243,5 +244,11 @@ def dedup_by_clusters(
     member — deterministic). The transitive-closure form of
     exact_dedup: rows of ``df`` whose id equals their cluster id."""
     assign = dup_clusters(df, id_col, pairs, a_col, b_col)
-    keep = assign.where(F.col(id_col) == F.col("cluster")).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+    # representative = the min id PRESENT IN df per cluster, not the min
+    # over the pair graph: pairs computed before an upstream filter can
+    # reference ids df no longer has, and id==cluster then kept NO row
+    # of that cluster — every copy of the duplicated content silently
+    # deleted (r14 review finding). One tiny groupBy over the
+    # assignment (cluster cardinality, not corpus cardinality).
+    reps = assign.groupBy("cluster").agg(F.min(F.col(id_col)).alias(id_col))
+    return df.join(reps.select(id_col), id_col, "left_semi")

@@ -83,7 +83,12 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         _nonempty(F.split(c, r"\n")).alias("__vl_lines"),
         # paragraphs: split on blank lines (one-or-more newlines with
         # only horizontal whitespace between them)
-        _nonempty(F.split(c, r"\n[ \t]*\n+")).alias("__vl_paras"),
+        # \n(?:[ \t]*\n)+ — the old \n[ \t]*\n+ could not consume TWO
+        # consecutive blank lines carrying horizontal whitespace, gluing
+        # a stray half-delimiter onto the next paragraph and hiding its
+        # duplication from the Gopher signals (r14 review finding; the
+        # DuckDB oracle changed in lockstep)
+        _nonempty(F.split(c, r"\n(?:[ \t]*\n)+")).alias("__vl_paras"),
     )
     lines = F.col("__vl_lines")
     paras = F.col("__vl_paras")

@@ -25,8 +25,15 @@ from victorialogs_spark.datapipe.dedup import fingerprint
 
 
 def _bucket(c: Column) -> Column:
-    """Uniform 4-hex-char bucket of a key column ('0000'..'ffff')."""
-    return F.substring(F.md5(c.cast("string").cast("binary")), 1, 4)
+    """Uniform 4-hex-char bucket of a key column ('0000'..'ffff').
+    NULL keys hash as the empty string (the engine-wide missing≡empty
+    rule, same as decontaminate's coalesce): md5(NULL) is NULL and a
+    NULL bucket failed every threshold compare, silently DROPPING
+    NULL-key rows even at fraction=1.0 and making them unsampleable in
+    every stratified/mix/split caller (r14 review finding)."""
+    return F.substring(
+        F.md5(F.coalesce(c.cast("string"), F.lit("")).cast("binary")), 1, 4
+    )
 
 
 def _threshold(fraction: float) -> str:

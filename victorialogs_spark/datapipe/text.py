@@ -59,10 +59,18 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "n_chars",
         F.size(toks).alias("n_tokens"),
         "n_bpe_tokens",
-        (F.size(F.array_distinct(toks)) / F.size(toks)).cast("double").alias("uniq_ratio"),
-        (
+        # empty/whitespace-only docs: NULL ratios, not DIVIDE_BY_ZERO —
+        # under Spark 4's default ANSI mode an unguarded division kills
+        # the whole job on one empty doc (r14 review finding; same guard
+        # pattern quality.py uses everywhere)
+        F.when(
+            F.size(toks) > 0,
+            (F.size(F.array_distinct(toks)) / F.size(toks)),
+        ).cast("double").alias("uniq_ratio"),
+        F.when(
+            F.size(toks) > 0,
             F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
-            / F.size(toks)
+            / F.size(toks),
         ).cast("double").alias("mean_word_len"),
     )
 
@@ -113,7 +121,11 @@ def with_lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-    "phone": r"(\+?\d{1,3}[-. (]{0,2})?\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}\b",
+    # leading context group (RE2 has no lookbehind): without it the
+    # pattern matched a 10-13 digit SUFFIX inside longer digit runs,
+    # splitting timestamps/order-ids into '<digits><PHONE>' (r14 review
+    # finding); redact_pii re-emits the context via $1
+    "phone": r"(^|[^0-9])((?:\+?\d{1,3}[-. (]{0,2})?\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4})\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
 }
 
@@ -125,7 +137,10 @@ def redact_pii(c: Column, kinds: list[str] | None = None) -> Column:
     oracle-checkable."""
     out = c
     for kind in kinds or list(PII_PATTERNS):
-        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+        repl = f"<{kind.upper()}>"
+        if kind == "phone":
+            repl = "$1" + repl  # re-emit the captured leading context
+        out = F.regexp_replace(out, PII_PATTERNS[kind], repl)
     return out
 
 

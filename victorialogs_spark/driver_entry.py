@@ -3676,7 +3676,7 @@ def _dp_multimodal(spark, sf_dir):
     # functions; NULL text propagates NULL through both engines
     "WITH p AS (SELECT doc_id,"
     " list_filter(str_split(text, chr(10)), l -> trim(l) <> '') AS lines,"
-    " list_filter(string_split_regex(text, '\\n[ \\t]*\\n+'),"
+    " list_filter(string_split_regex(text, '\\n(?:[ \\t]*\\n)+'),"
     " l -> trim(l) <> '') AS paras FROM documents)"
     " SELECT doc_id, len(lines) AS n_lines,"
     " CASE WHEN len(lines) > 0 THEN CAST(len(lines) - len(list_distinct(lines))"
