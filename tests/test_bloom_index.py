@@ -215,3 +215,76 @@ def test_norm_path_file_uri(tmp_path):
     assert _norm_path("file:/tmp/logs") == "/tmp/logs"
     assert _norm_path("/tmp/logs/") == "/tmp/logs"
     assert _norm_path("s3://bucket/x/") == "s3://bucket/x"
+
+
+def test_heterogeneous_sidecar_prunes_soundly(spark, tmp_path):
+    """A sidecar whose rows were built over DIFFERENT field sets
+    (partial rebuild / append) must probe each file only with tokens of
+    the fields that file indexed. Probing an app-only-indexed file with
+    an _msg token would wrongly prune it — silent result loss (r15
+    advice)."""
+    table = str(tmp_path / "t")
+    for msg, app in [("alpha request", "web"), ("beta refused", "db")]:
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, tzinfo=UTC), msg, app)],
+            "_time timestamp, _msg string, app string",
+        )
+        df.coalesce(1).write.mode("append").parquet(table)
+
+    idx_msg = str(tmp_path / "idx_msg")
+    idx_app = str(tmp_path / "idx_app")
+    idx_het = str(tmp_path / "idx_het")
+    build_token_bloom_index(spark, table, idx_msg, fields=["_msg"])
+    build_token_bloom_index(spark, table, idx_app, fields=["app"])
+
+    beta_file = (
+        spark.read.parquet(table)
+        .where(F.col("_msg").contains("beta"))
+        .select(F.input_file_name())
+        .first()[0]
+    )
+    # beta's file indexed ONLY app; the alpha file indexed _msg
+    het = (
+        spark.read.parquet(idx_msg)
+        .where(F.col("file") != beta_file)
+        .unionByName(
+            spark.read.parquet(idx_app).where(F.col("file") == beta_file)
+        )
+    )
+    het.coalesce(1).write.parquet(idx_het)
+
+    # query on an _msg token that lives only in the app-indexed file:
+    # that file must survive pruning; the _msg-indexed alpha file is
+    # genuinely prunable
+    pruned = read_pruned(spark, table, idx_het, "beta")
+    got = {r["_msg"] for r in run_query(spark, pruned, "beta").collect()}
+    assert got == {"beta refused"}
+    assert len(pruned.inputFiles()) == 1  # alpha file still pruned
+
+    # a field no sidecar row indexed is never prunable
+    assert len(candidate_files(spark, idx_het, [], tokens_by_field={"host": ["x"]})) == 2
+
+
+def test_per_field_probe_local_matches_spark(spark, tmp_path, monkeypatch):
+    """tokens_by_field probing: driver-side fast path must equal the
+    distributed probe, for single-field, conjunctive, unindexed-field
+    and empty probes."""
+    from victorialogs_spark.index import local as L
+
+    table = str(tmp_path / "t")
+    index = str(tmp_path / "idx")
+    _write_table(spark, table)
+    build_token_bloom_index(spark, table, index)
+
+    for tbf in (
+        {"_msg": ["beta"]},
+        {"_msg": ["alpha", "gamma"]},
+        {"app": ["web"]},  # field no row indexed: nothing prunable
+        {},
+    ):
+        local = sorted(candidate_files(spark, index, [], tokens_by_field=tbf))
+        monkeypatch.setattr(L, "LOCAL_INDEX_MAX_BYTES", 0)
+        dist = sorted(candidate_files(spark, index, [], tokens_by_field=tbf))
+        monkeypatch.undo()
+        assert local == dist, tbf
+    assert len(candidate_files(spark, index, [], tokens_by_field={"app": ["x"]})) == 3

@@ -736,3 +736,34 @@ def test_decode_handwritten_vp8l_meta_prefix_groups():
     want = np.array([[[20, 10, 30]] * 4 + [[60, 50, 70]] * 4], np.uint8)
     assert px.shape == (1, 8, 3)
     assert (px == want).all()
+
+
+def test_vp8l_decode_guards_adversarial_dimensions():
+    """A few-byte crafted stream claiming 16384x16384 must raise the
+    loud ValueError boundary BEFORE allocating a 268M-entry output
+    (r15 advice: untrusted-corpus resource guard), for both still
+    decode and the animation canvas."""
+    import pytest
+
+    from victorialogs_spark.datapipe.webp import (
+        WEBP_MAX_PIXELS,
+        decode_vp8l,
+        decode_webp_frames,
+    )
+
+    b = _VP8LBits()
+    b.f(16383, 14)  # width-1 = 16383
+    b.f(16383, 14)  # height-1
+    b.f(0, 1)
+    b.f(0, 3)
+    with pytest.raises(ValueError, match="pixel"):
+        decode_vp8l(b.riff())
+
+    # VP8X canvas guard: animation header claiming a 2^24-square canvas
+    vp8x_body = bytes([0x02, 0, 0, 0]) + b"\xff\xff\xff" + b"\xff\xff\xff"
+    chunk = b"VP8X" + struct.pack("<I", len(vp8x_body)) + vp8x_body
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="pixel"):
+        decode_webp_frames(payload)
+
+    assert WEBP_MAX_PIXELS >= 4096 * 4096  # real crawled images decode

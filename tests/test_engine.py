@@ -1119,3 +1119,43 @@ def test_named_group_regex_filters(spark):
     df = spark.createDataFrame([("err up", "web")], "_msg string, app string")
     assert run_query(spark, df, '_msg:~"(?P<x>err)" | stats count() as n').collect()[0][0] in (1, "1")
     assert run_query(spark, df, '{app=~"(?P<a>w.b)"} | stats count() as n').collect()[0][0] in (1, "1")
+
+
+def test_regex_flavor_scanner_conversion():
+    """Escape/class-aware flavor conversion (r15 advice): escaped parens
+    and character-class literals must survive untouched, (?P=name)
+    backrefs must convert, and the reverse direction must not corrupt
+    lookbehinds."""
+    from victorialogs_spark.functions.text import to_java_regex, to_python_regex
+
+    # named group + backref both convert
+    assert to_java_regex(r"(?P<w>\w+)=(?P=w)") == r"(?<w>\w+)=\k<w>"
+    # escaped paren: NOT a group opener
+    assert to_java_regex(r"\(?P<x>") == r"\(?P<x>"
+    # inside a character class: literal chars
+    assert to_java_regex(r"[(?P<]x") == r"[(?P<]x"
+    assert to_java_regex(r"[^](?P<]") == r"[^](?P<]"
+    # plain patterns pass through
+    assert to_java_regex(r"a(?:b|c)+\d") == r"a(?:b|c)+\d"
+
+    # reverse: Java named group/backref → Python, lookbehinds untouched
+    assert to_python_regex(r"(?<w>\w+)=\k<w>") == r"(?P<w>\w+)=(?P=w)"
+    assert to_python_regex(r"(?<=foo)bar") == r"(?<=foo)bar"
+    assert to_python_regex(r"(?<!foo)bar") == r"(?<!foo)bar"
+    # escaped \\k (literal backslash + k) is not a backref
+    assert to_python_regex("\\\\k<w>") == "\\\\k<w>"
+    import re as _re
+
+    _re.compile(to_python_regex(r"(?<=foo)(?<name>\w+)"))
+
+
+def test_extract_regexp_java_flavor_pattern(spark):
+    """Java-spelled (?<name>...) with a lookbehind still plans (the old
+    blind replace turned (?<= into an invalid (?P<= python group)."""
+    from victorialogs_spark.api import run_query
+
+    df = spark.createDataFrame([("id=42 ok",)], "_msg string")
+    out = run_query(
+        spark, df, '* | extract_regexp "(?<=id=)(?<num>\\\\d+)" from _msg | fields num'
+    ).collect()
+    assert out[0]["num"] == "42"

@@ -172,6 +172,47 @@ def test_live_tail_poll_loop(spark, tmp_path):
         LiveTailer(spark, lambda: spark.read.parquet(src_dir), "* | stats count() as c")
 
 
+def test_collected_ts_to_us_host_timezone_invariant():
+    """collect() hands the driver LOCAL naive datetimes; the watermark
+    conversion must recover exact unix µs on any host TZ (r15 advice:
+    a replace(tzinfo=utc) pin offset watermarks by the UTC offset,
+    dropping/duplicating tail rows on non-UTC hosts)."""
+    import os
+    import time as _time
+
+    from victorialogs_spark.streaming.tail import collected_ts_to_us
+
+    # instants incl. a northern-hemisphere DST fold hour and a boundary µs
+    instants_us = [
+        0,
+        1_704_067_200_000_001,          # 2024-01-01 00:00:00.000001 UTC
+        1_730_594_700_500_000,          # 2024-11-03 01:25 America/New_York fold
+        1_718_000_000_249_999,
+    ]
+    old_tz = os.environ.get("TZ")
+    try:
+        for tz in ["UTC", "America/New_York", "Asia/Tokyo", "Europe/Dublin"]:
+            os.environ["TZ"] = tz
+            _time.tzset()
+            for us in instants_us:
+                # exactly how TimestampType.fromInternal builds the value
+                naive = dt.datetime.fromtimestamp(us // 1_000_000).replace(
+                    microsecond=us % 1_000_000
+                )
+                assert collected_ts_to_us(naive) == us, (tz, us)
+            # aware datetimes (future Arrow collect paths) convert exactly too
+            aware = dt.datetime.fromtimestamp(
+                instants_us[1] / 1e6, tz=dt.timezone.utc
+            )
+            assert collected_ts_to_us(aware) == instants_us[1]
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+
+
 def test_tenant_partitioning(spark, tmp_path):
     from victorialogs_spark.schema import for_tenant, with_day_partition, with_tenant
 

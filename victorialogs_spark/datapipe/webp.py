@@ -57,6 +57,14 @@ import struct
 # ---------------------------------------------------------------------------
 # constants from the spec
 
+# resource guard for untrusted crawled corpora: the 14-bit header dims
+# allow 16384×16384 (268M pixels ≈ 2+ GB of Python list) from a
+# few-byte adversarial LZ77 stream; raise the loud ValueError boundary
+# BEFORE allocating (r15 advice). 64M pixels ≈ 8192×8192 — far above
+# any real crawled image, small enough that a poisoned batch can't OOM
+# an executor.
+WEBP_MAX_PIXELS = 1 << 26
+
 _NUM_LITERALS = 256
 _NUM_LENGTH_CODES = 24
 _NUM_DISTANCE_CODES = 40
@@ -632,6 +640,11 @@ def _decode_vp8l_body(body: bytes):
     br = _BitReader(body[1:])
     w = br.bits(14) + 1
     h = br.bits(14) + 1
+    if w * h > WEBP_MAX_PIXELS:
+        raise ValueError(
+            f"VP8L dimensions {w}x{h} exceed the {WEBP_MAX_PIXELS}-pixel "
+            "decode guard"
+        )
     br.bits(1)  # alpha-used hint
     version = br.bits(3)
     if version != 0:
@@ -954,6 +967,11 @@ def decode_webp_frames(payload: bytes, max_frames: int | None = None):
             flags = body[0]
             cw = _u24(body, 4) + 1
             ch = _u24(body, 7) + 1
+            if cw * ch > WEBP_MAX_PIXELS:
+                raise ValueError(
+                    f"WebP canvas {cw}x{ch} exceeds the "
+                    f"{WEBP_MAX_PIXELS}-pixel decode guard"
+                )
             if flags & 0x02:  # animation flag
                 saw_anim = True
                 canvas = np.zeros((ch, cw), dtype=np.uint32)

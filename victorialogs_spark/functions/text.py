@@ -51,3 +51,100 @@ ANSI_COLOR_RE = r"\x1B\[[0-9;]*[A-Za-z]"
 UUID_RE = r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
 HEXNUM_RE = r"0[xX][0-9a-fA-F]+"
 NUM_RE = r"\d+"
+
+
+_GROUP_NAME_RE = re.compile(r"\w+")
+
+
+def _scan_regex(pattern: str, rewrite, rewrite_escape=None):
+    """Walk `pattern` tracking escapes and character classes; call
+    ``rewrite(pattern, i)`` at each position OUTSIDE both — it returns
+    ``(replacement, next_i)`` or None to pass the char through.
+    ``rewrite_escape`` gets the same chance at each ``\\x`` escape pair
+    outside classes. Blind ``str.replace`` corrupted escaped parens
+    (``\\(?P<``) and class literals (``[(?P<]``) — r15 advice."""
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            if not in_class and rewrite_escape is not None:
+                hit = rewrite_escape(pattern, i)
+                if hit is not None:
+                    rep, i = hit
+                    out.append(rep)
+                    continue
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            out.append(ch)
+            i += 1
+            # leading ^ and a literal ']' immediately after '[' / '[^'
+            if i < n and pattern[i] == "^":
+                out.append("^")
+                i += 1
+            if i < n and pattern[i] == "]":
+                out.append("]")
+                i += 1
+            continue
+        hit = rewrite(pattern, i)
+        if hit is not None:
+            rep, i = hit
+            out.append(rep)
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def to_java_regex(pattern: str) -> str:
+    """Python/RE2-flavor regex → the Java flavor rlike/regexp_extract
+    execute: ``(?P<name>`` → ``(?<name>``, ``(?P=name)`` → ``\\k<name>``.
+    Remaining engine differences (possessive quantifiers, \\p classes)
+    are the documented regexp divergence."""
+
+    def rw(p: str, i: int):
+        if p.startswith("(?P<", i):
+            j = p.find(">", i + 4)
+            if j != -1 and _GROUP_NAME_RE.fullmatch(p, i + 4, j):
+                return "(?<" + p[i + 4 : j] + ">", j + 1
+        elif p.startswith("(?P=", i):
+            j = p.find(")", i + 4)
+            if j != -1 and _GROUP_NAME_RE.fullmatch(p, i + 4, j):
+                return "\\k<" + p[i + 4 : j] + ">", j + 1
+        return None
+
+    return _scan_regex(pattern, rw)
+
+
+def to_python_regex(pattern: str) -> str:
+    """Java-flavor named groups → Python flavor (for driver-side
+    ``re.compile`` group-index probing): ``(?<name>`` → ``(?P<name>``,
+    ``\\k<name>`` → ``(?P=name)``. Lookbehinds ``(?<=`` / ``(?<!`` are
+    left untouched (the old blind replace turned them into invalid
+    ``(?P<=`` groups)."""
+
+    def rw(p: str, i: int):
+        if p.startswith("(?<", i) and not p.startswith("(?<=", i) and not p.startswith("(?<!", i):
+            j = p.find(">", i + 3)
+            if j != -1 and _GROUP_NAME_RE.fullmatch(p, i + 3, j):
+                return "(?P<" + p[i + 3 : j] + ">", j + 1
+        return None
+
+    def rw_esc(p: str, i: int):
+        if p.startswith("\\k<", i):
+            j = p.find(">", i + 3)
+            if j != -1 and _GROUP_NAME_RE.fullmatch(p, i + 3, j):
+                return "(?P=" + p[i + 3 : j] + ")", j + 1
+        return None
+
+    return _scan_regex(pattern, rw, rw_esc)

@@ -117,17 +117,63 @@ def _maybe_contains(bloom: bytes, token: str) -> bool:
 
 
 def candidate_files(
-    spark: SparkSession, index_path: str, tokens: list[str]
+    spark: SparkSession,
+    index_path: str,
+    tokens: list[str],
+    tokens_by_field: dict[str, list[str]] | None = None,
 ) -> list[str]:
     """Files that may contain ALL of ``tokens`` (bloom AND-semantics, the
     same conjunctive pruning the reference applies per block). Small
     local sidecars probe driver-side (index/local.py); otherwise the
     probe runs distributed over the sidecar — only matching file NAMES
     reach the driver, never the bloom bitsets (at 100 TB the sidecar
-    holds one row per file; bitsets can be MBs each)."""
-    toks = list(tokens)
+    holds one row per file; bitsets can be MBs each).
 
+    When ``tokens_by_field`` is given, each file is probed ONLY with the
+    tokens of fields THAT file's sidecar row indexed (per-row "fields"):
+    in a heterogeneous sidecar (partial rebuild / append with a different
+    field set), probing a file with tokens of a field it never indexed
+    would wrongly prune matching files — r15 advice. A file whose field
+    set carries no query tokens is kept (nothing prunable about it)."""
     from victorialogs_spark.index.local import read_local_index
+
+    if tokens_by_field is not None:
+        def _req(fields_str):
+            out: list[str] = []
+            for f in (fields_str or "_msg").split(","):
+                out.extend(tokens_by_field.get(f, ()))
+            return out
+
+        local = read_local_index(index_path)
+        if local is not None:
+            return [
+                r["file"]
+                for r in local
+                if r["bloom"] is not None
+                and all(
+                    _maybe_contains(bytes(r["bloom"]), t)
+                    for t in _req(r.get("fields"))
+                )
+            ]
+
+        def _probe_f(b, fields_str) -> bool:
+            return b is not None and all(
+                _maybe_contains(bytes(b), t) for t in _req(fields_str)
+            )
+
+        probe = F.udf(_probe_f, "boolean")
+        idx = spark.read.parquet(index_path)
+        fields_col = (
+            F.col("fields") if "fields" in idx.columns else F.lit("_msg")
+        )
+        return [
+            r["file"]
+            for r in idx.where(probe(F.col("bloom"), fields_col))
+            .select("file")
+            .collect()
+        ]
+
+    toks = list(tokens)
 
     local = read_local_index(index_path)
     if local is not None:
@@ -164,8 +210,15 @@ def _indexed_fields(spark: SparkSession, index_path: str) -> set[str]:
         idx = spark.read.parquet(index_path)
         if "fields" not in idx.columns:
             return {"_msg"}
-        row = idx.select("fields").first()
-        return set((row[0] or "_msg").split(",")) if row else {"_msg"}
+        # union over DISTINCT row values — a heterogeneous sidecar
+        # (partial rebuild / append over a different field set) must
+        # surface every field any row indexed, not just the first row's
+        # (r15 advice); per-file soundness is handled by candidate_files'
+        # tokens_by_field probe
+        out = set()
+        for row in idx.select("fields").distinct().collect():
+            out.update((row[0] or "_msg").split(","))
+        return out or {"_msg"}
     except Exception:  # noqa: BLE001 — unreadable sidecar: no pruning
         return set()
 
@@ -197,19 +250,21 @@ def read_pruned(
     constraints (stream-value sidecar, ``stream_index_path`` —
     index/streams.py). Unknown (unindexed) files are always included.
     Returns the full table reader when nothing is prunable."""
-    toks: list[str] = []
+    tokens_by_field: dict[str, list[str]] = {}
     if index_path:
         # the probe is only sound for tokens of fields the sidecar
         # actually indexed: a sidecar built over a label column must not
         # prune on _msg tokens (files whose label bloom lacks the token
         # would be dropped even though their _msg matches — r14 review
-        # finding). Probe the union of each INDEXED field's conjunct
-        # tokens (bloom bitsets cover all indexed fields' tokens, so
-        # AND-semantics stay sound across fields).
+        # finding). Collect tokens PER indexed field so each file is
+        # probed only with the fields its own sidecar row indexed
+        # (heterogeneous sidecars — r15 advice).
         for f in sorted(_indexed_fields(spark, index_path)):
-            toks.extend(words_of_query(query, field=f))
+            t = words_of_query(query, field=f)
+            if t:
+                tokens_by_field[f] = t
     full = spark.read.parquet(table_path)
-    if not toks and stream_index_path is None:
+    if not tokens_by_field and stream_index_path is None:
         return full
     # metadata-only file listing — a select(input_file_name()).distinct()
     # would scan every row just to enumerate files, costing more than the
@@ -217,7 +272,7 @@ def read_pruned(
     all_files = list(full.inputFiles())
     hive = any("=" in f.rsplit("/", 2)[-2] for f in all_files if "/" in f)
     keep = all_files
-    if toks:
+    if tokens_by_field:
         from victorialogs_spark.index.local import read_local_index
 
         local = read_local_index(index_path)
@@ -228,7 +283,11 @@ def read_pruned(
                 r["file"]
                 for r in spark.read.parquet(index_path).select("file").collect()
             }
-        cands = set(candidate_files(spark, index_path, toks))
+        cands = set(
+            candidate_files(
+                spark, index_path, [], tokens_by_field=tokens_by_field
+            )
+        )
         keep = [f for f in keep if f not in indexed or f in cands]
     if stream_index_path is not None:
         from victorialogs_spark.index.streams import prune_files

@@ -16,19 +16,9 @@ from victorialogs_spark.functions.text import (
     phrase_regex,
     prefix_regex,
     seq_regex,
+    to_java_regex as _java_pattern,
 )
 from victorialogs_spark.logsql import ast as A
-
-
-def _java_pattern(pattern: str) -> str:
-    """User-supplied regex → the Java regex rlike executes. The one
-    systematic Python/RE2-vs-Java syntax difference user queries hit is
-    named groups: (?P<name>...) must become (?<name>...) (the extract
-    pipe already converts; the filter paths executed the raw pattern and
-    crashed executors at runtime — r14 review finding). Remaining
-    engine differences (possessive quantifiers, \\p classes) are the
-    documented regexp divergence."""
-    return pattern.replace("(?P<", "(?<")
 
 
 def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:

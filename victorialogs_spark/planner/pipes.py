@@ -26,7 +26,13 @@ from victorialogs_spark.functions.natural import (
     qcol,
     unsigned_str,
 )
-from victorialogs_spark.functions.text import ANSI_COLOR_RE, NON_TOKEN_RE, java_quote
+from victorialogs_spark.functions.text import (
+    ANSI_COLOR_RE,
+    NON_TOKEN_RE,
+    java_quote,
+    to_java_regex,
+    to_python_regex,
+)
 from victorialogs_spark.logsql import ast as A
 from victorialogs_spark.planner.filters import compile_filter
 from victorialogs_spark.planner.stats import compile_stats_func
@@ -453,12 +459,14 @@ def _p_extract(p: A.PExtract, df: DataFrame, ctx) -> DataFrame:
 
 
 def _convert_named_groups(pattern: str) -> str:
-    """Python/RE2 (?P<name>...) → Java (?<name>...)."""
-    return pattern.replace("(?P<", "(?<")
+    """Python/RE2 (?P<name>...) → Java (?<name>...) (escape/class-aware
+    scanner in functions/text.py; r15 advice replaced the blind
+    str.replace that corrupted ``\\(?P<`` and left ``(?P=`` crashing)."""
+    return to_java_regex(pattern)
 
 
 def _p_extract_regexp(p: A.PExtractRegexp, df: DataFrame, ctx) -> DataFrame:
-    py_pat = p.pattern.replace("(?<", "(?P<") if "(?P<" not in p.pattern else p.pattern
+    py_pat = to_python_regex(p.pattern) if "(?P<" not in p.pattern else p.pattern
     try:
         groups = re.compile(py_pat).groupindex
     except re.error as e:

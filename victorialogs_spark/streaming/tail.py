@@ -9,6 +9,7 @@ rejected up-front (canLiveTail, lib/logstorage/pipe.go:24-27).
 
 from __future__ import annotations
 
+import datetime as _dt
 import time
 from collections.abc import Callable, Iterator
 
@@ -37,6 +38,25 @@ CAN_LIVE_TAIL: dict[type, bool] = {
 }
 
 TAIL_OVERLAP_SECONDS = 5.0  # re-read window, mirrors tailOffsetNsecs
+
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def collected_ts_to_us(ts) -> int:
+    """Exact integer µs-since-epoch for a datetime from ``Row.collect()``.
+
+    PySpark's ``TimestampType.fromInternal`` builds the collected value
+    with ``datetime.fromtimestamp`` — a NAIVE datetime in the DRIVER's
+    LOCAL timezone (the session timeZone config only affects SQL-side
+    rendering, not collect()). ``astimezone(utc)`` interprets a naive
+    value as local time (fold-aware across DST) and converts exactly, so
+    the integer subtraction below matches ``unix_micros`` on any host TZ.
+    A plain ``.replace(tzinfo=utc)`` would pin local wall-clock as UTC
+    and offset every watermark by the host's UTC offset (r15 advice).
+    """
+    return (ts.astimezone(_dt.timezone.utc) - _EPOCH_UTC) // _dt.timedelta(
+        microseconds=1
+    )
 
 
 def can_live_tail(q: A.Query) -> bool:
@@ -123,21 +143,7 @@ class LiveTailer:
             return [] if priming else rows
         rows = out.collect()
         fresh = []
-        import datetime as _dt
-
-        _epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
-
-        def _us(ts):
-            # exact integer µs, UTC-pinned. The old float path
-            # (naive .timestamp() * 1e6) interpreted the session-UTC
-            # naive datetime in the DRIVER's local timezone (an hour of
-            # rows dropped across a DST fold) and went through a double
-            # whose 0.25 µs spacing at current epochs truncates boundary
-            # rows below the exact unix_micros watermarks they are
-            # compared against (r14 review finding)
-            return (ts.replace(tzinfo=_dt.timezone.utc) - _epoch) // _dt.timedelta(
-                microseconds=1
-            )
+        _us = collected_ts_to_us
 
         for r in rows:
             d = r.asDict()
