@@ -4363,6 +4363,7 @@ _DRIVER_VERIFIED_R13 = [
 # 0-13 were re-checked by the r13 window fill), followed by the 16 oldest
 # r11 entries in r11 artifact order (two spare so a short _NEW_R14 still
 # fills the window; _reorder_registry truncates to 50 - len(front)).
+# Superseded by _STALE_R15_WINDOW; kept for the historical record.
 _STALE_R14_WINDOW = [
     # last green = r10 (r10 artifact order, positions 14-49)
     "s_multi_bucket", "s_num_bucket", "s_rate", "s_row_any_by", "s_row_max",
@@ -4383,10 +4384,56 @@ _STALE_R14_WINDOW = [
     "f_regexp", "f_range_gt", "f_range_bracket",
 ]
 
-# round-14 additions: brand-new oracle-backed entries registered this round
-# (never in any prior artifact) — they land at the FRONT of the window,
-# displacing stale entries from the back. _reorder_registry() makes a
-# forgotten registration loud instead of silently filtering out.
+# exactly the 50-entry window recorded in CORRECTNESS_r14.json (50/50 green)
+_DRIVER_VERIFIED_R14 = [
+    "dp_image_ahash_webp", "dp_webp_frame_ahash", "s_multi_bucket",
+    "s_num_bucket", "s_rate", "s_row_any_by", "s_row_max", "s_row_min",
+    "s_stats_by", "s_stats_if", "s_sum_len", "s_time_bucket",
+    "s_time_bucket_offset", "s_uniq_values", "s_uniq_values_limit",
+    "s_values_unrolled", "s_wildcard_no_match", "tpch_pricing_summary",
+    "tpch_top_orders", "ep_stats_query", "ep_stats_query_range",
+    "ep_streams", "ep_stream_field_values", "dp_exact_dedup",
+    "dp_ngram_jaccard", "dp_text_stats", "dp_quality", "dp_lang_id",
+    "dp_fingerprint", "dp_cosine_threshold", "dp_ann_bruteforce_topk",
+    "dp_ann_lsh_quantized_topk", "dp_ann_ivf_quantized_topk",
+    "dp_embedding_near_dup_exact", "dp_embedding_clusters_exact",
+    "dp_chunk_documents", "dp_hash_sample", "dp_train_val_test_split",
+    "dp_image_ahash_png_palette", "f_word", "f_phrase", "f_prefix",
+    "f_any_case", "f_exact", "f_exact_prefix", "f_in", "f_in_subquery",
+    "f_field_group", "f_contains_all", "f_contains_any",
+]
+
+# The 52 STALEST oracle-backed entries by last-green driver round after r14,
+# derived programmatically from the union of CORRECTNESS_r01..r14.json
+# sorted by (last-green round, position in that round's artifact): the 38
+# whose last green is the r11 artifact, followed by the 14 oldest r12
+# entries in r12 artifact order (two spare so a short _NEW_R15 still
+# fills the window; _reorder_registry truncates to 50 - len(front)).
+_STALE_R15_WINDOW = [
+    # last green = r11 (r11 artifact order)
+    "f_seq", "f_regexp", "f_range_gt", "f_range_bracket",
+    "f_range_halfopen", "f_ipv4_range", "f_string_range", "f_string_cmp",
+    "f_len_range", "f_value_type_storage", "p_rename_wildcard",
+    "dp_dedup_keep_best", "dp_stratified_sample", "dp_semdedup_auto",
+    "dp_frame_sample", "dp_redact_pii", "dp_decontaminate",
+    "dp_stream_exact_dedup", "dp_multimodal_features",
+    "tpch_ship_histogram", "f_eq_field", "f_le_field", "f_time_range",
+    "f_time_duration_offset", "f_day_range", "f_week_range",
+    "f_day_range_offset", "f_time_gt_offset", "f_stream", "f_bool",
+    "p_fields_delete", "p_copy", "p_rename", "p_rename_overwrite",
+    "p_filter", "p_limit", "p_offset", "p_sort_desc_rank",
+    # oldest r12 entries (r12 artifact order, positions 0-13)
+    "dp_image_ahash_gif", "dp_gif_frame_ahash", "dp_image_ahash_png",
+    "dp_image_ahash_jpeg", "dp_mp4_frame_extract", "p_sort_partition_topk",
+    "p_first", "p_last", "p_math", "p_math_funcs", "p_extract",
+    "p_extract_regexp", "p_replace", "p_replace_regexp",
+]
+
+# round-15 additions: brand-new oracle-backed entries registered this round
+_NEW_R15: list[str] = []
+
+# round-14 additions; both landed green in CORRECTNESS_r14.json (now in
+# _DRIVER_VERIFIED_R14). Kept for the historical record.
 _NEW_R14: list[str] = ["dp_image_ahash_webp", "dp_webp_frame_ahash"]
 
 
@@ -4396,24 +4443,23 @@ def _reorder_registry() -> None:
     COMPLETE: every oracle-backed entry has a green driver row in some
     round and no entry's latest check is red. The window's value is now
     FRESHNESS: front this round's brand-new oracle entries, then the
-    STALEST previously-green entries (for r14: the 36 whose last green
-    is r10 — positions 14-49 of that artifact — then the oldest r11
-    entries; the code behind them has drifted the most since their
-    check). The
+    STALEST previously-green entries (for r15: the 38 whose last green
+    is r11, then the oldest r12 entries; the code behind them has
+    drifted the most since their check). The
     rows-only entries (no oracle_sql by design — hash/approx-valued,
     each with an oracle-exact twin elsewhere) stay OUT of the window:
     a driver row for them would read `err: no_oracle`, not green."""
     global QUERIES, ORACLE
     missing = [
-        k for k in _NEW_R14 if k not in QUERIES or k not in ORACLE
+        k for k in _NEW_R15 if k not in QUERIES or k not in ORACLE
     ]
     if missing:
-        # a _NEW_R14 name that never got registered (or lost its oracle)
+        # a _NEW_R15 name that never got registered (or lost its oracle)
         # must fail loudly, not silently fall out of the window — the r9
         # reserved names did exactly that and the round shipped a false
         # "registered this round" comment
         raise RuntimeError(
-            f"_NEW_R14 entries not registered with an oracle: {missing}"
+            f"_NEW_R15 entries not registered with an oracle: {missing}"
         )
     checked = (
         set(_DRIVER_VERIFIED_R2_R3) | set(_DRIVER_VERIFIED_R5)
@@ -4421,16 +4467,17 @@ def _reorder_registry() -> None:
         | set(_DRIVER_VERIFIED_R8) | set(_DRIVER_VERIFIED_R9)
         | set(_DRIVER_VERIFIED_R10) | set(_DRIVER_VERIFIED_R11)
         | set(_DRIVER_VERIFIED_R12) | set(_DRIVER_VERIFIED_R13)
+        | set(_DRIVER_VERIFIED_R14)
     )
     never = [k for k in QUERIES if k not in checked]
     never_with_oracle = [k for k in never if k in ORACLE]
     never_rows_only = [k for k in never if k not in ORACLE]
-    front = list(_NEW_R14) + [
-        k for k in never_with_oracle if k not in _NEW_R14
+    front = list(_NEW_R15) + [
+        k for k in never_with_oracle if k not in _NEW_R15
     ]
     # fill the window with the stalest previously-green entries
     fill = [
-        k for k in _STALE_R14_WINDOW
+        k for k in _STALE_R15_WINDOW
         if k in QUERIES and k in ORACLE and k not in front
     ][: max(0, 50 - len(front))]
     window = front + fill
