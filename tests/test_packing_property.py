@@ -66,3 +66,50 @@ def test_shuffle_shards_is_a_dense_permutation(spark, rows, seed):
         per[r["shard"]].append(r["shuffle_pos"])
     for pos in per.values():
         assert sorted(pos) == list(range(1, len(pos) + 1))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    payloads=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # DUPLICATE-heavy key
+            st.integers(min_value=0, max_value=10**6), # distinguishing payload
+        ),
+        min_size=2,
+        max_size=16,
+    ),
+    seed=st.integers(min_value=0, max_value=2),
+)
+def test_shuffle_shards_duplicate_keys_partition_independent(
+    spark, payloads, seed
+):
+    """Closed r14 sixth-pass deferral: rows sharing a key must get the
+    SAME position assignment under any input partitioning (content-hash
+    tiebreak), so reruns/repartitions of a duplicate-key corpus agree."""
+    df1 = spark.createDataFrame(payloads, "k long, v long").repartition(1)
+    df7 = spark.createDataFrame(
+        list(reversed(payloads)), "k long, v long"
+    ).repartition(7)
+    a = {
+        (r["k"], r["v"], r["shard"], r["shuffle_pos"])
+        for r in shuffle_shards(df1, "k", seed=seed).collect()
+    }
+    b = {
+        (r["k"], r["v"], r["shard"], r["shuffle_pos"])
+        for r in shuffle_shards(df7, "k", seed=seed).collect()
+    }
+    assert a == b
+    # pack_sequences: same stability for the cumsum layout
+    pa = {
+        (r["k"], r["v"], r["seq"], r["seq_offset"])
+        for r in pack_sequences(df1, "k", "v", budget=13, seed=seed).collect()
+    }
+    pb = {
+        (r["k"], r["v"], r["seq"], r["seq_offset"])
+        for r in pack_sequences(df7, "k", "v", budget=13, seed=seed).collect()
+    }
+    assert pa == pb

@@ -18,6 +18,18 @@ of (row key, seed), so reruns, repartitions and other engines reproduce
 the identical order (md5 is bit-identical everywhere; fixed-width
 lowercase hex compares lexicographically = numerically). No rand(), no
 monotonically_increasing_id.
+
+Duplicate keys: the engine-portable order is defined by (md5, key), so
+rows SHARING a key tie. Ties are broken by a content hash over every
+other column (xxhash64 — deterministic across reruns and partition
+counts, Spark-specific): two same-key rows with different payloads get
+a stable relative order instead of the partition-dependent one a bare
+row_number would assign (r14 sixth-pass deferral, closed r15).
+Byte-identical duplicate rows remain interchangeable — any assignment
+among them yields the same output table. Cross-engine reproducibility
+of positions therefore holds exactly for unique-key corpora (every
+documented caller keys on doc_id); under duplicate keys the order is
+still deterministic, just Spark-defined.
 """
 
 from __future__ import annotations
@@ -34,6 +46,19 @@ def _order_key(key_col: str, seed: int) -> Column:
             F.col(key_col).cast("string"), F.lit(f":{seed}")
         ).cast("binary")
     )
+
+
+def _tiebreak(df: DataFrame, key_col: str) -> Column:
+    """Deterministic order among rows SHARING a key: xxhash64 over the
+    other columns (maps excluded — Spark can't hash MapType). Pure
+    function of row content, so the window order is stable under any
+    partitioning; identical rows tie harmlessly (interchangeable)."""
+    cols = [
+        F.col(c)
+        for c, t in df.dtypes
+        if c != key_col and not t.startswith("map<")
+    ]
+    return F.xxhash64(F.struct(*cols)) if cols else F.lit(0)
 
 
 def shuffle_shards(
@@ -54,11 +79,15 @@ def shuffle_shards(
     shard_chars=3..4 (4096/65536 shards) so a shard fits an executor.
     """
     h = _order_key(key_col, seed)
+    tb = _tiebreak(df, key_col)
     out = df.withColumn("__vl_h", h).withColumn(
         "shard", F.substring(F.col("__vl_h"), 1, shard_chars)
+    ).withColumn("__vl_tb", tb)
+    w = Window.partitionBy("shard").orderBy("__vl_h", key_col, "__vl_tb")
+    return (
+        out.withColumn("shuffle_pos", F.row_number().over(w))
+        .drop("__vl_h", "__vl_tb")
     )
-    w = Window.partitionBy("shard").orderBy("__vl_h", key_col)
-    return out.withColumn("shuffle_pos", F.row_number().over(w)).drop("__vl_h")
 
 
 def pack_sequences(
@@ -90,14 +119,16 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError("budget must be positive")
     h = _order_key(id_col, seed)
+    tb = _tiebreak(df, id_col)
     out = df.withColumn("__vl_h", h).withColumn(
         "shard", F.substring(F.col("__vl_h"), 1, shard_chars)
-    )
-    # explicit ROWS framing: the (md5, id) order is unique so RANGE would
-    # behave identically, but ROWS says so without relying on uniqueness
+    ).withColumn("__vl_tb", tb)
+    # explicit ROWS framing: the (md5, id, tiebreak) order is stable
+    # (content-hash tiebreak under duplicate ids), and ROWS makes the
+    # cumsum per-row even when byte-identical rows still tie
     w = (
         Window.partitionBy("shard")
-        .orderBy("__vl_h", id_col)
+        .orderBy("__vl_h", id_col, "__vl_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cost = F.col(cost_col).cast("long")
@@ -108,4 +139,4 @@ def pack_sequences(
     ).withColumn(
         "seq_offset", F.col("__vl_start") % budget
     )
-    return out.drop("__vl_h", "__vl_start")
+    return out.drop("__vl_h", "__vl_tb", "__vl_start")

@@ -225,9 +225,6 @@ def gopher_quality_flags(
         F.filter(F.split(c0, r"\n"), lambda l: F.trim(l) != "").alias(
             "__vl_lines"
         ),
-        F.filter(
-            F.split(F.lower(c0), r"[ \t\n\f\r]+"), lambda t: t != ""
-        ).alias("__vl_low_words"),
     )
     c = F.col("__vl_text")
     words = F.col("__vl_words")
@@ -258,7 +255,12 @@ def gopher_quality_flags(
         n_words > 0,
         F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / n_words,
     ).cast("double")
-    low_words = F.col("__vl_low_words")
+    # lowercase the ALREADY-SPLIT token array instead of re-splitting
+    # lower(text) — drops the third full-text split (r14 sixth-pass
+    # deferral; sf1 A/B in SCALE.md). Identical semantics: ASCII
+    # whitespace is a fixed point of lower(), so split-then-lower ==
+    # lower-then-split token-for-token.
+    low_words = F.transform(words, F.lower)
     stop_hits = F.size(
         F.array_intersect(
             F.array_distinct(low_words),
