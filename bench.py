@@ -46,6 +46,18 @@ ADJUDICATIONS = {
         "median_band": (0.25, 0.60),
         "best_max": 0.50,  # cold isolated best 0.442
     },
+    "s_time_bucket": {
+        "sf": 0.1,
+        "anchor": "SCALE.md 's_time_bucket driver flag adjudicated'"
+                  " (r15): the r14 sub-us clamp is plan-time Python"
+                  " max() on a constant - executed plan proved"
+                  " byte-identical (norm'd expr ids) to the pre-clamp"
+                  " build, and interleaved clamp-vs-preclamp A/B"
+                  " medians agree (0.238 vs 0.244); driver best 0.215"
+                  " vs prior 0.204 is host burst on an unchanged plan",
+        "median_band": (0.15, 0.45),
+        "best_max": 0.30,
+    },
     "dp_exact_dedup": {
         "sf": 0.1,
         "anchor": "SCALE.md 'dp_exact_dedup reproducible 2x adjudicated'"
