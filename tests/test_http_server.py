@@ -555,3 +555,158 @@ def test_spill_restart_with_preloaded_table(spark, tmp_path):
             srv2.stop()
     finally:
         _State.FLUSH_ROWS = old
+
+
+def test_time_arg_parse_reference_parity():
+    """_time_arg_ns mirrors timeutil.ParseTimeAt: partial timestamps are
+    the START instant for start AND end; relative durations always point
+    into the past; unix magnitudes split at 2^31 (seventh-pass pass)."""
+    from victorialogs_spark.http_server import _time_arg_ns
+
+    NOW = 1_700_000_000_000_000_000
+    assert _time_arg_ns("now", NOW) == NOW
+    assert _time_arg_ns("now-1h", NOW) == NOW - 3600 * 10**9
+    assert _time_arg_ns("-1h", NOW) == NOW - 3600 * 10**9
+    assert _time_arg_ns("5m", NOW) == NOW - 300 * 10**9  # bare = ago
+    # partial RFC3339: start instant, NOT end-of-period (ParseTimeAt)
+    assert _time_arg_ns("2024-01-02", NOW) == 1704153600 * 10**9
+    assert _time_arg_ns("2024-01", NOW) == 1704067200 * 10**9
+    assert _time_arg_ns("2024-01-01T00:59:59Z", NOW) == 1704070799 * 10**9
+    # unix magnitudes at the reference's int32 boundary
+    assert _time_arg_ns("1700000000", NOW) == 1_700_000_000 * 10**9
+    assert _time_arg_ns("1700000000000", NOW) == 1_700_000_000_000 * 10**6
+    assert _time_arg_ns("1700000000000000", NOW) == 1_700_000_000_000_000 * 10**3
+    assert _time_arg_ns("1700000000000000000", NOW) == 1_700_000_000_000_000_000
+    # 3e9 exceeds int32 → milliseconds (the old 10^11 cut read seconds)
+    assert _time_arg_ns("3000000000", NOW) == 3_000_000_000 * 10**6
+    # fractional seconds and fractional milliseconds
+    assert _time_arg_ns("1700000000.5", NOW) == 1_700_000_000 * 10**9 + 500_000_000
+    assert _time_arg_ns("1700000000000.5", NOW) == 1_700_000_000_000 * 10**6 + 500_000
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _time_arg_ns("garbage-x", NOW)
+
+
+def test_select_common_args_on_every_endpoint(server, spark):
+    """start/end and extra_filters apply to hits/stats/streams — not just
+    /query (reference parseCommonArgs; seventh-pass finding)."""
+    _post(server, "/insert/jsonline?_stream_fields=app", NDJSON.encode())
+
+    # extra_filters JSON form restricts /hits to app=db rows only
+    ef = urllib.parse.quote('{"app":"db"}')
+    out = json.loads(
+        _get(server, f"/select/logsql/hits?query=*&step=1d&extra_filters={ef}").read()
+    )
+    total = sum(int(v["hits"]) for v in out["values"])
+    out_all = json.loads(
+        _get(server, "/select/logsql/hits?query=*&step=1d").read()
+    )
+    total_all = sum(int(v["hits"]) for v in out_all["values"])
+    assert 0 < total < total_all
+
+    # start/end bound /streams (only the 00:00 hour → db stream loses a row)
+    o = json.loads(
+        _get(
+            server,
+            "/select/logsql/streams?query=*"
+            "&start=2024-01-01T00:00:00Z&end=2024-01-01T00:59:00Z",
+        ).read()
+    )
+    hits_by_stream = {v["_stream"]: int(v["hits"]) for v in o["values"]}
+    assert all(h >= 1 for h in hits_by_stream.values())
+    o_all = json.loads(
+        _get(server, "/select/logsql/streams?query=*").read()
+    )
+    assert sum(int(v["hits"]) for v in o_all["values"]) > sum(
+        hits_by_stream.values()
+    )
+
+
+def test_stats_query_rate_uses_api_window(server):
+    """rate() over HTTP divides by the [start, end] window — the df-level
+    pre-filter alone left the divisor at 1s (seventh-pass finding)."""
+    _post(server, "/insert/jsonline?_stream_fields=app", NDJSON.encode())
+    q = urllib.parse.quote("* | stats rate() as r")
+    # a 100-second window anchored before the test rows
+    o = json.loads(
+        _get(
+            server,
+            f"/select/logsql/stats_query?query={q}"
+            "&start=2024-01-01T00:00:00Z&end=2024-01-01T00:01:39Z",
+        ).read()
+    )
+    [row] = o["values"]
+    n_rows_in_window = 2  # 00:00:01 and 00:00:02 rows (per NDJSON batch)
+    val = float(row["value"])
+    # divisor = (end-start+1ns) ≈ 99 s; the old path divided by 1.0
+    assert val < 1.0 and abs(val * 99.0 - round(val * 99.0)) < 1e-6
+
+
+def test_query_limit_returns_newest_rows(server):
+    """limit=N on /query returns the NEWEST N rows ascending (reference
+    getLastNQueryResults), and limit<=0 means unlimited. Scoped to a
+    dedicated marker batch — the module server accumulates rows."""
+    batch = "\n".join(
+        json.dumps(
+            {"_time": f"2024-02-01T00:00:0{i}Z", "_msg": f"lim{i}", "app": "limtest"}
+        )
+        for i in range(4)
+    )
+    _post(server, "/insert/jsonline?_stream_fields=app", batch.encode())
+    q = urllib.parse.quote("app:limtest")
+    lines = (
+        _get(server, f"/select/logsql/query?query={q}&limit=1")
+        .read().decode().strip().splitlines()
+    )
+    assert len(lines) == 1
+    assert json.loads(lines[0])["_msg"] == "lim3"  # the newest
+
+    lines2 = (
+        _get(server, f"/select/logsql/query?query={q}&limit=2")
+        .read().decode().strip().splitlines()
+    )
+    msgs = [json.loads(l)["_msg"] for l in lines2]
+    assert msgs == ["lim2", "lim3"]  # newest two, ascending
+    times = [json.loads(l)["_time"] for l in lines2]
+    assert times == sorted(times)
+
+    # zero/negative limit: every row (the old code returned nothing
+    # for negative limits)
+    all_lines = (
+        _get(server, f"/select/logsql/query?query={q}&limit=-5")
+        .read().decode().strip().splitlines()
+    )
+    assert len(all_lines) == 4
+
+
+def test_time_arg_anchors_relative_queries(server):
+    """`time` (or end) anchors `_time:1h`-relative filters at that
+    instant minus 1ns, not at the server's wall clock (parseCommonArgs
+    timestamp rule). Scoped to a marker batch (module server is shared)."""
+    batch = "\n".join(
+        json.dumps(
+            {"_time": t, "_msg": m, "app": "anchortest"}
+        )
+        for t, m in [
+            ("2024-03-01T00:00:01Z", "a-boot"),
+            ("2024-03-01T00:00:02Z", "a-disk"),
+            ("2024-03-01T01:00:03Z", "a-retry"),
+        ]
+    )
+    _post(server, "/insert/jsonline?_stream_fields=app", batch.encode())
+    q = urllib.parse.quote("app:anchortest _time:1h")
+    # anchored after the 01:00:03 row: only that row is in the past hour
+    lines = (
+        _get(server, f"/select/logsql/query?query={q}&time=2024-03-01T01:30:00Z")
+        .read().decode().strip().splitlines()
+    )
+    msgs = {json.loads(l)["_msg"] for l in lines if l}
+    assert msgs == {"a-retry"}
+    # anchored inside the first hour: the anchor moved with the arg
+    lines2 = (
+        _get(server, f"/select/logsql/query?query={q}&time=2024-03-01T00:30:00Z")
+        .read().decode().strip().splitlines()
+    )
+    msgs2 = {json.loads(l)["_msg"] for l in lines2 if l}
+    assert msgs2 == {"a-boot", "a-disk"}

@@ -74,7 +74,11 @@ def apply_common_args(
     HTTP layer does (logsql.go getCommonParams:1180-1208)."""
 
     def _as_list(v):
-        return [v] if isinstance(v, str) else list(v or [])
+        vs = [v] if isinstance(v, str) else list(v or [])
+        # the reference ignores empty extra_filters values outright
+        # (parseExtraFilters: `if s == "" return nil`) — parsing ""
+        # would 400 instead
+        return [s for s in vs if s]
 
     terms = [q.filter]
     if start_ns is not None or end_ns is not None:
@@ -97,6 +101,25 @@ def apply_common_args(
     return q
 
 
+def _common(
+    query: str,
+    timestamp_ns: int | None,
+    start_ns: int | None,
+    end_ns: int | None,
+    extra_filters,
+    extra_stream_filters,
+) -> A.Query:
+    """parse + the standard arg set — EVERY /select endpoint applies the
+    common args, exactly like the reference's parseCommonArgs
+    (logsql.go:1136-1211; before r15 only /query did, so start/end/
+    extra_filters were silently ignored by hits/stats/streams/facets —
+    seventh-pass finding)."""
+    return apply_common_args(
+        _parse(query, timestamp_ns),
+        start_ns, end_ns, extra_filters, extra_stream_filters, timestamp_ns,
+    )
+
+
 def hits(
     spark: SparkSession,
     df: DataFrame,
@@ -105,11 +128,16 @@ def hits(
     offset: str = "0s",
     fields: list[str] | None = None,
     timestamp_ns: int | None = None,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+    extra_filters=None,
+    extra_stream_filters=None,
 ) -> DataFrame:
     """Per-step hit counts for the query's filter (pipes are dropped —
     Query.DropAllPipes + AddCountByTimePipe semantics).
     Output: (_time, <fields...>, hits)."""
-    q = _parse(query, timestamp_ns)
+    q = _common(query, timestamp_ns, start_ns, end_ns,
+                extra_filters, extra_stream_filters)
     step_ns = parse_duration_ns(step)
     if step_ns is None:
         raise ValueError(f"invalid step {step!r}")
@@ -135,11 +163,19 @@ def stats_query(
     df: DataFrame,
     query: str,
     timestamp_ns: int | None = None,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+    extra_filters=None,
+    extra_stream_filters=None,
 ) -> DataFrame:
     """Instant stats vector: one row per (metric function, group-labels).
     Output: (name, labels JSON, value string) — the Prometheus-style
-    instant-vector shape."""
-    q = _parse(query, timestamp_ns)
+    instant-vector shape. start/end fold into the query filter BEFORE
+    planning, so rate()/rate_sum() divide by the API window (the r14
+    library fix; the HTTP route's df-level pre-filter alone left the
+    divisor at the query-text range — seventh-pass finding)."""
+    q = _common(query, timestamp_ns, start_ns, end_ns,
+                extra_filters, extra_stream_filters)
     st = _last_stats_pipe(q)
     out = plan_query(spark, df, q)
     label_cols = [b.name for b in st.by]
@@ -165,11 +201,16 @@ def stats_query_range(
     query: str,
     step: str = "1h",
     timestamp_ns: int | None = None,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+    extra_filters=None,
+    extra_stream_filters=None,
 ) -> DataFrame:
     """Range vectors: guarantees a `_time:step` bucket in the final stats
     pipe (GetStatsByFieldsAddGroupingByTime), then melts to
     (name, labels, _time, value)."""
-    q = _parse(query, timestamp_ns)
+    q = _common(query, timestamp_ns, start_ns, end_ns,
+                extra_filters, extra_stream_filters)
     st = _last_stats_pipe(q)
     step_ns = parse_duration_ns(step)
     if step_ns is None:
@@ -202,10 +243,23 @@ def stats_query_range(
 # ---------------------------------------------------------------- metadata
 
 
-def _filtered(spark: SparkSession, df: DataFrame, query: str) -> DataFrame:
-    q = _parse(query)
+def _filtered(
+    spark: SparkSession, df: DataFrame, query: str, common: dict | None = None
+) -> DataFrame:
+    q = _common(query, **_common_kw(common))
     q.pipes = []
     return plan_query(spark, df, q)
+
+
+def _common_kw(common: dict | None) -> dict:
+    c = common or {}
+    return {
+        "timestamp_ns": c.get("timestamp_ns"),
+        "start_ns": c.get("start_ns"),
+        "end_ns": c.get("end_ns"),
+        "extra_filters": c.get("extra_filters"),
+        "extra_stream_filters": c.get("extra_stream_filters"),
+    }
 
 
 def row_to_wire_dict(row) -> dict:
@@ -237,11 +291,12 @@ def _with_stream_col(df: DataFrame, name: str) -> DataFrame:
 
 
 def streams(
-    spark: SparkSession, df: DataFrame, query: str = "*", limit: int = 0
+    spark: SparkSession, df: DataFrame, query: str = "*", limit: int = 0,
+    common: dict | None = None,
 ) -> DataFrame:
     """Distinct `_stream` values + hit counts (storage_search.go:426)."""
     out = (
-        _with_stream_col(_filtered(spark, df, query), "_stream")
+        _with_stream_col(_filtered(spark, df, query, common), "_stream")
         .groupBy("_stream")
         .agg(F.count(F.lit(1)).alias("hits"))
         .orderBy(F.desc("hits"), F.asc("_stream"))
@@ -250,10 +305,11 @@ def streams(
 
 
 def stream_ids(
-    spark: SparkSession, df: DataFrame, query: str = "*", limit: int = 0
+    spark: SparkSession, df: DataFrame, query: str = "*", limit: int = 0,
+    common: dict | None = None,
 ) -> DataFrame:
     out = (
-        _with_stream_col(_filtered(spark, df, query), "_stream_id")
+        _with_stream_col(_filtered(spark, df, query, common), "_stream_id")
         .groupBy("_stream_id")
         .agg(F.count(F.lit(1)).alias("hits"))
         .orderBy(F.desc("hits"), F.asc("_stream_id"))
@@ -265,10 +321,11 @@ _LABEL_RE = r'(\w+)="((?:[^"\\]|\\.)*)"'
 
 
 def stream_field_names(
-    spark: SparkSession, df: DataFrame, query: str = "*"
+    spark: SparkSession, df: DataFrame, query: str = "*",
+    common: dict | None = None,
 ) -> DataFrame:
     """Label names used in `_stream` + row hits (storage_search.go:450)."""
-    out = _with_stream_col(_filtered(spark, df, query), "_stream")
+    out = _with_stream_col(_filtered(spark, df, query, common), "_stream")
     names = F.explode(F.regexp_extract_all(F.col("_stream"), F.lit(_LABEL_RE), 1))
     return (
         out.select(names.alias("name"))
@@ -279,7 +336,8 @@ def stream_field_names(
 
 
 def stream_field_values(
-    spark: SparkSession, df: DataFrame, label: str, query: str = "*", limit: int = 0
+    spark: SparkSession, df: DataFrame, label: str, query: str = "*", limit: int = 0,
+    common: dict | None = None,
 ) -> DataFrame:
     """Values of one stream label + row hits (storage_search.go:481).
     The label is regex-escaped and boundary-anchored: unescaped it would
@@ -287,7 +345,7 @@ def stream_field_values(
     metacharacters would break or subvert the match."""
     import re as _re
 
-    out = _with_stream_col(_filtered(spark, df, query), "_stream")
+    out = _with_stream_col(_filtered(spark, df, query, common), "_stream")
     val = F.regexp_extract(
         F.col("_stream"),
         f'(?:[{{,]){_re.escape(label)}="((?:[^"\\\\]|\\\\.)*)"',
@@ -311,10 +369,11 @@ def facets(
     max_values_per_field: int = 1000,
     max_value_len: int = 128,
     keep_const_fields: bool = False,
+    common: dict | None = None,
 ) -> DataFrame:
     """/select/logsql/facets: top values per every field of the matching
     rows (logsql.go:34 → the facets pipe)."""
-    q = _parse(query)
+    q = _common(query, **_common_kw(common))
     q.pipes = [
         A.PFacets(
             n=limit,
@@ -326,18 +385,81 @@ def facets(
     return plan_query(spark, df, q)
 
 
-def field_names(spark: SparkSession, df: DataFrame, query: str = "*") -> DataFrame:
-    q = _parse(query)
+def field_names(
+    spark: SparkSession, df: DataFrame, query: str = "*",
+    common: dict | None = None,
+) -> DataFrame:
+    q = _common(query, **_common_kw(common))
     q.pipes = [A.PFieldNames()]
     return plan_query(spark, df, q)
 
 
 def field_values(
-    spark: SparkSession, df: DataFrame, field: str, query: str = "*", limit: int = 0
+    spark: SparkSession, df: DataFrame, field: str, query: str = "*", limit: int = 0,
+    common: dict | None = None,
 ) -> DataFrame:
-    q = _parse(query)
+    q = _common(query, **_common_kw(common))
     q.pipes = [A.PFieldValues(field_name=field, limit=limit)]
     return plan_query(spark, df, q)
+
+
+# pipes after which "the last N results by _time" is no longer well-defined
+# (logstorage/parser.go CanReturnLastNResults:470-500)
+_LAST_N_BLOCKING = (
+    A.PBlockStats, A.PBlocksCount, A.PFacets, A.PFieldNames, A.PFieldValues,
+    A.PFirst, A.PJoin, A.PLimit, A.POffset, A.PTop, A.PSample,
+    A.PSort, A.PStats, A.PUnion, A.PUniq,
+)
+
+
+def _patterns_match_time(patterns: list[str]) -> bool:
+    return any(
+        p == "_time" or p == "*" or (p.endswith("*") and "_time".startswith(p[:-1]))
+        for p in patterns
+    )
+
+
+def can_return_last_n(q: A.Query) -> bool:
+    """Whether /query with limit=N means "the NEWEST N rows" for this
+    query (the reference's CanReturnLastNResults): true unless a pipe
+    reorders/aggregates rows or drops _time."""
+    for p in q.pipes:
+        if isinstance(p, _LAST_N_BLOCKING):
+            return False
+        if isinstance(p, A.PFields) and not _patterns_match_time(p.fields):
+            return False
+        if isinstance(p, A.PDelete) and _patterns_match_time(p.fields):
+            return False
+    return True
+
+
+def query_last_n(
+    spark: SparkSession,
+    df: DataFrame,
+    query: str,
+    limit: int,
+    timestamp_ns: int | None = None,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+    extra_filters=None,
+    extra_stream_filters=None,
+) -> DataFrame:
+    """/query with limit=N for a last-N-capable query: the NEWEST N rows
+    in ascending _time order (reference getLastNQueryResults +
+    getLastNRows, logsql.go:1005-1080). The reference's adaptive
+    time-range halving exists because its engine streams blocks; Spark's
+    TakeOrderedAndProject IS the top-N algorithm — orderBy(desc).limit(N)
+    never materializes more than N rows per partition."""
+    q = _common(query, timestamp_ns, start_ns, end_ns,
+                extra_filters, extra_stream_filters)
+    out = plan_query(spark, df, q)
+    if "_time" not in out.columns:
+        raise ValueError(
+            f"missing _time column in the result for the query [{query}]"
+        )
+    return (
+        out.orderBy(F.desc("_time")).limit(limit).orderBy(F.asc("_time"))
+    )
 
 
 def query_ndjson(
@@ -359,13 +481,9 @@ def query_ndjson(
     out = plan_query(spark, df, q)
     try:
         for row in out.toLocalIterator():
-            d = row.asDict()
-            for k, v in list(d.items()):
-                if v is None:
-                    d[k] = ""
-                elif not isinstance(v, str):
-                    d[k] = str(v)
-            yield json.dumps(d, separators=(",", ":"))
+            yield json.dumps(
+                row_to_wire_dict(row), separators=(",", ":")
+            )
     finally:
         # release any unpack_json parsed-map projections this query
         # persisted — the consuming action is done (or abandoned); a

@@ -43,27 +43,65 @@ from victorialogs_spark.logsql.parser import parse_time_point
 from victorialogs_spark.schema import ingest_ndjson
 
 
-def _time_arg_ns(v: str | None, end: bool) -> int | None:
-    """start/end args: RFC3339 (possibly partial) or unix seconds/ms/µs/ns
-    (the reference's promutils.ParseTimeAt semantics, trimmed). Integer
-    timestamps parse as int end-to-end — a float hop would lose ns
-    precision (float64 has 53 mantissa bits; unix-ns needs 63)."""
+def _unix_arg_ns(n: int) -> int:
+    """Integer unix timestamp → ns via the reference's magnitude
+    heuristic (timeutil.getUnixTimestampNanoseconds: the 2^31 boundary,
+    i.e. 'fits int32 → seconds', not a power-of-ten guess)."""
+    if -(1 << 31) <= n < (1 << 31):
+        return n * 10**9
+    if -(1 << 31) * 1000 <= n < (1 << 31) * 1000:
+        return n * 10**6
+    if -(1 << 31) * 10**6 <= n < (1 << 31) * 10**6:
+        return n * 10**3
+    return n
+
+
+def _time_arg_ns(v: str | None, now_ns: int | None = None) -> int | None:
+    """start/end/time args, mirroring timeutil.ParseTimeAt (the vendored
+    function getTimeNsec calls for ALL THREE args): 'now', relative
+    durations ('-1h', '5m', 'now-1h' — always toward the past), unix
+    seconds/ms/µs/ns (possibly fractional), or RFC3339 (possibly
+    partial). A partial timestamp is the START instant of its period for
+    start AND end alike — the reference does not expand '2024-01-02' to
+    end-of-day for end (seventh-pass finding; the old end=True path
+    did). Integer timestamps parse as int end-to-end — a float hop
+    would lose ns precision (53 mantissa bits vs 63 needed)."""
     if not v:
         return None
+    now = now_ns if now_ns is not None else __import__("time").time_ns()
+    if v == "now":
+        return now
+    # strip a trailing timezone only for the duration-vs-timestamp
+    # decision (parse_time_point does the real offset arithmetic)
+    s = v
+    if len(s) > 6 and s[-6] in "+-" and s[-3] == ":":
+        s = s[:-6]
+    s = s[:-1] if s.endswith("Z") else s
+    if s and (s[-1] > "9" or s[0] == "-" or s.startswith("now")):
+        from victorialogs_spark.logsql.parser import parse_duration_ns
+
+        d = parse_duration_ns(s[3:] if s.startswith("now") else s)
+        if d is None:
+            raise ValueError(f"cannot parse time arg {v!r}")
+        if d > 0:
+            d = -d  # bare '1h' means one hour AGO (ParseTimeAt:79-81)
+        return now + d
+    if "-" not in v:
+        # unix timestamp (no date separators)
+        if s.lstrip("+").isdigit():
+            return _unix_arg_ns(int(s.lstrip("+")))
+        # fractional: magnitude heuristic on the integer part, the
+        # fraction scaled by the same unit
+        whole, _, frac = s.partition(".")
+        n = int(whole or "0")
+        base = _unix_arg_ns(n)
+        unit = base // n if n else 10**9  # ns per input unit
+        fr = int((frac or "0")[:9].ljust(9, "0")) // (10**9 // unit)
+        return base + (-fr if s.startswith("-") else fr)
     rng = parse_time_point(v)
-    if rng is not None:
-        return rng[1] if end else rng[0]
-    if v.lstrip("-").isdigit():
-        n = int(v)
-        if abs(n) < 10**11:  # seconds
-            return n * 10**9
-        if abs(n) < 10**14:  # millis
-            return n * 10**6
-        if abs(n) < 10**17:  # micros
-            return n * 10**3
-        return n
-    f = float(v)  # fractional seconds
-    return int(f * 1e9)
+    if rng is None:
+        raise ValueError(f"cannot parse time arg {v!r}")
+    return rng[0]
 
 
 class _State:
@@ -1026,36 +1064,53 @@ class _Handler(BaseHTTPRequestHandler):
 
             df = for_tenant(df, *self._tenant()).drop("tenant")
         q = self._get(params, "query", "*")
-        start = _time_arg_ns(self._get(params, "start"), end=False)
-        end = _time_arg_ns(self._get(params, "end"), end=True)
-        if start is not None or end is not None:
-            # the [start, end] args bound EVERY select endpoint, exactly
-            # like the reference's common params (logsql.go:1180-1208) —
-            # /query applies them via query_ndjson below; everything else
-            # gets the pre-bounded frame
-            from victorialogs_spark.planner.filters import _time_range
+        start = _time_arg_ns(self._get(params, "start"))
+        end = _time_arg_ns(self._get(params, "end"))
+        # the query's evaluation timestamp ('now' anchors, relative
+        # offsets): the `time` arg, else end, else now — minus 1 ns so
+        # logs in the first nanosecond of the NEXT period aren't caught
+        # (parseCommonArgs, logsql.go:1154-1171)
+        import time as _t
 
-            df = df.where(
-                _time_range(
-                    df,
-                    start if start is not None else -(2**62),
-                    end if end is not None else 2**62,
-                )
-            )
+        ts = _time_arg_ns(self._get(params, "time"))
+        if ts is None:
+            ts = end if end is not None else _t.time_ns()
+        ts -= 1
+        # every /select endpoint gets the full common-arg set, exactly
+        # like the reference's parseCommonArgs (before r15 only /query
+        # saw start/end, and extra_filters were dropped everywhere else)
+        common = {
+            "timestamp_ns": ts,
+            "start_ns": start,
+            "end_ns": end,
+            "extra_filters": params.get("extra_filters"),
+            "extra_stream_filters": params.get("extra_stream_filters"),
+        }
         if path == "/select/logsql/query":
             limit = int(self._get(params, "limit", "0"))
-            # the UNBOUNDED tenant frame: query_ndjson applies start/end
-            # itself (tenant filtering must still apply)
+            # the UNBOUNDED tenant frame: the endpoint builders apply
+            # start/end themselves (tenant filtering must still apply)
             base = st.df()
             if "tenant" in base.columns:
                 from victorialogs_spark.schema import for_tenant
 
                 base = for_tenant(base, *self._tenant()).drop("tenant")
-            lines = ep.query_ndjson(
-                spark, base, q, start_ns=start, end_ns=end,
-                extra_filters=params.get("extra_filters"),
-                extra_stream_filters=params.get("extra_stream_filters"),
-            )
+            from victorialogs_spark.logsql.parser import parse_query
+
+            if limit > 0 and ep.can_return_last_n(parse_query(q, ts)):
+                # limit on a plain query means "the NEWEST N rows,
+                # ascending" (reference getLastNQueryResults), not the
+                # first N the scan happens to produce
+                out = ep.query_last_n(spark, base, q, limit, **common)
+                lines = (
+                    json.dumps(
+                        ep.row_to_wire_dict(r), separators=(",", ":")
+                    )
+                    for r in out.toLocalIterator()
+                )
+                limit = 0  # already applied
+            else:
+                lines = ep.query_ndjson(spark, base, q, **common)
             # pull the first line BEFORE sending headers: query_ndjson is
             # a generator, so parse/plan/first-batch errors fire here and
             # surface as a clean 400 instead of corrupting a 200 stream
@@ -1070,14 +1125,14 @@ class _Handler(BaseHTTPRequestHandler):
             import itertools
 
             for i, line in enumerate(itertools.chain([first], lines)):
-                if limit and i >= limit:
+                if limit > 0 and i >= limit:
                     break
                 self.wfile.write(line.encode("utf-8") + b"\n")
             return
         if path == "/select/logsql/tail":
             from victorialogs_spark.logsql.parser import parse_query
 
-            parse_query(q)
+            parse_query(q, ts)
             from victorialogs_spark.streaming.tail import LiveTailer
 
             polls = int(self._get(params, "polls", "0")) or None
@@ -1122,39 +1177,53 @@ class _Handler(BaseHTTPRequestHandler):
                 step=self._get(params, "step", "1h"),
                 offset=self._get(params, "offset", "0s"),
                 fields=params.get("field"),
+                **common,
             )
             return self._send_json_stream(out)
         if path == "/select/logsql/stats_query":
-            out = ep.stats_query(spark, df, q)
+            out = ep.stats_query(spark, df, q, **common)
             return self._send_json_stream(out)
         if path == "/select/logsql/stats_query_range":
             out = ep.stats_query_range(
-                spark, df, q, step=self._get(params, "step", "1h")
+                spark, df, q, step=self._get(params, "step", "1h"), **common
             )
             return self._send_json_stream(out)
         if path == "/select/logsql/facets":
-            out = ep.facets(spark, df, q, limit=int(self._get(params, "limit", "10")))
+            out = ep.facets(
+                spark, df, q, limit=int(self._get(params, "limit", "10")),
+                common=common,
+            )
             return self._send_json_stream(out)
         if path == "/select/logsql/field_names":
-            return self._send_json_stream(ep.field_names(spark, df, q))
+            return self._send_json_stream(
+                ep.field_names(spark, df, q, common=common)
+            )
         if path == "/select/logsql/field_values":
             out = ep.field_values(
                 spark, df, self._get(params, "field", ""),
-                q, limit=int(self._get(params, "limit", "0")),
+                q, limit=int(self._get(params, "limit", "0")), common=common,
             )
             return self._send_json_stream(out)
         if path == "/select/logsql/streams":
-            out = ep.streams(spark, df, q, limit=int(self._get(params, "limit", "0")))
+            out = ep.streams(
+                spark, df, q, limit=int(self._get(params, "limit", "0")),
+                common=common,
+            )
             return self._send_json_stream(out)
         if path == "/select/logsql/stream_ids":
-            out = ep.stream_ids(spark, df, q, limit=int(self._get(params, "limit", "0")))
+            out = ep.stream_ids(
+                spark, df, q, limit=int(self._get(params, "limit", "0")),
+                common=common,
+            )
             return self._send_json_stream(out)
         if path == "/select/logsql/stream_field_names":
-            return self._send_json_stream(ep.stream_field_names(spark, df, q))
+            return self._send_json_stream(
+                ep.stream_field_names(spark, df, q, common=common)
+            )
         if path == "/select/logsql/stream_field_values":
             out = ep.stream_field_values(
                 spark, df, self._get(params, "field", ""), q,
-                limit=int(self._get(params, "limit", "0")),
+                limit=int(self._get(params, "limit", "0")), common=common,
             )
             return self._send_json_stream(out)
         return self._send(404, b"unknown /select path\n", "text/plain")
