@@ -1574,3 +1574,86 @@ def test_embedding_clusters_exact_matches_pair_graph(spark):
     # 1-2 and 1-3 (and 2-3) pair: one cluster labelled by min id 1
     assert out[1] == out[2] == out[3] == 1
     assert out[7] == 7 and out[9] == 9  # singletons keep their own id
+
+
+def test_external_decoder_seam(spark):
+    """The lossy-codec plug-in seam, exercised BOTH ways (r15 stretch):
+    absent → decode_features(decoder='pil') raises the documented
+    NotImplementedError and a lossy-WebP payload ahashes to NULL;
+    present (a test double registered via register_external_decoder) →
+    the same payload flows end-to-end through metadata AND the pixel
+    hash surfaces, and stdlib-decodable payloads still take the
+    in-repo decoders."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from victorialogs_spark.datapipe.multimodal import (
+        decode_features,
+        image_ahash,
+        register_external_decoder,
+        unregister_external_decoder,
+    )
+
+    lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + bytes(4)
+    )
+    # a stdlib-decodable control payload (binary PPM, 8x8 gradient)
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    ppm = b"P6\n8 8\n255\n" + px.tobytes()
+    assets = spark.createDataFrame(
+        [(1, "image", "image/webp", bytearray(lossy), {}),
+         (2, "image", "image/x-portable-pixmap", bytearray(ppm), {})],
+        "asset_id long, modality string, mime string, payload binary,"
+        " meta map<string,string>",
+    )
+
+    # --- seam ABSENT: loud raise + NULL pixel hash ---------------------
+    with pytest.raises(NotImplementedError, match="register_external_decoder"):
+        decode_features(assets, decoder="pil")
+    bits0 = {r["asset_id"]: r["ahash_bits"] for r in image_ahash(assets).collect()}
+    assert bits0[1] is None          # lossy: honest NULL
+    assert bits0[2] is not None      # stdlib still decodes
+
+    # --- seam PRESENT: the double decodes lossy WebP -------------------
+    # nested function → cloudpickle serializes it BY VALUE into the
+    # mapInPandas closure (the registry snapshot is taken on the driver
+    # at plan time; workers re-import the module with an empty registry)
+    def fake_pil(b: bytes):
+        import numpy as _np
+
+        if not (b[:4] == b"RIFF" and b[8:12] == b"WEBP" and b[12:16] == b"VP8 "):
+            raise ValueError("decline")
+        g = _np.linspace(0, 255, 16 * 16, dtype=_np.uint8).reshape(16, 16)
+        return _np.stack([g, g, g], axis=2)
+
+    register_external_decoder("pil", fake_pil)
+    try:
+        feats = {
+            r["asset_id"]: r
+            for r in decode_features(assets, decoder="pil").collect()
+        }
+        assert (feats[1]["width"], feats[1]["height"]) == (16, 16)
+        assert feats[1]["feature"] is not None
+        # control payload: identical to the stdlib backend on the overlap
+        stdlib = {
+            r["asset_id"]: r
+            for r in decode_features(assets, decoder="stdlib").collect()
+        }
+        assert feats[2] == stdlib[2]
+        # pixel-hash surface picks the double up as a fallback
+        bits1 = {
+            r["asset_id"]: r["ahash_bits"] for r in image_ahash(assets).collect()
+        }
+        assert bits1[1] is not None and len(bits1[1]) == 64
+        assert bits1[2] == bits0[2]  # in-repo decode unchanged
+    finally:
+        unregister_external_decoder("pil")
+
+    # --- seam both ways: back to absent --------------------------------
+    with pytest.raises(NotImplementedError):
+        decode_features(assets, decoder="pil")
+    bits2 = {r["asset_id"]: r["ahash_bits"] for r in image_ahash(assets).collect()}
+    assert bits2[1] is None

@@ -29,7 +29,14 @@ shapes — is real and tested. Decoders, by honesty tier:
   (arithmetic-coded JPEG, LOSSY WebP — the "VP8 " intra-frame mode —
   and real video codecs: H.264 etc.); those libs are not in this
   container, so this raises NotImplementedError with the plug-in
-  point documented.
+  point documented. The plug-in CONTRACT is executable, not just
+  documented: ``register_external_decoder(name, fn)`` installs a
+  ``payload-bytes → HxWx3 uint8`` callable that (a) serves
+  ``decode_features(decoder=name)`` directly and (b) backstops every
+  pixel surface (``image_ahash``/``image_phash``/near-dup) when the
+  in-repo containers can't decode a payload — the exact two flows a
+  future PIL/ffmpeg build plugs into (r15 seam test,
+  tests/test_datapipe.py::test_external_decoder_seam).
 """
 
 from __future__ import annotations
@@ -588,12 +595,15 @@ def decode_features(
     available in this container; raise with the integration point
     documented.
     """
-    if decoder not in ("fake", "stdlib"):
+    external = _EXTERNAL_DECODERS.get(decoder)
+    if decoder not in ("fake", "stdlib") and external is None:
         raise NotImplementedError(
             f"decoder={decoder!r}: non-MJPEG video codecs / arithmetic "
-            "JPEG need PIL/ffmpeg, not present in this container. Plug "
-            "the real decode into _decode_batches below — "
-            "schema/batching stay identical."
+            "JPEG need PIL/ffmpeg, not present in this container. "
+            "register_external_decoder({0!r}, fn) plugs the real decode "
+            "into this seam — schema/batching stay identical.".format(
+                decoder
+            )
         )
 
     def _decode_batches(batches: Iterator) -> Iterator:
@@ -605,13 +615,24 @@ def decode_features(
                 pdf["asset_id"], pdf["modality"], pdf["payload"]
             ):
                 b = bytes(payload) if payload is not None else b""
-                if decoder == "stdlib":
+                if decoder != "fake":
                     base = {
                         "payload_bytes": len(b),
                         "content_hash": hashlib.md5(b).hexdigest(),
                     }
                     try:
-                        base.update(_stdlib_decode(b, feat_dim))
+                        if external is not None:
+                            # external backend: its pixels, the shared
+                            # feature pipeline — in-repo containers still
+                            # decode what they can first so a PIL build
+                            # agrees with stdlib on the overlap
+                            try:
+                                d2 = _stdlib_decode(b, feat_dim)
+                            except Exception:
+                                d2 = _image_features(external(b), feat_dim)
+                        else:
+                            d2 = _stdlib_decode(b, feat_dim)
+                        base.update(d2)
                     except Exception:
                         base.update(
                             {"width": None, "height": None,
@@ -717,13 +738,15 @@ def image_phash(assets: DataFrame, id_col: str = "asset_id",
 
     D32 = None  # built lazily inside workers
 
+    ext = dict(_EXTERNAL_DECODERS)  # plan-time snapshot (see seam note)
+
     def _phash_one(payload) -> int | None:
         nonlocal D32
         import numpy as np
 
         b = bytes(payload) if payload is not None else b""
         try:
-            px = _stdlib_decode_pixels(b)
+            px = _stdlib_decode_pixels(b, ext)
         except Exception:
             return None
         if D32 is None:
@@ -783,9 +806,58 @@ def _bilinear_32(gray, n: int = 32):
     return a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
 
 
-def _stdlib_decode_pixels(b: bytes):
+# lossy-codec plug-in seam: external decoders (PIL, ffmpeg, a test
+# double) register payload→pixels callables here. The dict is a plain
+# module global CAPTURED BY the mapInPandas closures at plan time, so a
+# registered fn must be picklable (top-level function / functools.partial
+# — the same rule every pandas-UDF closure already obeys).
+_EXTERNAL_DECODERS: dict[str, object] = {}
+
+
+def register_external_decoder(name: str, fn) -> None:
+    """Install ``fn(payload: bytes) -> HxWx3 uint8 ndarray`` under
+    ``name``. It becomes (a) a selectable ``decode_features(decoder=
+    name)`` backend and (b) a fallback for the pixel surfaces
+    (ahash/phash/frame features) when no in-repo container decodes a
+    payload. Raise inside ``fn`` to decline a payload."""
+    _EXTERNAL_DECODERS[name] = fn
+
+
+def unregister_external_decoder(name: str) -> None:
+    _EXTERNAL_DECODERS.pop(name, None)
+
+
+def _external_decode_pixels(b: bytes, ext: dict):
+    """Try every given external decoder; first success wins.
+    Raises ValueError when none accepts."""
+    for fn in ext.values():
+        try:
+            return fn(b)
+        except Exception:  # noqa: BLE001 — declined; try the next
+            continue
+    raise ValueError("no external decoder accepted the payload")
+
+
+def _stdlib_decode_pixels(b: bytes, ext: dict | None = None):
     """BMP/PPM/PNG/JPEG (baseline + progressive)/GIF payload →
-    HxWx3 uint8 (raises else)."""
+    HxWx3 uint8. Falls back to external decoders (the PIL/ffmpeg seam)
+    for containers the in-repo codecs decline — e.g. lossy "VP8 "
+    WebP — and raises when nothing decodes. ``ext`` is the registry
+    SNAPSHOT captured on the driver at plan time: Python workers
+    re-import this module with an empty ``_EXTERNAL_DECODERS``, so a
+    worker-side module-global lookup would silently see nothing (the
+    module global still serves worker-side plugin registration, e.g. a
+    real PIL build registering at import)."""
+    try:
+        return _stdlib_decode_pixels_builtin(b)
+    except Exception:
+        ext = _EXTERNAL_DECODERS if ext is None else ext
+        if ext:
+            return _external_decode_pixels(b, ext)
+        raise
+
+
+def _stdlib_decode_pixels_builtin(b: bytes):
     if b[:2] == b"BM":
         return _decode_bmp(b, 0)
     if b[:2] == b"P6":
@@ -964,10 +1036,12 @@ def image_ahash(assets: DataFrame, id_col: str = "asset_id",
     inside one narrow Arrow map. Output: (<id_col>, ahash_bits string of
     64 chars, row-major cell order); undecodable payloads yield NULL.
     """
+    ext = dict(_EXTERNAL_DECODERS)  # plan-time snapshot (see seam note)
+
     def _ahash_one(payload) -> str | None:
         b = bytes(payload) if payload is not None else b""
         try:
-            px = _stdlib_decode_pixels(b)
+            px = _stdlib_decode_pixels(b, ext)
         except Exception:
             return None
         return ahash_bits_from_pixels(px)
