@@ -977,6 +977,71 @@ def _ep_stats_query_range(spark, sf_dir):
     )
 
 
+# r15 serve-path pins: the seventh-pass common-args contract, checked at
+# the driver gate. Window [2024-01-05, 2024-01-10] lies inside the
+# events table's 30-day span at every sf.
+_EPW_LO = 1704412800 * 10**9  # 2024-01-05T00:00:00Z
+_EPW_HI = 1704844800 * 10**9  # 2024-01-10T00:00:00Z
+
+
+@register(
+    "ep_query_last_n",
+    "SELECT CAST(ts AS TIMESTAMP) AS _time, CAST(event_id AS VARCHAR) AS event_id"
+    " FROM events WHERE event_type = 'click' ORDER BY ts DESC LIMIT 50",
+)
+def _ep_query_last_n(spark, sf_dir):
+    """/query with limit=N on a last-N-capable query returns the NEWEST
+    N rows (reference getLastNQueryResults; app/vlselect/logsql/
+    logsql.go:931-950) — not the first N in scan order. µs-level ts
+    ties are absent from the synthetic events table at every sf, so
+    the boundary row is deterministic in both engines."""
+    from victorialogs_spark import endpoints as ep
+
+    return ep.query_last_n(
+        spark, _logs(spark, sf_dir),
+        "event_type:click | fields _time, event_id", 50,
+    )
+
+
+@register(
+    "ep_hits_common",
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS _time, COUNT(*) AS hits"
+    " FROM events WHERE event_type IN ('click', 'error')"
+    f" AND epoch_ns(ts) BETWEEN {_EPW_LO} AND {_EPW_HI}"
+    " GROUP BY 1",
+)
+def _ep_hits_common(spark, sf_dir):
+    """hits with the FULL common-arg set (start/end + JSON
+    extra_filters) — parseCommonArgs applies to every select handler
+    (logsql.go:1136-1211); before r15 only /query saw these args."""
+    from victorialogs_spark import endpoints as ep
+
+    return ep.hits(
+        spark, _logs(spark, sf_dir), "*", step="1d",
+        start_ns=_EPW_LO, end_ns=_EPW_HI,
+        extra_filters='{"event_type":["click","error"]}',
+    )
+
+
+@register(
+    "ep_stats_rate_window",
+    "SELECT 'r' AS name, '{}' AS labels,"
+    f" CAST(COUNT(*) / (({_EPW_HI} - {_EPW_LO} + 1) / 1e9) AS VARCHAR) AS value"
+    f" FROM events WHERE epoch_ns(ts) BETWEEN {_EPW_LO} AND {_EPW_HI}",
+)
+def _ep_stats_rate_window(spark, sf_dir):
+    """rate() divides by the API start/end window (the reference folds
+    start/end into the query via AddTimeFilter BEFORE
+    initStatsRateFuncs, parser.go:465,1219-1225) — the HTTP path's
+    divisor, not just the library's (seventh-pass fix)."""
+    from victorialogs_spark import endpoints as ep
+
+    return ep.stats_query(
+        spark, _logs(spark, sf_dir), "* | stats rate() as r",
+        start_ns=_EPW_LO, end_ns=_EPW_HI,
+    )
+
+
 @register(
     "ep_streams",
     "SELECT '{event_type=\"' || event_type || '\"}' AS _stream,"
@@ -4430,7 +4495,9 @@ _STALE_R15_WINDOW = [
 ]
 
 # round-15 additions: brand-new oracle-backed entries registered this round
-_NEW_R15: list[str] = []
+_NEW_R15: list[str] = [
+    "ep_query_last_n", "ep_hits_common", "ep_stats_rate_window",
+]
 
 # round-14 additions; both landed green in CORRECTNESS_r14.json (now in
 # _DRIVER_VERIFIED_R14). Kept for the historical record.
