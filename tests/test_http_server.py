@@ -710,3 +710,21 @@ def test_time_arg_anchors_relative_queries(server):
     )
     msgs2 = {json.loads(l)["_msg"] for l in lines2 if l}
     assert msgs2 == {"a-boot", "a-disk"}
+
+
+def test_field_arg_required_and_negative_limit_clamped(server):
+    """Reference parity: field_values/stream_field_values without a
+    `field` arg 400 with the reference's message; negative limits clamp
+    to 0 = unlimited instead of an engine error."""
+    import urllib.error
+
+    for p in ("/select/logsql/field_values", "/select/logsql/stream_field_values"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(server, f"{p}?query=*")
+        assert ei.value.code == 400
+        assert b"missing 'field'" in ei.value.read()
+    # negative limit: full result, not a 400
+    _post(server, "/insert/jsonline?_stream_fields=app", NDJSON.encode())
+    r = _get(server, "/select/logsql/streams?query=*&limit=-3")
+    assert r.status == 200
+    assert json.loads(r.read())["values"]

@@ -1188,6 +1188,18 @@ class _Handler(BaseHTTPRequestHandler):
                 spark, df, q, step=self._get(params, "step", "1h"), **common
             )
             return self._send_json_stream(out)
+        def _limit(default="0"):
+            # the reference clamps negative limits to 0 = unlimited
+            # (ProcessStreamFieldValuesRequest et al.: if limit < 0 {0})
+            return max(0, int(self._get(params, "limit", default)))
+
+        def _field_arg():
+            v = self._get(params, "field", "")
+            if not v:
+                # reference: httpserver.Errorf "missing 'field' query arg"
+                raise ValueError("missing 'field' query arg")
+            return v
+
         if path == "/select/logsql/facets":
             out = ep.facets(
                 spark, df, q, limit=int(self._get(params, "limit", "10")),
@@ -1200,21 +1212,14 @@ class _Handler(BaseHTTPRequestHandler):
             )
         if path == "/select/logsql/field_values":
             out = ep.field_values(
-                spark, df, self._get(params, "field", ""),
-                q, limit=int(self._get(params, "limit", "0")), common=common,
+                spark, df, _field_arg(), q, limit=_limit(), common=common,
             )
             return self._send_json_stream(out)
         if path == "/select/logsql/streams":
-            out = ep.streams(
-                spark, df, q, limit=int(self._get(params, "limit", "0")),
-                common=common,
-            )
+            out = ep.streams(spark, df, q, limit=_limit(), common=common)
             return self._send_json_stream(out)
         if path == "/select/logsql/stream_ids":
-            out = ep.stream_ids(
-                spark, df, q, limit=int(self._get(params, "limit", "0")),
-                common=common,
-            )
+            out = ep.stream_ids(spark, df, q, limit=_limit(), common=common)
             return self._send_json_stream(out)
         if path == "/select/logsql/stream_field_names":
             return self._send_json_stream(
@@ -1222,8 +1227,7 @@ class _Handler(BaseHTTPRequestHandler):
             )
         if path == "/select/logsql/stream_field_values":
             out = ep.stream_field_values(
-                spark, df, self._get(params, "field", ""), q,
-                limit=int(self._get(params, "limit", "0")), common=common,
+                spark, df, _field_arg(), q, limit=_limit(), common=common,
             )
             return self._send_json_stream(out)
         return self._send(404, b"unknown /select path\n", "text/plain")
