@@ -728,3 +728,35 @@ def test_field_arg_required_and_negative_limit_clamped(server):
     r = _get(server, "/select/logsql/streams?query=*&limit=-3")
     assert r.status == 200
     assert json.loads(r.read())["values"]
+
+
+def test_tail_applies_extra_filters(server):
+    """Tail routes through the common args too (reference
+    ProcessLiveTailRequest → parseCommonArgs): extra_filters restrict
+    what the poll loop emits."""
+    import threading
+    import time
+
+    result = {}
+    ef = urllib.parse.quote('{"app":"tailef"}')
+
+    def fetch():
+        result["out"] = _get(
+            server,
+            f"/select/logsql/tail?query=*&polls=14&refresh=0.2&extra_filters={ef}",
+        ).read()
+
+    t = threading.Thread(target=fetch)
+    t.start()
+    time.sleep(1.0)  # priming poll
+    rows = "\n".join(
+        json.dumps(d)
+        for d in [
+            {"_time": "2026-07-01T00:00:00Z", "_msg": "ef-keep", "app": "tailef"},
+            {"_time": "2026-07-01T00:00:01Z", "_msg": "ef-drop", "app": "other"},
+        ]
+    )
+    _post(server, "/insert/jsonline", rows.encode())
+    t.join(60)
+    msgs = [json.loads(l)["_msg"] for l in result["out"].splitlines() if l]
+    assert "ef-keep" in msgs and "ef-drop" not in msgs

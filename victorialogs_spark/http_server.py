@@ -1144,9 +1144,14 @@ class _Handler(BaseHTTPRequestHandler):
             hi = end if end is not None else None
             acct, proj = self._tenant()
 
+            extra = params.get("extra_filters")
+            extra_stream = params.get("extra_stream_filters")
+
             def _src():
                 # the lambda re-reads state, keeping liveness; each poll
-                # re-applies the request's tenant + time bounds
+                # re-applies the request's tenant + time bounds +
+                # extra filters (the reference routes tail through
+                # parseCommonArgs too, logsql.go:501)
                 d = st.df()
                 if "tenant" in d.columns:
                     d = for_tenant(d, acct, proj).drop("tenant")
@@ -1158,6 +1163,14 @@ class _Handler(BaseHTTPRequestHandler):
                             hi if hi is not None else 2**62,
                         )
                     )
+                if extra or extra_stream:
+                    from victorialogs_spark.planner.planner import plan_query
+
+                    qf = ep.apply_common_args(
+                        parse_query("*", ts), None, None,
+                        extra, extra_stream, ts,
+                    )
+                    d = plan_query(spark, d, qf)
                 return d
             tailer = LiveTailer(spark, _src, q, refresh_interval=refresh)
             self.send_response(200)
