@@ -597,9 +597,17 @@ def embedding_near_dup_pairs_exact(
         norms = np.maximum(
             np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1), 1e-300
         )
-        c9 = np.round(dots / norms, 9)
+        # explicit half-up floor rounding at BOTH stages, mirrored
+        # exactly in the DuckDB oracle: np.round is half-EVEN while SQL
+        # ROUND is half-up, and a 9dp-rounded value lands exactly on a
+        # 6dp half-boundary whenever its last three digits are 500
+        # (P ~ 1e-3 per pair) — the sf1 sweep caught three such flips
+        # (r15). floor(x*1e6+0.5)/1e6 is the same IEEE op sequence in
+        # both engines, so identical 9dp inputs give identical 6dp
+        # outputs, no tie rule involved.
+        c9 = np.floor(dots / norms * 1e9 + 0.5) / 1e9
         keep = a_ok & b_ok & (c9 >= threshold)
-        return _masked_series(np.round(c9, 6), keep, "Float64")
+        return _masked_series(np.floor(c9 * 1e6 + 0.5) / 1e6, keep, "Float64")
 
     _cos6.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
     cos_udf = F.pandas_udf(_cos6, "double").asNondeterministic()
@@ -1066,7 +1074,7 @@ def knn_label_purity(
             # fold, this matmul, and another engine's SIMD dot evaluate
             # in different IEEE orders; the rounding makes near-tied
             # neighbors pick the same winner everywhere
-            S = np.round((M / cn[:, None]) @ QT, 9)  # rows × |Q|
+            S = np.floor((M / cn[:, None]) @ QT * 1e9 + 0.5) / 1e9  # rows × |Q|
             # candidate == query is excluded, exactly like the old
             # crossJoin's  id != __qid  predicate (integer compare —
             # ids above 2^53 would alias as floats)
@@ -1111,7 +1119,10 @@ def knn_label_purity(
         .select(
             F.col("__qid").alias(id_col),
             F.col("__b.__cid").alias("nn_id"),
-            F.round(F.col("__b.__cos"), 6).alias("nn_cos"),
+            # floor-form half-up of the already-9dp cosine (F.round's
+            # BigDecimal HALF_UP and DuckDB's std::round disagree on
+            # which side of a manufactured .5 tie a double falls)
+            (F.floor(F.col("__b.__cos") * 1e6 + 0.5) / 1e6).alias("nn_cos"),
             (F.col("__b.__clabel") == F.col("__qlabel")).alias("same_label"),
         )
     )
@@ -1222,7 +1233,11 @@ def semantic_dedup(
         norms = np.maximum(
             np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1), 1e-300
         )
-        return _masked_series(np.round(dots / norms, 9), a_ok & b_ok, "Float64")
+        # floor-form half-up (not np.round's half-even) — keeps the
+        # formula identical to the DuckDB twin (see _cos6's note)
+        return _masked_series(
+            np.floor(dots / norms * 1e9 + 0.5) / 1e9, a_ok & b_ok, "Float64"
+        )
 
     _cos9.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
     cos_udf = F.pandas_udf(_cos9, "double")

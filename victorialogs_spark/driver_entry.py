@@ -1364,11 +1364,12 @@ def _dp_label_centroids(spark, sf_dir):
     " q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM c"
     " ORDER BY vec_id LIMIT 100),"
     " s AS (SELECT qid, qlabel, c.vec_id AS cid, c.label AS clabel,"
-    " ROUND(list_cosine_similarity(c.v, qv), 9) AS cos"
+    " FLOOR(list_cosine_similarity(c.v, qv) * 1e9 + 0.5) / 1e9 AS cos"
     " FROM c, q WHERE c.vec_id <> qid),"
     " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
     " ORDER BY cos DESC, cid ASC) AS rn FROM s)"
-    " SELECT qid AS vec_id, cid AS nn_id, ROUND(cos, 6) AS nn_cos,"
+    " SELECT qid AS vec_id, cid AS nn_id,"
+    " FLOOR(cos * 1e6 + 0.5) / 1e6 AS nn_cos,"
     " clabel = qlabel AS same_label FROM r WHERE rn = 1",
 )
 def _dp_knn_purity(spark, sf_dir):
@@ -1618,9 +1619,11 @@ _EMB_EXACT_BUCKETS_SQL = (
     # output (the dp_cosine_threshold value discipline)
     f"WITH {_EMB_EXACT_BUCKETS_SQL}"
     " SELECT a.vec_id AS id_a, b2.vec_id AS id_b,"
-    " ROUND(ROUND(list_cosine_similarity(a.v, b2.v), 9), 6) AS cos_6dp"
+    " FLOOR(FLOOR(list_cosine_similarity(a.v, b2.v) * 1e9 + 0.5) / 1e9"
+    " * 1e6 + 0.5) / 1e6 AS cos_6dp"
     " FROM c a JOIN c b2 ON a.b = b2.b AND a.vec_id < b2.vec_id"
-    " WHERE ROUND(list_cosine_similarity(a.v, b2.v), 9) >= 0.30",
+    " WHERE FLOOR(list_cosine_similarity(a.v, b2.v) * 1e9 + 0.5) / 1e9"
+    " >= 0.30",
 )
 def _dp_embedding_near_dup_exact(spark, sf_dir):
     from victorialogs_spark.datapipe.similarity import (
@@ -1643,7 +1646,7 @@ def _dp_embedding_near_dup_exact(spark, sf_dir):
     f"WITH RECURSIVE {_EMB_EXACT_BUCKETS_SQL},"
     " prs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b"
     " FROM c a JOIN c b2 ON a.b = b2.b AND a.vec_id < b2.vec_id"
-    " WHERE ROUND(list_cosine_similarity(a.v, b2.v), 9) >= 0.30),"
+    " WHERE FLOOR(list_cosine_similarity(a.v, b2.v) * 1e9 + 0.5) / 1e9 >= 0.30),"
     " edges AS (SELECT id_a AS u, id_b AS w FROM prs"
     " UNION SELECT id_b, id_a FROM prs),"
     " reach AS (SELECT u, w FROM edges UNION"
@@ -3026,7 +3029,7 @@ def _dp_pca_check(spark, sf_dir):
     " AND list_sum(list_transform(v, x -> x * x)) > 0),"
     " p AS (SELECT b2.vec_id AS bid, MIN(a.vec_id) AS dup_of"
     " FROM c a JOIN c b2 ON a.b = b2.b AND a.vec_id < b2.vec_id"
-    " WHERE ROUND(list_cosine_similarity(a.v, b2.v), 9) >= 0.30"
+    " WHERE FLOOR(list_cosine_similarity(a.v, b2.v) * 1e9 + 0.5) / 1e9 >= 0.30"
     " GROUP BY b2.vec_id)"
     " SELECT e.vec_id, dup_of IS NULL AS kept, dup_of"
     " FROM e LEFT JOIN p ON p.bid = e.vec_id",
@@ -3066,7 +3069,7 @@ def _dp_semdedup(spark, sf_dir):
     " AND list_sum(list_transform(v, x -> x * x)) > 0),"
     " p AS (SELECT b2.vec_id AS bid, MIN(a.vec_id) AS dup_of"
     " FROM c a JOIN c b2 ON a.b = b2.b AND a.vec_id < b2.vec_id"
-    " WHERE ROUND(list_cosine_similarity(a.v, b2.v), 9) >= 0.30"
+    " WHERE FLOOR(list_cosine_similarity(a.v, b2.v) * 1e9 + 0.5) / 1e9 >= 0.30"
     " GROUP BY b2.vec_id)"
     " SELECT e.vec_id, dup_of IS NULL AS kept, dup_of"
     " FROM e LEFT JOIN p ON p.bid = e.vec_id",
