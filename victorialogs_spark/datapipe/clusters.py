@@ -158,9 +158,16 @@ def connected_components(
     ).where(F.col("u") != F.col("v")).where(
         F.col("u").isNotNull() & F.col("v").isNotNull()
     )
-    cur = edges.distinct().localCheckpoint(eager=True)
-    if cur.count() <= driver_edge_cap:
-        pdf = cur.toPandas()
+    distinct_edges = edges.distinct()
+    # ONE bounded action decides the path AND delivers the edges: collect
+    # at most cap+1 rows (CollectLimit — never an unbounded pull); > cap
+    # rows means the probe is discarded and the distributed path runs.
+    # The previous shape (eager localCheckpoint + count + toPandas) was
+    # three driver actions on what is almost always a tiny edge set —
+    # the r15 sf1 attribution put the CC preamble at +0.52 s over pair
+    # generation, mostly these round trips.
+    pdf = distinct_edges.limit(driver_edge_cap + 1).toPandas()
+    if len(pdf) <= driver_edge_cap:
         comp = _driver_union_find(
             zip(pdf["u"].to_numpy().tolist(), pdf["v"].to_numpy().tolist())
         )
@@ -169,6 +176,7 @@ def connected_components(
         return spark.createDataFrame(
             list(comp.items()), "node long, component long"
         )
+    cur = distinct_edges.localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter + 1):
         stepped = _star_round(_symmetric(cur), large=True)
