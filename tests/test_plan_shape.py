@@ -427,3 +427,19 @@ def test_minhash_sketch_evaluates_once(spark):
     evals = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
     assert evals == 1, f"sketch UDF evaluated {evals} times:\n{plan[:2000]}"
     assert "concat_ws" not in plan, "JVM band-bucket chain resurfaced"
+
+
+def test_query_last_n_is_topk(spark):
+    """ep.query_last_n (the /query limit=N newest-rows path) must plan
+    as TakeOrderedAndProject — never a global sort of the full result —
+    so the reference's adaptive time-range halving (a block-streaming
+    engine workaround) stays unnecessary at any scale."""
+    from victorialogs_spark import endpoints as ep
+    from victorialogs_spark.schema import events_as_logs
+
+    logs = events_as_logs(spark, SF_DIR)
+    out = ep.query_last_n(
+        spark, logs, "event_type:click | fields _time, event_id", 10
+    )
+    plan = plan_of(out)
+    assert "TakeOrderedAndProject" in plan
