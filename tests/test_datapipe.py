@@ -1657,3 +1657,56 @@ def test_external_decoder_seam(spark):
         decode_features(assets, decoder="pil")
     bits2 = {r["asset_id"]: r["ahash_bits"] for r in image_ahash(assets).collect()}
     assert bits2[1] is None
+
+
+def test_ngram_engines_agree_on_unicode_whitespace(spark):
+    """Eighth-pass regression: the Arrow gram UDFs must tokenize exactly
+    like the JVM Column path (ASCII whitespace only) — Python's
+    str.split() additionally breaks on \\xa0/\\u2028, silently changing
+    EXACT-Jaccard results per engine on crawled text."""
+    from victorialogs_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "totally unrelated words here now ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=3, threshold=0.05)
+    arrow = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", engine="arrow", **kw).collect()
+    }
+    jvm = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", engine="jvm", **kw).collect()
+    }
+    assert arrow == jvm and arrow  # non-empty and engine-identical
+
+
+def test_ivf_training_survives_bad_sample_vectors(spark):
+    """Eighth-pass hardening: a NULL, truncated, or NaN-bearing embedding
+    inside the training sample must not kill centroid training (np.stack
+    raise / NaN poisoning) — majority dimension wins, bad rows drop."""
+    import math
+
+    from victorialogs_spark.datapipe.similarity import train_ivf_centroids
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, None),                       # NULL embedding
+        (4, [1.0, 2.0]),                 # truncated
+        (5, [float("nan"), 0.0, 0.0, 0.0]),  # non-finite
+        (6, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = train_ivf_centroids(df, "embedding", n_centroids=2, sample_size=10)
+    assert len(C) == 2 and all(len(c) == 4 for c in C)
+    assert all(math.isfinite(x) for c in C for x in c)
+
+    import pytest as _pt
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pt.raises(ValueError, match="no non-NULL vectors"):
+        train_ivf_centroids(empty, "embedding")

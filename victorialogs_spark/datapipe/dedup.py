@@ -168,7 +168,11 @@ def minhash_signatures_arrow(
     _POLY = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
 
     def _grams(text: str) -> set:
-        toks = (text or "").lower().split()
+        # ascii_tokens, NOT str.split(): Python's split breaks on Unicode
+        # whitespace the JVM/oracle token paths (token_ngrams,
+        # minhash_signatures_md5) do not — the py_normalize_text trap
+        # (r15 eighth-pass finding)
+        toks = ascii_tokens(text)
         if shingle == "token":
             k = shingle_k
             if len(toks) < k:
@@ -431,7 +435,12 @@ def token_ngrams_arrow(c_name: str, n: int = 3):
     def _grams(series):
         out = []
         for text in series:
-            toks = (text or "").lower().split()
+            # ascii_tokens: gram strings must be IDENTICAL to the JVM
+            # token_ngrams path and the DuckDB oracle's explicit ASCII
+            # split — Python str.split() breaks on Unicode whitespace
+            # (\xa0 in crawled text), silently changing exact-Jaccard
+            # results per engine (r15 eighth-pass finding)
+            toks = ascii_tokens(text)
             if len(toks) < n:
                 out.append([" ".join(toks)] if toks else [""])
             else:
@@ -461,7 +470,7 @@ def token_ngram_hashes_arrow(c_name: str, n: int = 3):
         flat: list = []
         counts = []
         for text in texts:
-            toks = (text or "").lower().split()
+            toks = ascii_tokens(text)  # engine-aligned split (see above)
             if len(toks) < n:
                 g = [" ".join(toks)] if toks else [""]
             else:

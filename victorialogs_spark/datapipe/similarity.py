@@ -637,8 +637,24 @@ def train_ivf_centroids(
     Returns a (n_centroids × dim) list-of-lists."""
     import numpy as np
 
-    rows = df.select(vec_col).limit(sample_size).collect()
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rows = df.select(vec_col).where(F.col(vec_col).isNotNull()).limit(
+        sample_size
+    ).collect()
+    # majority dimension wins; ragged/non-finite vectors are dropped —
+    # one NULL or truncated embedding in the sample otherwise kills the
+    # np.stack / poisons every centroid with NaN (r15 eighth-pass
+    # hardening; same policy as pca_fit)
+    vecs = [np.asarray(r[0], dtype=np.float64) for r in rows]
+    if not vecs:
+        raise ValueError("train_ivf_centroids: no non-NULL vectors to sample")
+    dims: dict[int, int] = {}
+    for v in vecs:
+        dims[len(v)] = dims.get(len(v), 0) + 1
+    d = max(dims, key=lambda n: dims[n])
+    X = np.stack([v for v in vecs if len(v) == d])
+    X = X[np.isfinite(X).all(axis=1)]
+    if not len(X):
+        raise ValueError("train_ivf_centroids: no finite vectors to sample")
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(n_centroids, len(X))
     rng = np.random.RandomState(seed)
