@@ -767,3 +767,38 @@ def test_vp8l_decode_guards_adversarial_dimensions():
         decode_webp_frames(payload)
 
     assert WEBP_MAX_PIXELS >= 4096 * 4096  # real crawled images decode
+
+
+def test_mp4_sample_table_guards_adversarial_counts():
+    """Ninth-pass resource guard (the VP8L guard class): a few-byte
+    crafted sample table claiming billions of entries must raise the
+    loud ValueError BEFORE expanding ([delta] * count) into a
+    multi-GB list."""
+    import pytest
+
+    from victorialogs_spark.datapipe.mp4 import MP4_MAX_SAMPLES, build_mp4, parse_mp4
+
+    base = build_mp4([b"AA", b"BB", b"CC"], [10, 10, 10])
+    # a real file still parses
+    assert len(parse_mp4(base)["tracks"][0]["samples"]) == 3
+
+    # craft: one stts run claiming 2^31 samples (count field patched)
+    stts_sig = b"stts" + b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+    i = base.find(stts_sig)
+    assert i != -1
+    patched = (
+        base[: i + 12] + struct.pack(">I", 1 << 31) + base[i + 16 :]
+    )
+    with pytest.raises(ValueError, match="guard"):
+        parse_mp4(patched)
+
+    # stsz uniform-size path: sample count patched past the cap
+    stsz_i = base.find(b"stsz")
+    assert stsz_i != -1
+    # stsz payload: version/flags(4) + uniform(4) + count(4)
+    p = stsz_i + 4 + 4
+    patched2 = base[:p] + struct.pack(">II", 7, 1 << 31) + base[p + 8 :]
+    with pytest.raises(ValueError, match="guard"):
+        parse_mp4(patched2)
+
+    assert MP4_MAX_SAMPLES >= (1 << 20)  # hours of real video still parse

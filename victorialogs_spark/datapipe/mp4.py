@@ -34,6 +34,24 @@ from pyspark.sql import functions as F
 
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
+# resource guard for untrusted crawled corpora: sample-table entry
+# counts are 32-bit fields a few-byte crafted box can set to billions,
+# and the stts run expansion ([delta] * count) would allocate that many
+# list entries BEFORE any struct read fails (the webp/VP8L guard class,
+# r15 ninth-pass finding). 4M samples ≈ 18h of 60 fps video — far above
+# any real clip, small enough that a poisoned batch can't OOM a worker.
+MP4_MAX_SAMPLES = 1 << 22
+
+
+def _check_entries(n: int, entry_bytes: int, p: int, box_end: int, box: str) -> None:
+    """A table's declared entry count must physically fit its box AND
+    stay under the sample cap."""
+    if n > MP4_MAX_SAMPLES or p + n * entry_bytes > box_end:
+        raise ValueError(
+            f"MP4 {box} table claims {n} entries — exceeds its box or the "
+            f"{MP4_MAX_SAMPLES}-sample guard"
+        )
+
 
 def _walk(data: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
     """Yield (type, payload_start, payload_end) for each box in range."""
@@ -114,7 +132,7 @@ def _parse_trak(data: bytes, start: int, end: int) -> dict:
 
     def walk_stbl(s, e):
         nonlocal stss, codec
-        for t4, s4, _e4 in _walk(data, s, e):
+        for t4, s4, e4 in _walk(data, s, e):
             _, p = _fullbox(data, s4)
             if t4 == b"stsd":
                 # first sample entry's format fourcc = the track codec
@@ -123,10 +141,22 @@ def _parse_trak(data: bytes, start: int, end: int) -> dict:
                     codec = data[p + 8 : p + 12].decode("ascii", "replace")
             elif t4 == b"stts":
                 (n,) = struct.unpack_from(">I", data, p)
+                _check_entries(n, 8, p + 4, e4, "stts")
+                total_count = 0
                 for i in range(n):
-                    stts.append(struct.unpack_from(">II", data, p + 4 + 8 * i))
+                    count, delta = struct.unpack_from(">II", data, p + 4 + 8 * i)
+                    total_count += count
+                    if total_count > MP4_MAX_SAMPLES:
+                        # the EXPANSION, not the table, is the hazard: one
+                        # 8-byte run can claim 2^32 samples
+                        raise ValueError(
+                            "MP4 stts runs claim more samples than the "
+                            f"{MP4_MAX_SAMPLES}-sample guard"
+                        )
+                    stts.append((count, delta))
             elif t4 == b"stss":
                 (n,) = struct.unpack_from(">I", data, p)
+                _check_entries(n, 4, p + 4, e4, "stss")
                 stss = [
                     struct.unpack_from(">I", data, p + 4 + 4 * i)[0]
                     for i in range(n)
@@ -134,25 +164,34 @@ def _parse_trak(data: bytes, start: int, end: int) -> dict:
             elif t4 == b"stsz":
                 uniform, n = struct.unpack_from(">II", data, p)
                 if uniform:
+                    if n > MP4_MAX_SAMPLES:
+                        raise ValueError(
+                            "MP4 stsz claims more samples than the "
+                            f"{MP4_MAX_SAMPLES}-sample guard"
+                        )
                     sizes.extend([uniform] * n)
                 else:
+                    _check_entries(n, 4, p + 8, e4, "stsz")
                     for i in range(n):
                         sizes.append(
                             struct.unpack_from(">I", data, p + 8 + 4 * i)[0]
                         )
             elif t4 == b"stsc":
                 (n,) = struct.unpack_from(">I", data, p)
+                _check_entries(n, 12, p + 4, e4, "stsc")
                 for i in range(n):
                     fc, spc, _sdi = struct.unpack_from(">III", data, p + 4 + 12 * i)
                     stsc.append((fc, spc))
             elif t4 == b"stco":
                 (n,) = struct.unpack_from(">I", data, p)
+                _check_entries(n, 4, p + 4, e4, "stco")
                 chunk_offsets.extend(
                     struct.unpack_from(">I", data, p + 4 + 4 * i)[0]
                     for i in range(n)
                 )
             elif t4 == b"co64":
                 (n,) = struct.unpack_from(">I", data, p)
+                _check_entries(n, 8, p + 4, e4, "co64")
                 chunk_offsets.extend(
                     struct.unpack_from(">Q", data, p + 4 + 8 * i)[0]
                     for i in range(n)
