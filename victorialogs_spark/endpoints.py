@@ -181,18 +181,24 @@ def stats_query(
     label_cols = [b.name for b in st.by]
     metric_cols = [f.result for f in st.funcs]
     labels = F.to_json(F.struct(*[F.col(c).cast("string").alias(c) for c in label_cols])) if label_cols else F.lit("{}")
-    rows = [
-        out.select(
-            F.lit(m).alias("name"),
-            labels.alias("labels"),
-            F.col(m).cast("string").alias("value"),
-        )
-        for m in metric_cols
-    ]
-    res = rows[0]
-    for r in rows[1:]:
-        res = res.unionByName(r)
-    return res
+    # melt via ONE explode over the single aggregate — the former
+    # union-of-selects planned a separate scan+aggregate PER metric
+    # function (column pruning made the subtrees differ, so not even
+    # ReuseExchange deduped them: a 3-func stats_query read the corpus
+    # 3×; r15 plan audit)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("name"),
+                labels.alias("labels"),
+                F.col(m).cast("string").alias("value"),
+            )
+            for m in metric_cols
+        ]
+    )
+    return out.select(F.explode(entries).alias("r")).select(
+        "r.name", "r.labels", "r.value"
+    )
 
 
 def stats_query_range(
@@ -225,18 +231,21 @@ def stats_query_range(
     label_cols = [b.name for b in st.by if b.name != "_time"]
     metric_cols = [f.result for f in st.funcs]
     labels = F.to_json(F.struct(*[F.col(c).cast("string").alias(c) for c in label_cols])) if label_cols else F.lit("{}")
-    rows = [
-        out.select(
-            F.lit(m).alias("name"),
-            labels.alias("labels"),
-            F.col("_time"),
-            F.col(m).cast("string").alias("value"),
-        )
-        for m in metric_cols
-    ]
-    res = rows[0]
-    for r in rows[1:]:
-        res = res.unionByName(r)
+    # single-scan melt (see stats_query)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("name"),
+                labels.alias("labels"),
+                F.col("_time").alias("_time"),
+                F.col(m).cast("string").alias("value"),
+            )
+            for m in metric_cols
+        ]
+    )
+    res = out.select(F.explode(entries).alias("r")).select(
+        "r.name", "r.labels", "r._time", "r.value"
+    )
     return res.orderBy("name", "labels", "_time")
 
 
