@@ -1043,6 +1043,32 @@ def _ep_stats_rate_window(spark, sf_dir):
 
 
 @register(
+    "ep_stats_query_multi",
+    # pins the r15 single-scan melt: one aggregate, one vector row per
+    # (metric function, group) — value strings for long/double metrics
+    # must match the wire cast exactly
+    "WITH g AS (SELECT event_type, COUNT(*) AS c, "
+    + dsum("value") + " AS sv, " + davg("value") + " AS av"
+    " FROM events GROUP BY event_type)"
+    " SELECT 'c' AS name,"
+    " '{\"event_type\":\"' || event_type || '\"}' AS labels,"
+    " CAST(c AS VARCHAR) AS value FROM g"
+    " UNION ALL SELECT 'sv',"
+    " '{\"event_type\":\"' || event_type || '\"}', CAST(sv AS VARCHAR) FROM g"
+    " UNION ALL SELECT 'av',"
+    " '{\"event_type\":\"' || event_type || '\"}', CAST(av AS VARCHAR) FROM g",
+)
+def _ep_stats_query_multi(spark, sf_dir):
+    from victorialogs_spark import endpoints as ep
+
+    return ep.stats_query(
+        spark, _logs(spark, sf_dir),
+        "* | stats by (event_type) count() as c, sum(value) as sv,"
+        " avg(value) as av",
+    )
+
+
+@register(
     "ep_streams",
     "SELECT '{event_type=\"' || event_type || '\"}' AS _stream,"
     " COUNT(*) AS hits FROM events GROUP BY 1",
@@ -4500,6 +4526,7 @@ _STALE_R15_WINDOW = [
 # round-15 additions: brand-new oracle-backed entries registered this round
 _NEW_R15: list[str] = [
     "ep_query_last_n", "ep_hits_common", "ep_stats_rate_window",
+    "ep_stats_query_multi",
 ]
 
 # round-14 additions; both landed green in CORRECTNESS_r14.json (now in
