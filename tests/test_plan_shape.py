@@ -443,3 +443,38 @@ def test_query_last_n_is_topk(spark):
     )
     plan = plan_of(out)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_endpoint_start_end_prunes_day_partitions(spark, tmp_path):
+    """The r15 common-args fold means start/end on EVERY select endpoint
+    reaches the planner as an AST time range — which must prune _day
+    partitions at scan time, exactly like an in-query _time filter (the
+    old frame-level pre-filter never ran _day_prune)."""
+    import datetime as dt
+
+    from victorialogs_spark import endpoints as ep
+    from victorialogs_spark.schema import with_day_partition
+
+    UTC = dt.timezone.utc
+    rows = [
+        (dt.datetime(2024, 1, d, 12, 0, tzinfo=UTC), f"m{d}", "app")
+        for d in range(1, 6)
+    ]
+    df = with_day_partition(
+        spark.createDataFrame(rows, "_time timestamp, _msg string, app string")
+    )
+    path = str(tmp_path / "days")
+    df.write.partitionBy("_day").parquet(path)
+    table = spark.read.parquet(path)
+
+    lo = int(dt.datetime(2024, 1, 2, tzinfo=UTC).timestamp() * 1e9)
+    hi = int(dt.datetime(2024, 1, 3, 23, tzinfo=UTC).timestamp() * 1e9)
+    out = ep.hits(spark, table, "*", step="1d", start_ns=lo, end_ns=hi)
+    rows_out = out.collect()
+    assert sum(int(r["hits"]) for r in rows_out) == 2
+    plan = plan_of(out)
+    scan = [ln for ln in plan.split("\n") if "FileScan" in ln][0]
+    assert "PartitionFilters" in scan and "_day" in scan
+    # inputFiles() reports the pre-pruning relation; the partition count
+    # of the scan RDD reflects what is actually read (2 of 5 day dirs)
+    assert out.select("_time").rdd.getNumPartitions() <= 3
