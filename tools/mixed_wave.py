@@ -333,7 +333,9 @@ def main() -> int:
         if name.endswith(".json"):
             with open(os.path.join(runs_dir, name)) as fh:
                 runs.append(json.load(fh))
-    runs.sort(key=lambda r: (r["writers"], r["readers"]))
+    # .get: legacy run records (pre-r13 format) may lack these keys —
+    # the summary must not crash AFTER a successful wave (r15)
+    runs.sort(key=lambda r: (r.get("writers", 0), r.get("readers", 0)))
 
     marker = "## mixed read+ingest wave"
     lines = [
