@@ -1,0 +1,251 @@
+"""Per-pipe SEMANTICS parity against the reference's own pipe tests.
+
+The reference's pipe_*_test.go files carry ~266 executable cases of the
+form ``f(pipeStr, inputRows, expectedRows)`` (expectPipeResults in
+pipe_utils_test.go: order-insensitive row compare). This net extracts
+them AT RUNTIME (nothing copied into the repo — the same policy as the
+parser corpus), replays each through ``run_query(spark, df, "* | " +
+pipeStr)`` and compares normalized row multisets.
+
+Normalization mirrors the engine's own equivalences:
+- missing ≡ empty: ""-valued fields drop from both sides (the
+  reference writes rows with exactly the fields it names; our frame
+  carries every column with "" for absent values);
+- integral doubles print Go-style ("3", not "3.0") on both sides —
+  this is a SEMANTICS net; exact wire formatting is policed by the
+  DuckDB oracle entries (fmt()/dsum()).
+
+Cases whose pipes are documented divergences (hash seed, sample
+randomness, blocks_count/block_stats physics) are skipped by file;
+individual skips list their reason.
+"""
+
+from __future__ import annotations
+
+import glob
+import re
+from pathlib import Path
+
+import pytest
+
+from victorialogs_spark.api import run_query
+
+REF_DIR = "/root/reference/lib/logstorage"
+
+# whole-file skips: documented engine divergences / storage-level pipes
+SKIP_FILES = {
+    "pipe_hash_test.go",          # xxhash64 seed divergence (documented)
+    "pipe_sample_test.go",        # randomness
+    "pipe_blocks_count_test.go",  # parquet row-group proxy (documented)
+    "pipe_block_stats_test.go",   # parquet row-group proxy (documented)
+    "pipe_stream_context_test.go",  # needs the storage second pass
+    "pipe_join_test.go",          # join loads a named table via storage
+    "pipe_union_test.go",         # union re-runs the source query
+}
+
+# individual case skips: (file, exact pipeStr) -> reason
+SKIP_CASES: dict[tuple[str, str], str] = {}
+
+
+def _go_string(s: str, i: int) -> tuple[str, int]:
+    q = s[i]
+    if q == "`":
+        j = s.index("`", i + 1)
+        return s[i + 1 : j], j + 1
+    if q != '"':
+        raise ValueError(f"not a string at {i}: {s[i:i+10]!r}")
+    out: list[str] = []
+    j = i + 1
+    esc = {
+        "n": "\n", "t": "\t", "r": "\r", "\\": "\\", '"': '"',
+        "'": "'", "a": "\a", "b": "\b", "f": "\f", "v": "\v", "0": "\0",
+        "/": "/",
+    }
+    while s[j] != '"':
+        if s[j] == "\\":
+            c = s[j + 1]
+            if c in esc:
+                out.append(esc[c])
+                j += 2
+            elif c == "x":
+                out.append(chr(int(s[j + 2 : j + 4], 16)))
+                j += 4
+            elif c == "u":
+                out.append(chr(int(s[j + 2 : j + 6], 16)))
+                j += 6
+            elif c == "U":
+                out.append(chr(int(s[j + 2 : j + 10], 16)))
+                j += 10
+            else:
+                raise ValueError(f"escape \\{c}")
+        else:
+            out.append(s[j])
+            j += 1
+    return "".join(out), j + 1
+
+
+def _skip_ws(s: str, i: int) -> int:
+    while i < len(s):
+        if s[i] in " \t\n\r":
+            i += 1
+        elif s.startswith("//", i):
+            i = s.index("\n", i) + 1
+        else:
+            break
+    return i
+
+
+def _parse_rowset(s: str, i: int) -> tuple[list[list[tuple[str, str]]], int]:
+    """Parse ``[][]Field{ {{k,v},...}, ... }`` starting at the type token."""
+    i = _skip_ws(s, i)
+    m = re.match(r"\[\]\[\]Field\s*\{", s[i:])
+    if not m:
+        raise ValueError(f"not a rowset at {i}: {s[i:i+20]!r}")
+    i += m.end()
+    rows: list[list[tuple[str, str]]] = []
+    while True:
+        i = _skip_ws(s, i)
+        if s[i] == "}":
+            return rows, i + 1
+        if s[i] == ",":
+            i += 1
+            continue
+        if s[i] != "{":
+            raise ValueError(f"bad row at {i}: {s[i:i+20]!r}")
+        i += 1
+        fields: list[tuple[str, str]] = []
+        while True:
+            i = _skip_ws(s, i)
+            if s[i] == "}":
+                i += 1
+                break
+            if s[i] == ",":
+                i += 1
+                continue
+            if s[i] != "{":
+                raise ValueError(f"bad field at {i}: {s[i:i+20]!r}")
+            i = _skip_ws(s, i + 1)
+            k, i = _go_string(s, i)
+            i = _skip_ws(s, i)
+            if s[i] != ",":
+                raise ValueError("field needs k,v")
+            i = _skip_ws(s, i + 1)
+            v, i = _go_string(s, i)
+            i = _skip_ws(s, i)
+            if s[i] == ",":
+                i += 1
+            i = _skip_ws(s, i)
+            if s[i] != "}":
+                raise ValueError("unclosed field")
+            i += 1
+            fields.append((k, v))
+        rows.append(fields)
+
+
+def _extract_cases():
+    """[(file, pipeStr, rows, expected)], plus the unparseable count."""
+    cases = []
+    unparseable = 0
+    for path in sorted(glob.glob(f"{REF_DIR}/pipe_*_test.go")):
+        name = Path(path).name
+        if name in SKIP_FILES:
+            continue
+        src = Path(path).read_text()
+        for fm in re.finditer(
+            r"func (Test\w+)\(t \*testing\.T\) \{([\s\S]*?)(?=\nfunc |\Z)", src
+        ):
+            body = fm.group(2)
+            if "expectPipeResults" not in body:
+                continue
+            for cm in re.finditer(r"\n\tf\(", body):
+                i = cm.end()
+                try:
+                    i = _skip_ws(body, i)
+                    pipe_str, i = _go_string(body, i)
+                    i = _skip_ws(body, i)
+                    assert body[i] == ","
+                    rows, i = _parse_rowset(body, i + 1)
+                    i = _skip_ws(body, i)
+                    assert body[i] == ","
+                    expected, i = _parse_rowset(body, i + 1)
+                except (ValueError, AssertionError, IndexError):
+                    unparseable += 1
+                    continue
+                cases.append((name, pipe_str, rows, expected))
+    return cases, unparseable
+
+
+_INT_DOUBLE = re.compile(r"^-?\d+\.0+$")
+
+
+def _norm_rows(rows: list[dict]) -> list[tuple]:
+    out = []
+    for d in rows:
+        dd = {}
+        for k, v in d.items():
+            if v is None:
+                continue
+            s = v if isinstance(v, str) else str(v)
+            if s == "":
+                continue  # missing ≡ empty, both engines
+            if _INT_DOUBLE.match(s):
+                s = s.split(".")[0]
+            dd[k] = s
+        out.append(tuple(sorted(dd.items())))
+    return sorted(out)
+
+
+def _run_case(spark, pipe_str, rows):
+    cols: list[str] = []
+    for r in rows:
+        for k, _ in r:
+            if k not in cols:
+                cols.append(k)
+    data = [tuple(dict(r).get(c, "") for c in cols) for r in rows]
+    schema = ", ".join(f"`{c}` string" for c in cols)
+    df = spark.createDataFrame(data, schema)
+    if "_time" in cols:
+        # the reference's data model is all-bytes; ours types _time as a
+        # timestamp (SURVEY §1). When every _time value parses as a
+        # timestamp, present it typed — legitimate input prep, the same
+        # conversion ingest performs
+        from pyspark.sql import functions as F
+
+        casted = df.withColumn("__t", F.try_to_timestamp(F.col("_time")))
+        if casted.where(F.col("__t").isNull()).limit(1).count() == 0:
+            df = casted.withColumn("_time", F.col("__t")).drop("__t")
+        else:
+            df = casted.drop("__t")
+    out = run_query(spark, df, "* | " + pipe_str)
+    from victorialogs_spark.endpoints import row_to_wire_dict
+
+    return [row_to_wire_dict(r) for r in out.collect()]
+
+
+def test_pipe_semantics_corpus(spark):
+    cases, unparseable = _extract_cases()
+    assert len(cases) >= 150, f"extraction regressed: only {len(cases)} cases"
+    failures = []
+    skipped = 0
+    for name, pipe_str, rows, expected in cases:
+        if (name, pipe_str) in SKIP_CASES:
+            skipped += 1
+            continue
+        try:
+            got = _run_case(spark, pipe_str, rows)
+        except Exception as e:  # noqa: BLE001 — collected, reported below
+            failures.append((name, pipe_str, f"error: {e}"))
+            continue
+        a = _norm_rows(got)
+        b = _norm_rows([dict(r) for r in expected])
+        if a != b:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
+            failures.append(
+                (name, pipe_str,
+                 f"rows: got {len(a)} want {len(b)}; first diffs {diff}")
+            )
+    msg = "\n".join(f"{n}: [{p}] {why}"[:500] for n, p, why in failures[:25])
+    assert not failures, (
+        f"{len(failures)}/{len(cases)} reference pipe cases diverge"
+        f" (unparseable skipped: {unparseable}; case-skips: {skipped})\n{msg}"
+    )

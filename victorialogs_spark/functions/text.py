@@ -148,3 +148,61 @@ def to_python_regex(pattern: str) -> str:
         return None
 
     return _scan_regex(pattern, rw, rw_esc)
+
+
+def anonymize_named_groups(pattern: str) -> str:
+    """Python/Java named groups → PLAIN capturing groups, named backrefs
+    → numeric backrefs. Group numbering is identical either way, so
+    index-based extraction (regexp_extract with idx) and boolean rlike
+    are unaffected — while Java's group-NAME grammar ([a-zA-Z][a-zA-Z0-9]*)
+    stops rejecting reference-legal names like ``_msg``
+    (pipe_extract_regexp_test.go; r15 pipe-semantics corpus finding).
+    Escape/class-aware via the same scanner as to_java_regex."""
+    # first pass: capturing-group order → name -> index
+    names: dict[str, int] = {}
+    counter = [0]
+
+    def count_rw(p: str, i: int):
+        if p[i] != "(":
+            return None
+        if p.startswith("(?P<", i) or (
+            p.startswith("(?<", i)
+            and not p.startswith("(?<=", i)
+            and not p.startswith("(?<!", i)
+        ):
+            off = 4 if p.startswith("(?P<", i) else 3
+            j = p.find(">", i + off)
+            if j != -1 and _GROUP_NAME_RE.fullmatch(p, i + off, j):
+                counter[0] += 1
+                names[p[i + off : j]] = counter[0]
+                return p[i : j + 1], j + 1
+        if not p.startswith("(?", i):
+            counter[0] += 1
+        return None
+
+    _scan_regex(pattern, count_rw)
+
+    def rw(p: str, i: int):
+        if p.startswith("(?P<", i) or (
+            p.startswith("(?<", i)
+            and not p.startswith("(?<=", i)
+            and not p.startswith("(?<!", i)
+        ):
+            off = 4 if p.startswith("(?P<", i) else 3
+            j = p.find(">", i + off)
+            if j != -1 and _GROUP_NAME_RE.fullmatch(p, i + off, j):
+                return "(", j + 1
+        if p.startswith("(?P=", i):
+            j = p.find(")", i + 4)
+            if j != -1 and p[i + 4 : j] in names:
+                return "\\" + str(names[p[i + 4 : j]]), j + 1
+        return None
+
+    def rw_esc(p: str, i: int):
+        if p.startswith("\\k<", i):
+            j = p.find(">", i + 3)
+            if j != -1 and p[i + 3 : j] in names:
+                return "\\" + str(names[p[i + 3 : j]]), j + 1
+        return None
+
+    return _scan_regex(pattern, rw, rw_esc)

@@ -1398,7 +1398,12 @@ class Parser:
             e = self._parse_math_expr(999)
             name = self._opt_as_name("")
             if not name:
-                raise self.err("math: missing result name (use 'as name')")
+                # the reference auto-names an unnamed entry with the
+                # expression's canonical string (parseMathEntry:
+                # resultField = me.String(); r15 pipe-semantics corpus)
+                from victorialogs_spark.logsql.printer import math_expr_name
+
+                name = math_expr_name(e)
             exprs.append((e, name))
             if self.tok().is_kw(","):
                 self.advance()
@@ -1687,19 +1692,25 @@ class Parser:
     def _parse_p_uniq(self) -> A.Pipe:
         by: list[str] = []
         if self.tok().is_kw("by"):
+            # 'by' works with or without parens (pipe_uniq.go:
+            # parseCommaSeparatedFields fallback; r15 corpus)
             self.advance()
-            by = self._field_list(parens_required=True)
+            by = self._field_list(min_fields=1)
         elif self.tok().is_kw("("):
             by = self._field_list()
         elif (
             not self.lex.is_end()
-            and not self.tok().is_kw("|", "with", "limit")
+            and not self.tok().is_kw("|", "with", "hits", "limit")
         ):
             by = self._field_list()  # bare 'uniq foo, bar' form
         hits = None
         if self.tok().is_kw("with"):
             self.advance()
-            self.expect("hits")
+            if not self.tok().is_kw("hits"):
+                raise self.err("missing 'hits' after 'with'")
+        if self.tok().is_kw("hits"):
+            # bare 'hits' flag — 'with' is optional (pipe_uniq.go)
+            self.advance()
             hits = "hits"
         limit = 0
         if self.tok().is_kw("limit"):
@@ -1714,10 +1725,15 @@ class Parser:
             n = self._int("top N")
         by: list[str] = []
         if self.tok().is_kw("by"):
+            # parens optional after 'by' (pipe_top.go; r15 corpus)
             self.advance()
-            by = self._field_list(parens_required=True)
+            by = self._field_list(min_fields=1)
         elif self.tok().is_kw("("):
             by = self._field_list()
+        elif not self.lex.is_end() and not self.tok().is_kw(
+            "|", "hits", "rank", ")"
+        ):
+            by = self._field_list()  # bare 'top N foo, bar' form
         p = A.PTop(n, by)
         while True:
             if self.tok().is_kw("hits"):

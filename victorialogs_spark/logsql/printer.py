@@ -497,6 +497,38 @@ def print_pipe(p: A.Pipe) -> str:
 # math expressions
 # ---------------------------------------------------------------------------
 
+_MATH_PRIO = {"^": 1, "*": 2, "/": 2, "%": 2, "+": 3, "-": 3, "&": 4,
+              "xor": 5, "or": 6, "default": 10}
+
+
+def math_expr_name(e: A.MathExpr) -> str:
+    """The reference's mathExpr.String(): minimal parens by operator
+    priority — used as the RESULT FIELD NAME when a math entry has no
+    'as name' (parseMathEntry: resultField = me.String(); r15
+    pipe-semantics corpus finding). _math() below stays fully
+    parenthesized for round-trip printing (reparses identically)."""
+    if isinstance(e, A.MNum):
+        return _num(e.value)
+    if isinstance(e, A.MField):
+        return _qf(e.name)
+    if isinstance(e, A.MUnary):
+        arg = math_expr_name(e.arg)
+        if isinstance(e.arg, A.MBinary):
+            arg = "(" + arg + ")"
+        return e.op + arg
+    if isinstance(e, A.MBinary):
+        pr = _MATH_PRIO.get(e.op, 3)
+        ls, rs = math_expr_name(e.left), math_expr_name(e.right)
+        if isinstance(e.left, A.MBinary) and _MATH_PRIO.get(e.left.op, 3) > pr:
+            ls = "(" + ls + ")"
+        if isinstance(e.right, A.MBinary) and _MATH_PRIO.get(e.right.op, 3) >= pr:
+            rs = "(" + rs + ")"
+        return f"{ls} {e.op} {rs}"
+    if isinstance(e, A.MFunc):
+        return f"{e.name}({', '.join(math_expr_name(a) for a in e.args)})"
+    raise ValueError(f"cannot name math node {type(e).__name__}")
+
+
 def _math(e: A.MathExpr) -> str:
     if isinstance(e, A.MNum):
         return _num(e.value)

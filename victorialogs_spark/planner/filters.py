@@ -13,12 +13,21 @@ from pyspark.sql import functions as F
 
 from victorialogs_spark.functions.natural import fcol, ipv4_num, num, qcol
 from victorialogs_spark.functions.text import (
+    anonymize_named_groups,
     phrase_regex,
     prefix_regex,
     seq_regex,
-    to_java_regex as _java_pattern,
+    to_java_regex,
 )
 from victorialogs_spark.logsql import ast as A
+
+
+def _java_pattern(pattern: str) -> str:
+    """User regex → what rlike executes. Named groups are meaningless to
+    a boolean match, so they are anonymized to plain groups (numbering
+    preserved) — Java's group-name grammar rejects reference-legal
+    names like ``_msg`` (r15 pipe-semantics corpus finding)."""
+    return anonymize_named_groups(to_java_regex(pattern))
 
 
 def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:

@@ -29,8 +29,8 @@ from victorialogs_spark.functions.natural import (
 from victorialogs_spark.functions.text import (
     ANSI_COLOR_RE,
     NON_TOKEN_RE,
+    anonymize_named_groups,
     java_quote,
-    to_java_regex,
     to_python_regex,
 )
 from victorialogs_spark.logsql import ast as A
@@ -146,7 +146,12 @@ def _p_offset(p: A.POffset, df: DataFrame, ctx) -> DataFrame:
 
 def _sort_exprs(df: DataFrame, fields: list[A.SortField], global_desc: bool) -> list[Column]:
     exprs: list[Column] = []
-    targets = fields or [A.SortField("_time", False)]
+    # empty by(...) = sort by ALL fields in schema order — the
+    # reference's rule (pipe_sort.go:251 "Sort by all the columns";
+    # LogsQL.md documents it); the old _time default silently picked a
+    # different winner for `sort`/`first`/`last` without `by`
+    # (r15 pipe-semantics corpus finding)
+    targets = fields or [A.SortField(c, False) for c in df.columns]
     for sf in targets:
         desc = sf.desc != global_desc
         for k in natural_keys(df, sf.name):
@@ -459,10 +464,13 @@ def _p_extract(p: A.PExtract, df: DataFrame, ctx) -> DataFrame:
 
 
 def _convert_named_groups(pattern: str) -> str:
-    """Python/RE2 (?P<name>...) → Java (?<name>...) (escape/class-aware
-    scanner in functions/text.py; r15 advice replaced the blind
-    str.replace that corrupted ``\\(?P<`` and left ``(?P=`` crashing)."""
-    return to_java_regex(pattern)
+    """Named groups → plain groups for the Java side: extraction is by
+    INDEX (groupindex from the Python compile), so names only need to be
+    valid Python — Java's stricter group-name grammar
+    ([a-zA-Z][a-zA-Z0-9]*) rejected reference-legal names like ``_msg``
+    (r15 pipe-semantics corpus finding; escape/class-aware scanner per
+    the r15 advice)."""
+    return anonymize_named_groups(pattern)
 
 
 def _p_extract_regexp(p: A.PExtractRegexp, df: DataFrame, ctx) -> DataFrame:
@@ -1010,6 +1018,12 @@ def _p_uniq(p: A.PUniq, df: DataFrame, ctx) -> DataFrame:
     by = _expand_wildcards(df, p.by) if p.by else list(df.columns)
     keys = [fcol(df, f).alias(f) for f in by]
     if p.hits_field:
+        # a group field named like the hits column gets the reference's
+        # 's'-suffix disambiguation (pipe_uniq.go; r15 corpus)
+        hits_field = p.hits_field
+        while hits_field in by:
+            hits_field += "s"
+        p = A.PUniq(p.by, hits_field, p.limit)
         out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(p.hits_field))
         if p.limit:
             # reference zeroes hits once the unique count exceeds the limit
@@ -1032,12 +1046,19 @@ def _p_uniq(p: A.PUniq, df: DataFrame, ctx) -> DataFrame:
 def _p_top(p: A.PTop, df: DataFrame, ctx) -> DataFrame:
     by = _expand_wildcards(df, p.by) if p.by else list(df.columns)
     keys = [fcol(df, f).alias(f) for f in by]
-    grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(p.hits_field))
-    order = [F.desc(p.hits_field)] + [qcol(f).asc() for f in by]
+    # group fields named like the hits/rank columns get the reference's
+    # 's'-suffix disambiguation (pipe_top.go:74-76,default; r15 corpus)
+    hits_field, rank_name = p.hits_field, p.rank_name
+    while hits_field in by:
+        hits_field += "s"
+    while rank_name is not None and rank_name in by:
+        rank_name += "s"
+    grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(hits_field))
+    order = [F.desc(hits_field)] + [qcol(f).asc() for f in by]
     out = grouped.orderBy(*order).limit(p.n)
-    if p.rank_name:
+    if rank_name:
         w = Window.orderBy(*order)
-        out = out.withColumn(p.rank_name, F.row_number().over(w).cast("string"))
+        out = out.withColumn(rank_name, F.row_number().over(w).cast("string"))
     return out
 
 

@@ -79,6 +79,13 @@ def compile_stats_func(
     """Build the aggregate Column for one stats function. `cond` is the
     compiled per-function if-filter (pipe_stats.go:62-71)."""
     name = sf.name
+    if name in ("count", "rate") and "*" in sf.fields:
+        # count(*) counts ALL rows unconditionally — the reference's
+        # MatchAll fast path (stats_count.go:42-46); expanding the star
+        # and coalescing non-empties would skip all-empty rows
+        # (r15 pipe-semantics corpus finding)
+        sf = A.StatsFunc(name, [], sf.result, cond=getattr(sf, "cond", None),
+                         extra=dict(getattr(sf, "extra", {}) or {}))
     fields = _expand(df, sf.fields, by_names)
     if sf.fields and not fields:
         # a wildcard arg that matched no columns behaves exactly like
