@@ -271,17 +271,36 @@ def _common_kw(common: dict | None) -> dict:
     }
 
 
+def _wire_timestamp(ts) -> str:
+    """RFC3339 with trailing Z and trimmed fractional zeros — the
+    reference's marshalTimestampRFC3339NanoString (block_result.go:777;
+    Go RFC3339Nano). Python's str(datetime) would emit the
+    space-separated form no RFC3339 consumer parses (r15 pipe-semantics
+    corpus finding)."""
+    s = ts.isoformat()  # YYYY-MM-DDTHH:MM:SS[.ffffff]
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    if s.endswith("+00:00"):
+        s = s[:-6]
+    return s + "Z"
+
+
 def row_to_wire_dict(row) -> dict:
     """Row -> the NDJSON wire dict every response surface shares (the
     CLI emitter, the HTTP query stream, both tail loops): None renders
-    as '' — the engine-wide missing-equals-empty rule — and every other
-    non-string stringifies. Before consolidation the two tail loops
-    rendered None as the literal string 'None' while the query surfaces
-    rendered '' (r14 review finding)."""
+    as '' — the engine-wide missing-equals-empty rule — timestamps
+    render RFC3339-Z like the reference, and every other non-string
+    stringifies. Before consolidation the two tail loops rendered None
+    as the literal string 'None' while the query surfaces rendered ''
+    (r14 review finding)."""
+    import datetime as _dt
+
     d = row.asDict()
     for k, v in list(d.items()):
         if v is None:
             d[k] = ""
+        elif isinstance(v, _dt.datetime):
+            d[k] = _wire_timestamp(v)
         elif not isinstance(v, str):
             d[k] = str(v)
     return d

@@ -1461,8 +1461,32 @@ class Parser:
         if v is not None:
             self.advance()
             return A.MNum(v)
-        fname = self._field_name()
+        fname = self._math_field_name()
         return A.MField(fname)
+
+    # math operands glue space-free tokens like field names do, but STOP
+    # at math operator chars (getCompoundMathToken stopTokens,
+    # pipe_math.go:826-848) — the generic _field_name glued `b+1` into
+    # one field, silently turning arithmetic into a missing-field NaN
+    # (r15 pipe-semantics corpus finding)
+    _MATH_STOP = ("=", "+", "-", "*", "/", "%", "^", ",", ")", "|", "!")
+
+    def _math_field_name(self) -> str:
+        t = self.tok()
+        if self.lex.is_end() or (not t.quoted and t.text in self._MATH_STOP):
+            raise self.err("missing math operand")
+        name = t.text
+        self.advance()
+        while (
+            not self.lex.is_end()
+            and not self.tok().space_before
+            and not (
+                not self.tok().quoted and self.tok().text in self._MATH_STOP
+            )
+        ):
+            name += self.tok().text
+            self.advance()
+        return canonical_field(name)
 
     # -- string transform pipes -------------------------------------------------
     def _common_unpack_opts(self, p) -> None:

@@ -373,9 +373,19 @@ def _math_col(e: A.MathExpr, df: DataFrame, done: dict[str, Column]) -> Column:
         if op == "*":
             return l * r
         if op == "/":
-            return l / r
+            # Go float semantics (ANSI Spark raises DIVIDE_BY_ZERO even
+            # for doubles): x/0 = ±Inf, 0/0 = NaN; NULL operands (our
+            # unparseable marker) propagate (r15 pipe-semantics corpus)
+            return F.when(
+                r == 0.0,
+                F.when(
+                    l.isNull() | F.isnan(l) | (l == 0.0),
+                    F.lit(float("nan")),
+                ).otherwise(F.signum(l) * F.lit(float("inf"))),
+            ).otherwise(F.try_divide(l, r))
         if op == "%":
-            return l % r
+            # Go math.Mod(x, 0) = NaN; ANSI % raises instead
+            return F.when(r == 0.0, F.lit(float("nan"))).otherwise(l % r)
         if op == "^":
             return F.pow(l, r)
         if op == "&":
@@ -417,11 +427,24 @@ def _math_col(e: A.MathExpr, df: DataFrame, done: dict[str, Column]) -> Column:
     raise NotImplementedError(str(e))
 
 
+def _math_result(c: Column) -> Column:
+    """Math results print Go-style: unparseable/undefined = the string
+    "NaN" (the reference outputs strconv-formatted float64s — a missing
+    operand yields "NaN", not an empty field; pipe_math_test.go), ±Inf
+    = "+Inf"/"-Inf"."""
+    return (
+        F.when(c.isNull() | F.isnan(c), F.lit("NaN"))
+        .when(c == float("inf"), F.lit("+Inf"))
+        .when(c == float("-inf"), F.lit("-Inf"))
+        .otherwise(format_number(c))
+    )
+
+
 def _p_math(p: A.PMath, df: DataFrame, ctx) -> DataFrame:
     done: dict[str, Column] = {}
     for expr, name in p.exprs:
         c = _math_col(expr, df, done)
-        df = df.withColumn(name, format_number(c))
+        df = df.withColumn(name, _math_result(c))
         done[name] = num(df, name)
     return df
 
@@ -437,11 +460,15 @@ def _pattern_to_regex(pattern: str) -> tuple[str, list[str]]:
     trailing placeholder captures to end (pattern.go semantics)."""
     parts = _PLACEHOLDER_RE.split(pattern)
     # parts alternates literal, name, literal, name, ... literal
+    import html as _html
+
     regex = []
     names: list[str] = []
     for i, part in enumerate(parts):
         if i % 2 == 0:
-            regex.append(java_quote(part))
+            # literal prefixes HTML-unescape (pattern.go:187): &lt;/&gt;
+            # is how a literal angle bracket is written in a pattern
+            regex.append(java_quote(_html.unescape(part)))
         else:
             name = part.strip()
             is_last = i == len(parts) - 2 and parts[-1] == ""
@@ -634,10 +661,15 @@ def _format_term(df: DataFrame, spec: str) -> Column:
 def _p_format(p: A.PFormat, df: DataFrame, ctx) -> DataFrame:
     parts = _FORMAT_FIELD_RE.split(p.pattern)
     cols: list[Column] = []
+    import html as _html
+
     for i, part in enumerate(parts):
         if i % 2 == 0:
             if part:
-                cols.append(F.lit(part))
+                # literal prefixes are HTML-unescaped (&lt; writes a
+                # literal '<' — pattern.go:187 html.UnescapeString;
+                # r15 pipe-semantics corpus)
+                cols.append(F.lit(_html.unescape(part)))
         else:
             cols.append(_format_term(df, part))
     out = F.concat(*cols) if cols else F.lit("")
@@ -1157,9 +1189,17 @@ def _p_collapse_nums(p: A.PCollapseNums, df: DataFrame, ctx) -> DataFrame:
     out = F.regexp_replace(out, r"\b0[xX][0-9a-fA-F]+\b", "<N>")
     out = F.regexp_replace(out, r"\d+", "<N>")
     if p.prettify:
+        # full reference pass order incl. trailing-subsec/timezone
+        # consumption and the <DATETIME> merge
+        # (pipe_collapse_nums.go:199-206, skipTrailingSubsecs,
+        # skipTrailingTimezone; r15 pipe-semantics corpus)
         out = F.regexp_replace(out, r"<N>\.<N>\.<N>\.<N>", "<IP4>")
-        out = F.regexp_replace(out, r"<N>:<N>:<N>", "<TIME>")
+        out = F.regexp_replace(out, r"<N>:<N>:<N>([.,]<N>)?", "<TIME>")
         out = F.regexp_replace(out, r"<N>-<N>-<N>", "<DATE>")
+        out = F.regexp_replace(out, r"<N>/<N>/<N>", "<DATE>")
+        out = F.regexp_replace(
+            out, r"<DATE>[T ]<TIME>(Z|[+-]<N>:<N>)?", "<DATETIME>"
+        )
     if p.cond is not None:
         c = compile_filter(p.cond, df, ctx)
         out = F.when(c, out).otherwise(src)
