@@ -592,13 +592,22 @@ def _format_term(df: DataFrame, spec: str) -> Column:
         if conv == "urldecode":
             return F.url_decode(c)
         if conv == "hexencode":
-            return F.lower(F.hex(c.cast("binary")))
+            # UPPERCASE hex digits (appendHexEncode hexCharUpper,
+            # pipe_format.go:430-438; r15 pipe-semantics corpus)
+            return F.hex(c.cast("binary"))
         if conv == "hexdecode":
             return F.unhex(c).cast("string")
         if conv == "base64encode":
             return F.base64(c.cast("binary"))
         if conv == "base64decode":
-            return F.unbase64(c).cast("string")
+            # invalid base64 passes the ORIGINAL through (the reference's
+            # decode-failure rule); Spark's unbase64 is lenient and would
+            # emit garbage for e.g. a 2-char unpadded input
+            ok = c.rlike(
+                r"^(?:[A-Za-z0-9+/]{4})*"
+                r"(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+            )
+            return F.when(ok, F.unbase64(c).cast("string")).otherwise(c)
         # converters below pass the ORIGINAL value through when it doesn't
         # parse (pipe_format.go: `b = append(b, v...)` on !ok)
         if conv == "hexnumencode":
@@ -609,37 +618,47 @@ def _format_term(df: DataFrame, spec: str) -> Column:
             ok = c.rlike(r"^[0-9a-fA-F]{1,16}$")
             return F.when(ok, F.conv(c, 16, 10)).otherwise(c)
         if conv == "time":
-            # magnitude heuristic (timeutil.TryParseUnixTimestamp):
-            # ns / µs / ms / s by value range. let-bound: n and ns are
-            # each referenced several times below
-            def _time_of(n):
-                def _fmt(ns):
-                    base = F.date_format(
-                        F.timestamp_micros((ns / 1000).cast("long")),
-                        "yyyy-MM-dd'T'HH:mm:ss",
-                    )
-                    # RFC3339Nano: fractional part, trailing zeros trimmed
-                    frac = F.regexp_replace(
-                        F.lpad((ns % F.lit(10**9)).cast("string"), 9, "0"),
-                        r"0+$", "",
-                    )
-                    return F.concat(
-                        base,
-                        F.when(frac != "", F.concat(F.lit("."), frac)).otherwise(
-                            F.lit("")
-                        ),
-                        F.lit("Z"),
-                    )
-
-                ns = (
-                    F.when(F.abs(n) >= F.lit(10**17), n)
-                    .when(F.abs(n) >= F.lit(10**14), n * 1000)
-                    .when(F.abs(n) >= F.lit(10**11), n * 1_000_000)
-                    .otherwise(n * F.lit(10**9))
+            # timeutil.TryParseUnixTimestamp: fractional and NEGATIVE
+            # unix stamps parse, the unit (s/ms/µs/ns) splits at the
+            # reference's int32-count boundaries, and formatting floors
+            # toward -inf so pre-epoch stamps land in the right second
+            # (r15 pipe-semantics corpus). Decimal arithmetic keeps the
+            # full ns precision a double would truncate.
+            def _time_of(d):
+                unit = (
+                    F.when(F.abs(d) < F.lit(1 << 31), F.lit(10**9))
+                    .when(F.abs(d) < F.lit((1 << 31) * 1000), F.lit(10**6))
+                    .when(F.abs(d) < F.lit((1 << 31) * 10**6), F.lit(10**3))
+                    .otherwise(F.lit(1))
                 )
-                return F.when(n.isNotNull(), let(ns, _fmt)).otherwise(c)
+                ns_col = (d * unit.cast("decimal(20,0)")).cast("long")
 
-            return let(_try_cast(c, "long"), _time_of)
+                def _fmt(ns):
+                    frac9 = F.pmod(ns, F.lit(10**9))
+
+                    def _with_frac(frac):
+                        secs = (
+                            (ns - frac).cast("decimal(38,0)") / F.lit(10**9)
+                        ).cast("long")
+                        base = F.date_format(
+                            F.timestamp_seconds(secs),
+                            "yyyy-MM-dd'T'HH:mm:ss",
+                        )
+                        fs = F.regexp_replace(
+                            F.lpad(frac.cast("string"), 9, "0"), r"0+$", ""
+                        )
+                        return F.concat(
+                            base,
+                            F.when(fs != "", F.concat(F.lit("."), fs))
+                            .otherwise(F.lit("")),
+                            F.lit("Z"),
+                        )
+
+                    return let(frac9, _with_frac)
+
+                return F.when(d.isNotNull(), let(ns_col, _fmt)).otherwise(c)
+
+            return let(_try_cast(c, "decimal(29,9)"), _time_of)
         if conv == "duration":
             n = _try_cast(c, "long")  # nanoseconds
             return F.when(n.isNotNull(), duration_string(n)).otherwise(c)
@@ -941,20 +960,79 @@ def _p_unpack_words(p: A.PUnpackWords, df: DataFrame, ctx) -> DataFrame:
     return df.withColumn(p.dst, F.to_json(words))
 
 
+def _unroll_elems_udf():
+    """Lenient JSON-array element extraction, reference-style (fastjson):
+    strings unquote, null renders "null", NaN parses and renders "NaN",
+    nested objects/arrays keep their compact JSON text (pipe_unroll
+    semantics — Spark's from_json(array<string>) NULLs the whole array
+    on any non-string element; r15 pipe-semantics corpus). Returns NULL
+    for non-array / unparseable input (callers fall back)."""
+    import json
+    import math
+
+    import pandas as pd
+
+    def _one(s):
+        if s is None:
+            return None
+        try:
+            v = json.loads(s)
+        except Exception:  # noqa: BLE001 — not JSON: no elements
+            return None
+        if not isinstance(v, list):
+            return None
+        elems = []
+        for e in v:
+            if e is None:
+                elems.append("null")
+            elif isinstance(e, str):
+                elems.append(e)
+            elif isinstance(e, bool):
+                elems.append("true" if e else "false")
+            elif isinstance(e, float):
+                if math.isnan(e):
+                    elems.append("NaN")
+                elif e == int(e) and abs(e) < 2**62:
+                    elems.append(str(int(e)))
+                else:
+                    elems.append(repr(e))
+            elif isinstance(e, int):
+                elems.append(str(e))
+            else:
+                elems.append(json.dumps(e, separators=(",", ":")))
+        return elems
+
+    def _elems(series):
+        return pd.Series([_one(s) for s in series], dtype="object")
+
+    _elems.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_elems, "array<string>")
+
+
 def _p_unroll(p: A.PUnroll, df: DataFrame, ctx) -> DataFrame:
+    udf = _unroll_elems_udf()
+    cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
     if len(p.fields) == 1:
         f = p.fields[0]
-        # let-bound: the null/empty guard references the parsed array 3x,
-        # which would otherwise run from_json (over the whole upstream
-        # expression) three times per row
         arr = let(
-            F.from_json(fcol(df, f), "array<string>"),
+            udf(fcol(df, f)),
             lambda a: F.when(
                 a.isNull() | (F.size(a) == 0), F.array(F.lit(""))
             ).otherwise(a),
         )
+        if cond is not None:
+            # per-pipe if (...): non-matching rows pass through UNCHANGED
+            # (one row, original value) instead of being unrolled
+            arr = F.when(cond, arr).otherwise(F.array(fcol(df, f)))
         return df.withColumn(f, F.explode(arr))
-    arrays = {f: F.from_json(fcol(df, f), "array<string>") for f in p.fields}
+    arrays = {
+        f: F.coalesce(udf(fcol(df, f)), F.array()) for f in p.fields
+    }
+    if cond is not None:
+        arrays = {
+            f: F.when(cond, arrays[f]).otherwise(F.array(fcol(df, f)))
+            for f in p.fields
+        }
     zipped = F.arrays_zip(*[arrays[f].alias(f) for f in p.fields])
     tmp = "__vl_unroll"
     out = df.withColumn(tmp, F.explode_outer(zipped))
@@ -965,8 +1043,18 @@ def _p_unroll(p: A.PUnroll, df: DataFrame, ctx) -> DataFrame:
 
 def _p_pack_json(p: A.PPackJson, df: DataFrame, ctx) -> DataFrame:
     names = _expand_wildcards(df, p.fields) if p.fields else list(df.columns)
-    struct = F.struct(*[fcol(df, n).alias(n) for n in names])
-    return df.withColumn(p.result, F.to_json(struct))
+    # pack only the fields PRESENT on the row: the reference packs a
+    # block's stored columns (pipe_pack.go:60-78) and empty values are
+    # never stored, so missing/empty fields don't appear in the packed
+    # output (r15 pipe-semantics corpus). map keeps the field order.
+    m = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(n) for n in names]),
+            F.array(*[fcol(df, n) for n in names]),
+        ),
+        lambda _k, v: v != "",
+    )
+    return df.withColumn(p.result, F.to_json(m))
 
 
 def _p_pack_logfmt(p: A.PPackLogfmt, df: DataFrame, ctx) -> DataFrame:
@@ -974,9 +1062,15 @@ def _p_pack_logfmt(p: A.PPackLogfmt, df: DataFrame, ctx) -> DataFrame:
     parts = []
     for n in names:
         v = fcol(df, n)
-        needs_quote = v.rlike(r'[\s"=]') | (v == "")
+        # logfmt quotes on control chars/space, '"' and backslash ONLY —
+        # '=' inside a VALUE is legal unquoted (needLogfmtQuoting /
+        # isLogfmtSpecialChar, rows.go:105-123; r15 pipe-semantics corpus)
+        needs_quote = v.rlike(r'[\x00-\x20"\\]')
         quoted = F.when(needs_quote, _json_quote_manual(v)).otherwise(v)
-        parts.append(F.concat(F.lit(n + "="), quoted))
+        # empty ≡ missing: not packed (see _p_pack_json)
+        parts.append(
+            F.when(v != "", F.concat(F.lit(n + "="), quoted))
+        )
     return df.withColumn(p.result, F.concat_ws(" ", *parts))
 
 
