@@ -1457,6 +1457,26 @@ class Parser:
                 self.advance()
                 return A.MFunc(name.lower(), args)
             self.lex.restore(state)
+        if t.quoted:
+            # quoted operands are CONSTANTS when they parse as a number,
+            # an RFC3339 timestamp (→ unix ns) or an IPv4 address
+            # (parseMathNumber, pipe_math.go:1066-1080); otherwise a
+            # quoted field name
+            v = parse_number(name)
+            if v is None:
+                rng = parse_time_point(name)
+                if rng is not None:
+                    v = float(rng[0])
+            if v is None:
+                m = re.fullmatch(r"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})", name)
+                if m and all(int(x) < 256 for x in m.groups()):
+                    v = float(
+                        (int(m.group(1)) << 24) | (int(m.group(2)) << 16)
+                        | (int(m.group(3)) << 8) | int(m.group(4))
+                    )
+            if v is not None:
+                self.advance()
+                return A.MNum(v)
         v = parse_number(name) if not t.quoted else None
         if v is not None:
             self.advance()
@@ -1619,6 +1639,11 @@ class Parser:
         frm = "_msg"
         if self.tok().is_kw("from"):
             self.advance()
+            frm = self._field_name()
+        elif not self.lex.is_end() and not self.tok().is_kw(
+            "offset", "result_prefix", "keep_original_fields", "|", ")"
+        ):
+            # bare positional from-field (pipe_unpack_syslog.go:130)
             frm = self._field_name()
         off = 0
         if self.tok().is_kw("offset"):

@@ -359,7 +359,7 @@ def _math_col(e: A.MathExpr, df: DataFrame, done: dict[str, Column]) -> Column:
     if isinstance(e, A.MField):
         if e.name in done:
             return done[e.name]
-        return num(df, e.name)
+        return _math_num(df, e.name)
     if isinstance(e, A.MUnary):
         return -_math_col(e.arg, df, done)
     if isinstance(e, A.MBinary):
@@ -388,12 +388,17 @@ def _math_col(e: A.MathExpr, df: DataFrame, done: dict[str, Column]) -> Column:
             return F.when(r == 0.0, F.lit(float("nan"))).otherwise(l % r)
         if op == "^":
             return F.pow(l, r)
-        if op == "&":
-            return (l.cast("long").bitwiseAND(r.cast("long"))).cast("double")
-        if op == "or":
-            return (l.cast("long").bitwiseOR(r.cast("long"))).cast("double")
-        if op == "xor":
-            return (l.cast("long").bitwiseXOR(r.cast("long"))).cast("double")
+        if op in ("&", "or", "xor"):
+            # NaN operands yield NaN (ANSI cast of NaN to long CRASHES;
+            # r15 pipe-semantics corpus)
+            bad = l.isNull() | F.isnan(l) | r.isNull() | F.isnan(r)
+            li, ri = l.cast("long"), r.cast("long")
+            res = {
+                "&": li.bitwiseAND(ri),
+                "or": li.bitwiseOR(ri),
+                "xor": li.bitwiseXOR(ri),
+            }[op].cast("double")
+            return F.when(bad, F.lit(float("nan"))).otherwise(res)
         if op == "default":
             return F.when(l.isNull() | F.isnan(l), r).otherwise(l)
         raise NotImplementedError(f"math op {op}")
@@ -417,7 +422,28 @@ def _math_col(e: A.MathExpr, df: DataFrame, done: dict[str, Column]) -> Column:
         if n == "round":
             if len(args) == 1:
                 return F.round(args[0], 0)
-            # round to nearest multiple
+            # round to the nearest multiple. For a LITERAL step, mirror
+            # the reference's decimal-exponent truncation exactly
+            # (pipe_math.go round(): f += 0.5*copysign(step,f);
+            # f -= mod(f, step); truncate at step's decimal exponent) —
+            # the naive round(a/step)*step reintroduces float dust
+            # (7.390000000000001 for round(exp(2), 0.01); r15 corpus)
+            step_lit = e.args[1] if len(e.args) > 1 else None
+            if isinstance(step_lit, A.MNum) and step_lit.value != 0:
+                from decimal import Decimal
+
+                d = Decimal(repr(step_lit.value)).normalize()
+                p10 = float(10 ** max(0, -d.as_tuple().exponent))
+                x, step = args[0], float(step_lit.value)
+                f2 = x + 0.5 * F.signum(x) * abs(step)
+                f3 = f2 - (f2 % F.lit(step))
+                res = (
+                    _try_cast((f3 * p10).cast("string"), "decimal(38,0)")
+                    .cast("double") / p10
+                )
+                return F.when(
+                    x.isNull() | F.isnan(x), F.lit(float("nan"))
+                ).otherwise(res)
             return F.round(args[0] / args[1], 0) * args[1]
         if n == "now":
             return (F.unix_micros(F.current_timestamp()) * 1000).cast("double")
@@ -428,15 +454,69 @@ def _math_col(e: A.MathExpr, df: DataFrame, done: dict[str, Column]) -> Column:
 
 
 def _math_result(c: Column) -> Column:
-    """Math results print Go-style: unparseable/undefined = the string
-    "NaN" (the reference outputs strconv-formatted float64s — a missing
-    operand yields "NaN", not an empty field; pipe_math_test.go), ±Inf
-    = "+Inf"/"-Inf"."""
+    """Math results print Go-style (strconv.AppendFloat 'f', -1):
+    unparseable/undefined = "NaN" (a missing operand yields "NaN", not
+    an empty field), ±Inf = "+Inf"/"-Inf", and integral doubles print
+    full digits with NO e-notation at any magnitude (a unix-ns constant
+    prints 1717030933000000000, not 1.717030933e+18 —
+    values_encoder.go:1404; r15 pipe-semantics corpus)."""
     return (
         F.when(c.isNull() | F.isnan(c), F.lit("NaN"))
         .when(c == float("inf"), F.lit("+Inf"))
         .when(c == float("-inf"), F.lit("-Inf"))
+        .when(
+            (c % 1.0 == 0.0) & (F.abs(c) < 1e38),
+            c.cast("decimal(38,0)").cast("string"),
+        )
         .otherwise(format_number(c))
+    )
+
+
+_DUR_UNIT_NS = {
+    "w": 7 * 86400 * 10**9, "d": 86400 * 10**9, "h": 3600 * 10**9,
+    "m": 60 * 10**9, "s": 10**9, "ms": 10**6, "us": 10**3, "µs": 10**3,
+    "ns": 1,
+}
+_DUR_RE = (
+    r"(?:\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w))"
+)
+
+
+def _math_num(df: DataFrame, name: str) -> Column:
+    """Field value → float64 like the reference's parseMathNumber
+    (pipe_math.go:1066-1080): plain number, hex (0x...), compound
+    duration ("10m5s" → ns), RFC3339 timestamp (→ unix ns), IPv4
+    (→ uint32) — NULL (= NaN) otherwise. All Column expressions, no
+    UDF (r15 pipe-semantics corpus)."""
+    v = fcol(df, name)
+    base = _try_cast(v, "double")
+    hex_ok = v.rlike(r"^0[xX][0-9a-fA-F]{1,16}$")
+    hex_val = _try_cast(
+        F.conv(F.regexp_replace(v, r"^0[xX]", ""), 16, 10), "double"
+    )
+    dur_ok = v.rlike(r"^-?" + _DUR_RE + r"+$")
+    parts = F.regexp_extract_all(v, F.lit(_DUR_RE), 0)
+    def _part_ns(part):
+        n = _try_cast(F.regexp_extract(part, r"^(\d+(?:\.\d+)?)", 1), "double")
+        unit = F.regexp_extract(part, r"([a-zµ]+)$", 1)
+        mult = F.lit(None).cast("double")
+        for u, ns in _DUR_UNIT_NS.items():
+            mult = F.when(unit == u, F.lit(float(ns))).otherwise(mult)
+        return n * mult
+    dur_val = F.aggregate(
+        parts, F.lit(0.0), lambda acc, part: acc + _part_ns(part)
+    ) * F.when(v.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    ts_val = (F.unix_micros(F.try_to_timestamp(v)) * F.lit(1000.0))
+    ip_ok = v.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    from victorialogs_spark.functions.natural import ipv4_num
+
+    ip_val = ipv4_num(v).cast("double")
+    return (
+        F.when(base.isNotNull(), base)
+        .when(hex_ok, hex_val)
+        .when(dur_ok, dur_val)
+        .when(ip_ok, ip_val)
+        .otherwise(ts_val)
     )
 
 
@@ -478,16 +558,110 @@ def _pattern_to_regex(pattern: str) -> tuple[str, list[str]]:
     return "".join(regex), names
 
 
+def _parse_pattern_steps(pattern: str) -> list[tuple[str, str, str]]:
+    """extract pattern → [(literal_prefix, field_name, field_opt)].
+    Literal prefixes HTML-unescape; a placeholder ``<opt:name>`` carries
+    an option (only "plain" is defined — it disables quoted-value
+    capture), both sides space-trimmed (pattern.go parsePatternSteps +
+    the options extraction)."""
+    import html as _html
+
+    parts = _PLACEHOLDER_RE.split(pattern)
+    steps: list[tuple[str, str, str]] = []
+    for i in range(1, len(parts), 2):
+        inner = parts[i]
+        opt, name = "", inner.strip()
+        if ":" in inner:
+            o, n = inner.split(":", 1)
+            opt, name = o.strip(), n.strip()
+        steps.append((_html.unescape(parts[i - 1]), name, opt))
+    tail = _html.unescape(parts[-1]) if len(parts) % 2 == 1 else ""
+    steps.append((tail, "", ""))
+    return steps
+
+
+def _extract_scan_udf(steps: list[tuple[str, str, str]], n_fields: int):
+    """The reference's pattern.apply as an Arrow-batched scanner
+    (pattern.go:100-143): find each literal prefix by index-of; at each
+    placeholder, a value starting with '"' or backtick captures as a
+    GO-QUOTED string (unquoted, the next literal must follow the closing
+    quote) unless the placeholder is ``plain:``-marked; otherwise capture
+    runs to the next literal. A regex cannot express the conditional
+    quote skip — `baz=<abc>` on `baz="x y=z" a=b` must capture `x y=z`
+    and keep matching AFTER the closing quote (r15 pipe-semantics
+    corpus)."""
+    import pandas as pd
+
+    from victorialogs_spark.logsql.lexer import _unquote
+
+    def _apply(text: str):
+        out = [None] * n_fields
+        if text is None:
+            return out
+        s = text
+        first_prefix = steps[0][0]
+        if first_prefix:
+            n = s.find(first_prefix)
+            if n < 0:
+                return out
+            s = s[n + len(first_prefix):]
+        for i in range(len(steps) - 1):
+            _, name, opt = steps[i]
+            next_prefix = steps[i + 1][0]
+            captured = None
+            if opt != "plain" and s[:1] in ('"', "`"):
+                try:
+                    captured, end = _unquote(s, 0, s[0])
+                except ValueError:
+                    captured = None
+            if captured is not None:
+                out[i] = captured
+                s = s[end:]
+                if not s.startswith(next_prefix):
+                    # mismatch KEEPS earlier captures — apply() clears
+                    # matches only at entry (pattern.go:101,118-121)
+                    return out
+                s = s[len(next_prefix):]
+            else:
+                if next_prefix == "":
+                    out[i] = s
+                    return out
+                n = s.find(next_prefix)
+                if n < 0:
+                    return out
+                out[i] = s[:n]
+                s = s[n + len(next_prefix):]
+        return out
+
+    schema = ", ".join(f"f{i} string" for i in range(n_fields))
+
+    def _batch(series):
+        return pd.DataFrame(
+            [_apply(t) for t in series],
+            columns=[f"f{i}" for i in range(n_fields)],
+        )
+
+    _batch.__annotations__ = {"series": pd.Series, "return": pd.DataFrame}
+    # nondeterministic mark (it IS deterministic): per-field extraction
+    # below must not let CollapseProject clone the scanner per field
+    return F.pandas_udf(_batch, schema).asNondeterministic()
+
+
 def _p_extract(p: A.PExtract, df: DataFrame, ctx) -> DataFrame:
-    regex, names = _pattern_to_regex(p.pattern)
+    steps = _parse_pattern_steps(p.pattern)
+    n_fields = len(steps) - 1
     src = fcol(df, p.from_field)
     cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
-    for idx, name in enumerate(names, start=1):
+    udf = _extract_scan_udf(steps, n_fields)
+    tmp = "__vl_extract"
+    df = df.withColumn(tmp, udf(src))
+    for i in range(n_fields):
+        name = steps[i][1]
         if not name or name == "_":
             continue
-        val = F.regexp_extract(src, regex, idx)
+        val = F.coalesce(qcol(tmp)[f"f{i}"], F.lit(""))
         df = _assign_extracted(df, name, val, p.keep_original_fields, p.skip_empty_results, cond)
-    return df
+    return df.drop(tmp)
 
 
 def _convert_named_groups(pattern: str) -> str:
@@ -921,30 +1095,73 @@ _SYSLOG_3164 = (
 )
 
 
+# syslog_parser.go severity/facility keyword tables (RFC 5427 names)
+_SYSLOG_LEVELS = [
+    "emerg", "alert", "critical", "error", "warning", "notice", "info",
+    "debug",
+]
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+
+
+def _keyword_map(names: list[str], n: Column) -> Column:
+    out = F.lit("unknown")
+    for i, kw in enumerate(names):
+        out = F.when(n == i, F.lit(kw)).otherwise(out)
+    return out
+
+
 def _p_unpack_syslog(p: A.PUnpackSyslog, df: DataFrame, ctx) -> DataFrame:
     src = fcol(df, p.from_field)
     pre = p.result_prefix
+    cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
     is5424 = src.rlike(r"^<\d+>\d+\s")
+    is3164 = src.rlike(_SYSLOG_3164)
+
     def g5424(i):
         return F.regexp_extract(src, _SYSLOG_5424, i)
+
     def g3164(i):
         return F.regexp_extract(src, _SYSLOG_3164, i)
-    prio = F.when(is5424, g5424(1)).otherwise(g3164(1))
+
+    prio = F.when(is5424, g5424(1)).when(is3164, g3164(1)).otherwise(F.lit(""))
     prio_n = _try_cast(prio, "int")
+    fac_n = (prio_n / 8).cast("int")
+    sev_n = prio_n % 8
     fields = {
         "priority": prio,
-        "facility": F.when(prio_n.isNotNull(), (prio_n / 8).cast("int").cast("string")).otherwise(F.lit("")),
-        "severity": F.when(prio_n.isNotNull(), (prio_n % 8).cast("string")).otherwise(F.lit("")),
+        "facility": F.when(prio_n.isNotNull(), fac_n.cast("string")).otherwise(F.lit("")),
+        "facility_keyword": F.when(
+            prio_n.isNotNull(), _keyword_map(_SYSLOG_FACILITIES, fac_n)
+        ).otherwise(F.lit("")),
+        "severity": F.when(prio_n.isNotNull(), sev_n.cast("string")).otherwise(F.lit("")),
+        "level": F.when(
+            prio_n.isNotNull(), _keyword_map(_SYSLOG_LEVELS, sev_n)
+        ).otherwise(F.lit("")),
         "format": F.when(is5424, F.lit("rfc5424")).otherwise(F.lit("rfc3164")),
-        "timestamp": F.when(is5424, g5424(3)).otherwise(g3164(2)),
-        "hostname": F.when(is5424, g5424(4)).otherwise(g3164(3)),
-        "app_name": F.when(is5424, g5424(5)).otherwise(g3164(4)),
-        "proc_id": F.when(is5424, g5424(6)).otherwise(g3164(5)),
+        "timestamp": F.when(is5424, g5424(3)).when(is3164, g3164(2)).otherwise(F.lit("")),
+        "hostname": F.when(is5424, g5424(4)).when(is3164, g3164(3)).otherwise(F.lit("")),
+        "app_name": F.when(is5424, g5424(5)).when(is3164, g3164(4)).otherwise(F.lit("")),
+        "proc_id": F.when(is5424, g5424(6)).when(is3164, g3164(5)).otherwise(F.lit("")),
         "msg_id": F.when(is5424, g5424(7)).otherwise(F.lit("")),
-        "message": F.when(is5424, g5424(9)).otherwise(g3164(6)),
+        # plain non-syslog text falls back to rfc3164 with the WHOLE
+        # value as the message (parseNoHeader); a missing/empty source
+        # unpacks to nothing (pipe_unpack_syslog_test.go; r15 corpus)
+        "message": F.when(is5424, g5424(9)).when(is3164, g3164(6)).otherwise(src),
     }
+    gate = src != "" if cond is None else ((src != "") & cond)
     for k, v in fields.items():
-        df = df.withColumn(pre + k, F.coalesce(v, F.lit("")))
+        out_name = pre + k
+        v = F.when(gate, F.coalesce(v, F.lit(""))).otherwise(F.lit(""))
+        if p.keep_original_fields and out_name in df.columns:
+            # existing non-empty fields win (pipe unpack contract)
+            cur = fcol(df, out_name)
+            v = F.when(cur != "", cur).otherwise(v)
+        df = df.withColumn(out_name, v)
     return df
 
 
