@@ -84,7 +84,8 @@ def test_cli_explain(table):
                        "--table", table])
     assert rc == 0
     out = buf.getvalue()
-    assert out.startswith("-- canonical: error | stats by (app) count() as hits")
+    # empty arg list canonicalizes to '*' (stats_count.go String())
+    assert out.startswith("-- canonical: error | stats by (app) count(*) as hits")
     assert "HashAggregate" in out and "Scan parquet" in out
 
 

@@ -216,8 +216,10 @@ def test_quantile_median(spark):
     df = make_logs(spark, [{"v": str(i)} for i in range(1, 101)])
     out = run_query(spark, df, "* | stats median(v) as m, quantile(0.9, v) as q")
     r = out.collect()[0]
-    assert 49 <= r["m"] <= 51
-    assert 89 <= r["q"] <= 91
+    # exact reference semantics (stats_quantile.go histogram.quantile):
+    # natural-order sort of [1..100], element int(phi*100), as a STRING
+    assert r["m"] == "51"
+    assert r["q"] == "91"
 
 
 def test_math_pipe(spark, logs):

@@ -255,7 +255,8 @@ def test_pipe_stats():
     q = parse_query("* | stats by (host) count() as hits")
     p = q.pipes[0]
     assert p.by == [A.ByField("host")]
-    assert p.funcs == [A.StatsFunc("count", [], "hits", {}, None)]
+    # empty arg list ≡ '*' (stats_avg.go:142-144 parseStatsFuncFieldFilters)
+    assert p.funcs == [A.StatsFunc("count", ["*"], "hits", {}, None)]
 
     q = parse_query("* | stats count() hits, sum(x) s, avg(y) as a")
     assert [f.result for f in q.pipes[0].funcs] == ["hits", "s", "a"]
@@ -476,19 +477,21 @@ def test_first_by_asc_keyword():
     assert [(f.name, f.desc) for f in p.fields] == [("foo", False), ("bar", True)]
 
 
-def test_zero_arg_stats_functions_rejected():
-    """sum()/avg()/min() etc. must fail with a clear error, not a crash."""
+def test_zero_arg_stats_functions():
+    """sum()/min() parse as sum(*)/min(*) (stats_avg.go:142-144); row_min/
+    row_max still need a non-wildcard source field (stats_row_max.go:
+    parseStatsRowMax)."""
     import pytest
 
     from victorialogs_spark.logsql.parser import parse_query
-    from victorialogs_spark.planner.stats import compile_stats_func
 
-    for q in ["* | stats sum() as s", "* | stats min() as m",
-              "* | stats row_min() as r"]:
-        ast = parse_query(q)
-        sf = ast.pipes[0].funcs[0]
-        with pytest.raises((ValueError, Exception), match="field|at least"):
-            compile_stats_func(sf, _dummy_df(), [], None, None)
+    for q in ["* | stats sum() as s", "* | stats min() as m"]:
+        sf = parse_query(q).pipes[0].funcs[0]
+        assert sf.fields == ["*"]
+
+    for q in ["* | stats row_min() as r", "* | stats row_max(a*) as r"]:
+        with pytest.raises(Exception, match="source field"):
+            parse_query(q)
 
 
 def _dummy_df():

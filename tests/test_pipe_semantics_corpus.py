@@ -158,7 +158,10 @@ def _extract_cases():
     """[(file, pipeStr, rows, expected)], plus the unparseable count."""
     cases = []
     unparseable = 0
-    for path in sorted(glob.glob(f"{REF_DIR}/pipe_*_test.go")):
+    paths = glob.glob(f"{REF_DIR}/pipe_*_test.go") + glob.glob(
+        f"{REF_DIR}/stats_*_test.go"
+    )
+    for path in sorted(paths):
         name = Path(path).name
         if name in SKIP_FILES:
             continue

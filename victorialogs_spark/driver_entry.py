@@ -223,8 +223,13 @@ logsql(
 )
 logsql(
     "f_seq",
+    # seq phrases match at TOKEN BOUNDARIES like the phrase filter
+    # (matchSequence → getPhrasePos, filter_sequence.go; r15 filter
+    # corpus). RE2 has no lookbehind: '(.*[^token])?' encodes "either
+    # directly after the ':' or after any non-token char".
     'seq(":", "7") | fields event_id',
-    f"SELECT {EID} FROM events WHERE regexp_matches(props, ':.*7')",
+    f"SELECT {EID} FROM events WHERE"
+    " regexp_matches(props, ':(.*[^0-9A-Za-z_])?7([^0-9A-Za-z_]|$)')",
 )
 logsql(
     "f_regexp",
@@ -675,9 +680,16 @@ logsql(
 )
 logsql(
     "s_median_quantile",
+    # exact reference quantile (stats_quantile.go histogram.quantile):
+    # natural-order sort, element int(phi*n) clamped, returned as the
+    # ORIGINAL STRING — replicated in SQL with a row_number window
     "* | stats median(user_id) as m, quantile(0.9, user_id) as q",
-    "SELECT quantile_disc(CAST(user_id AS DOUBLE), 0.5) AS m,"
-    " quantile_disc(CAST(user_id AS DOUBLE), 0.9) AS q FROM events",
+    "WITH o AS (SELECT CAST(user_id AS VARCHAR) AS s,"
+    " ROW_NUMBER() OVER (ORDER BY user_id, CAST(user_id AS VARCHAR)) AS rn"
+    " FROM events), n AS (SELECT COUNT(*) AS n FROM o)"
+    " SELECT"
+    " (SELECT s FROM o, n WHERE rn = LEAST(CAST(FLOOR(0.5 * n) AS BIGINT), n - 1) + 1) AS m,"
+    " (SELECT s FROM o, n WHERE rn = LEAST(CAST(FLOOR(0.9 * n) AS BIGINT), n - 1) + 1) AS q",
 )
 logsql(
     "s_uniq_values",
@@ -702,7 +714,9 @@ logsql(
     # wildcard stats args matching no columns ≡ aggregating an absent
     # field (docs example `stats avg(foo*)`; crashed the compiler before)
     "* | stats avg(zz*) as a, sum(zz*) as s, count() as c",
-    "SELECT CAST(NULL AS DOUBLE) AS a, CAST(NULL AS DOUBLE) AS s,"
+    # sum/avg over zero numeric values is NaN, not missing (stats_sum.go
+    # starts the accumulator at NaN; r15 stats-semantics corpus)
+    "SELECT CAST('NaN' AS DOUBLE) AS a, CAST('NaN' AS DOUBLE) AS s,"
     " COUNT(*) AS c FROM events",
 )
 logsql(

@@ -301,6 +301,11 @@ def row_to_wire_dict(row) -> dict:
             d[k] = ""
         elif isinstance(v, _dt.datetime):
             d[k] = _wire_timestamp(v)
+        elif isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            # Go strconv renders non-finite floats NaN/+Inf/-Inf; Python str()
+            # gives nan/inf (r15 stats-semantics corpus: sum over zero
+            # numeric values is NaN on the wire)
+            d[k] = "NaN" if v != v else ("+Inf" if v > 0 else "-Inf")
         elif not isinstance(v, str):
             d[k] = str(v)
     return d

@@ -39,9 +39,25 @@ def prefix_regex(prefix: str) -> str:
     return pre + body
 
 
+def _phrase_lookaround(phrase: str) -> str:
+    """Phrase-at-token-boundary regex with NON-CONSUMING boundaries, for
+    chaining: a consuming boundary group would need the single separator
+    char between adjacent phrases twice."""
+    body = java_quote(phrase)
+    pre = f"(?<!{TOKEN_RE})" if _is_token_char(phrase[0]) else ""
+    post = f"(?!{TOKEN_RE})" if _is_token_char(phrase[-1]) else ""
+    return pre + body + post
+
+
 def seq_regex(values: list[str]) -> str:
-    """Regex for seq(a, b, ...): substrings in order (filter_sequence.go)."""
-    return ".*".join(java_quote(v) for v in values)
+    """Regex for seq(a, b, ...): PHRASE matches in order — each phrase
+    needs token boundaries like the phrase filter (matchSequence →
+    getPhrasePos, filter_sequence.go:260-269; r15 filter corpus finding:
+    plain substrings matched '1234' inside '12345'). The reference
+    commits to the FIRST boundary-valid occurrence of each phrase;
+    earliest-choice always extends to a full match when any placement
+    exists, so backtracking regex semantics coincide."""
+    return ".*".join(_phrase_lookaround(v) for v in values)
 
 
 ANSI_COLOR_RE = r"\x1B\[[0-9;]*[A-Za-z]"

@@ -628,23 +628,23 @@ class Parser:
         return A.FValueType(field, vt)
 
     def _parse_f_eq_field(self, field: str) -> A.Filter:
+        # _field_name, not a single token: bare dashed/dotted names like
+        # non-existing-column are one compound field name (r15 filter
+        # corpus finding — the single-token form rejected them)
         self.expect("(")
-        other = self.tok().text
-        self.advance()
+        other = self._field_name()
         self.expect(")")
         return A.FEqField(field, other)
 
     def _parse_f_le_field(self, field: str) -> A.Filter:
         self.expect("(")
-        other = self.tok().text
-        self.advance()
+        other = self._field_name()
         self.expect(")")
         return A.FCmpField(field, other, allow_eq=True)
 
     def _parse_f_lt_field(self, field: str) -> A.Filter:
         self.expect("(")
-        other = self.tok().text
-        self.advance()
+        other = self._field_name()
         self.expect(")")
         return A.FCmpField(field, other, allow_eq=False)
 
@@ -1372,6 +1372,17 @@ class Parser:
             len(fields) != 1 or "*" in fields[0]
         ):
             raise self.err("histogram() expects exactly one field")
+        if name in ("row_min", "row_max"):
+            if not fields:
+                raise self.err(f"missing source field for '{name}' func")
+            if "*" in fields[0]:
+                raise self.err(
+                    f"the source field {fields[0]!r} in '{name}' cannot be a wildcard"
+                )
+        elif not fields and name != "histogram":
+            # empty arg list ≡ '*' for every stats func
+            # (stats_avg.go:142-144 parseStatsFuncFieldFilters)
+            fields = ["*"]
         default_name = _default_stats_name(name, fields, extra)
         if if_text:
             # auto-generated result names include the if-clause so two

@@ -56,7 +56,14 @@ def _q(s: str) -> str:
 def _qf(name: str) -> str:
     """Quote a field name. Names colliding with pipe/stats keywords MUST
     be quoted too: a bare 'stats:foo' is rejected at filter start and a
-    bare field named 'not' reparses as negation."""
+    bare field named 'not' reparses as negation. Wildcards ('*',
+    'prefix*') must stay UNQUOTED — a JSON-quoted star reparses as a
+    literal field name and silently changes semantics (r15 finding via
+    the count(*) canonical form)."""
+    if name == "*":
+        return name
+    if name.endswith("*"):
+        return _qf(name[:-1]) + "*"
     if _WORD_RE.match(name) and name.lower() not in _reserved():
         return name
     return json.dumps(name, ensure_ascii=False)

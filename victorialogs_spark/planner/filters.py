@@ -26,8 +26,11 @@ def _java_pattern(pattern: str) -> str:
     """User regex → what rlike executes. Named groups are meaningless to
     a boolean match, so they are anonymized to plain groups (numbering
     preserved) — Java's group-name grammar rejects reference-legal
-    names like ``_msg`` (r15 pipe-semantics corpus finding)."""
-    return anonymize_named_groups(to_java_regex(pattern))
+    names like ``_msg`` (r15 pipe-semantics corpus finding). (?u) makes
+    Java's (?i) fold Unicode like Go's RE2 does — without UNICODE_CASE,
+    Java folds ASCII only and (?i)йцу misses ЙЦУ (r15 filter corpus
+    finding); it changes nothing else."""
+    return "(?u)" + anonymize_named_groups(to_java_regex(pattern))
 
 
 def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
@@ -92,15 +95,28 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
         if not values:
             # contains_all() with no args matches all; contains_any() none
             return F.lit(True) if f.require_all else F.lit(False)
+        # '' operand matches everything: contains_any short-circuits to
+        # all-match (filter_contains_any.go:34-37), contains_all skips it
+        # (matchAllPhrases, filter_contains_all.go:311-314) — r15 filter
+        # corpus finding
+        if "" in values:
+            if not f.require_all:
+                return F.lit(True)
+            values = [v for v in values if v != ""]
+            if not values:
+                return F.lit(True)
         parts = [_phrase(df, f.field, v, False) for v in values]
         out = parts[0]
         for p in parts[1:]:
             out = (out & p) if f.require_all else (out | p)
         return out
     if isinstance(f, A.FSeq):
-        if not f.values:
+        # empty phrases drop (filter_sequence.go initNonEmptyPhrases);
+        # all-empty ≡ no phrases ≡ match everything
+        values = [v for v in f.values if v != ""]
+        if not values:
             return F.lit(True)
-        return fcol(df, f.field).rlike(seq_regex(f.values))
+        return fcol(df, f.field).rlike(seq_regex(values))
     if isinstance(f, A.FRegexp):
         # trivial regexes fold like the reference's Query.optimize:
         # ~"" / ~".*" match everything; ~".+" is the non-empty check
@@ -112,17 +128,29 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
     if isinstance(f, A.FRange):
         if dict(df.dtypes).get(f.field) in _INTEGRAL_TYPES:
             return _int_range(df, f)
+
+        def bounds(n: Column) -> Column:
+            lo = (n >= f.lo) if f.include_lo else (n > f.lo)
+            hi = (n <= f.hi) if f.include_hi else (n < f.hi)
+            if f.lo == float("-inf") and not f.include_lo:
+                lo = F.lit(True)
+            if f.hi == float("inf") and f.include_hi:
+                hi = F.lit(True)
+            return lo & hi
+
         n = num(df, f.field)
-        lo = (n >= f.lo) if f.include_lo else (n > f.lo)
-        hi = (n <= f.hi) if f.include_hi else (n < f.hi)
-        if f.lo == float("-inf") and not f.include_lo:
-            lo = F.lit(True)
-        if f.hi == float("inf") and f.include_hi:
-            hi = F.lit(True)
+        ip = ipv4_num(fcol(df, f.field))
         # NaN never matches a range (Go: any NaN comparison is false;
         # Spark orders NaN above all doubles, which would make open-ended
-        # '>x' ranges match "NaN" values)
-        return n.isNotNull() & ~F.isnan(n) & lo & hi
+        # '>x' ranges match "NaN" values). IPv4 values compare by their
+        # packed uint32 — the reference stores all-IPv4 blocks as
+        # valueTypeIPv4 and ranges over the encoding (filter_range.go:151;
+        # r15 filter corpus); per-row matches it on homogeneous columns.
+        return (
+            F.when(n.isNotNull() & ~F.isnan(n), bounds(n))
+            .when(ip.isNotNull(), bounds(ip.cast("double")))
+            .otherwise(F.lit(False))
+        )
     if isinstance(f, A.FIPv4Range):
         n = ipv4_num(fcol(df, f.field))
         return n.isNotNull() & (n >= f.lo) & (n <= f.hi)
@@ -140,12 +168,27 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
     if isinstance(f, A.FEqField):
         return fcol(df, f.field) == fcol(df, f.other)
     if isinstance(f, A.FCmpField):
+        # number-pair → numeric; IPv4-pair → packed-uint32 (the reference
+        # stores all-IPv4 blocks as valueTypeIPv4 and le_field compares the
+        # encodings, filter_le_field.go applyFilterLeUint — r15 filter
+        # corpus; our per-row rule matches it on homogeneous columns);
+        # else bytewise string compare (leValuesString)
         a_s, b_s = fcol(df, f.field), fcol(df, f.other)
         a_n, b_n = num(df, f.field), num(df, f.other)
+        a_ip, b_ip = ipv4_num(a_s), ipv4_num(b_s)
         both_num = a_n.isNotNull() & b_n.isNotNull()
+        both_ip = a_ip.isNotNull() & b_ip.isNotNull()
         if f.allow_eq:
-            return F.when(both_num, a_n <= b_n).otherwise(a_s <= b_s)
-        return F.when(both_num, a_n < b_n).otherwise(a_s < b_s)
+            return (
+                F.when(both_num, a_n <= b_n)
+                .when(both_ip, a_ip <= b_ip)
+                .otherwise(a_s <= b_s)
+            )
+        return (
+            F.when(both_num, a_n < b_n)
+            .when(both_ip, a_ip < b_ip)
+            .otherwise(a_s < b_s)
+        )
     if isinstance(f, A.FTime):
         return _time_range(df, f.lo_ns, f.hi_ns)
     if isinstance(f, A.FDayRange):

@@ -22,21 +22,88 @@ from victorialogs_spark.functions.natural import fcol, num
 from victorialogs_spark.logsql import ast as A
 
 
-def _all_fields(df: DataFrame, exclude: list[str]) -> list[str]:
-    return [c for c in df.columns if c not in exclude]
-
-
-def _expand(df: DataFrame, fields: list[str], by: list[str]) -> list[str]:
-    """Expand '*' and 'prefix*' field args."""
-    out: list[str] = []
+def _expand_flagged(df: DataFrame, fields: list[str]) -> list[tuple[str, bool]]:
+    """Expand '*' and 'prefix*' field args to (name, from_wildcard) pairs.
+    '*' covers EVERY column, including the group-by fields: the
+    reference's getMatchingColumns iterates all block columns with no
+    by-field carve-out (stats_avg.go:133-146 defaults empty args to
+    ["*"]; the stats_sum/avg/uniq_values pipe tests pin by-field
+    inclusion). The flag matters for value-pooling funcs (min/max/
+    median/quantile): a NAMED absent field materializes an empty column
+    whose '' cells are real values (block_result.go:1986-2003), while a
+    wildcard only matches columns existing in the row's block — with our
+    every-column-carries-'' frames, ''-cells under a wildcard mean "the
+    row doesn't have this field" and must be skipped (r15
+    stats-semantics corpus finding: min(b) is '' but min(*) is not)."""
+    out: list[tuple[str, bool]] = []
     for f in fields:
         if f == "*":
-            out.extend(_all_fields(df, by))
+            out.extend((c, True) for c in df.columns)
         elif f.endswith("*"):
-            out.extend(c for c in df.columns if c.startswith(f[:-1]))
+            out.extend((c, True) for c in df.columns if c.startswith(f[:-1]))
         else:
-            out.append(f)
+            out.append((f, False))
     return out
+
+
+def _expand(df: DataFrame, fields: list[str]) -> list[str]:
+    return [n for n, _ in _expand_flagged(df, fields)]
+
+
+def _row_fields(df: DataFrame, filters: list[str]) -> list[str]:
+    """Output-field list for row_any/row_min/row_max: the reference
+    captures matching columns in BLOCK order (the row's own field
+    order), each once — so order by df.columns for existing fields,
+    dedup, and keep named-but-absent fields (they render '' and drop
+    at the JSON step anyway)."""
+    expanded = _expand(df, filters)
+    ordered: list[str] = []
+    seen: set[str] = set()
+    for c in df.columns:
+        if c in expanded and c not in seen:
+            ordered.append(c)
+            seen.add(c)
+    for c in expanded:
+        if c not in seen:
+            ordered.append(c)
+            seen.add(c)
+    return ordered
+
+
+def _row_json(df: DataFrame, filters: list[str]) -> Column:
+    """JSON of the row's matching fields with ''-valued fields DROPPED —
+    MarshalFieldsToJSON over the captured fields never sees a column the
+    row didn't set (stats_row_max.go:233-235); with our every-column-
+    carries-'' frame model, dropping empties is the faithful render."""
+    names = _row_fields(df, filters)
+    if not names:
+        return F.lit("{}")
+    m = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(n) for n in names]),
+            F.array(*[fcol(df, n) for n in names]),
+        ),
+        lambda _, v: v != "",
+    )
+    return F.to_json(m)
+
+
+def _natural_struct(df: DataFrame, f: str) -> Column:
+    """Orderable (kind, number, text) struct implementing natural order
+    with '' as the SMALLEST value — lessString byte-compares '' below
+    everything, and the stats_min pipe tests pin that a missing field
+    (≡ '') wins min (r15 stats-semantics corpus finding)."""
+    s = fcol(df, f)
+    n = num(df, f)
+    nn = F.when(s == "", None).otherwise(n)
+    return F.struct(
+        F.when(s == "", F.lit(-1))
+        .when(nn.isNotNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("k0"),
+        F.coalesce(nn, F.lit(0.0)).alias("k1"),
+        s.alias("k2"),
+    )
 
 
 def _nonempty(df: DataFrame, f: str) -> Column:
@@ -86,7 +153,7 @@ def compile_stats_func(
         # (r15 pipe-semantics corpus finding)
         sf = A.StatsFunc(name, [], sf.result, cond=getattr(sf, "cond", None),
                          extra=dict(getattr(sf, "extra", {}) or {}))
-    fields = _expand(df, sf.fields, by_names)
+    fields = _expand(df, sf.fields)
     if sf.fields and not fields:
         # a wildcard arg that matched no columns behaves exactly like
         # naming an absent field (missing ≡ empty); without this, the
@@ -113,7 +180,7 @@ def compile_stats_func(
 
     if name == "count_empty":
         if not fields:
-            fields = _all_fields(df, by_names)
+            fields = list(df.columns)
         all_empty = F.lit(True)
         for f in fields:
             all_empty = all_empty & (fcol(df, f) == "")
@@ -145,7 +212,12 @@ def compile_stats_func(
             s, c = F.coalesce(F.sum(v), zero), F.count(v)
             total = s if total is None else total + s
             nvals = c if nvals is None else nvals + c
-        out = F.when(nvals > 0, total.cast("double"))
+        # zero parseable values → NaN, not missing: statsSumProcessor
+        # starts at NaN and only flips on the first parsed number
+        # (stats_sum.go; r15 stats-semantics corpus finding)
+        out = F.when(nvals > 0, total.cast("double")).otherwise(
+            F.lit(float("nan"))
+        )
         if name == "rate_sum":
             secs = range_seconds if range_seconds and range_seconds > 0 else 1.0
             out = out / F.lit(secs)
@@ -156,7 +228,10 @@ def compile_stats_func(
         for f in fields:
             v = F.octet_length(fcol(df, f))
             v = guard(v)
-            s = F.sum(v)
+            # per-field coalesce: an all-filtered group sums to 0, not
+            # missing (the if(...) pipe test pins x=0 for the empty
+            # group — r15 stats-semantics corpus finding)
+            s = F.coalesce(F.sum(v), F.lit(0))
             total = s if total is None else total + s
         return total.cast("long").alias(sf.result)
 
@@ -171,36 +246,56 @@ def compile_stats_func(
             s, c = F.coalesce(F.sum(v), zero), F.count(v)
             tsum = s if tsum is None else tsum + s
             tcnt = c if tcnt is None else tcnt + c
-        return F.when(tcnt > 0, tsum.cast("double") / tcnt).alias(sf.result)
+        return (
+            F.when(tcnt > 0, tsum.cast("double") / tcnt)
+            .otherwise(F.lit(float("nan")))  # zero values → NaN (stats_avg.go)
+            .alias(sf.result)
+        )
 
     if name in ("min", "max"):
-        # natural order via (numeric-first, value) struct trick: pack the
-        # orderable key and the original string, take min/max of the struct
+        # natural order via (kind, number, value) struct trick: pack the
+        # orderable key and the original string, take min/max of the
+        # struct. '' participates as the smallest value (k0=-1): min over
+        # a field any row leaves empty is '' (stats_min.go updateStateString
+        # has no empty skip — r15 stats-semantics corpus finding).
+        pairs = _expand_flagged(df, sf.fields) or [("__vl_absent__", False)]
         keys = []
-        for f in fields:
-            n = num(df, f)
-            s = fcol(df, f)
-            nn = F.when(s == "", None).otherwise(n)
-            key = F.struct(
-                F.when(s == "", F.lit(2))
-                .when(nn.isNotNull(), F.lit(0))
-                .otherwise(F.lit(1))
-                .alias("k0"),
-                F.coalesce(nn, F.lit(0.0)).alias("k1"),
-                s.alias("k2"),
-            )
-            keys.append(guard(F.when(s != "", key)))
+        for f, from_wild in pairs:
+            key = _natural_struct(df, f)
+            if from_wild:
+                key = F.when(fcol(df, f) != "", key)
+            keys.append(guard(key))
         merged = keys[0] if len(keys) == 1 else F.least(*keys) if name == "min" else F.greatest(*keys)
         agg = F.min(merged) if name == "min" else F.max(merged)
         return agg.getField("k2").alias(sf.result)
 
     if name in ("median", "quantile"):
+        # Exact reference semantics (stats_quantile.go histogram.quantile):
+        # pool EVERY value of every matching field as a STRING ('' included),
+        # sort in natural order, return element int(phi*n) (clamped) — the
+        # result is a string, not a number, and non-numeric values are legal
+        # quantile inputs. The reference reservoir-samples above 10k values
+        # per group (approximate there); we collect exactly — per-group state
+        # is O(values), documented in SCALE.md (the reference caps at O(10k)).
         phi = 0.5 if name == "median" else float(sf.extra.get("phi", 0.5))
-        vals = [guard(num(df, f)) for f in fields]
-        v = vals[0] if len(vals) == 1 else F.coalesce(*vals)
-        # reference uses a 10k reservoir sample (stats_quantile.go:346);
-        # percentile_approx is a different approximation — documented
-        return F.percentile_approx(v, F.lit(phi), F.lit(10000)).alias(sf.result)
+        pairs = _expand_flagged(df, sf.fields) or [("__vl_absent__", False)]
+        arrs = []
+        for f, from_wild in pairs:
+            key = _natural_struct(df, f)
+            if from_wild:
+                key = F.when(fcol(df, f) != "", key)
+            arrs.append(F.collect_list(guard(key)))
+        arr = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+        arr = F.array_sort(arr)
+        n_vals = F.size(arr)
+        idx = F.greatest(
+            F.least(F.floor(F.lit(phi) * n_vals).cast("int"), n_vals - 1),
+            F.lit(0),
+        )
+        return (
+            F.when(n_vals > 0, F.element_at(arr, idx + 1).getField("k2"))
+            .alias(sf.result)
+        )
 
     if name == "histogram":
         # handled by the planner as a two-level aggregate
@@ -246,21 +341,24 @@ def compile_stats_func(
         return F.concat(F.lit("["), F.array_join(arr, ","), F.lit("]")).alias(sf.result)
 
     if name == "row_any":
-        struct = F.to_json(F.struct(*[fcol(df, f).alias(f) for f in fields])) if fields else F.to_json(
-            F.struct(*[fcol(df, c).alias(c) for c in _all_fields(df, by_names)])
+        j = _row_json(df, sf.fields or ["*"])
+        return F.coalesce(F.any_value(guard(j), True), F.lit("{}")).alias(
+            sf.result
         )
-        return F.any_value(guard(struct), True).alias(sf.result)
 
     if name in ("row_min", "row_max"):
+        # compare the source field in NATURAL order (lessString), skipping
+        # '' values (needUpdateStateString rejects empty); capture the
+        # matching fields of the winning row; a group with no non-empty
+        # source value yields '{}' (r15 stats-semantics corpus findings)
         sort_field = sf.fields[0]
-        out_fields = _expand(df, sf.fields[1:], by_names) or _all_fields(df, by_names)
-        struct = F.to_json(F.struct(*[fcol(df, f).alias(f) for f in out_fields]))
-        key = num(df, sort_field)
-        g = key.isNotNull() if cond is None else (key.isNotNull() & cond)
-        key = F.when(g, key)
-        struct = F.when(g, struct)
-        agg = F.min_by(struct, key) if name == "row_min" else F.max_by(struct, key)
-        return agg.alias(sf.result)
+        j = _row_json(df, sf.fields[1:] or ["*"])
+        s = fcol(df, sort_field)
+        g = (s != "") if cond is None else ((s != "") & cond)
+        key = F.when(g, _natural_struct(df, sort_field))
+        j = F.when(g, j)
+        agg = F.min_by(j, key) if name == "row_min" else F.max_by(j, key)
+        return F.coalesce(agg, F.lit("{}")).alias(sf.result)
 
     raise NotImplementedError(f"stats function {name}")
 
