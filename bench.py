@@ -46,6 +46,19 @@ ADJUDICATIONS = {
         "median_band": (0.25, 0.60),
         "best_max": 0.50,  # cold isolated best 0.442
     },
+    "p_unpack_json": {
+        "sf": 0.1,
+        "anchor": "SCALE.md 'unpack_json nested flatten: probe cost"
+                  " accepted' (r15): the plan-time nested-object probe"
+                  " (one single-column limit-1 scan, ~0.2 s at sf0.1)"
+                  " routes flat JSON to the JVM path and nested JSON to"
+                  " the reference-exact Arrow flattener — it retired the"
+                  " recursive-flatten divergence; interleaved A/B:"
+                  " gated-substring probe variant measured equal and"
+                  " rejected. Prior best 0.52 → 0.81 full / 0.51 layout.",
+        "median_band": (0.30, 1.10),
+        "best_max": 1.00,
+    },
     "s_time_bucket": {
         "sf": 0.1,
         "anchor": "SCALE.md 's_time_bucket driver flag adjudicated'"

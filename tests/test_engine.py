@@ -277,6 +277,46 @@ def test_unpack_json(spark):
     assert rows_set(out) == {("1", "x"), ("2", "")}
 
 
+def test_unpack_json_nested_flatten(spark):
+    """Nested objects flatten recursively with dot-joined keys; arrays
+    and raw number tokens keep their source form; nulls emit nothing
+    (json_parser.go appendLogFields via functions/jsonflat.py; retired
+    the r15 ledgered pipe-corpus divergence). Both the inference path
+    and the fields-pushdown path must see the FLATTENED names."""
+    df = make_logs(spark, [
+        {"_msg": '{"y":{"z":{"a":"b"}},"n":null,"arr":[1, "x"],"d":1.20}'},
+        {"_msg": '{"y":"flat"}'},
+    ])
+    out = run_query(spark, df, "* | unpack_json from _msg | fields y.z.a, y, arr, d, n")
+    assert rows_set(out) == {
+        ("b", "", '[1,"x"]', "1.20", ""),
+        ("", "flat", "", "", ""),
+    }
+    # fields-pushdown path (explicit fields clause, no inference scan)
+    out = run_query(
+        spark, df, '* | unpack_json from _msg fields ("y.z.a") | fields "y.z.a"'
+    )
+    assert rows_set(out) == {("b",), ("",)}
+
+
+def test_jsonflat_scanner_rules():
+    """Unit pins for the reference-exact scanner (json_parser.go)."""
+    from victorialogs_spark.functions.jsonflat import flatten_json_message as f
+
+    assert f('{"foo":"bar","a":123,"b":["foo","bar"],"x":NaN,"y":{"z":{"a":"b"}}}') == {
+        "foo": "bar", "a": "123", "b": '["foo","bar"]', "x": "NaN", "y.z.a": "b",
+    }
+    assert f('"xxx"') is None and f("NaN") is None and f("{") is None
+    assert f("{}") == {}
+    # compact array re-render, raw number tokens, empty top key -> _msg
+    assert f('{"a":{"b":[1, "x", {"c":2}] },"n":null,"":"m","d":1.20}') == {
+        "a.b": '[1,"x",{"c":2}]', "_msg": "m", "d": "1.20",
+    }
+    # deep-nesting guard: adversarial depth returns None, never crashes
+    deep = '{"k":' * 50000 + "1" + "}" * 50000
+    assert f(deep) is None
+
+
 def test_unpack_json_fields_prefix(spark):
     df = make_logs(spark, [{"_msg": '{"a": "1", "b": "x"}'}])
     out = run_query(spark, df, '* | unpack_json from _msg fields (a) result_prefix "p_" | fields p_a')

@@ -46,17 +46,9 @@ SKIP_FILES = {
 # individual case skips: (file, exact pipeStr, occurrence-index) -> reason.
 # Every entry is a KNOWN, recorded divergence — the honest ledger, not a
 # mute button; the test fails if a skip stops matching a failing case.
-SKIP_CASES: dict[tuple[str, str, int], str] = {
-    ("pipe_unpack_json_test.go", "unpack_json from x", 4): (
-        "nested-object flattening: the reference unpacks {'y':{'z':{'a':"
-        "'b'}}} into y.z.a='b' and renders bare-NaN scalars raw; our "
-        "unpack_json extracts top-level keys with nested JSON as text. "
-        "A faithful port needs a recursive flatten through the "
-        "key-inference / fields-pushdown / persist machinery "
-        "(schema.flatten_json is the ingest-side implementation) — "
-        "recorded r15, scheduled r16."
-    ),
-}
+# (The last entry — unpack_json recursive nested-object flattening —
+# was retired in r15 by functions/jsonflat.py.)
+SKIP_CASES: dict[tuple[str, str, int], str] = {}
 
 
 def _go_string(s: str, i: int) -> tuple[str, int]:

@@ -997,9 +997,30 @@ def clear_unpack_caches() -> None:
         _UNPACK_CACHES.pop().unpersist()
 
 
+# object-valued key detector: an object value always follows `"key":`;
+# a string VALUE containing the sequence only false-positives into the
+# (semantics-identical, slower) flatten path
+_NESTED_JSON_RE = '"\\s*:\\s*\\{'
+
+
 def _p_unpack_json(p: A.PUnpackJson, df: DataFrame, ctx) -> DataFrame:
     src = fcol(df, p.from_field)
-    m = _flat_json_map(src)
+    # Plan-time routing, not per-row: a pandas UDF inside a conditional
+    # is still extracted to a PythonUDF node and evaluated for EVERY row,
+    # so the branch must be chosen before building the expression. Flat
+    # JSON (no object-valued keys anywhere — the probe is one bounded
+    # single-column scan that short-circuits on the first nested row)
+    # keeps the pure-JVM from_json path; nested inputs route through the
+    # reference-exact Arrow flattener (functions/jsonflat.py:
+    # json_parser.go appendLogFields semantics — r15, retiring the
+    # recursive-flatten divergence recorded by the pipe corpus).
+    nested = df.where(src.rlike(_NESTED_JSON_RE)).limit(1).count() > 0
+    if nested:
+        from victorialogs_spark.functions.jsonflat import flatten_json_column
+
+        m = flatten_json_column(src)
+    else:
+        m = _flat_json_map(src)
     tmp = "__vl_unpack"
     with_map = df.withColumn(tmp, m)
     if p.fields:
@@ -1041,10 +1062,17 @@ def _p_unpack_json(p: A.PUnpackJson, df: DataFrame, ctx) -> DataFrame:
             # for strict-valid JSON both return the same top-level key
             # set. Keys strict finds on rows lenient can't parse only
             # add columns whose extraction value is '' — the
-            # reference's missing-key result.
-            keys = _infer_keys(
-                df, F.coalesce(F.json_object_keys(src), F.map_keys(m)), ctx
-            )
+            # reference's missing-key result. Nested inputs must infer
+            # from the FLATTENED map: json_object_keys sees only
+            # top-level names ('y', never 'y.z.a').
+            if nested:
+                keys = _infer_keys(df, F.map_keys(m), ctx)
+            else:
+                keys = _infer_keys(
+                    df,
+                    F.coalesce(F.json_object_keys(src), F.map_keys(m)),
+                    ctx,
+                )
     cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
     out = _assign_extracted_batch(
         with_map,
