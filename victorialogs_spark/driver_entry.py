@@ -294,9 +294,12 @@ logsql(
 )
 logsql(
     "f_day_range",
+    # ns-of-day inclusive bounds (filter_day_range.go:116-124): an
+    # inclusive ']' stops at 12:00:00.000000000 exactly — the whole end
+    # minute must NOT match (r15 fix of the minute-resolution compare)
     "_time:day_range[08:00, 12:00] | fields event_id",
-    f"SELECT {EID} FROM events WHERE (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts))"
-    " BETWEEN 480 AND 720",
+    f"SELECT {EID} FROM events WHERE (epoch_ns(ts) % 86400000000000)"
+    " BETWEEN 28800000000000 AND 43200000000000",
 )
 logsql(
     "f_week_range",
@@ -309,8 +312,8 @@ logsql(
     # (filter_day_range.go:122) — the round-1 advisor bug, locked in
     "_time:day_range[08:00, 12:00] offset 2h | fields event_id",
     f"SELECT {EID} FROM events WHERE"
-    " (EXTRACT(hour FROM ts - INTERVAL 2 HOUR) * 60"
-    " + EXTRACT(minute FROM ts - INTERVAL 2 HOUR)) BETWEEN 480 AND 720",
+    " ((epoch_ns(ts) - 7200000000000) % 86400000000000)"
+    " BETWEEN 28800000000000 AND 43200000000000",
 )
 logsql(
     "f_time_gt_offset",

@@ -192,14 +192,25 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
     if isinstance(f, A.FTime):
         return _time_range(df, f.lo_ns, f.hi_ns)
     if isinstance(f, A.FDayRange):
-        t = qcol("_time")
-        if f.offset_ns:
-            # reference subtracts the offset (filter_day_range.go:122)
-            t = F.timestamp_micros(F.unix_micros(t) - f.offset_ns // 1000)
-        minute = F.hour(t) * 60 + F.minute(t)
-        lo = (minute >= f.lo_minute) if f.include_lo else (minute > f.lo_minute)
-        hi = (minute <= f.hi_minute) if f.include_hi else (minute < f.hi_minute)
-        return lo & hi
+        # reference-exact ns-of-day semantics (filter_day_range.go:116-124,
+        # parser.go:2448-2453): dayOffset = (ts - offset) % nsecsPerDay,
+        # match start <= dayOffset <= end, with '('/')' braces moving the
+        # bound by exactly 1 ns. The previous minute-resolution compare
+        # wrongly admitted the whole end minute under an inclusive ']'
+        # (day_range[.., 18:00] must stop at 18:00:00.000000000 — r15
+        # filter_time family review). Spark's % keeps the dividend's sign
+        # like Go's, so pre-epoch timestamps agree too.
+        ns_day = 86_400_000_000_000
+        start = f.lo_minute * 60_000_000_000 + (0 if f.include_lo else 1)
+        end = f.hi_minute * 60_000_000_000 - (0 if f.include_hi else 1)
+        if start > end:
+            return F.lit(False)
+        if "__time_nanos" in df.columns:
+            ns = F.col("__time_nanos") - F.lit(f.offset_ns)
+        else:
+            ns = F.unix_micros(qcol("_time")) * F.lit(1000) - F.lit(f.offset_ns)
+        d = ns % F.lit(ns_day)
+        return (d >= F.lit(start)) & (d <= F.lit(end))
     if isinstance(f, A.FWeekRange):
         t = qcol("_time")
         if f.offset_ns:
