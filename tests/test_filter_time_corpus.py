@@ -119,3 +119,28 @@ def test_day_range_ns_of_day_semantics(spark):
     assert _day_eval(
         spark, "_time:day_range[07:00, 17:00] offset 1h", ts
     ) == [0, 1, 4, 5]
+
+
+def test_tokenizer_unicode_parity(spark):
+    """tokenizer.go isTokenRune: UNICODE letters/digits are token runes
+    ('теСТ' is ONE token — tokenizer_test.go), so phrases bound at
+    Unicode word edges and unpack_words keeps Unicode words whole
+    (r15 tokenizer-parity fix of the ASCII-only classes)."""
+    from victorialogs_spark.api import run_query
+    from victorialogs_spark.functions.text import py_tokens
+
+    assert py_tokens("foo bar---.!!([baz]!!! %$# TaSte") == [
+        "foo", "bar", "baz", "TaSte",
+    ]
+    assert py_tokens("теСТ 1234 f12.34") == ["теСТ", "1234", "f12", "34"]
+
+    df = spark.createDataFrame(
+        [("тестовый прогон",), ("тест ок",)], "`_msg` string"
+    )
+    # phrase must NOT match inside a longer Unicode word
+    assert run_query(spark, df, '"тест"').count() == 1
+    # prefix match still crosses the word
+    assert run_query(spark, df, '"тест"*').count() == 2
+    out = run_query(spark, df, "* | unpack_words as w | fields w").collect()
+    words = {r["w"] for r in out}
+    assert '["тестовый","прогон"]' in words and '["тест","ок"]' in words

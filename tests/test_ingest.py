@@ -556,3 +556,68 @@ def test_live_tailer_boundary_row_not_dropped(spark, tmp_path):
     write([(t0 + dt.timedelta(microseconds=1), "fresh")])
     fresh = tailer.poll_once()
     assert [r["_msg"] for r in fresh] == ["fresh"]
+
+
+def test_json_parser_corpus():
+    """Replay the reference's json_parser_test.go cases against BOTH
+    flatten implementations: schema.flatten_json (the ingest dict-level
+    helper, ParseLogMessage's 128-char config and the explicit
+    maxFieldLen cases of TestJSONParserTooLongFieldName) and
+    functions/jsonflat.flatten_json_message (the query-side scanner,
+    MaxInt config). Extracted at runtime — the corpus policy."""
+    import json as _json
+    import re
+    from pathlib import Path
+
+    from victorialogs_spark.functions.jsonflat import flatten_json_message
+    from victorialogs_spark.schema import flatten_json
+
+    src = Path("/root/reference/lib/logstorage/json_parser_test.go").read_text()
+
+    _FIELD_RE = (
+        r'Name:\s+(?:"([^"]*)"|`([^`]*)`),'
+        r'\s+Value:\s+(?:"((?:[^"\\]|\\.)*)"|`([^`]*)`)'
+    )
+
+    def _fields(block: str) -> dict:
+        out = {}
+        for m in re.finditer(_FIELD_RE, block):
+            name = m.group(1) if m.group(1) is not None else m.group(2)
+            if m.group(3) is not None:
+                value = _json.loads('"' + m.group(3) + '"')
+            else:
+                value = m.group(4)
+            out[name] = value
+        return out
+
+    # TestJSONParserSuccess: f(data, []Field{...})
+    body = src.split("func TestJSONParserSuccess")[1].split("\nfunc ")[0]
+    n = 0
+    for m in re.finditer(
+        r"\tf\((?:`([^`]*)`|\"((?:[^\"\\\\]|\\\\.)*)\"), (nil|\[\]Field\{[\s\S]*?\n\t\})\)",
+        body,
+    ):
+        data = m.group(1) if m.group(1) is not None else m.group(2)
+        want = {} if m.group(3) == "nil" else _fields(m.group(3))
+        got_scan = flatten_json_message(data)
+        assert got_scan == want, f"jsonflat {data!r}: {got_scan} != {want}"
+        got_dict = flatten_json(_json.loads(data))
+        assert got_dict == want, f"flatten_json {data!r}: {got_dict} != {want}"
+        n += 1
+    assert n >= 3, f"extraction regressed: {n}"
+
+    # TestJSONParserTooLongFieldName: f(data, maxFieldLen, []Field{...})
+    body = src.split("func TestJSONParserTooLongFieldName")[1].split("\nfunc ")[0]
+    n = 0
+    for m in re.finditer(
+        r"\tf\(`([^`]*)`, (\d+), (\[\]Field\{[\s\S]*?\n\t\})\)", body
+    ):
+        data, maxlen, want = m.group(1), int(m.group(2)), _fields(m.group(3))
+        got = flatten_json(_json.loads(data), max_name_len=maxlen)
+        assert got == want, f"maxlen={maxlen} {data!r}: {got} != {want}"
+        n += 1
+    assert n >= 3, f"too-long extraction regressed: {n}"
+
+    # failure cases must flatten to None (scanner) and raise (dict loads)
+    for bad in ["", "{foo", "[1,2,3]", '{"foo",}']:
+        assert flatten_json_message(bad) is None

@@ -11,12 +11,43 @@ from __future__ import annotations
 
 import re
 
-TOKEN_RE = "[0-9A-Za-z_]"
-NON_TOKEN_RE = "[^0-9A-Za-z_]"
+# Token runes are UNICODE letters/digits plus '_' (tokenizer.go
+# isTokenRune: unicode.IsLetter || unicode.IsDigit || '_'; the ASCII
+# range is just its fast path). The ASCII-only classes made 'тест'
+# match inside 'тестовый' and split Unicode words at every char in
+# unpack_words / the token index (r15 tokenizer-parity finding,
+# tokenizer_test.go pins 'теСТ' as ONE token). \p{L}/\p{Nd} are the
+# Java spellings of Go's IsLetter/IsDigit.
+TOKEN_RE = "[0-9A-Za-z_\\p{L}\\p{Nd}]"
+NON_TOKEN_RE = "[^0-9A-Za-z_\\p{L}\\p{Nd}]"
 
 
 def _is_token_char(ch: str) -> bool:
-    return ch.isascii() and (ch.isalnum() or ch == "_")
+    if ch.isascii():
+        return ch.isalnum() or ch == "_"
+    import unicodedata
+
+    cat = unicodedata.category(ch)
+    return cat.startswith("L") or cat == "Nd"
+
+
+def py_tokens(s: str) -> list[str]:
+    """Go tokenizeStrings over one string (tokenizer.go): runs of token
+    runes. The PYTHON twin of the Java TOKEN_RE class — both sides of
+    the bloom sidecar (JVM index build, driver-side query-token probe)
+    must classify identically or pruning silently drops matching files;
+    Python's re has no \\p{L}, hence the char-walk."""
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in s:
+        if _is_token_char(ch):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 def java_quote(s: str) -> str:

@@ -28,6 +28,7 @@ NUM_HASHES = 6
 # a charset divergence makes pruning skip files containing real matches
 # with no test signal; derive from the single source of truth
 from victorialogs_spark.functions.text import TOKEN_RE as _TOKEN_CLASS
+from victorialogs_spark.functions.text import py_tokens
 
 _TOKEN_RE = _TOKEN_CLASS + "+"
 
@@ -234,7 +235,10 @@ def words_of_query(query: str, field: str = "_msg") -> list[str]:
     toks: list[str] = []
     for c in conjuncts:
         if isinstance(c, A.FPhrase) and c.field == field and not c.case_insensitive:
-            toks.extend(re.findall(_TOKEN_RE, c.phrase))
+            # py_tokens, not re.findall: Python re has no \p{L}, and the
+            # probe MUST classify exactly like the JVM index build or
+            # pruning silently drops matching files (r15 tokenizer parity)
+            toks.extend(py_tokens(c.phrase))
     return toks
 
 

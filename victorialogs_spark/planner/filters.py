@@ -139,13 +139,21 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
             return lo & hi
 
         n = num(df, f.field)
-        ip = ipv4_num(fcol(df, f.field))
         # NaN never matches a range (Go: any NaN comparison is false;
         # Spark orders NaN above all doubles, which would make open-ended
-        # '>x' ranges match "NaN" values). IPv4 values compare by their
-        # packed uint32 — the reference stores all-IPv4 blocks as
-        # valueTypeIPv4 and ranges over the encoding (filter_range.go:151;
-        # r15 filter corpus); per-row matches it on homogeneous columns.
+        # '>x' ranges match "NaN" values).
+        dt = dict(df.dtypes).get(f.field)
+        if dt is not None and dt != "string":
+            # typed numeric/timestamp column: no IPv4 strings possible,
+            # and the plain conjunction stays pushable into the Parquet
+            # scan (a CASE WHEN form kills PushedFilters — pinned by
+            # test_compaction_value_type_specialization)
+            return n.isNotNull() & ~F.isnan(n) & bounds(n)
+        # IPv4 values compare by their packed uint32 — the reference
+        # stores all-IPv4 blocks as valueTypeIPv4 and ranges over the
+        # encoding (filter_range.go:151; r15 filter corpus); per-row
+        # matches it on homogeneous columns.
+        ip = ipv4_num(fcol(df, f.field))
         return (
             F.when(n.isNotNull() & ~F.isnan(n), bounds(n))
             .when(ip.isNotNull(), bounds(ip.cast("double")))
