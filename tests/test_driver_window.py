@@ -19,13 +19,14 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_window_is_new_entries_then_stalest_fill():
     keys = list(D.QUERIES)
     window = keys[:50]
-    # new r15 entries land first, in order
-    assert window[: len(D._NEW_R15)] == list(D._NEW_R15)
+    # new r15 entries land first, then the re-derived-semantics entries
+    front = list(D._NEW_R15) + list(D._REDERIVED_R15)
+    assert window[: len(front)] == front
     # the fill is drawn from the stale list in ITS order
-    fill = window[len(D._NEW_R15):]
+    fill = window[len(front):]
     stale_ordered = [
         k for k in D._STALE_R15_WINDOW
-        if k in D.QUERIES and k in D.ORACLE and k not in D._NEW_R15
+        if k in D.QUERIES and k in D.ORACLE and k not in front
     ]
     assert fill == stale_ordered[: len(fill)]
 

@@ -4546,6 +4546,13 @@ _NEW_R15: list[str] = [
     "ep_stats_query_multi",
 ]
 
+# entries whose SEMANTICS (and oracle SQL) were re-derived this round —
+# fronted like new entries so the driver artifact records the new truth,
+# not just the local check_oracle replica (r15 stats-semantics corpus:
+# exact quantile, NaN empty-sum; the seq/day_range re-derivations are
+# already in the stale fill below)
+_REDERIVED_R15: list[str] = ["s_median_quantile", "s_wildcard_no_match"]
+
 # round-14 additions; both landed green in CORRECTNESS_r14.json (now in
 # _DRIVER_VERIFIED_R14). Kept for the historical record.
 _NEW_R14: list[str] = ["dp_image_ahash_webp", "dp_webp_frame_ahash"]
@@ -4586,8 +4593,10 @@ def _reorder_registry() -> None:
     never = [k for k in QUERIES if k not in checked]
     never_with_oracle = [k for k in never if k in ORACLE]
     never_rows_only = [k for k in never if k not in ORACLE]
-    front = list(_NEW_R15) + [
-        k for k in never_with_oracle if k not in _NEW_R15
+    front = list(_NEW_R15) + list(_REDERIVED_R15) + [
+        k
+        for k in never_with_oracle
+        if k not in _NEW_R15 and k not in _REDERIVED_R15
     ]
     # fill the window with the stalest previously-green entries
     fill = [
