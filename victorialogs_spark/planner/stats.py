@@ -139,12 +139,15 @@ _ZERO_ARG_FUNCS = ("count", "rate", "row_any")
 def compile_stats_func(
     sf: A.StatsFunc,
     df: DataFrame,
-    by_names: list[str],
+    by_names: list[str],  # kept for the call sites; '*' includes by-fields
     cond: Column | None,
     range_seconds: float | None,
 ) -> Column:
     """Build the aggregate Column for one stats function. `cond` is the
-    compiled per-function if-filter (pipe_stats.go:62-71)."""
+    compiled per-function if-filter (pipe_stats.go:62-71). `by_names` is
+    intentionally unused since the r15 wildcard fix — getMatchingColumns
+    has no by-field carve-out — but stays in the signature so the two
+    call sites keep reading naturally."""
     name = sf.name
     if name in ("count", "rate") and "*" in sf.fields:
         # count(*) counts ALL rows unconditionally — the reference's
