@@ -260,3 +260,87 @@ def test_pipe_semantics_corpus(spark):
         f" (unparseable skipped: {unparseable}; case-skips: {skipped})\n{msg}"
     )
     assert skipped == len(SKIP_CASES), "a SKIP_CASES entry no longer matches"
+
+
+def test_extract_pattern_corpus(spark):
+    """The extract pipe's pattern engine vs the reference's own
+    pattern_test.go: TestPatternApply cases (pattern, input, expected
+    per-named-field values, in placeholder order) replayed through
+    ``run_query(.. | extract "pat" from __src)``, and
+    TestParsePatternFailure's invalid patterns must reject at parse
+    time. Extracted at runtime — the corpus policy."""
+    import json as _json
+
+    import pytest
+
+    from victorialogs_spark.logsql.parser import parse_query
+
+    src = Path(f"{REF_DIR}/pattern_test.go").read_text()
+
+    def _go_concat(b: str, i: int) -> tuple[str, int]:
+        # a Go string expression with '+' concatenation ("..." + "\n")
+        out, i = _go_string(b, i)
+        i = _skip_ws(b, i)
+        while i < len(b) and b[i] == "+":
+            nxt, i = _go_string(b, _skip_ws(b, i + 1))
+            out += nxt
+            i = _skip_ws(b, i)
+        return out, i
+
+    body = src.split("func TestPatternApply")[1].split("\nfunc ")[0]
+    cases = []
+    for m in re.finditer(r"\n\tf\(", body):
+        i = _skip_ws(body, m.end())
+        pat, i = _go_concat(body, i)
+        i = _skip_ws(body, i)
+        assert body[i] == ","
+        s, i = _go_concat(body, _skip_ws(body, i + 1))
+        i = _skip_ws(body, i)
+        assert body[i] == ","
+        i = _skip_ws(body, i + 1)
+        assert body.startswith("[]string{", i)
+        i += len("[]string{")
+        want = []
+        while True:
+            i = _skip_ws(body, i)
+            if body[i] == "}":
+                break
+            if body[i] == ",":
+                i += 1
+                continue
+            v, i = _go_concat(body, i)
+            want.append(v)
+        cases.append((pat, s, want))
+    assert len(cases) >= 20, f"extraction regressed: {len(cases)}"
+
+    failures = []
+    for pat, s, want in cases:
+        names = []
+        for n in re.findall(r"<([^>]*)>", pat):
+            if ":" in n:  # '<opt:name>' — strip the option (e.g. plain:)
+                n = n.split(":", 1)[1]
+            n = n.strip()
+            if n not in ("", "_", "*"):
+                names.append(n)
+        assert len(names) == len(want), (pat, names, want)
+        df = spark.createDataFrame([(s,)], "`__src` string")
+        q = f"* | extract {_json.dumps(pat)} from __src"
+        try:
+            row = run_query(spark, df, q).collect()[0]
+            got = [(row[n] if row[n] is not None else "") for n in names]
+        except Exception as e:  # noqa: BLE001 — collected below
+            failures.append(f"[{pat!r} on {s!r}] error: {e}")
+            continue
+        if got != want:
+            failures.append(f"[{pat!r} on {s!r}] got {got} want {want}")
+    assert not failures, "\n".join(failures[:20])
+
+    body = src.split("func TestParsePatternFailure")[1].split("\nfunc ")[0]
+    bad = []
+    for m in re.finditer(r"\n\tf\(", body):
+        v, _ = _go_string(body, _skip_ws(body, m.end()))
+        bad.append(v)
+    assert len(bad) >= 8
+    for pat in bad:
+        with pytest.raises(Exception):
+            parse_query(f"* | extract {_json.dumps(pat)} from __src")

@@ -1551,6 +1551,11 @@ class Parser:
         names = [m for m in re.findall(r"<([^>]*)>", pat) if m not in ("", "_", "*")]
         if not names:
             raise self.err("extract pattern needs at least one named <field>")
+        if re.search(r"><", pat):
+            # adjacent placeholders have no delimiter to split on
+            # (pattern.go parsePatternSteps rejects '<a><b>' — r15
+            # pattern corpus finding)
+            raise self.err("extract pattern has no delimiter between <fields>")
         self.advance()
         frm = "_msg"
         if self.tok().is_kw("from"):
