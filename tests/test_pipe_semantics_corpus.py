@@ -344,3 +344,50 @@ def test_extract_pattern_corpus(spark):
     for pat in bad:
         with pytest.raises(Exception):
             parse_query(f"* | extract {_json.dumps(pat)} from __src")
+
+
+def test_syslog_parser_corpus():
+    """The syslog field parser vs the reference's syslog_parser_test.go:
+    ``f(input, time.UTC, expected-logfmt)`` cases replayed through
+    ``syslog_fields`` with the test's pinned currentYear=2024. The
+    expected side parses with the same logfmt splitter the SD parser
+    uses (logfmt_parser.go — itself netted by the SD cases here).
+    Non-UTC-timezone cases (none today) would skip."""
+    import time as _time
+
+    from victorialogs_spark.functions.syslogparse import (
+        _parse_logfmt_pairs,
+        syslog_fields,
+    )
+
+    src = Path(f"{REF_DIR}/syslog_parser_test.go").read_text()
+    body = src.split("func TestSyslogParser")[1].split("\nfunc ")[0]
+    cases = []
+    skipped_tz = 0
+    for m in re.finditer(r"\n\tf\(", body):
+        i = _skip_ws(body, m.end())
+        inp, i = _go_string(body, i)
+        i = _skip_ws(body, i)
+        assert body[i] == ","
+        i = _skip_ws(body, i + 1)
+        if not body.startswith("time.UTC", i):
+            skipped_tz += 1
+            continue
+        i = _skip_ws(body, i + len("time.UTC"))
+        assert body[i] == ","
+        want_s, i = _go_string(body, _skip_ws(body, i + 1))
+        cases.append((inp, want_s))
+    assert len(cases) >= 25, f"extraction regressed: {len(cases)}"
+
+    now = _time.time()
+    failures = []
+    for inp, want_s in cases:
+        got = {k: v for k, v in syslog_fields(inp, 2024, now).items() if v != ""}
+        want = {
+            k: v
+            for k, v in (_parse_logfmt_pairs(want_s) if want_s else [])
+            if v != ""
+        }
+        if got != want:
+            failures.append(f"[{inp[:70]!r}] got {got} want {want}")
+    assert not failures, "\n".join(failures[:10])

@@ -1114,83 +1114,40 @@ def _p_unpack_logfmt(p: A.PUnpackLogfmt, df: DataFrame, ctx) -> DataFrame:
     return out.drop(tmp)
 
 
-# RFC5424 / RFC3164 syslog (syslog_parser.go) — regex battery
-_SYSLOG_5424 = (
-    r"^<(\d+)>(\d+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s*(?:((?:\[[^\]]*\])+)|-)?\s*(.*)$"
-)
-_SYSLOG_3164 = (
-    r"^(?:<(\d+)>)?([A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+(\S+)\s+([^:\[\s]+)(?:\[(\d+)\])?:?\s*(.*)$"
-)
-
-
-# syslog_parser.go severity/facility keyword tables (RFC 5427 names)
-_SYSLOG_LEVELS = [
-    "emerg", "alert", "critical", "error", "warning", "notice", "info",
-    "debug",
-]
-_SYSLOG_FACILITIES = [
-    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
-    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
-    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
-    "local5", "local6", "local7",
-]
-
-
-def _keyword_map(names: list[str], n: Column) -> Column:
-    out = F.lit("unknown")
-    for i, kw in enumerate(names):
-        out = F.when(n == i, F.lit(kw)).otherwise(out)
-    return out
-
-
 def _p_unpack_syslog(p: A.PUnpackSyslog, df: DataFrame, ctx) -> DataFrame:
     src = fcol(df, p.from_field)
     pre = p.result_prefix
     cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
-    is5424 = src.rlike(r"^<\d+>\d+\s")
-    is3164 = src.rlike(_SYSLOG_3164)
+    # Reference-exact PROGRESSIVE parser (syslog_parser.go via
+    # functions/syslogparse.py): each header field is optional from the
+    # right, RFC3164 timestamps convert to ISO8601-millis UTC with the
+    # current-year inference, and RFC5424 structured-data params flatten
+    # into DYNAMIC `sdID.param` field names — hence the unpack_json-style
+    # key inference over the parsed map. The old single-regex battery
+    # demanded the full header shape and dropped SD params entirely (r15
+    # syslog-parser corpus findings). The reference defaults the RFC3164
+    # timezone to the HOST's local zone — ill-defined on a cluster; ours
+    # is UTC unless `offset` is given (documented divergence on non-UTC
+    # hosts only). year/now are plan-time constants.
+    import datetime as _dt
+    import time as _time
 
-    def g5424(i):
-        return F.regexp_extract(src, _SYSLOG_5424, i)
+    from victorialogs_spark.functions.syslogparse import syslog_map_column
 
-    def g3164(i):
-        return F.regexp_extract(src, _SYSLOG_3164, i)
-
-    prio = F.when(is5424, g5424(1)).when(is3164, g3164(1)).otherwise(F.lit(""))
-    prio_n = _try_cast(prio, "int")
-    fac_n = (prio_n / 8).cast("int")
-    sev_n = prio_n % 8
-    fields = {
-        "priority": prio,
-        "facility": F.when(prio_n.isNotNull(), fac_n.cast("string")).otherwise(F.lit("")),
-        "facility_keyword": F.when(
-            prio_n.isNotNull(), _keyword_map(_SYSLOG_FACILITIES, fac_n)
-        ).otherwise(F.lit("")),
-        "severity": F.when(prio_n.isNotNull(), sev_n.cast("string")).otherwise(F.lit("")),
-        "level": F.when(
-            prio_n.isNotNull(), _keyword_map(_SYSLOG_LEVELS, sev_n)
-        ).otherwise(F.lit("")),
-        "format": F.when(is5424, F.lit("rfc5424")).otherwise(F.lit("rfc3164")),
-        "timestamp": F.when(is5424, g5424(3)).when(is3164, g3164(2)).otherwise(F.lit("")),
-        "hostname": F.when(is5424, g5424(4)).when(is3164, g3164(3)).otherwise(F.lit("")),
-        "app_name": F.when(is5424, g5424(5)).when(is3164, g3164(4)).otherwise(F.lit("")),
-        "proc_id": F.when(is5424, g5424(6)).when(is3164, g3164(5)).otherwise(F.lit("")),
-        "msg_id": F.when(is5424, g5424(7)).otherwise(F.lit("")),
-        # plain non-syslog text falls back to rfc3164 with the WHOLE
-        # value as the message (parseNoHeader); a missing/empty source
-        # unpacks to nothing (pipe_unpack_syslog_test.go; r15 corpus)
-        "message": F.when(is5424, g5424(9)).when(is3164, g3164(6)).otherwise(src),
-    }
-    gate = src != "" if cond is None else ((src != "") & cond)
-    for k, v in fields.items():
-        out_name = pre + k
-        v = F.when(gate, F.coalesce(v, F.lit(""))).otherwise(F.lit(""))
-        if p.keep_original_fields and out_name in df.columns:
-            # existing non-empty fields win (pipe unpack contract)
-            cur = fcol(df, out_name)
-            v = F.when(cur != "", cur).otherwise(v)
-        df = df.withColumn(out_name, v)
-    return df
+    now = _time.time()
+    year = _dt.datetime.now(_dt.timezone.utc).year
+    m = syslog_map_column(src, year, now, p.offset_ns)
+    tmp = "__vl_unpack"
+    with_map = df.withColumn(tmp, m)
+    keys = _infer_keys(df, F.map_keys(m), ctx)
+    out = _assign_extracted_batch(
+        with_map,
+        [(pre + k, F.coalesce(qcol(tmp)[k], F.lit(""))) for k in keys],
+        p.keep_original_fields,
+        False,
+        cond,
+    )
+    return out.drop(tmp)
 
 
 def _p_unpack_words(p: A.PUnpackWords, df: DataFrame, ctx) -> DataFrame:

@@ -300,58 +300,28 @@ def parse_syslog_lines(
     """Raw syslog lines (RFC3164/RFC5424) → log rows via the same regex
     battery as the unpack_syslog pipe; RFC3164 timestamps get ``year``
     (the wire format omits it)."""
-    import re as _re
+    # the reference's ingest stores EVERY parser field, extracting
+    # 'timestamp' as _time and renaming 'message' to _msg
+    # (app/vlinsert/syslog/syslog.go:555-562); the shared progressive
+    # parser (functions/syslogparse.py, syslog_parser.go semantics)
+    # replaced this path's regex battery in r15 — partial headers and
+    # RFC5424 structured-data params now ingest faithfully
+    import time as _time
 
-    re5424 = _re.compile(
-        r"^<(\d+)>(\d+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s*(?:((?:\[[^\]]*\])+)|-)?\s*(.*)$"
-    )
-    re3164 = _re.compile(
-        r"^(?:<(\d+)>)?([A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+(\S+)\s+([^:\[\s]+)(?:\[(\d+)\])?:?\s*(.*)$"
-    )
-    months = {m: i + 1 for i, m in enumerate(
-        "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split())}
+    from victorialogs_spark.functions.syslogparse import syslog_fields
+
+    now_unix = _time.time()
 
     def one(line: str) -> list[dict]:
         line = line.rstrip("\n")
         if not line.strip():
             return []
-        m = re5424.match(line)
-        if m:
-            pri, _ver, ts, host, app, procid, msgid, _sd, msg = m.groups()
-            flat = {
-                "_time": ts or "",
-                "hostname": host,
-                "app_name": app,
-                "proc_id": procid or "",
-                "msg_id": msgid or "",
-                "_msg": msg,
-            }
-        else:
-            m = re3164.match(line)
-            if not m:
-                return [{"_msg": line}]
-            pri, ts, host, app, pid, msg = m.groups()
-            parts = ts.split()
-            if parts[0] not in months:
-                # a capitalized 3-letter token that is not an English
-                # month (localized syslog, arbitrary text) must take the
-                # designed unparseable-line fallback — ingest raw — not
-                # KeyError into the batch parser's silent line drop
-                # (r14 review finding)
-                return [{"_msg": line}]
-            iso = f"{year:04d}-{months[parts[0]]:02d}-{int(parts[1]):02d}T{parts[2]}Z"
-            flat = {
-                "_time": iso,
-                "hostname": host,
-                "app_name": app,
-                "proc_id": pid or "",
-                "_msg": msg,
-            }
-        if pri:
-            p = int(pri)
-            flat["facility"] = str(p // 8)
-            flat["severity"] = str(p % 8)
-        return [flat]
+        flat = dict(syslog_fields(line, year, now_unix))
+        if not flat:
+            return [{"_msg": line}]
+        ts = flat.pop("timestamp", "")
+        msg = flat.pop("message", "")
+        return [{"_time": ts, "_msg": msg, **flat}]
 
     lines = (
         spark.read.text(path_or_lines)
