@@ -391,3 +391,34 @@ def test_syslog_parser_corpus():
         if got != want:
             failures.append(f"[{inp[:70]!r}] got {got} want {want}")
     assert not failures, "\n".join(failures[:10])
+
+
+def test_logfmt_parser_corpus():
+    """logfmt_parser_test.go cases vs the shared splitter (also the
+    RFC5424 SD parser): ``f(input, expected-logfmt)``, names TrimSpace,
+    bare keys get empty values, '=value' renders under _msg."""
+    from victorialogs_spark.functions.syslogparse import (
+        _parse_logfmt_pairs,
+        logfmt_fields,
+    )
+
+    src = Path(f"{REF_DIR}/logfmt_parser_test.go").read_text()
+    body = src.split("func TestLogfmtParser")[1].split("\nfunc ")[0]
+    cases = []
+    for m in re.finditer(r"\n\tf\(", body):
+        i = _skip_ws(body, m.end())
+        inp, i = _go_string(body, i)
+        i = _skip_ws(body, i)
+        assert body[i] == ","
+        want_s, i = _go_string(body, _skip_ws(body, i + 1))
+        cases.append((inp, want_s))
+    assert len(cases) >= 8, f"extraction regressed: {len(cases)}"
+    failures = []
+    for inp, want_s in cases:
+        got = logfmt_fields(inp)
+        want = {}
+        for k, v in _parse_logfmt_pairs(want_s) if want_s else []:
+            want[k or "_msg"] = v
+        if got != want:
+            failures.append(f"[{inp!r}] got {got} want {want}")
+    assert not failures, "\n".join(failures)

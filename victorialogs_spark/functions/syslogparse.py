@@ -66,23 +66,32 @@ def _try_unquote(s: str) -> tuple[str | None, int]:
 
 
 def _parse_logfmt_pairs(s: str) -> list[tuple[str, str]]:
-    """logfmt_parser.go parse(): the SD-value splitter."""
+    """logfmt_parser.go parse() + addField: names TrimSpace, a pair that
+    is empty on both sides drops (runs of spaces), a bare key yields an
+    empty value, and a bare '=value' keeps the empty name (the engine's
+    ''≡_msg rule applies at field-write time)."""
     out: list[tuple[str, str]] = []
+
+    def add(name: str, value: str) -> None:
+        name = name.strip()
+        if name or value:
+            out.append((name, value))
+
     while True:
         n = _index_any(s, "= ")
         if n < 0:
-            out.append((s, ""))
+            add(s, "")
             return out
         name, ch, s = s[:n], s[n], s[n + 1 :]
         if ch == " ":
-            out.append((name, ""))
+            add(name, "")
             continue
         if not s:
-            out.append((name, ""))
+            add(name, "")
             return out
         value, consumed = _try_unquote(s)
         if consumed >= 0:
-            out.append((name, value))
+            add(name, value)
             s = s[consumed:]
             if not s or s[0] != " ":
                 return out
@@ -90,9 +99,9 @@ def _parse_logfmt_pairs(s: str) -> list[tuple[str, str]]:
         else:
             n = s.find(" ")
             if n < 0:
-                out.append((name, s))
+                add(name, s)
                 return out
-            out.append((name, s[:n]))
+            add(name, s[:n])
             s = s[n + 1 :]
 
 
@@ -308,6 +317,31 @@ def _parse_rfc5424_sd_line(s, fields) -> str | None:
         for k, v in pairs:
             fields.append((f"{sd_id}.{k}" if sd_id else k, v))
     return s[i + 1 :]
+
+
+def logfmt_fields(s: str) -> dict[str, str]:
+    """One logfmt line → field dict: the pipe surface of
+    _parse_logfmt_pairs, with the data model's ''≡_msg name rule and
+    last-duplicate-wins."""
+    out: dict[str, str] = {}
+    for k, v in _parse_logfmt_pairs(s) if s else []:
+        out[k or "_msg"] = v
+    return out
+
+
+def logfmt_map_column(src):
+    """Arrow-batched map<string,string> column of logfmt fields."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType
+
+    def _parse_col(col: "pd.Series") -> "pd.Series":
+        return col.map(
+            lambda v: logfmt_fields(v) if isinstance(v, str) else None
+        )
+
+    udf = F.pandas_udf(_parse_col, "map<string,string>", PandasUDFType.SCALAR)
+    return udf(src)
 
 
 def syslog_map_column(src, year: int, now_unix: float, offset_ns: int = 0):

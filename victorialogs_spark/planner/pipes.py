@@ -1083,27 +1083,21 @@ def _p_unpack_json(p: A.PUnpackJson, df: DataFrame, ctx) -> DataFrame:
     return out.drop(tmp)
 
 
-_LOGFMT_PAIR = r'(\w+)=("(?:[^"\\]|\\.)*"|\S*)'
-
-
 def _p_unpack_logfmt(p: A.PUnpackLogfmt, df: DataFrame, ctx) -> DataFrame:
+    # Reference-exact logfmt splitting (logfmt_parser.go via
+    # functions/syslogparse._parse_logfmt_pairs, the same splitter the
+    # RFC5424 SD parser uses): bare keys yield empty values ('foo' →
+    # foo=''), '=value' keeps the empty name (≡ _msg in the data model),
+    # names TrimSpace, Go-quoted values unquote. The old regex demanded
+    # '=' and \\w+ keys, silently dropping bare keys and dotted/dashed
+    # names (r15 logfmt-parser corpus findings).
+    from victorialogs_spark.functions.syslogparse import logfmt_map_column
+
     src = fcol(df, p.from_field)
-    keys_arr = F.regexp_extract_all(src, F.lit(_LOGFMT_PAIR), 1)
-    vals_arr = F.regexp_extract_all(src, F.lit(_LOGFMT_PAIR), 2)
-    unq = lambda v: F.when(
-        v.startswith('"') & v.endswith('"'),
-        F.regexp_replace(
-            F.regexp_replace(F.substring(v, 2, F.length(v) - 2), r'\\"', '"'),
-            r"\\\\",
-            r"\\",
-        ),
-    ).otherwise(v)
-    m = F.map_from_arrays(keys_arr, F.transform(vals_arr, unq))
+    m = logfmt_map_column(src)
     tmp = "__vl_unpack"
     with_map = df.withColumn(tmp, m)
-    # inference extracts keys only (group-1 regexp), skipping the value
-    # unquote+map build
-    keys = p.fields or _infer_keys(df, keys_arr, ctx)
+    keys = p.fields or _infer_keys(df, F.map_keys(m), ctx)
     cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
     out = _assign_extracted_batch(
         with_map,
