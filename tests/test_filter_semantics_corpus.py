@@ -370,3 +370,96 @@ def test_filter_semantics_corpus(spark):
         f" (unparseable: {unparseable}; case-skips: {skipped})\n{msg}"
     )
     assert skipped == len(SKIP_CASES), "a SKIP_CASES entry no longer matches"
+
+
+def _parse_stream_name(s: str) -> list[tuple[str, str]]:
+    """`{a="b",c="d"}` → label pairs (Go-quoted values)."""
+    assert s.startswith("{") and s.endswith("}")
+    body = s[1:-1]
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(body):
+        if body[i] == ",":
+            i += 1
+            continue
+        j = body.index("=", i)
+        name = body[i:j]
+        v, i = _go_string(body, j + 1)
+        out.append((name, v))
+    return out
+
+
+def test_stream_filter_corpus(spark):
+    """stream_filter_test.go replayed three ways: matchStreamName cases
+    through compile_filter on a frame with the stream's labels promoted
+    to columns (our schema's stream model), the canonical-print cases
+    through parse→print (including the in()/not_in() desugar to
+    QuoteMeta'd =~/!~ alternations), and the failure cases asserted to
+    reject."""
+    import pytest as _pytest
+
+    from victorialogs_spark.logsql.printer import print_query
+
+    src = Path(f"{REF_DIR}/stream_filter_test.go").read_text()
+
+    # -- matchStreamName ---------------------------------------------------
+    body = src.split("func TestStreamFilterMatchStreamName")[1].split("\nfunc ")[0]
+    cases = []
+    for m in re.finditer(r"\n\tf\(", body):
+        i = _skip_ws(body, m.end())
+        flt, i = _go_string(body, i)
+        i = _skip_ws(body, i)
+        assert body[i] == ","
+        name, i = _go_string(body, _skip_ws(body, i + 1))
+        i = _skip_ws(body, i)
+        assert body[i] == ","
+        i = _skip_ws(body, i + 1)
+        mm = re.match(r"(true|false)", body[i:])
+        cases.append((flt, name, mm.group(1) == "true"))
+    assert len(cases) >= 100, f"extraction regressed: {len(cases)}"
+
+    groups: dict = {}
+    for flt, name, want in cases:
+        groups.setdefault(name, []).append((flt, want))
+    failures = []
+    for name, items in groups.items():
+        labels = _parse_stream_name(name)
+        if labels:
+            data = [tuple(v for _, v in labels)]
+            schema = ", ".join(f"`{k}` string" for k, _ in labels)
+            df = spark.createDataFrame(data, schema)
+        else:
+            df = spark.createDataFrame([(1,)], "`__dummy` int")
+        exprs = []
+        for bi, (flt, _) in enumerate(items):
+            c = compile_filter(parse_query(flt).filter, df)
+            exprs.append(F.when(c, True).otherwise(False).alias(f"c{bi}"))
+        row = df.select(*exprs).collect()[0]
+        for bi, (flt, want) in enumerate(items):
+            if bool(row[f"c{bi}"]) != want:
+                failures.append(f"[{flt} vs {name}] got {not want} want {want}")
+    assert not failures, "\n".join(failures[:15])
+
+    # -- canonical print ---------------------------------------------------
+    body = src.split("func TestNewTestStreamFilterSuccess")[1].split("\nfunc ")[0]
+    n = 0
+    for m in re.finditer(r"\n\tf\(", body):
+        i = _skip_ws(body, m.end())
+        inp, i = _go_string(body, i)
+        i = _skip_ws(body, i)
+        assert body[i] == ","
+        want, i = _go_string(body, _skip_ws(body, i + 1))
+        got = print_query(parse_query(inp))
+        assert got == want, f"canonical {inp!r}: got {got!r} want {want!r}"
+        n += 1
+    assert n >= 8
+
+    # -- failures ----------------------------------------------------------
+    body = src.split("func TestNewTestStreamFilterFailure")[1].split("\nfunc ")[0]
+    n = 0
+    for m in re.finditer(r"\n\tf\(", body):
+        bad, _ = _go_string(body, _skip_ws(body, m.end()))
+        with _pytest.raises(Exception):
+            parse_query(bad)
+        n += 1
+    assert n >= 10

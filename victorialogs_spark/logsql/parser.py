@@ -944,6 +944,31 @@ class Parser:
         return A.FStreamId([sid])
 
     # -- stream filter {...} --------------------------------------------------
+    def _stream_compound(self, stops: tuple[str, ...]) -> str:
+        """Stream label names/values are COMPOUND tokens — unquoted
+        pieces written without spaces glue until a stop token
+        (stream_filter.go parseStreamTagName/Value via
+        getCompoundTokenExt): `{a-q:w.z=y-z=q}` has label 'a-q:w.z' and
+        value 'y-z=q' (r15 stream-filter corpus). A quoted first token
+        stands alone."""
+        t = self.tok()
+        if self.lex.is_end() or (not t.quoted and t.text in stops):
+            raise self.err("missing stream filter token")
+        name = t.text
+        quoted = t.quoted
+        self.advance()
+        if quoted:
+            return name
+        while (
+            not self.lex.is_end()
+            and not self.tok().space_before
+            and not self.tok().quoted
+            and self.tok().text not in stops
+        ):
+            name += self.tok().text
+            self.advance()
+        return name
+
     def _parse_stream_filter(self) -> A.Filter:
         self.expect("{")
         or_terms: list[list[A.StreamLabelMatcher]] = []
@@ -962,17 +987,47 @@ class Parser:
                     or_terms.append(cur)
                     cur = []
                     continue
-            label = self.tok().text
-            self.advance()
+            label = self._stream_compound(("=", "!=", "=~", "!~", ",", "{", "}"))
             op = self.tok().text
-            if op not in ("=", "!=", "=~", "!~"):
+            if op not in ("=", "!=", "=~", "!~", "in", "not_in"):
                 raise self.err(f"stream filter: bad op {op!r}")
             self.advance()
-            val = self.tok().text
-            self.advance()
-            cur.append(A.StreamLabelMatcher(label, op, val))
+            if op in ("in", "not_in"):
+                # desugar to a regex matcher (stream_filter.go:185-203):
+                # in (*) ≡ =~".*"; else QuoteMeta'd values joined with '|'
+                self.expect("(")
+                args: list[str] = []
+                while not self.tok().is_kw(")"):
+                    self._guard_end("stream filter in() args")
+                    args.append(self.tok().text)
+                    self.advance()
+                    if self.tok().is_kw(","):
+                        self.advance()
+                self.advance()
+                if len(args) == 1 and args[0] == "*":
+                    val = ".*"
+                else:
+                    val = "|".join(_quote_meta(a) for a in args)
+                cur.append(
+                    A.StreamLabelMatcher(
+                        label, "=~" if op == "in" else "!~", val
+                    )
+                )
+            else:
+                val = self._stream_compound((",", "{", "}", "("))
+                cur.append(A.StreamLabelMatcher(label, op, val))
             if self.tok().is_kw(","):
                 self.advance()
+            elif not (
+                self.tok().is_kw("}")
+                or (self.tok().is_kw("or") and not self.tok().quoted)
+            ):
+                # matchers need an explicit ',' / 'or' separator —
+                # `{foo='bar' baz='x'}` is invalid (stream_filter.go:163,
+                # pinned by TestNewTestStreamFilterFailure; r15 corpus)
+                raise self.err(
+                    "stream filter: expected ',', 'or' or '}' between matchers"
+                )
         self.advance()
         or_terms.append(cur)
         return A.FStream(or_terms)
@@ -1928,6 +1983,13 @@ class Parser:
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+def _quote_meta(s: str) -> str:
+    """Go regexp.QuoteMeta: escape ONLY the regex specials. Python's
+    re.escape over-escapes (e.g. '-'), which would change the canonical
+    printed form of desugared in()/not_in() stream matchers."""
+    return re.sub(r"([\\.+*?()|\[\]{}^$])", r"\\\1", s)
+
 
 def canonical_field(name: str) -> str:
     """'' → _msg;  leading '.'-relative names kept as-is."""

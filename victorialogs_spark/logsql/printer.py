@@ -235,7 +235,9 @@ def print_filter(f: A.Filter) -> str:
     if isinstance(f, A.FStream):
         terms = []
         for matchers in f.or_terms:
-            terms.append(", ".join(
+            # ',' with no space: the reference's streamTagFilter String()
+            # (pinned by TestNewTestStreamFilterSuccess — r15 corpus)
+            terms.append(",".join(
                 f"{_qf(m.label)}{m.op}{json.dumps(m.value, ensure_ascii=False)}"
                 for m in matchers
             ))
