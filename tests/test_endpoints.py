@@ -146,3 +146,72 @@ def test_stream_endpoints_without_stream_column(spark):
     assert stream_ids(spark, df, "*").collect() == []
     assert stream_field_names(spark, df, "*").collect() == []
     assert stream_field_values(spark, df, "app", "*").collect() == []
+
+
+def test_extra_filters_corpus():
+    """app/vlselect/logsql/logsql_test.go replayed: the JSON-form
+    extra_filters/extra_stream_filters desugar to the reference's
+    canonical filters (exact / in() / ={} / =~QuoteMeta-alternation,
+    empty value lists skipped), and the failure cases (non-object JSON,
+    non-string values, pipes in the filter) reject."""
+    import re as _re
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from victorialogs_spark.endpoints import _extra_filter_query, apply_common_args
+    from victorialogs_spark.logsql.parser import parse_query
+    from victorialogs_spark.logsql.printer import print_query
+
+    src = Path(
+        "/root/reference/app/vlselect/logsql/logsql_test.go"
+    ).read_text()
+
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_pipe_semantics_corpus import _go_string, _skip_ws
+
+    def _cases(fn_name):
+        body = src.split(f"func {fn_name}")[1].split("\nfunc ")[0]
+        out = []
+        for m in _re.finditer(r"\n\tf\(", body):
+            i = _skip_ws(body, m.end())
+            a, i = _go_string(body, i)
+            i = _skip_ws(body, i)
+            if body[i] == ",":
+                b, i = _go_string(body, _skip_ws(body, i + 1))
+                out.append((a, b))
+            else:
+                out.append((a, None))
+        return out
+
+    for fn, stream in (
+        ("TestParseExtraFilters_Success", False),
+        ("TestParseExtraStreamFilters_Success", True),
+    ):
+        n = 0
+        for s, want in _cases(fn):
+            if not s:
+                continue
+            got = _extra_filter_query(s, stream)
+            if s.startswith('{"'):
+                # JSON form: canonical filters must match the reference's
+                assert print_query(parse_query(got)) == print_query(
+                    parse_query(want)
+                ), (s, got, want)
+            else:
+                parse_query(got)  # passthrough: must stay parseable
+            n += 1
+        assert n >= 5, n
+
+    for fn, key in (
+        ("TestParseExtraFilters_Failure", "extra_filters"),
+        ("TestParseExtraStreamFilters_Failure", "extra_stream_filters"),
+    ):
+        n = 0
+        for s, _ in _cases(fn):
+            with _pytest.raises(Exception):
+                apply_common_args(parse_query("*"), **{key: s})
+            n += 1
+        assert n >= 5, n

@@ -43,14 +43,30 @@ def _extra_filter_query(s: str, stream: bool) -> str:
     if not s.startswith('{"'):
         return s
     kvs = json.loads(s)
+    if not isinstance(kvs, dict):
+        raise ValueError(f"extra_filters JSON must be an object: {s!r}")
     parts = []
     for k, v in kvs.items():
-        vals = [str(x) for x in (v if isinstance(v, list) else [v])]
+        raw = v if isinstance(v, list) else [v]
+        if not raw:
+            # an empty value list matches everything — the key is skipped
+            # (logsql_test.go: {"a":[]} contributes nothing; an in() with
+            # no args would match NOTHING instead)
+            continue
+        if not all(isinstance(x, str) for x in raw):
+            # the reference rejects non-string values ({"foo":[1]})
+            raise ValueError(f"extra_filters values must be strings: {s!r}")
+        vals = list(raw)
         if stream:
             if len(vals) == 1:
                 parts.append(f"{json.dumps(k)}={json.dumps(vals[0])}")
             else:
-                pat = "|".join(_re.escape(x) for x in vals)
+                # Go regexp.QuoteMeta, not re.escape — the canonical form
+                # must match the reference's (logsql_test.go pins
+                # 'd|e\\|\"'; re.escape over-escapes)
+                from victorialogs_spark.logsql.parser import _quote_meta
+
+                pat = "|".join(_quote_meta(x) for x in vals)
                 parts.append(f"{json.dumps(k)}=~{json.dumps(pat)}")
         else:
             if len(vals) == 1:
@@ -88,10 +104,18 @@ def apply_common_args(
                 end_ns if end_ns is not None else 2**62,
             )
         )
+    def _filter_only(qs: str) -> A.Filter:
+        qq = parse_query(qs, timestamp_ns)
+        if qq.pipes:
+            # extra filters are FILTERS: 'foo | count()' must reject
+            # (logsql.go parseExtraFilters; r15 vlselect corpus)
+            raise ValueError(f"extra filter must not contain pipes: {qs!r}")
+        return qq.filter
+
     for s in _as_list(extra_filters):
-        terms.append(parse_query(_extra_filter_query(s, False), timestamp_ns).filter)
+        terms.append(_filter_only(_extra_filter_query(s, False)))
     for s in _as_list(extra_stream_filters):
-        terms.append(parse_query(_extra_filter_query(s, True), timestamp_ns).filter)
+        terms.append(_filter_only(_extra_filter_query(s, True)))
     terms = [t for t in terms if not isinstance(t, A.FNoop)]
     if len(terms) > 1:
         q.filter = A.FAnd(terms)
