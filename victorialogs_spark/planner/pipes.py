@@ -1083,6 +1083,26 @@ def _p_unpack_json(p: A.PUnpackJson, df: DataFrame, ctx) -> DataFrame:
     return out.drop(tmp)
 
 
+def _maybe_persist_map(df: DataFrame, with_map: DataFrame, tmp: str, m):
+    """The unpack persist gate shared by the UDF-backed unpack pipes
+    (syslog/logfmt — and the same policy _p_unpack_json applies inline):
+    when the projected input is small, persist the parsed-map frame so
+    key inference and extraction share ONE parse; otherwise the two-scan
+    plan re-parses (at 100 TB a pruned single-column re-read beats
+    spilling the whole projection). Returns (with_map, keys_frame,
+    keys_col) to infer from."""
+    est = _estimated_bytes(with_map)
+    if est is not None and est <= UNPACK_PERSIST_MAX_BYTES:
+        from pyspark import StorageLevel
+
+        with_map = with_map.persist(StorageLevel.MEMORY_AND_DISK)
+        _UNPACK_CACHES.append(with_map)
+        while len(_UNPACK_CACHES) > 4:
+            _UNPACK_CACHES.pop(0).unpersist()
+        return with_map, with_map, F.map_keys(qcol(tmp))
+    return with_map, df, F.map_keys(m)
+
+
 def _p_unpack_logfmt(p: A.PUnpackLogfmt, df: DataFrame, ctx) -> DataFrame:
     # Reference-exact logfmt splitting (logfmt_parser.go via
     # functions/syslogparse._parse_logfmt_pairs, the same splitter the
@@ -1097,7 +1117,11 @@ def _p_unpack_logfmt(p: A.PUnpackLogfmt, df: DataFrame, ctx) -> DataFrame:
     m = logfmt_map_column(src)
     tmp = "__vl_unpack"
     with_map = df.withColumn(tmp, m)
-    keys = p.fields or _infer_keys(df, F.map_keys(m), ctx)
+    if p.fields:
+        keys = p.fields
+    else:
+        with_map, kdf, kcol = _maybe_persist_map(df, with_map, tmp, m)
+        keys = _infer_keys(kdf, kcol, ctx)
     cond = compile_filter(p.cond, df, ctx) if p.cond is not None else None
     out = _assign_extracted_batch(
         with_map,
@@ -1133,7 +1157,8 @@ def _p_unpack_syslog(p: A.PUnpackSyslog, df: DataFrame, ctx) -> DataFrame:
     m = syslog_map_column(src, year, now, p.offset_ns)
     tmp = "__vl_unpack"
     with_map = df.withColumn(tmp, m)
-    keys = _infer_keys(df, F.map_keys(m), ctx)
+    with_map, kdf, kcol = _maybe_persist_map(df, with_map, tmp, m)
+    keys = _infer_keys(kdf, kcol, ctx)
     out = _assign_extracted_batch(
         with_map,
         [(pre + k, F.coalesce(qcol(tmp)[k], F.lit(""))) for k in keys],
