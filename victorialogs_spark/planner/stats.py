@@ -323,13 +323,20 @@ def compile_stats_func(
         return F.to_json(arr).alias(sf.result)
 
     if name == "values":
-        # all values (dups kept) across all listed fields
-        if len(fields) == 1:
-            arr = F.collect_list(guard(fcol(df, fields[0])))
-        else:
-            arr = F.flatten(
-                F.collect_list(guard(F.array(*[fcol(df, f) for f in fields])))
-            )
+        # all values (dups kept) across all listed fields, COLUMN-major:
+        # the reference appends every row of one column before the next
+        # (stats_values.go updateStatsForAllRows iterates mc.cs). Named
+        # absent fields contribute '' per row; wildcard-matched fields
+        # skip ''-cells (the block-existence rule, as for min/max) —
+        # r15 review of stats_values.go.
+        pairs = _expand_flagged(df, sf.fields) or [("__vl_absent__", False)]
+        arrs = []
+        for f, from_wild in pairs:
+            v = fcol(df, f)
+            if from_wild:
+                v = F.when(v != "", v)
+            arrs.append(F.collect_list(guard(v)))
+        arr = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
         limit = sf.extra.get("limit")
         if limit:
             arr = F.slice(arr, 1, int(limit))
