@@ -343,8 +343,27 @@ def compile_stats_func(
         return F.to_json(arr).alias(sf.result)
 
     if name == "json_values":
-        struct = F.struct(*[fcol(df, f).alias(f) for f in fields])
-        arr = F.collect_list(guard(F.to_json(struct)))
+        # per-row JSON of the matching fields SORTED BY NAME
+        # (stats_json_values.go:87 mc.sort()); named fields keep ''
+        # values (the slow path materializes empty columns), while
+        # wildcard-matched fields drop ''-cells (the row's block would
+        # not have the column) — r15 review of stats_json_values.go
+        pairs = _expand_flagged(df, sf.fields) or [("__vl_absent__", False)]
+        flags: dict[str, bool] = {}
+        for f, w in pairs:
+            flags[f] = flags.get(f, True) and w  # named anywhere keeps ''
+        names = sorted(flags)
+        m = F.map_from_arrays(
+            F.array(*[F.lit(n) for n in names]),
+            F.array(*[fcol(df, n) for n in names]),
+        )
+        if any(flags.values()):
+            named = [n for n, w in flags.items() if not w]
+            if named:
+                m = F.map_filter(m, lambda k, v: (v != "") | k.isin(*named))
+            else:
+                m = F.map_filter(m, lambda k, v: v != "")
+        arr = F.collect_list(guard(F.to_json(m)))
         limit = sf.extra.get("limit")
         if limit:
             arr = F.slice(arr, 1, int(limit))
