@@ -914,6 +914,16 @@ logsql(
     " AS u FROM events",
 )
 logsql(
+    "s_uniq_values_natural",
+    # NATURAL sort order over numeric values ('9' before '10' — the
+    # reference merge heap compares with lessString); the string-field
+    # twins above cannot distinguish natural from lexicographic
+    # (r15 finding: array_sort was lexicographic)
+    "* | stats uniq_values(user_id) limit 12 as u",
+    "SELECT CAST(to_json(list_transform(list_sort(list(DISTINCT user_id))[:12],"
+    " x -> CAST(x AS VARCHAR))) AS VARCHAR) AS u FROM events",
+)
+logsql(
     "p_top_custom_hits",
     "* | top 2 by (event_type) hits as cnt",
     "SELECT event_type, cnt FROM (SELECT event_type, COUNT(*) AS cnt,"
@@ -4543,7 +4553,7 @@ _STALE_R15_WINDOW = [
 # round-15 additions: brand-new oracle-backed entries registered this round
 _NEW_R15: list[str] = [
     "ep_query_last_n", "ep_hits_common", "ep_stats_rate_window",
-    "ep_stats_query_multi",
+    "ep_stats_query_multi", "s_uniq_values_natural",
 ]
 
 # entries whose SEMANTICS (and oracle SQL) were re-derived this round —

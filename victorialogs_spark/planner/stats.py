@@ -307,16 +307,19 @@ def compile_stats_func(
         raise NotImplementedError("histogram is planned via pipes._histogram_agg")
 
     if name == "uniq_values":
-        # unique values across ALL listed fields (union, not per-row pick)
-        if len(fields) == 1:
-            arr = F.array_sort(F.collect_set(guard(_nonempty(df, fields[0]))))
-        else:
-            row_vals = F.filter(
-                F.array(*[fcol(df, f) for f in fields]), lambda x: x != ""
-            )
-            arr = F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list(guard(row_vals))))
-            )
+        # unique values across ALL listed fields (union, not per-row
+        # pick; '' skipped on every path — stats_uniq_values.go:362),
+        # sorted in NATURAL order: the merge heap compares with
+        # lessString, so "9" sorts before "10" (r15 review; the plain
+        # array_sort was lexicographic). Collect the orderable
+        # (kind, number, text) struct, sort, project the text back out.
+        def key_set(f: str) -> Column:
+            s = fcol(df, f)
+            return F.collect_set(guard(F.when(s != "", _natural_struct(df, f))))
+
+        arrs = [key_set(f) for f in fields]
+        arr = arrs[0] if len(arrs) == 1 else F.array_distinct(F.concat(*arrs))
+        arr = F.transform(F.array_sort(arr), lambda x: x.getField("k2"))
         limit = sf.extra.get("limit")
         if limit:
             arr = F.slice(arr, 1, int(limit))
