@@ -621,3 +621,46 @@ def test_json_parser_corpus():
     # failure cases must flatten to None (scanner) and raise (dict loads)
     for bad in ["", "{foo", "[1,2,3]", '{"foo",}']:
         assert flatten_json_message(bad) is None
+
+
+def test_ingest_timestamp_corpus(spark):
+    """insertutil/timestamp_test.go: the ingest _time parser accepts
+    RFC3339 (any zone), SQL datetime with zone, and NUMERIC unix stamps
+    whose unit (s/ms/µs/ns) auto-detects at the int32-count magnitude
+    boundaries (timeutil.TryParseUnixTimestamp) — a plain
+    seconds-interpretation read millis as year ~56000. Extracted at
+    runtime; expectations compare at µs (our timestamp resolution)."""
+    import re
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    src = Path(
+        "/root/reference/app/vlinsert/insertutil/timestamp_test.go"
+    ).read_text()
+    body = src.split("func TestExtractTimestampFromFields_Success")[1].split(
+        "\nfunc "
+    )[0]
+    cases = []
+    for m in re.finditer(
+        r'\{Name: "time", Value: "([^"]*)"\},\s*\n\t\}, (\d+)\)', body
+    ):
+        cases.append((m.group(1), int(m.group(2))))
+    assert len(cases) >= 4, f"extraction regressed: {len(cases)}"
+
+    from victorialogs_spark.schema import ingest_ndjson
+
+    import json as _json
+
+    lines = [_json.dumps({"_msg": "x", "_time": v}) for v, _ in cases]
+    df = ingest_ndjson(spark, lines)
+    got = [r["_time"] for r in df.select("_time").collect()]
+    failures = []
+    for (v, want_ns), ts in zip(cases, got):
+        import datetime as _dt
+
+        got_us = int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6) \
+            if ts.tzinfo is None else int(ts.timestamp() * 1e6)
+        if got_us != want_ns // 1000:
+            failures.append(f"{v!r}: got {got_us} want {want_ns // 1000}")
+    assert not failures, "\n".join(failures)

@@ -246,3 +246,30 @@ def duration_seconds(c: Column) -> Column:
     )
     signed = F.when(s.rlike(r"^-"), -total).otherwise(total)
     return F.when(valid, format_number(signed)).otherwise(c)
+
+
+def unix_auto_timestamp(c: Column) -> Column:
+    """Numeric unix timestamp string → timestamp with the unit (s/ms/µs/ns)
+    AUTO-DETECTED at the reference's int32-count magnitude boundaries
+    (timeutil.TryParseUnixTimestamp; the same splitter the format pipe's
+    time: converter uses). A plain seconds interpretation reads
+    '1718753840000' (millis) as year ~56000 — the r15 ingest-timestamp
+    corpus caught it. Fractional and negative stamps parse; NULL when the
+    value is not numeric."""
+    from victorialogs_spark.functions.casts import _try_cast
+
+    d = _try_cast(c, "decimal(29,9)")
+    unit = (
+        F.when(F.abs(d) < F.lit(1 << 31), F.lit(10**9))
+        .when(F.abs(d) < F.lit((1 << 31) * 1000), F.lit(10**6))
+        .when(F.abs(d) < F.lit((1 << 31) * 10**6), F.lit(10**3))
+        .otherwise(F.lit(1))
+    )
+
+    def _to_ts(ns: Column) -> Column:
+        # ns → µs flooring toward -inf so pre-epoch stamps keep their µs
+        us = ((ns - F.pmod(ns, F.lit(1000))).cast("decimal(38,0)") / F.lit(1000)).cast("long")
+        return F.timestamp_micros(us)
+
+    ns = (d * unit.cast("decimal(20,0)")).cast("long")
+    return F.when(d.isNotNull(), let(ns, _to_ts))

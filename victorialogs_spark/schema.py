@@ -15,6 +15,8 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from victorialogs_spark.functions.natural import unix_auto_timestamp
 from victorialogs_spark.functions.casts import _try_cast
 
 RESERVED = ("_time", "_msg", "_stream", "_stream_id", "_day")
@@ -177,9 +179,13 @@ def ingest_ndjson(
     df = df.withColumn(
         "_time",
         F.coalesce(
-            # try_*: ANSI mode makes plain to_timestamp throw on unix-secs
+            # try_*: ANSI mode makes plain to_timestamp throw on unix-secs;
+            # numeric stamps auto-detect their unit (s/ms/µs/ns, the
+            # reference's TryParseUnixTimestamp boundaries — r15)
             F.try_to_timestamp(F.col("_time")),
-            F.timestamp_seconds(_try_cast(F.col("_time"), "double")),
+            # '0' means "no timestamp" and takes now() like ''/'-'
+            # (insertutil parseTimestamp; r15 ingest-timestamp corpus)
+            unix_auto_timestamp(F.nullif(F.col("_time"), F.lit("0"))),
             F.current_timestamp(),
         ),
     )

@@ -18,6 +18,8 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from victorialogs_spark.functions.natural import unix_auto_timestamp
 from pyspark.sql import types as T
 
 from victorialogs_spark.schema import flatten_json, with_stream_id
@@ -92,9 +94,13 @@ def with_event_time(parsed: DataFrame) -> DataFrame:
     from victorialogs_spark.functions.casts import _try_cast
 
     t = F.coalesce(
-        # try_*: ANSI mode makes plain to_timestamp THROW on e.g. unix-secs
+        # try_*: ANSI mode makes plain to_timestamp THROW on e.g. unix-secs;
+        # numeric stamps auto-detect their unit (s/ms/µs/ns, the
+        # reference's TryParseUnixTimestamp boundaries — r15)
         F.try_to_timestamp(F.col("_time_raw")),
-        F.timestamp_seconds(_try_cast(F.col("_time_raw"), "double")),
+        # '0' means "no timestamp" and takes now() like ''/'-'
+        # (insertutil parseTimestamp; r15 ingest-timestamp corpus)
+        unix_auto_timestamp(F.nullif(F.col("_time_raw"), F.lit("0"))),
         F.current_timestamp(),
     )
     return parsed.withColumn("_time", t).drop("_time_raw")
