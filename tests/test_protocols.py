@@ -169,8 +169,11 @@ def test_journald_export(spark, tmp_path):
     df = parse_journald_export(spark, str(p))
     rows = {r["_msg"]: r.asDict() for r in df.collect()}
     assert set(rows) == {"boot ok", "svc start"}
-    assert rows["boot ok"]["priority"] == "6"
-    assert rows["svc start"]["pid"] == "42"
+    # reference semantics (journald.go): names keep their case, PRIORITY
+    # also emits level=<keyword>, single-underscore names are stored
+    assert rows["boot ok"]["PRIORITY"] == "6"
+    assert rows["boot ok"]["level"] == "info"
+    assert rows["svc start"]["_PID"] == "42"
     assert rows["boot ok"]["_time"].isoformat().startswith("2024-01-01T00:00:01")
 
 
@@ -266,3 +269,71 @@ def test_es_bulk_single_key_document_not_dropped(spark):
         for r in parse_elasticsearch_bulk(spark, lines).collect()
     )
     assert len(msgs) == 2
+
+
+def test_journald_corpus():
+    """app/vlinsert/journald/journald_test.go TestPushJournald_Success
+    replayed through journald_entries: binary length-framed values,
+    field-name validation (names keep case; [A-Z_][A-Z0-9_]*, <=64
+    bytes, __-metadata dropped), PRIORITY->level, entries flushing on
+    blank lines only. Expected rows compare with ''-valued fields
+    dropped (missing = empty)."""
+    import json as _json
+    import re
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_pipe_semantics_corpus import _go_string, _skip_ws
+
+    from victorialogs_spark.sources.protocols import journald_entries
+
+    src = Path(
+        "/root/reference/app/vlinsert/journald/journald_test.go"
+    ).read_text()
+    body = src.split("func TestPushJournald_Success")[1].split("\nfunc ")[0]
+    cases = []
+    for m in re.finditer(r"\n\tf\(", body):
+        i = _skip_ws(body, m.end())
+        blob, i = _go_string(body, i)
+        i = _skip_ws(body, i)
+        assert body[i] == ","
+        i = _skip_ws(body, i + 1)
+        if body.startswith("nil", i):
+            ts_list = []
+            i += 3
+        else:
+            mm = re.match(r"\[\]int64\{([^}]*)\}", body[i:])
+            ts_list = [int(x) for x in mm.group(1).split(",") if x.strip()]
+            i += mm.end()
+        i = _skip_ws(body, i)
+        assert body[i] == ","
+        want_s, i = _go_string(body, _skip_ws(body, i + 1))
+        cases.append((blob, ts_list, want_s))
+    assert len(cases) >= 10, f"extraction regressed: {len(cases)}"
+
+    failures = []
+    for blob, ts_list, want_s in cases:
+        rows = journald_entries(blob)
+        def _ns(t: str) -> int:
+            sec, _, frac = t.partition(".")
+            return int(sec) * 10**9 + int((frac + "000000000")[:9])
+
+        got_ts = [_ns(r["_time"]) if r.get("_time") else None for r in rows]
+        got_rows = [
+            {k: v for k, v in r.items() if k != "_time" and v != ""}
+            for r in rows
+        ]
+        want_rows = [
+            {k: v for k, v in _json.loads(line).items() if v != ""}
+            for line in want_s.split("\n")
+            if line
+        ]
+        if got_rows != want_rows or got_ts != ts_list[: len(got_ts)] or len(
+            got_ts
+        ) != len(ts_list):
+            failures.append(
+                f"[{blob[:60]!r}] got {got_rows} ts {got_ts}"
+                f" want {want_rows} ts {ts_list}"
+            )
+    assert not failures, "\n".join(failures[:6])

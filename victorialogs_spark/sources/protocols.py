@@ -351,26 +351,95 @@ def parse_journald_export(
         else path_or_blobs
     )
 
-    def one(blob: str) -> list[dict]:
-        out = []
-        for entry in blob.split("\n\n"):
-            flat: dict[str, str] = {}
-            for line in entry.split("\n"):
-                if not line or "=" not in line:
-                    continue
-                k, v = line.split("=", 1)
-                if k == "MESSAGE":
-                    flat["_msg"] = v
-                elif k == "__REALTIME_TIMESTAMP":
-                    flat["_time"] = unix_frac_seconds(int(v), 10**6)
-                else:
-                    flat[k.lower().lstrip("_")] = v
-            if flat:
-                out.append(flat)
-        return out
-
-    parsed = rdd_like.mapInPandas(_batch_parser(one), PARSED_SCHEMA)
+    parsed = rdd_like.mapInPandas(_batch_parser(journald_entries), PARSED_SCHEMA)
     return _finish(parsed, None, promote_keys)
+
+
+_JOURNALD_NAME_RE = __import__("re").compile(rb"^[A-Z_][A-Z0-9_]*$")
+
+_JOURNALD_LEVELS = {
+    "0": "emerg", "1": "alert", "2": "critical", "3": "error",
+    "4": "warning", "5": "notice", "6": "info", "7": "debug",
+}
+
+
+def journald_entries(blob: str) -> list[dict]:
+    """Journal Export Format → rows, reference-exact
+    (app/vlinsert/journald/journald.go readJournaldLogEntry; pinned by
+    the r15 journald corpus):
+
+    - a field is "NAME=value" or binary "NAME\\n<8-byte LE size><data>\\n"
+      (data may span newlines); a malformed binary frame aborts the
+      stream, keeping the rows already emitted;
+    - names are [A-Z_][A-Z0-9_]* and at most 64 BYTES — invalid names
+      skip the FIELD (the old parser lowercased and stripped
+      underscores, inventing names the reference never stores);
+    - __REALTIME_TIMESTAMP (µs) is consumed as the row time (0 or
+      unparseable → ingest-time now); MESSAGE becomes _msg; PRIORITY
+      also emits level=<keyword> and is kept; "__"-prefixed metadata
+      fields drop;
+    - an entry flushes on its blank line (or EOF); an entry whose every
+      field was skipped emits nothing."""
+    data = blob.encode("utf-8", "surrogateescape")
+    n = len(data)
+    rows: list[dict] = []
+    fields: list[tuple[str, str]] = []
+    ts_us: int | None = None
+
+    def flush() -> None:
+        nonlocal fields, ts_us
+        if fields:
+            row = dict(fields)
+            row["_time"] = (
+                unix_frac_seconds(ts_us, 10**6) if ts_us else ""
+            )
+            rows.append(row)
+        fields, ts_us = [], None
+
+    i = 0
+    while True:
+        if i >= n:
+            flush()
+            return rows
+        j = data.find(b"\n", i)
+        line = data[i:j] if j >= 0 else data[i:n]
+        i = (j + 1) if j >= 0 else n
+        if line == b"":
+            flush()
+            continue
+        eq = line.find(b"=")
+        if eq >= 0:
+            name_b, value_b = line[:eq], line[eq + 1 :]
+        else:
+            # binary frame: 8-byte little-endian size, then the payload
+            # and a mandatory trailing '\n'
+            name_b = line
+            if i + 8 > n:
+                flush()
+                return rows
+            size = int.from_bytes(data[i : i + 8], "little")
+            i += 8
+            if size > n - i or data[i + size : i + size + 1] != b"\n":
+                flush()
+                return rows
+            value_b = data[i : i + size]
+            i += size + 1
+        if len(name_b) > 64 or not _JOURNALD_NAME_RE.match(name_b):
+            continue
+        name = name_b.decode("utf-8", "surrogateescape")
+        value = value_b.decode("utf-8", "surrogateescape")
+        if name == "__REALTIME_TIMESTAMP":
+            try:
+                ts_us = int(value)
+            except ValueError:
+                ts_us = None
+            continue
+        if name == "MESSAGE":
+            name = "_msg"
+        if name == "PRIORITY":
+            fields.append(("level", _JOURNALD_LEVELS.get(value, value)))
+        if not name.startswith("__"):
+            fields.append((name, value))
 
 
 # ------------------------------------------------------------------ datadog
