@@ -337,3 +337,267 @@ def test_journald_corpus():
                 f" want {want_rows} ts {ts_list}"
             )
     assert not failures, "\n".join(failures[:6])
+
+
+# ------------------------------------------------------- corpus helpers
+
+
+def _go_args(body: str, i: int) -> tuple[list, int]:
+    """Parse a Go call-argument list starting just after 'f(' — strings
+    (quoted/backtick, with '+' concatenation), nil, true/false, ints,
+    []int64{...}, []string{...}. Returns (args, index past ')')."""
+    import re
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_pipe_semantics_corpus import _go_string, _skip_ws
+
+    args: list = []
+    i = _skip_ws(body, i)
+    while body[i] != ")":
+        c = body[i]
+        if c in "\"`":
+            s, i = _go_string(body, i)
+            i = _skip_ws(body, i)
+            while body[i] == "+":  # "a" + "b" concatenation
+                i = _skip_ws(body, i + 1)
+                s2, i = _go_string(body, i)
+                s += s2
+                i = _skip_ws(body, i)
+            args.append(s)
+        elif body.startswith("nil", i):
+            args.append(None)
+            i += 3
+        elif body.startswith("true", i):
+            args.append(True)
+            i += 4
+        elif body.startswith("false", i):
+            args.append(False)
+            i += 5
+        elif body.startswith("[]int64{", i):
+            j = body.index("}", i)
+            args.append(
+                [int(x) for x in body[i + 8 : j].split(",") if x.strip()]
+            )
+            i = j + 1
+        elif body.startswith("[]string{", i):
+            j = i + 9
+            out = []
+            j = _skip_ws(body, j)
+            while body[j] != "}":
+                s, j = _go_string(body, j)
+                out.append(s)
+                j = _skip_ws(body, j)
+                if body[j] == ",":
+                    j = _skip_ws(body, j + 1)
+            args.append(out)
+            i = j + 1
+        else:
+            m = re.match(r"-?\d+", body[i:])
+            if not m:
+                raise ValueError(f"unparseable arg at {i}: {body[i:i+30]!r}")
+            args.append(int(m.group()))
+            i += m.end()
+        i = _skip_ws(body, i)
+        if body[i] == ",":
+            i = _skip_ws(body, i + 1)
+    return args, i + 1
+
+
+def _extract_f_calls(path: str, func: str) -> list[list]:
+    import re
+    from pathlib import Path
+
+    src = Path(path).read_text()
+    body = src.split(f"func {func}")[1].split("\nfunc ")[0]
+    calls = []
+    for m in re.finditer(r"\n\tf\(", body):
+        args, _ = _go_args(body, m.end())
+        calls.append(args)
+    return calls
+
+
+def _ts_ns(t: str) -> int:
+    sec, _, frac = t.partition(".")
+    neg = sec.startswith("-")
+    ns = abs(int(sec)) * 10**9 + int((frac + "000000000")[:9])
+    return -ns if neg else ns
+
+
+def _want_rows(result: str) -> list[dict]:
+    """MarshalFieldsToJSON lines → dicts, ''-valued fields dropped
+    (the marshaller skips them)."""
+    return [
+        {k: v for k, v in json.loads(line).items() if v != ""}
+        for line in result.split("\n")
+        if line
+    ]
+
+
+def _got_rows(rows: list[dict]) -> tuple[list[dict], list]:
+    got_ts = [_ts_ns(r["_time"]) if r.get("_time") else None for r in rows]
+    return [
+        {k: v for k, v in r.items() if k != "_time" and v != ""} for r in rows
+    ], got_ts
+
+
+# ------------------------------------------------------- loki corpus
+
+
+def test_loki_json_corpus():
+    """app/vlinsert/loki/loki_json_test.go replayed through
+    loki_json_rows: malformed payloads raise; success payloads produce
+    the reference's exact rows + timestamps (unit-auto-detected unix
+    stamps, metadata-before-_msg, parse_message inlining + msg_fields
+    renaming)."""
+    import pytest
+
+    from victorialogs_spark.sources.protocols import loki_json_rows
+
+    path = "/root/reference/app/vlinsert/loki/loki_json_test.go"
+
+    bad = _extract_f_calls(path, "TestParseJSONRequest_Failure")
+    assert len(bad) >= 15, f"extraction regressed: {len(bad)}"
+    for (blob,) in bad:
+        with pytest.raises(ValueError):
+            loki_json_rows(blob)
+
+    good = _extract_f_calls(path, "TestParseJSONRequest_Success")
+    assert len(good) >= 8, f"extraction regressed: {len(good)}"
+    failures = []
+
+    def _us(ts_list):  # expectations compare at µs — our _time resolution
+        return [t // 1000 if t is not None else None for t in ts_list or []]
+
+    for blob, ts_list, want_s in good:
+        rows = loki_json_rows(blob)
+        got, got_ts = _got_rows(rows)
+        want = _want_rows(want_s or "")
+        if got != want or _us(got_ts) != _us(ts_list):
+            failures.append(f"[{blob[:60]!r}] got {got} ts {got_ts} want {want}")
+    assert not failures, "\n".join(failures[:6])
+
+    pm = _extract_f_calls(path, "TestParseJSONRequest_ParseMessage")
+    assert len(pm) >= 1
+    for blob, msg_fields, ts_list, want_s in pm:
+        rows = loki_json_rows(blob, msg_fields, parse_message=True)
+        got, got_ts = _got_rows(rows)
+        assert got == _want_rows(want_s), got
+        assert _us(got_ts) == _us(ts_list)
+
+
+def test_snappy_block_codec():
+    """Pure-python snappy: literal+copy decode (hand-packed stream:
+    varint(14), literal 'abcd', copy-1B offset=4 len=10 — the
+    overlapping-copy case), encode/decode roundtrip, malformed raises."""
+    import pytest
+
+    from victorialogs_spark.sources.loki_pb import snappy_decode, snappy_encode
+
+    assert snappy_decode(b"\x0e\x0cabcd\x19\x04") == b"abcdabcdabcdab"
+    for blob in [b"", b"x", b"hello world" * 100, bytes(range(256)) * 7]:
+        assert snappy_decode(snappy_encode(blob)) == blob
+    for bad in [b"", b"\x05\x0cab", b"\x02\x19\x04", b"\xff\xff\xff\xff\xff\xff"]:
+        with pytest.raises(ValueError):
+            snappy_decode(bad)
+
+
+def test_parse_prom_labels_corpus():
+    """loki_protobuf_test.go TestParsePromLabels_{Success,Failure}:
+    success cases round-trip through parse_prom_labels + go_quote;
+    failure cases raise."""
+    import pytest
+
+    from victorialogs_spark.sources.loki_pb import go_quote, parse_prom_labels
+
+    path = "/root/reference/app/vlinsert/loki/loki_protobuf_test.go"
+    good = _extract_f_calls(path, "TestParsePromLabels_Success")
+    assert len(good) >= 4
+    for (s,) in good:
+        fields = parse_prom_labels(s)
+        rendered = "{" + ", ".join(f"{k}={go_quote(v)}" for k, v in fields) + "}"
+        assert rendered == s, f"{s!r} -> {fields} -> {rendered!r}"
+
+    bad = _extract_f_calls(path, "TestParsePromLabels_Failure")
+    assert len(bad) >= 9
+    for (s,) in bad:
+        with pytest.raises(ValueError):
+            parse_prom_labels(s)
+
+
+def _pb_roundtrip(blob: str, msg_fields, parse_message):
+    """The Go protobuf test's harness: parse the JSON request, rebuild a
+    PushRequest (one stream per row, all non-_msg fields rendered as
+    prom labels — testLogMessageProcessor.AddRow), then parse the wire
+    bytes with the protobuf path."""
+    from victorialogs_spark.sources.loki_pb import encode_push_request, go_quote
+    from victorialogs_spark.sources.protocols import loki_json_rows, loki_pb_rows
+
+    rows = loki_json_rows(blob)
+    streams = []
+    for r in rows:
+        labels = "{" + ", ".join(
+            f"{k}={go_quote(v)}" for k, v in r.items() if k not in ("_msg", "_time")
+        ) + "}"
+        ts_ns = _ts_ns(r["_time"]) if r.get("_time") else 0
+        streams.append((labels, [(ts_ns, r.get("_msg", ""), [])]))
+    data = encode_push_request(streams)
+    return len(rows), loki_pb_rows(data, msg_fields, parse_message)
+
+
+def test_loki_protobuf_corpus():
+    """loki_protobuf_test.go TestParseProtobufRequest_{Success,
+    ParseMessage} replayed: JSON → rebuilt PushRequest wire →
+    loki_pb_rows must reproduce the reference rows + timestamps
+    (µs resolution)."""
+    path = "/root/reference/app/vlinsert/loki/loki_protobuf_test.go"
+
+    def _us(ts_list):
+        return [t // 1000 if t is not None else None for t in ts_list or []]
+
+    good = _extract_f_calls(path, "TestParseProtobufRequest_Success")
+    assert len(good) >= 8, f"extraction regressed: {len(good)}"
+    failures = []
+    for blob, ts_list, want_s in good:
+        n_streams, rows = _pb_roundtrip(blob, None, False)
+        assert n_streams == len(ts_list or [])
+        got, got_ts = _got_rows(rows)
+        want = _want_rows(want_s or "")
+        if got != want or _us(got_ts) != _us(ts_list):
+            failures.append(f"[{blob[:60]!r}] got {got} ts {got_ts} want {want}")
+    assert not failures, "\n".join(failures[:6])
+
+    pm = _extract_f_calls(path, "TestParseProtobufRequest_ParseMessage")
+    assert len(pm) >= 1
+    for blob, msg_fields, ts_list, want_s in pm:
+        n_streams, rows = _pb_roundtrip(blob, msg_fields, True)
+        assert n_streams == len(ts_list)
+        got, got_ts = _got_rows(rows)
+        assert got == _want_rows(want_s), got
+        assert _us(got_ts) == _us(ts_list)
+
+
+def test_loki_protobuf_dataframe(spark):
+    """parse_loki_protobuf end-to-end: snappy-wrapped PushRequest bytes →
+    queryable rows with stream labels + metadata as fields."""
+    from victorialogs_spark.sources.loki_pb import encode_push_request, snappy_encode
+    from victorialogs_spark.sources.protocols import parse_loki_protobuf
+
+    data = encode_push_request(
+        [
+            (
+                '{app="web", env="prod"}',
+                [
+                    (1709251200_000000001, "hello from promtail", []),
+                    (1709251201_000000002, "second line", [("trace", "t1")]),
+                ],
+            )
+        ]
+    )
+    df = parse_loki_protobuf(spark, [snappy_encode(data)])
+    rows = {r["_msg"]: r.asDict() for r in df.collect()}
+    assert set(rows) == {"hello from promtail", "second line"}
+    assert rows["hello from promtail"]["app"] == "web"
+    assert rows["second line"]["trace"] == "t1"
+    assert rows["second line"]["_time"].isoformat().startswith("2024-03-01")

@@ -1281,12 +1281,32 @@ class _Handler(BaseHTTPRequestHandler):
                 200, b'{"version":{"number":"8.9.0"}}', "application/json"
             )
         if path == "/insert/loki/api/v1/push":
-            from victorialogs_spark.sources.protocols import parse_loki_push
+            # content negotiation like the reference (loki.go:35): only
+            # application/json takes the JSON path; everything else is
+            # protobuf, snappy-compressed unless Content-Encoding says
+            # otherwise (loki_protobuf.go:44)
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            if ctype == "application/json":
+                from victorialogs_spark.sources.protocols import parse_loki_push
 
-            self._append(
-                parse_loki_push(st.spark, _lines_df(st.spark, body, split=False)),
-                "loki",
-            )
+                self._append(
+                    parse_loki_push(
+                        st.spark, _lines_df(st.spark, body, split=False)
+                    ),
+                    "loki",
+                )
+            else:
+                from victorialogs_spark.sources.protocols import (
+                    parse_loki_protobuf,
+                )
+
+                enc = self.headers.get("Content-Encoding") or "snappy"
+                self._append(
+                    parse_loki_protobuf(
+                        st.spark, [body], snappy=(enc == "snappy")
+                    ),
+                    "loki",
+                )
             return self._send(204, b"", "text/plain")
         if path == "/insert/datadog/api/v2/logs":
             from victorialogs_spark.sources.protocols import (

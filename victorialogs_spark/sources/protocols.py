@@ -122,13 +122,241 @@ def parse_elasticsearch_bulk(
     return _finish(parsed, stream_fields, promote_keys)
 
 
+# ------------------------------------------------------- unix timestamps
+
+_I64_MAX = (1 << 63) - 1
+_I64_MIN = -(1 << 63)
+
+
+def _try_i64(s: str) -> int | None:
+    """Go strconv.ParseInt(s, 10, 64): optional sign + decimal digits only
+    (no whitespace, no underscores — Python's int() accepts both)."""
+    if not s:
+        return None
+    body = s[1:] if s[0] in "+-" else s
+    if not body or not body.isascii() or not body.isdigit():
+        return None
+    n = int(s)
+    return n if _I64_MIN <= n <= _I64_MAX else None
+
+
+def _mul_dec_exp(n: int, exp: int) -> int | None:
+    # multiplyByDecimalExp: 0 < exp <= 18, int64-overflow-checked
+    if exp < 0 or exp > 18:
+        return None
+    if exp == 0:
+        return n
+    n *= 10**exp
+    return n if _I64_MIN <= n <= _I64_MAX else None
+
+
+def _frac_unix(int_str: str, frac_str: str) -> int | None:
+    # tryParseFractionalNumberForUnixTimestamp: int*10^len(frac) ± frac
+    n = _try_i64(int_str)
+    if n is None:
+        return None
+    num = _mul_dec_exp(n, len(frac_str))
+    if num is None:
+        return None
+    frac = _try_i64(frac_str)
+    if frac is None:
+        return None
+    num = num + frac if num >= 0 else num - frac
+    return num if _I64_MIN <= num <= _I64_MAX else None
+
+
+def _unit_to_ns(n: int) -> int:
+    # getUnixTimestampNanoseconds: unit auto-detects at int32-count
+    # magnitude boundaries (seconds → ms → µs → ns)
+    if -(1 << 31) <= n < (1 << 31):
+        return n * 10**9
+    if -(1 << 31) * 10**3 <= n < (1 << 31) * 10**3:
+        return n * 10**6
+    if -(1 << 31) * 10**6 <= n < (1 << 31) * 10**6:
+        return n * 10**3
+    return n
+
+
+def try_parse_unix_ns(s: str) -> int | None:
+    """timeutil.TryParseUnixTimestamp replica: integer / fractional /
+    scientific unix timestamp string → nanoseconds with the unit
+    (s/ms/µs/ns) auto-detected by magnitude; None when unparseable.
+    Pinned by the r15 loki ingest corpus (e.g. "1686026123.62" → ms,
+    "147.78369e9" → ms)."""
+    e = s.find("e")
+    if e < 0:
+        e = s.find("E")
+    if e >= 0:
+        dec_exp = _try_i64(s[e + 1 :])
+        if dec_exp is None:
+            return None
+        mantissa = s[:e]
+        dot = mantissa.find(".")
+        if dot < 0:
+            n = _try_i64(mantissa)
+            if n is None:
+                return None
+            n = _mul_dec_exp(n, dec_exp)
+        else:
+            frac = mantissa[dot + 1 :]
+            if dec_exp < len(frac):
+                return None
+            n = _frac_unix(mantissa[:dot], frac)
+            if n is None:
+                return None
+            n = _mul_dec_exp(n, dec_exp - len(frac))
+        return _unit_to_ns(n) if n is not None else None
+
+    dot = s.find(".")
+    if dot < 0:
+        n = _try_i64(s)
+        return _unit_to_ns(n) if n is not None else None
+
+    frac_str = s[dot + 1 :]
+    n = _frac_unix(s[:dot], frac_str)
+    if n is None:
+        return None
+    # pad to a multiple-of-3 decimal exponent so the unit boundaries hold
+    exp = len(frac_str)
+    while exp % 3 != 0:
+        n *= 10
+        if not _I64_MIN <= n <= _I64_MAX:
+            return None
+        exp += 1
+    return _unit_to_ns(n)
+
+
 # --------------------------------------------------------------------- loki
+
+
+def _loki_row(
+    labels: list[tuple[str, str]],
+    metadata: list[tuple[str, str]],
+    msg: str,
+    ts_ns: int,
+    msg_fields: list[str] | None,
+    parse_message: bool,
+) -> dict:
+    """Per-entry row assembly shared by the JSON and protobuf paths
+    (loki_json.go addMsgField + rows.go RenameField): metadata lands
+    before _msg; with parse_message a '{...}' message that parses as a
+    JSON object is inlined instead of becoming _msg, and the first
+    non-empty msg_fields name among the per-line (non-label) fields is
+    renamed to _msg."""
+    from victorialogs_spark.functions.jsonflat import flatten_json_message
+
+    fields = list(labels) + list(metadata)
+    parsed_msg = None
+    if parse_message and len(msg) >= 2 and msg[0] == "{" and msg[-1] == "}":
+        parsed_msg = flatten_json_message(msg)
+    if parsed_msg is not None:
+        fields.extend(parsed_msg.items())
+        renamed = False
+        for want in msg_fields or []:
+            if renamed:
+                break
+            for idx in range(len(labels), len(fields)):
+                k, val = fields[idx]
+                if k == want and val != "":
+                    fields[idx] = ("_msg", val)
+                    renamed = True
+                    break
+    else:
+        fields.append(("_msg", msg))
+    row = dict(fields)
+    row["_time"] = unix_frac_seconds(ts_ns, 10**9) if ts_ns else ""
+    return row
+
+
+def loki_json_rows(
+    body: str,
+    msg_fields: list[str] | None = None,
+    parse_message: bool = False,
+) -> list[dict]:
+    """Loki push JSON body → rows, reference-exact
+    (app/vlinsert/loki/loki_json.go parseJSONRequest; pinned by the r15
+    loki corpus). Raises ValueError on any malformed payload — the
+    reference rejects the whole request:
+
+    - every stream needs a `values` array; `stream` labels and
+      structured-metadata values must be strings;
+    - each values item is [ts, msg] or [ts, msg, {metadata}]; ts is a
+      STRING unix timestamp in auto-detected unit (TryParseUnixTimestamp)
+      — "" or 0 means ingest-time now;
+    - metadata fields land BEFORE _msg;
+    - with parse_message, a "{...}" message that parses as a JSON object
+      is inlined (ParseLogMessage flattening) instead of becoming _msg,
+      and the first non-empty msg_fields name among the per-line fields
+      (metadata + parsed) is renamed to _msg (rows.go RenameField)."""
+    v = json.loads(body)
+    if not isinstance(v, dict) or "streams" not in v:
+        raise ValueError("missing `streams` item")
+    streams = v["streams"]
+    if not isinstance(streams, list):
+        raise ValueError("`streams` must be an array")
+    rows: list[dict] = []
+    for stream in streams:
+        if not isinstance(stream, dict):
+            raise ValueError("`streams` item must be an object")
+        labels: list[tuple[str, str]] = []
+        labels_v = stream.get("stream")
+        if labels_v is not None:
+            if not isinstance(labels_v, dict):
+                raise ValueError("`stream` item must be an object")
+            for k, val in labels_v.items():
+                if not isinstance(val, str):
+                    raise ValueError(f"label {k!r} value must be a string")
+                labels.append((k, val))
+        if "values" not in stream:
+            raise ValueError("missing `values` item")
+        lines_v = stream["values"]
+        if not isinstance(lines_v, list):
+            raise ValueError("`values` must be an array")
+        for line in lines_v:
+            if not isinstance(line, list) or not 2 <= len(line) <= 3:
+                raise ValueError("`values` item must be [ts, msg(, metadata)]")
+            ts_s, msg = line[0], line[1]
+            if not isinstance(ts_s, str):
+                raise ValueError("log timestamp must be a string")
+            if ts_s == "":
+                ts_ns = 0
+            else:
+                ns = try_parse_unix_ns(ts_s)
+                if ns is None:
+                    raise ValueError(f"cannot parse log timestamp {ts_s!r}")
+                ts_ns = ns
+            fields = list(labels)
+            if len(line) > 2:
+                md = line[2]
+                if not isinstance(md, dict):
+                    raise ValueError("structured metadata must be an object")
+                for k, val in md.items():
+                    if not isinstance(val, str):
+                        raise ValueError(
+                            f"metadata {k!r} value must be a string"
+                        )
+                    fields.append((k, val))
+            if not isinstance(msg, str):
+                raise ValueError("log message must be a string")
+            rows.append(
+                _loki_row(
+                    labels,
+                    fields[len(labels) :],
+                    msg,
+                    ts_ns,
+                    msg_fields,
+                    parse_message,
+                )
+            )
+    return rows
 
 
 def parse_loki_push(
     spark: SparkSession,
     path_or_lines,
     promote_keys: list[str] | None = None,
+    msg_fields: list[str] | None = None,
+    parse_message: bool = False,
 ) -> DataFrame:
     """Loki push payloads (one JSON body per line):
     {"streams": [{"stream": {labels}, "values": [["<ns>", "line"], ...]}]}
@@ -139,23 +367,7 @@ def parse_loki_push(
         line = line.strip()
         if not line:
             return []
-        body = json.loads(line)
-        out = []
-        for stream in body.get("streams", []):
-            labels = {
-                str(k): str(v) for k, v in (stream.get("stream") or {}).items()
-            }
-            for v in stream.get("values", []):
-                ts_ns, msg = v[0], v[1]
-                flat = dict(labels)
-                # ns-precision unix timestamp → exact decimal seconds
-                flat["_time"] = unix_frac_seconds(int(ts_ns), 10**9)
-                flat["_msg"] = msg
-                if len(v) > 2 and isinstance(v[2], dict):  # structured metadata
-                    for mk, mv in v[2].items():
-                        flat[str(mk)] = str(mv)
-                out.append(flat)
-        return out
+        return loki_json_rows(line, msg_fields, parse_message)
 
     lines = (
         spark.read.text(path_or_lines)
@@ -165,6 +377,89 @@ def parse_loki_push(
     parsed = lines.mapInPandas(_batch_parser(one), PARSED_SCHEMA)
     # loki stream labels: promote + use every label as a stream field is
     # caller-specific; default promotes sampled keys only
+    return _finish(parsed, None, promote_keys)
+
+
+def loki_pb_rows(
+    data: bytes,
+    msg_fields: list[str] | None = None,
+    parse_message: bool = False,
+) -> list[dict]:
+    """Loki PushRequest protobuf body (NOT snappy-wrapped) → rows,
+    reference-exact (app/vlinsert/loki/loki_protobuf.go
+    parseProtobufRequest; pinned by the r15 loki protobuf corpus).
+    Stream labels arrive as a `{name="value", ...}` string
+    (parsePromLabels); per-entry metadata/message/renaming semantics are
+    shared with the JSON path."""
+    from victorialogs_spark.sources.loki_pb import (
+        decode_push_request,
+        parse_prom_labels,
+    )
+
+    rows: list[dict] = []
+    for labels_str, entries in decode_push_request(data):
+        labels = parse_prom_labels(labels_str) if labels_str else []
+        for ts_ns, line, metadata in entries:
+            rows.append(
+                _loki_row(labels, metadata, line, ts_ns, msg_fields, parse_message)
+            )
+    return rows
+
+
+def parse_loki_protobuf(
+    spark: SparkSession,
+    payloads,
+    promote_keys: list[str] | None = None,
+    msg_fields: list[str] | None = None,
+    parse_message: bool = False,
+    snappy: bool = True,
+) -> DataFrame:
+    """Loki push protobuf — the DEFAULT promtail/Grafana-Agent transport
+    (snappy-compressed PushRequest; loki.go:41 routes every non-JSON
+    Content-Type here, loki_protobuf.go:44 assumes snappy when no
+    Content-Encoding). ``payloads``: a directory/glob of payload files
+    (binaryFile — distributed), a DataFrame with a binary ``content``
+    column, or a list of ``bytes``. Decoding runs in mapInPandas on
+    executors via the dependency-free codecs in sources/loki_pb.py."""
+    from victorialogs_spark.sources.loki_pb import snappy_decode
+
+    if isinstance(payloads, str):
+        bin_df = spark.read.format("binaryFile").load(payloads).select("content")
+    elif isinstance(payloads, DataFrame):
+        bin_df = payloads.select("content")
+    else:
+        bin_df = spark.createDataFrame(
+            [(bytearray(p),) for p in payloads], "content binary"
+        )
+
+    def _parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            times, fields = [], []
+            for payload in pdf["content"]:
+                try:
+                    raw = bytes(payload)
+                    if snappy:
+                        raw = snappy_decode(raw)
+                    rows = loki_pb_rows(raw, msg_fields, parse_message)
+                except Exception:
+                    continue
+                for flat in rows:
+                    t = flat.pop("_time", "")
+                    if not flat.get("_msg"):
+                        flat["_msg"] = DEFAULT_MSG
+                    times.append(t)
+                    fields.append(flat)
+            if times:
+                yield pd.DataFrame(
+                    {
+                        "_time_raw": pd.Series(times, dtype="object"),
+                        "fields": pd.Series(fields, dtype="object"),
+                    }
+                )
+
+    parsed = bin_df.mapInPandas(_parse, PARSED_SCHEMA)
     return _finish(parsed, None, promote_keys)
 
 
