@@ -171,11 +171,29 @@ def test_protocol_insert_routes(server):
         '{"index":{"_index":"logs"}}\n'
         '{"@timestamp":"2024-03-01T00:00:00Z","message":"es bulk row","svc":"es"}\n'
     )
-    r = _post(server, "/insert/elasticsearch/_bulk", bulk.encode(), "application/json")
+    # filebeat-style senders select the fields via common args
+    # (GetCommonParams defaults are _time + no msg rename)
+    r = _post(
+        server,
+        "/insert/elasticsearch/_bulk?_time_field=@timestamp&_msg_field=message",
+        bulk.encode(),
+        "application/json",
+    )
     assert r.status == 200 and json.loads(r.read())["errors"] is False
     assert b"es bulk row" in _get(
         server, "/select/logsql/query?query=%22es%20bulk%20row%22"
     ).read()
+
+    # malformed bulk (unknown command) rejects the whole request like
+    # the reference (readBulkLine: expecting "create" or "index")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(
+            server,
+            "/insert/elasticsearch/_bulk",
+            b'{"creat":{}}\n{}\n',
+            "application/json",
+        )
+    assert exc.value.code == 400
 
     ver = json.loads(_get(server, "/insert/elasticsearch/").read())
     assert "number" in ver["version"]  # exporter version probe

@@ -405,7 +405,9 @@ def _go_args(body: str, i: int) -> tuple[list, int]:
     return args, i + 1
 
 
-def _extract_f_calls(path: str, func: str) -> list[list]:
+def _extract_f_calls(
+    path: str, func: str, skip_unparseable: bool = False
+) -> list[list]:
     import re
     from pathlib import Path
 
@@ -413,7 +415,12 @@ def _extract_f_calls(path: str, func: str) -> list[list]:
     body = src.split(f"func {func}")[1].split("\nfunc ")[0]
     calls = []
     for m in re.finditer(r"\n\tf\(", body):
-        args, _ = _go_args(body, m.end())
+        try:
+            args, _ = _go_args(body, m.end())
+        except ValueError:
+            if skip_unparseable:  # f() with variable args, handled by hand
+                continue
+            raise
         calls.append(args)
     return calls
 
@@ -601,3 +608,123 @@ def test_loki_protobuf_dataframe(spark):
     assert rows["hello from promtail"]["app"] == "web"
     assert rows["second line"]["trace"] == "t1"
     assert rows["second line"]["_time"].isoformat().startswith("2024-03-01")
+
+
+def test_datadog_corpus():
+    """app/vlinsert/datadog/datadog_test.go replayed through
+    datadog_rows: malformed payloads raise; the success payload produces
+    the reference's exact rows (ddtags unpacking incl. leading/trailing
+    commas, nested object message), all at request time."""
+    import pytest
+
+    from victorialogs_spark.sources.protocols import datadog_rows
+
+    path = "/root/reference/app/vlinsert/datadog/datadog_test.go"
+
+    bad = _extract_f_calls(path, "TestReadLogsRequestFailure")
+    assert len(bad) >= 4, f"extraction regressed: {len(bad)}"
+    for (blob,) in bad:
+        with pytest.raises(ValueError):
+            datadog_rows(blob)
+
+    # the success case binds its f() args to variables first:
+    #   data := `...`; rowsExpected := N; resultExpected := `...`
+    import re
+    from pathlib import Path
+
+    body = Path(path).read_text().split("func TestReadLogsRequestSuccess")[1]
+    blob = re.search(r"data := `([\s\S]*?)`", body).group(1)
+    rows_expected = int(re.search(r"rowsExpected := (\d+)", body).group(1))
+    want_s = re.search(r"resultExpected := `([\s\S]*?)`", body).group(1)
+
+    rows = datadog_rows(blob)
+    assert len(rows) == rows_expected
+    got, got_ts = _got_rows(rows)
+    assert got == _want_rows(want_s), got
+    # no record carries "timestamp": every row keeps request time
+    assert got_ts == [None] * rows_expected
+
+
+def test_datadog_timestamp_carryover():
+    """datadog.go readLogsRequest: a record's positive epoch-ms
+    timestamp overrides the shared ts — FOLLOWING records inherit it
+    (the reference mutates the loop-outer variable); 0/negative keep
+    the current value; non-integers reject the request."""
+    import pytest
+
+    from victorialogs_spark.sources.protocols import datadog_rows
+
+    rows = datadog_rows(
+        '[{"message":"a"},'
+        '{"message":"b","timestamp":1709251200123},'
+        '{"message":"c"},'
+        '{"message":"d","timestamp":0},'
+        '{"message":"e","timestamp":-5}]'
+    )
+    assert [r["_time"] for r in rows] == [
+        "",
+        "1709251200.123000",
+        "1709251200.123000",
+        "1709251200.123000",
+        "1709251200.123000",
+    ]
+    with pytest.raises(ValueError):
+        datadog_rows('[{"timestamp":"2024-01-01T00:00:00Z"}]')
+    with pytest.raises(ValueError):
+        datadog_rows('[{"timestamp":1.5}]')
+
+
+def test_elasticsearch_bulk_corpus():
+    """app/vlinsert/elasticsearch/elasticsearch_test.go replayed through
+    es_bulk_rows: malformed bulks (unknown command, missing/unparseable
+    document) raise; the success payload produces the reference's exact
+    rows + timestamps (multi-candidate time/msg fields, nested flatten,
+    RFC3339/space-datetime/unix-unit-auto timestamps)."""
+    import re
+    from pathlib import Path
+
+    import pytest
+
+    from victorialogs_spark.sources.protocols import es_bulk_rows
+
+    path = "/root/reference/app/vlinsert/elasticsearch/elasticsearch_test.go"
+
+    bad = _extract_f_calls(path, "TestReadBulkRequest_Failure")
+    assert len(bad) >= 5, f"extraction regressed: {len(bad)}"
+    for (blob,) in bad:
+        with pytest.raises(ValueError):
+            es_bulk_rows(blob, ["_time"], ["_msg"])
+
+    # success: empty-data literals via f(...), the non-empty one via the
+    # data/timeField/... variable bindings (same harness as the Go test:
+    # timeFields/msgFields are padded with non-existing names)
+    good = _extract_f_calls(
+        path, "TestReadBulkRequest_Success", skip_unparseable=True
+    )
+    assert len(good) >= 3
+    for blob, _enc, tf, mf, ts_list, want_s in good:
+        rows = es_bulk_rows(
+            blob, ["non_existing_foo", tf, "non_existing_bar"],
+            ["non_existing_foo", mf, "non_exiting_bar"],
+        )
+        assert rows == [] and not (ts_list or want_s)
+
+    body = Path(path).read_text().split("func TestReadBulkRequest_Success")[1]
+    blob = re.search(r"data := `([\s\S]*?)`", body).group(1)
+    tf = re.search(r'timeField := "([^"]*)"', body).group(1)
+    mf = re.search(r'msgField := "([^"]*)"', body).group(1)
+    ts_list = [
+        int(x)
+        for x in re.search(r"timestampsExpected := \[\]int64\{([^}]*)\}", body)
+        .group(1)
+        .split(",")
+    ]
+    want_s = re.search(r"resultExpected := `([\s\S]*?)`", body).group(1)
+
+    rows = es_bulk_rows(
+        blob, ["non_existing_foo", tf, "non_existing_bar"],
+        ["non_existing_foo", mf, "non_exiting_bar"],
+    )
+    got, got_ts = _got_rows(rows)
+    assert got == _want_rows(want_s), got
+    assert got_ts == [t // 1000 * 1000 for t in ts_list]

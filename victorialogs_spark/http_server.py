@@ -1263,15 +1263,36 @@ class _Handler(BaseHTTPRequestHandler):
             self._append(df, "jsonline")
             return self._send(200, b"", "text/plain")
         if path == "/insert/elasticsearch/_bulk":
-            # app/vlinsert/elasticsearch: bulk NDJSON, action lines skipped
+            # app/vlinsert/elasticsearch: strictly-alternating bulk NDJSON
+            # (command, then document); common args select the time/msg
+            # fields (GetCommonParams defaults: _time, no msg rename) —
+            # filebeat-style senders pass ?_time_field=@timestamp&
+            # _msg_field=message; a malformed request 400s whole
             from victorialogs_spark.sources.protocols import (
-                parse_elasticsearch_bulk,
+                es_bulk_rows,
+                parsed_rows_df,
             )
 
-            self._append(
-                parse_elasticsearch_bulk(st.spark, _lines_df(st.spark, body)),
-                "elasticsearch_bulk",
-            )
+            def _arr(name, default):
+                vals = [v for p in params.get(name, []) for v in p.split(",") if v]
+                return vals or default
+
+            try:
+                rows = es_bulk_rows(
+                    body.decode("utf-8", "replace"),
+                    _arr("_time_field", ["_time"]),
+                    _arr("_msg_field", []),
+                )
+            except ValueError as e:
+                return self._send(
+                    400,
+                    f"cannot decode bulk request: {e}\n".encode(),
+                    "text/plain",
+                )
+            if rows:
+                self._append(
+                    parsed_rows_df(st.spark, rows), "elasticsearch_bulk"
+                )
             # ES clients require a JSON ack with per-item status
             return self._send(200, b'{"took":0,"errors":false,"items":[]}')
         if path == "/insert/elasticsearch/":

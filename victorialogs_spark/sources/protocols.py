@@ -122,6 +122,105 @@ def parse_elasticsearch_bulk(
     return _finish(parsed, stream_fields, promote_keys)
 
 
+def parse_es_timestamp_ns(s: str) -> int | None:
+    """parseElasticsearchTimestamp replica (elasticsearch.go:227): ns, or
+    0 for the "substitute ingest time" sentinels ("", "0"), or None on a
+    parse failure. Short / non-dash-at-[4] strings take the unix route
+    (unit auto-detect); exactly YYYY-MM-DD parses as a date; anything
+    else must be a full RFC3339(-with-space) timestamp."""
+    if s in ("", "0"):
+        return 0
+    if len(s) < 10 or s[4] != "-":
+        return try_parse_unix_ns(s)
+    from victorialogs_spark.logsql.parser import parse_time_point
+
+    if 10 < len(s) < 19:
+        return None  # TryParseTimestampRFC3339Nano needs a full datetime
+    r = parse_time_point(s)
+    return r[0] if r is not None else None
+
+
+def es_bulk_rows(
+    body: str,
+    time_fields: list[str] | None = None,
+    msg_fields: list[str] | None = None,
+) -> list[dict]:
+    """ES bulk NDJSON → rows, reference-exact (elasticsearch.go
+    readBulkRequest/readBulkLine; pinned by the r15 elasticsearch
+    corpus). STRICTLY ALTERNATING: every odd line is a command that must
+    contain "create" or "index" (substring check, like the reference —
+    delete/update are rejected), every even line is a JSON document.
+    Any violation raises ValueError, rejecting the whole request. The
+    first present time_fields name is consumed as the row time
+    (parse_es_timestamp_ns; absent/zero → ingest-time now → _time "");
+    the first non-empty msg_fields name is renamed to _msg."""
+    from victorialogs_spark.functions.jsonflat import flatten_json_message
+
+    time_fields = time_fields if time_fields is not None else ["_time"]
+    msg_fields = msg_fields if msg_fields is not None else ["_msg"]
+    rows: list[dict] = []
+    lines = iter(body.split("\n"))
+    while True:
+        line = ""
+        for line in lines:
+            if line:
+                break
+        if not line:
+            return rows  # EOF while skipping blanks
+        if '"create"' not in line and '"index"' not in line:
+            raise ValueError(
+                f'unexpected command {line!r}; expecting "create" or "index"'
+            )
+        doc = next(lines, None)
+        if doc is None:
+            raise ValueError(
+                'missing log message after the "create" or "index" command'
+            )
+        if not doc:
+            continue  # reference: over-long skipped line — keep parsing
+        flat = flatten_json_message(doc)
+        if flat is None:
+            raise ValueError(f"cannot parse json-encoded log entry: {doc!r}")
+        ts_ns = 0
+        for tf in time_fields:
+            if tf in flat:
+                ts_ns = parse_es_timestamp_ns(flat[tf])
+                if ts_ns is None:
+                    raise ValueError(
+                        f"cannot parse timestamp {flat[tf]!r} in field {tf!r}"
+                    )
+                flat[tf] = ""  # consumed (ExtractTimestampFromFields)
+                break
+        for mf in msg_fields:  # RenameField: first non-empty match
+            if flat.get(mf, "") != "":
+                flat["_msg"] = flat.pop(mf)
+                break
+        flat = {k: v for k, v in flat.items() if v != ""}
+        flat["_time"] = unix_frac_seconds(ts_ns, 10**9) if ts_ns else ""
+        rows.append(flat)
+
+
+def parsed_rows_df(
+    spark: SparkSession,
+    rows: list[dict],
+    stream_fields: list[str] | None = None,
+    promote_keys: list[str] | None = None,
+) -> DataFrame:
+    """Driver-side rows (as produced by the pure *_rows parsers) → the
+    finished logs DataFrame. The HTTP layer uses this for protocols whose
+    request-level semantics need stateful/strict parsing (ES bulk
+    alternation) that a per-line distributed parser can't express."""
+    data = []
+    for flat in rows:
+        flat = dict(flat)
+        t = flat.pop("_time", "")
+        if not flat.get("_msg"):
+            flat["_msg"] = DEFAULT_MSG
+        data.append((t, flat))
+    parsed = spark.createDataFrame(data, PARSED_SCHEMA)
+    return _finish(parsed, stream_fields, promote_keys)
+
+
 # ------------------------------------------------------- unix timestamps
 
 _I64_MAX = (1 << 63) - 1
@@ -740,6 +839,91 @@ def journald_entries(blob: str) -> list[dict]:
 # ------------------------------------------------------------------ datadog
 
 
+def _datadog_msg_fields(v) -> list[tuple[str, str]]:
+    """appendMsgFields replica (datadog.go:114): a string message becomes
+    _msg; an OBJECT message contributes its "message" (→_msg) and
+    "status" string members plus every string member of its "lamdba"
+    [sic — the reference's typo] object; other member keys are ignored,
+    non-string members of message/status become '' (fastjson
+    GetStringBytes nil); any other message type rejects the request."""
+    if isinstance(v, str):
+        return [("_msg", v)]
+    if isinstance(v, dict):
+        out: list[tuple[str, str]] = []
+        for k, val in v.items():
+            if k == "message":
+                out.append(("_msg", val if isinstance(val, str) else ""))
+            elif k == "status":
+                out.append(("status", val if isinstance(val, str) else ""))
+            elif k == "lamdba":
+                if not isinstance(val, dict):
+                    raise ValueError("lambda value must be an object")
+                for lk, lv in val.items():
+                    if not isinstance(lv, str):
+                        raise ValueError(
+                            f"lambda label {lk!r} value must be a string"
+                        )
+                    out.append((lk, lv))
+        return out
+    raise ValueError(f"unsupported message type {type(v).__name__}")
+
+
+def datadog_rows(body: str) -> list[dict]:
+    """Datadog logs JSON body → rows, reference-exact
+    (app/vlinsert/datadog/datadog.go readLogsRequest; pinned by the r15
+    datadog corpus). Raises ValueError on malformed payloads — the
+    reference rejects the whole request:
+
+    - the body is a JSON ARRAY of record objects; every non-special
+      member value must be a string;
+    - "timestamp" is an integer in epoch MILLISECONDS; a positive value
+      overrides the row time AND every following row's default (the
+      reference mutates the shared ts variable) — 0/negative keep it;
+    - "ddtags" ("k:v,k2:v2") unpack into fields; empty segments skip; a
+      segment without ':' maps to {tag: "no_label_value"} (the
+      reference's stated intent — its code then panics on pair[:-1],
+      aborting the request; we keep the intended field instead);
+    - "message" may be a string or an object (see _datadog_msg_fields)."""
+    v = json.loads(body)
+    if not isinstance(v, list):
+        raise ValueError("cannot extract array from parsed JSON")
+    rows: list[dict] = []
+    ts_ms: int | None = None  # None = request time ("now")
+    for obj in v:
+        if not isinstance(obj, dict):
+            raise ValueError("could not extract log record")
+        fields: list[tuple[str, str]] = []
+        for k, val in obj.items():
+            if k == "message":
+                fields.extend(_datadog_msg_fields(val))
+            elif k == "timestamp":
+                if not isinstance(val, int) or isinstance(val, bool):
+                    raise ValueError(f"failed to parse timestamp {val!r}")
+                if val > 0:
+                    ts_ms = val
+            elif k == "ddtags":
+                if not isinstance(val, str):
+                    raise ValueError("ddtags value must be a string")
+                for pair in val.split(","):
+                    if not pair:
+                        continue
+                    n = pair.find(":")
+                    if n < 0:
+                        fields.append((pair, "no_label_value"))
+                    else:
+                        fields.append((pair[:n], pair[n + 1 :]))
+            else:
+                if not isinstance(val, str):
+                    raise ValueError(
+                        f"unexpected label value type for {k!r}; want string"
+                    )
+                fields.append((k, val))
+        row = dict(fields)
+        row["_time"] = unix_frac_seconds(ts_ms, 10**3) if ts_ms else ""
+        rows.append(row)
+    return rows
+
+
 def parse_datadog_logs(
     spark: SparkSession,
     path_or_lines,
@@ -753,33 +937,7 @@ def parse_datadog_logs(
         line = line.strip()
         if not line:
             return []
-        arr = json.loads(line)
-        if isinstance(arr, dict):
-            arr = [arr]
-        out = []
-        for obj in arr:
-            flat = {}
-            for k, v in obj.items():
-                if k == "message":
-                    flat["_msg"] = str(v)
-                elif k == "ddtags":
-                    for tag in str(v).split(","):
-                        if ":" in tag:
-                            tk, tv = tag.split(":", 1)
-                            flat[tk] = tv
-                elif k == "timestamp":
-                    # Datadog's documented format is epoch MILLISECONDS;
-                    # passing the raw integer through would later parse
-                    # as seconds (1000x off, year ~56k — r14 review
-                    # finding). Strings (RFC3339) pass through.
-                    if isinstance(v, (int, float)) or str(v).isdigit():
-                        flat["_time"] = unix_frac_seconds(int(v), 10**3)
-                    else:
-                        flat["_time"] = str(v)
-                else:
-                    flat[str(k)] = str(v)
-            out.append(flat)
-        return out
+        return datadog_rows(line)
 
     lines = (
         spark.read.text(path_or_lines)

@@ -63,52 +63,93 @@ class SyslogCollector:
         return parse_syslog_lines(spark, lines_df, promote_keys, year=year)
 
 
+def _read_slice(rfile, delim: bytes, cap: int) -> tuple[bytes, bool]:
+    """bufio.ReadSlice parity: bytes up to and INCLUDING ``delim``, plus
+    an at-EOF flag. ``cap`` bounds the scan (ErrBufferFull in the
+    reference aborts octet-counting prefixes; for the stuffing body the
+    caller handles continuation — here one bounded read suffices since
+    lines above MAX_MSG_LEN drop the connection anyway)."""
+    buf = bytearray()
+    while True:
+        b = rfile.read(1)
+        if not b:
+            return bytes(buf), True
+        buf += b
+        if b == delim:
+            return bytes(buf), False
+        if len(buf) > cap:
+            raise ValueError("frame longer than the line-size cap")
+
+
+def next_syslog_frame(rfile, max_len: int = MAX_MSG_LEN) -> bytes | None:
+    """One syslog wire frame, reference-exact (syslog.go:460 nextLine;
+    pinned by the r15 syslog reader corpus). None at EOF; ValueError on
+    framing errors (bad/oversized octet count, truncated payload).
+
+    - the prefix is everything up to the first SPACE; leading '\\n's
+      strip; an all-newlines/empty prefix retries;
+    - a digit-leading prefix is octet-counting: its last byte drops (the
+      space — or the final digit when EOF hit first, like the
+      reference's unconditional prefix[:len-1]), the rest must parse as
+      a decimal count <= max_len, and exactly that many bytes follow;
+    - otherwise non-transparent framing: the line is the prefix plus
+      everything up to (not including) the next '\\n', or through EOF —
+      so a space-less stream keeps embedded newlines in ONE frame, and
+      a space-less stream ending at EOF keeps its trailing newline."""
+    prefix = b""
+    while True:
+        prefix, eof = _read_slice(rfile, b" ", max_len)
+        prefix = prefix.lstrip(b"\n")
+        if prefix:
+            break
+        if eof:
+            return None
+    if prefix[0:1].isdigit():
+        # octet-counting: https://www.ietf.org/archive/id/
+        # draft-gerhards-syslog-plain-tcp-07.html#msgxfer
+        msg_len_str = prefix[:-1]
+        if not msg_len_str.isdigit():
+            raise ValueError(f"cannot parse message length {msg_len_str!r}")
+        n = int(msg_len_str)
+        if n > max_len:
+            raise ValueError(f"cannot read message longer than {max_len}")
+        buf = rfile.read(n)
+        if len(buf) < n:
+            raise ValueError(f"cannot read message with size {n}")
+        return buf
+    line = bytearray(prefix)
+    rest, eof = _read_slice(rfile, b"\n", max_len)
+    line += rest if eof else rest[:-1]
+    return bytes(line)
+
+
+def syslog_frames(data: bytes) -> list[bytes]:
+    """All frames of a byte blob (tests + batch ingestion); raises
+    ValueError on the first framing error, like the reference's reader
+    stopping the stream."""
+    import io
+
+    rfile = io.BytesIO(data)
+    out = []
+    while True:
+        frame = next_syslog_frame(rfile)
+        if frame is None:
+            return out
+        out.append(frame)
+
+
 def _read_frames(rfile, collector: SyslogCollector) -> None:
     """RFC6587 frame reader: octet-counting when the frame starts with a
-    digit, newline-delimited otherwise (syslog.go nextLine parity)."""
+    digit, newline-delimited otherwise (syslog.go nextLine parity); a
+    framing error drops the connection, keeping frames already read."""
     while True:
-        first = rfile.read(1)
-        if not first:
+        try:
+            frame = next_syslog_frame(rfile)
+        except ValueError:
             return
-        if first in b"\n\r":
-            continue
-        if first.isdigit():
-            # octet-counting: "<len> <msg>"
-            digits = bytearray(first)
-            while True:
-                b = rfile.read(1)
-                if not b:
-                    return
-                if b == b" ":
-                    break
-                digits += b
-                if len(digits) > 20:  # no real length needs more digits
-                    return
-            try:
-                n = int(digits)
-            except ValueError:
-                return
-            if n > MAX_MSG_LEN:
-                return
-            buf = rfile.read(n)
-            if len(buf) < n:
-                return
-            collector.add(buf.decode("utf-8", "replace"))
-        else:
-            buf = bytearray(first)
-            while True:
-                b = rfile.read(1)
-                if not b or b == b"\n":
-                    break
-                buf += b
-                if len(buf) > MAX_MSG_LEN:
-                    # the cap must bound BOTH framing modes (the
-                    # reference enforces MaxLineSizeBytes on the line
-                    # reader too): a newline-less client otherwise grows
-                    # this buffer without bound (r14 review finding).
-                    # Drop the connection like the oversize octet path.
-                    return
-            collector.add(bytes(buf).decode("utf-8", "replace"))
+        if frame is None:
+            return
+        collector.add(frame.decode("utf-8", "replace"))
 
 
 class _TCPHandler(socketserver.StreamRequestHandler):
