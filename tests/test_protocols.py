@@ -114,7 +114,9 @@ def test_otlp_protobuf_all_value_types(spark):
         (pb._tag(2, 0) + pb._varint(1), "true"),
         (pb._tag(3, 0) + pb._varint((1 << 64) - 5), "-5"),  # negative int64
         (pb._tag(4, 1) + st.pack("<d", 2.5), "2.5"),
-        (pb._len_field(7, b"\x01\xff"), "01ff"),
+        # bytes render base64 like the reference's FormatString
+        # (pb/helpers.qtpl:62), not hex
+        (pb._len_field(7, b"\x01\xff"), "Af8="),
     ]
     for raw, want in cases:
         assert pb._any_value_str(raw) == want, (raw, want)
@@ -728,3 +730,234 @@ def test_elasticsearch_bulk_corpus():
     got, got_ts = _got_rows(rows)
     assert got == _want_rows(want_s), got
     assert got_ts == [t // 1000 * 1000 for t in ts_list]
+
+
+# ------------------------------------------------------- otlp corpus
+
+
+_OTLP_KEYMAP = {"TraceID": "traceId", "SpanID": "spanId",
+                "KeyValueList": "kvlistValue", "ArrayValue": "arrayValue"}
+
+
+def _go_value(s: str, i: int):
+    """Parse a Go value from the OTLP test's struct-literal grammar into
+    the OTLP/JSON dict shape (pb.AnyValue{StringValue: ptrTo("x")} →
+    {"stringValue": "x"} etc.)."""
+    import re
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_pipe_semantics_corpus import _go_string, _skip_ws
+
+    i = _skip_ws(s, i)
+    c = s[i]
+    if c in '"`':
+        return _go_string(s, i)
+    if s.startswith("ptrTo", i):
+        j = s.index("(", i)
+        v, k = _go_value(s, j + 1)
+        k = _skip_ws(s, k)
+        assert s[k] == ")"
+        return v, k + 1
+    if c == "&":
+        return _go_value(s, i + 1)
+    m = re.match(r"-?\d+(\.\d+)?", s[i:])
+    if m and (c.isdigit() or c == "-"):
+        txt = m.group()
+        return (float(txt) if "." in txt else int(txt)), i + m.end()
+    # composite: ([] | [able type prefix])...{ ... }
+    j = s.index("{", i)
+    typename = s[i:j]
+    i = _skip_ws(s, j + 1)
+    if s[i] == "}":
+        return ([] if typename.startswith("[]") else {}), i + 1
+    # struct if the next token is `Ident:` (not a nested value)
+    mm = re.match(r"(\w+):", s[i:])
+    if mm and not typename.startswith("[]"):
+        out = {}
+        while True:
+            mm = re.match(r"(\w+):", s[i:])
+            key = mm.group(1)
+            v, i = _go_value(s, i + mm.end())
+            out[_OTLP_KEYMAP.get(key, key[0].lower() + key[1:])] = v
+            i = _skip_ws(s, i)
+            if s[i] == ",":
+                i = _skip_ws(s, i + 1)
+            if s[i] == "}":
+                return out, i + 1
+    out = []
+    while True:
+        v, i = _go_value(s, i)
+        out.append(v)
+        i = _skip_ws(s, i)
+        if s[i] == ",":
+            i = _skip_ws(s, i + 1)
+        if s[i] == "}":
+            return out, i + 1
+
+
+def _enc_otlp_any(v: dict) -> bytes:
+    import base64
+    import struct as st
+
+    from victorialogs_spark.sources import otlp_pb as pb
+
+    if "stringValue" in v:
+        return pb._len_field(1, str(v["stringValue"]).encode())
+    if "boolValue" in v:
+        return pb._tag(2, 0) + pb._varint(1 if v["boolValue"] else 0)
+    if "intValue" in v:
+        return pb._tag(3, 0) + pb._varint(int(v["intValue"]) & ((1 << 64) - 1))
+    if "doubleValue" in v:
+        return pb._tag(4, 1) + st.pack("<d", float(v["doubleValue"]))
+    if "arrayValue" in v:
+        inner = b"".join(
+            pb._len_field(1, _enc_otlp_any(x))
+            for x in v["arrayValue"].get("values") or []
+        )
+        return pb._len_field(5, inner)
+    if "kvlistValue" in v:
+        inner = b"".join(
+            pb._len_field(1, _enc_otlp_kv(kv))
+            for kv in v["kvlistValue"].get("values") or []
+        )
+        return pb._len_field(6, inner)
+    if "bytesValue" in v:
+        return pb._len_field(7, base64.b64decode(v["bytesValue"]))
+    return b""
+
+
+def _enc_otlp_kv(kv: dict) -> bytes:
+    from victorialogs_spark.sources import otlp_pb as pb
+
+    return pb._len_field(1, str(kv.get("key", "")).encode()) + pb._len_field(
+        2, _enc_otlp_any(kv.get("value") or {})
+    )
+
+
+def _enc_otlp_record(rec: dict) -> bytes:
+    import struct as st
+
+    from victorialogs_spark.sources import otlp_pb as pb
+
+    out = bytearray()
+    if rec.get("timeUnixNano"):
+        out += pb._tag(1, 1) + st.pack("<Q", int(rec["timeUnixNano"]))
+    if rec.get("observedTimeUnixNano"):
+        out += pb._tag(11, 1) + st.pack("<Q", int(rec["observedTimeUnixNano"]))
+    if rec.get("severityNumber"):
+        out += pb._tag(2, 0) + pb._varint(
+            int(rec["severityNumber"]) & ((1 << 64) - 1)
+        )
+    if rec.get("severityText"):
+        out += pb._len_field(3, str(rec["severityText"]).encode())
+    if "body" in rec:
+        out += pb._len_field(5, _enc_otlp_any(rec["body"]))
+    for kv in rec.get("attributes") or []:
+        out += pb._len_field(6, _enc_otlp_kv(kv))
+    if rec.get("traceId"):
+        out += pb._len_field(9, bytes.fromhex(rec["traceId"]))
+    if rec.get("spanId"):
+        out += pb._len_field(10, bytes.fromhex(rec["spanId"]))
+    return bytes(out)
+
+
+def _enc_otlp_payload(resource_logs: list) -> bytes:
+    from victorialogs_spark.sources import otlp_pb as pb
+
+    out = bytearray()
+    for rl in resource_logs:
+        rl_buf = bytearray()
+        res = rl.get("resource") or {}
+        if res.get("attributes") is not None:
+            rl_buf += pb._len_field(
+                1,
+                b"".join(
+                    pb._len_field(1, _enc_otlp_kv(kv))
+                    for kv in res["attributes"]
+                ),
+            )
+        for sl in rl.get("scopeLogs") or []:
+            sl_buf = b"".join(
+                pb._len_field(2, _enc_otlp_record(rec))
+                for rec in sl.get("logRecords") or []
+            )
+            rl_buf += pb._len_field(2, sl_buf)
+        out += pb._len_field(1, bytes(rl_buf))
+    return bytes(out)
+
+
+def test_otlp_corpus(spark):
+    """app/vlinsert/opentelemetry/opentelemetry_test.go TestPushProtoOk
+    replayed through BOTH decoders: the Go struct literals re-encode to
+    wire bytes → decode_logs_data, and to the OTLP/JSON shape →
+    parse_otlp_logs; each must reproduce the reference's rows (severity
+    number names, dot-flattened kvlist attributes, trace/span ids) and
+    timestamps (observed-time fallback; µs resolution)."""
+    import re
+    from pathlib import Path
+
+    from victorialogs_spark.sources.otlp_pb import decode_logs_data
+    from victorialogs_spark.sources.protocols import parse_otlp_logs
+
+    body = Path(
+        "/root/reference/app/vlinsert/opentelemetry/opentelemetry_test.go"
+    ).read_text().split("func TestPushProtoOk")[1].split("\nfunc ")[0]
+
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).parent))
+    from test_pipe_semantics_corpus import _go_string, _skip_ws
+
+    cases = []
+    for m in re.finditer(r"\n\tf\(", body):
+        rls, i = _go_value(body, m.end())
+        i = _skip_ws(body, i)
+        assert body[i] == ","
+        ts, i = _go_value(body, _skip_ws(body, i + 1))  # []int64{...}
+        i = _skip_ws(body, i)
+        assert body[i] == ","
+        i = _skip_ws(body, i + 1)
+        want_s, i = _go_string(body, i)
+        i = _skip_ws(body, i)
+        while body[i] == "+":  # backtick-concatenated expected strings
+            part, i = _go_string(body, _skip_ws(body, i + 1))
+            want_s += part
+            i = _skip_ws(body, i)
+        cases.append((rls, ts, want_s))
+    assert len(cases) >= 5, f"extraction regressed: {len(cases)}"
+
+    failures = []
+    for rls, ts_list, want_s in cases:
+        want = _want_rows(want_s)
+        want_ts = [t // 1000 for t in ts_list]
+
+        # protobuf wire path
+        rows = decode_logs_data(_enc_otlp_payload(rls))
+        got, got_ts = _got_rows(rows)
+        if got != want or [t // 1000 if t else 0 for t in got_ts] != want_ts:
+            failures.append(f"pb: got {got}\n ts {got_ts}\n want {want}")
+
+        # OTLP/JSON path (distributed)
+        df = parse_otlp_logs(
+            spark,
+            spark.createDataFrame(
+                [(json.dumps({"resourceLogs": rls}),)], "value string"
+            ),
+        )
+        jrows = []
+        for r in df.orderBy("_time").collect():
+            d = {
+                k: v
+                for k, v in r.asDict().items()
+                if v not in (None, "")
+                and k not in ("_time", "_stream_id", "_day", "_stream", "_other")
+            }
+            jrows.append(d)
+        if sorted(
+            json.dumps(x, sort_keys=True) for x in jrows
+        ) != sorted(json.dumps(x, sort_keys=True) for x in want):
+            failures.append(f"json: got {jrows}\n want {want}")
+    assert not failures, "\n\n".join(failures[:4])

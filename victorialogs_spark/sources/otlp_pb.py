@@ -76,12 +76,63 @@ def iter_fields(buf):
 # ------------------------------------------------------------ OTLP decode
 
 
-def _any_value_str(buf) -> str:
-    """AnyValue → string, matching the OTLP/JSON path's stringification
-    (string as-is, numbers/bools via repr, nested array/kvlist as JSON)."""
+# OpenTelemetry severity names, SeverityNumber 0-24
+# (opentelemetry-collector pdata/plog/severity_number.go, mirrored by
+# the reference's pb.logSeverities)
+LOG_SEVERITIES = ["Unspecified"] + [
+    f"{name}{n}" if n else name
+    for name in ("Trace", "Debug", "Info", "Warn", "Error", "Fatal")
+    for n in ("", "2", "3", "4")
+]
+
+
+def es6_float(f: float) -> str:
+    """pb.float64AsString replica: ES6/encoding-json float rendering —
+    plain decimal inside [1e-6, 1e21), exponent form outside with the
+    e-0X zero-padding trimmed; Inf/NaN render Go's unsupported-value
+    message."""
+    import math
+    from decimal import Decimal
+
+    if math.isinf(f) or math.isnan(f):
+        g = "NaN" if math.isnan(f) else ("+Inf" if f > 0 else "-Inf")
+        return f"json: unsupported value: {g}"
+    a = abs(f)
+    if a != 0 and (a < 1e-6 or a >= 1e21):
+        s = repr(f)
+        if "e" not in s:  # float repr switches later than Go json does
+            s = f"{f:e}"  # unreachable for shortest reprs, kept for safety
+        mant, _, exp = s.partition("e")
+        e = int(exp)
+        return f"{mant}e+{e}" if e >= 0 else f"{mant}e-{-e}"
+    # shortest 'f' form: repr gives the shortest digits, Decimal expands
+    # the exponent form repr uses above 1e16
+    return format(Decimal(repr(f)), "f")
+
+
+def _b64(mv) -> str:
+    import base64
+
+    return base64.b64encode(bytes(mv)).decode("ascii")
+
+
+def _any_value_kvlist(buf):
+    """The kvlist_value member of an AnyValue buffer, or None."""
+    for fnum, wt, val in iter_fields(buf):
+        if fnum == 6:
+            return val
+    return None
+
+
+def _any_value_str(buf, toplevel: bool = True) -> str:
+    """AnyValue.FormatString replica (pb/helpers.qtpl): strings raw at
+    top level and JSON-quoted when nested; bools/ints bare; doubles via
+    es6_float; arrays/kvlists JSON-shaped with NESTED quoting; bytes
+    base64 (std); an unset value renders ''."""
     for fnum, wt, val in iter_fields(buf):
         if fnum == 1:  # string_value
-            return bytes(val).decode("utf-8", "replace")
+            s = bytes(val).decode("utf-8", "replace")
+            return s if toplevel else json.dumps(s, ensure_ascii=False)
         if fnum == 2:  # bool_value
             return "true" if val else "false"
         if fnum == 3:  # int_value (varint, two's complement for negatives)
@@ -89,66 +140,135 @@ def _any_value_str(buf) -> str:
                 val -= 1 << 64
             return str(val)
         if fnum == 4:  # double_value (wire type I64: bits, not int)
-            return json.dumps(struct.unpack("<d", struct.pack("<Q", val))[0])
+            return es6_float(struct.unpack("<d", struct.pack("<Q", val))[0])
         if fnum == 5:  # array_value { repeated AnyValue values = 1 }
             items = [
-                _any_value_str(v) for fn, _, v in iter_fields(val) if fn == 1
+                _any_value_str(v, toplevel=False)
+                for fn, _, v in iter_fields(val)
+                if fn == 1
             ]
-            return json.dumps(items, separators=(",", ":"))
+            return "[" + ",".join(items) + "]"
         if fnum == 6:  # kvlist_value { repeated KeyValue values = 1 }
-            kv = {}
+            parts = []
             for fn, _, v in iter_fields(val):
                 if fn == 1:
-                    k, vv = _key_value(v)
-                    kv[k] = vv
-            return json.dumps(kv, separators=(",", ":"))
+                    k, vbuf = _key_value_raw(v)
+                    parts.append(
+                        json.dumps(k, ensure_ascii=False)
+                        + ":"
+                        + (_any_value_str(vbuf, False) if vbuf is not None else "null")
+                    )
+            return "{" + ",".join(parts) + "}"
         if fnum == 7:  # bytes_value
-            return bytes(val).hex()
+            return _b64(val)
     return ""
 
 
-def _key_value(buf) -> tuple[str, str]:
-    key, value = "", ""
+def _key_value_raw(buf):
+    """KeyValue buffer → (key, AnyValue buffer | None)."""
+    key, vbuf = "", None
     for fnum, wt, val in iter_fields(buf):
         if fnum == 1:
             key = bytes(val).decode("utf-8", "replace")
         elif fnum == 2:
-            value = _any_value_str(val)
-    return key, value
+            vbuf = val
+    return key, vbuf
 
 
-def _attrs(buf, field_num: int) -> dict[str, str]:
-    out = {}
-    for fnum, wt, val in iter_fields(buf):
-        if fnum == field_num:
-            k, v = _key_value(val)
-            if k:
-                out[k] = v
-    return out
+def _append_kv_fields(
+    out: list, kv_bufs: list, parent: str = ""
+) -> None:
+    """appendKeyValues replica (opentelemetry.go:139): kvlist-valued
+    attributes flatten RECURSIVELY into dot-joined field names; every
+    other value renders via FormatString(true)."""
+    for kv in kv_bufs:
+        key, vbuf = _key_value_raw(kv)
+        name = f"{parent}.{key}" if parent else key
+        kvl = _any_value_kvlist(vbuf) if vbuf is not None else None
+        if kvl is not None:
+            _append_kv_fields(
+                out,
+                [v for fn, _, v in iter_fields(kvl) if fn == 1],
+                name,
+            )
+        else:
+            out.append(
+                (name, _any_value_str(vbuf, True) if vbuf is not None else "")
+            )
 
 
-def _log_record(buf, res_attrs: dict[str, str]) -> dict[str, str]:
-    flat = dict(res_attrs)
-    t_ns = obs_ns = 0
+def _log_record(
+    buf, res_fields: list, msg_fields: list[str] | None
+) -> dict[str, str]:
+    """LogRecord → flat row (pushFieldsFromScopeLogs parity): resource
+    fields, then the body (a kvlist body FLATTENS and honors msg_fields
+    renaming; anything else becomes _msg), then attributes, trace/span
+    ids, and ALWAYS a severity field (severity_text, else the
+    severity_number name, clamped to Unspecified)."""
+    t_ns = obs_ns = sev_num = 0
+    sev_text = ""
+    body_buf = None
+    attr_bufs: list = []
+    trace_id = span_id = ""
     for fnum, wt, val in iter_fields(buf):
         if fnum == 1:
             t_ns = val
         elif fnum == 11:
             obs_ns = val
+        elif fnum == 2:
+            sev_num = val - (1 << 64) if val >= 1 << 63 else val
         elif fnum == 3:
-            sev = bytes(val).decode("utf-8", "replace")
-            if sev:
-                flat["severity"] = sev
+            sev_text = bytes(val).decode("utf-8", "replace")
         elif fnum == 5:
-            flat["_msg"] = _any_value_str(val)
+            body_buf = val
         elif fnum == 6:
-            k, v = _key_value(val)
-            if k:
-                flat[k] = v
+            attr_bufs.append(val)
         elif fnum == 9:
-            flat["trace_id"] = bytes(val).hex()
+            trace_id = bytes(val).hex()
         elif fnum == 10:
-            flat["span_id"] = bytes(val).hex()
+            span_id = bytes(val).hex()
+
+    fields: list = list(res_fields)
+    n_common = len(fields)
+    body_kvl = _any_value_kvlist(body_buf) if body_buf is not None else None
+    if body_kvl is not None:
+        _append_kv_fields(
+            fields, [v for fn, _, v in iter_fields(body_kvl) if fn == 1]
+        )
+        # RenameField: first non-empty msg_fields name among body fields
+        for want in msg_fields or []:
+            hit = next(
+                (
+                    i
+                    for i in range(n_common, len(fields))
+                    if fields[i][0] == want and fields[i][1] != ""
+                ),
+                None,
+            )
+            if hit is not None:
+                fields[hit] = ("_msg", fields[hit][1])
+                break
+    else:
+        fields.append(
+            ("_msg", _any_value_str(body_buf, True) if body_buf is not None else "")
+        )
+    _append_kv_fields(fields, attr_bufs)
+    if trace_id:
+        fields.append(("trace_id", trace_id))
+    if span_id:
+        fields.append(("span_id", span_id))
+    fields.append((
+        "severity",
+        sev_text
+        if sev_text
+        else (
+            LOG_SEVERITIES[sev_num]
+            if 0 <= sev_num < len(LOG_SEVERITIES)
+            else LOG_SEVERITIES[0]
+        ),
+    ))
+
+    flat = dict(fields)
     ts = t_ns or obs_ns
     if ts:
         # exact decimal seconds truncated to µs (float division would put
@@ -159,25 +279,32 @@ def _log_record(buf, res_attrs: dict[str, str]) -> dict[str, str]:
     return flat
 
 
-def decode_logs_data(payload: bytes) -> list[dict[str, str]]:
-    """ExportLogsServiceRequest/LogsData protobuf → flat string-field dicts
-    (resource attributes merged into every record, record attributes on
-    top — same flattening as the OTLP/JSON parser)."""
+def decode_logs_data(
+    payload: bytes, msg_fields: list[str] | None = None
+) -> list[dict[str, str]]:
+    """ExportLogsServiceRequest/LogsData protobuf → flat string-field
+    dicts, reference-exact (opentelemetry.go pushProtobufRequest; pinned
+    by the r15 OTLP corpus): resource attributes (kvlists dot-flattened)
+    merge into every record, record fields on top, severity always
+    present."""
     rows: list[dict[str, str]] = []
     for fnum, wt, rl in iter_fields(payload):
         if fnum != 1:  # resource_logs
             continue
-        res_attrs: dict[str, str] = {}
+        res_fields: list = []
         scopes = []
         for fn2, _, val in iter_fields(rl):
-            if fn2 == 1:  # resource
-                res_attrs = _attrs(val, 1)
+            if fn2 == 1:  # resource { repeated KeyValue attributes = 1 }
+                _append_kv_fields(
+                    res_fields,
+                    [v for fn, _, v in iter_fields(val) if fn == 1],
+                )
             elif fn2 == 2:  # scope_logs
                 scopes.append(val)
         for sl in scopes:
             for fn3, _, rec in iter_fields(sl):
                 if fn3 == 2:  # log_records
-                    rows.append(_log_record(rec, res_attrs))
+                    rows.append(_log_record(rec, res_fields, msg_fields))
     return rows
 
 

@@ -574,32 +574,83 @@ def unix_frac_seconds(value: int, scale: int) -> str:
     return f"{us // 10**6}.{us % 10**6:06d}"
 
 
-def _otlp_value_str(v: dict) -> str:
+def _otlp_value_str(v: dict, toplevel: bool = True) -> str:
+    """AnyValue (OTLP/JSON shape) → FormatString-parity string: strings
+    raw at top level, JSON-quoted nested; bools/ints bare; doubles via
+    es6_float; arrays/kvlists JSON-shaped; bytesValue stays base64
+    (the OTLP/JSON wire already carries base64)."""
+    from victorialogs_spark.sources.otlp_pb import es6_float
+
     # explicit None checks: an `or` chain collapses false/0/0.0 to ''
-    for k in ("stringValue", "intValue", "doubleValue", "boolValue"):
-        val = v.get(k)
-        if val is not None:
-            if isinstance(val, bool):
-                return "true" if val else "false"
-            return str(val)
+    s = v.get("stringValue")
+    if s is not None:
+        s = str(s)
+        return s if toplevel else json.dumps(s, ensure_ascii=False)
+    b = v.get("boolValue")
+    if b is not None:
+        return "true" if b else "false"
+    i = v.get("intValue")
+    if i is not None:
+        return str(int(i))
+    d = v.get("doubleValue")
+    if d is not None:
+        return es6_float(float(d))
+    arr = v.get("arrayValue")
+    if arr is not None:
+        return "[" + ",".join(
+            _otlp_value_str(x or {}, False) for x in arr.get("values") or []
+        ) + "]"
+    kvl = v.get("kvlistValue")
+    if kvl is not None:
+        return "{" + ",".join(
+            json.dumps(str(kv.get("key", "")), ensure_ascii=False)
+            + ":"
+            + _otlp_value_str(kv.get("value") or {}, False)
+            for kv in kvl.get("values") or []
+        ) + "}"
+    by = v.get("bytesValue")
+    if by is not None:
+        return str(by)
     return ""
 
 
-def _otlp_attrs(attrs: list) -> dict:
-    out = {}
+def _otlp_flatten_attrs(out: list, attrs: list, parent: str = "") -> None:
+    """appendKeyValues parity for the JSON shape: kvlist-valued
+    attributes flatten recursively into dot-joined names."""
     for a in attrs or []:
-        out[str(a.get("key", ""))] = _otlp_value_str(a.get("value", {}))
-    return out
+        key = str(a.get("key", ""))
+        name = f"{parent}.{key}" if parent else key
+        v = a.get("value") or {}
+        kvl = v.get("kvlistValue")
+        if kvl is not None:
+            _otlp_flatten_attrs(out, kvl.get("values") or [], name)
+        else:
+            out.append((name, _otlp_value_str(v, True)))
+
+
+# OTLP severity names indexed by SeverityNumber (re-exported for callers)
+def _otlp_severity(sev_text: str, sev_num: int) -> str:
+    from victorialogs_spark.sources.otlp_pb import LOG_SEVERITIES
+
+    if sev_text:
+        return sev_text
+    if 0 <= sev_num < len(LOG_SEVERITIES):
+        return LOG_SEVERITIES[sev_num]
+    return LOG_SEVERITIES[0]
 
 
 def parse_otlp_logs(
     spark: SparkSession,
     path_or_lines,
     promote_keys: list[str] | None = None,
+    msg_fields: list[str] | None = None,
 ) -> DataFrame:
     """OTLP/JSON logs (one export body per line): resourceLogs →
-    scopeLogs → logRecords with timeUnixNano / body.stringValue /
-    attributes / severityText (app/vlinsert/opentelemetry)."""
+    scopeLogs → logRecords, in lockstep with the protobuf path
+    (app/vlinsert/opentelemetry pushFieldsFromScopeLogs): kvlist
+    attributes dot-flatten, a kvlist body flattens (+ msg_fields
+    renaming), severity = severityText else the SeverityNumber name,
+    timeUnixNano falls back to observedTimeUnixNano."""
 
     def one(line: str) -> list[dict]:
         line = line.strip()
@@ -608,18 +659,53 @@ def parse_otlp_logs(
         body = json.loads(line)
         out = []
         for rl in body.get("resourceLogs", []):
-            res_attrs = _otlp_attrs((rl.get("resource") or {}).get("attributes"))
+            res_fields: list = []
+            _otlp_flatten_attrs(
+                res_fields, (rl.get("resource") or {}).get("attributes")
+            )
             for sl in rl.get("scopeLogs", []):
                 for rec in sl.get("logRecords", []):
-                    flat = dict(res_attrs)
-                    flat.update(_otlp_attrs(rec.get("attributes")))
-                    t_ns = rec.get("timeUnixNano") or rec.get("observedTimeUnixNano")
+                    fields = list(res_fields)
+                    n_common = len(fields)
+                    body_v = rec.get("body") or {}
+                    body_kvl = body_v.get("kvlistValue")
+                    if body_kvl is not None:
+                        _otlp_flatten_attrs(
+                            fields, body_kvl.get("values") or []
+                        )
+                        for want in msg_fields or []:
+                            hit = next(
+                                (
+                                    i
+                                    for i in range(n_common, len(fields))
+                                    if fields[i][0] == want
+                                    and fields[i][1] != ""
+                                ),
+                                None,
+                            )
+                            if hit is not None:
+                                fields[hit] = ("_msg", fields[hit][1])
+                                break
+                    else:
+                        fields.append(("_msg", _otlp_value_str(body_v, True)))
+                    _otlp_flatten_attrs(fields, rec.get("attributes"))
+                    if rec.get("traceId"):
+                        fields.append(("trace_id", str(rec["traceId"])))
+                    if rec.get("spanId"):
+                        fields.append(("span_id", str(rec["spanId"])))
+                    fields.append((
+                        "severity",
+                        _otlp_severity(
+                            str(rec.get("severityText") or ""),
+                            int(rec.get("severityNumber") or 0),
+                        ),
+                    ))
+                    flat = dict(fields)
+                    t_ns = rec.get("timeUnixNano") or rec.get(
+                        "observedTimeUnixNano"
+                    )
                     if t_ns:
                         flat["_time"] = unix_frac_seconds(int(t_ns), 10**9)
-                    body_v = rec.get("body") or {}
-                    flat["_msg"] = str(body_v.get("stringValue", ""))
-                    if rec.get("severityText"):
-                        flat["severity"] = str(rec["severityText"])
                     out.append(flat)
         return out
 
