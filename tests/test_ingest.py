@@ -664,3 +664,79 @@ def test_ingest_timestamp_corpus(spark):
         if got_us != want_ns // 1000:
             failures.append(f"{v!r}: got {got_us} want {want_ns // 1000}")
     assert not failures, "\n".join(failures)
+
+
+def test_log_rows_corpus(spark):
+    """lib/logstorage/log_rows_test.go TestLogRows_{WildcardIgnoreFields,
+    DefaultMsgValue} replayed through ingest_ndjson + with_stream_id:
+    ignore_fields are prefix FILTERS, extra fields re-add after the
+    drop, `_stream` carries only the labels PRESENT in each row, and an
+    empty default-msg adds no _msg. (StreamFieldsOverride passes
+    constant Field overrides — an internal MustAdd path with no
+    common-args counterpart here.) Timestamps compare at µs."""
+    import datetime as _dt
+    import json as _json
+    import re
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_protocols import _go_value
+
+    from victorialogs_spark.endpoints import _wire_timestamp
+    from victorialogs_spark.logsql.lexer import try_parse_rfc3339_ns
+    from victorialogs_spark.schema import ingest_ndjson
+
+    src = Path("/root/reference/lib/logstorage/log_rows_test.go").read_text()
+    cases = []
+    for func in ("TestLogRows_WildcardIgnoreFields", "TestLogRows_DefaultMsgValue"):
+        body = src.split(f"func {func}")[1].split("\nfunc ")[0]
+        for m in re.finditer(r"opts\{", body):
+            o, _ = _go_value(body, m.start() + len("opts"))
+            if o.get("rows"):
+                cases.append(o)
+    assert len(cases) >= 5, len(cases)
+
+    failures = []
+    for o in cases:
+        lines = []
+        for i, r in enumerate(o["rows"]):
+            d = _json.loads(r, strict=False)  # raw ESC chars in fixtures
+            ns = i * 1000 + 1
+            d["_time"] = f"{ns // 10**9}.{ns % 10**9:09d}"
+            lines.append(_json.dumps(d))
+        extra = {kv["name"]: kv["value"] for kv in o.get("extraFields") or []}
+        df = ingest_ndjson(
+            spark,
+            lines,
+            stream_fields=o.get("streamFields"),
+            ignore_fields=o.get("ignoreFields"),
+            extra_fields=extra or None,
+            default_msg_value=o.get("defaultMsgValue") or "",
+            decolorize_fields=o.get("decolorizeFields"),
+        )
+        got = []
+        for row in df.collect():
+            d = {
+                k: v
+                for k, v in row.asDict().items()
+                if v not in (None, "") and k not in ("_stream_id", "_day")
+            }
+            d["_time"] = _wire_timestamp(d["_time"])
+            got.append(_json.dumps(d, sort_keys=True, separators=(",", ":")))
+
+        want = []
+        for s in o["resultExpected"]:
+            d = _json.loads(s)
+            ns = try_parse_rfc3339_ns(d["_time"])
+            us = ns // 1000
+            d["_time"] = _wire_timestamp(
+                (
+                    _dt.datetime.fromtimestamp(us // 10**6, tz=_dt.timezone.utc)
+                    + _dt.timedelta(microseconds=us % 10**6)
+                ).replace(tzinfo=None)  # engine rows carry naive datetimes
+            )
+            want.append(_json.dumps(d, sort_keys=True, separators=(",", ":")))
+        if sorted(got) != sorted(want):
+            failures.append(f"opts {o.get('ignoreFields')}: got {got} want {want}")
+    assert not failures, "\n\n".join(failures[:3])

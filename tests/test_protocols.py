@@ -753,7 +753,13 @@ def _go_value(s: str, i: int):
     i = _skip_ws(s, i)
     c = s[i]
     if c in '"`':
-        return _go_string(s, i)
+        v, i = _go_string(s, i)
+        i = _skip_ws(s, i)
+        while i < len(s) and s[i] == "+":  # "a" + "b" concatenation
+            part, i = _go_string(s, _skip_ws(s, i + 1))
+            v += part
+            i = _skip_ws(s, i)
+        return v, i
     if s.startswith("ptrTo", i):
         j = s.index("(", i)
         v, k = _go_value(s, j + 1)

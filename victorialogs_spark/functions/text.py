@@ -91,7 +91,34 @@ def seq_regex(values: list[str]) -> str:
     return ".*".join(_phrase_lookaround(v) for v in values)
 
 
-ANSI_COLOR_RE = r"\x1B\[[0-9;]*[A-Za-z]"
+# CSI sequences (color_sequence.go skipANSISequence; ECMA-35 §13.1):
+# parameter bytes 0x30-0x3f, intermediate bytes 0x20-0x2f, ONE final
+# byte 0x30-0x7e (optional — a malformed sequence still drops its ESC[).
+# The r15 color-sequence corpus retired the letters-only [0-9;]*[A-Za-z]
+# form, which left '?'-params, '~'/'@' finals, and bare ESC[ behind.
+ANSI_COLOR_RE = r"\x1B\[[\x30-\x3F]*[\x20-\x2F]*[\x30-\x7E]?"
+
+
+def drop_color_sequences(s: str) -> str:
+    """dropColorSequences replica (color_sequence.go:15) — the Python
+    twin of ANSI_COLOR_RE for the ingest-side decolorize_fields path;
+    both sides must strip identically."""
+    out: list[str] = []
+    while True:
+        n = s.find("\x1b[")
+        if n < 0:
+            out.append(s)
+            return "".join(out)
+        out.append(s[:n])
+        s = s[n + 2 :]
+        i = 0
+        while i < len(s) and "\x30" <= s[i] <= "\x3f":
+            i += 1
+        while i < len(s) and "\x20" <= s[i] <= "\x2f":
+            i += 1
+        if i < len(s) and "\x30" <= s[i] <= "\x7e":
+            i += 1
+        s = s[i:]
 
 # collapse_nums (pipe_collapse_nums.go): number-ish runs → <N>, plus UUID/IP
 # prettification

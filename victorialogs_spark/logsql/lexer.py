@@ -178,51 +178,325 @@ class LexError(ValueError):
 # numeric / duration literals (docs/victorialogs/LogsQL.md:4148-4190)
 # ---------------------------------------------------------------------------
 
-_SIZE_SUFFIXES = [
-    ("KiB", 2**10), ("MiB", 2**20), ("GiB", 2**30), ("TiB", 2**40),
-    ("Ki", 2**10), ("Mi", 2**20), ("Gi", 2**30), ("Ti", 2**40),
-    ("KB", 10**3), ("MB", 10**6), ("GB", 10**9), ("TB", 10**12),
-    ("K", 10**3), ("M", 10**6), ("G", 10**9), ("T", 10**12),
-]
+_U64_MAX = (1 << 64) - 1
+_I64_MAX = (1 << 63) - 1
+_I64_MIN = -(1 << 63)
 
-_DUR_UNITS = [
-    ("ns", 1), ("µs", 1_000), ("us", 1_000), ("ms", 1_000_000),
-    ("s", 10**9), ("m", 60 * 10**9), ("h", 3600 * 10**9),
-    ("d", 86400 * 10**9), ("w", 7 * 86400 * 10**9), ("y", 365 * 86400 * 10**9),
-]
 
-_DUR_RE = re.compile(
-    r"(?i)(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d|w|y)"
-)
+def _try_uint64(s: str) -> int | None:
+    """values_encoder.go tryParseUint64: ASCII decimal digits with '_'
+    separators; leading zeros and >u64 overflow reject."""
+    if not s or len(s) > 26:  # len("18_446_744_073_709_551_615")
+        return None
+    if len(s) > 1 and s[0] == "0":
+        return None
+    n = 0
+    for ch in s:
+        if ch == "_":
+            continue
+        if not "0" <= ch <= "9":
+            return None
+        n = n * 10 + (ord(ch) - 48)
+        if n > _U64_MAX:
+            return None
+    return n
+
+
+def try_parse_float64(s: str) -> float | None:
+    """values_encoder.go tryParseFloat64: decimal digits, one dot, '_'
+    separators, optional leading '-'; NO exponents, NO edge dots, NO
+    leading zeros in the integer part; the fraction combines via a fused
+    multiply-add (single rounding)."""
+    from fractions import Fraction
+
+    if not s or len(s) > 27:  # len("-18_446_744_073_709_551_615")
+        return None
+    minus = s[0] == "-"
+    if minus:
+        s = s[1:]
+    dot = s.find(".")
+    if dot < 0:
+        n = _try_uint64(s)
+        if n is None:
+            return None
+        return -float(n) if minus else float(n)
+    if dot == 0 or dot == len(s) - 1:
+        return None
+    n_int = _try_uint64(s[:dot])
+    if n_int is None:
+        return None
+    frac = s[dot + 1 :]
+    k = 0
+    while k < len(frac) - 1 and frac[k] == "0":
+        k += 1
+    n_frac = _try_uint64(frac[k:])
+    if n_frac is None:
+        return None
+    p10 = 10.0 ** (frac.count("_") - len(frac))
+    # math.fma is 3.13+; exact-rational emulation rounds once like FMA
+    f = float(Fraction(n_frac) * Fraction(p10) + n_int)
+    return -f if minus else f
+
+
+def _float64_prefix(s: str) -> tuple[float | None, str]:
+    """tryParseFloat64Prefix: the leading [0-9._]+ run as a float64 plus
+    the tail (None float when the run is empty or unparseable)."""
+    i = 0
+    while i < len(s) and (s[i].isdigit() and s[i].isascii() or s[i] in "._"):
+        i += 1
+    if i == 0:
+        return None, s
+    return try_parse_float64(s[:i]), s[i:]
+
+
+def _add_i64_no_overflow(n: int, f: float) -> int:
+    """addInt64NoOverflow parity, including Go/amd64 float→int64
+    saturation-to-MIN for out-of-range values (which the clamp then
+    turns into i64-max)."""
+    import math as _math
+
+    if _math.isnan(f) or not _I64_MIN <= f < float(1 << 63):
+        x = _I64_MIN
+    else:
+        x = int(f)
+    if n < 0 or x < 0 or x > _I64_MAX - n:
+        return _I64_MAX
+    return n + x
+
+
+_DUR_UNITS = [  # checked longest-first, like the reference's prefix tests
+    ("µs", 1e3), ("ms", 1e6), ("ns", 1.0),
+    ("y", 365 * 24 * 3600 * 1e9), ("w", 7 * 24 * 3600 * 1e9),
+    ("d", 24 * 3600 * 1e9), ("h", 3600 * 1e9), ("m", 60 * 1e9),
+    ("s", 1e9),
+]
 
 
 def parse_duration_ns(s: str) -> int | None:
-    """Parse ``1h33m55s`` style durations → nanoseconds, or None.
-    Accepts a '+' or '-' sign prefix ('now+30m' arithmetic passes '+30m')."""
-    s = s.strip()
-    neg = s.startswith("-")
-    if neg or s.startswith("+"):
-        s = s[1:]
-    pos = 0
-    total = 0.0
-    while pos < len(s):
-        m = _DUR_RE.match(s, pos)
-        if not m:
-            return None
-        val = float(m.group(1))
-        unit = m.group(2)
-        mult = None
-        for u, ns in _DUR_UNITS:
-            if unit.lower() == u:
-                mult = ns
-                break
-        if mult is None:
-            return None
-        total += val * mult
-        pos = m.end()
-    if pos == 0:
+    """values_encoder.go tryParseDuration replica: ``1h33m55s`` compound
+    durations → nanoseconds with per-part int64 truncation and overflow
+    clamping to ±(2⁶³−1); '_' digit separators; case-sensitive units
+    (µs, not us); no embedded spaces. Extension: a '+' sign prefix is
+    accepted ('now+30m' arithmetic passes '+30m')."""
+    if not s:
         return None
-    return int(-total if neg else total)
+    neg = s[0] == "-"
+    if neg or s[0] == "+":
+        s = s[1:]
+    if not s:
+        # the reference returns (0, true) for a bare sign, but no query
+        # reaches it that way — its lexer never glues '-' to nothing;
+        # accepting it here would let 'limit -1' parse (failure corpus)
+        return None
+    nsecs = 0
+    while s:
+        f, s = _float64_prefix(s)
+        if f is None or not s:
+            return None  # unparseable number, or a number with no unit
+        for unit, mult in _DUR_UNITS:
+            if s.startswith(unit):
+                nsecs = _add_i64_no_overflow(nsecs, f * mult)
+                s = s[len(unit) :]
+                break
+        else:
+            return None
+    return -nsecs if neg else nsecs
+
+
+_BYTE_SUFFIXES = [  # tryParseBytes: longest-first, case-sensitive
+    ("KiB", 1 << 10), ("MiB", 1 << 20), ("GiB", 1 << 30), ("TiB", 1 << 40),
+    ("Ki", 1 << 10), ("Mi", 1 << 20), ("Gi", 1 << 30), ("Ti", 1 << 40),
+    ("KB", 1e3), ("MB", 1e6), ("GB", 1e9), ("TB", 1e12),
+    ("B", 1.0), ("K", 1e3), ("M", 1e6), ("G", 1e9), ("T", 1e12),
+]
+
+
+def try_parse_bytes(s: str) -> int | None:
+    """values_encoder.go tryParseBytes replica: compound size literals
+    ('1.5KB', '22MB100KB', bare integers) → bytes with per-part int64
+    truncation and overflow clamping; case-sensitive suffixes
+    (K/KB/Ki/KiB families plus bare B); a FRACTIONAL number without a
+    suffix rejects."""
+    import math as _math
+
+    if not s:
+        return None
+    neg = s[0] == "-"
+    if neg:
+        s = s[1:]
+    if not s:
+        return None  # bare '-': see the note in parse_duration_ns
+    n = 0
+    while s:
+        f, tail = _float64_prefix(s)
+        if f is None:
+            return None
+        if not tail and _math.modf(f)[0] != 0.0:
+            return None  # deny floating-point numbers without any suffix
+        s = tail
+        if not s:
+            n = _add_i64_no_overflow(n, f)
+            continue
+        for suf, mult in _BYTE_SUFFIXES:
+            if s.startswith(suf):
+                n = _add_i64_no_overflow(n, f * mult)
+                s = s[len(suf) :]
+                break
+        else:
+            return None
+    return -n if neg else n
+
+
+def _date_uint(s: str) -> int | None:
+    """values_encoder.go tryParseDateUint64: ASCII digits, ≤9 chars —
+    INCLUDING its two-char fast path that validates only the first
+    char (so '1x' yields 10 + ('x'-'0' mod 256); kept bug-for-bug, it
+    feeds date/ipv4 parsing in the reference)."""
+    if not s or len(s) > 9:
+        return None
+    if len(s) == 2:
+        if not ("0" <= s[0] <= "9" and s.isascii()):
+            return None
+        return 10 * (ord(s[0]) - 48) + ((ord(s[1]) - 48) % 256)
+    n = 0
+    for ch in s:
+        if not ("0" <= ch <= "9" and ch.isascii()):
+            return None
+        n = n * 10 + (ord(ch) - 48)
+    return n
+
+
+def _try_hhmm_ns(s: str) -> int | None:
+    # tryParseHHMM: 'hh:mm' with the reference's lax bounds (h<=24, m<=60)
+    if len(s) != 5 or s[2] != ":":
+        return None
+    h, m = _date_uint(s[:2]), _date_uint(s[3:])
+    if h is None or h > 24 or m is None or m > 60:
+        return None
+    return (h * 3600 + m * 60) * 10**9
+
+
+def _tz_offset_ns(s: str) -> tuple[int, str] | None:
+    """parseTimezoneOffset: trailing Z, ±hh:mm, or (no marker) the LOCAL
+    timezone offset; returns (offset_ns, prefix) or None."""
+    if s.endswith("Z"):
+        return 0, s[:-1]
+    n = max(s.rfind("+"), s.rfind("-"))
+    if n < 0:
+        import time as _time
+
+        local = -(
+            _time.altzone
+            if _time.daylight and _time.localtime().tm_isdst
+            else _time.timezone
+        )
+        return local * 10**9, s
+    off = _try_hhmm_ns(s[n + 1 :])
+    if off is None:
+        return None
+    return (-off if s[n] == "-" else off), s[:n]
+
+
+def _timestamp_secs(s: str) -> tuple[int, str] | None:
+    """tryParseTimestampSecs: 'YYYY-MM-DD[T ]HH:MM:SS' → (unix seconds,
+    tail). Year bounds 1677..2262 (int64-ns representability); month /
+    day / time components NORMALIZE like Go time.Date (month 13 = Jan of
+    the next year) rather than rejecting."""
+    import datetime as _dt
+
+    if s[4] != "-":
+        return None
+    year = _date_uint(s[:4])
+    if year is None or not 1677 <= year <= 2262:
+        return None
+    s = s[5:]
+    if s[2] != "-":
+        return None
+    month = _date_uint(s[:2])
+    if month is None:
+        return None
+    s = s[3:]
+    if s[2] not in ("T", " "):  # space: SQL datetime form (issue 6721)
+        return None
+    day = _date_uint(s[:2])
+    if day is None:
+        return None
+    s = s[3:]
+    if s[2] != ":":
+        return None
+    hour = _date_uint(s[:2])
+    if hour is None:
+        return None
+    s = s[3:]
+    if s[2] != ":":
+        return None
+    minute = _date_uint(s[:2])
+    if minute is None:
+        return None
+    s = s[3:]
+    second = _date_uint(s[:2])
+    if second is None:
+        return None
+    s = s[2:]
+    # Go time.Date component normalization
+    year += (month - 1) // 12
+    month = (month - 1) % 12 + 1
+    try:
+        d0 = _dt.date(year, month, 1)
+    except ValueError:
+        return None
+    days = (d0 - _dt.date(1970, 1, 1)).days + (day - 1)
+    secs = days * 86400 + hour * 3600 + minute * 60 + second
+    if secs < _I64_MIN // 10**9 + 1 or secs >= _I64_MAX // 10**9:
+        return None  # too big or too small for int64 nanoseconds
+    return secs, s
+
+
+def try_parse_rfc3339_ns(s: str) -> int | None:
+    """values_encoder.go TryParseTimestampRFC3339Nano replica: full
+    RFC3339 (or SQL space-separated) datetime with optional fractional
+    seconds (≤9 digits) and Z/±hh:mm/absent(→local) zone → unix ns;
+    None when unparseable or outside int64-ns range."""
+    if len(s) < 19:  # len("2006-01-02T15:04:05")
+        return None
+    r = _timestamp_secs(s)
+    if r is None:
+        return None
+    secs, tail = r
+    ns = secs * 10**9
+    tz = _tz_offset_ns(tail)
+    if tz is None:
+        return None
+    off, frac_s = tz
+    ns -= off
+    if not frac_s:
+        return ns
+    if frac_s[0] == ".":
+        frac_s = frac_s[1:]
+    if len(frac_s) > 9:
+        return None
+    n = _date_uint(frac_s)
+    if n is None:
+        return None
+    return ns + n * 10 ** (9 - len(frac_s))
+
+
+def try_parse_iso8601_ns(s: str) -> int | None:
+    """values_encoder.go tryParseTimestampISO8601 replica: exactly
+    'YYYY-MM-DD[T ]hh:mm:ss.mmmZ' (millisecond precision, Z only — no
+    other zone, so values round-trip) → unix ns."""
+    if len(s) != 24:  # len("2006-01-02T15:04:05.000Z")
+        return None
+    r = _timestamp_secs(s)
+    if r is None:
+        return None
+    secs, tail = r
+    if tail[0] != "." or tail[4] != "Z":
+        return None
+    msecs = _date_uint(tail[1:4])
+    if msecs is None:
+        return None
+    return secs * 10**9 + msecs * 10**6
 
 
 def parse_number(s: str) -> float | None:
@@ -249,42 +523,12 @@ def parse_number(s: str) -> float | None:
         return float(t)
     except ValueError:
         pass
-    v = _parse_size_compound(t)
+    # parser.go parseUint/parseFloat64 fall back to tryParseBytes, then
+    # tryParseDuration — keep that order (underscores already stripped)
+    v = try_parse_bytes(t)
     if v is not None:
-        return v
+        return float(v)
     ns = parse_duration_ns(t)
     if ns is not None:
         return float(ns)
     return None
-
-
-_SIZE_PART_RE = re.compile(r"(-?\d+(?:\.\d+)?)([A-Za-z]+)")
-
-
-def _parse_size_compound(t: str) -> float | None:
-    """Size literals incl. compound ones: '1.5KB', '22MB100KB' (sum of
-    parts, like compound durations)."""
-    pos, total = 0, 0.0
-    neg = t.startswith("-")
-    if neg:
-        t = t[1:]
-    while pos < len(t):
-        m = _SIZE_PART_RE.match(t, pos)
-        if not m:
-            return None
-        mult = None
-        for suf, sm in _SIZE_SUFFIXES:
-            # single-letter suffixes stay case-sensitive: 'm' is minutes
-            # (duration), 'M' is mega
-            if m.group(2) == suf or (
-                len(suf) >= 2 and m.group(2).lower() == suf.lower()
-            ):
-                mult = sm
-                break
-        if mult is None:
-            return None
-        total += float(m.group(1)) * mult
-        pos = m.end()
-    if pos == 0:
-        return None
-    return -total if neg else total

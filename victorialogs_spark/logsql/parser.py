@@ -1999,14 +1999,21 @@ def canonical_field(name: str) -> str:
 
 
 def ipv4_to_u32(s: str) -> int | None:
-    parts = s.split(".")
-    if len(parts) != 4:
+    """values_encoder.go tryParseIPv4 replica (pinned by the r15 ipv4
+    corpus): 7..15 chars, exactly 3 dots, 1-3 chars per octet parsed via
+    the shared date-uint scanner (leading zeros allowed), each ≤ 255."""
+    from victorialogs_spark.logsql.lexer import _date_uint
+
+    if not 7 <= len(s) <= 15 or s.count(".") != 3:
         return None
     v = 0
-    for p in parts:
-        if not p.isdigit() or int(p) > 255:
+    for p in s.split("."):
+        if not 1 <= len(p) <= 3:
             return None
-        v = (v << 8) | int(p)
+        n = _date_uint(p)
+        if n is None or n > 255:
+            return None
+        v = (v << 8) | n
     return v
 
 

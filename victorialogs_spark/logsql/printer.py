@@ -101,7 +101,7 @@ def _duration_ns(ns: int) -> str:
         ns = -ns
     for unit, width in (("w", 7 * 86400 * NS), ("d", 86400 * NS),
                         ("h", 3600 * NS), ("m", 60 * NS), ("s", NS),
-                        ("ms", 10**6), ("us", 10**3), ("ns", 1)):
+                        ("ms", 10**6), ("µs", 10**3), ("ns", 1)):
         if ns >= width:
             k, ns = divmod(ns, width)
             out.append(f"{k}{unit}")

@@ -50,12 +50,17 @@ def apply_pipe(p: A.Pipe, df: DataFrame, ctx) -> DataFrame:
 # ---------------------------------------------------------------- projection
 
 def _expand_wildcards(df: DataFrame, fields: list[str]) -> list[str]:
+    from victorialogs_spark.functions.prefixfilter import (
+        is_wildcard_filter,
+        match_filter,
+    )
+
     out: list[str] = []
     for f in fields:
         if f == "*":
             out.extend(df.columns)
-        elif f.endswith("*"):
-            out.extend(c for c in df.columns if c.startswith(f[:-1]))
+        elif is_wildcard_filter(f):
+            out.extend(c for c in df.columns if match_filter(f, c))
         else:
             out.append(f)
     seen = set()

@@ -35,12 +35,17 @@ def _expand_flagged(df: DataFrame, fields: list[str]) -> list[tuple[str, bool]]:
     every-column-carries-'' frames, ''-cells under a wildcard mean "the
     row doesn't have this field" and must be skipped (r15
     stats-semantics corpus finding: min(b) is '' but min(*) is not)."""
+    from victorialogs_spark.functions.prefixfilter import (
+        is_wildcard_filter,
+        match_filter,
+    )
+
     out: list[tuple[str, bool]] = []
     for f in fields:
         if f == "*":
             out.extend((c, True) for c in df.columns)
-        elif f.endswith("*"):
-            out.extend((c, True) for c in df.columns if c.startswith(f[:-1]))
+        elif is_wildcard_filter(f):
+            out.extend((c, True) for c in df.columns if match_filter(f, c))
         else:
             out.append((f, False))
     return out

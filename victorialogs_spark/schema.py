@@ -56,10 +56,21 @@ def normalize_log_df(
 def with_stream_id(df: DataFrame, stream_fields: list[str]) -> DataFrame:
     """Canonical `_stream` string '{k1="v1",...}' over sorted labels plus a
     128-bit-ish `_stream_id` (we use hex(xxhash64) twice — same uniqueness
-    story as stream_id.go:17-21, different hash function by design)."""
+    story as stream_id.go:17-21, different hash function by design).
+    A label ABSENT from a row (NULL/'' — our missing≡empty model) is
+    left out of that row's stream entirely, like the reference's
+    per-row streamFields capture (log_rows.go; r15 log-rows corpus:
+    '{foo="bar"}' vs '{abc="de",foo="bar"}' within one ingest)."""
     labels = sorted(stream_fields)
+
+    def _c(name):  # backticks: dotted label names are plain columns
+        return F.col("`" + name.replace("`", "") + "`").cast("string")
+
     parts = [
-        F.concat(F.lit(f'{name}="'), F.coalesce(F.col(name).cast("string"), F.lit("")), F.lit('"'))
+        F.when(
+            _c(name).isNotNull() & (_c(name) != ""),
+            F.concat(F.lit(f'{name}="'), _c(name), F.lit('"')),
+        )
         for name in labels
     ]
     stream = F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
@@ -138,6 +149,7 @@ def ingest_ndjson(
     ignore_fields: list[str] | None = None,
     extra_fields: dict[str, str] | None = None,
     default_msg_value: str = "missing _msg field; see https://docs.victoriametrics.com/victorialogs/keyconcepts/#message-field",
+    decolorize_fields: list[str] | None = None,
 ) -> DataFrame:
     """NDJSON → log DataFrame applying the reference's ingest transforms
     (_time_field/_msg_field/_stream_fields/ignore_fields/extra_fields,
@@ -160,8 +172,28 @@ def ingest_ndjson(
             continue
         flat = flatten_json(json.loads(line))
         if ignore_fields:
-            for ig in ignore_fields:
-                flat.pop(ig, None)
+            # prefix FILTERS, like every common-args field list
+            # (log_rows.go fieldsFilter; r15 log-rows corpus)
+            from victorialogs_spark.functions.prefixfilter import (
+                match_filters,
+            )
+
+            flat = {
+                k: v for k, v in flat.items()
+                if not match_filters([f or "_msg" for f in ignore_fields], k)
+            }
+        if decolorize_fields:
+            from victorialogs_spark.functions.prefixfilter import (
+                match_filters,
+            )
+            from victorialogs_spark.functions.text import (
+                drop_color_sequences,
+            )
+
+            deco = [f or "_msg" for f in decolorize_fields]
+            for k in list(flat):
+                if match_filters(deco, k):
+                    flat[k] = drop_color_sequences(flat[k])
         if extra_fields:
             flat.update(extra_fields)
         if time_field != "_time" and time_field in flat:
@@ -189,8 +221,11 @@ def ingest_ndjson(
             F.current_timestamp(),
         ),
     )
-    if stream_fields:
-        df = with_stream_id(df, [f for f in stream_fields if f in df.columns])
+    # _stream always exists — rows ingested without stream fields belong
+    # to the empty stream "{}" (log_rows.go; r15 log-rows corpus)
+    df = with_stream_id(
+        df, [f for f in (stream_fields or []) if f in df.columns]
+    )
     return df
 
 

@@ -47,16 +47,26 @@ def parse_ndjson_lines(
     ignore_fields: list[str] | None = None,
     extra_fields: dict[str, str] | None = None,
     default_msg_value: str = DEFAULT_MSG,
+    decolorize_fields: list[str] | None = None,
 ) -> DataFrame:
     """text lines (column ``value``) → (_time_raw, fields map) rows.
     Executes on executors in Arrow batches; malformed lines are dropped.
     Applies the reference's ingest transforms (_time_field/_msg_field/
-    ignore_fields/extra_fields, insertutil/common_params.go:32-100)."""
-    ig = list(ignore_fields or [])
+    ignore_fields/extra_fields/decolorize_fields,
+    insertutil/common_params.go:32-100; ignore/decolorize names are
+    prefix FILTERS — 'foo.*' drops every foo.-prefixed field, and extra
+    fields re-add after the drop: log_rows.go via the r15 log-rows
+    corpus)."""
+    # '' in a field list names the canonical _msg field (log_rows.go)
+    ig = [f or "_msg" for f in ignore_fields or []]
     ex = dict(extra_fields or {})
+    deco = [f or "_msg" for f in decolorize_fields or []]
 
     def _parse(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from victorialogs_spark.functions.prefixfilter import match_filters
+
 
         for pdf in batches:
             times, fields = [], []
@@ -68,8 +78,20 @@ def parse_ndjson_lines(
                     flat = flatten_json(json.loads(line))
                 except (json.JSONDecodeError, AttributeError):
                     continue
-                for f in ig:
-                    flat.pop(f, None)
+                if ig:
+                    flat = {
+                        k: v
+                        for k, v in flat.items()
+                        if not match_filters(ig, k)
+                    }
+                if deco:
+                    from victorialogs_spark.functions.text import (
+                        drop_color_sequences,
+                    )
+
+                    for k in list(flat):
+                        if match_filters(deco, k):
+                            flat[k] = drop_color_sequences(flat[k])
                 flat.update(ex)
                 t = flat.pop(time_field, "")
                 if msg_field != "_msg" and msg_field in flat:

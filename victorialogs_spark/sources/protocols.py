@@ -132,12 +132,21 @@ def parse_es_timestamp_ns(s: str) -> int | None:
         return 0
     if len(s) < 10 or s[4] != "-":
         return try_parse_unix_ns(s)
-    from victorialogs_spark.logsql.parser import parse_time_point
+    if len(s) == 10:
+        # exactly YYYY-MM-DD parses as a date (strict, like Go
+        # time.Parse("2006-01-02"))
+        import datetime as _dt
 
-    if 10 < len(s) < 19:
-        return None  # TryParseTimestampRFC3339Nano needs a full datetime
-    r = parse_time_point(s)
-    return r[0] if r is not None else None
+        try:
+            d = _dt.datetime.strptime(s, "%Y-%m-%d")
+        except ValueError:
+            return None
+        return int(
+            d.replace(tzinfo=_dt.timezone.utc).timestamp()
+        ) * 10**9
+    from victorialogs_spark.logsql.lexer import try_parse_rfc3339_ns
+
+    return try_parse_rfc3339_ns(s)
 
 
 def es_bulk_rows(
