@@ -778,3 +778,65 @@ def test_tail_applies_extra_filters(server):
     t.join(60)
     msgs = [json.loads(l)["_msg"] for l in result["out"].splitlines() if l]
     assert "ef-keep" in msgs and "ef-drop" not in msgs
+
+
+def test_key_concepts_corpus(server):
+    """apptest/tests/key_concepts_test.go TestVlsingleKeyConcepts
+    replayed end-to-end over OUR HTTP surface: /insert/jsonline with
+    multi-candidate _time_field/_msg_field and _stream_fields args, then
+    /select/logsql/query — rows compare minus _stream_id (unique by
+    design), at µs time resolution (the fixtures are µs-precision)."""
+    import re
+    import sys
+    import urllib.parse
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_protocols import _go_value
+
+    src = Path(
+        "/root/reference/apptest/tests/key_concepts_test.go"
+    ).read_text()
+    body = src.split("func TestVlsingleKeyConcepts")[1].split("\nfunc ")[0]
+    cases = []
+    for m in re.finditer(r"\n\tf\(&opts\{", body):
+        o, _ = _go_value(body, m.end() - len("opts{"))
+        cases.append(o)
+    assert len(cases) >= 4, len(cases)
+
+    for o in cases:
+        args = o.get("ingestQueryArgs") or {}
+        qs = {}
+        if args.get("messageField"):
+            qs["_msg_field"] = args["messageField"]
+        if args.get("timeField"):
+            qs["_time_field"] = args["timeField"]
+        if args.get("streamFields"):
+            qs["_stream_fields"] = args["streamFields"]
+        path = "/insert/jsonline"
+        if qs:
+            path += "?" + urllib.parse.urlencode(qs)
+        r = _post(server, path, "\n".join(o["ingestRecords"]).encode())
+        assert r.status == 200
+
+        out = _get(
+            server,
+            "/select/logsql/query?query="
+            + urllib.parse.quote(o["query"]),
+        ).read()
+        got = sorted(
+            json.dumps(
+                {k: v for k, v in json.loads(l).items() if k != "_stream_id"},
+                sort_keys=True,
+            )
+            for l in out.decode().splitlines()
+            if l
+        )
+        want = sorted(
+            json.dumps(
+                {k: v for k, v in json.loads(l).items() if k != "_stream_id"},
+                sort_keys=True,
+            )
+            for l in o["wantResponse"]["logLines"]
+        )
+        assert got == want, f"{o['query']}:\ngot  {got}\nwant {want}"

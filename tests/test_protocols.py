@@ -445,9 +445,13 @@ def _want_rows(result: str) -> list[dict]:
 
 
 def _got_rows(rows: list[dict]) -> tuple[list[dict], list]:
+    """''-valued fields drop (marshal parity); the engine-side _stream
+    identity drops too — the Go fixtures' TestLogMessageProcessor never
+    sees stream fields."""
     got_ts = [_ts_ns(r["_time"]) if r.get("_time") else None for r in rows]
     return [
-        {k: v for k, v in r.items() if k != "_time" and v != ""} for r in rows
+        {k: v for k, v in r.items() if k not in ("_time", "_stream") and v != ""}
+        for r in rows
     ], got_ts
 
 
@@ -547,7 +551,9 @@ def _pb_roundtrip(blob: str, msg_fields, parse_message):
     streams = []
     for r in rows:
         labels = "{" + ", ".join(
-            f"{k}={go_quote(v)}" for k, v in r.items() if k not in ("_msg", "_time")
+            f"{k}={go_quote(v)}"
+            for k, v in r.items()
+            if k not in ("_msg", "_time", "_stream")
         ) + "}"
         ts_ns = _ts_ns(r["_time"]) if r.get("_time") else 0
         streams.append((labels, [(ts_ns, r.get("_msg", ""), [])]))

@@ -311,18 +311,20 @@ def _wire_timestamp(ts) -> str:
 
 def row_to_wire_dict(row) -> dict:
     """Row -> the NDJSON wire dict every response surface shares (the
-    CLI emitter, the HTTP query stream, both tail loops): None renders
-    as '' — the engine-wide missing-equals-empty rule — timestamps
-    render RFC3339-Z like the reference, and every other non-string
-    stringifies. Before consolidation the two tail loops rendered None
-    as the literal string 'None' while the query surfaces rendered ''
-    (r14 review finding)."""
+    CLI emitter, the HTTP query stream, both tail loops): timestamps
+    render RFC3339-Z like the reference, every other non-string
+    stringifies, and EMPTY-VALUED fields drop — missing ≡ empty, and
+    the reference's row marshaller skips them (rows.go
+    MarshalFieldsToJSON; the r15 key-concepts corpus caught our
+    wide-frame ''-columns leaking onto the wire). Before consolidation
+    the two tail loops rendered None as the literal string 'None' while
+    the query surfaces rendered '' (r14 review finding)."""
     import datetime as _dt
 
     d = row.asDict()
     for k, v in list(d.items()):
-        if v is None:
-            d[k] = ""
+        if v is None or v == "":
+            del d[k]
         elif isinstance(v, _dt.datetime):
             d[k] = _wire_timestamp(v)
         elif isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):

@@ -1254,10 +1254,18 @@ class _Handler(BaseHTTPRequestHandler):
         if path == "/insert/jsonline":
             lines = body.decode("utf-8", "replace").splitlines()
             sf = self._get(params, "_stream_fields", "")
+            # _time_field/_msg_field are comma-separated CANDIDATE lists
+            # (httputil.GetArray; apptest key_concepts corpus)
+            tfs = [
+                t for t in self._get(params, "_time_field", "_time").split(",") if t
+            ] or ["_time"]
+            mfs = [
+                m for m in self._get(params, "_msg_field", "_msg").split(",") if m
+            ] or ["_msg"]
             df = ingest_ndjson(
                 st.spark, lines,
-                time_field=self._get(params, "_time_field", "_time"),
-                msg_field=self._get(params, "_msg_field", "_msg"),
+                time_field=tfs,
+                msg_field=mfs,
                 stream_fields=[s for s in sf.split(",") if s] or None,
             )
             self._append(df, "jsonline")

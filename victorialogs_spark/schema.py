@@ -74,7 +74,14 @@ def with_stream_id(df: DataFrame, stream_fields: list[str]) -> DataFrame:
         for name in labels
     ]
     stream = F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
-    df = df.withColumn("_stream", stream)
+    return attach_stream_id(df.withColumn("_stream", stream))
+
+
+def attach_stream_id(df: DataFrame) -> DataFrame:
+    """`_stream_id` from an existing `_stream` column (protocols whose
+    stream identity is computed per row at parse time — loki labels,
+    OTLP resource attributes — precompute `_stream` and only need the
+    hash here)."""
     h1 = F.lower(F.hex(F.xxhash64(F.col("_stream"))))
     h2 = F.lower(F.hex(F.xxhash64(F.col("_stream"), F.lit(1))))
     return df.withColumn("_stream_id", F.concat(h1, h2))
@@ -143,8 +150,8 @@ def flatten_json(obj: dict, prefix: str = "", max_name_len: int = 128) -> dict[s
 def ingest_ndjson(
     spark: SparkSession,
     path_or_lines: str | Iterable[str],
-    time_field: str = "_time",
-    msg_field: str = "_msg",
+    time_field: str | list[str] = "_time",
+    msg_field: str | list[str] = "_msg",
     stream_fields: list[str] | None = None,
     ignore_fields: list[str] | None = None,
     extra_fields: dict[str, str] | None = None,
@@ -196,10 +203,22 @@ def ingest_ndjson(
                     flat[k] = drop_color_sequences(flat[k])
         if extra_fields:
             flat.update(extra_fields)
-        if time_field != "_time" and time_field in flat:
-            flat["_time"] = flat.pop(time_field)
-        if msg_field != "_msg" and msg_field in flat:
-            flat["_msg"] = flat.pop(msg_field)
+        # _time_field / _msg_field are CANDIDATE LISTS: the first
+        # PRESENT time field is consumed (ExtractTimestampFromFields),
+        # the first NON-EMPTY msg field renames to _msg (RenameField) —
+        # apptest key_concepts corpus (r15)
+        tfs = [time_field] if isinstance(time_field, str) else list(time_field)
+        for tf in tfs:
+            if tf in flat:
+                if tf != "_time":
+                    flat["_time"] = flat.pop(tf)
+                break
+        mfs = [msg_field] if isinstance(msg_field, str) else list(msg_field)
+        for mf in mfs:
+            if flat.get(mf, "") != "":
+                if mf != "_msg":
+                    flat["_msg"] = flat.pop(mf)
+                break
         if not flat.get("_msg"):
             flat["_msg"] = default_msg_value
         rows.append(flat)

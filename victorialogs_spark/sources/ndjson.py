@@ -42,8 +42,8 @@ MAX_PROMOTED_COLS = 2000  # mirrors the reference's per-block column cap
 
 def parse_ndjson_lines(
     lines: DataFrame,
-    time_field: str = "_time",
-    msg_field: str = "_msg",
+    time_field: str | list[str] = "_time",
+    msg_field: str | list[str] = "_msg",
     ignore_fields: list[str] | None = None,
     extra_fields: dict[str, str] | None = None,
     default_msg_value: str = DEFAULT_MSG,
@@ -61,6 +61,8 @@ def parse_ndjson_lines(
     ig = [f or "_msg" for f in ignore_fields or []]
     ex = dict(extra_fields or {})
     deco = [f or "_msg" for f in decolorize_fields or []]
+    tfs = [time_field] if isinstance(time_field, str) else list(time_field)
+    mfs = [msg_field] if isinstance(msg_field, str) else list(msg_field)
 
     def _parse(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -93,9 +95,18 @@ def parse_ndjson_lines(
                         if match_filters(deco, k):
                             flat[k] = drop_color_sequences(flat[k])
                 flat.update(ex)
-                t = flat.pop(time_field, "")
-                if msg_field != "_msg" and msg_field in flat:
-                    flat["_msg"] = flat.pop(msg_field)
+                # first-present time candidate / first-non-empty msg
+                # candidate (ExtractTimestampFromFields + RenameField)
+                t = ""
+                for tf in tfs:
+                    if tf in flat:
+                        t = flat.pop(tf)
+                        break
+                for mf in mfs:
+                    if flat.get(mf, "") != "":
+                        if mf != "_msg":
+                            flat["_msg"] = flat.pop(mf)
+                        break
                 if not flat.get("_msg"):
                     flat["_msg"] = default_msg_value
                 times.append(t)

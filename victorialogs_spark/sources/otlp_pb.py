@@ -269,6 +269,11 @@ def _log_record(
     ))
 
     flat = dict(fields)
+    # OTLP's default stream identity is the RESOURCE attributes
+    # (opentelemetry.go useDefaultStreamFields → commonFields)
+    from victorialogs_spark.sources.protocols import stream_label_str
+
+    flat["_stream"] = stream_label_str(res_fields)
     ts = t_ns or obs_ns
     if ts:
         # exact decimal seconds truncated to µs (float division would put

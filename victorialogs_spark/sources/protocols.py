@@ -64,14 +64,32 @@ def _batch_parser(parse_line: Callable[[str], list[dict]]):
     return _parse
 
 
+def stream_label_str(labels: list[tuple[str, str]]) -> str:
+    """Canonical per-row `_stream` string from explicit labels (loki
+    stream labels, OTLP resource attributes — the reference's
+    useDefaultStreamFields path): sorted by name, ''-valued labels
+    dropped (absent ≡ empty), same rendering as schema.with_stream_id."""
+    parts = [f'{k}="{v}"' for k, v in sorted(dict(labels).items()) if v != ""]
+    return "{" + ",".join(parts) + "}"
+
+
 def _finish(
     parsed: DataFrame,
     stream_fields: list[str] | None,
     promote_keys: list[str] | None,
 ) -> DataFrame:
     out = promote_columns(with_event_time(parsed), promote_keys)
-    if stream_fields:
-        out = with_stream_id(out, [f for f in stream_fields if f in out.columns])
+    if "_stream" in out.columns:
+        # parser-computed per-row stream identity — just hash it
+        from victorialogs_spark.schema import attach_stream_id
+
+        out = attach_stream_id(out)
+    else:
+        # every row belongs to a stream — without stream fields it is
+        # the empty one "{}" (log_rows.go; r15 key-concepts corpus)
+        out = with_stream_id(
+            out, [f for f in (stream_fields or []) if f in out.columns]
+        )
     return out
 
 
@@ -372,6 +390,9 @@ def _loki_row(
     else:
         fields.append(("_msg", msg))
     row = dict(fields)
+    # loki's default stream identity is the stream LABELS
+    # (loki_json.go useDefaultStreamFields → fields[:commonFieldsLen])
+    row["_stream"] = stream_label_str(labels)
     row["_time"] = unix_frac_seconds(ts_ns, 10**9) if ts_ns else ""
     return row
 
@@ -710,6 +731,8 @@ def parse_otlp_logs(
                         ),
                     ))
                     flat = dict(fields)
+                    # default stream identity: the resource attributes
+                    flat["_stream"] = stream_label_str(res_fields)
                     t_ns = rec.get("timeUnixNano") or rec.get(
                         "observedTimeUnixNano"
                     )
@@ -818,7 +841,9 @@ def parse_syslog_lines(
         else path_or_lines
     )
     parsed = lines.mapInPandas(_batch_parser(one), PARSED_SCHEMA)
-    return _finish(parsed, None, promote_keys)
+    # syslog's default stream fields
+    # (insertutil.GetCommonParamsForSyslog:125)
+    return _finish(parsed, ["hostname", "app_name", "proc_id"], promote_keys)
 
 
 # ----------------------------------------------------------------- journald
@@ -841,7 +866,10 @@ def parse_journald_export(
     )
 
     parsed = rdd_like.mapInPandas(_batch_parser(journald_entries), PARSED_SCHEMA)
-    return _finish(parsed, None, promote_keys)
+    # journald's default stream fields (journald.go defaultStreamFields)
+    return _finish(
+        parsed, ["_MACHINE_ID", "_HOSTNAME", "_SYSTEMD_UNIT"], promote_keys
+    )
 
 
 _JOURNALD_NAME_RE = __import__("re").compile(rb"^[A-Z_][A-Z0-9_]*$")
