@@ -388,3 +388,68 @@ def test_color_sequence_corpus(spark):
     ).collect()
     bad = [(r["s"], r["got"], r["want"]) for r in rows if r["got"] != r["want"]]
     assert not bad, bad
+
+
+def test_marshal_float64_corpus(spark):
+    """values_encoder_test.go TestMarshalFloat64String (+ 'f'-form
+    anchors Spark's string cast gets wrong: E-notation at 1e7/1e-3)
+    against functions.natural.format_number."""
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.functions.natural import format_number
+
+    cases = []
+    for (_, expr), (_, want) in _f_calls("TestMarshalFloat64String"):
+        cases.append((_go_float(expr), want))
+    assert len(cases) >= 5
+    # the reference's 'f'-rendering beyond Spark's E-notation thresholds
+    cases += [
+        (12345678.5, "12345678.5"),
+        (0.0001, "0.0001"),
+        (1.5e16, "15000000000000000"),
+        (-123456789.25, "-123456789.25"),
+    ]
+    df = spark.createDataFrame(cases, "v double, want string")
+    rows = df.select(
+        "v", "want", format_number(F.col("v")).alias("got")
+    ).collect()
+    bad = [(r["v"], r["got"], r["want"]) for r in rows if r["got"] != r["want"]]
+    assert not bad, bad
+
+
+def test_column_duration_bytes_parsers(spark):
+    """The Column twins of tryParseDuration/tryParseBytes
+    (functions.natural.duration_ns_col / bytes_col) replay the same
+    values_encoder corpus cases in ONE batched select each — the math
+    pipe and the duration_seconds format converter ride them."""
+    from pyspark.sql import functions as F
+
+    from victorialogs_spark.functions.natural import bytes_col, duration_ns_col
+
+    dur_good = [
+        (s, _go_const(expr))
+        for (_, s), (_, expr) in _f_calls("TestTryParseDuration_Success")
+    ]
+    dur_bad = [(s,) for ((_, s),) in _f_calls("TestTryParseDuration_Failure")]
+    df = spark.createDataFrame(dur_good, "s string, want long")
+    rows = df.select("s", "want", duration_ns_col(F.col("s")).alias("got")).collect()
+    bad = [(r["s"], r["got"], r["want"]) for r in rows if r["got"] != r["want"]]
+    assert not bad, bad
+    df = spark.createDataFrame(dur_bad, "s string")
+    rows = df.select("s", duration_ns_col(F.col("s")).alias("got")).collect()
+    bad = [(r["s"], r["got"]) for r in rows if r["got"] is not None]
+    assert not bad, bad
+
+    b_good = [
+        (s, _go_const(expr))
+        for (_, s), (_, expr) in _f_calls("TestTryParseBytes_Success")
+    ]
+    b_bad = [(s,) for ((_, s),) in _f_calls("TestTryParseBytes_Failure")]
+    df = spark.createDataFrame(b_good, "s string, want long")
+    rows = df.select("s", "want", bytes_col(F.col("s")).alias("got")).collect()
+    bad = [(r["s"], r["got"], r["want"]) for r in rows if r["got"] != r["want"]]
+    assert not bad, bad
+    df = spark.createDataFrame(b_bad, "s string")
+    rows = df.select("s", bytes_col(F.col("s")).alias("got")).collect()
+    bad = [(r["s"], r["got"]) for r in rows if r["got"] is not None]
+    assert not bad, bad

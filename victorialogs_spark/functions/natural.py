@@ -100,18 +100,39 @@ def natural_keys(df: DataFrame, name: str) -> list[Column]:
 
 
 def format_number(c: Column) -> Column:
-    """Format a double like Go's strconv.FormatFloat(-1): integral values get
-    no decimal point ('18' not '18.0'). try_cast: a plain cast of NaN or an
-    out-of-long-range double THROWS under default ANSI mode, and this
-    expression runs on arbitrary user math (`math 0/0 as x`)."""
+    """Format a double like Go's strconv.FormatFloat(f,'f',-1,64)
+    (values_encoder.go marshalFloat64String): integral values get no
+    decimal point ('18' not '18.0'), and non-integral values render in
+    PLAIN decimal — Spark's string cast switches to E-notation at 1e7
+    and 1e-3 ('1.23456785E7'), which no Go surface ever emits (r15
+    marshal-float corpus). The decimal(38,18) hop goes through Java's
+    BigDecimal.valueOf (shortest double repr), so digits match the
+    'f'-form exactly; |v| ≥ 1e18 or < 1e-15 falls back to the raw cast
+    (documented divergence: Go prints those in full). try_cast: a plain
+    cast of NaN or an out-of-long-range double THROWS under default
+    ANSI mode, and this expression runs on arbitrary user math."""
     as_long = _try_cast(c, "long")
+    plain = F.regexp_replace(
+        F.regexp_replace(
+            c.cast("decimal(38,18)").cast("string"), "0+$", ""
+        ),
+        r"\.$",
+        "",
+    )
     return F.when(c.isNull(), F.lit("")).otherwise(
         F.when(
             as_long.isNotNull()
             & (c == as_long.cast("double"))
             & (F.abs(c) < F.lit(1e15)),
             as_long.cast("string"),
-        ).otherwise(c.cast("string"))
+        )
+        .when(
+            ~F.isnan(c)
+            & (F.abs(c) < F.lit(1e18))
+            & (F.abs(c) >= F.lit(1e-15)),
+            plain,
+        )
+        .otherwise(c.cast("string"))
     )
 
 
@@ -215,37 +236,122 @@ def _duration_string_of(n: Column) -> Column:
     return F.when(n == 0, F.lit("0")).otherwise(out)
 
 
-_DUR_TOKEN_RE = r"(?i)([0-9]+(?:\.[0-9]+)?)(ns|µs|us|ms|y|w|d|h|m|s)"
-
-_UNIT_SECONDS = [
-    ("ns", 1e-9), ("µs", 1e-6), ("us", 1e-6), ("ms", 1e-3), ("s", 1.0),
-    ("m", 60.0), ("h", 3600.0), ("d", 86400.0), ("w", 7 * 86400.0),
-    ("y", 365 * 86400.0),
+# tryParseDuration / tryParseBytes as Column expressions (case-SENSITIVE
+# units, '_' digit separators, per-part int64 truncation with overflow
+# clamping to 2⁶³−1 — values_encoder.go; pinned by the r15 values corpus
+# on the python twins in logsql/lexer.py)
+_I64_MAX_NS = (1 << 63) - 1
+_GO_DUR_UNITS = [
+    ("µs", 1e3), ("ms", 1e6), ("ns", 1.0),
+    ("y", 365 * 24 * 3600 * 1e9), ("w", 7 * 24 * 3600 * 1e9),
+    ("d", 24 * 3600 * 1e9), ("h", 3600 * 1e9), ("m", 60 * 1e9), ("s", 1e9),
 ]
+_GO_DUR_TOKEN_RE = r"(?:[0-9._]+(?:µs|ms|ns|y|w|d|h|m|s))"
+_GO_BYTE_UNITS = [
+    ("KiB", float(1 << 10)), ("MiB", float(1 << 20)),
+    ("GiB", float(1 << 30)), ("TiB", float(1 << 40)),
+    ("Ki", float(1 << 10)), ("Mi", float(1 << 20)),
+    ("Gi", float(1 << 30)), ("Ti", float(1 << 40)),
+    ("KB", 1e3), ("MB", 1e6), ("GB", 1e9), ("TB", 1e12),
+    ("B", 1.0), ("K", 1e3), ("M", 1e6), ("G", 1e9), ("T", 1e12),
+]
+_GO_BYTE_TOKEN_RE = (
+    r"(?:[0-9._]+(?:KiB|MiB|GiB|TiB|Ki|Mi|Gi|Ti|KB|MB|GB|TB|B|K|M|G|T)?)"
+)
+
+
+def _go_float_prefix_ok(v: Column) -> Column:
+    """tryParseFloat64 validity of a scanned [0-9._]+ run: one dot, not
+    at either edge, no leading zero in the integer part (a bare '_'
+    parses as 0 — tryParseUint64 just skips separators)."""
+    return (
+        ~v.rlike(r"\..*\.")
+        & ~v.startswith(".")
+        & ~v.endswith(".")
+        & ~v.rlike(r"^0[0-9_]")
+    )
+
+
+def _go_float_prefix_val(v: Column) -> Column:
+    stripped = F.regexp_replace(v, "_", "")
+    return F.when(stripped == "", F.lit(0.0)).otherwise(
+        _try_cast(stripped, "double")
+    )
+
+
+def _go_compound_col(s: Column, token_re: str, units, bare_int: bool) -> Column:
+    """Shared tryParseDuration/tryParseBytes scanner: the string must be
+    exactly a run of <number><unit> tokens (optional unit with
+    ``bare_int``, where a bare FRACTIONAL number rejects); each part
+    truncates to int64 and accumulates with the reference's
+    overflow-clamp-to-max. NULL when unparseable."""
+    body = F.regexp_replace(s, r"^-", "")
+    toks = F.regexp_extract_all(body, F.lit(token_re), 0)
+
+    def _val(t):
+        return F.regexp_extract(t, r"^([0-9._]+)", 1)
+
+    def _unit(t):
+        return F.regexp_extract(t, r"([^0-9._]+)$", 1)
+
+    def tok_ok(t):
+        ok = _go_float_prefix_ok(_val(t))
+        if bare_int:
+            # a float without a suffix is denied (tryParseBytes)
+            ok = ok & ((_unit(t) != "") | ~_val(t).contains("."))
+        return ok
+
+    valid = (
+        (F.length(body) > 0)
+        & (F.array_join(toks, "") == body)
+        & F.forall(toks, tok_ok)
+    )
+
+    def tok_ns(t):
+        dval = _go_float_prefix_val(_val(t))
+        unit = _unit(t)
+        mult = F.lit(1.0) if bare_int else F.lit(0.0)
+        for u, m in units:
+            mult = F.when(unit == u, F.lit(m)).otherwise(mult)
+        # int64(f): out-of-range → clamped (addInt64NoOverflow feeds max)
+        return F.coalesce(_try_cast(dval * mult, "long"), F.lit(_I64_MAX_NS))
+
+    total = F.aggregate(
+        F.transform(toks, tok_ns),
+        F.lit(0).cast("long"),
+        # addInt64NoOverflow: exact-long clamp, never overflows
+        lambda acc, x: F.least(acc, F.lit(_I64_MAX_NS) - x) + x,
+    )
+    signed = F.when(s.startswith("-"), -total).otherwise(total)
+    return F.when(valid, signed)
+
+
+def duration_ns_col(c: Column) -> Column:
+    """tryParseDuration as a Column: compound duration → int64 ns, NULL
+    when not a duration."""
+    return let(c, lambda s: _go_compound_col(s, _GO_DUR_TOKEN_RE, _GO_DUR_UNITS, False))
+
+
+def bytes_col(c: Column) -> Column:
+    """tryParseBytes as a Column: compound size literal (bare integers
+    allowed) → int64 bytes, NULL when not a size."""
+    return let(c, lambda s: _go_compound_col(s, _GO_BYTE_TOKEN_RE, _GO_BYTE_UNITS, True))
 
 
 def duration_seconds(c: Column) -> Column:
     """Compound duration string ('5m30s', '1.5h') → seconds as a Go-style
     number string; non-durations pass through unchanged (pipe_format.go
-    duration_seconds → tryParseDuration)."""
-    s = F.trim(c)
-    body = F.regexp_replace(s, r"^[-+]", "")
-    toks = F.regexp_extract_all(body, F.lit(_DUR_TOKEN_RE), 0)
-    valid = (F.length(body) > 0) & (F.array_join(toks, "") == body)
-
-    def per_tok(t):
-        val = F.regexp_extract(t, r"^([0-9.]+)", 1).cast("double")
-        unit = F.lower(F.regexp_extract(t, r"(?i)^[0-9.]+(.+)$", 1))
-        mult = F.lit(0.0)
-        for u, m in _UNIT_SECONDS:
-            mult = F.when(unit == u, F.lit(m)).otherwise(mult)
-        return val * mult
-
-    total = F.aggregate(
-        F.transform(toks, per_tok), F.lit(0.0), lambda acc, x: acc + x
+    duration_seconds → tryParseDuration → marshalFloat64String)."""
+    return let(
+        c,
+        lambda s: let(
+            duration_ns_col(s),
+            lambda ns: F.when(
+                ns.isNotNull(),
+                format_number(ns.cast("double") / F.lit(1e9)),
+            ).otherwise(s),
+        ),
     )
-    signed = F.when(s.rlike(r"^-"), -total).otherwise(total)
-    return F.when(valid, format_number(signed)).otherwise(c)
 
 
 def unix_auto_timestamp(c: Column) -> Column:

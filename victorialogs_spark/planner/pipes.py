@@ -477,49 +477,37 @@ def _math_result(c: Column) -> Column:
     )
 
 
-_DUR_UNIT_NS = {
-    "w": 7 * 86400 * 10**9, "d": 86400 * 10**9, "h": 3600 * 10**9,
-    "m": 60 * 10**9, "s": 10**9, "ms": 10**6, "us": 10**3, "µs": 10**3,
-    "ns": 1,
-}
-_DUR_RE = (
-    r"(?:\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w))"
-)
-
-
 def _math_num(df: DataFrame, name: str) -> Column:
     """Field value → float64 like the reference's parseMathNumber
     (pipe_math.go:1066-1080): plain number, hex (0x...), compound
     duration ("10m5s" → ns), RFC3339 timestamp (→ unix ns), IPv4
     (→ uint32) — NULL (= NaN) otherwise. All Column expressions, no
     UDF (r15 pipe-semantics corpus)."""
+    from victorialogs_spark.functions.natural import (
+        bytes_col,
+        duration_ns_col,
+        ipv4_num,
+    )
+
     v = fcol(df, name)
     base = _try_cast(v, "double")
     hex_ok = v.rlike(r"^0[xX][0-9a-fA-F]{1,16}$")
     hex_val = _try_cast(
         F.conv(F.regexp_replace(v, r"^0[xX]", ""), 16, 10), "double"
     )
-    dur_ok = v.rlike(r"^-?" + _DUR_RE + r"+$")
-    parts = F.regexp_extract_all(v, F.lit(_DUR_RE), 0)
-    def _part_ns(part):
-        n = _try_cast(F.regexp_extract(part, r"^(\d+(?:\.\d+)?)", 1), "double")
-        unit = F.regexp_extract(part, r"([a-zµ]+)$", 1)
-        mult = F.lit(None).cast("double")
-        for u, ns in _DUR_UNIT_NS.items():
-            mult = F.when(unit == u, F.lit(float(ns))).otherwise(mult)
-        return n * mult
-    dur_val = F.aggregate(
-        parts, F.lit(0.0), lambda acc, part: acc + _part_ns(part)
-    ) * F.when(v.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    # tryParseNumber's fallbacks: duration, then SIZE literals ('10KB'
+    # in math — block_result.go:2710; the lenient in-house duration
+    # regex was retired for the tryParseDuration Column replica)
+    dur_val = duration_ns_col(v).cast("double")
+    byte_val = bytes_col(v).cast("double")
     ts_val = (F.unix_micros(F.try_to_timestamp(v)) * F.lit(1000.0))
     ip_ok = v.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
-    from victorialogs_spark.functions.natural import ipv4_num
-
     ip_val = ipv4_num(v).cast("double")
     return (
         F.when(base.isNotNull(), base)
         .when(hex_ok, hex_val)
-        .when(dur_ok, dur_val)
+        .when(dur_val.isNotNull(), dur_val)
+        .when(byte_val.isNotNull(), byte_val)
         .when(ip_ok, ip_val)
         .otherwise(ts_val)
     )
