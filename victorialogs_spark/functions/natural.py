@@ -48,6 +48,24 @@ def let(c: Column, body) -> Column:
     return F.get(F.transform(F.array(c), body), 0)
 
 
+def ts_rfc3339_str(c: Column) -> Column:
+    """Timestamp column → the reference's RFC3339Nano string form
+    (marshalTimestampRFC3339NanoString: fractional seconds with trailing
+    zeros TRIMMED, no fraction when integral). The old fixed '.SSS'
+    pattern both truncated µs-precision times and printed '.000' on
+    integral ones (r15 review finding)."""
+
+    def _of(t: Column) -> Column:
+        frac = F.regexp_replace(F.date_format(t, "SSSSSS"), "0+$", "")
+        return F.concat(
+            F.date_format(t, "yyyy-MM-dd'T'HH:mm:ss"),
+            F.when(frac == "", F.lit("")).otherwise(F.concat(F.lit("."), frac)),
+            F.lit("Z"),
+        )
+
+    return let(c, _of)
+
+
 def fcol(df: DataFrame, name: str) -> Column:
     """Field access with missing≡empty semantics: unknown fields and NULLs
     read as ''. `_time` reads as its RFC3339 string form when used as a
@@ -57,7 +75,7 @@ def fcol(df: DataFrame, name: str) -> Column:
     dt = dict(df.dtypes).get(name)
     c = qcol(name)
     if dt == "timestamp":
-        return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        return F.coalesce(ts_rfc3339_str(c), F.lit(""))
     if dt != "string":
         c = c.cast("string")
     return F.coalesce(c, F.lit(""))

@@ -246,7 +246,9 @@ def _raw(df: DataFrame, field: str) -> Column:
     dt = dict(df.dtypes).get(field)
     c = qcol(field)
     if dt == "timestamp":
-        return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        from victorialogs_spark.functions.natural import ts_rfc3339_str
+
+        return ts_rfc3339_str(c)
     if dt != "string":
         return c.cast("string")
     return c
