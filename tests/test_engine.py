@@ -626,7 +626,7 @@ def test_math_precedence_and_unary(spark):
 
 def test_collapse_nums_prettify(spark):
     df = make_logs(spark, [{"_msg": "ip 10.0.0.1 at 12:30:45 on 2024-01-02 id 5"}])
-    out = run_query(spark, df, "* | collapse_nums prettify at _msg | fields _msg")
+    out = run_query(spark, df, "* | collapse_nums at _msg prettify | fields _msg")
     [(m,)] = rows_set(out)
     assert "<IP4>" in m and "<TIME>" in m and "<DATE>" in m and "<N>" in m
 
@@ -1118,20 +1118,21 @@ def test_rate_uses_api_time_window(spark):
 
 
 def test_uniq_top_by_star(spark):
-    """`uniq by (*)` / `top by (*)` expand the wildcard over all fields
-    (pipe_uniq_test.go:31) instead of grouping on a constant (r14
-    review finding); prefix wildcards expand too."""
+    """`uniq by (*)` / `top by (*)` REJECT at parse — they sit in the
+    reference's TestParsePipeUniqFailure/TestParsePipeTopFailure lists
+    (the r14 session misread that list as success cases and implemented
+    wildcard expansion; the r15 pipe-parse corpus corrected it)."""
+    import pytest
+
     from victorialogs_spark.api import run_query
+    from victorialogs_spark.logsql.parser import ParseError
 
     df = spark.createDataFrame(
         [("a", "1"), ("a", "1"), ("b", "2")], "app string, v string"
     )
-    assert run_query(spark, df, "* | uniq by (*)").count() == 2
-    top = run_query(spark, df, "* | top 3 by (*)").collect()
-    assert {(r["app"], r["v"], int(r["hits"])) for r in top} == {
-        ("a", "1", 2), ("b", "2", 1)
-    }
-    assert run_query(spark, df, "* | uniq by (a*)").count() == 2
+    for q in ("* | uniq by (*)", "* | top 3 by (*)", "* | uniq by (a*)"):
+        with pytest.raises(ParseError):
+            run_query(spark, df, q)
 
 
 def test_sub_microsecond_time_bucket(spark):

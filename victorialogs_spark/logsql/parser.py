@@ -1156,6 +1156,16 @@ class Parser:
     _parse_p_rm = _parse_p_delete
     _parse_p_del = _parse_p_delete
 
+    def _no_wildcards(self, fields, what: str):
+        """Reject '*'/'prefix*' names where the reference's parser does
+        (sort/partition/top/uniq/unroll by-lists, result names, from
+        fields — r15 pipe-parse corpus)."""
+        for f in fields:
+            name = f.name if hasattr(f, "name") else f
+            if name == "*" or name.endswith("*"):
+                raise self.err(f"wildcard field name not allowed in {what}")
+        return fields
+
     def _field_name_maybe_star(self) -> str:
         """Field name with an optional fused wildcard suffix (copy/rename
         accept field FILTERS: foo*, *; pipe_copy.go parseFieldFilter)."""
@@ -1240,7 +1250,10 @@ class Parser:
                 self.advance()
                 if self.tok().is_kw("by"):
                     self.advance()
-                p.partition_by = self._field_list()
+                p.partition_by = self._no_wildcards(
+                    self._field_list(parens_required=True, min_fields=1),
+                    "sort partition by",
+                )
             elif self.tok().is_kw("limit"):
                 self.advance()
                 if p.limit:
@@ -1254,8 +1267,13 @@ class Parser:
             elif self.tok().is_kw("rank"):
                 self.advance()
                 p.rank_name = self._opt_as_name("rank")
+                self._no_wildcards([p.rank_name], "rank name")
             else:
                 break
+        self._no_wildcards([f.name for f in p.fields], "sort by")
+        if p.partition_by and p.limit is None:
+            # the reference's sort accepts partitions only with a limit
+            raise self.err("sort 'partition by' requires 'limit'")
         return p
 
     def _parse_p_order(self) -> A.Pipe:
@@ -1296,12 +1314,17 @@ class Parser:
                 self.advance()
                 if self.tok().is_kw("by"):
                     self.advance()
-                partition = self._field_list()
+                partition = self._no_wildcards(
+                    self._field_list(parens_required=True, min_fields=1),
+                    "partition by",
+                )
             elif self.tok().is_kw("rank"):
                 self.advance()
                 rank = self._opt_as_name("rank")
+                self._no_wildcards([rank], "rank name")
             else:
                 break
+        self._no_wildcards([f.name for f in fields], "first/last by")
         return A.PFirst(n, fields, desc=desc, rank_name=rank, partition_by=partition)
 
     def _parse_p_last(self) -> A.Pipe:
@@ -1357,6 +1380,7 @@ class Parser:
         while not self.tok().is_kw(")"):
             self._guard_end("by fields")
             name = self._field_name()
+            self._no_wildcards([name], "stats by")
             bf = A.ByField(name)
             if self.tok().is_kw(":") and not self.tok().space_before:
                 self.advance()
@@ -1427,6 +1451,14 @@ class Parser:
             len(fields) != 1 or "*" in fields[0]
         ):
             raise self.err("histogram() expects exactly one field")
+        if name in ("count_uniq", "count_uniq_hash"):
+            # stats_count_uniq.go: at least one field, no wildcards
+            if not fields:
+                raise self.err(f"{name}() needs at least one field")
+            self._no_wildcards(fields, name)
+        if name == "rate" and fields:
+            # stats_rate.go: rate() accepts no args at all
+            raise self.err("rate() accepts no args")
         if name in ("row_min", "row_max"):
             if not fields:
                 raise self.err(f"missing source field for '{name}' func")
@@ -1434,9 +1466,10 @@ class Parser:
                 raise self.err(
                     f"the source field {fields[0]!r} in '{name}' cannot be a wildcard"
                 )
-        elif not fields and name != "histogram":
+        elif not fields and name not in ("histogram", "rate"):
             # empty arg list ≡ '*' for every stats func
-            # (stats_avg.go:142-144 parseStatsFuncFieldFilters)
+            # (stats_avg.go:142-144 parseStatsFuncFieldFilters);
+            # rate() keeps its empty list — 'rate(*)' is invalid
             fields = ["*"]
         default_name = _default_stats_name(name, fields, extra)
         if if_text:
@@ -1445,6 +1478,8 @@ class Parser:
             # (pipe_stats.go: resultName = sf.String() + " " + iff.String())
             default_name += " " + if_text
         result = self._opt_as_name(default_name)
+        if result != default_name:
+            self._no_wildcards([result], "stats result name")
         return A.StatsFunc(name, fields, result, extra, cond)
 
     def _field_name_star(self) -> str:
@@ -1462,7 +1497,10 @@ class Parser:
         exprs: list[tuple[A.MathExpr, str]] = []
         while True:
             e = self._parse_math_expr(999)
+            self._check_math_arity(e)
             name = self._opt_as_name("")
+            if name:
+                self._no_wildcards([name], "math result name")
             if not name:
                 # the reference auto-names an unnamed entry with the
                 # expression's canonical string (parseMathEntry:
@@ -1478,6 +1516,29 @@ class Parser:
         return A.PMath(exprs)
 
     _parse_p_eval = _parse_p_math
+
+    # pipe_math.go per-function arg counts (min, max)
+    _MATH_ARITY = {
+        "abs": (1, 1), "ceil": (1, 1), "exp": (1, 1), "floor": (1, 1),
+        "ln": (1, 1), "max": (2, None), "min": (2, None),
+        "round": (1, 2), "now": (0, 0), "rand": (0, 0),
+    }
+
+    def _check_math_arity(self, e) -> None:
+        if isinstance(e, A.MFunc):
+            lo, hi = self._MATH_ARITY.get(e.name, (0, None))
+            n = len(e.args)
+            if n < lo or (hi is not None and n > hi):
+                raise self.err(f"'{e.name}' takes {lo}"
+                               + (f"..{hi}" if hi not in (None, lo) else "")
+                               + f" args; got {n}")
+            for a in e.args:
+                self._check_math_arity(a)
+        elif isinstance(e, A.MBinary):
+            self._check_math_arity(e.left)
+            self._check_math_arity(e.right)
+        elif isinstance(e, A.MUnary):
+            self._check_math_arity(e.arg)
 
     _MATH_PRIO = {"^": 1, "*": 2, "/": 2, "%": 2, "+": 3, "-": 3, "&": 4,
                   "xor": 5, "or": 6, "default": 10}
@@ -1611,23 +1672,49 @@ class Parser:
             # (pattern.go parsePatternSteps rejects '<a><b>' — r15
             # pattern corpus finding)
             raise self.err("extract pattern has no delimiter between <fields>")
+        if any("*" in n for n in names):
+            # '<a*>' is not a valid capture name ('<*>' alone is a skip)
+            raise self.err("wildcard placeholder name in extract pattern")
         self.advance()
         frm = "_msg"
         if self.tok().is_kw("from"):
             self.advance()
             frm = self._field_name()
+        self._no_wildcards([frm], "extract from")
         p = A.PExtract(pat, frm, cond=cond)
         self._common_unpack_opts(p)
         return p
 
     def _parse_p_extract_regexp(self) -> A.Pipe:
         cond = self._opt_if_cond()
-        pat = self.tok().text
+        t = self.tok()
+        if self.lex.is_end() or (
+            not t.quoted
+            and t.is_kw(
+                "from", "|", "keep_original_fields", "skip_empty_results", "if"
+            )
+        ):
+            raise self.err("missing pattern in 'extract_regexp'")
+        pat = t.text
+        # pipe_extract_regexp.go requires at least one VALID named
+        # capture group — '(?P<*>...)' and '(?P<bar*>...)' reject
+        # named groups only — '(?<=' / '(?<!' are lookarounds, accepted
+        # as a documented Java-flavor extension (the RE2 reference has
+        # no lookbehind at all)
+        gnames = re.findall(r"\(\?P?<(?![=!])([^>]*)>", pat)
+        valid = [n for n in gnames if n and re.match(r"^\w+$", n)]
+        if any(n and not re.match(r"^\w+$", n) for n in gnames):
+            raise self.err("invalid capture group name in extract_regexp")
+        if not valid:
+            raise self.err(
+                "extract_regexp pattern needs at least one (?P<name>...) group"
+            )
         self.advance()
         frm = "_msg"
         if self.tok().is_kw("from"):
             self.advance()
             frm = self._field_name()
+        self._no_wildcards([frm], "extract_regexp from")
         p = A.PExtractRegexp(pat, frm, cond=cond)
         self._common_unpack_opts(p)
         return p
@@ -1635,20 +1722,26 @@ class Parser:
     def _parse_replace_args(self, regex: bool) -> A.PReplace:
         cond = self._opt_if_cond()
         self.expect("(")
-        old = self.tok().text
-        self.advance()
+        # args are compound tokens ('secret-password' spans lexer
+        # tokens), like the reference's getCompoundToken
+        old = self._compound_token()
         self.expect(",")
-        new = self.tok().text
-        self.advance()
+        new = self._compound_token()
         self.expect(")")
         fieldn = "_msg"
         if self.tok().is_kw("at"):
             self.advance()
             fieldn = self._field_name()
+            self._no_wildcards([fieldn], "replace at")
         limit = 0
         if self.tok().is_kw("limit"):
             self.advance()
             limit = self._int("replace limit")
+        if regex:
+            try:  # pipe_replace_regexp.go compiles at parse time
+                re.compile(old)
+            except re.error as ex:
+                raise self.err(f"invalid replace_regexp pattern: {ex}")
         return A.PReplace(old, new, fieldn, limit, regex, cond)
 
     def _parse_p_replace(self) -> A.Pipe:
@@ -1659,16 +1752,32 @@ class Parser:
 
     def _parse_p_format(self) -> A.Pipe:
         cond = self._opt_if_cond()
-        pat = self.tok().text
+        t = self.tok()
+        if self.lex.is_end() or (
+            not t.quoted
+            and t.is_kw(
+                "|", "as", "keep_original_fields", "skip_empty_results", "if"
+            )
+        ):
+            raise self.err("missing pattern in 'format'")
+        pat = t.text
+        if any(
+            "*" in n
+            for n in re.findall(r"<([^>]*)>", pat)
+            if n not in ("", "_", "*")
+        ):
+            raise self.err("wildcard placeholder name in format pattern")
         self.advance()
         p = A.PFormat(pat)
         if self.tok().is_kw("as"):
             self.advance()
             p.result = self._field_name()
         elif not self.lex.is_end() and not self.tok().is_kw("|") and not self.tok().is_kw(
-            "keep_original_fields", "skip_empty_results"
+            "keep_original_fields", "skip_empty_results", "if"
         ):
-            p.result = self._field_name()
+            # pipe_format.go accepts the result only via 'as'
+            raise self.err("unexpected token after format pattern")
+        self._no_wildcards([p.result], "format result")
         self._common_unpack_opts(p)
         p.cond = cond
         return p
@@ -1695,6 +1804,7 @@ class Parser:
                 raise self.err("missing value after 'result_prefix'")
             prefix = t.text
             self.advance()
+        self._no_wildcards([frm], "unpack from")
         p = cls(frm, flds, prefix, cond=cond)
         self._common_unpack_opts(p)
         return p
@@ -1716,15 +1826,21 @@ class Parser:
         ):
             # bare positional from-field (pipe_unpack_syslog.go:130)
             frm = self._field_name()
+        self._no_wildcards([frm], "unpack_syslog from")
         off = 0
         if self.tok().is_kw("offset"):
             self.advance()
             d = parse_duration_ns(self._compound_time_token())
-            off = d or 0
+            if d is None:
+                raise self.err("missing duration after 'offset'")
+            off = d
         prefix = ""
         if self.tok().is_kw("result_prefix"):
             self.advance()
-            prefix = self.tok().text
+            t = self.tok()
+            if self.lex.is_end() or (not t.quoted and t.is_kw("|", ")", ",")):
+                raise self.err("missing value after 'result_prefix'")
+            prefix = t.text
             self.advance()
         p = A.PUnpackSyslog(frm, prefix, off, cond=cond)
         if self.tok().is_kw("keep_original_fields"):
@@ -1734,16 +1850,33 @@ class Parser:
 
     def _parse_p_unpack_words(self) -> A.Pipe:
         src = "_msg"
+        had_from = False
         if self.tok().is_kw("from"):
             self.advance()
-        if not self.tok().is_kw("as") and not self.lex.is_end() and not self.tok().is_kw("|"):
-            src = self._field_name()
+            had_from = True
+        if had_from or (
+            not self.tok().is_kw("as", "drop_duplicates")
+            and not self.lex.is_end()
+            and not self.tok().is_kw("|")
+        ):
+            if had_from and (
+                self.lex.is_end() or self.tok().is_kw("|", "as")
+            ):
+                raise self.err("missing field after 'from'")
+            if not (had_from or self.lex.is_end() or self.tok().is_kw("|")):
+                src = self._field_name()
+            elif had_from:
+                src = self._field_name()
+        self._no_wildcards([src], "unpack_words from")
         dst = src
         if self.tok().is_kw("as"):
             self.advance()
             dst = self._field_name()
-        elif not self.lex.is_end() and not self.tok().is_kw("|", "limit"):
+        elif not self.lex.is_end() and not self.tok().is_kw(
+            "|", "limit", "drop_duplicates"
+        ):
             dst = self._field_name()  # positional result: 'unpack_words x y'
+        self._no_wildcards([dst], "unpack_words result")
         limit = 0
         if self.tok().is_kw("limit"):
             self.advance()
@@ -1756,7 +1889,19 @@ class Parser:
 
     def _parse_p_unroll(self) -> A.Pipe:
         cond = self._opt_if_cond()
-        return A.PUnroll(self._field_list(), cond=cond)
+        had_by = False
+        if self.tok().is_kw("by"):  # 'unroll by (...)' (pipe_unroll.go)
+            self.advance()
+            had_by = True
+        return A.PUnroll(
+            self._no_wildcards(
+                # docs examples use the bare 'unroll words' form; after
+                # an explicit 'by' the parens are mandatory
+                self._field_list(parens_required=had_by, min_fields=1),
+                "unroll fields",
+            ),
+            cond=cond,
+        )
 
     def _parse_pack(self, cls):
         # both orders are accepted: 'pack_json [as] result [fields (...)]'
@@ -1773,6 +1918,7 @@ class Parser:
         if self.tok().is_kw("fields") and not flds:
             self.advance()
             flds = self._field_list(parens_required=True)
+        self._no_wildcards([result], "pack result")
         return cls(result, flds)
 
     def _parse_p_pack_json(self) -> A.Pipe:
@@ -1785,22 +1931,24 @@ class Parser:
     def _parse_p_join(self) -> A.Pipe:
         if self.tok().is_kw("by") or self.tok().is_kw("on"):
             self.advance()
-        by = self._field_list(parens_required=True)
+        by = self._no_wildcards(
+            self._field_list(parens_required=True, min_fields=1), "join by"
+        )
         self.expect("(")
         q = self.parse(subquery=True)
         self.expect(")")
         inner = False
         prefix = ""
-        while True:
-            if self.tok().is_kw("inner"):
-                self.advance()
-                inner = True
-            elif self.tok().is_kw("prefix"):
-                self.advance()
-                prefix = self.tok().text
-                self.advance()
-            else:
-                break
+        if self.tok().is_kw("inner"):  # pipe_join.go: inner BEFORE prefix
+            self.advance()
+            inner = True
+        if self.tok().is_kw("prefix"):
+            self.advance()
+            t = self.tok()
+            if self.lex.is_end() or (not t.quoted and t.is_kw("|", ")")):
+                raise self.err("missing value after 'prefix'")
+            prefix = t.text
+            self.advance()
         return A.PJoin(by, q, inner, prefix)
 
     def _parse_p_union(self) -> A.Pipe:
@@ -1813,8 +1961,13 @@ class Parser:
         by: list[str] = []
         if self.tok().is_kw("by"):
             # 'by' works with or without parens (pipe_uniq.go:
-            # parseCommaSeparatedFields fallback; r15 corpus)
+            # parseCommaSeparatedFields fallback; r15 corpus), but a
+            # following KEYWORD is not a field list ('uniq by hits')
             self.advance()
+            if not self.tok().is_kw("(") and self.tok().is_kw(
+                "hits", "with", "limit", "|"
+            ):
+                raise self.err("missing field list after 'uniq by'")
             by = self._field_list(min_fields=1)
         elif self.tok().is_kw("("):
             by = self._field_list()
@@ -1823,6 +1976,10 @@ class Parser:
             and not self.tok().is_kw("|", "with", "hits", "limit")
         ):
             by = self._field_list()  # bare 'uniq foo, bar' form
+        if not by:
+            # pipe_uniq.go requires at least one by-field
+            raise self.err("uniq requires 'by (...)' fields")
+        self._no_wildcards(by, "uniq by")
         hits = None
         if self.tok().is_kw("with"):
             self.advance()
@@ -1854,14 +2011,25 @@ class Parser:
             "|", "hits", "rank", ")"
         ):
             by = self._field_list()  # bare 'top N foo, bar' form
+        if not by:
+            # pipe_top.go requires by-fields ('top' / 'top rank' reject)
+            raise self.err("top requires field(s)")
+        self._no_wildcards(by, "top by")
         p = A.PTop(n, by)
         while True:
             if self.tok().is_kw("hits"):
                 self.advance()
-                p.hits_field = self._opt_as_name("hits")
+                # a bare trailing 'hits' is invalid — it must rename
+                # ('hits as abc'; r15 pipe-parse corpus)
+                name = self._opt_as_name("")
+                if not name:
+                    raise self.err("missing name after 'hits'")
+                p.hits_field = name
+                self._no_wildcards([name], "hits name")
             elif self.tok().is_kw("rank"):
                 self.advance()
                 p.rank_name = self._opt_as_name("rank")
+                self._no_wildcards([p.rank_name], "rank name")
             else:
                 break
         return p
@@ -1886,13 +2054,16 @@ class Parser:
         return p
 
     def _parse_p_field_names(self) -> A.Pipe:
-        return A.PFieldNames(result=self._opt_as_name("name"))
+        result = self._opt_as_name("name")
+        self._no_wildcards([result], "field_names result")
+        return A.PFieldNames(result=result)
 
     def _parse_p_field_values(self) -> A.Pipe:
         has_paren = self.tok().is_kw("(")
         if has_paren:
             self.advance()
         name = self._field_name()
+        self._no_wildcards([name], "field_values field")
         if has_paren:
             self.expect(")")
         limit = 0
@@ -1908,9 +2079,11 @@ class Parser:
         name = self._field_name()
         if has_paren:
             self.expect(")")
+        self._no_wildcards([name], "field argument")
         # default result field is _msg (pipe_len.go:156, pipe_hash.go,
         # pipe_json_array_len.go:173)
         result = self._opt_as_name("_msg")
+        self._no_wildcards([result], "result name")
         return name, result
 
     def _parse_p_len(self) -> A.Pipe:
@@ -1934,9 +2107,8 @@ class Parser:
     def _parse_p_collapse_nums(self) -> A.Pipe:
         cond = self._opt_if_cond()
         p = A.PCollapseNums(cond=cond)
-        if self.tok().is_kw("prettify"):
-            self.advance()
-            p.prettify = True
+        # pipe_collapse_nums.go: 'at <field>' then 'prettify' — 'prettify
+        # at x' rejects (r15 pipe-parse corpus)
         if self.tok().is_kw("at"):
             self.advance()
             p.field_name = self._field_name()
@@ -1949,6 +2121,7 @@ class Parser:
         p = A.PDecolorize()
         if not self.lex.is_end() and not self.tok().is_kw("|"):
             p.field_name = self._field_name()
+            self._no_wildcards([p.field_name], "decolorize field")
         return p
 
     def _parse_p_drop_empty_fields(self) -> A.Pipe:
@@ -1956,6 +2129,11 @@ class Parser:
 
     def _parse_p_stream_context(self) -> A.Pipe:
         p = A.PStreamContext()
+        if not self.tok().is_kw("before", "after", "time_window"):
+            # pipe_stream_context.go requires at least one clause
+            raise self.err(
+                "stream_context needs 'before', 'after' or 'time_window'"
+            )
         while True:
             if self.tok().is_kw("before"):
                 self.advance()
@@ -2097,6 +2275,8 @@ def _default_stats_name(name: str, fields: list[str], extra: dict) -> str:
     drops them), and a trailing 'limit N' is part of the name."""
     shown = [] if "*" in fields else fields
     args = ", ".join(shown) if shown else "*"
+    if name == "rate":
+        args = ""  # stats_rate.go String(): 'rate()' 
     if name == "quantile":
         phi = extra.get("phi")
         phi_s = f"{phi:g}"

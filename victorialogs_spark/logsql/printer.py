@@ -53,6 +53,15 @@ def _q(s: str) -> str:
     return json.dumps(s, ensure_ascii=False)
 
 
+def _qs(s: str) -> str:
+    """Quote a string VALUE token like the reference's
+    quoteStringTokenIfNeeded: bare when word-safe AND not number-like
+    (a bare '12' would reparse as a number token)."""
+    if s and (s[0] in "0123456789.+-" or s[:3].lower() == "inf"):
+        return json.dumps(s, ensure_ascii=False)
+    return _q(s)
+
+
 def _qf(name: str) -> str:
     """Quote a field name. Names colliding with pipe/stats keywords MUST
     be quoted too: a bare 'stats:foo' is rejected at filter start and a
@@ -160,7 +169,7 @@ def print_filter(f: A.Filter) -> str:
         return (f"{_pfx(f.field)}exact("
                 f"{json.dumps(f.prefix, ensure_ascii=False)}*)")
     if isinstance(f, A.FIn):
-        vals = ", ".join(json.dumps(v, ensure_ascii=False) for v in f.values)
+        vals = ",".join(_qs(v) for v in f.values)
         return f"{_pfx(f.field)}in({vals})"
     if isinstance(f, A.FInSubquery):
         return f"{_pfx(f.field)}in({print_query(f.query)})"
@@ -168,10 +177,10 @@ def print_filter(f: A.Filter) -> str:
         name = "contains_all" if f.require_all else "contains_any"
         if f.subquery is not None:
             return f"{_pfx(f.field)}{name}({print_query(f.subquery)})"
-        vals = ", ".join(json.dumps(v, ensure_ascii=False) for v in f.values)
+        vals = ",".join(_qs(v) for v in f.values)
         return f"{_pfx(f.field)}{name}({vals})"
     if isinstance(f, A.FSeq):
-        vals = ", ".join(json.dumps(v, ensure_ascii=False) for v in f.values)
+        vals = ",".join(_qs(v) for v in f.values)
         return f"{_pfx(f.field)}seq({vals})"
     if isinstance(f, A.FRegexp):
         return f"{_pfx(f.field)}~{json.dumps(f.pattern, ensure_ascii=False)}"
@@ -298,6 +307,13 @@ def _sort_fields(fields: list[A.SortField]) -> str:
     ) + ")"
 
 
+def _rank_str(name: str) -> str:
+    # rankFieldNameString: the default name prints as bare ' rank'
+    if name == "rank":
+        return " rank"
+    return f" rank as {_qf(name)}"
+
+
 def print_pipe(p: A.Pipe) -> str:
     if isinstance(p, A.PFields):
         return "fields " + ", ".join(_qf(x) for x in p.fields)
@@ -314,27 +330,30 @@ def print_pipe(p: A.Pipe) -> str:
     if isinstance(p, A.POffset):
         return f"offset {p.n}"
     if isinstance(p, A.PSort):
-        s = "sort by " + _sort_fields(p.fields) if p.fields else "sort by ()"
+        # canonical form mirrors pipe_sort.go String(): 'sort' is bare
+        # without by-fields, offset precedes limit, default rank name
+        # prints as bare ' rank'
+        s = "sort by " + _sort_fields(p.fields) if p.fields else "sort"
         if p.desc:
             s += " desc"
         if p.partition_by:
             s += " partition by " + _fields_parens(p.partition_by)
-        if p.limit is not None:
-            s += f" limit {p.limit}"
         if p.offset:
             s += f" offset {p.offset}"
+        if p.limit is not None:
+            s += f" limit {p.limit}"
         if p.rank_name:
-            s += f" rank as {_qf(p.rank_name)}"
+            s += _rank_str(p.rank_name)
         return s
     if isinstance(p, A.PFirst):
         kw = "last" if p.desc else "first"
-        s = f"{kw} {p.n}"
+        s = kw if p.n == 1 else f"{kw} {p.n}"
         if p.fields:
             s += " by " + _sort_fields(p.fields)
         if p.partition_by:
             s += " partition by " + _fields_parens(p.partition_by)
         if p.rank_name:
-            s += f" rank as {_qf(p.rank_name)}"
+            s += _rank_str(p.rank_name)
         return s
     if isinstance(p, A.PStats):
         kw = "stats_remote" if p.mode == "remote" else "stats"
@@ -350,7 +369,8 @@ def print_pipe(p: A.Pipe) -> str:
     if isinstance(p, A.PExtract):
         s = "extract" + _if(p.cond)
         s += f" {json.dumps(p.pattern, ensure_ascii=False)}"
-        s += f" from {_qf(p.from_field)}"
+        if p.from_field != "_msg":
+            s += f" from {_qf(p.from_field)}"
         if p.keep_original_fields:
             s += " keep_original_fields"
         if p.skip_empty_results:
@@ -359,7 +379,8 @@ def print_pipe(p: A.Pipe) -> str:
     if isinstance(p, A.PExtractRegexp):
         s = "extract_regexp" + _if(p.cond)
         s += f" {json.dumps(p.pattern, ensure_ascii=False)}"
-        s += f" from {_qf(p.from_field)}"
+        if p.from_field != "_msg":
+            s += f" from {_qf(p.from_field)}"
         if p.keep_original_fields:
             s += " keep_original_fields"
         if p.skip_empty_results:
@@ -368,8 +389,7 @@ def print_pipe(p: A.Pipe) -> str:
     if isinstance(p, A.PReplace):
         kw = "replace_regexp" if p.regex else "replace"
         s = kw + _if(p.cond)
-        s += (f" ({json.dumps(p.old, ensure_ascii=False)},"
-              f" {json.dumps(p.new, ensure_ascii=False)})")
+        s += f" ({_qs(p.old)}, {_qs(p.new)})"
         if p.field_name != "_msg":
             s += f" at {_qf(p.field_name)}"
         if p.limit:
@@ -377,8 +397,9 @@ def print_pipe(p: A.Pipe) -> str:
         return s
     if isinstance(p, A.PFormat):
         s = "format" + _if(p.cond)
-        s += f" {json.dumps(p.pattern, ensure_ascii=False)}"
-        s += f" as {_qf(p.result)}"
+        s += f" {_qs(p.pattern)}"
+        if p.result != "_msg":
+            s += f" as {_qf(p.result)}"
         if p.keep_original_fields:
             s += " keep_original_fields"
         if p.skip_empty_results:
@@ -386,40 +407,49 @@ def print_pipe(p: A.Pipe) -> str:
         return s
     if isinstance(p, (A.PUnpackJson, A.PUnpackLogfmt)):
         kw = "unpack_json" if isinstance(p, A.PUnpackJson) else "unpack_logfmt"
-        s = kw + _if(p.cond) + f" from {_qf(p.from_field)}"
+        s = kw + _if(p.cond)
+        if p.from_field != "_msg":
+            s += f" from {_qf(p.from_field)}"
         if p.fields:
             s += " fields " + _fields_parens(p.fields)
         if p.result_prefix:
-            s += f" result_prefix {json.dumps(p.result_prefix, ensure_ascii=False)}"
+            s += f" result_prefix {_qs(p.result_prefix)}"
         if p.keep_original_fields:
             s += " keep_original_fields"
         if p.skip_empty_results:
             s += " skip_empty_results"
         return s
     if isinstance(p, A.PUnpackSyslog):
-        s = "unpack_syslog" + _if(p.cond) + f" from {_qf(p.from_field)}"
+        s = "unpack_syslog" + _if(p.cond)
+        if p.from_field != "_msg":
+            s += f" from {_qf(p.from_field)}"
         if p.offset_ns:
             s += f" offset {_duration_ns(p.offset_ns)}"
         if p.result_prefix:
-            s += f" result_prefix {json.dumps(p.result_prefix, ensure_ascii=False)}"
+            s += f" result_prefix {_qs(p.result_prefix)}"
         if p.keep_original_fields:
             s += " keep_original_fields"
         return s
     if isinstance(p, A.PUnpackWords):
-        s = f"unpack_words {_qf(p.src)} as {_qf(p.dst)}"
+        s = "unpack_words"
+        if p.src != "_msg":
+            s += f" from {_qf(p.src)}"
+        if p.dst != p.src:
+            s += f" as {_qf(p.dst)}"
         if p.limit:
             s += f" limit {p.limit}"
         if p.drop_duplicates:
             s += " drop_duplicates"
         return s
     if isinstance(p, A.PUnroll):
-        return "unroll" + _if(p.cond) + " " + _fields_parens(p.fields)
+        return "unroll" + _if(p.cond) + " by " + _fields_parens(p.fields)
     if isinstance(p, (A.PPackJson, A.PPackLogfmt)):
         kw = "pack_json" if isinstance(p, A.PPackJson) else "pack_logfmt"
         s = kw
         if p.fields:
             s += " fields " + _fields_parens(p.fields)
-        s += f" as {_qf(p.result)}"
+        if p.result != "_msg":
+            s += f" as {_qf(p.result)}"
         return s
     if isinstance(p, A.PJoin):
         s = f"join by {_fields_parens(p.by)} ({print_query(p.query)})"
@@ -440,16 +470,16 @@ def print_pipe(p: A.Pipe) -> str:
             s += f" limit {p.limit}"
         return s
     if isinstance(p, A.PTop):
-        s = f"top {p.n}"
+        s = "top" if p.n == 10 else f"top {p.n}"
         if p.by:
             s += " by " + _fields_parens(p.by)
         if p.hits_field != "hits":
             s += f" hits as {_qf(p.hits_field)}"
         if p.rank_name:
-            s += f" rank as {_qf(p.rank_name)}"
+            s += _rank_str(p.rank_name)
         return s
     if isinstance(p, A.PFacets):
-        s = f"facets {p.n}"
+        s = "facets" if p.n == 10 else f"facets {p.n}"
         if p.max_values_per_field != 1000:
             s += f" max_values_per_field {p.max_values_per_field}"
         if p.max_value_len != 128:
@@ -458,6 +488,8 @@ def print_pipe(p: A.Pipe) -> str:
             s += " keep_const_fields"
         return s
     if isinstance(p, A.PFieldNames):
+        if p.result == "name":
+            return "field_names"
         return f"field_names as {_qf(p.result)}"
     if isinstance(p, A.PFieldValues):
         s = f"field_values {_qf(p.field_name)}"
@@ -465,11 +497,17 @@ def print_pipe(p: A.Pipe) -> str:
             s += f" limit {p.limit}"
         return s
     if isinstance(p, A.PLen):
-        return f"len({_qf(p.field_name)}) as {_qf(p.result)}"
+        return f"len({_qf(p.field_name)})" + (
+            f" as {_qf(p.result)}" if p.result != "_msg" else ""
+        )
     if isinstance(p, A.PJsonArrayLen):
-        return f"json_array_len({_qf(p.field_name)}) as {_qf(p.result)}"
+        return f"json_array_len({_qf(p.field_name)})" + (
+            f" as {_qf(p.result)}" if p.result != "_msg" else ""
+        )
     if isinstance(p, A.PHash):
-        return f"hash({_qf(p.field_name)}) as {_qf(p.result)}"
+        return f"hash({_qf(p.field_name)})" + (
+            f" as {_qf(p.result)}" if p.result != "_msg" else ""
+        )
     if isinstance(p, A.PSample):
         return f"sample {p.n}"
     if isinstance(p, A.PCollapseNums):
@@ -496,6 +534,8 @@ def print_pipe(p: A.Pipe) -> str:
             s += f" time_window {_duration_ns(p.time_window_ns)}"
         return s
     if isinstance(p, A.PBlocksCount):
+        if p.result == "blocks_count":
+            return "blocks_count"
         return f"blocks_count as {_qf(p.result)}"
     if isinstance(p, A.PBlockStats):
         return "block_stats"
