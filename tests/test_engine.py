@@ -1152,6 +1152,88 @@ def test_sub_microsecond_time_bucket(spark):
     assert out[0]["n"] == "1" or out[0]["n"] == 1
 
 
+def test_calendar_time_buckets(spark):
+    """'_time:month'/'_time:year' bucket by UTC calendar boundaries and
+    the literal word 'week' Monday-aligns, while '1w' stays
+    epoch-aligned (block_result.go truncateTimestamp:819-845,
+    truncateTimestampToMonth/Year:2641-2649)."""
+    import datetime as dt
+
+    from victorialogs_spark.api import run_query
+
+    UTC = dt.timezone.utc
+    # Sat 2024-03-16 and Sun 2024-03-17 fall in the Mon 2024-03-11 ISO
+    # week; the epoch-aligned 1w bucket for both starts Thu 2024-03-14
+    rows = [
+        (dt.datetime(2024, 3, 16, 10, 30, tzinfo=UTC), "a"),
+        (dt.datetime(2024, 3, 17, 1, 0, tzinfo=UTC), "b"),
+    ]
+    df = spark.createDataFrame(rows, "_time timestamp, _msg string")
+
+    def buckets(q):
+        out = run_query(spark, df, q).collect()
+        return sorted(r["_time"] for r in out)
+
+    assert buckets("* | stats by (_time:week) count() as n") == [
+        dt.datetime(2024, 3, 11)
+    ]
+    assert buckets("* | stats by (_time:1w) count() as n") == [
+        dt.datetime(2024, 3, 14)
+    ]
+    assert buckets("* | stats by (_time:month) count() as n") == [
+        dt.datetime(2024, 3, 1)
+    ]
+    assert buckets("* | stats by (_time:year) count() as n") == [
+        dt.datetime(2024, 1, 1)
+    ]
+    # offset shifts the calendar truncation window and is re-added
+    # (ts -= off; truncate; ts += off): 01:00 Jan 1 with +2h offset
+    # lands in the PREVIOUS year's bucket, re-shifted by +2h
+    df2 = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 1, 0, tzinfo=UTC), "x")],
+        "_time timestamp, _msg string",
+    )
+    out = run_query(
+        spark, df2, "* | stats by (_time:year offset 2h) count() as n"
+    ).collect()
+    assert [r["_time"] for r in out] == [dt.datetime(2023, 1, 1, 2, 0)]
+
+
+def test_bare_number_time_bucket_is_nanoseconds(spark):
+    """A plain number bucket size on _time means NANOSECONDS
+    (tryParseBucketSize parses the float before durations,
+    pipe_stats.go:1644), so '_time:60' is a 60ns bucket — clamped to
+    Spark's 1µs granularity — not 60 seconds."""
+    import datetime as dt
+
+    from victorialogs_spark.api import run_query
+
+    UTC = dt.timezone.utc
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 10, tzinfo=UTC), "a"),
+        (dt.datetime(2024, 1, 1, 0, 0, 50, tzinfo=UTC), "b"),
+    ]
+    df = spark.createDataFrame(rows, "_time timestamp, _msg string")
+    out = run_query(spark, df, "* | stats by (_time:60) count() as n").collect()
+    assert len(out) == 2  # 60ns buckets keep the rows apart; 60s would merge
+
+
+def test_numeric_field_word_bucket_is_nanoseconds(spark):
+    """Word bucket sizes on NON-time fields use the reference's single
+    numeric space (ns): 'x:second' buckets by 1e9, not by 1."""
+    from victorialogs_spark.api import run_query
+
+    df = spark.createDataFrame(
+        [("1500000000",), ("2500000000",), ("1700000000",)], "x string"
+    )
+    out = run_query(spark, df, "* | stats by (x:second) count() as n").collect()
+    got = {r["x"]: r["n"] for r in out}
+    assert got == {"1000000000": "2", "2000000000": "1"} or got == {
+        "1000000000": 2,
+        "2000000000": 1,
+    }
+
+
 def test_named_group_regex_filters(spark):
     """Python-style (?P<name>...) regexes execute on the Java engine in
     BOTH the ~ filter and stream =~ matchers (the extract pipe already

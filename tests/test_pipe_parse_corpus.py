@@ -36,12 +36,6 @@ PRINT_SKIP = {
     # reference keeps minimal parens + the literal spelling. Reparse
     # equality holds (test_printer_roundtrip covers the whole corpus).
     ("math", None): "minimal-parens + literal spelling not preserved",
-    # bucket sizes normalize ('month' → 4w2d, '6.5h' → 6h30m); the
-    # denoted buckets are identical
-    ("stats", "stats by (_time:month offset 6.5h, y) count(*) as rows,"
-     " count_uniq(x) as uniqs"): "bucket-size words normalize",
-    ("stats", "stats by (_time:month offset 6.5h, y) count(*) if (q:w)"
-     " as rows, count_uniq(x) as uniqs"): "bucket-size words normalize",
     # an explicit 'after 0' elides (the AST stores counts, not presence)
     ("stream_context", "stream_context after 0"): "explicit zero elides",
 }

@@ -707,6 +707,23 @@ logsql(
     " FROM events GROUP BY 1",
 )
 logsql(
+    "s_time_bucket_month",
+    # 'month' buckets by UTC calendar months, not a fixed width
+    # (block_result.go truncateTimestampToMonth:2641)
+    "* | stats by (_time:month) count() as hits",
+    "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS _time,"
+    " COUNT(*) AS hits FROM events GROUP BY 1",
+)
+logsql(
+    "s_time_bucket_week",
+    # the literal word 'week' is Monday-aligned (truncateTimestamp adds
+    # 4d of offset, block_result.go:819-822) — DuckDB's date_trunc
+    # 'week' is ISO/Monday-aligned too, so the oracle is exact
+    "* | stats by (_time:week) count() as hits",
+    "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS _time,"
+    " COUNT(*) AS hits FROM events GROUP BY 1",
+)
+logsql(
     "s_num_bucket",
     "* | stats by (value:50) count() as c",
     f"SELECT {fmt('FLOOR(value / 50) * 50')} AS value, COUNT(*) AS c"
@@ -4554,6 +4571,9 @@ _STALE_R15_WINDOW = [
 _NEW_R15: list[str] = [
     "ep_query_last_n", "ep_hits_common", "ep_stats_rate_window",
     "ep_stats_query_multi", "s_uniq_values_natural",
+    # fourth-session calendar-bucket semantics (month/year UTC calendar
+    # truncation, Monday-aligned 'week')
+    "s_time_bucket_month", "s_time_bucket_week",
 ]
 
 # entries whose SEMANTICS (and oracle SQL) were re-derived this round —

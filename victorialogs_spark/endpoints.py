@@ -251,6 +251,12 @@ def stats_query_range(
         for b in st.by:
             if b.name == "_time":
                 b.bucket_size = step_ns / 1e9
+                # the API step replaces whatever bucketing the query
+                # carried — including a calendar 'month'/'year' or
+                # Monday-'week' source spelling, which the planner would
+                # otherwise prefer over bucket_size
+                b.bucket_size_str = None
+                b.bucket_offset_str = None
     out = plan_query(spark, df, q)
     label_cols = [b.name for b in st.by if b.name != "_time"]
     metric_cols = [f.result for f in st.funcs]

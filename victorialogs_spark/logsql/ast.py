@@ -235,11 +235,19 @@ class StatsFunc:
 
 @dataclass
 class ByField:
-    """Group-by key, optionally bucketed (pipe_stats.go:1495-1507)."""
+    """Group-by key, optionally bucketed (pipe_stats.go:1495-1507).
+
+    ``bucket_size_str`` / ``bucket_offset_str`` keep the SOURCE spelling
+    (byStatsField.String prints them verbatim); 'month'/'year' carry no
+    numeric size — they bucket by UTC calendar boundaries
+    (block_result.go truncateTimestampToMonth/Year), and the literal
+    word 'week' is Monday-aligned (truncateTimestamp adds 4d of offset)."""
     name: str
     bucket_size: Optional[float] = None   # seconds for _time, numeric otherwise
     bucket_offset: float = 0.0
     ipv4_mask: Optional[int] = None       # /24 style
+    bucket_size_str: Optional[str] = None
+    bucket_offset_str: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,14 @@ import datetime as _dt
 import re
 
 from victorialogs_spark.logsql import ast as A
-from victorialogs_spark.logsql.lexer import Lexer, Token, parse_duration_ns, parse_number
+from victorialogs_spark.logsql.lexer import (
+    Lexer,
+    Token,
+    parse_duration_ns,
+    parse_number,
+    try_parse_bytes,
+    try_parse_float64,
+)
 
 NS = 10**9
 
@@ -1389,26 +1396,49 @@ class Parser:
                     bf.ipv4_mask = self._int("ipv4 mask")
                 else:
                     txt = self._compound_time_token()
-                    size = _parse_bucket_size(txt, is_time=name == "_time")
-                    if size is None:
-                        raise self.err(f"invalid bucket size {txt!r}")
-                    if size <= 0:
-                        raise self.err("bucket size must be positive")
-                    bf.bucket_size = size
+                    bf.bucket_size_str = txt
+                    if txt in ("month", "year"):
+                        # calendar buckets: verbatim spelling, no numeric
+                        # size (pipe_stats.go:1554, block_result.go:834)
+                        pass
+                    else:
+                        size = _parse_bucket_size(txt, is_time=name == "_time")
+                        if size is None:
+                            raise self.err(f"invalid bucket size {txt!r}")
+                        if size <= 0:
+                            raise self.err("bucket size must be positive")
+                        bf.bucket_size = size
                     if self.tok().is_kw("offset"):
                         self.advance()
                         otxt = self._compound_time_token()
-                        osize = _parse_bucket_size(otxt, is_time=name == "_time")
+                        osize = _parse_bucket_offset(otxt, is_time=name == "_time")
                         if osize is None:
                             raise self.err(f"invalid bucket offset {otxt!r}")
                         bf.bucket_offset = osize
+                        bf.bucket_offset_str = otxt
             by.append(bf)
             if self.tok().is_kw(","):
                 self.advance()
+            elif not self.tok().is_kw(")"):
+                raise self.err("missing `,` in 'by' fields")
         self.advance()
         return by
 
-    def _parse_stats_func(self) -> A.StatsFunc:
+    # the five collecting funcs whose parsers accept a trailing
+    # 'limit N' (stats_count_uniq.go:24, stats_values.go, ...); any
+    # other func leaves 'limit' unconsumed, where the stats pipe treats
+    # it as a bare result alias (parsePipeStats parseFieldName)
+    _LIMIT_STATS_FUNCS = frozenset(
+        {"count_uniq", "count_uniq_hash", "json_values", "uniq_values", "values"}
+    )
+
+    def _parse_stats_func_core(self) -> tuple[str, list[str], dict]:
+        """parseStatsFunc parity (pipe_stats.go:1340): the func name, its
+        parenthesized args and — for the five collecting funcs only — a
+        trailing 'limit N'. No 'if' clause and no result alias: those
+        belong to the enclosing stats pipe (parsePipeStats). Args follow
+        parseFieldFiltersInParens comma discipline: a leading ',' and a
+        missing ',' both reject, a trailing ',' is fine."""
         t = self.tok()
         name = t.text.lower()
         if name not in _STATS_FUNCS:
@@ -1418,35 +1448,28 @@ class Parser:
         extra: dict = {}
         fields: list[str] = []
         if name == "quantile":
-            phi = parse_number(self.tok().text)
+            phi_txt = self.tok().text
+            phi = parse_number(phi_txt)
             if phi is None or not (0.0 <= phi <= 1.0):
                 raise self.err("quantile phi must be in [0, 1]")
             extra["phi"] = phi
+            extra["phi_str"] = phi_txt  # statsQuantile.phiStr prints verbatim
             self.advance()
             if self.tok().is_kw(","):
                 self.advance()
+            elif not self.tok().is_kw(")"):
+                raise self.err("missing `,` after quantile phi")
         while not self.tok().is_kw(")"):
             self._guard_end("stats args")
             fields.append(self._field_name_star())
             if self.tok().is_kw(","):
                 self.advance()
+            elif not self.tok().is_kw(")"):
+                raise self.err(f"missing `,` in {name} args")
         self.advance()
-        if self.tok().is_kw("limit"):
+        if name in self._LIMIT_STATS_FUNCS and self.tok().is_kw("limit"):
             self.advance()
             extra["limit"] = self._int("stats limit")
-        cond = None
-        if_text = ""
-        if self.tok().is_kw("if"):
-            self.advance()
-            p0 = self.tok().pos  # position of '('
-            self.expect("(")
-            if self.tok().is_kw(")"):  # 'if ()' — empty condition is a noop
-                cond = None
-            else:
-                cond = self.parse_filter_or()
-            self.expect(")")
-            p1 = self.lex.prev_token.pos  # position of ')'
-            if_text = "if " + self.lex.src[p0 : p1 + 1]
         if name == "histogram" and (
             len(fields) != 1 or "*" in fields[0]
         ):
@@ -1471,6 +1494,28 @@ class Parser:
             # (stats_avg.go:142-144 parseStatsFuncFieldFilters);
             # rate() keeps its empty list — 'rate(*)' is invalid
             fields = ["*"]
+        if name == "quantile" and "*" in fields:
+            # statsQuantile.String drops an all-match list entirely
+            # (stats_quantile.go:24-30); normalizing here keeps
+            # print→reparse AST-stable for mixed lists like '0.99, a, *'
+            fields = ["*"]
+        return name, fields, extra
+
+    def _parse_stats_func(self) -> A.StatsFunc:
+        name, fields, extra = self._parse_stats_func_core()
+        cond = None
+        if_text = ""
+        if self.tok().is_kw("if"):
+            self.advance()
+            p0 = self.tok().pos  # position of '('
+            self.expect("(")
+            if self.tok().is_kw(")"):  # 'if ()' — empty condition is a noop
+                cond = None
+            else:
+                cond = self.parse_filter_or()
+            self.expect(")")
+            p1 = self.lex.prev_token.pos  # position of ')'
+            if_text = "if " + self.lex.src[p0 : p1 + 1]
         default_name = _default_stats_name(name, fields, extra)
         if if_text:
             # auto-generated result names include the if-clause so two
@@ -2251,22 +2296,46 @@ def parse_time_point(s: str) -> tuple[int, int] | None:
     return lo - tz_off, hi - tz_off
 
 
-def _parse_bucket_size(txt: str, is_time: bool) -> float | None:
-    """Bucket size for stats by-field: duration (→ seconds) for _time,
-    plain/size number otherwise. Also 'day'/'week'/'month'/'year' words."""
-    low = txt.lower()
-    specials = {"nanosecond": 1e-9, "microsecond": 1e-6, "millisecond": 1e-3,
-                "second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0,
-                "week": 7 * 86400.0, "month": 30 * 86400.0, "year": 365 * 86400.0}
-    if low in specials:
-        return specials[low]
-    if is_time:
+_BUCKET_WORDS_NS = {
+    # tryParseBucketSize word sizes (pipe_stats.go:1624), exact lowercase
+    # spellings, values in the reference's single numeric space (ns for
+    # durations). 'month'/'year' are NOT here: they carry no numeric size
+    # and bucket by UTC calendar boundaries (block_result.go:834-837).
+    "nanosecond": 1.0, "microsecond": 1e3, "millisecond": 1e6,
+    "second": 1e9, "minute": 60e9, "hour": 3600e9, "day": 86400e9,
+    "week": 7 * 86400e9,
+}
+
+
+def _parse_bucket_num(txt: str, *, words: bool) -> float | None:
+    """tryParseBucketSize / tryParseBucketOffset replica
+    (pipe_stats.go:1598,1624): word sizes (sizes only), then float,
+    duration, bytes — ONE numeric space: a bare number on ``_time``
+    means NANOSECONDS, same as a duration literal."""
+    raw = _BUCKET_WORDS_NS.get(txt) if words else None
+    if raw is None:
+        raw = try_parse_float64(txt)
+    if raw is None:
         d = parse_duration_ns(txt)
-        if d is not None:
-            return d / NS
-        v = parse_number(txt)
-        return v  # already seconds
-    return parse_number(txt)
+        raw = None if d is None else float(d)
+    if raw is None:
+        b = try_parse_bytes(txt)
+        raw = None if b is None else float(b)
+    return raw
+
+
+def _parse_bucket_size(txt: str, is_time: bool) -> float | None:
+    raw = _parse_bucket_num(txt, words=True)
+    if raw is None:
+        return None
+    return raw / 1e9 if is_time else raw
+
+
+def _parse_bucket_offset(txt: str, is_time: bool) -> float | None:
+    raw = _parse_bucket_num(txt, words=False)
+    if raw is None:
+        return None
+    return raw / 1e9 if is_time else raw
 
 
 def _default_stats_name(name: str, fields: list[str], extra: dict) -> str:
@@ -2278,8 +2347,7 @@ def _default_stats_name(name: str, fields: list[str], extra: dict) -> str:
     if name == "rate":
         args = ""  # stats_rate.go String(): 'rate()' 
     if name == "quantile":
-        phi = extra.get("phi")
-        phi_s = f"{phi:g}"
+        phi_s = extra.get("phi_str") or f"{extra.get('phi'):g}"
         args = phi_s + (f", {', '.join(shown)}" if shown else "")
     out = f"{name}({args})"
     if extra.get("limit"):

@@ -270,24 +270,41 @@ def _fields_parens(fields: list[str]) -> str:
     return "(" + ", ".join(_qf(x) for x in fields) + ")"
 
 
-def _stats_func(sf: A.StatsFunc) -> str:
-    args = []
+def _stats_func_core(sf: A.StatsFunc) -> str:
+    """statsFunc.String() parity: the func with args and its own
+    'limit' clause, WITHOUT the pipe-level if-clause / result alias.
+    quantile drops an all-match field list (stats_quantile.go:24-30)
+    and prints phi with its source spelling (phiStr)."""
     if sf.name == "quantile":
-        args.append(repr(sf.extra["phi"]) if sf.extra.get("phi") is not None
-                    else "0.5")
-    args.extend(_qf(x) for x in sf.fields)
-    s = f"{sf.name}({', '.join(args)})"
+        phi = sf.extra.get("phi_str")
+        if not phi:
+            v = sf.extra.get("phi")
+            phi = f"{v:g}" if v is not None else "0.5"
+        shown = [] if "*" in sf.fields else [_qf(x) for x in sf.fields]
+        args = phi + (", " + ", ".join(shown) if shown else "")
+    else:
+        args = ", ".join(_qf(x) for x in sf.fields)
+    s = f"{sf.name}({args})"
     if sf.extra.get("limit"):
         s += f" limit {sf.extra['limit']}"
-    s += _if(sf.cond)
-    s += f" as {_qf(sf.result)}"
     return s
+
+
+def _stats_func(sf: A.StatsFunc) -> str:
+    return _stats_func_core(sf) + _if(sf.cond) + f" as {_qf(sf.result)}"
 
 
 def _by_field(bf: A.ByField) -> str:
     s = _qf(bf.name)
     if bf.ipv4_mask is not None:
         return f"{s}:/{bf.ipv4_mask}"
+    if getattr(bf, "bucket_size_str", None):
+        # byStatsField.String (pipe_stats.go:1511): source spellings
+        # print verbatim ('week' stays 'week', '6.5h' stays '6.5h')
+        s += f":{bf.bucket_size_str}"
+        if bf.bucket_offset_str:
+            s += f" offset {bf.bucket_offset_str}"
+        return s
     if bf.bucket_size is not None:
         if bf.name == "_time":
             b = _duration_ns(int(bf.bucket_size * NS))

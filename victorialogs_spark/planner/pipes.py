@@ -226,11 +226,27 @@ def _p_first(p: A.PFirst, df: DataFrame, ctx) -> DataFrame:
 # ---------------------------------------------------------------- stats
 
 def _time_bucket(bf: A.ByField) -> Column:
+    off_us = int(bf.bucket_offset * 1_000_000)
+    word = getattr(bf, "bucket_size_str", None)
+    if word in ("month", "year"):
+        # UTC calendar truncation of the offset-shifted timestamp, offset
+        # re-added (block_result.go:828-845 truncateTimestampToMonth/Year).
+        # date_trunc runs in the session timezone, which the engine pins
+        # to UTC (session.py).
+        shifted = F.timestamp_micros(
+            (F.unix_micros(qcol("_time")) - off_us).cast("long")
+        )
+        start = F.unix_micros(F.date_trunc(word, shifted)) + off_us
+        return F.timestamp_micros(start.cast("long"))
     # sub-µs bucket sizes clamp to 1µs: Spark timestamps are µs-granular
     # so the clamp is semantically exact, while int() truncation to 0
     # divided by zero at execution (r14 review finding)
     step_us = max(1, int(bf.bucket_size * 1_000_000))
-    off_us = int(bf.bucket_offset * 1_000_000)
+    if word == "week":
+        # the literal word 'week' Monday-aligns: truncateTimestamp adds
+        # 4 days to the bucket offset (epoch+4d = Mon 1970-01-05); the
+        # '1w' spelling stays epoch-aligned (block_result.go:819-822)
+        off_us += 4 * 86_400_000_000
     t = F.unix_micros(qcol("_time")) - off_us
     start = (F.floor(t / step_us) * step_us) + off_us
     return F.timestamp_micros(start.cast("long"))
@@ -239,7 +255,9 @@ def _time_bucket(bf: A.ByField) -> Column:
 def _by_exprs(df: DataFrame, by: list[A.ByField]) -> list[Column]:
     cols: list[Column] = []
     for bf in by:
-        if bf.name == "_time" and bf.bucket_size:
+        if bf.name == "_time" and (
+            bf.bucket_size or getattr(bf, "bucket_size_str", None) in ("month", "year")
+        ):
             cols.append(_time_bucket(bf).alias("_time"))
         elif bf.ipv4_mask is not None:
             from victorialogs_spark.functions.natural import ipv4_num
