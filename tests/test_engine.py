@@ -1218,6 +1218,50 @@ def test_bare_number_time_bucket_is_nanoseconds(spark):
     assert len(out) == 2  # 60ns buckets keep the rows apart; 60s would merge
 
 
+def test_value_bucket_dispatch(spark):
+    """Non-_time by-field bucketing follows getBucketedValue's per-value
+    dispatch (block_result.go:1666): int64 → float64 → RFC3339
+    timestamp → IPv4 → duration, with unparseable values passing
+    through UNCHANGED (not collapsed to '')."""
+    from victorialogs_spark.api import run_query
+
+    rows = [
+        ("1023",), ("1024",), ("2047",),       # ints
+        ("abc",), ("",), ("NaN",),             # passthrough (non-digit lead)
+        ("-123",),                             # negative int
+        ("1.2.3.4",), ("1.2.3.255",),          # IPv4
+        ("90s",), ("150s",),                   # durations
+        ("2024-03-16T10:30:45Z",),             # RFC3339
+    ]
+    df = spark.createDataFrame(rows, "x string")
+
+    def got(q):
+        out = run_query(spark, df, q).collect()
+        return {r["x"]: int(r["n"]) for r in out}
+
+    # 1KiB buckets: ints truncate (1023→0, 1024/2047→1024); 90e9 ns is an
+    # exact multiple of 1024 so '90s' stays '1m30s'; everything
+    # unparseable groups by itself
+    g = got("* | stats by (x:1KiB) count() as n")
+    assert g["0"] == 1 and g["1024"] == 2
+    assert g["abc"] == 1 and g[""] == 1 and g["NaN"] == 1
+    assert g["1m30s"] == 1
+
+    # negative ints truncate DOWNWARD (truncateInt64 adjusts r<0):
+    # -123 with bucket 1m(=6e10 ns) → -6e10
+    g = got("* | stats by (x:1m) count() as n")
+    assert g["-60000000000"] == 1
+    # durations truncate in ns and render as durations: 90s→1m, 150s→2m
+    assert g["1m"] == 1 and g["2m"] == 1
+    # RFC3339 strings truncate as timestamps and re-render RFC3339
+    assert g["2024-03-16T10:30:00Z"] == 1
+
+    # IPv4 strings bucket in IP space for NUMERIC sizes too (not just
+    # the :/24 mask form): size 256 ≡ /24
+    g = got("* | stats by (x:256) count() as n")
+    assert g["1.2.3.0"] == 2
+
+
 def test_numeric_field_word_bucket_is_nanoseconds(spark):
     """Word bucket sizes on NON-time fields use the reference's single
     numeric space (ns): 'x:second' buckets by 1e9, not by 1."""

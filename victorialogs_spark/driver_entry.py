@@ -724,6 +724,21 @@ logsql(
     " COUNT(*) AS hits FROM events GROUP BY 1",
 )
 logsql(
+    "s_value_bucket_passthrough",
+    # getBucketedValue (block_result.go:1666): values not starting with
+    # a digit or '-' can't be bucketed and group by THEMSELVES, not ''
+    "* | stats by (event_type:100) count() as n",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1",
+)
+logsql(
+    "s_value_bucket_int",
+    # int64 values truncate with integer arithmetic (truncateInt64),
+    # rendered without a decimal point
+    "* | stats by (user_id:20) count() as n",
+    "SELECT CAST(user_id - ((user_id % 20) + 20) % 20 AS VARCHAR)"
+    " AS user_id, COUNT(*) AS n FROM events GROUP BY 1",
+)
+logsql(
     "s_num_bucket",
     "* | stats by (value:50) count() as c",
     f"SELECT {fmt('FLOOR(value / 50) * 50')} AS value, COUNT(*) AS c"
@@ -4574,6 +4589,8 @@ _NEW_R15: list[str] = [
     # fourth-session calendar-bucket semantics (month/year UTC calendar
     # truncation, Monday-aligned 'week')
     "s_time_bucket_month", "s_time_bucket_week",
+    # getBucketedValue dispatch parity (passthrough + int64 truncation)
+    "s_value_bucket_passthrough", "s_value_bucket_int",
 ]
 
 # entries whose SEMANTICS (and oracle SQL) were re-derived this round —

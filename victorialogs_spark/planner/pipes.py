@@ -15,15 +15,18 @@ from pyspark.sql import functions as F
 from victorialogs_spark.functions.casts import _try_cast
 
 from victorialogs_spark.functions.natural import (
+    duration_ns_col,
     duration_seconds,
     duration_string,
     fcol,
     format_number,
+    ipv4_num,
     ipv4_str,
     let,
     natural_keys,
     num,
     qcol,
+    ts_rfc3339_str,
     unsigned_str,
 )
 from victorialogs_spark.functions.text import (
@@ -225,31 +228,151 @@ def _p_first(p: A.PFirst, df: DataFrame, ctx) -> DataFrame:
 
 # ---------------------------------------------------------------- stats
 
+def _trunc_ts_us(t_us: Column, step_us: int, off_us: int, word: str | None) -> Column:
+    """truncateTimestamp (block_result.go:818-848) on a µs-domain long.
+
+    'month'/'year' truncate the offset-shifted timestamp to UTC calendar
+    boundaries and re-add the offset (truncateTimestampToMonth/Year;
+    date_trunc runs in the session timezone, which the engine pins to
+    UTC). The literal word 'week' Monday-aligns: the reference adds 4
+    days to the bucket offset (epoch+4d = Mon 1970-01-05); the '1w'
+    spelling stays epoch-aligned."""
+    if word in ("month", "year"):
+        shifted = F.timestamp_micros((t_us - off_us).cast("long"))
+        return F.unix_micros(F.date_trunc(word, shifted)) + off_us
+    if word == "week":
+        off_us += 4 * 86_400_000_000
+    t = t_us - off_us
+    return (F.floor(t / step_us) * step_us).cast("long") + off_us
+
+
 def _time_bucket(bf: A.ByField) -> Column:
     off_us = int(bf.bucket_offset * 1_000_000)
     word = getattr(bf, "bucket_size_str", None)
-    if word in ("month", "year"):
-        # UTC calendar truncation of the offset-shifted timestamp, offset
-        # re-added (block_result.go:828-845 truncateTimestampToMonth/Year).
-        # date_trunc runs in the session timezone, which the engine pins
-        # to UTC (session.py).
-        shifted = F.timestamp_micros(
-            (F.unix_micros(qcol("_time")) - off_us).cast("long")
-        )
-        start = F.unix_micros(F.date_trunc(word, shifted)) + off_us
-        return F.timestamp_micros(start.cast("long"))
     # sub-µs bucket sizes clamp to 1µs: Spark timestamps are µs-granular
     # so the clamp is semantically exact, while int() truncation to 0
     # divided by zero at execution (r14 review finding)
-    step_us = max(1, int(bf.bucket_size * 1_000_000))
-    if word == "week":
-        # the literal word 'week' Monday-aligns: truncateTimestamp adds
-        # 4 days to the bucket offset (epoch+4d = Mon 1970-01-05); the
-        # '1w' spelling stays epoch-aligned (block_result.go:819-822)
-        off_us += 4 * 86_400_000_000
-    t = F.unix_micros(qcol("_time")) - off_us
-    start = (F.floor(t / step_us) * step_us) + off_us
+    step_us = 1 if word in ("month", "year") else max(1, int(bf.bucket_size * 1_000_000))
+    start = _trunc_ts_us(F.unix_micros(qcol("_time")), step_us, off_us, word)
     return F.timestamp_micros(start.cast("long"))
+
+
+def _value_bucket(df: DataFrame, bf: A.ByField) -> Column:
+    """getBucketedValue replica (block_result.go:1666-1764) for non-_time
+    by-fields: per-value dispatch int64 → float64 → RFC3339 timestamp →
+    IPv4 → duration, falling back to the ORIGINAL value — unparseable
+    strings (and anything not starting with a digit or '-') group by
+    themselves, not by ''. bucket_size carries the reference's single
+    numeric space (ns for duration/timestamp strings).
+
+    Typed numeric / timestamp Spark columns take the matching branch
+    directly — identical results with no string round-trip.
+
+    Documented divergences: NaN/±Inf and magnitudes past the int64-
+    scaled range pass through unbucketed (Go would push them through
+    int64(float) conversion garbage); timestamps truncate at Spark's µs
+    granularity (sub-µs bucket sizes clamp to 1µs)."""
+    from decimal import Decimal
+
+    size = bf.bucket_size or 0.0
+    off = bf.bucket_offset
+    word = getattr(bf, "bucket_size_str", None)
+
+    # --- int64 / duration truncation (truncateInt64, block_result.go:1333)
+    bsize_i = int(size) if int(size) > 0 else 1
+    boff_i = int(off)
+
+    def trunc_long(n: Column) -> Column:
+        return n - F.pmod(n - F.lit(boff_i), F.lit(bsize_i))
+
+    # --- float64 truncation (truncateFloat64:1438 + decimal.FromFloat p10)
+    fsize = size if size > 0 else 1.0
+    exp = Decimal(repr(fsize)).normalize().as_tuple().exponent
+    p10 = 10.0 ** (-exp)
+    size_p10 = int(fsize * p10) or 1
+
+    def trunc_double(f: Column) -> Column:
+        shifted = (f - F.lit(off)) if off else f
+        fp10 = F.floor(shifted * F.lit(p10))
+        out = (fp10 - fp10 % F.lit(size_p10)).cast("double") / F.lit(p10)
+        return (out + F.lit(off)) if off else out
+
+    def float_safe(f: Column) -> Column:
+        # int64(floor(f*p10)) must stay in range; NaN/Inf and the
+        # overflow zone fall back to the unbucketed value
+        x = f * F.lit(p10)
+        return ~F.isnan(f) & (x > F.lit(-9.2e18)) & (x < F.lit(9.2e18))
+
+    # --- uint32 IPv4 truncation (truncateUint32:1237 shape)
+    size32 = int(size) if int(size) > 0 else 1
+    off32 = (int(off) + 2**31) % 2**32 - 2**31  # uint32(int32(off))
+    off32 &= 0xFFFFFFFF
+
+    def trunc_ipv4(n: Column) -> Column:
+        if off32 == 0:
+            return n - n % F.lit(size32)
+        shifted = n - F.lit(off32)
+        return F.when(F.lit(off32) > n, F.lit(0)).otherwise(
+            shifted - shifted % F.lit(size32) + F.lit(off32)
+        )
+
+    # --- timestamp truncation: ns-space size/offset → µs domain
+    step_us = 1 if word in ("month", "year") else max(1, int(size / 1e3))
+    off_us = int(off / 1e3)
+
+    def trunc_ts(t: Column) -> Column:
+        return ts_rfc3339_str(
+            F.timestamp_micros(
+                _trunc_ts_us(F.unix_micros(t), step_us, off_us, word).cast("long")
+            )
+        )
+
+    dt = dict(df.dtypes).get(bf.name)
+    if dt in ("double", "float"):
+        f = qcol(bf.name).cast("double")
+        return F.when(
+            f.isNotNull() & float_safe(f), format_number(trunc_double(f))
+        ).otherwise(F.coalesce(format_number(f), F.lit("")))
+    if dt in ("int", "bigint", "smallint", "tinyint", "long"):
+        n = qcol(bf.name).cast("long")
+        return F.when(n.isNotNull(), trunc_long(n).cast("string")).otherwise(
+            F.lit("")
+        )
+    if dt == "timestamp":
+        t = qcol(bf.name)
+        return F.when(t.isNotNull(), trunc_ts(t)).otherwise(F.lit(""))
+
+    # --- string dispatch, ordered exactly like getBucketedValue
+    s = fcol(df, bf.name)
+    clean = F.translate(s, "_", "")  # '_' digit separators
+    as_long = _try_cast(clean, "long")
+    as_dbl = _try_cast(clean, "double")
+    # tryParseUint64/Float64 shape: no exponents, no edge dots, no
+    # leading zeros, ≤27 chars, magnitude within uint64
+    int_ok = s.rlike(r"^-?(0|[1-9][0-9_]*)$") & as_long.isNotNull()
+    float_ok = (
+        s.rlike(r"^-?(0|[1-9][0-9_]*)(\.[0-9_]+)?$")
+        & (F.length(s) <= 27)
+        & as_dbl.isNotNull()
+        & (F.abs(as_dbl) <= F.lit(1.8446744073709552e19))
+        & float_safe(as_dbl)
+    )
+    ts_val = _try_cast(s, "timestamp")
+    ts_ok = (
+        s.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$")
+        & ts_val.isNotNull()
+    )
+    ip = ipv4_num(s)
+    dur = duration_ns_col(s)
+    return (
+        F.when(~s.rlike(r"^[0-9-]"), s)  # incl. '' (getBucketedValue:1667)
+        .when(int_ok, trunc_long(as_long).cast("string"))
+        .when(float_ok, format_number(trunc_double(as_dbl)))
+        .when(ts_ok, trunc_ts(ts_val))
+        .when(ip.isNotNull(), ipv4_str(trunc_ipv4(ip)))
+        .when(dur.isNotNull(), duration_string(trunc_long(dur)))
+        .otherwise(s)
+    )
 
 
 def _by_exprs(df: DataFrame, by: list[A.ByField]) -> list[Column]:
@@ -275,19 +398,8 @@ def _by_exprs(df: DataFrame, by: list[A.ByField]) -> list[Column]:
                 ),
             )
             cols.append(bucket.alias(bf.name))
-        elif bf.bucket_size:
-            b_off, b_size = bf.bucket_offset, bf.bucket_size
-            bucket = let(
-                num(df, bf.name),
-                lambda n: F.when(
-                    n.isNotNull(),
-                    format_number(
-                        F.floor((n - F.lit(b_off)) / F.lit(b_size)) * F.lit(b_size)
-                        + F.lit(b_off)
-                    ),
-                ).otherwise(F.lit("")),
-            )
-            cols.append(bucket.alias(bf.name))
+        elif bf.bucket_size or getattr(bf, "bucket_size_str", None):
+            cols.append(_value_bucket(df, bf).alias(bf.name))
         else:
             if bf.name in df.columns and dict(df.dtypes).get(bf.name) == "timestamp":
                 cols.append(qcol(bf.name))
