@@ -204,7 +204,9 @@ def test_stats_numeric_bucket(spark):
     df = make_logs(spark, [{"v": "5"}, {"v": "15"}, {"v": "17"}, {"v": "abc"}])
     out = run_query(spark, df, "* | stats by (v:10) count() as c")
     got = rows_set(out)
-    assert got == {("0", 1), ("10", 2), ("", 1)}
+    # unbucketable values group by THEMSELVES (getBucketedValue returns
+    # the value as-is), not by '' — r15 fourth-session dispatch parity
+    assert got == {("0", 1), ("10", 2), ("abc", 1)}
 
 
 def test_uniq_values_and_values(spark, logs):
