@@ -2339,20 +2339,12 @@ def _parse_bucket_offset(txt: str, is_time: bool) -> float | None:
 
 
 def _default_stats_name(name: str, fields: list[str], extra: dict) -> str:
-    """Auto result name matches the reference's statsFunc.String(): empty
-    or '*'-containing field lists render as '*' (except quantile, which
-    drops them), and a trailing 'limit N' is part of the name."""
-    shown = [] if "*" in fields else fields
-    args = ", ".join(shown) if shown else "*"
-    if name == "rate":
-        args = ""  # stats_rate.go String(): 'rate()' 
-    if name == "quantile":
-        phi_s = extra.get("phi_str") or f"{extra.get('phi'):g}"
-        args = phi_s + (f", {', '.join(shown)}" if shown else "")
-    out = f"{name}({args})"
-    if extra.get("limit"):
-        out += f" limit {extra['limit']}"
-    return out
+    """Auto result name = the func's own String() (parsePipeStats:
+    resultName = sf.String()) — one implementation, shared with the
+    printer, so mixed lists like 'avg(a, *, b)' name verbatim."""
+    from victorialogs_spark.logsql.printer import _stats_func_core
+
+    return _stats_func_core(A.StatsFunc(name, fields, "", extra, None))
 
 
 def extract_time_range(f: A.Filter) -> tuple[int, int] | None:
