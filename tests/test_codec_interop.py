@@ -802,3 +802,65 @@ def test_mp4_sample_table_guards_adversarial_counts():
         parse_mp4(patched2)
 
     assert MP4_MAX_SAMPLES >= (1 << 20)  # hours of real video still parse
+
+
+def test_all_codecs_guard_adversarial_dimensions():
+    """The VP8L guard class, applied to every in-repo decoder: a
+    crafted header declaring multi-gigapixel dimensions must raise the
+    loud ValueError BEFORE any canvas/LZW/inflate allocation
+    (r15 review — gif/tiff/png/jpeg had no cap)."""
+    import struct as _struct
+    import zlib
+
+    import pytest
+
+    from victorialogs_spark.datapipe.gif import GIF_MAX_PIXELS, decode_gif_frames
+    from victorialogs_spark.datapipe.jpeg import JPEG_MAX_PIXELS, decode_jpeg
+    from victorialogs_spark.datapipe.multimodal import PNG_MAX_PIXELS, _decode_png
+    from victorialogs_spark.datapipe.tiff import TIFF_MAX_PIXELS, decode_tiff
+
+    # real crawled images must still decode
+    for cap in (GIF_MAX_PIXELS, JPEG_MAX_PIXELS, PNG_MAX_PIXELS, TIFF_MAX_PIXELS):
+        assert cap >= 4096 * 4096
+
+    # GIF: u16 logical screen 65535x65535
+    gif = b"GIF89a" + _struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+    with pytest.raises(ValueError, match="pixel"):
+        decode_gif_frames(gif + b";")
+
+    # JPEG: SOF0 declaring 65535x65535
+    sof = b"\x08" + _struct.pack(">HH", 65535, 65535) + b"\x01" + bytes([1, 0x11, 0])
+    jpg = (b"\xff\xd8" + b"\xff\xc0" + _struct.pack(">H", len(sof) + 2) + sof
+           + b"\xff\xd9")
+    with pytest.raises(ValueError, match="pixel"):
+        decode_jpeg(jpg)
+
+    # TIFF: u32 dims in a minimal IFD
+    def ifd_entry(tag, val):
+        return _struct.pack("<HHI", tag, 4, 1) + _struct.pack("<I", val)
+
+    entries = (ifd_entry(256, 2**20) + ifd_entry(257, 2**20)
+               + ifd_entry(262, 1))
+    tif = (b"II*\x00" + _struct.pack("<I", 8)
+           + _struct.pack("<H", 3) + entries + _struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="pixel"):
+        decode_tiff(tif)
+
+    # PNG: u32 dims in IHDR
+    ihdr = _struct.pack(">IIBBBBB", 2**16, 2**16, 8, 2, 0, 0, 0)
+    def chunk(t, d):
+        c = zlib.crc32(t + d) & 0xFFFFFFFF
+        return _struct.pack(">I", len(d)) + t + d + _struct.pack(">I", c)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\0")) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="pixel"):
+        _decode_png(png)
+
+    # PNG inflate bomb with SMALL declared dims: 2x2 image whose IDAT
+    # inflates to 10MB must hit the bounded-inflate guard
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\0" * (10 * 1024 * 1024))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflates"):
+        _decode_png(png)

@@ -29,6 +29,10 @@ from __future__ import annotations
 
 import struct
 
+# adversarial-header decode cap shared across the in-repo codecs (same
+# value as webp.WEBP_MAX_PIXELS)
+GIF_MAX_PIXELS = 1 << 26
+
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 # Interlace pass layout (GIF89a spec, appendix E): starting row / step
@@ -195,6 +199,14 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
             raise ValueError("GIF global color table truncated")
     if sw == 0 or sh == 0:
         raise ValueError("GIF has an empty logical screen")
+    if sw * sh > GIF_MAX_PIXELS:
+        # adversarial-header guard: frames are bounded by the logical
+        # screen, so capping it caps every canvas/LZW allocation (same
+        # cap as webp.WEBP_MAX_PIXELS, r15 review)
+        raise ValueError(
+            f"GIF dimensions {sw}x{sh} exceed the "
+            f"{GIF_MAX_PIXELS}-pixel decode cap"
+        )
     bg_rgb = (0, 0, 0)
     if gct is not None and 3 * bg + 3 <= len(gct):
         bg_rgb = tuple(gct[3 * bg : 3 * bg + 3])

@@ -51,6 +51,11 @@ import struct
 
 import numpy as np
 
+# adversarial-header decode cap shared across the in-repo codecs (same
+# value as webp.WEBP_MAX_PIXELS): crawled corpora contain crafted files
+# whose few-byte headers declare multi-gigapixel dimensions
+JPEG_MAX_PIXELS = 1 << 26
+
 
 def _zigzag() -> list[int]:
     out = []
@@ -690,6 +695,14 @@ def decode_jpeg(payload: bytes):
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             fh, fw = struct.unpack_from(">HH", data, 1)
+            if fh * fw > JPEG_MAX_PIXELS:
+                # adversarial-header guard: a few-byte SOF can declare
+                # 65535x65535 and drive multi-GB MCU allocations (same
+                # cap as webp.WEBP_MAX_PIXELS, r15 review)
+                raise ValueError(
+                    f"JPEG dimensions {fw}x{fh} exceed the "
+                    f"{JPEG_MAX_PIXELS}-pixel decode cap"
+                )
             nc = data[5]
             comps = []
             for i in range(nc):

@@ -184,6 +184,10 @@ def _image_features(px, feat_dim: int) -> dict:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# adversarial-header decode cap shared across the in-repo codecs (same
+# value as webp.WEBP_MAX_PIXELS)
+PNG_MAX_PIXELS = 1 << 26
 # colortype -> whole-byte samples per pixel (palette/sub-byte shapes are
 # decoded by _decode_png_indexed instead)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -347,9 +351,31 @@ def _decode_png(payload: bytes, feat_dim: int = 0):
         raise ValueError(
             f"unsupported PNG (depth={depth}, interlace={interlace})"
         )
+    if w * h > PNG_MAX_PIXELS:
+        # adversarial-header guard: PNG dims are u32, and zlib expands
+        # ~1000x — cap before any decompression/allocation (same cap as
+        # webp.WEBP_MAX_PIXELS, r15 review)
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed the "
+            f"{PNG_MAX_PIXELS}-pixel decode cap"
+        )
+
+    # bound the inflate output too: a crafted IDAT can expand ~1000x
+    # past what the declared dims justify. 2x covers Adam7's per-pass
+    # filter bytes and rounding with room to spare.
+    n_ch = _PNG_CHANNELS.get(color, 1)
+    stride = (w * n_ch * depth + 7) // 8
+    inflate_cap = 2 * h * (stride + 1) + 1024
+
+    def _inflate(data: bytes) -> bytes:
+        d = zlib.decompressobj()
+        out = d.decompress(data, inflate_cap + 1)
+        if len(out) > inflate_cap:
+            raise ValueError("PNG IDAT inflates beyond the declared size")
+        return out
     if color == 3 or depth < 8:
         return _decode_png_indexed(
-            zlib.decompress(b"".join(idat)),
+            _inflate(b"".join(idat)),
             w, h, depth, color, interlace, plte,
         )
     ch = _PNG_CHANNELS.get(color)
@@ -357,7 +383,7 @@ def _decode_png(payload: bytes, feat_dim: int = 0):
         raise ValueError(f"unsupported PNG colortype {color}")
     nb = depth // 8
     bpp = ch * nb
-    raw = zlib.decompress(b"".join(idat))
+    raw = _inflate(b"".join(idat))
     # assemble into (h, w, ch, nb) bytes; big-endian => byte 0 is high
     img = np.zeros((h, w, ch, nb), dtype=np.uint8)
     if interlace == 0:

@@ -41,6 +41,11 @@ from __future__ import annotations
 
 import struct
 
+# adversarial-header decode cap shared across the in-repo codecs (same
+# value as webp.WEBP_MAX_PIXELS); TIFF dims are u32, so an 11-byte IFD
+# can declare a 4-gigapixel-squared image
+TIFF_MAX_PIXELS = 1 << 26
+
 # tag ids (TIFF 6.0 §8)
 _T_WIDTH = 256
 _T_LENGTH = 257
@@ -290,6 +295,11 @@ def decode_tiff(payload: bytes):
 
     w = one(_T_WIDTH)
     h = one(_T_LENGTH)
+    if w * h > TIFF_MAX_PIXELS:
+        raise ValueError(
+            f"TIFF dimensions {w}x{h} exceed the "
+            f"{TIFF_MAX_PIXELS}-pixel decode cap"
+        )
     spp = one(_T_SPP, 1)
     comp = one(_T_COMPRESSION, 1)
     photo = one(_T_PHOTOMETRIC)
