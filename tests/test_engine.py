@@ -576,8 +576,12 @@ def test_copy_time_column(spark, logs):
 
 
 def test_natural_sort_property(spark):
-    # natural order: numerics numerically first, then strings lexicographic
+    # natural order: numerics numerically first, then strings in
+    # LessNatural order (digit runs compare numerically — 's9' < 's10',
+    # r15 fourth-session natural_text_key)
     import random
+
+    from test_natural_order import py_natural_key
 
     rng = random.Random(3)
     vals = [str(rng.randint(0, 10**6)) for _ in range(30)]
@@ -588,9 +592,9 @@ def test_natural_sort_property(spark):
 
     def key(s):
         try:
-            return (0, float(s), s)
+            return (0, float(s), py_natural_key(s))
         except ValueError:
-            return (1, 0.0, s)
+            return (1, 0.0, py_natural_key(s))
 
     assert got == sorted(vals, key=key)
 

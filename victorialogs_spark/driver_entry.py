@@ -381,6 +381,20 @@ logsql(
     " FROM events) WHERE r <= 5",
 )
 logsql(
+    "p_sort_natural_text",
+    # non-numeric sort pairs compare like stringsutil.LessNatural:
+    # digit runs inside text compare NUMERICALLY ('h2' < 'h10'); the
+    # synthetic h<doc_id> key makes natural order ≡ ORDER BY doc_id,
+    # which DuckDB expresses exactly (lexicographic would hash-mismatch)
+    '* | format "h<doc_id>" as hkey | sort by (hkey) limit 7 rank as r'
+    " | fields hkey, r",
+    "SELECT hkey, CAST(r AS VARCHAR) AS r FROM ("
+    "SELECT 'h' || CAST(doc_id AS VARCHAR) AS hkey,"
+    " ROW_NUMBER() OVER (ORDER BY doc_id) AS r FROM documents"
+    ") WHERE r <= 7",
+    table="documents",
+)
+logsql(
     "p_sort_partition_topk",
     "* | sort by (value, event_id) desc partition by (event_type) limit 2"
     " | fields event_type, event_id",
@@ -4591,6 +4605,8 @@ _NEW_R15: list[str] = [
     "s_time_bucket_month", "s_time_bucket_week",
     # getBucketedValue dispatch parity (passthrough + int64 truncation)
     "s_value_bucket_passthrough", "s_value_bucket_int",
+    # LessNatural text ordering (digit runs compare numerically)
+    "p_sort_natural_text",
 ]
 
 # entries whose SEMANTICS (and oracle SQL) were re-derived this round —

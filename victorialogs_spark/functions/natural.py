@@ -100,9 +100,52 @@ def num(df: DataFrame, name: str) -> Column:
     return _try_cast(fcol(df, name), "double")
 
 
+_NAT_SPLIT_RE = "(?<=[^0-9])(?=[0-9])|(?<=[0-9])(?=[^0-9])"
+
+
+def natural_text_key(c: Column) -> Column:
+    """Byte-orderable key whose comparison replicates
+    stringsutil.LessNatural (the lessString tail for non-numeric pairs):
+    digit runs compare by NUMERIC value ('host2' < 'host10'), a digit
+    beats any non-digit at the same position, equal values with fewer
+    leading zeros win ('1' < '01'), and '' sorts below everything.
+
+    Encoding per maximal run: digits → '\\x01' + 2-digit length of the
+    zero-stripped value + the stripped digits + 4-digit leading-zero
+    count; text → '\\x02' before EVERY codepoint (per-char markers keep
+    a digit run winning against any text byte, including controls below
+    \\x02, at every boundary; utf8 byte order within text matches Go's).
+    Runs past 19 digits keep raw lexicographic digit order (documented
+    approximation of the reference's whole-string u64-overflow
+    fallback, which is pair-dependent and not encodable)."""
+
+    def enc(p: Column) -> Column:
+        digits = p.rlike("^[0-9]")
+        stripped = F.regexp_replace(p, "^0+", "")
+        d = F.when(stripped == "", F.lit("0")).otherwise(stripped)
+        return (
+            F.when(
+                digits & (F.length(p) <= 19),
+                F.concat(
+                    F.lit("\x01"),
+                    F.lpad(F.length(d).cast("string"), 2, "0"),
+                    d,
+                    F.lpad((F.length(p) - F.length(d)).cast("string"), 4, "0"),
+                ),
+            )
+            .when(digits, F.concat(F.lit("\x01"), F.lit("99"), p))
+            .otherwise(F.regexp_replace(p, "(?s)(.)", "\x02$1"))
+        )
+
+    return F.when(c.isNull() | (c == ""), F.lit("")).otherwise(
+        F.concat_ws("", F.transform(F.split(c, _NAT_SPLIT_RE), enc))
+    )
+
+
 def natural_keys(df: DataFrame, name: str) -> list[Column]:
     """Sort keys implementing natural order: numeric values sort before
-    non-numeric, numerically; non-numeric sort lexicographically.
+    non-numeric, numerically; non-numeric pairs compare like lessString's
+    LessNatural tail (digit runs numeric — natural_text_key).
     Divergence note vs reference: VictoriaLogs compares pairwise
     (lessString); a total order needs a rule for mixed groups — we place all
     numeric values first, which matches pairwise behavior on homogeneous
@@ -113,7 +156,7 @@ def natural_keys(df: DataFrame, name: str) -> list[Column]:
     return [
         F.when(n.isNotNull(), F.lit(0)).otherwise(F.lit(1)),
         F.coalesce(n, F.lit(0.0)),
-        fcol(df, name),
+        natural_text_key(fcol(df, name)),
     ]
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from victorialogs_spark.functions.casts import _try_cast
 
-from victorialogs_spark.functions.natural import fcol, num
+from victorialogs_spark.functions.natural import fcol, natural_text_key, num
 from victorialogs_spark.logsql import ast as A
 
 
@@ -107,7 +107,11 @@ def _natural_struct(df: DataFrame, f: str) -> Column:
         .otherwise(F.lit(1))
         .alias("k0"),
         F.coalesce(nn, F.lit(0.0)).alias("k1"),
-        s.alias("k2"),
+        # non-numeric pairs compare like LessNatural ('9' < '10' even as
+        # text); the encoding is injective, so 'v' never decides order —
+        # it just carries the original value for projection
+        natural_text_key(s).alias("k2"),
+        s.alias("v"),
     )
 
 
@@ -275,7 +279,7 @@ def compile_stats_func(
             keys.append(guard(key))
         merged = keys[0] if len(keys) == 1 else F.least(*keys) if name == "min" else F.greatest(*keys)
         agg = F.min(merged) if name == "min" else F.max(merged)
-        return agg.getField("k2").alias(sf.result)
+        return agg.getField("v").alias(sf.result)
 
     if name in ("median", "quantile"):
         # Exact reference semantics (stats_quantile.go histogram.quantile):
@@ -301,7 +305,7 @@ def compile_stats_func(
             F.lit(0),
         )
         return (
-            F.when(n_vals > 0, F.element_at(arr, idx + 1).getField("k2"))
+            F.when(n_vals > 0, F.element_at(arr, idx + 1).getField("v"))
             .alias(sf.result)
         )
 
@@ -324,7 +328,7 @@ def compile_stats_func(
 
         arrs = [key_set(f) for f in fields]
         arr = arrs[0] if len(arrs) == 1 else F.array_distinct(F.concat(*arrs))
-        arr = F.transform(F.array_sort(arr), lambda x: x.getField("k2"))
+        arr = F.transform(F.array_sort(arr), lambda x: x.getField("v"))
         limit = sf.extra.get("limit")
         if limit:
             arr = F.slice(arr, 1, int(limit))
