@@ -159,3 +159,19 @@ def test_min_max_uniq_values_natural_text(spark):
     ).collect()[0]
     assert r["lo"] == "host9" and r["hi"] == "host100"
     assert r["u"] == '["host9","host10","host100"]'
+
+
+def test_sort_duration_size_literals_numeric(spark):
+    """lessString's tryParseNumber layer (block_result.go:2710) parses
+    duration literals as ns and byte sizes as bytes, so '5s' < '1m'
+    numerically and both sort after plain '900'."""
+    from victorialogs_spark.api import run_query
+
+    df = spark.createDataFrame(
+        [("5s",), ("1m",), ("150ms",), ("abc",), ("2KB",), ("900",)],
+        "d string",
+    )
+    out = run_query(spark, df, "* | sort by (d) | fields d").collect()
+    assert [r["d"] for r in out] == ["900", "2KB", "150ms", "5s", "1m", "abc"]
+    r = run_query(spark, df, "* | stats min(d) as lo, max(d) as hi").collect()[0]
+    assert r["lo"] == "900" and r["hi"] == "abc"

@@ -142,8 +142,26 @@ def natural_text_key(c: Column) -> Column:
     )
 
 
+def natural_num(df: DataFrame, name: str) -> Column:
+    """Numeric value for ORDERING, mirroring lessString's tryParseNumber
+    space (block_result.go:2710): plain float, then duration literals as
+    NANOSECONDS ('5s' < '1m' numerically), then byte sizes as bytes.
+    NULL when none parse (the value compares as text)."""
+    n = num(df, name)
+    dt = dict(df.dtypes).get(name)
+    if name in df.columns and (dt == "timestamp" or dt in _DIRECT_DOUBLE_TYPES):
+        return n  # typed columns never hold duration/size strings
+    s = fcol(df, name)
+    return F.coalesce(
+        n,
+        duration_ns_col(s).cast("double"),
+        bytes_col(s).cast("double"),
+    )
+
+
 def natural_keys(df: DataFrame, name: str) -> list[Column]:
-    """Sort keys implementing natural order: numeric values sort before
+    """Sort keys implementing natural order: numeric values (incl.
+    duration/size literals, tryParseNumber space) sort before
     non-numeric, numerically; non-numeric pairs compare like lessString's
     LessNatural tail (digit runs numeric — natural_text_key).
     Divergence note vs reference: VictoriaLogs compares pairwise
@@ -152,7 +170,7 @@ def natural_keys(df: DataFrame, name: str) -> list[Column]:
     data."""
     if name in df.columns and dict(df.dtypes).get(name) == "timestamp":
         return [qcol(name)]
-    n = num(df, name)
+    n = natural_num(df, name)
     return [
         F.when(n.isNotNull(), F.lit(0)).otherwise(F.lit(1)),
         F.coalesce(n, F.lit(0.0)),

@@ -98,8 +98,10 @@ def _natural_struct(df: DataFrame, f: str) -> Column:
     with '' as the SMALLEST value — lessString byte-compares '' below
     everything, and the stats_min pipe tests pin that a missing field
     (≡ '') wins min (r15 stats-semantics corpus finding)."""
+    from victorialogs_spark.functions.natural import natural_num
+
     s = fcol(df, f)
-    n = num(df, f)
+    n = natural_num(df, f)
     nn = F.when(s == "", None).otherwise(n)
     return F.struct(
         F.when(s == "", F.lit(-1))
