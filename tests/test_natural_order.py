@@ -175,3 +175,18 @@ def test_sort_duration_size_literals_numeric(spark):
     assert [r["d"] for r in out] == ["900", "2KB", "150ms", "5s", "1m", "abc"]
     r = run_query(spark, df, "* | stats min(d) as lo, max(d) as hi").collect()[0]
     assert r["lo"] == "900" and r["hi"] == "abc"
+
+
+def test_le_field_parses_math_numbers(spark):
+    """leValuesString (filter_le_field.go:284) compares through
+    parseMathNumber: duration pairs numerically ('5s' <= '1m' even
+    though '5' > '1' bytewise), falling back to bytewise only when a
+    side doesn't parse."""
+    from victorialogs_spark.api import run_query
+
+    df = spark.createDataFrame(
+        [("5s", "1m"), ("2m", "90s"), ("abc", "abd"), ("10", "9")],
+        "a string, b string",
+    )
+    out = run_query(spark, df, "a:le_field(b) | fields a").collect()
+    assert sorted(r["a"] for r in out) == ["5s", "abc"]

@@ -176,27 +176,21 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
     if isinstance(f, A.FEqField):
         return fcol(df, f.field) == fcol(df, f.other)
     if isinstance(f, A.FCmpField):
-        # number-pair → numeric; IPv4-pair → packed-uint32 (the reference
-        # stores all-IPv4 blocks as valueTypeIPv4 and le_field compares the
-        # encodings, filter_le_field.go applyFilterLeUint — r15 filter
-        # corpus; our per-row rule matches it on homogeneous columns);
-        # else bytewise string compare (leValuesString)
+        # leValuesString (filter_le_field.go:284): both sides through
+        # parseMathNumber — plain/hex numbers, duration literals (ns),
+        # byte sizes, RFC3339 timestamps (ns), IPv4 (uint32) — compared
+        # numerically when BOTH parse ('5s' <= '1m', '1.2.3.4' <=
+        # '1.2.4.0'), else bytewise string compare. This also matches
+        # the per-valueType fast paths (applyFilterLeUint/Int64/Float64
+        # compare the same parsed values on homogeneous columns).
+        from victorialogs_spark.planner.pipes import _math_num
+
         a_s, b_s = fcol(df, f.field), fcol(df, f.other)
-        a_n, b_n = num(df, f.field), num(df, f.other)
-        a_ip, b_ip = ipv4_num(a_s), ipv4_num(b_s)
+        a_n, b_n = _math_num(df, f.field), _math_num(df, f.other)
         both_num = a_n.isNotNull() & b_n.isNotNull()
-        both_ip = a_ip.isNotNull() & b_ip.isNotNull()
         if f.allow_eq:
-            return (
-                F.when(both_num, a_n <= b_n)
-                .when(both_ip, a_ip <= b_ip)
-                .otherwise(a_s <= b_s)
-            )
-        return (
-            F.when(both_num, a_n < b_n)
-            .when(both_ip, a_ip < b_ip)
-            .otherwise(a_s < b_s)
-        )
+            return F.when(both_num, a_n <= b_n).otherwise(a_s <= b_s)
+        return F.when(both_num, a_n < b_n).otherwise(a_s < b_s)
     if isinstance(f, A.FTime):
         return _time_range(df, f.lo_ns, f.hi_ns)
     if isinstance(f, A.FDayRange):
