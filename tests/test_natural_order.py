@@ -190,3 +190,18 @@ def test_le_field_parses_math_numbers(spark):
     )
     out = run_query(spark, df, "a:le_field(b) | fields a").collect()
     assert sorted(r["a"] for r in out) == ["5s", "abc"]
+
+
+def test_range_filter_parses_math_numbers(spark):
+    """matchRange (filter_range.go:369) parses string values with
+    parseMathNumber, so a duration bound matches duration-literal
+    values and hex values compare numerically."""
+    from victorialogs_spark.api import run_query
+
+    df = spark.createDataFrame(
+        [("150ms",), ("50ms",), ("0x20",), ("abc",), ("2s",)], "d string"
+    )
+    out = run_query(spark, df, "d:>100ms | fields d").collect()
+    assert sorted(r["d"] for r in out) == ["150ms", "2s"]
+    out = run_query(spark, df, "d:range[0x10, 0x30] | fields d").collect()
+    assert [r["d"] for r in out] == ["0x20"]

@@ -149,15 +149,16 @@ def compile_filter(f: A.Filter, df: DataFrame, ctx=None) -> Column:
             # scan (a CASE WHEN form kills PushedFilters — pinned by
             # test_compaction_value_type_specialization)
             return n.isNotNull() & ~F.isnan(n) & bounds(n)
-        # IPv4 values compare by their packed uint32 — the reference
-        # stores all-IPv4 blocks as valueTypeIPv4 and ranges over the
-        # encoding (filter_range.go:151; r15 filter corpus); per-row
-        # matches it on homogeneous columns.
-        ip = ipv4_num(fcol(df, f.field))
-        return (
-            F.when(n.isNotNull() & ~F.isnan(n), bounds(n))
-            .when(ip.isNotNull(), bounds(ip.cast("double")))
-            .otherwise(F.lit(False))
+        # string columns: matchRange parses each value with
+        # parseMathNumber (filter_range.go:369-372) — plain/hex numbers,
+        # duration literals (ns: 'request_time:>100ms' matches '150ms'),
+        # byte sizes, RFC3339 timestamps, and IPv4 as packed uint32
+        # (also matching the valueTypeIPv4 block fast path).
+        from victorialogs_spark.planner.pipes import _math_num
+
+        m = _math_num(df, f.field)
+        return F.when(m.isNotNull() & ~F.isnan(m), bounds(m)).otherwise(
+            F.lit(False)
         )
     if isinstance(f, A.FIPv4Range):
         n = ipv4_num(fcol(df, f.field))
