@@ -205,3 +205,31 @@ def test_range_filter_parses_math_numbers(spark):
     assert sorted(r["d"] for r in out) == ["150ms", "2s"]
     out = run_query(spark, df, "d:range[0x10, 0x30] | fields d").collect()
     assert [r["d"] for r in out] == ["0x20"]
+
+
+def test_sum_strict_float_gate(spark):
+    """sum/avg parse values with tryParseFloat64 exactly: '_'-separated
+    numbers COUNT ('1_000.5'), exponent forms and leading zeros DON'T
+    ('1e5', '012' — getFloatValueAtRow skips them)."""
+    from victorialogs_spark.api import run_query
+
+    df = spark.createDataFrame(
+        [("1_000.5",), ("1e5",), ("012",), ("2",)], "v string"
+    )
+    r = run_query(spark, df, "* | stats sum(v) as s, avg(v) as a").collect()[0]
+    assert float(r["s"]) == 1002.5
+    assert float(r["a"]) == 501.25
+
+
+def test_histogram_parses_durations(spark):
+    """histogram buckets string values through tryParseNumber, so
+    duration literals land in their ns-value bucket instead of being
+    dropped (stats_histogram.go:101)."""
+    import json
+
+    from victorialogs_spark.api import run_query
+
+    df = spark.createDataFrame([("1s",), ("1000000000",)], "v string")
+    r = run_query(spark, df, "* | stats histogram(v) as h").collect()[0]
+    buckets = json.loads(r["h"])
+    assert len(buckets) == 1 and buckets[0]["hits"] == 2  # same vmrange bucket

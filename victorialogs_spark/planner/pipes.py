@@ -450,9 +450,12 @@ def _histogram_agg(df: DataFrame, sf, by: list[A.ByField], cond: Column | None) 
     no real value can reach (|idx| <= ~5600 for any double); negative
     and NULL inputs both yield a NULL index, exactly the rows whose
     label was NULL before (dropped by the entry filter)."""
+    from victorialogs_spark.functions.natural import natural_num
     from victorialogs_spark.planner.stats import _BUCKETS_PER_DECADE
 
-    v = num(df, sf.fields[0])
+    # histogram parses string values with tryParseNumber — duration and
+    # size literals bucket by their ns/byte value (stats_histogram.go:101)
+    v = natural_num(df, sf.fields[0])
     if cond is not None:
         v = F.when(cond, v)
     zero_sent = -(10**9)

@@ -139,7 +139,23 @@ def _decimal_src(df: DataFrame, field: str) -> Column:
         from victorialogs_spark.functions.natural import qcol
 
         return qcol(field)
-    return fcol(df, field)
+    return strict_float_str(fcol(df, field))
+
+
+def strict_float_str(c: Column) -> Column:
+    """Gate a string to tryParseFloat64's shape (values_encoder.go): no
+    exponents, no edge dots, no leading zeros, '_' separators allowed
+    (stripped for the SQL cast), ≤27 chars, magnitude within uint64.
+    Sum/avg/histogram ignore values outside this shape
+    (getFloatValueAtRow → tryParseFloat64); a bare decimal cast both
+    over-accepts ('1e5') and under-accepts ('1_000.5')."""
+    ok = (
+        c.rlike(r"^-?(0|[1-9][0-9_]*)(\.[0-9_]+)?$")
+        & (F.length(c) <= 27)
+    )
+    cleaned = F.translate(c, "_", "")
+    ok = ok & (F.abs(_try_cast(cleaned, "double")) <= F.lit(1.8446744073709552e19))
+    return F.when(ok, cleaned)
 
 
 # functions whose zero-field form is meaningful: count()/rate() count
