@@ -64,12 +64,24 @@ def less_natural(a: str, b: str) -> bool:
         a, b = a[iA:], b[iB:]
 
 
+def _esc_ctl(t: bytes) -> bytes:
+    """Twin of natural._esc_ctl: bytes ≤ \\x02 get a \\x02 escape prefix
+    so one per-run text marker suffices (replaced the per-char markers
+    in r15 — same order on every pair, ~free per row)."""
+    return (
+        t.replace(b"\x02", b"\x02\x02")
+        .replace(b"\x01", b"\x02\x01")
+        .replace(b"\x00", b"\x02\x00")
+    )
+
+
 def py_natural_key(s: str) -> bytes:
     """Python twin of the Spark natural_text_key encoding."""
     if s == "":
         return b""
     out = bytearray()
-    for run in re.split(r"(?<=[^0-9])(?=[0-9])|(?<=[0-9])(?=[^0-9])", s):
+    runs = re.split(r"(?<=[^0-9])(?=[0-9])|(?<=[0-9])(?=[^0-9])", s)
+    for run in runs:
         if run and run[0].isdigit() and run.isascii():
             if len(run) <= 19:
                 d = run.lstrip("0") or "0"
@@ -78,8 +90,7 @@ def py_natural_key(s: str) -> bytes:
             else:
                 out += b"\x0199" + run.encode()
         else:
-            for ch in run:
-                out += b"\x02" + ch.encode()
+            out += b"\x02" + _esc_ctl(run.encode())
     return bytes(out)
 
 
@@ -90,6 +101,8 @@ CASES = [
     "1.2.3", "1.10.2", "v1.9.0", "v1.10.0",
     "é", "z9", "zé", "日本2", "日本10",
     "0a", "00a", "a0", "a00", "-1", "-", "--", "123abc456",
+    "42.371", "-42.371", "1.05", "1.5", "0.50", "12.", ".5", "--12",
+    "-0012.003", "00.00",
     "2024-01-02T03:04:05Z", "2024-01-10T00:00:00Z",
 ]
 

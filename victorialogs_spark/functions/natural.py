@@ -101,6 +101,34 @@ def num(df: DataFrame, name: str) -> Column:
 
 
 _NAT_SPLIT_RE = "(?<=[^0-9])(?=[0-9])|(?<=[0-9])(?=[^0-9])"
+# same maximal digit/non-digit runs as _NAT_SPLIT_RE, but as a CONSUMING
+# alternation for regexp_extract_all: zero-width lookarounds evaluate at
+# every position and measured 2.6× slower than consuming matches
+# (r15 bench attribution); only difference is '' → [] instead of ['']
+# (callers handle '' before splitting)
+_NAT_RUNS_RE = "[0-9]+|[^0-9]+"
+
+
+def _esc_ctl(p: Column) -> Column:
+    """Escape bytes ≤ \\x02 (vanishingly rare in log text) with a \\x02
+    prefix. With every control escaped, a single per-RUN text marker
+    keeps the encoding order-correct and injective: at any comparison
+    position a text byte is either ≥ \\x03 (raw) or the \\x02 escape
+    marker — both above the \\x01 digit-run marker, so a digit still
+    beats any non-digit; escaped pairs order \\x02\\x00 < \\x02\\x01 <
+    \\x02\\x02 among themselves and below every raw byte, matching raw
+    byte order. Literal replaces only — the per-char '(?s)(.)' regex
+    this replaces was ~the whole sort-key cost (r15 bench: 8× on
+    p_sort_desc_rank)."""
+    return F.replace(
+        F.replace(
+            F.replace(p, F.lit("\x02"), F.lit("\x02\x02")),
+            F.lit("\x01"),
+            F.lit("\x02\x01"),
+        ),
+        F.lit("\x00"),
+        F.lit("\x02\x00"),
+    )
 
 
 def natural_text_key(c: Column) -> Column:
@@ -112,33 +140,65 @@ def natural_text_key(c: Column) -> Column:
 
     Encoding per maximal run: digits → '\\x01' + 2-digit length of the
     zero-stripped value + the stripped digits + 4-digit leading-zero
-    count; text → '\\x02' before EVERY codepoint (per-char markers keep
-    a digit run winning against any text byte, including controls below
-    \\x02, at every boundary; utf8 byte order within text matches Go's).
-    Runs past 19 digits keep raw lexicographic digit order (documented
-    approximation of the reference's whole-string u64-overflow
-    fallback, which is pair-dependent and not encodable)."""
+    count; text → '\\x02' + the run with controls ≤ \\x02 escaped
+    (_esc_ctl keeps digit-beats-text at every boundary; utf8 byte order
+    within text matches Go's). Runs past 19 digits keep raw
+    lexicographic digit order (documented approximation of the
+    reference's whole-string u64-overflow fallback, which is
+    pair-dependent and not encodable). Digitless values (the common
+    case for text fields) skip the run split entirely — one rlike +
+    three literal replaces per row."""
+
+    def d_enc(p: Column) -> Column:
+        # encoding of one all-digit run (callers guarantee ^[0-9]+$)
+        stripped = F.ltrim(p, F.lit("0"))
+        d = F.when(stripped == "", F.lit("0")).otherwise(stripped)
+        return F.when(
+            F.length(p) <= 19,
+            F.concat(
+                F.lit("\x01"),
+                F.lpad(F.length(d).cast("string"), 2, "0"),
+                d,
+                F.lpad((F.length(p) - F.length(d)).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.concat(F.lit("\x01"), F.lit("99"), p))
 
     def enc(p: Column) -> Column:
-        digits = p.rlike("^[0-9]")
-        stripped = F.regexp_replace(p, "^0+", "")
-        d = F.when(stripped == "", F.lit("0")).otherwise(stripped)
-        return (
-            F.when(
-                digits & (F.length(p) <= 19),
-                F.concat(
-                    F.lit("\x01"),
-                    F.lpad(F.length(d).cast("string"), 2, "0"),
-                    d,
-                    F.lpad((F.length(p) - F.length(d)).cast("string"), 4, "0"),
-                ),
-            )
-            .when(digits, F.concat(F.lit("\x01"), F.lit("99"), p))
-            .otherwise(F.regexp_replace(p, "(?s)(.)", "\x02$1"))
+        first = F.ascii(p)
+        digits = (first >= 48) & (first <= 57)
+        return F.when(digits, d_enc(p)).otherwise(
+            F.concat(F.lit("\x02"), _esc_ctl(p))
         )
 
+    # number-shaped fast paths: '-'?digits and '-'?digits.digits are the
+    # dominant shapes in numeric string columns (ids, metric values) and
+    # their run structure is static — encode them with plain string
+    # functions so the general path (regex run-extraction + a per-run
+    # lambda) never runs for them. (A static 16-run unroll of the
+    # general path was tried and REJECTED: the single expression blows
+    # janino's 64 KB method limit and costs ~0.8 s of py4j tree build
+    # per query — r15 bench.)
+    body = F.when(c.startswith("-"), F.substr(c, F.lit(2))).otherwise(c)
+    sign = F.when(c.startswith("-"), F.lit("\x02-")).otherwise(F.lit(""))
+    int_part = F.substring_index(body, ".", 1)
+    frac_part = F.substring_index(body, ".", -1)
     return F.when(c.isNull() | (c == ""), F.lit("")).otherwise(
-        F.concat_ws("", F.transform(F.split(c, _NAT_SPLIT_RE), enc))
+        F.when(
+            ~c.rlike("[0-9]"), F.concat(F.lit("\x02"), _esc_ctl(c))
+        )
+        .when(body.rlike("^[0-9]+$"), F.concat(sign, d_enc(body)))
+        .when(
+            body.rlike(r"^[0-9]+\.[0-9]+$"),
+            F.concat(sign, d_enc(int_part), F.lit("\x02."), d_enc(frac_part)),
+        )
+        .otherwise(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.regexp_extract_all(c, F.lit(_NAT_RUNS_RE), 0), enc
+                ),
+            )
+        )
     )
 
 
@@ -152,10 +212,20 @@ def natural_num(df: DataFrame, name: str) -> Column:
     if name in df.columns and (dt == "timestamp" or dt in _DIRECT_DOUBLE_TYPES):
         return n  # typed columns never hold duration/size strings
     s = fcol(df, name)
+    # Gate the compound scanners on their INPUT, not around their
+    # output: codegen subexpression elimination evaluates conditional
+    # branches EAGERLY, so `when(gate, duration_ns_col(s))` still pays
+    # the full parse per row (measured: a bare-integer value fully
+    # parses as a bytes literal — 3.4× on s_histogram). With a NULL
+    # argument every node in the scanners null-propagates for ~free,
+    # and the result is unchanged: rows where n is non-NULL never use
+    # the scanner outputs (coalesce), rows failing the '-'?[0-9._]
+    # start can't be duration/size literals.
+    gated = F.when(n.isNull() & s.rlike("^-?[0-9._]"), s)
     return F.coalesce(
         n,
-        duration_ns_col(s).cast("double"),
-        bytes_col(s).cast("double"),
+        duration_ns_col(gated).cast("double"),
+        bytes_col(gated).cast("double"),
     )
 
 
@@ -217,29 +287,22 @@ def format_number(c: Column) -> Column:
 
 def ipv4_num(c: Column) -> Column:
     """Dotted-quad string → uint32 as long; NULL when not an IPv4.
-    let-bound: the input and its split are each evaluated once (the
-    naive form mentions the input 9× — multiplied by whatever expression
-    produced it)."""
-
-    def _of(s: Column) -> Column:
-        is_ip = s.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
-
-        def _val(octs: Column) -> Column:
-            ok = F.forall(octs, lambda o: o <= 255)
-            val = F.aggregate(
-                octs, F.lit(0).cast("long"), lambda acc, o: acc * 256 + o
-            )
-            return F.when(ok, val)
-
-        return F.when(
-            is_ip,
-            let(
-                F.transform(F.split(s, r"\."), lambda p: _try_cast(p, "long")),
-                _val,
-            ),
-        )
-
-    return let(c, _of)
+    HOF-free (substring_index per octet): forall/aggregate are
+    CodegenFallback and excluded the enclosing Project/Filter from
+    whole-stage codegen; the repeated mentions of ``c`` dedup via
+    codegen subexpression elimination."""
+    is_ip = c.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    o1 = _try_cast(F.substring_index(c, ".", 1), "long")
+    o2 = _try_cast(
+        F.substring_index(F.substring_index(c, ".", 2), ".", -1), "long"
+    )
+    o3 = _try_cast(
+        F.substring_index(F.substring_index(c, ".", 3), ".", -1), "long"
+    )
+    o4 = _try_cast(F.substring_index(c, ".", -1), "long")
+    ok = (o1 <= 255) & (o2 <= 255) & (o3 <= 255) & (o4 <= 255)
+    val = ((o1 * 256 + o2) * 256 + o3) * 256 + o4
+    return F.when(is_ip & ok, val)
 
 
 def ipv4_str(c: Column) -> Column:
@@ -363,7 +426,19 @@ def _go_compound_col(s: Column, token_re: str, units, bare_int: bool) -> Column:
     exactly a run of <number><unit> tokens (optional unit with
     ``bare_int``, where a bare FRACTIONAL number rejects); each part
     truncates to int64 and accumulates with the reference's
-    overflow-clamp-to-max. NULL when unparseable."""
+    overflow-clamp-to-max. NULL when unparseable.
+
+    Uses higher-order functions (forall/transform/aggregate) over the
+    token array, which are CodegenFallback — their presence excludes the
+    enclosing Project/Filter from whole-stage codegen, so callers on hot
+    paths must pass a PRE-GATED input (NULL unless the value can be a
+    literal: natural_num/_math_num do) so the eager interpreted
+    evaluation null-propagates for ~free. A static token unroll was
+    tried and REJECTED: with enough tokens for the reference's 7-piece
+    durations the generated code exceeds janino's 64 KB method limit
+    (whole stage falls back to interpreted + a failed compile per plan)
+    and the Column tree costs seconds of py4j build time per query
+    (r15 bench)."""
     body = F.regexp_replace(s, r"^-", "")
     toks = F.regexp_extract_all(body, F.lit(token_re), 0)
 
@@ -386,12 +461,16 @@ def _go_compound_col(s: Column, token_re: str, units, bare_int: bool) -> Column:
         & F.forall(toks, tok_ok)
     )
 
+    mult_map = F.create_map(
+        *[F.lit(x) for u, m in units for x in (u, float(m))]
+    )
+
     def tok_ns(t):
         dval = _go_float_prefix_val(_val(t))
-        unit = _unit(t)
-        mult = F.lit(1.0) if bare_int else F.lit(0.0)
-        for u, m in units:
-            mult = F.when(unit == u, F.lit(m)).otherwise(mult)
+        # constant-folded map lookup instead of a 9/17-deep when-chain
+        mult = F.try_element_at(mult_map, _unit(t))
+        if bare_int:
+            mult = F.coalesce(mult, F.when(_unit(t) == "", F.lit(1.0)))
         # int64(f): out-of-range → clamped (addInt64NoOverflow feeds max)
         return F.coalesce(_try_cast(dval * mult, "long"), F.lit(_I64_MAX_NS))
 
@@ -408,13 +487,13 @@ def _go_compound_col(s: Column, token_re: str, units, bare_int: bool) -> Column:
 def duration_ns_col(c: Column) -> Column:
     """tryParseDuration as a Column: compound duration → int64 ns, NULL
     when not a duration."""
-    return let(c, lambda s: _go_compound_col(s, _GO_DUR_TOKEN_RE, _GO_DUR_UNITS, False))
+    return _go_compound_col(c, _GO_DUR_TOKEN_RE, _GO_DUR_UNITS, False)
 
 
 def bytes_col(c: Column) -> Column:
     """tryParseBytes as a Column: compound size literal (bare integers
     allowed) → int64 bytes, NULL when not a size."""
-    return let(c, lambda s: _go_compound_col(s, _GO_BYTE_TOKEN_RE, _GO_BYTE_UNITS, True))
+    return _go_compound_col(c, _GO_BYTE_TOKEN_RE, _GO_BYTE_UNITS, True)
 
 
 def duration_seconds(c: Column) -> Column:

@@ -167,15 +167,44 @@ def _sort_exprs(df: DataFrame, fields: list[A.SortField], global_desc: bool) -> 
     return exprs
 
 
+def _staged_sort(
+    df: DataFrame, fields: list[A.SortField], global_desc: bool
+) -> tuple[DataFrame, list[Column], list[str]]:
+    """Materialize the natural sort keys as internal columns and return
+    (df+keys, order-by-key-columns, staged names to drop).
+
+    Sort/TakeOrderedAndProject/Window evaluate their SortOrder
+    expressions PER COMPARISON, not per row — with the natural-order
+    keys (regex split + tryParseNumber trees) that multiplied the key
+    cost by the O(log n) comparison count and kept it out of
+    whole-stage codegen (r15 bench: 8× on p_sort_desc_rank). One
+    projection evaluates each key exactly once per row; the staged
+    columns are dropped after the last ordering consumer."""
+    targets = fields or [A.SortField(c, False) for c in df.columns]
+    cols: dict[str, Column] = {}
+    orders: list[Column] = []
+    i = 0
+    for sf in targets:
+        desc = sf.desc != global_desc
+        for k in natural_keys(df, sf.name):
+            name = f"__vl_sk{i}"
+            i += 1
+            cols[name] = k
+            orders.append(qcol(name).desc() if desc else qcol(name).asc())
+    return df.withColumns(cols), orders, list(cols)
+
+
 def _p_sort(p: A.PSort, df: DataFrame, ctx) -> DataFrame:
-    exprs = _sort_exprs(df, p.fields, p.desc)
+    staged, orders, knames = _staged_sort(df, p.fields, p.desc)
     if p.partition_by:
         # per-partition top-k: row_number over a window → filter
         # (reference: pipe_sort.go:44-46 partition by + limit)
-        w = Window.partitionBy(*[fcol(df, f) for f in p.partition_by]).orderBy(*exprs)
+        w = Window.partitionBy(
+            *[fcol(df, f) for f in p.partition_by]
+        ).orderBy(*orders)
         rn = F.row_number().over(w)
         rank_col = p.rank_name or "__rn"
-        df = df.withColumn(rank_col, rn)
+        df = staged.withColumn(rank_col, rn).drop(*knames)
         if p.limit is not None:
             df = df.where(qcol(rank_col) <= p.offset + p.limit)
         if p.offset:
@@ -188,28 +217,27 @@ def _p_sort(p: A.PSort, df: DataFrame, ctx) -> DataFrame:
     if p.rank_name is not None and p.limit is not None:
         # top-k first (TakeOrderedAndProject), then rank the small result —
         # avoids funnelling the full dataset through one window task
-        out = df.orderBy(*exprs).limit(p.offset + p.limit)
-        w = Window.orderBy(*_sort_exprs(out, p.fields, p.desc))
+        out = staged.orderBy(*orders).limit(p.offset + p.limit)
+        w = Window.orderBy(*orders)
         out = out.withColumn(p.rank_name, F.row_number().over(w).cast("string"))
         if p.offset:
             out = out.where(_try_cast(qcol(p.rank_name), "int") > p.offset)
-        return out.orderBy(*_sort_exprs(out, p.fields, p.desc))
+        return out.orderBy(*orders).drop(*knames)
     if p.rank_name is not None:
         # global rank without limit: single-task window — inherent to a total
         # rank; reference is single-node here too (pipe_sort.go)
-        w = Window.orderBy(*exprs)
-        df = df.withColumn(p.rank_name, F.row_number().over(w).cast("string"))
-        out = df
+        w = Window.orderBy(*orders)
+        out = staged.withColumn(p.rank_name, F.row_number().over(w).cast("string"))
     else:
-        out = df
-    out = out.orderBy(*exprs)
+        out = staged
+    out = out.orderBy(*orders)
     if p.limit is not None:
         # Catalyst turns orderBy+limit into TakeOrderedAndProject (top-k heap,
         # same trick as pipe_sort_topk.go)
         out = out.limit(p.offset + p.limit)
     if p.offset:
         out = out.offset(p.offset)
-    return out
+    return out.drop(*knames)
 
 
 def _p_first(p: A.PFirst, df: DataFrame, ctx) -> DataFrame:
@@ -459,10 +487,18 @@ def _histogram_agg(df: DataFrame, sf, by: list[A.ByField], cond: Column | None) 
     if cond is not None:
         v = F.when(cond, v)
     zero_sent = -(10**9)
-    idx = F.when(v.isNull(), F.lit(None)).when(
-        v == 0, F.lit(zero_sent)
-    ).otherwise(F.ceil(F.log10(v) * _BUCKETS_PER_DECADE))
-    lvl1 = df.groupBy(*_by_exprs(df, by), idx.alias("__bi")).agg(
+    # stage v as a column: the CASE below mentions it 3× and a Column
+    # mention copies the whole parse tree (r15 bench on s_histogram);
+    # a staged column evaluates it once per row and, unlike a
+    # higher-order-function let-binding, stays in whole-stage codegen
+    staged = df.withColumn("__vl_hv", v)
+    vv = qcol("__vl_hv")
+    idx = (
+        F.when(vv.isNull(), F.lit(None))
+        .when(vv == 0, F.lit(zero_sent))
+        .otherwise(F.ceil(F.log10(vv) * _BUCKETS_PER_DECADE))
+    )
+    lvl1 = staged.groupBy(*_by_exprs(df, by), idx.alias("__bi")).agg(
         F.count(F.lit(1)).alias("__h")
     )
     keys = [c for c in lvl1.columns if c not in ("__bi", "__h")]
@@ -630,9 +666,17 @@ def _math_num(df: DataFrame, name: str) -> Column:
     )
     # tryParseNumber's fallbacks: duration, then SIZE literals ('10KB'
     # in math — block_result.go:2710; the lenient in-house duration
-    # regex was retired for the tryParseDuration Column replica)
-    dur_val = duration_ns_col(v).cast("double")
-    byte_val = bytes_col(v).cast("double")
+    # regex was retired for the tryParseDuration Column replica).
+    # The scanners take a pre-gated INPUT (NULL whenever their result
+    # cannot matter): codegen subexpression elimination evaluates
+    # conditional branches eagerly, so an output-level when() gate does
+    # not stop the parse — a NULL argument null-propagates for ~free
+    # (r15 bench; same rule as functions/natural.natural_num). Literals
+    # always start '-'?[0-9._]; rows where the plain/hex cast already
+    # decided never read the scanner outputs.
+    gated = F.when(base.isNull() & ~hex_ok & v.rlike("^-?[0-9._]"), v)
+    dur_val = duration_ns_col(gated).cast("double")
+    byte_val = bytes_col(gated).cast("double")
     ts_val = (F.unix_micros(F.try_to_timestamp(v)) * F.lit(1000.0))
     ip_ok = v.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
     ip_val = ipv4_num(v).cast("double")
