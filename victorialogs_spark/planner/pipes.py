@@ -175,22 +175,37 @@ def _staged_sort(
 
     Sort/TakeOrderedAndProject/Window evaluate their SortOrder
     expressions PER COMPARISON, not per row — with the natural-order
-    keys (regex split + tryParseNumber trees) that multiplied the key
-    cost by the O(log n) comparison count and kept it out of
-    whole-stage codegen (r15 bench: 8× on p_sort_desc_rank). One
-    projection evaluates each key exactly once per row; the staged
-    columns are dropped after the last ordering consumer."""
+    keys over STRING fields (text-key encoding + tryParseNumber trees)
+    that multiplied the key cost by the comparison count (r15 bench:
+    8× on p_sort_desc_rank; interleaved A/B on a text-field sort:
+    staged 3.9 s vs unstaged 13.7 s). One projection evaluates each
+    key exactly once per row; the staged columns are dropped after the
+    last ordering consumer. TYPED (numeric/timestamp) fields keep
+    their raw key expressions: those keys are a cast or column ref,
+    per-comparison evaluation is lazy (later tie-break keys almost
+    never evaluate), and staging them measured SLOWER (tpch_top_orders
+    0.62 → 0.85 s best, same A/B)."""
+    from victorialogs_spark.functions.natural import _DIRECT_DOUBLE_TYPES
+
     targets = fields or [A.SortField(c, False) for c in df.columns]
+    dtypes = dict(df.dtypes)
     cols: dict[str, Column] = {}
     orders: list[Column] = []
     i = 0
     for sf in targets:
         desc = sf.desc != global_desc
+        dt = dtypes.get(sf.name)
+        cheap = dt == "timestamp" or dt in _DIRECT_DOUBLE_TYPES
         for k in natural_keys(df, sf.name):
+            if cheap:
+                orders.append(k.desc() if desc else k.asc())
+                continue
             name = f"__vl_sk{i}"
             i += 1
             cols[name] = k
             orders.append(qcol(name).desc() if desc else qcol(name).asc())
+    if not cols:
+        return df, orders, []
     return df.withColumns(cols), orders, list(cols)
 
 
