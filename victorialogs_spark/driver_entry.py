@@ -85,11 +85,31 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 LOGSQL_TEXT: dict[str, str] = {}
 
 
-def logsql(name: str, query: str, sql: str | None = None, table: str = "__logs__"):
-    """Register a LogsQL query (over the events log view by default)."""
+def logsql(
+    name: str,
+    query: str,
+    sql: str | None = None,
+    table: str = "__logs__",
+    spread: bool = False,
+):
+    """Register a LogsQL query (over the events log view by default).
+
+    ``spread=True`` loads the table through the size-scaled round-robin
+    repartition (_spread): the r13 rule — compute-bound stages are worth
+    one exchange of their input, codegen'd scans are not — extended to
+    exact-decimal aggregation entries whose per-row Decimal work
+    dominates a single-row-group scan (r15 interleaved A/B:
+    tpch_pricing_summary 0.98 → 0.78 s; top_orders/s_histogram measured
+    WORSE with it and stay plain). Decimal sums are exact-associative,
+    so partitioning cannot change results."""
 
     def fn(spark: SparkSession, sf_dir: str, _q=query, _t=table) -> DataFrame:
-        df = _logs(spark, sf_dir) if _t == "__logs__" else _table(spark, sf_dir, _t)
+        if _t == "__logs__":
+            df = _logs(spark, sf_dir)
+        elif spread:
+            df = _spread(spark, sf_dir, _t)
+        else:
+            df = _table(spark, sf_dir, _t)
         return run_query(spark, df, _q)
 
     fn.__name__ = f"q_{name}"
@@ -847,6 +867,7 @@ logsql(
     f" {dsum('l_extendedprice')} AS sum_price, {davg('l_discount')} AS avg_disc,"
     " COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus",
     table="lineitem",
+    spread=True,
 )
 logsql(
     "tpch_top_orders",
