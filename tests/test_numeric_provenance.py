@@ -1,0 +1,113 @@
+"""Provenance-marked stringified-numeric columns (functions/natural.py
+numeric_provenance) must behave EXACTLY like unmarked string columns of
+the same values on every natural-order / tryParseNumber consumer — the
+mark only licenses dropping expression trees that provably cannot fire
+(duration/size scanners, LessNatural run encoder), it must never change
+a result.
+
+The equivalence is exercised end-to-end: the same value set runs once
+through a frame whose column came from normalize_log_df's numeric cast
+(marked) and once through a frame built from the identical strings with
+no provenance (general path), over the operators that consume natural
+order or parseMathNumber. Adversarial values include the injectivity
+edge cases from the numeric_provenance proof: -0.0 vs 0.0, NaN,
+±Infinity, E-notation boundaries, int64 beyond 2⁵³ (equal-double,
+distinct-string pairs), and NULL → ''.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+DOUBLES = [
+    0.0, -0.0, 1.0, -1.0, 0.5, -0.5, 123.456, -123.456,
+    float("nan"), float("inf"), float("-inf"), None,
+    1e7, 9999999.0, 10000001.0, -1e7,          # E-notation boundary (1e7)
+    1e-3, 9.99e-4, -1e-3,                       # E-notation boundary (1e-3)
+    5e-324, 1.7976931348623157e308,             # extremes
+    float(2**53), float(2**53) + 2.0,
+]
+
+LONGS = [
+    0, 1, -1, 10, 2, 9, 100, None,
+    2**53, 2**53 + 1, 2**53 + 2,                # distinct longs, equal doubles
+    -(2**53), -(2**53) - 1,                     # negative equal-double pair
+    (1 << 63) - 1, -(1 << 63),
+]
+
+
+def _frames(spark, vals, typ):
+    """(marked, unmarked) log frames holding the same string values."""
+    from victorialogs_spark.schema import normalize_log_df
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    typed = spark.createDataFrame(rows, f"rid bigint, v {typ}")
+    marked = normalize_log_df(typed.select("v"))
+    # same strings, no provenance: rebuild through a non-attribute
+    # expression so Catalyst drops the metadata
+    unmarked = marked.select(
+        F.concat(F.col("v"), F.lit("")).alias("v")
+    )
+    return marked, unmarked
+
+
+QUERIES = [
+    "* | sort by (v) limit 1000 rank as r | fields v, r",
+    "* | sort by (v) desc limit 1000 rank as r | fields v, r",
+    "* | stats min(v) as lo, max(v) as hi, uniq_values(v) as u,"
+    " quantile(0.4, v) as q, histogram(v) as h",
+    "* | filter v:>1 | fields v",
+    "* | filter v:range(-2, 9999999] | fields v",
+    "* | math v * 2 as m | fields v, m",
+]
+
+
+@pytest.mark.parametrize("typ,vals", [("double", DOUBLES), ("bigint", LONGS)])
+def test_marked_equals_general_path(spark, typ, vals):
+    from victorialogs_spark.api import run_query
+    from victorialogs_spark.functions.natural import numeric_provenance
+
+    marked, unmarked = _frames(spark, vals, typ)
+    assert numeric_provenance(marked, "v")
+    assert not numeric_provenance(unmarked, "v")
+    for q in QUERIES:
+        got = [tuple(r) for r in run_query(spark, marked, q).collect()]
+        want = [tuple(r) for r in run_query(spark, unmarked, q).collect()]
+        assert got == want, q
+
+
+def test_marked_sort_plan_is_scanner_free(spark):
+    """The point of the mark: the HOF-bearing scanners/run-encoder
+    (CodegenFallback — they evict the whole Project from whole-stage
+    codegen) must be absent from a marked column's sort plan and present
+    in the unmarked one."""
+    from victorialogs_spark.api import run_query
+
+    marked, unmarked = _frames(spark, DOUBLES, "double")
+    q = "* | sort by (v) desc limit 5 rank as r | fields v, r"
+    plan_m = run_query(spark, marked, q)._jdf.queryExecution().executedPlan().toString()
+    plan_u = run_query(spark, unmarked, q)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("regexp_extract_all", "forall", "aggregate("):
+        assert marker not in plan_m, marker
+    assert "regexp_extract_all" in plan_u
+
+
+def test_mark_drops_on_rewrite(spark):
+    """A pipe that rewrites the column value (format) must lose the mark:
+    its output can be an arbitrary string."""
+    from victorialogs_spark.api import run_query
+    from victorialogs_spark.functions.natural import numeric_provenance
+
+    marked, _ = _frames(spark, DOUBLES, "double")
+    out = run_query(spark, marked, '* | format "x<v>" as v')
+    assert not numeric_provenance(out, "v")
+    # and the rewritten values sort through the general path correctly
+    df = spark.createDataFrame([(2.0,), (10.0,)], "v double")
+    from victorialogs_spark.schema import normalize_log_df
+
+    logs = normalize_log_df(df)
+    r = run_query(
+        spark, logs, '* | format "x<v>" as v | sort by (v) | fields v'
+    ).collect()
+    assert [x["v"] for x in r] == ["x2.0", "x10.0"]  # natural, not lexicographic

@@ -87,6 +87,52 @@ def fcol(df: DataFrame, name: str) -> Column:
 # re-parses through double to a different value than a widening cast.
 _DIRECT_DOUBLE_TYPES = ("double", "int", "bigint", "smallint", "tinyint", "long")
 
+# Column-metadata provenance marker: normalize_log_df stamps it on string
+# columns it produced by casting a typed numeric column (NULL → '').
+# Catalyst propagates attribute metadata through select/filter/rename/copy
+# and DROPS it whenever the column is rebuilt from a non-attribute
+# expression (union/join rewraps, format/extract/unpack writes), so the
+# mark is present only while the value domain is provably
+# { '' } ∪ { Spark string cast of a `t` value }.
+NUMSRC_KEY = "__vl_numsrc"
+_NUMSRC_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "long", "double", "float"}
+)
+
+
+def numeric_provenance(df: DataFrame, name: str) -> bool:
+    """True when every value of string column ``name`` provably came from
+    Spark's string cast of a typed numeric column ('' for NULL). On such
+    columns the natural-order/tryParseNumber machinery collapses to a
+    plain try_cast:
+
+    - the duration/size scanners can never fire (their gate needs
+      try_cast to fail AND a '-'?[0-9._] start; the only non-casting
+      value is '', which fails the start shape), and
+    - the LessNatural text key never decides an order: string→double
+      parse is injective on this domain (each cast output re-parses to
+      exactly its source value widened to double; distinct sources give
+      distinct strings give distinct doubles — for int64 beyond 2⁵³,
+      equal-double pairs are same-sign equal-length digit strings, where
+      raw byte order ≡ the digit-run numeric order), so rows tying on
+      (is-numeric, value) carry IDENTICAL strings and the raw string is
+      an order-equivalent tiebreak.
+
+    Dropping those trees matters structurally: the scanners/encoder use
+    higher-order functions, which are CodegenFallback, and one such
+    expression excludes the whole enclosing Project/Filter from
+    whole-stage codegen (r15 bench: 8× on p_sort_desc_rank)."""
+    if name not in df.columns:
+        return False
+    fld = df.schema[name]
+    if fld.dataType.typeName() != "string":
+        return False
+    try:
+        md = fld.metadata or {}
+    except Exception:
+        return False
+    return md.get(NUMSRC_KEY) in _NUMSRC_TYPES
+
 
 def num(df: DataFrame, name: str) -> Column:
     """Numeric view of a field: double, NULL when not parseable. Typed
@@ -211,6 +257,12 @@ def natural_num(df: DataFrame, name: str) -> Column:
     dt = dict(df.dtypes).get(name)
     if name in df.columns and (dt == "timestamp" or dt in _DIRECT_DOUBLE_TYPES):
         return n  # typed columns never hold duration/size strings
+    if numeric_provenance(df, name):
+        # provenance-marked stringified numerics: the scanners can never
+        # fire (see numeric_provenance) — returning the plain numeric
+        # view keeps the expression HOF-free, so the enclosing
+        # Project/Filter stays in whole-stage codegen
+        return n
     s = fcol(df, name)
     # Gate the compound scanners on their INPUT, not around their
     # output: codegen subexpression elimination evaluates conditional
@@ -244,8 +296,31 @@ def natural_keys(df: DataFrame, name: str) -> list[Column]:
     return [
         F.when(n.isNotNull(), F.lit(0)).otherwise(F.lit(1)),
         F.coalesce(n, F.lit(0.0)),
-        natural_text_key(fcol(df, name)),
+        natural_tiebreak(df, name),
     ]
+
+
+def natural_tiebreak(df: DataFrame, name: str) -> Column:
+    """The third natural-order key: LessNatural over the string value.
+    Provenance-marked stringified numerics use the RAW string behind a
+    one-byte digit-start discriminator — on the marked domain the only
+    pairs that reach this key with DISTINCT strings are '-0.0' vs '0.0'
+    (Spark's double ordering normalizes ±0.0 equal; parse is injective
+    otherwise — see numeric_provenance) and equal-double int64 pairs
+    beyond 2⁵³ (same sign, same digit count, raw byte order ≡ numeric
+    run order). The \\x01/\\x02 prefix reproduces the run encoder's rule
+    for the former (digit-start sorts before sign-start: d_enc emits
+    \\x01, a text run \\x02), so order matches natural_text_key on every
+    reachable pair while staying free of the run-encoder's higher-order
+    function (whole-stage codegen)."""
+    s = fcol(df, name)
+    if numeric_provenance(df, name):
+        first = F.ascii(s)
+        digit = (first >= 48) & (first <= 57)
+        return F.when(digit, F.concat(F.lit("\x01"), s)).otherwise(
+            F.concat(F.lit("\x02"), s)
+        )
+    return natural_text_key(s)
 
 
 def format_number(c: Column) -> Column:

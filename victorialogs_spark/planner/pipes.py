@@ -185,7 +185,10 @@ def _staged_sort(
     per-comparison evaluation is lazy (later tie-break keys almost
     never evaluate), and staging them measured SLOWER (tpch_top_orders
     0.62 → 0.85 s best, same A/B)."""
-    from victorialogs_spark.functions.natural import _DIRECT_DOUBLE_TYPES
+    from victorialogs_spark.functions.natural import (
+        _DIRECT_DOUBLE_TYPES,
+        numeric_provenance,
+    )
 
     targets = fields or [A.SortField(c, False) for c in df.columns]
     dtypes = dict(df.dtypes)
@@ -195,7 +198,11 @@ def _staged_sort(
     for sf in targets:
         desc = sf.desc != global_desc
         dt = dtypes.get(sf.name)
-        cheap = dt == "timestamp" or dt in _DIRECT_DOUBLE_TYPES
+        cheap = (
+            dt == "timestamp"
+            or dt in _DIRECT_DOUBLE_TYPES
+            or numeric_provenance(df, sf.name)
+        )
         for k in natural_keys(df, sf.name):
             if cheap:
                 orders.append(k.desc() if desc else k.asc())
@@ -671,10 +678,20 @@ def _math_num(df: DataFrame, name: str) -> Column:
         bytes_col,
         duration_ns_col,
         ipv4_num,
+        numeric_provenance,
     )
 
     v = fcol(df, name)
     base = _try_cast(v, "double")
+    if numeric_provenance(df, name):
+        # provenance-marked stringified numerics: hex needs '0x', the
+        # scanners need a failed cast with a literal start-shape ('' is
+        # the only non-casting value and fails it), IPv4 needs a dotted
+        # quad, and the timestamp fallback is reached only for '' (NULL
+        # through). The plain cast is the whole parse — and the
+        # HOF-bearing scanners stay out of the Filter/Project, keeping
+        # it in whole-stage codegen (see numeric_provenance).
+        return base
     hex_ok = v.rlike(r"^0[xX][0-9a-fA-F]{1,16}$")
     hex_val = _try_cast(
         F.conv(F.regexp_replace(v, r"^0[xX]", ""), 16, 10), "double"

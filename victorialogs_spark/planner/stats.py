@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from victorialogs_spark.functions.casts import _try_cast
 
-from victorialogs_spark.functions.natural import fcol, natural_text_key, num
+from victorialogs_spark.functions.natural import fcol, num
 from victorialogs_spark.logsql import ast as A
 
 
@@ -98,7 +98,7 @@ def _natural_struct(df: DataFrame, f: str) -> Column:
     with '' as the SMALLEST value — lessString byte-compares '' below
     everything, and the stats_min pipe tests pin that a missing field
     (≡ '') wins min (r15 stats-semantics corpus finding)."""
-    from victorialogs_spark.functions.natural import natural_num
+    from victorialogs_spark.functions.natural import natural_num, natural_tiebreak
 
     s = fcol(df, f)
     n = natural_num(df, f)
@@ -111,8 +111,10 @@ def _natural_struct(df: DataFrame, f: str) -> Column:
         F.coalesce(nn, F.lit(0.0)).alias("k1"),
         # non-numeric pairs compare like LessNatural ('9' < '10' even as
         # text); the encoding is injective, so 'v' never decides order —
-        # it just carries the original value for projection
-        natural_text_key(s).alias("k2"),
+        # it just carries the original value for projection.
+        # (provenance-marked columns substitute the raw string — see
+        # natural_tiebreak — which keeps the struct HOF-free)
+        natural_tiebreak(df, f).alias("k2"),
         s.alias("v"),
     )
 

@@ -38,6 +38,8 @@ def normalize_log_df(
         out = out.withColumn("_time", F.col("_time").cast("timestamp"))
     if msg_col and msg_col in out.columns and msg_col != "_msg":
         out = out.withColumn("_msg", F.col(msg_col).cast("string"))
+    from victorialogs_spark.functions.natural import NUMSRC_KEY, _NUMSRC_TYPES
+
     for c, t in out.dtypes:
         if c == "_time" or c.startswith("__"):
             # '__'-prefixed columns are engine-internal (e.g. __time_nanos,
@@ -45,7 +47,17 @@ def normalize_log_df(
             # string-coerced, never user-visible
             continue
         if t != "string":
-            out = out.withColumn(c, F.coalesce(F.col(c).cast("string"), F.lit("")))
+            col = F.coalesce(F.col(c).cast("string"), F.lit(""))
+            if t in _NUMSRC_TYPES:
+                # provenance mark: every value of this string column is ''
+                # or the cast of a `t`-typed numeric — natural-order /
+                # tryParseNumber consumers collapse to a plain try_cast
+                # (functions/natural.numeric_provenance has the proof).
+                # Catalyst drops the mark whenever the column is rebuilt
+                # from a non-attribute expression, so it never outlives
+                # the invariant.
+                col = col.alias(c, metadata={NUMSRC_KEY: t})
+            out = out.withColumn(c, col)
         else:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
     if stream_fields:
