@@ -77,6 +77,48 @@ def test_marked_equals_general_path(spark, typ, vals):
         assert got == want, q
 
 
+@pytest.mark.parametrize("typ,vals", [("double", DOUBLES), ("bigint", LONGS)])
+def test_typed_equals_general_path(spark, typ, vals):
+    """TYPED numeric columns share the provenance proof verbatim
+    (natural_tiebreak): a query over the raw typed frame (the layout
+    read path — compact_table re-encodes numeric strings typed) must
+    return exactly what the same values as plain unmarked strings
+    return, over every natural-order / tryParseNumber consumer."""
+    from victorialogs_spark.api import run_query
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    typed = spark.createDataFrame(rows, f"rid bigint, v {typ}").select("v")
+    _, unmarked = _frames(spark, vals, typ)
+    for q in QUERIES:
+        out = run_query(spark, typed, q)
+        # typed frames legitimately return typed output columns; the
+        # string frame returns their Spark-cast rendering (normalize_log_df's
+        # exact conversion) — apply the same cast so only ORDER/VALUES
+        # can differ
+        out = out.select(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c)
+                for c in out.columns
+            ]
+        )
+        got = [tuple(r) for r in out.collect()]
+        want = [tuple(r) for r in run_query(spark, unmarked, q).collect()]
+        assert got == want, q
+
+
+def test_typed_sort_plan_is_scanner_free(spark):
+    """The run encoder must be absent from a typed column's sort plan
+    too — it was the layout-bench p_sort_desc_rank regression (the
+    text tiebreak over cast(col as string) ran per heap comparison)."""
+    from victorialogs_spark.api import run_query
+
+    typed = spark.createDataFrame([(v,) for v in DOUBLES], "v double")
+    q = "* | sort by (v) desc limit 5 rank as r | fields v, r"
+    plan = run_query(spark, typed, q)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("regexp_extract_all", "forall", "aggregate("):
+        assert marker not in plan, marker
+
+
 def test_marked_sort_plan_is_scanner_free(spark):
     """The point of the mark: the HOF-bearing scanners/run-encoder
     (CodegenFallback — they evict the whole Project from whole-stage

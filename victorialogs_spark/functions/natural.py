@@ -312,9 +312,22 @@ def natural_tiebreak(df: DataFrame, name: str) -> Column:
     for the former (digit-start sorts before sign-start: d_enc emits
     \\x01, a text run \\x02), so order matches natural_text_key on every
     reachable pair while staying free of the run-encoder's higher-order
-    function (whole-stage codegen)."""
+    function (whole-stage codegen).
+
+    TYPED numeric columns (_DIRECT_DOUBLE_TYPES) share the proof
+    verbatim: fcol's domain there is exactly the marked one —
+    { '' (NULL) } ∪ { Spark string cast of the typed value } — the
+    numeric key IS the column (no parse), and the two reachable
+    distinct-string tie classes are the same (±0.0, int64 > 2⁵³;
+    int64 casts are ≤ 19 digits and double casts switch to E-notation
+    well before 20 digits, so the encoder's >19-digit fallback never
+    splits a tie differently). Without this, a typed sort/min/max
+    carried the full run encoder over cast(col as string) per
+    comparison — r15 bench: layout p_sort_desc_rank ~2.3×,
+    tpch_top_orders ~1.4×."""
     s = fcol(df, name)
-    if numeric_provenance(df, name):
+    dt = dict(df.dtypes).get(name)
+    if numeric_provenance(df, name) or dt in _DIRECT_DOUBLE_TYPES:
         first = F.ascii(s)
         digit = (first >= 48) & (first <= 57)
         return F.when(digit, F.concat(F.lit("\x01"), s)).otherwise(
