@@ -55,6 +55,17 @@ def test_cc_star_and_duplicate_pairs(spark):
     assert got == {5: 5, 7: 5, 8: 5, 9: 5}
 
 
+def test_cc_raw_overflow_distinct_reprobe(spark):
+    # the raw CollectLimit probe overflows a cap of 3 (6 raw rows) but
+    # the distinct re-probe fits (2 undirected edges) — the driver path
+    # must still be taken and produce the exact components; same edges
+    # through the distributed path (cap=0) agree
+    edges = [(1, 2), (2, 1), (1, 2), (3, 4), (4, 3), (3, 4)]
+    want = {1: 1, 2: 1, 3: 3, 4: 3}
+    assert _cc_dict(spark, edges, driver_edge_cap=3) == want
+    assert _cc_dict(spark, edges, driver_edge_cap=0) == want
+
+
 def test_dup_clusters_backfills_singletons(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"

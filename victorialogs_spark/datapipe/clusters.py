@@ -125,12 +125,12 @@ def connected_components(
 
     Hybrid execution, same pattern as Spark's own broadcast-join
     threshold: near-dup pair graphs are tiny relative to the corpus
-    (a few duplicate edges per thousand docs), so when the distinct
-    UNDIRECTED edge count is ≤ ``driver_edge_cap`` (default 2M; counted
-    on the materialized edge set BEFORE collecting anything, and pulled
-    via Arrow as two int64 numpy columns — the u < v half only, ≈ 32 MB
-    at the cap plus the transient Python tuple iteration) the
-    components are solved with driver-side
+    (a few duplicate edges per thousand docs), so when the UNDIRECTED
+    edge count is ≤ ``driver_edge_cap`` (default 2M; a bounded
+    CollectLimit pull via Arrow as two int64 columns — the u < v half
+    only, ≈ 32 MB at the cap — raw first, with a distinct re-probe only
+    if raw overflows the cap, since driver union-find tolerates
+    duplicate edges) the components are solved with driver-side
     union-find in one pass — milliseconds instead of one Spark job per
     star round. Larger graphs take the distributed star path unchanged.
 
@@ -158,7 +158,6 @@ def connected_components(
     ).where(F.col("u") != F.col("v")).where(
         F.col("u").isNotNull() & F.col("v").isNotNull()
     )
-    distinct_edges = edges.distinct()
     # ONE bounded action decides the path AND delivers the edges: collect
     # at most cap+1 rows (CollectLimit — never an unbounded pull); > cap
     # rows means the probe is discarded and the distributed path runs.
@@ -166,7 +165,19 @@ def connected_components(
     # three driver actions on what is almost always a tiny edge set —
     # the r15 sf1 attribution put the CC preamble at +0.52 s over pair
     # generation, mostly these round trips.
-    pdf = distinct_edges.limit(driver_edge_cap + 1).toPandas()
+    #
+    # The probe collects RAW (u < v) edges, not distinct ones: union-find
+    # is duplicate-tolerant and the usual pair generators (grouped
+    # aggregations) emit each pair once anyway, so skipping the distinct
+    # removes a whole exchange from the common path (r15 A/B at sf0.1:
+    # distinct+collect 0.67-0.79 s vs raw collect 0.59-0.72 s, identical
+    # 256-edge result). Only when the raw count exceeds the cap — mirror
+    # -duplicated caller input, or a genuinely big graph — does the
+    # distinct probe run, preserving the exact path decision (raw <= cap
+    # implies distinct <= cap; raw > cap with distinct <= cap re-probes).
+    pdf = edges.limit(driver_edge_cap + 1).toPandas()
+    if len(pdf) > driver_edge_cap:
+        pdf = edges.distinct().limit(driver_edge_cap + 1).toPandas()
     if len(pdf) <= driver_edge_cap:
         comp = _driver_union_find(
             zip(pdf["u"].to_numpy().tolist(), pdf["v"].to_numpy().tolist())
@@ -176,7 +187,7 @@ def connected_components(
         return spark.createDataFrame(
             list(comp.items()), "node long, component long"
         )
-    cur = distinct_edges.localCheckpoint(eager=True)
+    cur = edges.distinct().localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter + 1):
         stepped = _star_round(_symmetric(cur), large=True)
