@@ -78,6 +78,25 @@ def test_marked_equals_general_path(spark, typ, vals):
 
 
 @pytest.mark.parametrize("typ,vals", [("double", DOUBLES), ("bigint", LONGS)])
+def test_marked_sum_avg_equals_general_path(spark, typ, vals):
+    """sum/avg parse through _decimal_src, whose marked branch collapses
+    strict_float_str to a single E-notation exclusion. The two gates
+    must accept/reject IDENTICALLY on the marked domain — exercised over
+    the E-form boundaries (1e7, 1e-3), NaN/±Infinity, ±0.0, int64
+    extremes and NULL→''. (Not in the shared QUERIES list: the typed
+    twin legitimately DIFFERS here — a typed double 1e7 sums directly
+    while its string rendering '1.0E7' is rejected by the parse gate —
+    so this equivalence is marked-vs-unmarked strings only.)"""
+    from victorialogs_spark.api import run_query
+
+    marked, unmarked = _frames(spark, vals, typ)
+    q = "* | stats sum(v) as s, avg(v) as a"
+    got = [tuple(r) for r in run_query(spark, marked, q).collect()]
+    want = [tuple(r) for r in run_query(spark, unmarked, q).collect()]
+    assert got == want
+
+
+@pytest.mark.parametrize("typ,vals", [("double", DOUBLES), ("bigint", LONGS)])
 def test_typed_equals_general_path(spark, typ, vals):
     """TYPED numeric columns share the provenance proof verbatim
     (natural_tiebreak): a query over the raw typed frame (the layout

@@ -135,13 +135,39 @@ def _decimal_src(df: DataFrame, field: str) -> Column:
     """Source column for decimal(38,9) accumulation: typed numeric columns
     skip the fcol() double→string→decimal round-trip — 3 string
     conversions per row per function in the hot aggregate path, measured
-    ~40% of tpch_pricing_summary wall at sf0.1 — with identical results."""
+    ~40% of tpch_pricing_summary wall at sf0.1 — with identical results.
+
+    Provenance-MARKED string columns (every value is '' or Spark's cast
+    of an int/float/double — numeric_provenance) collapse the strict
+    gate to a single E-notation exclusion, with identical accepts on
+    that domain:
+
+    - int casts: plain '-'?digits, no leading zeros, ≤ 20 chars ≤ 27,
+      |v| ≤ 2⁶³ < 1.845e19 — strict accepts, and so does the shortcut
+      (no 'E');
+    - float/double casts: Java toString emits f-form exactly for
+      1e-3 ≤ |v| < 1e7 (plus ±0.0) — ≤ 19 chars, magnitude fine, strict
+      accepts; everything else is E-form / 'NaN' / '±Infinity', which
+      strict rejects by shape and the shortcut rejects via contains('E')
+      or the downstream try_cast→NULL ('N'/'I' forms, '');
+    - '_' separators and >27-char shapes cannot occur, so the translate
+      and the length/magnitude guards are dead on this domain.
+
+    decimal-typed sources stay on the DIRECT branch above (exact cast),
+    never the mark (schema.py marks _NUMSRC_TYPES only) — important
+    because a decimal(38,_) can render >27 chars, where the strict gate
+    REJECTS and this shortcut must not be reached."""
     dt = dict(df.dtypes).get(field)
     if dt in _DIRECT_DECIMAL_TYPES or (dt or "").startswith("decimal"):
         from victorialogs_spark.functions.natural import qcol
 
         return qcol(field)
-    return strict_float_str(fcol(df, field))
+    from victorialogs_spark.functions.natural import numeric_provenance
+
+    c = fcol(df, field)
+    if numeric_provenance(df, field):
+        return F.when(~c.contains("E"), c)
+    return strict_float_str(c)
 
 
 def strict_float_str(c: Column) -> Column:
