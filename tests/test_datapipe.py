@@ -1684,6 +1684,58 @@ def test_ngram_engines_agree_on_unicode_whitespace(spark):
     assert arrow == jvm and arrow  # non-empty and engine-identical
 
 
+def test_gram_hash_equality_structure_matches_gram_strings(spark):
+    """r15 wave 6: token_ngram_hashes_arrow folds token hashes with a
+    seeded polynomial instead of hashing joined gram strings. The hashes
+    are consumed for EQUALITY only, so the pinned contract is the
+    equality structure: per-doc distinct-gram counts and every cross-doc
+    shared-gram count must match the gram-STRING reference exactly
+    (short docs below n, empty docs, duplicate docs, unicode-whitespace
+    tokens included)."""
+    import re as _re
+
+    from victorialogs_spark.datapipe.dedup import token_ngram_hashes_arrow
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup
+        (3, "short doc"),  # below n -> one whole-sequence gram
+        (4, "short doc"),  # equal short doc shares it
+        (5, "short  doc"),  # same tokens after split -> same gram
+        (6, "doc short"),  # same tokens, other order -> different gram
+        (7, ""),  # empty -> the shared empty gram
+        (8, None),  # NULL text == empty
+        (9, "a\xa0b c d e f g"),  # \xa0 is ONE token char, not a split
+    ]
+    n = 5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", token_ngram_hashes_arrow("text", n).alias("g")
+        ).collect()
+    }
+
+    ws = _re.compile(r"[ \t\n\r\f\v]+")
+
+    def ref_grams(text):
+        toks = [t for t in ws.split((text or "").lower()) if t]
+        if len(toks) < n:
+            return {" ".join(toks)} if toks else {""}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ref = {i: ref_grams(t) for i, t in rows}
+    for i in ref:
+        assert len(set(got[i])) == len(got[i]) == len(ref[i]), i
+    for i in ref:
+        for j in ref:
+            if i < j:
+                assert len(set(got[i]) & set(got[j])) == len(
+                    ref[i] & ref[j]
+                ), (i, j)
+
+
 def test_ivf_training_survives_bad_sample_vectors(spark):
     """Eighth-pass hardening: a NULL, truncated, or NaN-bearing embedding
     inside the training sample must not kill centroid training (np.stack

@@ -454,34 +454,82 @@ def token_ngrams_arrow(c_name: str, n: int = 3):
 
 
 def token_ngram_hashes_arrow(c_name: str, n: int = 3):
-    """Distinct word n-grams PRE-HASHED to int64 inside the pandas UDF
-    (``pd.util.hash_array`` over the whole batch — one C call). Emitting
-    fixed-width longs instead of gram strings shrinks the Arrow transfer
-    and removes the JVM-side string re-hash; a 64-bit collision merging two
-    grams is ~2^-64 per pair — negligible for dedup, same property as the
-    xxhash64 it replaces."""
+    """Distinct word n-grams PRE-HASHED to int64 inside the pandas UDF.
+    Emitting fixed-width longs instead of gram strings shrinks the Arrow
+    transfer and removes the JVM-side string re-hash.
+
+    Gram identity is the n-token sequence, so instead of building and
+    hashing every joined gram STRING (~n× the token bytes, one Python
+    ``" ".join`` + set insert per gram), the TOKENS are hashed once per
+    batch (``pd.util.hash_array`` — SipHash, fixed key, stable across
+    processes) and each window of n token hashes is folded with a seeded
+    64-bit polynomial (FNV-64 constants), vectorized as one
+    ``sliding_window_view @ powers`` over the whole batch's token array —
+    the same idiom ``_token_window_hashes`` uses. Equal token sequences
+    hash equal; distinct sequences (including cross-length short-doc
+    grams — the seed term is length-dependent) collide with ~2^-64 per
+    pair, the same negligible-for-dedup class as hashing the joined
+    string (r14) or the xxhash64 that preceded it. Every consumer uses
+    these hashes for EQUALITY only (posting-list grouping, shared-gram
+    counts, decontamination semi-joins) — results never read the hash
+    values, so the fold change is invisible up to that collision class.
+    Measured (r15 wave 6, tools/ab_gram_poly.py interleaved): sf1
+    gram+explode best 1.618 → 0.833 s (0.52×), dp_ngram_jaccard best
+    3.76 → 2.31 s (0.61×); sf0.1 a wash (short docs — the per-doc
+    Python slicing overhead offsets the vectorized fold). Adopted on
+    the sf1 evidence: gram volume grows with corpus size, the per-doc
+    constant does not."""
     import numpy as np
     import pandas as pd
+
+    _P = 0x100000001B3  # FNV-64 prime
+    _SEED = 0xCBF29CE484222325  # FNV-64 offset basis
+    _MASK = (1 << 64) - 1
+    # powers[j] = P^(n-1-j) so window @ powers = Horner fold of the window
+    powers = np.array(
+        [pow(_P, j, 1 << 64) for j in range(n - 1, -1, -1)], dtype=np.uint64
+    )
+    seed_full = np.uint64((_SEED * pow(_P, n, 1 << 64)) & _MASK)
 
     def _gram_hashes(series):
         texts = series.tolist()
         if not texts:
             return pd.Series([], dtype=object)
+        tok_lists = [ascii_tokens(t) for t in texts]  # engine-aligned split
         flat: list = []
-        counts = []
-        for text in texts:
-            toks = ascii_tokens(text)  # engine-aligned split (see above)
-            if len(toks) < n:
-                g = [" ".join(toks)] if toks else [""]
-            else:
-                g = list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
-            flat.extend(g)
-            counts.append(len(g))
-        hs = pd.util.hash_array(np.asarray(flat, dtype=object)).view(np.int64)
-        out = []
+        for toks in tok_lists:
+            flat.extend(toks)
+        th = (
+            pd.util.hash_array(np.asarray(flat, dtype=object)).view(np.uint64)
+            if flat
+            else np.empty(0, dtype=np.uint64)
+        )
+        # full-batch window fold; positions crossing a doc boundary are
+        # never referenced (each doc slices only its own c-n+1 windows)
+        win = (
+            np.lib.stride_tricks.sliding_window_view(th, n) @ powers + seed_full
+            if len(th) >= n
+            else np.empty(0, dtype=np.uint64)
+        )
+        out: list = []
         pos = 0
-        for c in counts:
-            out.append(hs[pos : pos + c].tolist())
+        for toks in tok_lists:
+            c = len(toks)
+            if c == 0:
+                # the empty doc's single "" gram: the bare seed, shared by
+                # every empty doc (same pairing semantics as hashing "")
+                out.append([_SEED - (1 << 64) if _SEED >> 63 else _SEED])
+            elif c < n:
+                # whole-sequence gram (Python-int Horner — numpy scalar
+                # uint64 overflow warns; arrays above wrap silently)
+                acc = _SEED
+                for h in th[pos : pos + c].tolist():
+                    acc = (acc * _P + h) & _MASK
+                out.append([acc - (1 << 64) if acc >> 63 else acc])
+            else:
+                out.append(
+                    np.unique(win[pos : pos + c - n + 1]).view(np.int64).tolist()
+                )
             pos += c
         return pd.Series(out)
 

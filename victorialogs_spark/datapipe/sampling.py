@@ -118,10 +118,11 @@ def decontaminate_ngrams(
     diverge between the two plan branches that reference it) explode to
     (fp, gram-hash), inner-join the held-out set, count shared grams
     per content, and anti-join contents at/above the cutoff. Grams ship
-    as 64-bit hashes (pandas ``hash_array`` SipHash — fixed-key and
-    stable across processes, but NOT xxhash64; mirrors must join on the
-    gram strings), never strings. 13 is the conventional n: long enough
-    that a shared gram implies copying, not coincidence.
+    as 64-bit hashes (SipHash token hashes folded by a seeded 64-bit
+    polynomial — fixed-key and stable across processes, but not
+    reproducible in SQL engines; mirrors must join on the gram strings),
+    never strings. 13 is the conventional n: long enough that a shared
+    gram implies copying, not coincidence.
     """
     from victorialogs_spark.datapipe.dedup import token_ngram_hashes_arrow
 
