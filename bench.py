@@ -650,6 +650,16 @@ def main() -> int:
         "pre": [probe_pre_wide, probe_pre_one],
         "post": [probe_post_wide, probe_post_one],
     }
+    # A burst that begins MID-RUN inflates only the tail queries: fewer
+    # than half the medians move, so the session drift stays under the
+    # backstop, and the contaminated run silently replaces the history
+    # baseline (observed r16: pre-probe quiet, post-probe 32way 2.96 s,
+    # f_word median 17x with drift only 1.246). A busy post-probe is the
+    # machine-visible signature of that shape.
+    post_busy = (
+        probe_post_wide >= PROBE_WIDE_QUIET
+        or probe_post_one >= PROBE_ONE_QUIET
+    )
     print(
         f"# host probe post: 32way={probe_post_wide:.2f}s "
         f"1way={probe_post_one:.2f}s",
@@ -704,8 +714,13 @@ def main() -> int:
     # A backstopped run's medians must NEVER become (or replace) the
     # guard's baseline: r15's driver run (drift 1.941) overwrote the
     # committed quiet-epoch r15 line in the working tree, leaving r16 a
-    # contaminated prior. Only epoch-clean runs write history.
-    if not flags["drift_backstop_exceeded"]:
+    # contaminated prior. Only epoch-clean runs write history. A run
+    # whose POST-probe is busy while regressions flagged is the mid-run
+    # -burst shape (see post_busy above) — same treatment.
+    epoch_suspect = flags["drift_backstop_exceeded"] or (
+        post_busy and bool(flags["regressions"])
+    )
+    if not epoch_suspect:
         try:
             append_history(
                 here, this_round, sf, medians, layout_medians, times,
@@ -716,8 +731,9 @@ def main() -> int:
             print(f"# history append failed: {exc}", file=sys.stderr)
     else:
         print(
-            "# history NOT updated: drift backstop exceeded — this run's "
-            "medians would poison the next round's baseline",
+            "# history NOT updated: epoch suspect (drift backstop or busy "
+            "post-probe with flags) — this run's medians would poison the "
+            "next round's baseline",
             file=sys.stderr,
         )
     # same guard over the layout read path (silent the first round a
@@ -801,6 +817,9 @@ def main() -> int:
                 # human look even if it's the host; the raw >1.25x
                 # queries are listed so the check is auditable
                 "drift_backstop_exceeded": flags["drift_backstop_exceeded"],
+                # drift backstop OR busy post-probe + flags (mid-run
+                # burst): history not written, one fresh-process retry
+                "epoch_suspect": epoch_suspect,
                 "uniform_slowdown_raw": flags["uniform_slowdown_raw"],
                 # flags inside a SCALE.md-adjudicated measurement
                 # envelope — visible for audit, not regressions
@@ -874,6 +893,7 @@ def main() -> int:
         "adjudicated_flags": sorted(flags["adjudicated"]),
         "host_drift_factor": drift,
         "drift_backstop_exceeded": flags["drift_backstop_exceeded"],
+        "epoch_suspect": epoch_suspect,
         "baseline": baseline_label,
         "cpus": cpus,
         "host_probe_sec": probe_rec,
@@ -904,13 +924,14 @@ def main() -> int:
     # (the driver parses the LAST JSON line); ours is kept, marked
     # superseded, so the degraded attempt stays auditable. The env flag
     # caps recursion at one retry.
-    if flags["drift_backstop_exceeded"] and not is_retry:
+    if epoch_suspect and not is_retry:
         compact["superseded_by_retry"] = True
         print(json.dumps(compact))
         sys.stdout.flush()
         print(
-            "# drift backstop exceeded — stopping this JVM and retrying "
-            "once as a fresh process after a quiet-probe wait",
+            "# epoch suspect (drift backstop or mid-run burst) — stopping "
+            "this JVM and retrying once as a fresh process after a "
+            "quiet-probe wait",
             file=sys.stderr,
         )
         spark.stop()
