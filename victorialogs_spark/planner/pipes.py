@@ -167,6 +167,14 @@ def _sort_exprs(df: DataFrame, fields: list[A.SortField], global_desc: bool) -> 
     return exprs
 
 
+# Staged natural keys for GENUINE text fields come from the Arrow pandas
+# UDF (functions/natural_arrow.py) instead of the CodegenFallback HOF
+# expressions — closes the whole-stage-codegen exclusion recorded as
+# r15's "Not yet optimized" item. False = the r15 expression path (kept
+# for the interleaved A/B harness, tools/ab_natural_arrow.py).
+STAGED_TEXT_ARROW = True
+
+
 def _staged_sort(
     df: DataFrame, fields: list[A.SortField], global_desc: bool
 ) -> tuple[DataFrame, list[Column], list[str]]:
@@ -187,11 +195,13 @@ def _staged_sort(
     0.62 → 0.85 s best, same A/B)."""
     from victorialogs_spark.functions.natural import (
         _DIRECT_DOUBLE_TYPES,
+        num,
         numeric_provenance,
     )
 
     targets = fields or [A.SortField(c, False) for c in df.columns]
     dtypes = dict(df.dtypes)
+    ucols: dict[str, Column] = {}
     cols: dict[str, Column] = {}
     orders: list[Column] = []
     i = 0
@@ -203,17 +213,48 @@ def _staged_sort(
             or dt in _DIRECT_DOUBLE_TYPES
             or numeric_provenance(df, sf.name)
         )
-        for k in natural_keys(df, sf.name):
-            if cheap:
+        if cheap:
+            for k in natural_keys(df, sf.name):
                 orders.append(k.desc() if desc else k.asc())
-                continue
+            continue
+        if STAGED_TEXT_ARROW:
+            # GENUINE text/mixed field: the scanner + run-encoder keys
+            # are CodegenFallback HOF trees — computing them in the
+            # staging Project ran the whole projection INTERPRETED
+            # (whole-stage-codegen exclusion, the r15 open item). One
+            # Arrow pandas UDF computes both per batch
+            # (functions/natural_arrow.py, byte-identical by pinned
+            # tests); the remaining JVM expressions (try_cast + gate +
+            # coalesce) stay codegen-friendly. Staged in two chained
+            # projections: the struct first, the key columns off its
+            # ATTRIBUTE — so the UDF cannot be cloned per extraction.
+            from victorialogs_spark.functions.natural_arrow import (
+                natural_arrow_struct,
+            )
+
+            s = fcol(df, sf.name)
+            n = num(df, sf.name)
+            gated = F.when(n.isNull() & s.rlike("^-?[0-9._]"), s)
+            uname = f"__vl_su{i}"
+            ucols[uname] = natural_arrow_struct(gated, s)
+            u = qcol(uname)
+            nn = F.coalesce(n, u["scan"])
+            keys = [
+                F.when(nn.isNotNull(), F.lit(0)).otherwise(F.lit(1)),
+                F.coalesce(nn, F.lit(0.0)),
+                u["key"],
+            ]
+        else:
+            keys = natural_keys(df, sf.name)
+        for k in keys:
             name = f"__vl_sk{i}"
             i += 1
             cols[name] = k
             orders.append(qcol(name).desc() if desc else qcol(name).asc())
     if not cols:
         return df, orders, []
-    return df.withColumns(cols), orders, list(cols)
+    staged = df.withColumns(ucols) if ucols else df
+    return staged.withColumns(cols), orders, list(ucols) + list(cols)
 
 
 def _p_sort(p: A.PSort, df: DataFrame, ctx) -> DataFrame:
