@@ -473,6 +473,18 @@ def token_ngram_hashes_arrow(c_name: str, n: int = 3):
     these hashes for EQUALITY only (posting-list grouping, shared-gram
     counts, decontamination semi-joins) — results never read the hash
     values, so the fold change is invisible up to that collision class.
+
+    Every emitted value additionally passes through murmur3's fmix64
+    finalizer (r16, from the r15 ADVICE): a bare linear combination of
+    fixed-key token hashes with public FNV constants admits
+    algebraically constructed cross-gram collisions on ADVERSARIAL
+    corpora (k-sum over the linear relation) — materially easier than
+    SipHash collisions on gram strings. fmix64 is a BIJECTION, so the
+    equality structure (which values collide) is exactly unchanged on
+    every input — results provably identical — while the output is no
+    longer a linear function of the token hashes. Cost: five vector ops
+    per batch.
+
     Measured (r15 wave 6, tools/ab_gram_poly.py interleaved): sf1
     gram+explode best 1.618 → 0.833 s (0.52×), dp_ngram_jaccard best
     3.76 → 2.31 s (0.61×); sf0.1 a wash (short docs — the per-doc
@@ -490,6 +502,29 @@ def token_ngram_hashes_arrow(c_name: str, n: int = 3):
         [pow(_P, j, 1 << 64) for j in range(n - 1, -1, -1)], dtype=np.uint64
     )
     seed_full = np.uint64((_SEED * pow(_P, n, 1 << 64)) & _MASK)
+    _FM1, _FM2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def _fmix64_arr(x):
+        # murmur3 fmix64, vectorized; uint64 array ops wrap silently
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(_FM1)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(_FM2)
+        x ^= x >> np.uint64(33)
+        return x
+
+    def _fmix64_int(v: int) -> int:
+        v ^= v >> 33
+        v = (v * _FM1) & _MASK
+        v ^= v >> 33
+        v = (v * _FM2) & _MASK
+        v ^= v >> 33
+        return v
+
+    # the empty doc's single "" gram: the (finalized) bare seed, shared
+    # by every empty doc — same pairing semantics as hashing ""
+    _empty_sig = _fmix64_int(_SEED)
+    _empty_sig = _empty_sig - (1 << 64) if _empty_sig >> 63 else _empty_sig
 
     def _gram_hashes(series):
         texts = series.tolist()
@@ -507,7 +542,10 @@ def token_ngram_hashes_arrow(c_name: str, n: int = 3):
         # full-batch window fold; positions crossing a doc boundary are
         # never referenced (each doc slices only its own c-n+1 windows)
         win = (
-            np.lib.stride_tricks.sliding_window_view(th, n) @ powers + seed_full
+            _fmix64_arr(
+                np.lib.stride_tricks.sliding_window_view(th, n) @ powers
+                + seed_full
+            )
             if len(th) >= n
             else np.empty(0, dtype=np.uint64)
         )
@@ -516,15 +554,14 @@ def token_ngram_hashes_arrow(c_name: str, n: int = 3):
         for toks in tok_lists:
             c = len(toks)
             if c == 0:
-                # the empty doc's single "" gram: the bare seed, shared by
-                # every empty doc (same pairing semantics as hashing "")
-                out.append([_SEED - (1 << 64) if _SEED >> 63 else _SEED])
+                out.append([_empty_sig])
             elif c < n:
                 # whole-sequence gram (Python-int Horner — numpy scalar
                 # uint64 overflow warns; arrays above wrap silently)
                 acc = _SEED
                 for h in th[pos : pos + c].tolist():
                     acc = (acc * _P + h) & _MASK
+                acc = _fmix64_int(acc)
                 out.append([acc - (1 << 64) if acc >> 63 else acc])
             else:
                 out.append(
