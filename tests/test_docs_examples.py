@@ -11,6 +11,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # ~3.7 min: executes every docs example end-to-end
+
 from victorialogs_spark.logsql.parser import parse_query
 
 DOCS = Path("/root/reference/docs/victorialogs/LogsQL.md")

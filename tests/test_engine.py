@@ -618,6 +618,7 @@ def test_format_q_json_escaping(spark):
     assert _json.loads(o) == 'say "hi"\tnow\\ok'  # valid JSON round-trip
 
 
+@pytest.mark.slow  # ~56 s exhaustive math grid
 def test_math_precedence_and_unary(spark):
     df = make_logs(spark, [{"a": "2", "b": "3", "c": "4"}])
     out = run_query(

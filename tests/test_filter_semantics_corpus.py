@@ -350,6 +350,7 @@ def _eval_cases(spark, cases):
     return failures
 
 
+@pytest.mark.slow  # ~8 min: full reference filter corpus
 def test_filter_semantics_corpus(spark):
     cases, unparseable = _extract_cases()
     assert len(cases) >= 700, f"extraction regressed: only {len(cases)} cases"

@@ -387,6 +387,7 @@ def test_metrics_endpoint(spark):
         srv.stop()
 
 
+@pytest.mark.slow  # ~65 s driver-heap soak
 def test_json_streaming_million_groups_under_capped_driver_heap():
     """One order beyond the ~100k test: a stats_query_range over 10^6
     groups must stream through the HTTP facade under a DRIVER heap too

@@ -63,6 +63,7 @@ QUERIES = [
 ]
 
 
+@pytest.mark.slow  # ~40 s/param: exhaustive value-grid equivalence
 @pytest.mark.parametrize("typ,vals", [("double", DOUBLES), ("bigint", LONGS)])
 def test_marked_equals_general_path(spark, typ, vals):
     from victorialogs_spark.api import run_query
@@ -96,6 +97,7 @@ def test_marked_sum_avg_equals_general_path(spark, typ, vals):
     assert got == want
 
 
+@pytest.mark.slow  # ~2 min/param: exhaustive value-grid equivalence
 @pytest.mark.parametrize("typ,vals", [("double", DOUBLES), ("bigint", LONGS)])
 def test_typed_equals_general_path(spark, typ, vals):
     """TYPED numeric columns share the provenance proof verbatim

@@ -229,6 +229,7 @@ def _run_case(spark, pipe_str, rows):
     return [row_to_wire_dict(r) for r in out.collect()]
 
 
+@pytest.mark.slow  # ~14 min: full reference pipe corpus
 def test_pipe_semantics_corpus(spark):
     cases, unparseable = _extract_cases()
     assert len(cases) >= 150, f"extraction regressed: only {len(cases)} cases"

@@ -646,6 +646,7 @@ def test_empty_store_serves_empty_results(spark, tmp_path,
         srv.stop()
 
 
+@pytest.mark.slow  # ~42 s failure-injection soak
 def test_compaction_failure_does_not_disable_migration(
     spark, tmp_path, tiny_thresholds, monkeypatch
 ):
