@@ -153,7 +153,12 @@ def test_marked_sort_plan_is_scanner_free(spark):
     plan_u = run_query(spark, unmarked, q)._jdf.queryExecution().executedPlan().toString()
     for marker in ("regexp_extract_all", "forall", "aggregate("):
         assert marker not in plan_m, marker
-    assert "regexp_extract_all" in plan_u
+    # r16: the unmarked general path no longer carries the scanner
+    # expressions either — staged text keys compute in an Arrow batch
+    # UDF (natural_arrow.py). The mark's remaining value: the marked
+    # plan stays pure-JVM (no Python boundary at all).
+    assert "ArrowEvalPython" in plan_u
+    assert "ArrowEvalPython" not in plan_m
 
 
 def test_mark_drops_on_rewrite(spark):
