@@ -45,7 +45,11 @@ ADJUDICATIONS = {
                   " after it touches dedup.py, and the isolated"
                   " re-measure best is 1.66 with the same plan. The"
                   " Arrow sketch UDF is the bench's most"
-                  " CPU-contention-sensitive stage.",
+                  " CPU-contention-sensitive stage. Plan-identity:"
+                  " plans/r16/dp_minhash_lsh_r16.txt (same two-shuffle"
+                  " join-free shape; r16 attribution re-measured the"
+                  " sketch stage at the overhead floor and rejected"
+                  " the sig-join-back and 2D-reduceat variants).",
         "median_band": (1.2, 3.0),
         "best_max": 2.4,
     },
@@ -54,7 +58,14 @@ ADJUDICATIONS = {
         "anchor": "SCALE.md 'p_sort_desc_rank median jitter adjudicated'"
                   " (r13): warm-protocol median 0.31-0.45, cold-session"
                   " ~0.52; steady-state execution ~100 ms, rest is"
-                  " driver planning + JIT",
+                  " driver planning + JIT. Plan-identity: the r15"
+                  " staged/typed-tiebreak plan"
+                  " (plans/r15/p_sort_desc_rank_after.txt) is unchanged"
+                  " in r16 (plans/r16/p_sort_desc_rank_r16.txt — value"
+                  " is provenance-marked, so the r16 Arrow text-key"
+                  " path does not fire here); cold/warm spread"
+                  " re-observed this round (0.33-0.51 best across"
+                  " fresh sessions).",
         "median_band": (0.25, 0.60),
         "best_max": 0.50,  # cold isolated best 0.442
     },
@@ -67,7 +78,13 @@ ADJUDICATIONS = {
                   " the reference-exact Arrow flattener — it retired the"
                   " recursive-flatten divergence; interleaved A/B:"
                   " gated-substring probe variant measured equal and"
-                  " rejected. Prior best 0.52 → 0.81 full / 0.51 layout.",
+                  " rejected. Prior best 0.52 → 0.81 full / 0.51 layout."
+                  " Plan-identity: plans/r16/p_unpack_json_after.txt"
+                  " (single from_json parse, no inference scan on the"
+                  " fields-projected path) and"
+                  " p_unpack_json_infer_scan.txt (the inference path's"
+                  " probe scans read ONLY struct<props:string> —"
+                  " ReadSchema verified r16).",
         "median_band": (0.30, 1.10),
         "best_max": 1.00,
     },
@@ -79,7 +96,10 @@ ADJUDICATIONS = {
                   " byte-identical (norm'd expr ids) to the pre-clamp"
                   " build, and interleaved clamp-vs-preclamp A/B"
                   " medians agree (0.238 vs 0.244); driver best 0.215"
-                  " vs prior 0.204 is host burst on an unchanged plan",
+                  " vs prior 0.204 is host burst on an unchanged plan."
+                  " Plan-identity: plans/r16/s_time_bucket_r16.txt"
+                  " (same two-phase aggregate, bucket expr"
+                  " pre-shuffle).",
         "median_band": (0.15, 0.45),
         "best_max": 0.30,
     },
@@ -87,7 +107,10 @@ ADJUDICATIONS = {
         "sf": 0.1,
         "anchor": "SCALE.md 'dp_exact_dedup reproducible 2x adjudicated'"
                   " (r12): bench-context best 0.209/median 0.236, cold"
-                  " isolated median up to 0.346 — cold-JIT + drift",
+                  " isolated median up to 0.346 — cold-JIT + drift."
+                  " Plan-identity: plans/r16/dp_exact_dedup_r16.txt"
+                  " (same single hash-shuffle groupBy on the md5"
+                  " fingerprint as the r12 record).",
         "median_band": (0.12, 0.40),
         "best_max": 0.35,
     },

@@ -248,3 +248,29 @@ def test_r14_datapipe_review_fixes(spark):
     df2 = spark.createDataFrame([(2,), (3,), (9,)], "doc_id long")
     kept = {r.doc_id for r in dedup_by_clusters(df2, "doc_id", pairs).collect()}
     assert kept == {2, 9}  # 2 survives as the present representative
+
+
+def test_repetition_engines_identical(spark):
+    """The Arrow twin of repetition_stats must be value-IDENTICAL to the
+    Column-expression path (the signals are oracle-declared): adversarial
+    whitespace/unicode/empty/null cases, bit-exact doubles."""
+    from victorialogs_spark.datapipe.quality import repetition_stats
+
+    adv = [
+        "", "\n", "a\nb\na", "x\n\n  \n\nx\n\nx", "  \n\t\n", None,
+        "line \nline \nother", "p1\n\np1\n\np2", "é\né\nü", "\n\n\n",
+        "a\n \nb\n\t\nb", "tr  ", " leading\n leading", "🎈x\n🎈x\nz",
+        "a\x0bb\na\x0bb", "dup\ndup\ndup\n\nd2\n\nd2",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(adv)], "doc_id long, text string"
+    )
+    a = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in repetition_stats(df, "doc_id", "text", engine="column").collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in repetition_stats(df, "doc_id", "text", engine="arrow").collect()
+    }
+    assert a == b

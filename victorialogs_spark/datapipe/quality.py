@@ -61,22 +61,43 @@ def _dup_char_frac(parts: Column) -> Column:
     return F.when(total > 0, (total - uniq) / total).cast("double")
 
 
-def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, engine: str = "arrow"
+) -> DataFrame:
     """Line- and paragraph-level duplication signals per document.
-    Pure Column expressions (split + array_distinct + aggregate HOFs):
-    narrow projections, no shuffle, no Python.
 
-    STAGED: the split arrays materialize once in a first projection and
-    the signal columns reference them by name — inlining the split expr
-    into each signal looked equivalent, but Catalyst's subexpression
-    elimination does not collapse the duplicated split+filter trees
-    under the aggregate-HOF lambdas, so every signal re-ran the regex
-    split (sf1 A/B: 3.46 s inlined -> 1.66 s staged; the same rule
-    winnowing_fingerprints documents).
+    ``engine="arrow"`` (default, r16): one Arrow pandas UDF computes all
+    five signals per batch. The Column path's array HOFs (filter /
+    array_distinct / aggregate lambdas) are CodegenFallback — the whole
+    projection ran INTERPRETED, and each signal re-walked its array —
+    while the Python twin is a few C-backed set/len operations per doc.
+    Exactness: Spark `split` ≡ re.split on these patterns (both keep
+    empty leading/trailing fields, the patterns can't match
+    zero-width), `trim` strips 0x20 only (Python .strip(' ')), `length`
+    counts code points (Python len), and the signal arithmetic is
+    integer-exact with one IEEE double division — pinned engine-vs-
+    engine by test_quality.py (adversarial cases + the full sf0.1
+    corpus, zero mismatches) and by the DuckDB oracle entry.
+    Interleaved A/B (r16): sf1 best 1.289 -> 0.448 s (0.35x), sf0.1
+    0.335 -> 0.287 (0.86x — single scan task at this scale).
+
+    ``engine="column"`` keeps the r13 staged Column-expression path
+    (zero Python on the executors — kept for the A/B harness and as
+    the no-Python-workers fallback).
+
+    STAGED (column path): the split arrays materialize once in a first
+    projection and the signal columns reference them by name — inlining
+    the split expr into each signal looked equivalent, but Catalyst's
+    subexpression elimination does not collapse the duplicated
+    split+filter trees under the aggregate-HOF lambdas, so every signal
+    re-ran the regex split (sf1 A/B: 3.46 s inlined -> 1.66 s staged;
+    the same rule winnowing_fingerprints documents).
 
     Output: (id, n_lines, dup_line_frac, dup_line_char_frac,
     dup_para_frac, dup_para_char_frac).
     """
+    if engine == "arrow":
+        return _repetition_stats_arrow(df, id_col, text_col)
     c = F.col(text_col)
     staged = df.select(
         F.col(id_col),
@@ -99,6 +120,63 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         _dup_char_frac(lines).alias("dup_line_char_frac"),
         _dup_frac(paras).alias("dup_para_frac"),
         _dup_char_frac(paras).alias("dup_para_char_frac"),
+    )
+
+
+_PARA_RE = None  # compiled lazily inside the UDF (keeps import light)
+
+
+def _repetition_stats_arrow(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Arrow twin of the Column-expression repetition signals (see
+    repetition_stats). The struct rides one staged column and the five
+    fields extract off its ATTRIBUTE in a second projection, so
+    CollapseProject cannot clone the UDF per field (the minhash r14
+    pathology); asNondeterministic for the same reason."""
+    import re
+
+    import pandas as pd
+
+    para_re = re.compile(r"\n(?:[ \t]*\n)+")
+
+    def _one(s):
+        if s is None:
+            return (None, None, None, None, None)
+        lines = [p for p in s.split("\n") if p.strip(" ") != ""]
+        paras = [p for p in para_re.split(s) if p.strip(" ") != ""]
+        out = [len(lines)]
+        for parts in (lines, paras):
+            n = len(parts)
+            uniq = set(parts)
+            out.append((n - len(uniq)) / n if n > 0 else None)
+            total = sum(map(len, parts))
+            out.append(
+                (total - sum(map(len, uniq))) / total if total > 0 else None
+            )
+        return out  # n_lines, dlf, dlcf, dpf, dpcf
+
+    def _sig(series: pd.Series) -> pd.DataFrame:
+        rows = [_one(s) for s in series.tolist()]
+        # object dtype: an int64 column cannot hold the NULL-text None
+        return pd.DataFrame(
+            rows, columns=["n_lines", "dlf", "dlcf", "dpf", "dpcf"]
+        ).astype({"n_lines": "object"})
+
+    _sig.__annotations__ = {"series": pd.Series, "return": pd.DataFrame}
+    udf = F.pandas_udf(
+        _sig,
+        "n_lines int, dlf double, dlcf double, dpf double, dpcf double",
+    ).asNondeterministic()
+    staged = df.select(F.col(id_col), udf(F.col(text_col)).alias("__vl_rep"))
+    u = F.col("__vl_rep")
+    return staged.select(
+        F.col(id_col),
+        u["n_lines"].alias("n_lines"),
+        u["dlf"].alias("dup_line_frac"),
+        u["dlcf"].alias("dup_line_char_frac"),
+        u["dpf"].alias("dup_para_frac"),
+        u["dpcf"].alias("dup_para_char_frac"),
     )
 
 
