@@ -24,7 +24,7 @@ NOTES = {
     "dp_ngram_jaccard": "inverted-index: gram-hash groupBy → local pairs → pair groupBy; two shuffles, zero joins",
     "dp_cosine_threshold": "numpy-per-Arrow-batch matvec scan, no shuffle",
     "dp_ann_bruteforce_topk": "vectorized cosine + TakeOrderedAndProject top-k",
-    "dp_repetition": "split arrays staged once (HOF lambdas are interpreted and not CSE'd), then per-doc array HOFs: narrow maps, zero shuffles",
+    "dp_repetition": "all five signals in ONE Arrow batch UDF (r16 — the staged array-HOF chain was CodegenFallback/interpreted; sf1 A/B 0.35x): narrow map, zero shuffles",
     "dp_ngram_repetition": "per-doc Arrow map (gram Counter), zero shuffles",
     "dp_gopher_quality": "full Gopher rule set as one narrow projection",
     "dp_dup_clusters": "pair gen (2 shuffles) → union-find ≤2M edges / star rounds above → singleton backfill join",
